@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-provided star-schema testdata (TESTDATA.md).
+  *
+  * Tables: region, nation, customer, supplier, part, orders, lineitem,
+  * events, documents, embeddings — one parquet file per table under
+  * `\$dir/\$name.parquet`.
+  *
+  * All loads are plain parquet scans so Catalyst's column pruning and
+  * predicate pushdown reach the file format (verify with
+  * `df.explain("formatted")`: `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
+    * the legacy flag and normalize to a TimestampType column (micros,
+    * Spark's native precision) so downstream ops see a clean schema. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      // integer `div`: ns epoch exceeds 2^53, double division would lose ticks
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` (EP2) sees the
+    * same relations the Dataset API (EP1) uses. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composable relational operators covering the reference's surface
+  * (SURVEY.md §2.2–2.7): projections/filters (P*), joins (J*),
+  * aggregations (A*), sort/limit/dedup (O*), union (U1).
+  *
+  * Everything here is a declarative `DataFrame => DataFrame` so Catalyst
+  * keeps full visibility: predicate pushdown, column pruning, top-k
+  * (`TakeOrderedAndProject`), partial aggregation and broadcast-join
+  * selection all still apply. No UDFs, no RDDs, no collect().
+  */
+object Relational {
+
+  /** A2/O4 (goodreads.py:168): group-by count + deterministic top-k.
+    * Ties broken by the group keys so results are stable across runs
+    * and engines. Catalyst plans the sort+limit as TakeOrderedAndProject
+    * (per-partition top-k, merged on the driver) — no global sort. */
+  def topKByCount(df: DataFrame, keys: Seq[String], k: Int): DataFrame = {
+    val sortCols = col("cnt").desc +: keys.map(col(_).asc)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(sortCols: _*)
+      .limit(k)
+  }
+
+  /** O2 "keep latest edition per work" (goodreads.py:83) done right:
+    * the reference relies on undocumented orderBy+dropDuplicates
+    * first-row-wins; the deterministic form is a window row_number.
+    * `order` must be a total order within each partition (include a
+    * unique tie-break column). */
+  def dedupLatest(df: DataFrame, partitionBy: Seq[String], order: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(partitionBy.map(col): _*).orderBy(order: _*)))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+
+  /** J3 (goodreads.py:151): restrict `df` to rows whose key appears in
+    * `keep` — expressed honestly as a left-semi join so Catalyst can
+    * broadcast the key side when small. */
+  def semiRestrict(df: DataFrame, keep: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.join(keep, keyCols, "left_semi")
+
+  /** Complement of semiRestrict: rows of `df` with no match in `other`. */
+  def antiExclude(df: DataFrame, other: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.join(other, keyCols, "left_anti")
+
+  /** U1 (goodreads.py:473–487): tag two frames with a `type`
+    * discriminator and union them by name (the reference manually
+    * aligns 13 columns positionally; unionByName is the robust form). */
+  def unionTagged(a: DataFrame, aTag: String, b: DataFrame, bTag: String): DataFrame =
+    a.withColumn("type", lit(aTag))
+      .unionByName(b.withColumn("type", lit(bTag)), allowMissingColumns = true)
+
+  /** P3 (goodreads.py:54–57): name of the max-valued column among
+    * `fields` — the reference's only Python UDF, re-expressed as pure
+    * Catalyst expressions (greatest + first-match when-chain), which
+    * keeps whole-stage codegen and removes the Python-worker boundary.
+    *
+    * Tie-break: FIRST maximum in `fields` order, exactly matching the
+    * reference's `list.index(max(...))`. Null fields are treated as
+    * smaller than any value (greatest ignores nulls). */
+  def argmaxFields(fields: Seq[String]): Column = {
+    require(fields.size >= 2, "argmaxFields needs at least 2 columns")
+    val m = greatest(fields.map(col): _*)
+    fields.tail.foldLeft(when(col(fields.head) === m, lit(fields.head))) {
+      (acc, f) => acc.when(col(f) === m, lit(f))
+    }
+  }
+
+  /** A3 (goodreads.py:94) with deterministic output: collect_set is
+    * unordered, so sort the array before returning it. */
+  def collectSortedSet(df: DataFrame, key: String, valueCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(array_sort(collect_set(col(valueCol))).as(s"${valueCol}_set"))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("argmaxFields picks the max column; ties go to FIRST field in order") {
+    val df = Seq(
+      (1, 5, 3),   // b wins
+      (2, 7, 7),   // b/c tie -> b (first max in field order)
+      (4, 4, 4),   // all tie -> a
+      (0, 1, 9)    // c wins
+    ).toDF("a", "b", "c")
+    val got = df.coalesce(1)
+      .withColumn("m", Relational.argmaxFields(Seq("a", "b", "c")))
+      .select("m").as[String].collect().toSeq
+    assert(got == Seq("b", "b", "a", "c"))
+  }
+
+  test("dedupLatest keeps exactly the max-order row per partition key") {
+    val df = Seq(
+      (1, "2020-01-01", "old"),
+      (1, "2021-01-01", "new"),
+      (2, "2019-06-01", "only")
+    ).toDF("k", "d", "tag")
+    val got = Relational.dedupLatest(df, Seq("k"), Seq(col("d").desc))
+      .select("k", "tag").as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "new", 2 -> "only"))
+  }
+
+  test("topKByCount returns count-desc with key tie-break") {
+    val df = Seq("x", "x", "x", "y", "y", "z").toDF("k")
+    val got = Relational.topKByCount(df, Seq("k"), 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x", 3L), ("y", 2L)))
+  }
+
+  test("unionTagged aligns schemas by name and tags rows") {
+    val a = Seq((1, "n1")).toDF("id", "name")
+    val b = Seq((2, "n2")).toDF("id", "name")
+    val got = Relational.unionTagged(a, "A", b, "B")
+      .select("id", "type").as[(Int, String)].collect().toSet
+    assert(got == Set((1, "A"), (2, "B")))
+  }
+
+  test("semiRestrict/antiExclude partition the table") {
+    val df = Seq(1, 2, 3, 4).toDF("id")
+    val keep = Seq(2, 4).toDF("id")
+    val semi = Relational.semiRestrict(df, keep, Seq("id")).as[Int].collect().toSet
+    val anti = Relational.antiExclude(df, keep, Seq("id")).as[Int].collect().toSet
+    assert(semi == Set(2, 4) && anti == Set(1, 3))
+  }
+
+  test("collectSortedSet produces sorted deterministic arrays") {
+    val df = Seq((1, "b"), (1, "a"), (1, "b"), (2, "z")).toDF("k", "v")
+    val got = Relational.collectSortedSet(df, "k", "v")
+      .as[(Int, Seq[String])].collect().toMap
+    assert(got == Map(1 -> Seq("a", "b"), 2 -> Seq("z")))
+  }
+}
