@@ -1,0 +1,155 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * order of scale-friendliness:
+  *
+  *  - exact: hash group-by — one shuffle on the content hash.
+  *  - n-gram Jaccard: exact set similarity via an inverted shingle
+  *    index — the honest quadratic baseline, with a document-frequency
+  *    cap to bound the index blowup.
+  *  - MinHash + LSH banding: the 100 TB path — shuffle is
+  *    O(docs × bands), never O(pairs); candidates then verified on
+  *    their signatures.
+  *  - SimHash: 64-bit near-dup sketch, banded for candidate generation,
+  *    hamming-distance verified via bit_count(xor).
+  *
+  * Everything is declarative DataFrame ops over codegen'd hash
+  * functions (xxhash64/md5) — no UDFs, no driver loops.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of `text` (empty array when the
+    * document has fewer than n tokens). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact dedup summary: one row per distinct content hash with its
+    * multiplicity and the canonical (minimum) id to keep. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+
+  /** Exact dedup: keep the minimum-id row per distinct text. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** Exact n-gram Jaccard similarity pairs via inverted shingle index.
+    *
+    * `maxDf` drops shingles present in more than that many documents
+    * (stop-shingles) before pairing — both the similarity definition
+    * and the pair candidates are over the df-capped shingle vocabulary.
+    * Returns (id_a, id_b, inter, sz_a, sz_b, jaccard) for pairs with
+    * jaccard ≥ minJaccard, id_a < id_b.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, maxDf: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val rare = ex.join(
+        ex.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf), Seq("sh"))
+      .select("sh", "id")
+    val sizes = rare.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = rare.toDF("sh", "id_a")
+    val b = rare.toDF("sh", "id_b")
+    a.join(b, a("sh") === b("sh") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+  }
+
+  /** MinHash signature: `numHashes` independent min-hashes of the
+    * document's shingle set (hash family = xxhash64 seeded by index). */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+    ex.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + LSH banding near-dup pairs — the scale path.
+    *
+    * Signatures are split into `bands` bands of numHashes/bands rows;
+    * docs sharing any band hash become candidates (one shuffle keyed by
+    * (band, bandHash) — never all-pairs). Candidates are verified by
+    * estimated Jaccard = fraction of agreeing minhashes ≥ minJaccard.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    val sig = minhashSignature(df, idCol, textCol, n, numHashes)
+
+    val bandHashes = (0 until bands).map { b =>
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
+    }
+    val banded = sig.select(col("id"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val cand = banded.toDF("id_a", "band", "bh")
+      .join(banded.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("id_a") === col("a.id"))
+      .join(sig.as("b"), col("id_b") === col("b.id"))
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 6))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over the document's term-frequency vector: bit i of
+    * the sketch is the sign of Σ_tokens tf·(±1 by bit i of xxhash64(tok)). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b_$i")
+    }
+    val sums = tf.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sketch = (0 until 64)
+      .map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("id"), sketch.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates from 4 16-bit bands (a pair
+    * within hamming distance 3 must agree on ≥1 band), verified with
+    * bit_count(xor) ≤ maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val sk = simhash(df, idCol, textCol)
+    val banded = sk.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("band", "bh")))
+    banded.toDF("id_a", "sim_a", "band", "bh")
+      .join(banded.toDF("id_b", "sim_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

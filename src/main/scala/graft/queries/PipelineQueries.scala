@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextOps
+
+/** Training-data pipeline queries over documents/embeddings: dedup
+  * (exact, n-gram Jaccard, MinHash LSH, SimHash), similarity search
+  * (brute-force + LSH ANN), and text analysis (token stats, quality,
+  * language ID, fingerprints).
+  *
+  * Hash-based ops (xxhash64 sketches) are not DuckDB-expressible →
+  * no oracle (driver rows-only check); their semantics are covered by
+  * scalatest specs on planted duplicates instead.
+  */
+object PipelineQueries {
+
+  private val enStop = TextOps.langMarkers.head._2
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ---- exact dedup: content-hash groups, canonical keep-id.
+    NamedQuery("d01_dedup_exact",
+      (s, dir) => Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("text_hash"),
+      Some("""SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+             |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)),
+
+    // ---- exact 3-gram Jaccard near-dup pairs over a df-capped
+    // inverted shingle index (maxDf=100, jaccard >= 0.05).
+    NamedQuery("d02_ngram_jaccard_pairs",
+      (s, dir) => Dedup.ngramJaccardPairs(Tables.documents(s, dir),
+          "doc_id", "text", n = 3, minJaccard = 0.05, maxDf = 100)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS shs
+             |  FROM toks WHERE len(ts) >= 3),
+             |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+             |rare AS (SELECT ex.doc_id, ex.sh FROM ex
+             |         JOIN (SELECT sh, count(*) AS df FROM ex GROUP BY sh) d ON ex.sh = d.sh
+             |         WHERE d.df <= 100),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             |       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+             |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+             |WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- MinHash+LSH on documents ∪ planted copies: every planted
+    // duplicate must surface as a candidate pair with est_jaccard 1.0.
+    // xxhash64 signatures aren't SQL-expressible → rows-only check.
+    NamedQuery("d03_minhash_lsh_pairs", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.minhashLshPairs(docs.unionByName(planted), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, minJaccard = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- SimHash sketches (deterministic 64-bit near-dup sketch).
+    NamedQuery("d04_simhash_sketches",
+      (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id")),
+
+    // ---- SimHash near-dup pairs over planted copies (hamming = 0).
+    NamedQuery("d05_simhash_pairs", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.simhashPairs(docs.unionByName(planted), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ---- embedding cosine near-dup pairs (brute force, exact).
+    NamedQuery("d06_embedding_neardup",
+      (s, dir) => Similarity.cosineNearDupPairs(
+          Tables.embeddings(s, dir).select("vec_id", "embedding"), minCos = 0.4)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(
+             |      list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) /
+             |      (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
+             |       sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))),
+             |      6) AS cos
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- brute-force exact ANN: top-5 cosine neighbors for the first
+    // 20 vectors against the whole corpus.
+    NamedQuery("s01_ann_brute_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+        .orderBy("query_id", "rank")
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(
+             |      list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i])) /
+             |      (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i]))) *
+             |       sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))),
+             |      6) AS cos
+             |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, cos, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- LSH ANN (random hyperplanes): approximate top-5 — the scale
+    // path; recall vs s01 is asserted in scalatest, not hash-matched.
+    NamedQuery("s02_ann_lsh_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.lshCosineTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
+          dim = 64, nBits = 32, bands = 8, seed = 42L)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- token / char / quality stats per document.
+    NamedQuery("t01_text_stats", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextOps.stopwordRatio(col("text"), enStop), 6).as("stopword_ratio"),
+        TextOps.qualityScore(col("text"), enStop).as("quality"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                x -> len(x) > 0) AS toks,
+             |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+             |      (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE
+             |      / len(text) END AS praw
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, text, len(toks) AS n_tokens, praw,
+             |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             |      len(list_filter(toks, x -> list_contains(${sqlList(enStop)}, x)))::DOUBLE
+             |      / len(toks) END AS swraw
+             |  FROM t)
+             |SELECT doc_id, n_tokens, len(text) AS len_chars,
+             |  round(praw, 6) AS punct_ratio,
+             |  round(swraw, 6) AS stopword_ratio,
+             |  round(greatest(least(
+             |    least(len(text)::DOUBLE / 500.0, 1.0) * 0.4 +
+             |    least(swraw * 5.0, 1.0) * 0.4 +
+             |    (1.0 - least(praw * 5.0, 1.0)) * 0.2, 1.0), 0.0), 6) AS quality
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- language ID by marker-token voting vs the labeled lang col.
+    NamedQuery("t02_lang_id", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id"),
+      Some {
+        val scores = TextOps.langMarkers.map { case (lang, words) =>
+          s"len(list_intersect(dt, ${sqlList(words)})) AS s_$lang"
+        }.mkString(",\n    ")
+        val names = TextOps.langMarkers.map(_._1)
+        val best = names.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+        val chain = names.map(l => s"WHEN s_$l = $best THEN '$l'").mkString("\n    ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, list_distinct(list_filter(
+           |    string_split_regex(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)) AS dt
+           |  FROM documents),
+           |sc AS (SELECT doc_id, lang,
+           |    ${scores}
+           |  FROM t)
+           |SELECT doc_id, lang,
+           |  CASE WHEN $best = 0 THEN 'und'
+           |    $chain
+           |    END AS pred_lang
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---- xxhash64 token-stream fingerprints (rows-only: hash fn).
+    NamedQuery("t03_fingerprints", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"),
+        TextOps.approxBpeTokenCount(col("text")).as("approx_bpe_tokens"))
+        .orderBy("doc_id"))
+  )
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+}

@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token/char counting, quality scoring, language ID,
+  * and document fingerprinting.
+  *
+  * All pure `Column` expressions (whole-stage codegen, no UDFs) — they
+  * run inside the scan stage, so at 100 TB they cost one pass over the
+  * text bytes with zero shuffle.
+  */
+object TextOps {
+
+  /** Lowercase alnum tokenizer: split on any non-[a-z0-9] run, drop
+    * empties. Matches DuckDB's string_split_regex for oracle parity. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: whitespace tokens weighted by
+    * ceil(len/4) — the "~4 chars per token" heuristic, purely
+    * declarative. */
+  def approxBpeTokenCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / 4.0).cast("long"))
+
+  /** Fraction of characters that are ASCII punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[.,!?;:'\"()\\[\\]{}-]", "")))
+        .cast("double") / length(text))
+
+  /** Fraction of tokens found in `stopwords` (language-quality signal:
+    * natural prose has a stable stopword ratio, boilerplate/code does
+    * not). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = lit(stopwords.toArray)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+  }
+
+  /** Mean token length — word-salad and URL-ish junk skew long. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length band + stopword presence
+    * − punctuation excess. Deliberately simple and fully declarative;
+    * the weights are the operator's parameters, not magic. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val swScore = least(stopwordRatio(text, stopwords) * 5.0, lit(1.0))
+    val punctPenalty = least(punctRatio(text) * 5.0, lit(1.0))
+    round(greatest(least(lenScore * 0.4 + swScore * 0.4 + (lit(1.0) - punctPenalty) * 0.2,
+      lit(1.0)), lit(0.0)), 6)
+  }
+
+  /** Tiny per-language marker lexicons for the n-gram/stopword-voting
+    * language-ID heuristic. Deterministic, order = tie-break priority. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "de", "y", "un", "una", "es", "que", "para"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "zhe"))
+
+  /** Language ID by marker-token voting: count DISTINCT tokens hitting
+    * each language's marker list; highest count wins, first language in
+    * `langMarkers` order on ties, 'und' when nothing matches. */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scores = langMarkers.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, lit(words.toArray)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    val chain = scores.tail.foldLeft(when(best === 0, lit("und"))
+        .when(scores.head._2 === best, lit(scores.head._1))) {
+      case (acc, (lang, sc)) => acc.when(sc === best, lit(lang))
+    }
+    chain
+  }
+
+  /** 64-bit document fingerprint: xxhash64 rolling over the token
+    * stream (order-sensitive, whitespace-normalization-invariant).
+    * Content-defined identity for exact/near-exact dedup bookkeeping. */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws("", tokens(text)))
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer rules and codegen stages"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (5L, "another unrelated document mentioning parquet scans and shuffle partitions only")
+  ).toDF("doc_id", "text")
+
+  test("shingles builds distinct word n-grams; short docs get empty array") {
+    val got = Seq((1L, "a b c d"), (2L, "a b")).toDF("id", "t")
+      .select($"id", Dedup.shingles($"t", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b c", "b c d"))
+    assert(got(2L).isEmpty)
+  }
+
+  test("exactGroups finds the duplicate text group with min keep_id") {
+    val groups = Dedup.exactGroups(base, "doc_id", "text")
+    assert(groups.count() == 4) // 5 docs, one pair collapses
+    val dup = groups.filter($"n_docs" === 2).select("keep_id").as[Long].collect()
+    assert(dup.toSeq == Seq(1L))
+    assert(Dedup.dropExactDups(base, "doc_id", "text").count() == 4)
+  }
+
+  test("ngramJaccardPairs ranks exact dup above near dup, misses unrelated") {
+    val pairs = Dedup.ngramJaccardPairs(base, "doc_id", "text", 3, 0.3, 100)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 4L)) == 1.0)           // exact duplicate
+    assert(pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0) // near-dup
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 5L)))
+  }
+
+  test("minhashLshPairs surfaces planted exact+near dups with high est_jaccard") {
+    val got = Dedup.minhashLshPairs(base, "doc_id", "text", 3, 32, 8, 0.5)
+      .select("id_a", "id_b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(got((1L, 4L)) == 1.0)
+    assert(got.contains((1L, 2L)) || got.contains((2L, 4L))) // near-dup caught by some band
+    assert(!got.contains((1L, 3L)))
+  }
+
+  test("simhash is deterministic; identical text => identical sketch; pairs verify hamming") {
+    val sk = Dedup.simhash(base, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sk(1L) == sk(4L))
+    assert(sk(1L) != sk(3L))
+    val pairs = Dedup.simhashPairs(base, "doc_id", "text", 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(!pairs.contains((1L, 3L)))
+  }
+}

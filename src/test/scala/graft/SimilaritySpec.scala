@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine expression computes exact cosine in double precision") {
+    val df = Seq((Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+                 (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+                 (Array(1.0f, 2.0f), Array(2.0f, 4.0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK returns exact nearest neighbors, self excluded") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("id", "v")
+    val got = Similarity.bruteForceTopK(vecs.filter($"id" === 0), vecs, 2)
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq.sortBy(_._2)
+    assert(got.map(_._1) == Seq(1L, 2L)) // 1 closest, then orthogonal tie broken by id
+  }
+
+  test("lshCosineTopK achieves high recall vs brute force on sf0.001 embeddings") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val q = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshCosineTopK(q, emb, 5, dim = 64, nBits = 32, bands = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall too low: $recall")
+  }
+
+  test("cosineNearDupPairs finds planted duplicate vector") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "v")
+    val got = Similarity.cosineNearDupPairs(vecs, 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L)))
+  }
+}

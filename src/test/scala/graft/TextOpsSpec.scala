@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens lowercases, splits on non-alnum, drops empties") {
+    val got = Seq("Hello, World!  foo-bar 42").toDF("t")
+      .select(TextOps.tokens($"t")).as[Seq[String]].head()
+    assert(got == Seq("hello", "world", "foo", "bar", "42"))
+  }
+
+  test("punctRatio and stopwordRatio handle empty text without NaN") {
+    val got = Seq("", "a.b,c", "the cat the dog").toDF("t")
+      .select(round(TextOps.punctRatio($"t"), 4).as("p"),
+        round(TextOps.stopwordRatio($"t", Seq("the")), 4).as("s"))
+      .as[(Double, Double)].collect().toSeq
+    assert(got(0) == ((0.0, 0.0)))
+    assert(got(1)._1 == 0.4) // 2 punct chars of 5
+    assert(got(2)._2 == 0.5) // 2 of 4 tokens are 'the'
+  }
+
+  test("langId votes by marker tokens with first-language tie-break") {
+    val got = Seq(
+      "the cat and the dog is in a house",
+      "le chat et la maison est pour un jour",
+      "xyzzy qwerty")
+      .toDF("t").select(TextOps.langId($"t")).as[String].collect().toSeq
+    assert(got == Seq("en", "fr", "und"))
+  }
+
+  test("fingerprint invariant to whitespace/punct normalization, sensitive to content") {
+    val got = Seq("hello world", "Hello,   WORLD!", "hello there")
+      .toDF("t").select(TextOps.fingerprint($"t")).as[Long].collect().toSeq
+    assert(got(0) == got(1))
+    assert(got(0) != got(2))
+  }
+
+  test("qualityScore stays within [0,1] on real documents") {
+    val stats = Tables.documents(spark, sf)
+      .select(TextOps.qualityScore($"text", TextOps.langMarkers.head._2).as("q"))
+      .agg(min("q"), max("q")).as[(Double, Double)].head()
+    assert(stats._1 >= 0.0 && stats._2 <= 1.0)
+  }
+}
