@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.graph.PropertyGraph
+
+/** Graph query pack (SURVEY §2.10, §2.13 Q11–Q16 analogs) over the
+  * bipartite customer→part graph (the testdata analog of the
+  * reference's user→book ratings graph).
+  *
+  * Degree/subgraph/motif queries are declarative DataFrame ops with
+  * DuckDB oracles; iterative algorithms (PageRank, label propagation,
+  * connected components, BFS) run on GraphX / iterative joins and get
+  * rows-only checks (not SQL-expressible), with semantics covered by
+  * GraphSpec on a known tiny graph.
+  */
+object GraphQueries {
+
+  /** Shared oracle CTE mirroring PropertyGraph.customerPartGraph. */
+  private val edgesCte =
+    """WITH edges AS (
+      |  SELECT o_custkey AS src, l_partkey + 1000000 AS dst,
+      |         round(avg(l_quantity), 6) AS weight, count(*) AS n_lines
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ---- Q11 analog (goodreads.py:547,552): top reviewers = out-degrees.
+    NamedQuery("g01_top_customers_outdegree",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        g.outDegrees.orderBy(col("outDegree").desc, col("id")).limit(20)
+      },
+      Some(s"""$edgesCte
+             |SELECT src AS id, count(*) AS outDegree FROM edges
+             |GROUP BY src ORDER BY outDegree DESC, id LIMIT 20""".stripMargin)),
+
+    // ---- Q12 analog (goodreads.py:558,563): top parts = in-degrees.
+    NamedQuery("g02_top_parts_indegree",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        g.inDegrees.orderBy(col("inDegree").desc, col("id")).limit(20)
+      },
+      Some(s"""$edgesCte
+             |SELECT dst AS id, count(*) AS inDegree FROM edges
+             |GROUP BY dst ORDER BY inDegree DESC, id LIMIT 20""".stripMargin)),
+
+    // ---- Q13 analog (goodreads.py:569 filterVertices): subgraph of
+    // high-balance customers (+ all parts), top parts by in-degree.
+    NamedQuery("g03_subgraph_rich_customers",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+          .filterVertices(col("type") === "Part" ||
+            (col("type") === "Customer" && col("balance") > 5000))
+        g.inDegrees.orderBy(col("inDegree").desc, col("id")).limit(20)
+      },
+      Some(s"""$edgesCte
+             |SELECT dst AS id, count(*) AS inDegree FROM edges
+             |JOIN customer ON src = c_custkey
+             |WHERE c_acctbal > 5000
+             |GROUP BY dst ORDER BY inDegree DESC, id LIMIT 20""".stripMargin)),
+
+    // ---- Q14 analog (goodreads.py:575 filterEdges): heavy edges only,
+    // out-degrees of the surviving subgraph.
+    NamedQuery("g04_heavy_edge_outdegree",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+          .filterEdges(col("weight") >= 45.0)
+        g.outDegrees.orderBy(col("outDegree").desc, col("id")).limit(20)
+      },
+      Some(s"""$edgesCte
+             |SELECT src AS id, count(*) AS outDegree FROM edges
+             |WHERE weight >= 45.0
+             |GROUP BY src ORDER BY outDegree DESC, id LIMIT 20""".stripMargin)),
+
+    // ---- G9 (goodreads.py:618 PageRank): GraphX runUntilConvergence.
+    NamedQuery("g05_pagerank_top20", (s, dir) => {
+      val g = PropertyGraph.customerPartGraph(s, dir)
+      g.pageRank(tol = 0.01, resetProb = 0.15)
+        .select(col("id"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy(col("pagerank").desc, col("id")).limit(20)
+    }),
+
+    // ---- G8 (goodreads.py:594 label propagation): community sizes.
+    NamedQuery("g06_label_propagation_sizes", (s, dir) => {
+      val g = PropertyGraph.customerPartGraph(s, dir)
+      g.labelPropagation(maxIter = 4)
+        .groupBy("label").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("label")).limit(20)
+    }),
+
+    // ---- connected components: component count + sizes.
+    NamedQuery("g07_connected_components", (s, dir) => {
+      val g = PropertyGraph.customerPartGraph(s, dir)
+      g.connectedComponents()
+        .groupBy("component").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("component")).limit(20)
+    }),
+
+    // ---- G6 (goodreads.py:588 BFS): shortest path customer 1 → part
+    // over the symmetrized graph (bipartite edges are directed
+    // customer→part; reverse edges enable multi-hop traversal).
+    NamedQuery("g08_bfs_customer_to_part", (s, dir) => {
+      val g = PropertyGraph.customerPartGraph(s, dir)
+      val sym = PropertyGraph(g.vertices,
+        g.edges.select("src", "dst").unionAll(
+          g.edges.select(col("dst").as("src"), col("src").as("dst"))))
+      sym.bfs(col("id") === 1L, col("id") === 1000007L, maxPathLength = 4)
+        .select(col("start"), col("end"), col("length"),
+          concat_ws("->", transform(col("path"), x => x.cast("string"))).as("path"))
+        .orderBy("path")
+    }),
+
+    // ---- G7 (goodreads.py:582 motif): 3 customers sharing a part,
+    // restricted to heavy edges; triple counts per hub part.
+    NamedQuery("g09_three_star_motif",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+          .filterEdges(col("weight") >= 40.0)
+        g.threeStarMotif()
+          .groupBy("hub").agg(count(lit(1)).as("n_triples"))
+          .orderBy(col("n_triples").desc, col("hub")).limit(20)
+      },
+      Some(s"""$edgesCte, heavy AS (SELECT src, dst FROM edges WHERE weight >= 40.0)
+             |SELECT e1.dst AS hub, count(*) AS n_triples
+             |FROM heavy e1 JOIN heavy e2 ON e1.dst = e2.dst AND e1.src < e2.src
+             |              JOIN heavy e3 ON e2.dst = e3.dst AND e2.src < e3.src
+             |GROUP BY e1.dst ORDER BY n_triples DESC, hub LIMIT 20""".stripMargin))
+  )
+}
