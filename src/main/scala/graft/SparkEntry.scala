@@ -14,7 +14,8 @@ import graft.queries._
 object SparkEntry {
 
   private def packs: Seq[NamedQuery] =
-    RelationalQueries.all ++ PipelineQueries.all ++ GraphQueries.all ++ MlQueries.all
+    RelationalQueries.all ++ AdvancedQueries.all ++ PipelineQueries.all ++
+      MultimodalQueries.all ++ GraphQueries.all ++ MlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + aggregate: lineitem ⋈ orders ⋈ customer ⋈ nation with

@@ -17,8 +17,10 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized + persisted per (session, dir): Bench/Verify touch every
+    * table from dozens of queries — scan once, serve from cache. */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Memo.df(spark, s"table|$dir|$name")(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
@@ -31,13 +33,14 @@ object Tables {
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
     * the legacy flag and normalize to a TimestampType column (micros,
     * Spark's native precision) so downstream ops see a clean schema. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      // integer `div`: ns epoch exceeds 2^53, double division would lose ticks
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    Memo.df(spark, s"events-norm|$dir") {
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        // integer `div`: ns epoch exceeds 2^53, double division would lose ticks
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

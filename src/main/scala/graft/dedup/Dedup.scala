@@ -58,9 +58,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, maxDf: Int): DataFrame = {
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+    // persisted: referenced by sizes + both sides of the pair join — the
+    // shingle explode (regex tokenize × docs) would otherwise run 4×
     val rare = ex.join(
         ex.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf), Seq("sh"))
       .select("sh", "id")
+      .persist()
     val sizes = rare.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = rare.toDF("sh", "id_a")
     val b = rare.toDF("sh", "id_b")
@@ -94,7 +97,8 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
-    val sig = minhashSignature(df, idCol, textCol, n, numHashes)
+    // persisted: banding + the two verification joins rescan it
+    val sig = minhashSignature(df, idCol, textCol, n, numHashes).persist()
 
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
@@ -139,7 +143,8 @@ object Dedup {
     * bit_count(xor) ≤ maxHamming. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
-    val sk = simhash(df, idCol, textCol)
+    // persisted: both sides of the band self-join rescan the sketch
+    val sk = simhash(df, idCol, textCol).persist()
     val banded = sk.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))

@@ -1,0 +1,72 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-iteration graph algorithms as pure DataFrame
+  * loops — the declarative sibling of the GraphX adapters in
+  * PropertyGraph.
+  *
+  * Why both? GraphX's Pregel versions (PropertyGraph.pageRank etc.) are
+  * the convergence-driven classics, but their RDD internals are opaque
+  * to Catalyst and their tol-based stopping makes outputs
+  * platform-sensitive. A FIXED iteration count over DataFrame joins is
+  * (a) bit-deterministic → DuckDB-oracle-checkable, and (b) fully
+  * visible to Catalyst/AQE — each superstep is a shuffled equi-join +
+  * partial agg that inherits skew handling and broadcast decisions.
+  * `localCheckpoint` per superstep cuts the exponential lineage.
+  *
+  * At 1000-executor scale each superstep keys by dst — the same shuffle
+  * a Pregel aggregateMessages does — so this form loses nothing
+  * structurally while staying in Tungsten row format end-to-end.
+  */
+object IterativeGraph {
+
+  /** PageRank, `iters` synchronous supersteps:
+    * r₀ = 1; r₊(v) = resetProb + (1−resetProb)·Σ_{u→v} r(u)/outdeg(u).
+    * Unnormalized (GraphFrames/GraphX convention — scores sum ≈ N);
+    * dangling mass is dropped, isolated vertices stay at resetProb.
+    * Output: (id, rank). */
+  def pageRankFixed(vertices: DataFrame, edges: DataFrame, iters: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    val v = vertices.select("id")
+    val out = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = edges.select("src", "dst").join(out, "src").persist()
+    var ranks = v.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      ranks = v.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(resetProb) + lit(1 - resetProb) * coalesce(col("in_sum"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Connected components by min-label propagation over symmetrized
+    * edges, `iters` synchronous supersteps: label₀ = id;
+    * label₊(v) = min(label(v), min over neighbours). After enough
+    * iterations (≥ graph diameter) labels equal the component minimum;
+    * with fewer, a deterministic partial labelling. Output: (id, label). */
+  def minLabelComponents(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val v = vertices.select("id")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = v.select(col("id"), col("id").as("label"))
+    for (_ <- 1 to iters) {
+      val nb = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("label").as("nb_min"))
+      labels = v.join(labels, Seq("id"))
+        .join(nb, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label")))
+          .as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+}

@@ -45,6 +45,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def filterEdges(cond: Column): PropertyGraph =
     PropertyGraph(vertices, edges.filter(cond))
 
+  /** Shared unweighted GraphX view — built (and cached) once per
+    * PropertyGraph instance so PageRank / label propagation / connected
+    * components on the same memoized graph reuse one RDD lineage. */
+  lazy val graphX: Graph[Int, Double] = toGraphX(None)
+
   /** Dataset ⇄ GraphX adapter. Vertex attribute = unit (algorithms
     * below don't need attributes); edge attribute = optional numeric
     * weight column. */
@@ -69,7 +74,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * under the hood, same semantics as GraphFrames' resetProbability/tol
     * form (scores sum ≈ N, matching the reference's magnitudes). */
   def pageRank(tol: Double = 0.01, resetProb: Double = 0.15): DataFrame = {
-    val ranks = toGraphX().pageRank(tol, resetProb).vertices
+    val ranks = graphX.pageRank(tol, resetProb).vertices
     spark.createDataFrame(ranks.map { case (id, r) => (id, r) })
       .toDF("id", "pagerank")
   }
@@ -78,14 +83,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * supersteps (GraphX lib — deterministic given the graph). */
   def labelPropagation(maxIter: Int): DataFrame = {
     val labels = org.apache.spark.graphx.lib.LabelPropagation
-      .run(toGraphX(), maxIter).vertices
+      .run(graphX, maxIter).vertices
     spark.createDataFrame(labels.map { case (id, l) => (id, l) })
       .toDF("id", "label")
   }
 
   /** Connected components (undirected) via GraphX. */
   def connectedComponents(): DataFrame = {
-    val cc = toGraphX().connectedComponents().vertices
+    val cc = graphX.connectedComponents().vertices
     spark.createDataFrame(cc.map { case (id, c) => (id, c) })
       .toDF("id", "component")
   }
@@ -146,22 +151,25 @@ object PropertyGraph {
     * analog of the reference's user→book ratings graph,
     * goodreads.py:473–489): one edge per (customer, part) with
     * avg-quantity weight. Vertices = customers ∪ parts, tagged. */
-  def customerPartGraph(spark: SparkSession, dir: String): PropertyGraph = {
-    import graft.Tables
-    val orders = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
-    // part ids shifted out of the customer id space, like the
-    // reference's book_id + 100000 (goodreads.py:105)
-    val edges = li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").as("src"),
-        (col("l_partkey") + 1000000L).as("dst"))
-      .agg(round(avg("l_quantity"), 6).as("weight"), count(lit(1)).as("n_lines"))
-    val customers = Tables.customer(spark, dir)
-      .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"),
-        lit("Customer").as("type"), col("c_acctbal").as("balance"))
-    val parts = Tables.part(spark, dir)
-      .select((col("p_partkey") + 1000000L).as("id"), col("p_name").as("name"),
-        lit("Part").as("type"), col("p_retailprice").as("balance"))
-    PropertyGraph(customers.unionByName(parts), edges)
-  }
+  def customerPartGraph(spark: SparkSession, dir: String): PropertyGraph =
+    graft.Memo.obj(spark, s"customerPartGraph|$dir") {
+      import graft.Tables
+      val orders = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
+      // part ids shifted out of the customer id space, like the
+      // reference's book_id + 100000 (goodreads.py:105)
+      val edges = graft.Memo.df(spark, s"customerPartEdges|$dir") {
+        li.join(orders, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("src"),
+            (col("l_partkey") + 1000000L).as("dst"))
+          .agg(round(avg("l_quantity"), 6).as("weight"), count(lit(1)).as("n_lines"))
+      }
+      val customers = Tables.customer(spark, dir)
+        .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"),
+          lit("Customer").as("type"), col("c_acctbal").as("balance"))
+      val parts = Tables.part(spark, dir)
+        .select((col("p_partkey") + 1000000L).as("id"), col("p_name").as("name"),
+          lit("Part").as("type"), col("p_retailprice").as("balance"))
+      PropertyGraph(customers.unionByName(parts), edges)
+    }
 }

@@ -54,8 +54,12 @@ object VectorSearch {
       .fit(withVec)
     val assigned = km.transform(withVec).select("neighbor_id", "cv", "part")
 
-    val centroids: Seq[(Int, Array[Double])] =
-      km.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) }
+    // float literals: Similarity's dot is a codegen'd array<float>
+    // expression (graft.functions.FloatDot)
+    val centroids: Seq[(Int, Array[Float])] =
+      km.clusterCenters.toSeq.zipWithIndex.map { case (v, i) =>
+        (i, v.toArray.map(_.toFloat))
+      }
 
     // per-query centroid scores -> array<struct(cos,part)> -> top nprobe
     val scored = array(centroids.map { case (i, arr) =>

@@ -1,0 +1,219 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Second relational pack: operators beyond the reference's own surface
+  * that any serious Spark analytics engine must cover — time-bucketed
+  * (tumbling-window) aggregation, ROLLUP, range joins, as-of joins,
+  * exact percentiles, lead/lag windows, generators (posexplode), pivot,
+  * and set operations. Every query is DuckDB-oracle-backed.
+  *
+  * Scale notes:
+  *  - the range/as-of joins key on an equi column (user_id) FIRST, so
+  *    the physical plan is a shuffled equi-join with a residual range
+  *    predicate — never a cartesian;
+  *  - tumbling windows are `window(ts, ...)` — identical code path
+  *    batch and streaming (graft.streaming reuses it);
+  *  - pivot uses an explicit value list (no extra distinct-values job).
+  */
+object AdvancedQueries {
+
+  private def q(name: String, oracle: String)(run: (SparkSession, String) => DataFrame) =
+    NamedQuery(name, run, Some(oracle))
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ---- tumbling 6-hour windows over events (batch form; the same
+    // window() op drives the streaming facade).
+    q("q17_tumbling_windows",
+      """SELECT strftime(make_timestamp((epoch_us(ts) // 21600000000) * 21600000000),
+        |                '%Y-%m-%d %H:%M') AS win_start,
+        |  event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("cnt"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // ---- ROLLUP region → nation → grand total (hierarchical subtotals).
+    q("q18_rollup_revenue",
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        // Column-args rollup: the String-varargs overload resolves
+        // through dataset-tagged attributes and falsely trips
+        // DetectAmbiguousSelfJoin when a join sits upstream
+        .rollup(col("r_name").as("rn"), col("n_name").as("nn"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+        .select(coalesce(col("rn"), lit("ALL")).as("region"),
+          coalesce(col("nn"), lit("ALL")).as("nation"),
+          col("revenue"), col("n_orders"))
+        .orderBy("region", "nation")
+    },
+
+    // ---- range join: per user, pairs of events within a 10-minute
+    // window. Equi key (user_id) first → shuffled equi-join with a
+    // residual range predicate, not a cartesian.
+    q("q19_event_pairs_10min",
+      """SELECT a.user_id AS user_id, count(*) AS n_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select("user_id", "ts")
+      val a = e.toDF("user_id", "a_ts")
+      val b = e.toDF("user_id", "b_ts")
+      a.join(b, Seq("user_id"))
+        .filter(col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTE"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
+
+    // ---- as-of join: for each purchase event, the latest click of the
+    // same user at-or-before the purchase (attribution). Window-rank
+    // formulation — deterministic tie-break (ts desc, id desc), unlike
+    // a bare ASOF join over tied timestamps.
+    q("q20_purchase_attribution",
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT purchase_id, p.user_id, click_id,
+        |             epoch_us(c_ts) AS click_us,
+        |             row_number() OVER (PARTITION BY purchase_id
+        |               ORDER BY c_ts DESC, click_id DESC) AS rn
+        |           FROM p JOIN c ON p.user_id = c.user_id AND c.c_ts <= p.p_ts)
+        |SELECT purchase_id, user_id, click_id, click_us
+        |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
+      val w = Window.partitionBy("purchase_id")
+        .orderBy(col("c_ts").desc, col("click_id").desc)
+      p.join(c, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("user_id"), col("click_id"),
+          unix_micros(col("c_ts")).as("click_us"))
+        .orderBy("purchase_id")
+    },
+
+    // ---- exact interpolated percentiles per group (both engines use
+    // the same linear-interpolation definition).
+    q("q21_balance_percentiles",
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+        |  round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+        |  round(quantile_cont(c_acctbal, 0.90), 4) AS p90,
+        |  count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(
+          round(percentile(col("c_acctbal"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("c_acctbal"), lit(0.50)), 4).as("p50"),
+          round(percentile(col("c_acctbal"), lit(0.90)), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- lead/lag: inter-event gap stats per user (sessionization's
+    // batch sibling; gap in exact microseconds).
+    q("q22_event_gap_stats",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(gap_us) AS n_gaps,
+        |  round(avg(gap_us), 2) AS avg_gap_us, max(gap_us) AS max_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          round(avg("gap_us"), 2).as("avg_gap_us"),
+          max("gap_us").as("max_gap_us"))
+        .orderBy("user_id")
+    },
+
+    // ---- generator: posexplode of the part-name token array.
+    q("q23_part_name_explode",
+      """WITH toks AS (SELECT p_partkey, string_split(p_name, ' ') AS ts
+        |              FROM part WHERE p_partkey < 100)
+        |SELECT p_partkey, u.i - 1 AS pos, ts[u.i] AS token
+        |FROM toks CROSS JOIN LATERAL (
+        |  SELECT unnest(generate_series(1, len(ts))) AS i) u
+        |ORDER BY p_partkey, pos""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_partkey") < 100)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos", "token")))
+        .orderBy("p_partkey", "pos")
+    },
+
+    // ---- pivot with an explicit value list (no distinct-values job).
+    q("q24_user_event_pivot",
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // ---- set op: customers ordering in BOTH 1995 and 1998 (INTERSECT).
+    q("q25_custkeys_both_years",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .intersect(o.filter(year(col("o_orderdate")) === 1998).select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- set op: 1995 customers who never ordered again (EXCEPT).
+    q("q26_custkeys_churned",
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) > 1995
+        |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
+        .except(o.filter(year(col("o_orderdate")) > 1995).select("o_custkey"))
+        .orderBy("o_custkey")
+    }
+  )
+}

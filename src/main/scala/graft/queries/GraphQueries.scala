@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.graph.PropertyGraph
+import graft.graph.{IterativeGraph, PropertyGraph}
 
 /** Graph query pack (SURVEY §2.10, §2.13 Q11–Q16 analogs) over the
   * bipartite customer→part graph (the testdata analog of the
@@ -126,6 +126,81 @@ object GraphQueries {
              |SELECT e1.dst AS hub, count(*) AS n_triples
              |FROM heavy e1 JOIN heavy e2 ON e1.dst = e2.dst AND e1.src < e2.src
              |              JOIN heavy e3 ON e2.dst = e3.dst AND e2.src < e3.src
-             |GROUP BY e1.dst ORDER BY n_triples DESC, hub LIMIT 20""".stripMargin))
+             |GROUP BY e1.dst ORDER BY n_triples DESC, hub LIMIT 20""".stripMargin)),
+
+    // ---- fixed-iteration PageRank (IterativeGraph): deterministic →
+    // full DuckDB oracle via an unrolled CTE chain, unlike the
+    // tol-driven GraphX g05. 5 supersteps, top-20 by rounded rank.
+    NamedQuery("g10_pagerank_fixed",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.pageRankFixed(g.vertices, g.edges, iters = PrIters)
+          .select(col("id"), round(col("rank"), 4).as("pagerank"))
+          .orderBy(col("pagerank").desc, col("id")).limit(20)
+      },
+      Some(pageRankFixedOracle(PrIters))),
+
+    // ---- fixed-iteration min-label connected components: integer
+    // labels → exact oracle match; component sizes after 6 supersteps.
+    NamedQuery("g11_minlabel_components",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.minLabelComponents(g.vertices, g.edges, iters = CcIters)
+          .groupBy(col("label").as("component")).agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("component")).limit(50)
+      },
+      Some(minLabelOracle(CcIters)))
   )
+
+  // defs, not vals: `all` above evaluates at object init, BEFORE any
+  // val declared below it would be assigned (null/0 otherwise)
+  private def PrIters = 5
+  private def CcIters = 6
+
+  /** Vertex set shared by the fixed-iteration oracles — ALL customers
+    * and parts, matching PropertyGraph.customerPartGraph (isolated
+    * vertices included). */
+  private def vertexCte =
+    """v AS (SELECT c_custkey AS id FROM customer
+      |      UNION ALL SELECT p_partkey + 1000000 FROM part)""".stripMargin
+
+  /** Unrolled-CTE PageRank: r0..rN chained CTEs, one per superstep —
+    * the portable-SQL rendering of IterativeGraph.pageRankFixed. */
+  private def pageRankFixedOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT v.id, 0.15 + 0.85 * COALESCE(s.x, 0) AS rank
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r${i - 1}.rank / e.outdeg) AS x
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id GROUP BY e.dst) s
+         |  ON v.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |$vertexCte,
+       |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, outd.outdeg
+       |      FROM edges JOIN outd ON edges.src = outd.src),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v),
+       |$steps
+       |SELECT id, round(rank, 4) AS pagerank FROM r$iters
+       |ORDER BY pagerank DESC, id LIMIT 20""".stripMargin
+  }
+
+  /** Unrolled-CTE min-label propagation over symmetrized edges. */
+  private def minLabelOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS (SELECT v.id,
+         |    least(l${i - 1}.label, COALESCE(m.minl, l${i - 1}.label)) AS label
+         |  FROM v JOIN l${i - 1} ON v.id = l${i - 1}.id
+         |  LEFT JOIN (SELECT sym.dst AS id, min(l${i - 1}.label) AS minl
+         |             FROM sym JOIN l${i - 1} ON sym.src = l${i - 1}.id
+         |             GROUP BY sym.dst) m ON v.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |$vertexCte,
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps
+       |SELECT label AS component, count(*) AS size FROM l$iters
+       |GROUP BY label ORDER BY size DESC, component LIMIT 50""".stripMargin
+  }
 }

@@ -20,13 +20,25 @@ import graft.ml.{Clustering, ContentFeatures, Recommend, VectorSearch}
 object MlQueries {
 
   /** (user=o_custkey, item=l_partkey, rating=avg quantity) — ALS needs
-    * int ids; star-schema keys fit (at real scale: dense-rank first). */
+    * int ids; star-schema keys fit (at real scale: dense-rank first).
+    * Memoized+persisted: m01 and m02 both fit ALS over it. */
   private def ratings(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_custkey").cast("int").as("user"),
-        col("l_partkey").cast("int").as("item"))
-      .agg(avg("l_quantity").cast("float").as("rating"))
+    graft.Memo.df(s, s"als-ratings|$dir") {
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").cast("int").as("user"),
+          col("l_partkey").cast("int").as("item"))
+        .agg(avg("l_quantity").cast("float").as("rating"))
+    }
+
+  /** TF-IDF → PCA document features, shared by m03 and m05 (persisted:
+    * KMeans iterates over it, the silhouette evaluator rescans it). */
+  private def tfidfPca(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Memo.df(s, s"tfidf-pca|$dir") {
+      ContentFeatures.pca(
+        ContentFeatures.tfidf(Tables.documents(s, dir), "text", numFeatures = 64),
+        "tfidf", k = 8)
+    }
 
   val all: Seq[NamedQuery] = Seq(
 
@@ -51,9 +63,7 @@ object MlQueries {
 
     // ---- M6–M12 (goodreads.py:315–353): TF-IDF → PCA → KMeans sizes.
     NamedQuery("m03_tfidf_kmeans_clusters", (s, dir) => {
-      val feats = ContentFeatures.pca(
-        ContentFeatures.tfidf(Tables.documents(s, dir), "text", numFeatures = 64),
-        "tfidf", k = 8)
+      val feats = tfidfPca(s, dir)
       Clustering.kmeans(feats, "pca", k = 10, seed = 1L)
         .groupBy("cluster").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("cluster"))
@@ -76,12 +86,11 @@ object MlQueries {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val meta = ContentFeatures.metadataFeatures(docs,
-        Seq("lang", "source"), Seq("n_chars"))
-      val metaClusters = Clustering.kmeans(meta, "features", k = 8, seed = 1L)
+        Seq("lang", "source"), Seq("n_chars")).persist()
+      val metaClusters = Clustering.kmeans(meta, "features", k = 8, seed = 1L).persist()
       val sMeta = Clustering.silhouette(metaClusters, "features")
-      val tf = ContentFeatures.pca(
-        ContentFeatures.tfidf(docs, "text", numFeatures = 64), "tfidf", k = 8)
-      val tfClusters = Clustering.kmeans(tf, "pca", k = 10, seed = 1L)
+      val tf = tfidfPca(s, dir)
+      val tfClusters = Clustering.kmeans(tf, "pca", k = 10, seed = 1L).persist()
       val sTf = Clustering.silhouette(tfClusters, "pca")
       Seq(("metadata_kmeans", math.rint(sMeta * 10000) / 10000),
           ("tfidf_pca_kmeans", math.rint(sTf * 10000) / 10000))

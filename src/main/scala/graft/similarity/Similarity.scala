@@ -4,31 +4,36 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.FloatVector.dotF
+
 /** Similarity search over embedding columns (`array<float>`).
   *
-  *  - `cosine`: pure expression (zip_with + aggregate fold in double
-  *    precision) — codegen'd, no UDF, no vector conversion.
+  *  - `dot`/`cosine`: native codegen'd Catalyst expression
+  *    (graft.functions.FloatDot) — one tight loop per pair, no
+  *    intermediate arrays, whole-stage codegen preserved.
   *  - `bruteForceTopK`: exact baseline — broadcast the (small) query
   *    side, score all corpus rows, per-query top-k via window. One pass
   *    over the corpus, no shuffle of the corpus itself.
   *  - `lshCosineTopK`: random-hyperplane LSH — candidates share a
   *    signature-band bucket; shuffle is O(rows × bands) instead of
   *    O(queries × corpus). The 100 TB path.
-  *  - IVF (inverted-file) variant lives in graft.ml.IvfIndex (needs
+  *  - IVF (inverted-file) variant lives in graft.ml.VectorSearch (needs
   *    KMeans centroids).
+  *
+  * All-pairs/top-k operators precompute each row's norm ONCE and reuse
+  * it across every pair — the norm is O(dim) work identical to the dot
+  * itself, so folding it into the per-pair expression would triple the
+  * flop count (and did, in the first cut of this file).
   */
 object Similarity {
 
-  /** Dot product in double precision (element-wise float→double cast
-    * first, sequential left fold — deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
+  /** Dot product in double precision (sequential fold — deterministic,
+    * matches the DuckDB oracle's list_sum ordering). */
+  def dot(a: Column, b: Column): Column = dotF(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(dotF(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = dotF(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for every query row.
     *
@@ -39,27 +44,29 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.toDF("query_id", "qv")
+      .withColumn("qn", norm(col("qv")))
     val c = corpus.toDF("neighbor_id", "cv")
+      .withColumn("cn", norm(col("cv")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
   /** Deterministic pseudo-random unit hyperplanes (driver-side seeded
-    * RNG, shipped as literals — tiny: nBits × dim doubles). */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Double]] = {
+    * RNG, shipped as literals — tiny: nBits × dim floats). */
+  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
   /** Sign-bit signature of `vec` against the hyperplane set. */
-  private def signature(vec: Column, planes: Seq[Array[Double]]): Column = {
+  private def signature(vec: Column, planes: Seq[Array[Float]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotF(vec, lit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
@@ -79,8 +86,9 @@ object Similarity {
 
     def banded(df: DataFrame, idName: String, vecName: String) = {
       val withSig = df.toDF(idName, vecName)
+        .withColumn(s"${idName}_n", norm(col(vecName)))
         .withColumn("sig", signature(col(vecName), planes))
-      withSig.select(col(idName), col(vecName),
+      withSig.select(col(idName), col(vecName), col(s"${idName}_n"),
         posexplode(array((0 until bands).map(b =>
           shiftrightunsigned(col("sig"), b * rows).bitwiseAND(mask)): _*))
           .as(Seq("band", "bh")))
@@ -90,24 +98,28 @@ object Similarity {
     val cb = banded(corpus, "neighbor_id", "cv")
     val cand = qb.join(cb, Seq("band", "bh"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .select("query_id", "qv", "query_id_n", "neighbor_id", "cv", "neighbor_id_n")
+      .distinct()
 
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cand
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("cos", round(
+        dotF(col("qv"), col("cv")) / (col("query_id_n") * col("neighbor_id_n")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
   /** All pairs with cosine ≥ minCos (embedding near-dup detection),
-    * id_a < id_b. Brute-force form; for scale swap the candidate
-    * generator for lshCosineTopK's banding. */
+    * id_a < id_b. Brute-force form (each row's norm computed once, one
+    * codegen'd dot per pair); for scale swap the candidate generator
+    * for lshCosineTopK's banding. */
   def cosineNearDupPairs(df: DataFrame, minCos: Double): DataFrame = {
-    val a = df.toDF("id_a", "va")
-    val b = df.toDF("id_b", "vb")
+    val n = df.toDF("id", "v").withColumn("nrm", norm(col("v")))
+    val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a"))
+    val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }

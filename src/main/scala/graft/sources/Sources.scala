@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Readers/sinks for the engine (SURVEY §2.1 S1–S4).
+  *
+  * The reference leans on schema inference everywhere (`goodreads.py:33–37`)
+  * — fine in a notebook, wrong at scale: inference costs an extra full
+  * pass (CSV/JSON) and freezes accidental types (isbn13 as double).
+  * These helpers take an explicit `StructType` and fall back to
+  * inference only when none is given, so production paths skip the
+  * inference pass and pin their schemas.
+  */
+object Sources {
+
+  /** S2 (goodreads.py:34,36,37): CSV with header; explicit schema
+    * preferred, `inferSchema` only as the no-schema fallback. */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+      header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** S1 (goodreads.py:33,35): newline-JSON; explicit schema skips the
+    * inference pass (which reads the whole input once at scale). */
+  def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None => spark.read.json(path)
+    }
+
+  /** S4 (goodreads.py:133–141): parquet scan (self-describing schema). */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S3 (goodreads.py:121–129): parquet path sink, optionally
+    * partitioned — partition columns become directory-level pruning keys
+    * for every downstream scan. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val w = df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  /** S3: catalog-managed table (the reference's `saveAsTable`), making
+    * the relation visible to `spark.sql` (EP2). */
+  def saveTable(df: DataFrame, name: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("parquet").saveAsTable(name)
+}

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import java.sql.Timestamp
+
+/** Structured Streaming facade over event streams.
+  *
+  * The reference has no streaming surface (SURVEY §2.12) — this is the
+  * engine's phase-E extension: the SAME declarative transforms as the
+  * batch pack (q15/q17 use the identical `window()` expression), lifted
+  * onto an unbounded source with watermark-bounded state.
+  *
+  * Scale design: every operator here is keyed (user_id / window), so
+  * state partitions across executors; watermarks bound state size —
+  * without one, a 100 TB/day stream would accumulate state forever.
+  * Sinks: any `DataStreamWriter` — the facade returns DataFrames so the
+  * caller picks format/output-mode/trigger.
+  */
+object EventStreams {
+
+  /** Watermarked tumbling-window counts per event type — streaming twin
+    * of q17_tumbling_windows; late rows beyond `watermark` are dropped
+    * and their window state reclaimed. */
+  def windowedTypeCounts(events: DataFrame, window: String = "6 hours",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("cnt"), col("total_value"))
+
+  /** Built-in session windows: events of one user belong to the same
+    * session while gaps stay under `gap`. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** One event on the wire (micros-precision event time `ts`). */
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Accumulating per-user session state (custom-state showcase). */
+  final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+
+  /** Closed-session summary emitted when a user goes quiet for `gapMs`. */
+  final case class SessionSummary(user_id: Long, n_events: Long,
+      total_value: Double, last_ts: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * hand-rolled form of sessionWindowStats for when session semantics
+    * outgrow the built-in (e.g. value-dependent gaps, mid-session
+    * emission). A user's session closes when the EVENT-TIME watermark
+    * passes their last event + `gapMs` (event-time timeout: replayable
+    * and deterministic, where a processing-time timeout would depend on
+    * the wall clock). State is one small case class per active user. */
+  def sessionizeWithState(events: Dataset[Event], gapMs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionSummary(userId, s.nEvents, s.totalValue, s.lastTs))
+          } else {
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
+            val next = rows.foldLeft(prev) { (acc, e) =>
+              SessionState(acc.nEvents + 1, acc.totalValue + e.value,
+                math.max(acc.lastTs, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** File-source entry point: tail a directory of parquet event files
+    * as an unbounded stream (schema pinned from one batch read —
+    * streaming sources require an explicit schema). */
+  def fileSource(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(path)
+  }
+}

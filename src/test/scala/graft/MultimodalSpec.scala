@@ -1,0 +1,53 @@
+package graft
+
+import graft.multimodal.Multimodal
+
+/** Multimodal binary-column plumbing: header parse, stub decode,
+  * corrupt-payload tolerance, frame sampling. */
+class MultimodalSpec extends SparkSpec {
+
+  private def mediaDf(rows: Seq[(Long, Array[Byte])]) = {
+    import spark.implicits._
+    rows.toDF("media_id", "content")
+  }
+
+  test("payloadStats reports size and magic validity declaratively") {
+    import spark.implicits._
+    val good = Multimodal.syntheticPayload(4, 2, seed = 0)
+    val df = mediaDf(Seq(
+      (1L, good),
+      (2L, "nonsense".getBytes("UTF-8")),
+      (3L, null)))
+    val got = Multimodal.payloadStats(df, "media_id", "content")
+      .as[(Long, Option[Int], Option[Boolean])].collect().toSet
+    assert(got === Set(
+      (1L, Some(12 + 8), Some(true)),
+      (2L, Some(8), Some(false)),
+      (3L, None, None)))
+  }
+
+  test("decodeFeatures parses dimensions and byte stats; corrupt rows yield nulls") {
+    import spark.implicits._
+    // 2×2 seed=0 body bytes: (x+y)%251 → 0,1,1,2 → mean 1.0, max 2
+    val df = mediaDf(Seq(
+      (1L, Multimodal.syntheticPayload(2, 2, seed = 0)),
+      (2L, Array[Byte](1, 2, 3)),
+      (3L, Multimodal.MagicBytes ++ Array[Byte](0, 0, 0, 9, 0, 0, 0, 9, 1)))) // truncated body
+    val got = Multimodal.decodeFeatures(df, "media_id", "content")
+      .as[Multimodal.MediaFeatures].collect().map(f => f.media_id -> f).toMap
+    assert(got(1L) === Multimodal.MediaFeatures(1L, Some(2), Some(2), Some(1.0), Some(2)))
+    assert(got(2L) === Multimodal.MediaFeatures(2L, None, None, None, None))
+    assert(got(3L) === Multimodal.MediaFeatures(3L, None, None, None, None))
+  }
+
+  test("sampleFrames emits every stride-th row with width-sized frames") {
+    import spark.implicits._
+    val df = mediaDf(Seq((7L, Multimodal.syntheticPayload(5, 6, seed = 1))))
+    val frames = Multimodal.sampleFrames(df, "media_id", "content", stride = 2)
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(frames.map(_._2).toSeq === Seq(0, 2, 4))
+    assert(frames.forall(_._3.length === 5))
+    // frame content matches the synthetic generator: byte(x,y) = (x+y+1)%251
+    assert(frames.head._3.toSeq === (0 until 5).map(x => ((x + 0 + 1) % 251).toByte))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Sources
+
+/** CSV/JSON explicit-schema readers + parquet sinks roundtrip. */
+class SourcesSpec extends SparkSpec {
+
+  private val tmp = Files.createTempDirectory(
+    Paths.get("target"), "sources-spec").toString
+
+  test("csv with explicit schema pins quirky types (no inference pass)") {
+    val p = s"$tmp/books.csv"
+    Files.writeString(Paths.get(p),
+      "book_id,isbn13,original_publication_year\n1,9780439023480,2008\n2,,1999\n")
+    val schema = StructType(Seq(
+      StructField("book_id", IntegerType),
+      StructField("isbn13", DoubleType),          // the reference's inference quirk, pinned
+      StructField("original_publication_year", DoubleType)))
+    val df = Sources.csv(spark, p, Some(schema))
+    assert(df.schema === schema)
+    val r = df.orderBy("book_id").collect()
+    assert(r(0).getDouble(1) === 9.78043902348e12)
+    assert(r(1).isNullAt(1))
+  }
+
+  test("json reader handles nested arrays of structs (UCSD shape)") {
+    val p = s"$tmp/books.json"
+    Files.writeString(Paths.get(p),
+      """{"book_id":"1","popular_shelves":[{"count":"3","name":"to-read"}],"similar_books":["2","3"]}""" + "\n")
+    val df = Sources.json(spark, p)
+    val row = df.head()
+    assert(row.getAs[Seq[org.apache.spark.sql.Row]]("popular_shelves").head.getString(1) === "to-read")
+    assert(row.getAs[Seq[String]]("similar_books") === Seq("2", "3"))
+  }
+
+  test("partitioned parquet sink roundtrips and prunes by partition column") {
+    import spark.implicits._
+    val df = Seq((1, "a", 2001), (2, "b", 2001), (3, "c", 2002))
+      .toDF("id", "v", "year")
+    val p = s"$tmp/part-out"
+    Sources.writeParquet(df, p, partitionBy = Seq("year"))
+    val back = Sources.parquet(spark, p)
+    assert(back.count() === 3)
+    assert(back.filter(col("year") === 2002).select("id").as[Int].collect().toSeq === Seq(3))
+    // partition dirs exist → scans of year=2002 never touch year=2001 files
+    assert(Files.exists(Paths.get(s"$p/year=2001")))
+  }
+
+  test("saveTable registers a catalog relation visible to spark.sql") {
+    import spark.implicits._
+    Sources.saveTable(Seq((1, "x")).toDF("id", "v"), "sources_spec_t")
+    assert(spark.sql("SELECT v FROM sources_spec_t WHERE id = 1").head().getString(0) === "x")
+    spark.sql("DROP TABLE sources_spec_t")
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Structured Streaming semantics via MemoryStream: the windowed agg
+  * matches its batch twin, session windows split on gaps, and the
+  * watermark drops late data. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private val batch1 = Seq(
+    Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0),
+    Event(2, ts("2024-01-01 01:20:00"), 1, "click", 2.0),
+    Event(3, ts("2024-01-01 07:00:00"), 2, "view", 3.0),
+    Event(4, ts("2024-01-01 07:30:00"), 2, "click", 4.0))
+
+  test("windowedTypeCounts matches the equivalent batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedTypeCounts(in.toDF(), window = "6 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      val got = spark.table("win_counts")
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm").as("w"),
+          col("event_type"), col("cnt"), col("total_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got === Set(
+        ("2024-01-01 00:00", "click", 2L, 3.0),
+        ("2024-01-01 06:00", "view", 1L, 3.0),
+        ("2024-01-01 06:00", "click", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than the bound in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.windowedTypeCounts(in.toDF(),
+      window = "1 hour", watermark = "1 hour")
+      .writeStream.format("memory").queryName("win_wm")
+      .outputMode("append").start()
+    try {
+      in.addData(Event(1, ts("2024-01-01 00:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // advance event time far past 00:xx + watermark → 00:00 window closes
+      in.addData(Event(2, ts("2024-01-01 05:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // this one is 4h late — beyond the 1h watermark → dropped
+      in.addData(Event(3, ts("2024-01-01 00:20:00"), 1, "click", 99.0))
+      q.processAllAvailable()
+      val closed = spark.table("win_wm")
+        .select(date_format(col("win_start"), "HH:mm").as("w"), col("cnt"))
+        .as[(String, Long)].collect().toMap
+      assert(closed.get("00:00").contains(1L),
+        s"late row must not re-open the 00:00 window: $closed")
+    } finally q.stop()
+  }
+
+  test("sessionWindowStats groups by user with gap-based sessions") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionWindowStats(in.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:10:00"), 1, "view", 2.0),  // same session
+        Event(3, ts("2024-01-01 02:00:00"), 1, "click", 3.0), // new session
+        Event(4, ts("2024-01-01 00:05:00"), 2, "click", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(got === Seq((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeWithState closes sessions when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithState(in.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("state_sessions")
+      .outputMode("append").start()
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      // the post-batch watermark (max ts 07:30 − 10s) already passed
+      // user 1's last event (01:20) + gap → that session closes first
+      assert(spark.table("state_sessions")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet === Set((1L, 2L, 3.0)))
+      // jump event time a month ahead → watermark sails past both users
+      in.addData(Event(10, ts("2024-02-01 00:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      // timeouts fire on the batch AFTER the watermark advance
+      in.addData(Event(11, ts("2024-02-01 00:00:01"), 99, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("state_sessions")
+        .select("user_id", "n_events", "total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got === Set((1L, 2L, 3.0), (2L, 2L, 7.0)))
+    } finally q.stop()
+  }
+}
