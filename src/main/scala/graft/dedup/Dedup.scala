@@ -57,9 +57,12 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, maxDf: Int): DataFrame = {
+    // persisted: shingling (regex tokenize + n-gram assembly) is the
+    // dominant cost (~6 s/pass at sf0.1) and ex feeds both the df count
+    // and the join below — without the cache it runs twice
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-    // persisted: referenced by sizes + both sides of the pair join — the
-    // shingle explode (regex tokenize × docs) would otherwise run 4×
+      .persist()
+    // persisted too: referenced by sizes + both sides of the pair join
     val rare = ex.join(
         ex.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf), Seq("sh"))
       .select("sh", "id")

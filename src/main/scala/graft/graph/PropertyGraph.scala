@@ -50,19 +50,29 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * components on the same memoized graph reuse one RDD lineage. */
   lazy val graphX: Graph[Int, Double] = toGraphX(None)
 
+  /** Partitioning for Pregel supersteps: iterative message passing
+    * wants FEWER, chunkier partitions than SQL shuffles — per-superstep
+    * task scheduling plus per-partition message maps dominate at high
+    * partition counts (measured at sf0.1/local[32]: label propagation
+    * 27.5 s on 32 partitions vs 12.2 s on 8). Scales with cluster
+    * parallelism; floor of 4 keeps small boxes busy. */
+  private def graphParts: Int =
+    math.max(4, spark.sparkContext.defaultParallelism / 4)
+
   /** Dataset ⇄ GraphX adapter. Vertex attribute = unit (algorithms
     * below don't need attributes); edge attribute = optional numeric
     * weight column. */
   def toGraphX(weightCol: Option[String] = None): Graph[Int, Double] = {
+    val p = graphParts
     val eRdd = weightCol match {
       case Some(w) => edges.select(col("src").cast("long"), col("dst").cast("long"),
           col(w).cast("double"))
-        .rdd.map((r: Row) => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .coalesce(p).rdd.map((r: Row) => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
       case None => edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .rdd.map((r: Row) => Edge(r.getLong(0), r.getLong(1), 1.0))
+        .coalesce(p).rdd.map((r: Row) => Edge(r.getLong(0), r.getLong(1), 1.0))
     }
     val vRdd = vertices.select(col("id").cast("long"))
-      .rdd.map((r: Row) => (r.getLong(0): VertexId, 1))
+      .coalesce(p).rdd.map((r: Row) => (r.getLong(0): VertexId, 1))
     Graph(vRdd, eRdd, defaultVertexAttr = 1,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)

@@ -9,11 +9,26 @@ import org.apache.spark.sql.functions._
   * goodreads.py:346–353, 385–411, 632–643) with mandatory seeds. */
 object Clustering {
 
+  /** Partition count for iterative fit jobs: ~50k rows per partition,
+    * clamped to [parallelism/8 floor 4, parallelism×2]. Iterating ~20
+    * rounds over 32 near-empty partitions is pure scheduler overhead
+    * (measured 3.0 s → 1.4 s at sf0.1); huge inputs still spread to
+    * 2× the cluster's cores. The count() is one cheap pass (inputs here
+    * are persisted feature frames). */
+  private def fitParts(df: DataFrame): Int = {
+    val sc = df.sparkSession.sparkContext
+    val byRows = (df.count() / 50000L).toInt
+    math.min(math.max(byRows, math.max(4, sc.defaultParallelism / 8)),
+      sc.defaultParallelism * 2)
+  }
+
   /** M11 (goodreads.py:346): seeded KMeans; returns input + "cluster". */
-  def kmeans(df: DataFrame, featuresCol: String, k: Int, seed: Long = 1L): DataFrame =
+  def kmeans(df: DataFrame, featuresCol: String, k: Int, seed: Long = 1L): DataFrame = {
+    val in = df.coalesce(fitParts(df))
     new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol(featuresCol).setPredictionCol("cluster")
-      .fit(df).transform(df)
+      .fit(in).transform(in)
+  }
 
   /** M12 (goodreads.py:351–353): silhouette with squared euclidean. */
   def silhouette(predictions: DataFrame, featuresCol: String,
@@ -35,10 +50,17 @@ object Clustering {
   }
 
   /** M20 (goodreads.py:632–635): PowerIterationClustering over a
-    * weighted edge list (src, dst, weight). Returns (id, cluster). */
+    * weighted edge list (src, dst, weight). Returns (id, cluster).
+    *
+    * The edge frame is coalesced before handoff: PIC's power iterations
+    * are RDD joins where per-iteration scheduling overhead dominates at
+    * high partition counts (sf0.1/local[32]: 21 s at 32 partitions vs
+    * 8 s at 16). Scales with cluster parallelism. */
   def pic(edges: DataFrame, k: Int, maxIter: Int = 10,
-      weightCol: String = "weight"): DataFrame =
+      weightCol: String = "weight"): DataFrame = {
+    val p = math.max(8, edges.sparkSession.sparkContext.defaultParallelism / 2)
     new PowerIterationClustering().setK(k).setMaxIter(maxIter)
       .setSrcCol("src").setDstCol("dst").setWeightCol(weightCol)
-      .assignClusters(edges)
+      .assignClusters(edges.coalesce(p))
+  }
 }
