@@ -204,6 +204,54 @@ object AdvancedQueries {
         .orderBy("o_custkey")
     },
 
+    // ---- JSON scalar extraction from the events props column.
+    q("q27_props_json_stats",
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // ---- date_trunc + window: month-over-month revenue delta.
+    q("q28_monthly_revenue_delta",
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |         round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue,
+        |  round(revenue - lag(revenue) OVER (ORDER BY month), 2) AS delta
+        |FROM m ORDER BY month""".stripMargin) { (s, dir) =>
+      val w = Window.orderBy("month")
+      Tables.orders(s, dir)
+        .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+        .withColumn("delta", round(col("revenue") - lag("revenue", 1).over(w), 2))
+        .orderBy("month")
+    },
+
+    // ---- custom typed Aggregator (UDAF): per-priority geometric mean
+    // of order totals — partial-aggregating like any built-in.
+    q("q29_geomean_by_priority",
+      """SELECT o_orderpriority,
+        |  round(exp(avg(ln(o_totalprice))), 4) AS geomean, count(*) AS n
+        |FROM orders WHERE o_totalprice > 0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val geomean = udaf(graft.functions.GeoMean, org.apache.spark.sql.Encoders.scalaDouble)
+      Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 0)
+        .groupBy("o_orderpriority")
+        .agg(round(geomean(col("o_totalprice")), 4).as("geomean"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AdvancedQueries, RelationalQueries}
+import graft.similarity.Similarity
+
+/** Plan-shape goldens (SURVEY §5 layer 5): the claims in §4 about what
+  * Catalyst does for us, asserted against actual physical plans — a
+  * wrong plan at sf0.001 is a catastrophe at 100 TB. */
+class PlanSpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan string. */
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def packPlan(pack: Seq[graft.queries.NamedQuery], name: String): String =
+    planOf(pack.find(_.name == name).get.run(spark, sf))
+
+  test("filters and column pruning reach the parquet scan") {
+    // copy the file: the cache manager substitutes ANY plan matching a
+    // cached one (Tables.load persists this path), hiding the scan node
+    val copied = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "planspec").resolve("part.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/part.parquet"), copied)
+    val df = spark.read.parquet(copied.toString)
+      .filter(col("p_size") === 5)
+      .select("p_partkey", "p_name")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(p_size,5)"),
+      s"expected p_size pushdown in:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("p_retailprice"),
+      "projection must prune unreferenced columns from the scan")
+  }
+
+  test("fixed-size dimension joins broadcast; star join has no cartesian") {
+    val plan = packPlan(RelationalQueries.all, "q04_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("order-by + limit plans as TakeOrderedAndProject (no global sort)") {
+    val plan = packPlan(RelationalQueries.all, "q02_top_users_by_events")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+
+  test("semi/anti restrictions plan as LeftSemi/LeftAnti joins") {
+    assert(packPlan(RelationalQueries.all, "q10_customers_with_big_orders")
+      .contains("LeftSemi"))
+    assert(packPlan(RelationalQueries.all, "q11_parts_no_big_shipments")
+      .contains("LeftAnti"))
+  }
+
+  test("range join keys on the equi column (shuffled equi-join, not cartesian)") {
+    val plan = packPlan(AdvancedQueries.all, "q19_event_pairs_10min")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"range join must use the user_id equi key:\n$plan")
+  }
+
+  test("FloatDot stays inside whole-stage codegen") {
+    // parquet-backed input (a literal LocalTableScan plan has no
+    // codegen stages to inspect)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").limit(50)
+    val df = Similarity.cosineNearDupPairs(emb, minCos = 0.0)
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("float_dot"), s"expected the custom expression in:\n$plan")
+    // formatted explain tags codegen'd operators with [codegen id : N]
+    assert(plan.contains("codegen id"), s"expression must not break codegen:\n$plan")
+  }
+
+  test("partial (map-side) aggregation precedes the exchange") {
+    val df = Tables.lineitem(spark, sf).groupBy("l_returnflag").agg(sum("l_quantity"))
+    val plan = planOf(df)
+    // two HashAggregate phases around one shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected partial+final agg in:\n$plan")
+  }
+}
