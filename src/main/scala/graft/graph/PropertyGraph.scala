@@ -142,6 +142,13 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
         .add("path", "array<long>"))
   }
 
+  /** G10 (goodreads.py:500–541): the reference's graph-visualization
+    * cell is driver-side matplotlib — out of engine scope; the engine
+    * provides the data half: a bounded edge sample for a plotting
+    * client (`take(1000)` equivalent, deterministic order). */
+  def sampleEdges(n: Int): DataFrame =
+    edges.orderBy("src", "dst").limit(n)
+
   /** G7 (goodreads.py:582): the reference's fixed 3-star motif —
     * (a)-[]->(b); (c)-[]->(b); (d)-[]->(b) with distinct spokes —
     * compiled to self-equi-joins on dst, spokes ordered a<c<d so each

@@ -46,6 +46,8 @@ object ContentFeatures {
     * numeric columns → assembled "features" vector. */
   def metadataFeatures(df: DataFrame, catCols: Seq[String],
       numCols: Seq[String]): DataFrame = {
+    // P16 (goodreads.py:423): drop rows with nulls in any feature input
+    val clean = df.na.drop((catCols ++ numCols).toSeq)
     val indexers = catCols.map(c =>
       new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
         .setHandleInvalid("skip"))
@@ -53,6 +55,6 @@ object ContentFeatures {
       .setInputCols((catCols.map(_ + "_idx") ++ numCols).toArray)
       .setOutputCol("features")
     new Pipeline().setStages((indexers :+ assembler).toArray)
-      .fit(df).transform(df)
+      .fit(clean).transform(clean)
   }
 }
