@@ -74,4 +74,12 @@ object FloatVector {
   /** Σ aᵢ·bᵢ in double precision; both sides must be `array<float>`. */
   def dotF(a: Column, b: Column): Column =
     column(FloatDot(expression(a), expression(b)))
+
+  /** Make the expression visible to SQL (EP2): `float_dot(a, b)`. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftExpressionBridge.registerFunction(spark, "float_dot", {
+      case Seq(a, b) => FloatDot(a, b)
+      case args => throw new IllegalArgumentException(
+        s"float_dot expects 2 arguments, got ${args.size}")
+    })
 }

@@ -18,4 +18,12 @@ object GraftExpressionBridge {
 
   /** Unwrap a Column back to its Catalyst expression. */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a custom expression as a session SQL function, so the
+    * EP2 surface (`spark.sql`) sees the same operators the Dataset API
+    * does — e.g. `SELECT float_dot(a, b) FROM t`. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }
