@@ -76,4 +76,27 @@ object Relational {
   def collectSortedSet(df: DataFrame, key: String, valueCol: String): DataFrame =
     df.groupBy(col(key))
       .agg(array_sort(collect_set(col(valueCol))).as(s"${valueCol}_set"))
+
+  /** Skew-tolerant two-phase aggregation: count + sum per key, with a
+    * random salt splitting each hot key across `saltBuckets` reducers
+    * before a cheap second phase merges the partials.
+    *
+    * At 100 TB a handful of hot keys (the reference's book 100001 holds
+    * 22 806 of 5.5 M edges) can pin a single reducer; salting bounds
+    * any reducer's share of a key to 1/saltBuckets. The salt is
+    * internal — results are EXACTLY the plain groupBy's (the DuckDB
+    * oracle of q30 proves it), only the shuffle shape changes. AQE's
+    * skew handling covers joins; this covers aggregation.
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], valueCol: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      (rand(seed = 7L) * saltBuckets).cast("int"))
+    val phase1 = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(count(lit(1)).as("__cnt"), sum(col(valueCol)).as("__sum"))
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(sum("__cnt").as("cnt"), sum("__sum").as(s"${valueCol}_sum"))
+  }
 }

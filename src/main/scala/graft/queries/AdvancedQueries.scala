@@ -252,6 +252,20 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- skew-tolerant salted aggregation: identical results to the
+    // plain GROUP BY (that's the point — the oracle proves it), but the
+    // shuffle splits hot keys across reducers.
+    q("q30_salted_supplier_volume",
+      """SELECT l_suppkey, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS l_quantity_sum
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin) { (s, dir) =>
+      graft.operators.Relational
+        .saltedAggregate(Tables.lineitem(s, dir), Seq("l_suppkey"), "l_quantity")
+        .select(col("l_suppkey"), col("cnt"),
+          round(col("l_quantity_sum"), 2).as("l_quantity_sum"))
+        .orderBy("l_suppkey")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

@@ -74,6 +74,47 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("codegen id"), s"expression must not break codegen:\n$plan")
   }
 
+  test("bucketed tables co-locate their join (no shuffle exchange)") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("planspec_a")
+    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("planspec_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // forbid broadcast so the planner must pick the sort-merge path,
+      // where bucketing is what saves the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("planspec_a").join(spark.table("planspec_b"), "k")
+      val plan = planOf(joined)
+      assert(plan.contains("SortMergeJoin"), s"expected sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE planspec_a")
+      spark.sql("DROP TABLE planspec_b")
+    }
+  }
+
+  test("salted aggregation matches the plain groupBy exactly on counts") {
+    val plain = Tables.lineitem(spark, sf)
+      .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      .orderBy("l_suppkey").select("l_suppkey", "cnt").collect().toSeq
+    val salted = graft.operators.Relational
+      .saltedAggregate(Tables.lineitem(spark, sf), Seq("l_suppkey"), "l_quantity")
+      .orderBy("l_suppkey").select("l_suppkey", "cnt").collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("approx_count_distinct stays within 5% of exact (scale variant of A5)") {
+    val e = Tables.events(spark, sf)
+    val exact = e.select(countDistinct("user_id")).head().getLong(0).toDouble
+    val approx = e.select(approx_count_distinct("user_id")).head().getLong(0).toDouble
+    assert(math.abs(approx - exact) / exact <= 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("partial (map-side) aggregation precedes the exchange") {
     val df = Tables.lineitem(spark, sf).groupBy("l_returnflag").agg(sum("l_quantity"))
     val plan = planOf(df)
