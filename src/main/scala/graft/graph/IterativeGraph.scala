@@ -46,6 +46,34 @@ object IterativeGraph {
     ranks
   }
 
+  /** Synchronous label propagation, `iters` supersteps, DETERMINISTIC:
+    * label₀ = id; label₊(v) = the most frequent label among v's
+    * neighbours (symmetrized edges), ties → smallest label; isolated
+    * vertices keep their label. GraphX's LabelPropagation breaks ties
+    * by map-iteration order — this fixed variant pins them, making the
+    * whole algorithm SQL-oracle-checkable. Output: (id, label). */
+  def labelPropagationFixed(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vertices.select("id")
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    var labels = v.select(col("id"), col("id").as("label"))
+    val w = Window.partitionBy("id").orderBy(col("c").desc, col("label"))
+    for (_ <- 1 to iters) {
+      val best = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("id"), col("label").as("nb_label"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nb_label"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
   /** Connected components by min-label propagation over symmetrized
     * edges, `iters` synchronous supersteps: label₀ = id;
     * label₊(v) = min(label(v), min over neighbours). After enough

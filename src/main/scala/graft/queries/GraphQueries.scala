@@ -140,6 +140,18 @@ object GraphQueries {
       },
       Some(pageRankFixedOracle(PrIters))),
 
+    // ---- fixed-iteration deterministic label propagation (the
+    // oracle-checkable twin of GraphX g06): community sizes after 4
+    // supersteps, majority label with min-label tie-break.
+    NamedQuery("g12_labelprop_fixed",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.labelPropagationFixed(g.vertices, g.edges, iters = LpIters)
+          .groupBy("label").agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("label")).limit(20)
+      },
+      Some(labelPropOracle(LpIters))),
+
     // ---- fixed-iteration min-label connected components: integer
     // labels → exact oracle match; component sizes after 6 supersteps.
     NamedQuery("g11_minlabel_components",
@@ -156,6 +168,7 @@ object GraphQueries {
   // val declared below it would be assigned (null/0 otherwise)
   private def PrIters = 5
   private def CcIters = 6
+  private def LpIters = 4
 
   /** Vertex set shared by the fixed-iteration oracles — ALL customers
     * and parts, matching PropertyGraph.customerPartGraph (isolated
@@ -183,6 +196,28 @@ object GraphQueries {
        |$steps
        |SELECT id, round(rank, 4) AS pagerank FROM r$iters
        |ORDER BY pagerank DESC, id LIMIT 20""".stripMargin
+  }
+
+  /** Unrolled-CTE deterministic label propagation: per superstep, each
+    * vertex takes its neighbours' majority label (ties → min label). */
+  private def labelPropOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""b$i AS (SELECT id, label FROM (
+         |    SELECT sym.dst AS id, l.label, count(*) AS c,
+         |      row_number() OVER (PARTITION BY sym.dst
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM sym JOIN l${i - 1} l ON sym.src = l.id
+         |    GROUP BY sym.dst, l.label) WHERE rn = 1),
+         |l$i AS (SELECT l.id, COALESCE(b.label, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN b$i b ON l.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |$vertexCte,
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps
+       |SELECT label, count(*) AS size FROM l$iters
+       |GROUP BY label ORDER BY size DESC, label LIMIT 20""".stripMargin
   }
 
   /** Unrolled-CTE min-label propagation over symmetrized edges. */
