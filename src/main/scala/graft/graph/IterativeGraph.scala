@@ -74,6 +74,29 @@ object IterativeGraph {
     labels
   }
 
+  /** Single-source unweighted shortest distances by `iters` rounds of
+    * frontier relaxation over symmetrized edges: dist₀(src)=0;
+    * dist₊(v) = min(dist(v), min over neighbours + 1). Deterministic
+    * integer math → SQL-oracle-checkable (g13); the distance-only twin
+    * of PropertyGraph.bfs (which materializes paths). Output:
+    * (id, dist) for vertices reached within `iters` hops. */
+  def bfsDistances(edges: DataFrame, sourceId: Long, iters: Int): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((sourceId, 0)).toDF("id", "dist")
+    for (_ <- 1 to iters) {
+      val relaxed = sym.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Connected components by min-label propagation over symmetrized
     * edges, `iters` synchronous supersteps: label₀ = id;
     * label₊(v) = min(label(v), min over neighbours). After enough

@@ -152,6 +152,18 @@ object GraphQueries {
       },
       Some(labelPropOracle(LpIters))),
 
+    // ---- BFS distances from customer 1 (3 hops, symmetrized):
+    // distance histogram — integer math, unrolled-CTE oracle. The
+    // path-materializing variant is g08 (GraphFrames-shaped output).
+    NamedQuery("g13_bfs_distances",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.bfsDistances(g.edges, sourceId = 1L, iters = BfsIters)
+          .groupBy("dist").agg(count(lit(1)).as("n_vertices"))
+          .orderBy("dist")
+      },
+      Some(bfsDistOracle(BfsIters))),
+
     // ---- fixed-iteration min-label connected components: integer
     // labels → exact oracle match; component sizes after 6 supersteps.
     NamedQuery("g11_minlabel_components",
@@ -169,6 +181,7 @@ object GraphQueries {
   private def PrIters = 5
   private def CcIters = 6
   private def LpIters = 4
+  private def BfsIters = 3
 
   /** Vertex set shared by the fixed-iteration oracles — ALL customers
     * and parts, matching PropertyGraph.customerPartGraph (isolated
@@ -218,6 +231,23 @@ object GraphQueries {
        |$steps
        |SELECT label, count(*) AS size FROM l$iters
        |GROUP BY label ORDER BY size DESC, label LIMIT 20""".stripMargin
+  }
+
+  /** Unrolled-CTE BFS distance relaxation from vertex 1. */
+  private def bfsDistOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT sym.dst AS id, d.dist + 1 AS dist
+         |    FROM sym JOIN d${i - 1} d ON sym.src = d.id) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |d0 AS (SELECT CAST(1 AS BIGINT) AS id, 0 AS dist),
+       |$steps
+       |SELECT dist, count(*) AS n_vertices FROM d$iters
+       |GROUP BY dist ORDER BY dist""".stripMargin
   }
 
   /** Unrolled-CTE min-label propagation over symmetrized edges. */
