@@ -81,6 +81,24 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- exact-dedup KEEP operator over planted copies: the survivors
+    // must be exactly the minimum-id row per distinct text.
+    NamedQuery("d07_dedup_kept_docs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        Dedup.dropExactDups(docs.unionByName(planted), "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+             |SELECT doc_id FROM (
+             |  SELECT doc_id, row_number() OVER (
+             |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |  FROM all_docs) WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- embedding cosine near-dup pairs (brute force, exact).
     NamedQuery("d06_embedding_neardup",
       (s, dir) => Similarity.cosineNearDupPairs(
@@ -189,6 +207,26 @@ object PipelineQueries {
            |    END AS pred_lang
            |FROM sc ORDER BY doc_id""".stripMargin
       }),
+
+    // ---- mean token length + BPE-ish subword estimate (both HOF
+    // folds, both DuckDB-expressible → oracle-backed).
+    NamedQuery("t04_token_metrics",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        round(TextOps.meanTokenLen(col("text")), 6).as("mean_token_len"),
+        TextOps.approxBpeTokenCount(col("text")).as("approx_bpe_tokens"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS toks
+             |  FROM documents)
+             |SELECT doc_id,
+             |  round(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+             |    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+             |    END, 6) AS mean_token_len,
+             |  CAST(COALESCE(list_sum(list_transform(toks,
+             |    x -> ceil(CAST(len(x) AS DOUBLE) / 4.0))), 0) AS BIGINT) AS approx_bpe_tokens
+             |FROM t ORDER BY doc_id""".stripMargin)),
 
     // ---- xxhash64 token-stream fingerprints (rows-only: hash fn).
     NamedQuery("t03_fingerprints", (s, dir) =>
