@@ -25,8 +25,26 @@ import graft.text.TextOps
 object Dedup {
 
   /** Distinct word n-gram shingles of `text` (empty array when the
-    * document has fewer than n tokens). */
+    * document has fewer than n tokens). One codegen'd static call per
+    * row (graft.functions.TextKernels) — see `shinglesExpr` for the
+    * equivalent (slower) pure-expression form it replaced. */
   def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    GraftExpressionBridge.column(StaticInvoke(
+      Class.forName("graft.functions.TextKernels"),
+      ArrayType(StringType, containsNull = false),
+      "shingles",
+      Seq(GraftExpressionBridge.expression(text), Literal(n)),
+      returnNullable = false))
+  }
+
+  /** Pure-expression shingling — semantically identical to `shingles`
+    * (scalacheck-verified); kept as the reference implementation and
+    * for engines where StaticInvoke is unavailable. */
+  private[graft] def shinglesExpr(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
     array_distinct(
       when(size(toks) >= n,

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** The StaticInvoke shingle kernel must be semantically identical to
+  * the pure-expression form it replaced (and therefore to the DuckDB
+  * oracle) — checked on crafted edges and seeded randomized text. */
+class TextKernelsSpec extends SparkSpec {
+
+  private def bothForms(texts: Seq[String], n: Int): Seq[(Seq[String], Seq[String])] = {
+    import spark.implicits._
+    texts.toDF("text")
+      .select(
+        Dedup.shingles(col("text"), n).as("fast"),
+        Dedup.shinglesExpr(col("text"), n).as("ref"))
+      .as[(Seq[String], Seq[String])].collect().toSeq
+  }
+
+  test("kernel matches expression form on crafted edge cases") {
+    val cases = Seq(
+      "", " ", "a", "a b", "a b c", "a  b\t\nc", "The QUICK brown-fox!",
+      "123 abc 456", "!!!leading and trailing***", "répété répété accents",
+      "dup dup dup dup", "a b a b a b", "x" * 500,
+      "Mixed CASE with Ümlauts and ßharp")
+    for (n <- Seq(2, 3, 4)) {
+      bothForms(cases, n).zip(cases).foreach { case ((fast, ref), txt) =>
+        assert(fast === ref, s"mismatch for n=$n text=<$txt>")
+      }
+    }
+  }
+
+  test("kernel matches expression form on seeded randomized text (property)") {
+    val rnd = new scala.util.Random(42)
+    val words = Array("the", "café", "x1", "", "-", "A_B", "Zebra99", "ünïcode",
+      "mixedCASE", "123", "!!", "tab\tsep")
+    val seps = Array(" ", ", ", "  ", "\n", "!", "")
+    def text(): String =
+      Seq.fill(rnd.nextInt(30))(words(rnd.nextInt(words.length)))
+        .mkString(seps(rnd.nextInt(seps.length)))
+    for (round <- 1 to 8) {
+      val texts = Seq.fill(40)(text())
+      val n = 2 + rnd.nextInt(4)
+      bothForms(texts, n).foreach { case (fast, ref) =>
+        assert(fast === ref, s"round $round n=$n")
+      }
+    }
+  }
+
+  test("shingle invariants: n-token join, distinct, order-preserving") {
+    import spark.implicits._
+    val got = bothForms(Seq("one two three two three four"), 3).head._1
+    assert(got === Seq("one two three", "two three two", "three two three",
+      "two three four"))
+    assert(got.forall(_.split(" ").length === 3))
+  }
+}
