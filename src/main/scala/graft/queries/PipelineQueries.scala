@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import graft.text.TextOps
+import graft.text.{Sampling, TextOps}
 
 /** Training-data pipeline queries over documents/embeddings: dedup
   * (exact, n-gram Jaccard, MinHash LSH, SimHash), similarity search
@@ -227,6 +227,39 @@ object PipelineQueries {
              |  CAST(COALESCE(list_sum(list_transform(toks,
              |    x -> ceil(CAST(len(x) AS DOUBLE) / 4.0))), 0) AS BIGINT) AS approx_bpe_tokens
              |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // ---- deterministic content-hash sampling: per-split per-lang
+    // counts — reproducible train/val/test assignment, no RNG.
+    NamedQuery("p01_hash_split_stats",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("split", Sampling.splitLabel(col("text")))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .orderBy("split", "lang"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang, ascii(substr(md5(text), 1, 1)) % 10 AS bucket
+             |  FROM documents)
+             |SELECT CASE WHEN bucket < 7 THEN 'train'
+             |            WHEN bucket < 8 THEN 'val' ELSE 'test' END AS split,
+             |       lang, count(*) AS n_docs, min(doc_id) AS min_id
+             |FROM b GROUP BY 1, 2 ORDER BY split, lang""".stripMargin)),
+
+    // ---- weighted upsampling (data-mix construction): each doc
+    // repeated (n_chars mod 3)+1 times with a copy counter.
+    NamedQuery("p02_weighted_upsample",
+      (s, dir) => Sampling.upsample(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), ((col("n_chars") % 3) + 1).as("weight"))
+            .filter(col("doc_id") < 200),
+          col("weight"))
+        .select("doc_id", "weight", "copy_no")
+        .orderBy("doc_id", "copy_no"),
+      Some("""WITH w AS (SELECT doc_id, (n_chars % 3) + 1 AS weight
+             |           FROM documents WHERE doc_id < 200)
+             |SELECT doc_id, weight, u.i AS copy_no
+             |FROM w CROSS JOIN LATERAL (
+             |  SELECT unnest(generate_series(1, weight)) AS i) u
+             |ORDER BY doc_id, copy_no""".stripMargin)),
 
     // ---- xxhash64 token-stream fingerprints (rows-only: hash fn).
     NamedQuery("t03_fingerprints", (s, dir) =>

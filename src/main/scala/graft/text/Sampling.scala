@@ -1,0 +1,40 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / data-mix operators for training pipelines.
+  *
+  * Random sampling (`df.sample`, `sampleBy`) is irreproducible across
+  * engines and re-runs; training splits must be CONTENT-keyed so the
+  * same document always lands in the same bucket no matter the engine,
+  * partitioning, or run. These operators derive buckets from a content
+  * hash — pure expressions, zero shuffle, scan-stage cost at 100 TB.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, nBuckets) from the first hex nibble of
+    * md5(key) — engine-portable (md5 + ascii exist everywhere,
+    * including the DuckDB oracle). Approximately uniform (16 nibbles
+    * folded into nBuckets); for finer or perfectly-uniform bucketing
+    * use `xxhash64(key) pmod nBuckets` — Spark-exact but not
+    * oracle-portable. */
+  def hashBucket(key: Column, nBuckets: Int): Column =
+    ascii(substring(md5(key), 1, 1)) % nBuckets
+
+  /** Deterministic train/val/test assignment by content hash. */
+  def splitLabel(key: Column, nBuckets: Int = 10,
+      trainUpto: Int = 7, valUpto: Int = 8): Column = {
+    val b = hashBucket(key, nBuckets)
+    when(b < trainUpto, lit("train"))
+      .when(b < valUpto, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Weighted upsampling: emit `weightCol` copies of each row
+    * (1-indexed `copy_no`) — the data-mix construction primitive
+    * ("3 epochs of wiki, 1 of crawl"). A generator, not a join: cost
+    * is proportional to output rows only. */
+  def upsample(df: DataFrame, weightCol: Column): DataFrame =
+    df.withColumn("copy_no", explode(sequence(lit(1), weightCol)))
+}
