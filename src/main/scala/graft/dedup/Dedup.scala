@@ -142,6 +142,46 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Engine-portable MinHash + LSH: hash family = md5 hex of
+    * "<i>|<shingle>", signature element i = lexicographic min hex.
+    * Identical pipeline shape to [[minhashLshPairs]] (band → bucket
+    * join → signature-agreement verify) but every primitive (md5,
+    * string min, string concat) exists in any SQL engine, so the WHOLE
+    * algorithm is DuckDB-oracle-checkable end to end. Production use
+    * favors the xxhash64 variant (~an order of magnitude cheaper per
+    * hash); this one is the cross-engine-verifiable form.
+    */
+  def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .persist()
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh_$i"))
+    val sig = ex.groupBy("id").agg(mins.head, mins.tail: _*).persist()
+
+    val bandHashes = (0 until bands).map { b =>
+      md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*))
+    }
+    val banded = sig.select(col("id"),
+      posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val cand = banded.toDF("id_a", "band", "bh")
+      .join(banded.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("id_a") === col("a.id"))
+      .join(sig.as("b"), col("id_b") === col("b.id"))
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 6))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
   /** 64-bit SimHash over the document's term-frequency vector: bit i of
     * the sketch is the sign of Σ_tokens tf·(±1 by bit i of xxhash64(tok)). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -68,6 +68,19 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- engine-portable MinHash+LSH (md5 hash family): the SAME
+    // band→bucket→verify pipeline as d03, but fully oracle-checked —
+    // planted duplicates must surface with est_jaccard 1.0.
+    NamedQuery("d08_minhash_portable_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        Dedup.minhashLshPairsPortable(docs.unionByName(planted), "doc_id", "text",
+            n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(minhashPortableOracle(MhHashes, MhBands, 0.5))),
+
     // ---- SimHash sketches (deterministic 64-bit near-dup sketch).
     NamedQuery("d04_simhash_sketches",
       (s, dir) => Dedup.simhash(Tables.documents(s, dir), "doc_id", "text")
@@ -272,4 +285,50 @@ object PipelineQueries {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def MhHashes = 16
+  private def MhBands = 4
+
+  /** Generated oracle for the portable MinHash: same shingling CTE as
+    * d02, md5("<i>|sh") min-hex signatures, band hashes, bucket join,
+    * agreement verify. */
+  private def minhashPortableOracle(numHashes: Int, bands: Int,
+      minJaccard: Double): String = {
+    val rows = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(i => s"min(md5('$i|' || sh)) AS mh_$i").mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val cat = (b * rows until (b + 1) * rows).map(i => s"mh_$i").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                             x -> len(x) > 0) AS ts
+       |  FROM all_docs),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS arr
+       |  FROM toks WHERE len(ts) >= 3),
+       |ex AS (SELECT doc_id AS id, unnest(arr) AS sh FROM shs),
+       |sig AS (SELECT id,
+       |    $minCols
+       |  FROM ex GROUP BY id),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |         WHERE a.id < b.id),
+       |ver AS (SELECT id_a, id_b,
+       |    round(($agree) / ${numHashes.toDouble}, 6) AS est_jaccard
+       |  FROM cand JOIN sig a ON id_a = a.id JOIN sig b ON id_b = b.id)
+       |SELECT id_a, id_b, est_jaccard FROM ver
+       |WHERE est_jaccard >= $minJaccard
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 }
