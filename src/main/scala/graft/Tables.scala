@@ -45,7 +45,12 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
   /** Register every table as a temp view so `spark.sql` (EP2) sees the
-    * same relations the Dataset API (EP1) uses. */
+    * same relations the Dataset API (EP1) uses. `events` must go
+    * through its normalizing loader — the raw parquet TIMESTAMP(NANOS)
+    * is illegal to a plain scan (SqlParitySpec pins this). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

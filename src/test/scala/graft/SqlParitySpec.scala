@@ -1,0 +1,47 @@
+package graft
+
+import graft.queries.RelationalQueries
+
+/** EP1/EP2 parity (SURVEY §3): the SQL entry point over registered
+  * views must produce byte-identical results to the Dataset API — both
+  * are fronts for the same Catalyst plans. */
+class SqlParitySpec extends SparkSpec {
+
+  private def viaSql(sql: String): Seq[String] =
+    spark.sql(sql).collect().map(_.toString).toSeq
+
+  private def viaDataset(name: String): Seq[String] =
+    RelationalQueries.all.find(_.name == name).get
+      .run(spark, sf).collect().map(_.toString).toSeq
+
+  test("SQL text and Dataset API produce identical rows for declared queries") {
+    Tables.registerAll(spark, sf)
+    // DuckDB-dialect oracles that are also valid Spark SQL
+    val sparkSqlTwins = Map(
+      "q02_top_users_by_events" ->
+        """SELECT user_id, count(*) AS cnt FROM events
+          |GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin,
+      "q03_segment_order_stats" ->
+        """SELECT c_mktsegment, count(*) AS n_orders,
+          |  round(sum(o_totalprice), 2) AS total_price,
+          |  round(avg(o_totalprice), 4) AS avg_price
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      "q07_segment_nation_diversity" ->
+        """SELECT c_mktsegment,
+          |  count(DISTINCT c_nationkey) AS n_nations,
+          |  count(*) AS n_customers,
+          |  round(avg(c_acctbal), 4) AS avg_bal
+          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+    sparkSqlTwins.foreach { case (name, sql) =>
+      assert(viaSql(sql) === viaDataset(name), s"EP1/EP2 divergence in $name")
+    }
+  }
+
+  test("registerAll exposes every testdata table to SQL") {
+    Tables.registerAll(spark, sf)
+    Tables.all.foreach { t =>
+      assert(spark.sql(s"SELECT * FROM $t LIMIT 1").columns.nonEmpty, t)
+    }
+  }
+}
