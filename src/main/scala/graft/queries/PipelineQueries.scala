@@ -280,7 +280,20 @@ object PipelineQueries {
         col("doc_id"),
         TextOps.fingerprint(col("text")).as("fingerprint"),
         TextOps.approxBpeTokenCount(col("text")).as("approx_bpe_tokens"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- portable fingerprint twin: same normalization, md5 family →
+    // oracle-checked (cross-engine dedup-ledger identity).
+    NamedQuery("t05_fingerprints_portable",
+      (s, dir) => Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.fingerprintPortable(col("text")).as("fingerprint"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(array_to_string(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0), chr(1))) AS fingerprint
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -91,4 +91,11 @@ object TextOps {
     * Content-defined identity for exact/near-exact dedup bookkeeping. */
   def fingerprint(text: Column): Column =
     xxhash64(concat_ws("", tokens(text)))
+
+  /** Engine-portable fingerprint: md5 hex of the \u0001-joined token
+    * stream -- same identity semantics as [[fingerprint]] but computable
+    * by any SQL engine (cross-system dedup ledgers); xxhash64 stays the
+    * cheap in-engine form. */
+  def fingerprintPortable(text: Column): Column =
+    md5(concat_ws("", tokens(text)))
 }
