@@ -153,13 +153,17 @@ object PipelineQueries {
              |ORDER BY query_id, rank""".stripMargin)),
 
     // ---- LSH ANN (random hyperplanes): approximate top-5 — the scale
-    // path; recall vs s01 is asserted in scalatest, not hash-matched.
+    // path. Fully oracle-checked: the generator inlines the SAME seeded
+    // hyperplanes as double literals, and both engines compute the
+    // identical sequential double-precision dot, so signature bits —
+    // and therefore buckets, candidates, and ranks — match exactly.
     NamedQuery("s02_ann_lsh_topk", (s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       Similarity.lshCosineTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
           dim = 64, nBits = 32, bands = 8, seed = 42L)
         .orderBy("query_id", "rank")
-    }),
+    },
+      Some(lshAnnOracle(dim = 64, nBits = 32, bands = 8, k = 5, seed = 42L))),
 
     // ---- token / char / quality stats per document.
     NamedQuery("t01_text_stats", (s, dir) =>
@@ -301,6 +305,49 @@ object PipelineQueries {
 
   private def MhHashes = 16
   private def MhBands = 4
+
+  /** Generated oracle for the random-hyperplane LSH ANN: the seeded
+    * planes are inlined as exact double literals
+    * (Double.toString round-trips), signatures rebuilt bit-for-bit,
+    * then band-bucket join + exact cosine + rank — mirroring
+    * Similarity.lshCosineTopK stage by stage. */
+  private def lshAnnOracle(dim: Int, nBits: Int, bands: Int, k: Int,
+      seed: Long): String = {
+    val planes = graft.similarity.Similarity.hyperplanes(dim, nBits, seed)
+    val rows = nBits / bands
+    val mask = (1L << rows) - 1
+    val planesSql = planes.zipWithIndex.map { case (p, i) =>
+      val lst = p.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+      s"SELECT $i AS k, CAST($lst AS DOUBLE[]) AS p"
+    }.mkString("\n  UNION ALL ")
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes AS (
+       |  $planesSql),
+       |sig AS (SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN ${dot("e.v", "planes.p")} > 0
+       |        THEN (CAST(1 AS BIGINT) << planes.k) ELSE 0 END) AS BIGINT) AS sg
+       |  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+       |nrm AS (SELECT vec_id, sqrt(${dot("v", "v")}) AS nm FROM e),
+       |bnd AS (SELECT sig.vec_id, b.band, (sg >> (b.band * $rows)) & $mask AS bh
+       |        FROM sig CROSS JOIN (
+       |          SELECT unnest(generate_series(0, ${bands - 1})) AS band) b),
+       |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM bnd q JOIN bnd c ON q.band = c.band AND q.bh = c.bh
+       |         WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    round(${dot("eq.v", "ec.v")} / (nq.nm * nc.nm), 6) AS cos
+       |  FROM cand
+       |  JOIN e eq ON query_id = eq.vec_id JOIN e ec ON neighbor_id = ec.vec_id
+       |  JOIN nrm nq ON query_id = nq.vec_id JOIN nrm nc ON neighbor_id = nc.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Generated oracle for the portable MinHash: same shingling CTE as
     * d02, md5("<i>|sh") min-hex signatures, band hashes, bucket join,

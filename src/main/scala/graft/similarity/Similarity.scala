@@ -57,8 +57,10 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random unit hyperplanes (driver-side seeded
-    * RNG, shipped as literals — tiny: nBits × dim floats). */
-  private def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Float]] = {
+    * RNG, shipped as literals — tiny: nBits × dim floats). Exposed
+    * within the engine so the DuckDB oracle generator can inline the
+    * SAME planes and reproduce signatures bit-for-bit. */
+  private[graft] def hyperplanes(dim: Int, nBits: Int, seed: Long): Seq[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(nBits)(Array.fill(dim)(rnd.nextGaussian().toFloat))
   }
