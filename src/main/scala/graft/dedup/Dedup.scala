@@ -155,8 +155,8 @@ object Dedup {
       n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
+    // not persisted: consumed exactly once (the signature groupBy)
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .persist()
     val mins = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh_$i"))
     val sig = ex.groupBy("id").agg(mins.head, mins.tail: _*).persist()

@@ -20,6 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Summation is sequential left-to-right with each float widened to
   * double first — bit-identical to the DuckDB oracle's
   * `list_sum(list_transform(...))` over `CAST(... AS DOUBLE[])`.
+  *
+  * NULL ELEMENTS contribute 0 to the sum (ArrayData.getFloat reads a
+  * null slot as 0f) — deliberately matching DuckDB's `list_sum`, which
+  * skips NULL products, rather than whole-expression null propagation.
+  * Null ARRAYS (either side) do propagate to a null result.
   */
 case class FloatDot(left: Expression, right: Expression)
     extends BinaryExpression {

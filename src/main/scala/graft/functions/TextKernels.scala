@@ -20,9 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object TextKernels {
 
   /** Distinct word n-gram shingles of `text`. Null-in → handled by
-    * StaticInvoke's propagateNull (never called with null). */
+    * StaticInvoke's propagateNull (never called with null).
+    * Lowercasing uses the default-locale `String.toLowerCase()` — the
+    * same call Spark's `lower()` bottoms out in for non-ASCII input —
+    * so kernel and expression form agree char-for-char on ANY JVM
+    * locale (Locale.ROOT here would diverge on e.g. tr-TR dotted I). */
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val s = text.toString.toLowerCase()
     val tokens = new java.util.ArrayList[String]()
     var i = 0
     val len = s.length

@@ -22,9 +22,13 @@ object Clustering {
       sc.defaultParallelism * 2)
   }
 
-  /** M11 (goodreads.py:346): seeded KMeans; returns input + "cluster". */
+  /** M11 (goodreads.py:346): seeded KMeans; returns input + "cluster".
+    * Shrink-only: coalesce can't grow a partition count, and forcing a
+    * full repartition shuffle just to widen a fit would usually cost
+    * more than it saves — wide inputs keep their layout. */
   def kmeans(df: DataFrame, featuresCol: String, k: Int, seed: Long = 1L): DataFrame = {
-    val in = df.coalesce(fitParts(df))
+    val target = fitParts(df)
+    val in = if (target < df.rdd.getNumPartitions) df.coalesce(target) else df
     new KMeans().setK(k).setSeed(seed)
       .setFeaturesCol(featuresCol).setPredictionCol("cluster")
       .fit(in).transform(in)

@@ -61,12 +61,18 @@ object Multimodal {
           substring(col(contentCol), 1, 4) === lit(MagicBytes))
       .select(col(idCol), col("n_bytes"), col("is_valid"))
 
+  /** Parses and VALIDATES the header: negative dimensions or a body
+    * larger than the payload (checked in Long space — w*h can overflow
+    * Int on hostile headers) are corrupt, not decodable. */
   private def readHeader(bytes: Array[Byte]): Option[(Int, Int)] =
     if (bytes == null || bytes.length < 12 ||
       !bytes.take(4).sameElements(MagicBytes)) None
     else {
       val bb = java.nio.ByteBuffer.wrap(bytes, 4, 8)
-      Some((bb.getInt, bb.getInt))
+      val w = bb.getInt
+      val h = bb.getInt
+      if (w < 0 || h < 0 || 12L + w.toLong * h.toLong > bytes.length) None
+      else Some((w, h))
     }
 
   final case class MediaFeatures(media_id: Long, width: Option[Int],

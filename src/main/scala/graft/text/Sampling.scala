@@ -34,7 +34,11 @@ object Sampling {
   /** Weighted upsampling: emit `weightCol` copies of each row
     * (1-indexed `copy_no`) — the data-mix construction primitive
     * ("3 epochs of wiki, 1 of crawl"). A generator, not a join: cost
-    * is proportional to output rows only. */
+    * is proportional to output rows only. Weights < 1 emit NOTHING —
+    * guarded explicitly, because Spark's `sequence(1, 0)` counts DOWN
+    * ([1, 0]) instead of returning empty. */
   def upsample(df: DataFrame, weightCol: Column): DataFrame =
-    df.withColumn("copy_no", explode(sequence(lit(1), weightCol)))
+    df.withColumn("copy_no", explode(
+      when(weightCol >= 1, sequence(lit(1), weightCol))
+        .otherwise(array().cast("array<int>"))))
 }

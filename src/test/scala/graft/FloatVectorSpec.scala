@@ -38,6 +38,15 @@ class FloatVectorSpec extends SparkSpec {
     assert(e.eval(null) === 32.0)
   }
 
+  test("null ELEMENTS contribute 0 (DuckDB list_sum semantics); null arrays propagate") {
+    FloatVector.registerSql(spark)
+    val got = spark.sql(
+      "SELECT float_dot(array(CAST(1 AS FLOAT), NULL, CAST(3 AS FLOAT)), " +
+        "array(CAST(1 AS FLOAT), CAST(1 AS FLOAT), CAST(1 AS FLOAT))) AS d")
+      .head().getDouble(0)
+    assert(got === 4.0)
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val v = Seq((Array(3f, 4f), Array(3f, 4f), Array(-4f, 3f)))

@@ -29,15 +29,24 @@ class MultimodalSpec extends SparkSpec {
   test("decodeFeatures parses dimensions and byte stats; corrupt rows yield nulls") {
     import spark.implicits._
     // 2×2 seed=0 body bytes: (x+y)%251 → 0,1,1,2 → mean 1.0, max 2
+    // hostile header: width = Int.MaxValue overflows w*h in Int space
+    val hostile = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put(Multimodal.MagicBytes).putInt(Int.MaxValue).putInt(2)
+      bb.array()
+    }
     val df = mediaDf(Seq(
       (1L, Multimodal.syntheticPayload(2, 2, seed = 0)),
       (2L, Array[Byte](1, 2, 3)),
-      (3L, Multimodal.MagicBytes ++ Array[Byte](0, 0, 0, 9, 0, 0, 0, 9, 1)))) // truncated body
+      (3L, Multimodal.MagicBytes ++ Array[Byte](0, 0, 0, 9, 0, 0, 0, 9, 1)), // truncated body
+      (4L, hostile)))
     val got = Multimodal.decodeFeatures(df, "media_id", "content")
       .as[Multimodal.MediaFeatures].collect().map(f => f.media_id -> f).toMap
     assert(got(1L) === Multimodal.MediaFeatures(1L, Some(2), Some(2), Some(1.0), Some(2)))
     assert(got(2L) === Multimodal.MediaFeatures(2L, None, None, None, None))
     assert(got(3L) === Multimodal.MediaFeatures(3L, None, None, None, None))
+    assert(got(4L) === Multimodal.MediaFeatures(4L, None, None, None, None),
+      "overflowing header must be treated as corrupt, not decoded")
   }
 
   test("sampleFrames emits every stride-th row with width-sized frames") {

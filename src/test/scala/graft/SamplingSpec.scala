@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.Sampling
+
+/** Deterministic sampling/upsampling semantics. */
+class SamplingSpec extends SparkSpec {
+
+  test("hashBucket is stable and within range; splitLabel covers all docs") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => s"document number $i").toDF("text")
+    val b = df.select(Sampling.hashBucket(col("text"), 10).as("b"))
+      .as[Int].collect()
+    assert(b.forall(x => x >= 0 && x < 10))
+    // re-running yields identical buckets (content-keyed, no RNG)
+    val b2 = df.select(Sampling.hashBucket(col("text"), 10).as("b"))
+      .as[Int].collect()
+    assert(b.toSeq === b2.toSeq)
+    val splits = df.select(Sampling.splitLabel(col("text")).as("s"))
+      .as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("upsample emits exactly weight copies; weights < 1 emit nothing") {
+    import spark.implicits._
+    val df = Seq((1L, 3), (2L, 1), (3L, 0), (4L, -2)).toDF("id", "w")
+    val got = Sampling.upsample(df, col("w"))
+      .groupBy("id").agg(count(lit(1)).as("n"), max("copy_no").as("mx"))
+      .as[(Long, Long, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((3L, 3)), 2L -> ((1L, 1))))
+    // ids 3 and 4 (weight 0 / negative) produce no rows at all
+    assert(!got.contains(3L) && !got.contains(4L))
+  }
+}
