@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.operators.Relational
+
+/** Scalacheck property layer (SURVEY §5 layer 4): operator invariants
+  * over generated inputs, driven through Spark itself (small literal
+  * frames, many cases per property). */
+class PropertySpec extends SparkSpec {
+
+  private def check(prop: Prop, cases: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("argmaxFields returns a field holding the row maximum; ties → first in order") {
+    import spark.implicits._
+    val rowGen = Gen.listOfN(4, Gen.choose(-100L, 100L)).map {
+      case List(a, b, c, d) => (a, b, c, d)
+    }
+    check(Prop.forAll(Gen.listOfN(8, rowGen)) { rows =>
+      rows.isEmpty || {
+        val fields = Seq("a", "b", "c", "d")
+        val got = rows.toDF("a", "b", "c", "d")
+          .withColumn("am", Relational.argmaxFields(fields))
+          .collect()
+        got.forall { r =>
+          val vals = fields.map(f => r.getAs[Long](f))
+          val winner = r.getAs[String]("am")
+          val winnerVal = r.getAs[Long](winner)
+          winnerVal == vals.max &&
+            fields.indexOf(winner) == vals.indexOf(vals.max)
+        }
+      }
+    }, cases = 15)
+  }
+
+  test("dedupLatest keeps exactly one max-order row per key; count == distinct keys") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.choose(0, 5); v <- Gen.choose(0, 50); id <- Gen.choose(0, 1000)
+    } yield (k, v, id)
+    check(Prop.forAll(Gen.nonEmptyListOf(rowGen)) { rows =>
+      val df = rows.toDF("k", "v", "id")
+      val kept = Relational.dedupLatest(df, Seq("k"),
+        Seq(col("v").desc, col("id").desc)).collect()
+      val byKey = rows.groupBy(_._1)
+      kept.length == byKey.size && kept.forall { r =>
+        val (k, v) = (r.getInt(0), r.getInt(1))
+        v == byKey(k).map(_._2).max
+      }
+    }, cases = 15)
+  }
+
+  test("degree tables sum to edge count; union preserves total rows") {
+    import spark.implicits._
+    val edgeGen = for {
+      s <- Gen.choose(0L, 8L); d <- Gen.choose(10L, 18L)
+    } yield (s, d)
+    check(Prop.forAll(Gen.nonEmptyListOf(edgeGen)) { edges =>
+      val e = edges.toDF("src", "dst")
+      val g = graft.graph.PropertyGraph(
+        e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id"))).distinct(),
+        e)
+      val outSum = g.outDegrees.agg(sum("outDegree")).head().getLong(0)
+      val inSum = g.inDegrees.agg(sum("inDegree")).head().getLong(0)
+      outSum == edges.length && inSum == edges.length
+    }, cases = 10)
+
+    check(Prop.forAll(
+      Gen.listOf(Gen.alphaStr.map(_.take(5))),
+      Gen.listOf(Gen.alphaStr.map(_.take(5)))) { (a, b) =>
+      val ta = a.toDF("v"); val tb = b.toDF("v")
+      Relational.unionTagged(ta, "A", tb, "B").count() == a.size + b.size
+    }, cases = 10)
+  }
+}

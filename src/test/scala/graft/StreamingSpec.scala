@@ -88,6 +88,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileSource tails a parquet directory as an unbounded stream") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "stream-src").toString
+    batch1.toDS().toDF().write.mode("append").parquet(dir)
+    val q = graft.streaming.EventStreams.fileSource(spark, dir)
+      .groupBy("user_id").count()
+      .writeStream.format("memory").queryName("file_src")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_src").as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 2L, 2L -> 2L))
+      // a NEW file arriving in the directory flows through incrementally
+      Seq(Event(9, ts("2024-01-02 00:00:00"), 7, "view", 1.0))
+        .toDS().toDF().write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("file_src").as[(Long, Long)].collect().toMap
+        === Map(1L -> 2L, 2L -> 2L, 7L -> 1L))
+    } finally q.stop()
+  }
+
   test("sessionizeWithState closes sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
