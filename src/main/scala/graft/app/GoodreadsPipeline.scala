@@ -118,4 +118,15 @@ object GoodreadsPipeline {
   def getBookTitle(books: DataFrame, bookId: Long): Option[String] =
     books.filter(col("book_id") === bookId).select("title")
       .collect().headOption.map(_.getString(0))
+
+  /** Typed view of the curated table (SURVEY §1.3's engine decision:
+    * `Dataset[Book]` for the stable curated schema — column renames or
+    * type drifts become compile/analysis errors, not wrong results). */
+  def curateBooksTyped(booksSmall: DataFrame, booksRaw: DataFrame,
+      genresRaw: DataFrame,
+      idOffset: Long = 100000L): org.apache.spark.sql.Dataset[model.Book] = {
+    val df = curateBooks(booksSmall, booksRaw, genresRaw, idOffset)
+    import df.sparkSession.implicits._
+    df.as[model.Book]
+  }
 }

@@ -88,6 +88,18 @@ class GoodreadsPipelineSpec extends SparkSpec {
       "work_ratings_count"))
   }
 
+  test("curateBooksTyped round-trips through the Book case class") {
+    val typed = GoodreadsPipeline.curateBooksTyped(booksSmall, booksRaw, genresRaw)
+      .collect().sortBy(_.book_id)
+    assert(typed.map(_.title).toSeq === Seq("Alpha 2nd ed", "Gamma"))
+    val alpha = typed.head
+    assert(alpha.book_id === 100011)
+    assert(alpha.authors === Seq("Ann A", "Bob B"))
+    assert(alpha.genre === Some("fiction"))
+    assert(alpha.popular_shelves.head ===
+      graft.app.model.Shelf("3", "to-read"))
+  }
+
   test("usersTable: sorted deterministic to_read sets") {
     import spark.implicits._
     val toRead = Seq((1, 5), (1, 3), (1, 5), (2, 9)).toDF("user_id", "book_id")
