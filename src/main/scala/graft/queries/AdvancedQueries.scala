@@ -192,6 +192,54 @@ object AdvancedQueries {
         .orderBy("user_id")
     },
 
+    // ---- GROUPING SETS with grouping_id: per-segment and per-nation
+    // totals in one pass (independent subtotals, unlike ROLLUP's
+    // hierarchy).
+    q("q31_grouping_sets",
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+        |  coalesce(CAST(c_nationkey AS VARCHAR), 'ALL') AS nation,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        |ORDER BY segment, nation""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .groupingSets(
+          Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey"))),
+          col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("total_bal"))
+        .select(
+          coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+          coalesce(col("c_nationkey").cast("string"), lit("ALL")).as("nation"),
+          col("n"), col("total_bal"))
+        .orderBy("segment", "nation")
+    },
+
+    // ---- batch sessionization: session_window vs the classic
+    // gaps-and-islands SQL (lag + running flag sum) — same sessions,
+    // independently derived.
+    q("q32_user_sessions",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("session_start_us"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "session_start_us")
+    },
+
     // ---- set op: customers ordering in BOTH 1995 and 1998 (INTERSECT).
     q("q25_custkeys_both_years",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
