@@ -30,7 +30,11 @@ object MultimodalQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // ---- full decode path over synthetic payloads: doc_id-keyed fake
-    // media, mapPartitions "codec", per-media features.
+    // media, mapPartitions "codec", per-media features. Oracle-checked:
+    // the stub codec is deterministic, so the SQL mirror re-derives
+    // every byte statistic from the generator's closed form — the
+    // binary round-trip (encode → bytes → parse → stats) is verified
+    // end to end.
     NamedQuery("mm02_media_features", (s, dir) => {
       import s.implicits._
       val media = Tables.documents(s, dir)
@@ -43,6 +47,19 @@ object MultimodalQueries {
         .toDF("media_id", "content")
       Multimodal.decodeFeatures(media, "media_id", "content")
         .orderBy("media_id")
-    })
+    },
+      Some("""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
+             |                  doc_id % 97 AS seed FROM documents),
+             |cells AS (SELECT doc_id, w, h, (x.i + y.i + seed) % 251 AS v
+             |          FROM p
+             |          CROSS JOIN LATERAL (
+             |            SELECT unnest(generate_series(0, w - 1)) AS i) x
+             |          CROSS JOIN LATERAL (
+             |            SELECT unnest(generate_series(0, 5)) AS i) y)
+             |SELECT doc_id AS media_id, w AS width, h AS height,
+             |  round_even(CAST(sum(v) AS DOUBLE) / (w * h) * 10000, 0) / 10000
+             |    AS mean_byte,
+             |  max(v) AS max_byte
+             |FROM cells GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin))
   )
 }
