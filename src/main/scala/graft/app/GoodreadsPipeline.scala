@@ -119,6 +119,33 @@ object GoodreadsPipeline {
     books.filter(col("book_id") === bookId).select("title")
       .collect().headOption.map(_.getString(0))
 
+  /** goodreads.py:289–294: a user's to-read list (driver helper over
+    * the usersTable output). */
+  def getToRead(users: DataFrame, userId: Long): Seq[Int] =
+    users.filter(col("user_id") === userId).select("to_read")
+      .collect().headOption.map(_.getSeq[Int](0)).getOrElse(Seq.empty)
+
+  /** goodreads.py:375–381 / 453–459: nearest books to a given book's
+    * feature vector via the fitted LSH model — the reference's
+    * `find_nearest_books` as a library call. Returns (book_id, dist),
+    * the key book excluded. */
+  def findNearestBooks(
+      model: org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel,
+      featured: DataFrame, bookId: Long, n: Int,
+      featuresCol: String = "features"): Seq[(Long, Double)] = {
+    import org.apache.spark.ml.linalg.Vector
+    featured.filter(col("book_id") === bookId)
+      .select(featuresCol).collect().headOption match {
+      case None => Seq.empty
+      case Some(row) =>
+        val key = row.getAs[Vector](0)
+        model.approxNearestNeighbors(
+            featured.filter(col("book_id") =!= bookId), key, n).toDF()
+          .select(col("book_id").cast("long"), col("distCol"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+  }
+
   /** Typed view of the curated table (SURVEY §1.3's engine decision:
     * `Dataset[Book]` for the stable curated schema — column renames or
     * type drifts become compile/analysis errors, not wrong results). */

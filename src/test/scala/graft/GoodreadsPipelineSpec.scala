@@ -100,12 +100,29 @@ class GoodreadsPipelineSpec extends SparkSpec {
       graft.app.model.Shelf("3", "to-read"))
   }
 
-  test("usersTable: sorted deterministic to_read sets") {
+  test("usersTable: sorted deterministic to_read sets; getToRead lookup") {
     import spark.implicits._
     val toRead = Seq((1, 5), (1, 3), (1, 5), (2, 9)).toDF("user_id", "book_id")
-    val got = GoodreadsPipeline.usersTable(toRead)
-      .as[(Int, Seq[Int])].collect().toMap
+    val users = GoodreadsPipeline.usersTable(toRead)
+    val got = users.as[(Int, Seq[Int])].collect().toMap
     assert(got === Map(1 -> Seq(3, 5), 2 -> Seq(9)))
+    assert(GoodreadsPipeline.getToRead(users, 1L) === Seq(3, 5))
+    assert(GoodreadsPipeline.getToRead(users, 42L) === Seq.empty)
+  }
+
+  test("findNearestBooks returns n nearest by LSH, key excluded") {
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val featured = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(0.1f, 0f)),
+      (3L, Array(5f, 5f)), (4L, Array(0.2f, 0.1f)))
+      .toDF("book_id", "emb")
+      .withColumn("features", array_to_vector(col("emb")))
+    val model = graft.ml.VectorSearch.brpLsh(featured, "features",
+      bucketLength = 10.0, numHashTables = 4, seed = 1L)
+    val nn = GoodreadsPipeline.findNearestBooks(model, featured, 1L, 2)
+    assert(nn.map(_._1).toSet === Set(2L, 4L))
+    assert(GoodreadsPipeline.findNearestBooks(model, featured, 99L, 2) === Seq.empty)
   }
 
   test("ratingsSmall restricts to curated books; graph shapes up") {
