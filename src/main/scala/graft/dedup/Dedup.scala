@@ -182,6 +182,61 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** Engine-portable SimHash: identical tf-weighted sign-bit
+    * construction to [[simhash]], but the per-token bit source is the
+    * first 16 hex nibbles of md5(token) (global bit g = bit g%4 of
+    * nibble g/4) instead of xxhash64 — every primitive (md5, substr,
+    * hex-nibble decode, CASE, sum) exists in any SQL engine, so the
+    * WHOLE sketch is DuckDB-oracle-checkable. The 64 bits are emitted
+    * as four 16-bit band longs (band0..band3) — the banding the pair
+    * stage uses anyway, and each is nonnegative so no engine disagrees
+    * about the sign bit. Production favors [[simhash]] (one xxhash64
+    * per token vs an md5 + 16 nibble decodes). Output:
+    * (id, band0..band3). */
+  def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("hx", md5(col("tok")))
+    val withNibbles = (0 until 16).foldLeft(tf) { case (d, j) =>
+      d.withColumn(s"hv_$j", conv(substring(col("hx"), j + 1, 1), 16, 10).cast("int"))
+    }
+    val bitSums = (0 until 64).map { g =>
+      sum(when(shiftright(col(s"hv_${g / 4}"), g % 4).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"b_$g")
+    }
+    val sums = withNibbles.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      (0 until 16).map(i =>
+        when(col(s"b_${b * 16 + i}") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_.bitwiseOR(_)).as(s"band$b")
+    }
+    sums.select(col("id") +: bandCols: _*)
+  }
+
+  /** Banded near-dup pairs over the portable sketch: candidates agree
+    * on ≥1 of the 4 bands (band-keyed shuffle, never all-pairs),
+    * verified by total hamming distance = Σ bit_count(xor) per band
+    * ≤ maxHamming. The oracle-checkable twin of [[simhashPairs]]. */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    // persisted: both sides of the band self-join rescan the sketch
+    val sk = simhashPortable(df, idCol, textCol).persist()
+    val bandNames = (0 until 4).map(b => s"band$b")
+    val banded = sk.select(col("id") +: bandNames.map(col) :+
+      posexplode(array(bandNames.map(col): _*)).as(Seq("band", "bh")): _*)
+    val aNames = (0 until 4).map(b => s"a$b")
+    val bNames = (0 until 4).map(b => s"b$b")
+    banded.toDF("id_a" +: aNames :+ "band" :+ "bh": _*)
+      .join(banded.toDF("id_b" +: bNames :+ "band" :+ "bh": _*), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(("id_a" +: "id_b" +: (aNames ++ bNames)).map(col): _*).distinct()
+      .withColumn("hamming", (0 until 4)
+        .map(i => bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))))
+        .reduce(_ + _).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** 64-bit SimHash over the document's term-frequency vector: bit i of
     * the sketch is the sign of Σ_tokens tf·(±1 by bit i of xxhash64(tok)). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

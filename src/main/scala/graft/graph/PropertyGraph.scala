@@ -106,40 +106,93 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   }
 
   /** G6 (goodreads.py:588): BFS shortest paths from vertices matching
-    * `fromCond` to vertices matching `toCond`, following edge direction,
-    * up to `maxPathLength` hops. Iterative frontier expansion — one join
-    * per superstep, exactly how GraphFrames compiles it. Returns
-    * (start, end, length, path[array<long>]) for the FIRST depth at
-    * which any target is reached (shortest).
+    * `fromCond` to vertices matching `toCond`, following edge
+    * direction, up to `maxPathLength` hops. Returns the GraphFrames
+    * result shape (ipynb cell 78): struct columns
+    * (from, e0, v1, e1, …, to) — full vertex/edge attribute structs —
+    * for the FIRST depth at which any target is reached (shortest).
+    *
+    * Scale posture (unlike GraphFrames, which enumerates EVERY
+    * shortest path — combinatorial on dense graphs):
+    *  - one canonical (lexicographically least) path is kept per
+    *    (start, reached-vertex) each superstep, bounding the frontier
+    *    by |starts| × |V|;
+    *  - vertices reached at an earlier depth are anti-joined out, so
+    *    each vertex is expanded once per start;
+    *  - each superstep is one equi-join + window + anti-join,
+    *    `localCheckpoint`ed to cut lineage.
+    * Result: one deterministic shortest path per (start, end) pair.
     */
   def bfs(fromCond: Column, toCond: Column, maxPathLength: Int): DataFrame = {
-    val targets = vertices.filter(toCond).select(col("id").as("end"))
-    var frontier = vertices.filter(fromCond)
-      .select(col("id").as("start"), col("id").as("cur"),
-        array(col("id")).as("path"))
+    import org.apache.spark.sql.expressions.Window
+    val targets = vertices.filter(toCond).select(col("id").as("__end"))
     val e = edges.select(col("src"), col("dst"))
 
-    // depth 0: source already matches target
-    val hit0 = frontier.join(targets, frontier("cur") === targets("end"))
-      .select(col("start"), col("end"), lit(0).as("length"), col("path"))
-    if (!hit0.isEmpty) return hit0
+    var frontier = vertices.filter(fromCond)
+      .select(col("id").as("__start"), col("id").as("__cur"),
+        array(col("id")).as("__path"))
+      .localCheckpoint()
 
+    // depth 0: source already matches target
+    val hit0 = frontier.join(targets, frontier("__cur") === targets("__end"))
+      .select(col("__start"), col("__path"))
+    if (!hit0.isEmpty) return shapePaths(hit0, 0)
+
+    var seen = frontier.select("__start", "__cur").localCheckpoint()
+    val w = Window.partitionBy("__start", "__cur").orderBy(col("__path"))
     var depth = 0
     while (depth < maxPathLength && !frontier.isEmpty) {
       depth += 1
-      frontier = frontier.join(e, frontier("cur") === e("src"))
-        .filter(!array_contains(col("path"), col("dst")))
-        .select(col("start"), col("dst").as("cur"),
-          concat(col("path"), array(col("dst"))).as("path"))
+      frontier = frontier.join(e, frontier("__cur") === e("src"))
+        .select(col("__start"), col("dst").as("__cur"),
+          concat(col("__path"), array(col("dst"))).as("__path"))
+        // min-length: never re-reach a vertex this start already owns
+        .join(seen, Seq("__start", "__cur"), "left_anti")
+        // one canonical path per (start, cur) — frontier ≤ |starts|×|V|
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
         .localCheckpoint() // cut lineage per superstep
-      val hits = frontier.join(targets, frontier("cur") === targets("end"))
-        .select(col("start"), col("end"), lit(depth).as("length"), col("path"))
-      if (!hits.isEmpty) return hits
+      val hits = frontier.join(targets, frontier("__cur") === targets("__end"))
+        .select(col("__start"), col("__path"))
+      if (!hits.isEmpty) return shapePaths(hits, depth)
+      seen = seen.unionAll(frontier.select("__start", "__cur")).localCheckpoint()
     }
+    val vSchema = org.apache.spark.sql.types.StructType(vertices.schema.fields)
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       new org.apache.spark.sql.types.StructType()
-        .add("start", "long").add("end", "long").add("length", "int")
-        .add("path", "array<long>"))
+        .add("from", vSchema).add("to", vSchema))
+  }
+
+  /** Expand (start, path[array]) rows into the GraphFrames BFS result
+    * shape: from, e0, v1, e1, …, to — one vertex-struct join per path
+    * position and one edge-struct join per hop (each keyed equi-join;
+    * the hits side is tiny relative to the graph). */
+  private def shapePaths(hits: DataFrame, depth: Int): DataFrame = {
+    val vCols = struct(vertices.columns.map(col): _*)
+    val eCols = struct(edges.columns.map(col): _*)
+    if (depth == 0) {
+      val vs = vertices.select(col("id").as("__vid"), vCols.as("from"))
+      return hits.join(vs, element_at(col("__path"), 1) === col("__vid"))
+        .select(col("from"), col("from").as("to"))
+    }
+    val vName = (i: Int) => if (i == 0) "from" else if (i == depth) "to" else s"v$i"
+    var df = hits
+    for (i <- 0 to depth) {
+      val vs = vertices.select(col("id").as(s"__vid_$i"), vCols.as(vName(i)))
+      df = df.join(vs, element_at(col("__path"), i + 1) === col(s"__vid_$i"))
+        .drop(s"__vid_$i")
+    }
+    for (i <- 0 until depth) {
+      val es = edges.select(col("src").as(s"__es_$i"), col("dst").as(s"__ed_$i"),
+        eCols.as(s"e$i"))
+      df = df.join(es, element_at(col("__path"), i + 1) === col(s"__es_$i") &&
+          element_at(col("__path"), i + 2) === col(s"__ed_$i"))
+        .drop(s"__es_$i", s"__ed_$i")
+    }
+    val order = Seq("from") ++
+      (0 until depth).flatMap(i => Seq(s"e$i") ++ (if (i + 1 < depth) Seq(vName(i + 1)) else Nil)) ++
+      Seq("to")
+    df.select(order.map(col): _*)
   }
 
   /** G10 (goodreads.py:500–541): the reference's graph-visualization
@@ -149,14 +202,35 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def sampleEdges(n: Int): DataFrame =
     edges.orderBy("src", "dst").limit(n)
 
-  /** G7 (goodreads.py:582): the reference's fixed 3-star motif —
-    * (a)-[]->(b); (c)-[]->(b); (d)-[]->(b) with distinct spokes —
-    * compiled to self-equi-joins on dst, spokes ordered a<c<d so each
-    * triple appears once. Returns (hub, s1, s2, s3). */
-  def threeStarMotif(): DataFrame = {
-    val e1 = edges.select(col("dst").as("hub"), col("src").as("s1"))
-    val e2 = edges.select(col("dst").as("hub"), col("src").as("s2"))
-    val e3 = edges.select(col("dst").as("hub"), col("src").as("s3"))
+  /** G7 (goodreads.py:582) COUNTING form: per-hub 3-star triple counts
+    * computed closed-form from the in-degree table — n_triples =
+    * C(d, 3) = d(d−1)(d−2)/6 over distinct spokes. One aggregation, no
+    * motif materialization: on a skewed hub (the reference's book
+    * 100001 has 22 806 in-edges) the join form would emit C(d,3) ≈
+    * 2×10¹² rows from a single key; this computes the same number with
+    * arithmetic. Long math is exact while C(d,3) < 2⁶³ (d ≲ 2.4M
+    * in-degree — beyond that the count itself needs a decimal column).
+    * Returns (hub, n_triples) for hubs with ≥3 spokes. */
+  def threeStarCounts(): DataFrame =
+    inDegrees.filter(col("inDegree") >= 3)
+      .select(col("id").as("hub"),
+        expr("(inDegree * (inDegree - 1) * (inDegree - 2)) div 6").as("n_triples"))
+
+  /** G7 materializing form — (a)-[]->(b); (c)-[]->(b); (d)-[]->(b)
+    * with distinct spokes — compiled to self-equi-joins on dst, spokes
+    * ordered a<c<d so each triple appears once. Returns
+    * (hub, s1, s2, s3) ROWS, so output is Σ C(d,3): `maxHubDegree`
+    * caps the per-hub blowup (a 23k-degree hub alone would emit 2×10¹²
+    * rows); pass Int.MaxValue to disable when the degree distribution
+    * is known to be tame. Counting queries should use
+    * [[threeStarCounts]] instead. */
+  def threeStarMotif(maxHubDegree: Int = 10000): DataFrame = {
+    val tame = edges.join(
+      inDegrees.filter(col("inDegree") <= maxHubDegree)
+        .select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val e1 = tame.select(col("dst").as("hub"), col("src").as("s1"))
+    val e2 = tame.select(col("dst").as("hub"), col("src").as("s2"))
+    val e3 = tame.select(col("dst").as("hub"), col("src").as("s3"))
     e1.join(e2, Seq("hub")).filter(col("s1") < col("s2"))
       .join(e3, Seq("hub")).filter(col("s2") < col("s3"))
       .select("hub", "s1", "s2", "s3")

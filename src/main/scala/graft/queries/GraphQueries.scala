@@ -101,25 +101,32 @@ object GraphQueries {
     // ---- G6 (goodreads.py:588 BFS): shortest path customer 1 → part
     // over the symmetrized graph (bipartite edges are directed
     // customer→part; reverse edges enable multi-hop traversal).
+    // GraphFrames result contract (ipynb cell 78): struct columns
+    // (from, e0, v1, …, to); one canonical shortest path per
+    // (start, end) — flattened to id columns for the rows-only dump.
     NamedQuery("g08_bfs_customer_to_part", (s, dir) => {
       val g = PropertyGraph.customerPartGraph(s, dir)
       val sym = PropertyGraph(g.vertices,
         g.edges.select("src", "dst").unionAll(
           g.edges.select(col("dst").as("src"), col("src").as("dst"))))
-      sym.bfs(col("id") === 1L, col("id") === 1000007L, maxPathLength = 4)
-        .select(col("start"), col("end"), col("length"),
-          concat_ws("->", transform(col("path"), x => x.cast("string"))).as("path"))
-        .orderBy("path")
+      val res = sym.bfs(col("id") === 1L, col("id") === 1000007L, maxPathLength = 4)
+      // vertex-position columns in path order (from, v1, …, to)
+      val vPos = res.columns.filter(c => !c.startsWith("e"))
+      res.select(vPos.map(c => col(s"$c.id").as(s"${c}_id")): _*)
+        .orderBy(vPos.map(c => col(s"${c}_id")): _*)
     }),
 
     // ---- G7 (goodreads.py:582 motif): 3 customers sharing a part,
-    // restricted to heavy edges; triple counts per hub part.
+    // restricted to heavy edges; triple counts per hub part. The
+    // engine computes C(d,3) closed-form from in-degrees (no motif
+    // materialization — skew-safe); the oracle MATERIALIZES the 3-way
+    // self-join and counts, so the combinatorial identity itself is
+    // cross-checked.
     NamedQuery("g09_three_star_motif",
       (s, dir) => {
         val g = PropertyGraph.customerPartGraph(s, dir)
           .filterEdges(col("weight") >= 40.0)
-        g.threeStarMotif()
-          .groupBy("hub").agg(count(lit(1)).as("n_triples"))
+        g.threeStarCounts()
           .orderBy(col("n_triples").desc, col("hub")).limit(20)
       },
       Some(s"""$edgesCte, heavy AS (SELECT src, dst FROM edges WHERE weight >= 40.0)

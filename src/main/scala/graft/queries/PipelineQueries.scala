@@ -94,6 +94,28 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- portable SimHash sketches (md5-nibble bit family): the
+    // oracle-checked twin of d04 — same tf-weighted sign-bit sketch,
+    // emitted as four nonnegative 16-bit band longs.
+    NamedQuery("d10_simhash_portable_sketches",
+      (s, dir) => Dedup.simhashPortable(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id"),
+      Some(s"""WITH docs AS (SELECT doc_id AS id, text FROM documents),
+             |${simhashCtes("docs")}
+             |SELECT id, band0, band1, band2, band3 FROM sk ORDER BY id""".stripMargin)),
+
+    // ---- portable SimHash banded pairs over planted copies: the
+    // oracle-checked twin of d05 (planted dups surface at hamming 0).
+    NamedQuery("d11_simhash_portable_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        Dedup.simhashPairsPortable(docs.unionByName(planted), "doc_id", "text",
+            maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(simhashPortablePairsOracle(maxHamming = 3))),
+
     // ---- exact-dedup KEEP operator over planted copies: the survivors
     // must be exactly the minimum-id row per distinct text.
     NamedQuery("d07_dedup_kept_docs",
@@ -112,22 +134,22 @@ object PipelineQueries {
              |  FROM all_docs) WHERE rn = 1
              |ORDER BY doc_id""".stripMargin)),
 
-    // ---- embedding cosine near-dup pairs (brute force, exact).
+    // ---- embedding cosine near-dup pairs — hyperplane-LSH banded
+    // candidates + exact-cosine verify (the 100 TB path: shuffle is
+    // O(rows × bands), never all-pairs). Fully oracle-checked: the
+    // generator inlines the SAME seeded planes, so signatures, buckets,
+    // candidates, and exact cosines match bit-for-bit. The brute-force
+    // all-pairs form is the SimilaritySpec cross-check only.
     NamedQuery("d06_embedding_neardup",
-      (s, dir) => Similarity.cosineNearDupPairs(
-          Tables.embeddings(s, dir).select("vec_id", "embedding"), minCos = 0.4)
+      (s, dir) => Similarity.cosineNearDupPairsLsh(
+          Tables.embeddings(s, dir).select("vec_id", "embedding"), minCos = 0.4,
+          dim = 64, nBits = NdBits, bands = NdBands, seed = 42L)
         .orderBy("id_a", "id_b"),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-             |p AS (
-             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             |    round(
-             |      list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])) /
-             |      (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i]))) *
-             |       sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))),
-             |      6) AS cos
-             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-             |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4
-             |ORDER BY id_a, id_b""".stripMargin)),
+      // 60 bits (not 64): bit 63 would need 1<<63, which DuckDB's
+      // BIGINT shift rejects; 15 bands of 4 keeps ~93% recall at
+      // cos 0.4 with every signature nonnegative on both engines.
+      Some(neardupLshOracle(dim = 64, nBits = NdBits, bands = NdBands,
+        minCos = 0.4, seed = 42L))),
 
     // ---- brute-force exact ANN: top-5 cosine neighbors for the first
     // 20 vectors against the whole corpus.
@@ -305,6 +327,104 @@ object PipelineQueries {
 
   private def MhHashes = 16
   private def MhBands = 4
+  private def NdBits = 60
+  private def NdBands = 15
+
+  private def dotSql(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+
+  /** Seeded hyperplanes inlined as exact double literals
+    * (Double.toString round-trips) — one SELECT per plane. */
+  private def planesSql(dim: Int, nBits: Int, seed: Long): String =
+    graft.similarity.Similarity.hyperplanes(dim, nBits, seed)
+      .zipWithIndex.map { case (p, i) =>
+        val lst = p.map(f => java.lang.Double.toString(f.toDouble))
+          .mkString("[", ", ", "]")
+        s"SELECT $i AS k, CAST($lst AS DOUBLE[]) AS p"
+      }.mkString("\n  UNION ALL ")
+
+  /** Shared CTE chain for the portable SimHash oracles, mirroring
+    * Dedup.simhashPortable stage by stage: tokenize → tf → md5 nibble
+    * bits → tf-weighted bit sums → four 16-bit band longs. `fromDocs`
+    * must provide (id, text). */
+  private def simhashCtes(fromDocs: String): String = {
+    val bitCols = (0 until 64).map { g =>
+      s"sum(CASE WHEN ((CAST('0x' || substr(hx, ${g / 4 + 1}, 1) AS BIGINT) " +
+        s">> ${g % 4}) & 1) = 1 THEN tf ELSE -tf END) AS b_$g"
+    }.mkString(",\n    ")
+    val bandCols = (0 until 4).map { b =>
+      val terms = (0 until 16)
+        .map(i => s"(CASE WHEN b_${b * 16 + i} > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"CAST($terms AS BIGINT) AS band$b"
+    }.mkString(",\n    ")
+    s"""toks AS (
+       |  SELECT id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                         x -> len(x) > 0) AS ts
+       |  FROM $fromDocs),
+       |tf AS (SELECT id, tok, count(*) AS tf
+       |       FROM (SELECT id, unnest(ts) AS tok FROM toks) GROUP BY 1, 2),
+       |h AS (SELECT id, tf, md5(tok) AS hx FROM tf),
+       |bits AS (SELECT id,
+       |    $bitCols
+       |  FROM h GROUP BY id),
+       |sk AS (SELECT id,
+       |    $bandCols
+       |  FROM bits)""".stripMargin
+  }
+
+  /** Generated oracle for the portable SimHash banded pairs: band →
+    * bucket join → per-band bit_count(xor) hamming verify. */
+  private def simhashPortablePairsOracle(maxHamming: Int): String = {
+    val ham = (0 until 4)
+      .map(b => s"bit_count(xor(a.band$b, b.band$b))").mkString(" + ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |${simhashCtes("all_docs")},
+       |banded AS (SELECT sk.id, b.band,
+       |    CASE b.band WHEN 0 THEN band0 WHEN 1 THEN band1
+       |                WHEN 2 THEN band2 ELSE band3 END AS bh
+       |  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |         WHERE a.id < b.id),
+       |ver AS (SELECT id_a, id_b, CAST($ham AS BIGINT) AS hamming
+       |  FROM cand JOIN sk a ON id_a = a.id JOIN sk b ON id_b = b.id)
+       |SELECT id_a, id_b, hamming FROM ver WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Generated oracle for the LSH-banded embedding near-dup: rebuild
+    * signatures from the inlined planes, band→bucket join for
+    * candidates, exact cosine ≥ minCos — mirroring
+    * Similarity.cosineNearDupPairsLsh stage by stage. */
+  private def neardupLshOracle(dim: Int, nBits: Int, bands: Int,
+      minCos: Double, seed: Long): String = {
+    val rows = nBits / bands
+    val mask = (1L << rows) - 1
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes AS (
+       |  ${planesSql(dim, nBits, seed)}),
+       |sig AS (SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN ${dotSql("e.v", "planes.p")} > 0
+       |        THEN (CAST(1 AS BIGINT) << planes.k) ELSE 0 END) AS BIGINT) AS sg
+       |  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+       |nrm AS (SELECT vec_id, sqrt(${dotSql("v", "v")}) AS nm FROM e),
+       |bnd AS (SELECT sig.vec_id, b.band, (sg >> (b.band * $rows)) & $mask AS bh
+       |        FROM sig CROSS JOIN (
+       |          SELECT unnest(generate_series(0, ${bands - 1})) AS band) b),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh
+       |         WHERE a.vec_id < b.vec_id),
+       |scored AS (SELECT id_a, id_b,
+       |    round(${dotSql("ea.v", "eb.v")} / (na.nm * nb.nm), 6) AS cos
+       |  FROM cand
+       |  JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id
+       |  JOIN nrm na ON id_a = na.vec_id JOIN nrm nb ON id_b = nb.vec_id)
+       |SELECT id_a, id_b, cos FROM scored WHERE cos >= $minCos
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Generated oracle for the random-hyperplane LSH ANN: the seeded
     * planes are inlined as exact double literals
@@ -313,19 +433,12 @@ object PipelineQueries {
     * Similarity.lshCosineTopK stage by stage. */
   private def lshAnnOracle(dim: Int, nBits: Int, bands: Int, k: Int,
       seed: Long): String = {
-    val planes = graft.similarity.Similarity.hyperplanes(dim, nBits, seed)
     val rows = nBits / bands
     val mask = (1L << rows) - 1
-    val planesSql = planes.zipWithIndex.map { case (p, i) =>
-      val lst = p.map(f => java.lang.Double.toString(f.toDouble))
-        .mkString("[", ", ", "]")
-      s"SELECT $i AS k, CAST($lst AS DOUBLE[]) AS p"
-    }.mkString("\n  UNION ALL ")
-    def dot(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+    def dot(a: String, b: String) = dotSql(a, b)
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |planes AS (
-       |  $planesSql),
+       |  ${planesSql(dim, nBits, seed)}),
        |sig AS (SELECT e.vec_id,
        |    CAST(sum(CASE WHEN ${dot("e.v", "planes.p")} > 0
        |        THEN (CAST(1 AS BIGINT) << planes.k) ELSE 0 END) AS BIGINT) AS sg

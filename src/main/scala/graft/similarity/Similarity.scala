@@ -112,10 +112,47 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** All pairs with cosine ≥ minCos (embedding near-dup detection),
-    * id_a < id_b. Brute-force form (each row's norm computed once, one
-    * codegen'd dot per pair); for scale swap the candidate generator
-    * for lshCosineTopK's banding. */
+  /** Embedding near-dup pairs via hyperplane-LSH banding — the
+    * REGISTERED scale path (d06). Candidates are rows whose sign-bit
+    * signatures agree on ≥1 of `bands` bands (one shuffle keyed by
+    * (band, bandHash) — never all-pairs), then exact cosine verifies
+    * each candidate against `minCos`. Output: (id_a, id_b, cos),
+    * id_a < id_b. Recall is governed by nBits/bands (defaults: 64 bits
+    * in 16 bands of 4 → ~94% at cos 0.4, higher for closer pairs);
+    * emitted pairs are EXACT (cosine recomputed, never estimated).
+    * [[cosineNearDupPairs]] below is the brute-force cross-check. */
+  def cosineNearDupPairsLsh(df: DataFrame, minCos: Double, dim: Int,
+      nBits: Int = 64, bands: Int = 16, seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0)
+    val rows = nBits / bands
+    val planes = hyperplanes(dim, nBits, seed)
+    val mask = (1L << rows) - 1
+    val n = df.toDF("id", "v")
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("sig", signature(col("v"), planes))
+      .persist()
+    val banded = n.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * rows).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bh")))
+    // distinct BEFORE rejoining vectors: only (id, id) pairs ride the
+    // dedup shuffle, not the embedding payloads
+    val cand = banded.toDF("id_a", "band", "bh")
+      .join(banded.toDF("id_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a")), "id_a")
+      .join(n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("cos", round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+      .filter(col("cos") >= minCos)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** All pairs with cosine ≥ minCos, id_a < id_b — the brute-force
+    * EXACT form. O(n²) pairs: not a registered query path; kept as the
+    * oracle cross-check for [[cosineNearDupPairsLsh]] (SimilaritySpec
+    * asserts the LSH output is a subset with recall bounds). */
   def cosineNearDupPairs(df: DataFrame, minCos: Double): DataFrame = {
     val n = df.toDF("id", "v").withColumn("nrm", norm(col("v")))
     val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a"))

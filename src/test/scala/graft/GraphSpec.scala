@@ -42,22 +42,37 @@ class GraphSpec extends SparkSpec {
     assert(cc(4L) != cc(1L) && cc(4L) != cc(3L))
   }
 
-  test("bfs finds shortest path over symmetrized edges") {
+  test("bfs finds shortest path, GraphFrames-shaped (from, e0, v1, …, to)") {
     val sym = PropertyGraph(g.vertices,
       g.edges.select("src", "dst")
         .unionAll(g.edges.select($"dst".as("src"), $"src".as("dst"))))
     // 11 -> 1 -> 10 -> 2 : length 3
     val res = sym.bfs($"id" === 11L, $"id" === 2L, 5)
-      .select("length", "path").as[(Int, Seq[Long])].collect()
-    assert(res.nonEmpty)
-    assert(res.head._1 == 3)
-    assert(res.head._2 == Seq(11L, 1L, 10L, 2L))
-    // unreachable within maxPathLength
-    assert(sym.bfs($"id" === 11L, $"id" === 2L, 1).isEmpty)
+    assert(res.columns.toSeq == Seq("from", "e0", "v1", "e1", "v2", "e2", "to"))
+    val row = res.select($"from.id", $"e0.src", $"e0.dst", $"v1.id", $"v2.id", $"to.id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(row.toSeq == Seq((11L, 11L, 1L, 1L, 10L, 2L)))
+    // vertex structs carry the full attribute row, like GraphFrames
+    assert(res.select($"from.type").as[String].head() == "v") // vertex 11 is a "v"
+    // unreachable within maxPathLength → empty, (from, to) schema
+    val none = sym.bfs($"id" === 11L, $"id" === 2L, 1)
+    assert(none.isEmpty && none.columns.toSeq == Seq("from", "to"))
     // depth-0 hit: start == target
     val self = sym.bfs($"id" === 1L, $"id" === 1L, 3)
-      .select("length").as[Int].collect()
-    assert(self.toSeq == Seq(0))
+      .select($"from.id", $"to.id").as[(Long, Long)].collect()
+    assert(self.toSeq == Seq((1L, 1L)))
+  }
+
+  test("bfs prunes to one canonical shortest path on a diamond graph") {
+    // 1 -> {2, 4} -> 3 : two equal-length paths; pruned BFS keeps the
+    // lexicographically least (via 2) and emits exactly one row
+    val diamond = PropertyGraph(
+      Seq((1L, ""), (2L, ""), (3L, ""), (4L, "")).toDF("id", "type"),
+      Seq((1L, 2L), (1L, 4L), (2L, 3L), (4L, 3L)).toDF("src", "dst"))
+    val res = diamond.bfs($"id" === 1L, $"id" === 3L, 5)
+    val rows = res.select($"from.id", $"v1.id", $"to.id")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq((1L, 2L, 3L)))
   }
 
   test("threeStarMotif enumerates ordered spoke triples once") {
@@ -67,6 +82,24 @@ class GraphSpec extends SparkSpec {
     val triples = star.threeStarMotif().collect()
     assert(triples.length == 4) // C(4,3)
     assert(g.threeStarMotif().count() == 0) // max in-degree 2 in g
+    // hub-degree cap drops the hot hub entirely from the join form
+    assert(star.threeStarMotif(maxHubDegree = 3).count() == 0)
+  }
+
+  test("threeStarCounts matches the materialized motif count, join-free") {
+    val star = PropertyGraph(
+      Seq((1L, ""), (2L, ""), (3L, ""), (4L, ""), (5L, ""), (10L, ""), (11L, ""))
+        .toDF("id", "type"),
+      Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L),
+          (1L, 11L), (2L, 11L), (3L, 11L)).toDF("src", "dst"))
+    val closed = star.threeStarCounts().as[(Long, Long)].collect().toMap
+    assert(closed == Map(10L -> 10L, 11L -> 1L)) // C(5,3)=10, C(3,3)=1
+    val materialized = star.threeStarMotif().groupBy("hub").count()
+      .as[(Long, Long)].collect().toMap
+    assert(closed == materialized)
+    // the closed form is ONE aggregation — no join anywhere in the plan
+    val plan = star.threeStarCounts().queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"C(d,3) path must not join:\n$plan")
   }
 
   test("labelPropagation assigns every vertex a label") {

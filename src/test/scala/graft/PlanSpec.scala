@@ -60,6 +60,13 @@ class PlanSpec extends SparkSpec {
       s"range join must use the user_id equi key:\n$plan")
   }
 
+  test("registered embedding near-dup has no all-pairs join (LSH banding)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "d06_embedding_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"near-dup candidates must come from the band equi-join, not all-pairs:\n$plan")
+  }
+
   test("FloatDot stays inside whole-stage codegen") {
     // parquet-backed input (a literal LocalTableScan plan has no
     // codegen stages to inspect)

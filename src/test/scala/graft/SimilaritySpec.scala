@@ -39,6 +39,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("cosineNearDupPairsLsh: exact subset of brute force with bounded recall loss") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val brute = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    val lsh = Similarity.cosineNearDupPairsLsh(emb, 0.4, dim = 64)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    // precision is EXACT: every LSH pair is a brute pair with the same cosine
+    assert(lsh.subsetOf(brute), s"LSH emitted pairs brute force did not: ${lsh diff brute}")
+    // recall: 15 bands of 4 bits ≈ 93% at the 0.4 threshold
+    assert(brute.nonEmpty && lsh.size.toDouble / brute.size >= 0.7,
+      s"LSH recall too low: ${lsh.size}/${brute.size}")
+    // planted exact duplicate always collides in every band
+    val planted = Seq((900001L, Array.fill(64)(0.5f)), (900002L, Array.fill(64)(0.5f)))
+      .toDF("id", "v")
+    val got = Similarity.cosineNearDupPairsLsh(planted, 0.99, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((900001L, 900002L)))
+  }
+
   test("cosineNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
