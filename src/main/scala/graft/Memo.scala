@@ -13,36 +13,34 @@ import scala.collection.concurrent.TrieMap
   * materialized view, and the pattern a 1000-executor deployment would
   * use for hot shared inputs (persist once, reference everywhere).
   *
-  * Keys include the session's identity hash (SparkSession exposes no
-  * stable public id in 4.1) so suites that cycle sessions never see a
-  * frame bound to a stopped one; entries whose SparkContext has stopped
-  * are purged on every access, which both releases their memory and
-  * removes the (theoretical) identity-hash collision window —
-  * colliding keys would require a DEAD session still in the map.
-  * TrieMap.getOrElseUpdate is lock-free (safe under nested lookups); a
+  * The outer map is an IdentityHashMap keyed by the SparkSession
+  * OBJECT — two live sessions can never collide (unlike an
+  * identity-hash-code string key, which is not guaranteed unique).
+  * Entries whose SparkContext has stopped are purged on every access,
+  * releasing their cached frames; the map is therefore bounded by the
+  * number of live sessions. Per-session maps are lock-free TrieMaps; a
   * rare double-compute under races is harmless — persist() is
-  * idempotent per plan.
+  * idempotent per plan. Per-call (non-shared) intermediates belong in
+  * [[Caches]] instead, which supports explicit release.
   */
 object Memo {
-  private val frames = TrieMap.empty[String, (SparkSession, DataFrame)]
-  private val objects = TrieMap.empty[String, (SparkSession, AnyRef)]
+  private val perSession =
+    new java.util.IdentityHashMap[SparkSession, TrieMap[String, AnyRef]]()
 
-  private def purgeStopped(): Unit = {
-    frames.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-    objects.filterInPlace { case (_, (s, _)) => !s.sparkContext.isStopped }
-  }
+  private def sessionMap(spark: SparkSession): TrieMap[String, AnyRef] =
+    perSession.synchronized {
+      val it = perSession.entrySet().iterator()
+      while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
+      var m = perSession.get(spark)
+      if (m == null) { m = TrieMap.empty; perSession.put(spark, m) }
+      m
+    }
 
   /** Memoize + persist a DataFrame for the lifetime of `spark`. */
-  def df(spark: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
-    purgeStopped()
-    frames.getOrElseUpdate(s"${System.identityHashCode(spark)}|$key",
-      (spark, mk.persist()))._2
-  }
+  def df(spark: SparkSession, key: String)(mk: => DataFrame): DataFrame =
+    sessionMap(spark).getOrElseUpdate(key, mk.persist()).asInstanceOf[DataFrame]
 
   /** Memoize an arbitrary session-scoped object (e.g. a PropertyGraph). */
-  def obj[T <: AnyRef](spark: SparkSession, key: String)(mk: => T): T = {
-    purgeStopped()
-    objects.getOrElseUpdate(s"${System.identityHashCode(spark)}|$key",
-      (spark, mk))._2.asInstanceOf[T]
-  }
+  def obj[T <: AnyRef](spark: SparkSession, key: String)(mk: => T): T =
+    sessionMap(spark).getOrElseUpdate(key, mk).asInstanceOf[T]
 }

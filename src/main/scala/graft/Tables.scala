@@ -30,13 +30,20 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it as raw nanos via
-    * the legacy flag and normalize to a TimestampType column (micros,
-    * Spark's native precision) so downstream ops see a clean schema. */
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions built by
+    * [[Sessions.local]] set `spark.sql.legacy.parquet.nanosAsLong` up
+    * front (a loader must not mutate a live session's conf — an
+    * unrelated caller reading nanos parquet would be surprised); this
+    * loader asserts the flag and normalizes the raw nanos to a
+    * TimestampType column (micros, Spark's native precision) so
+    * downstream ops see a clean schema. */
   def events(spark: SparkSession, dir: String): DataFrame =
     Memo.df(spark, s"events-norm|$dir") {
       import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+          .contains("true"),
+        "events.parquet is TIMESTAMP(NANOS): build the session via " +
+          "graft.Sessions.local (sets spark.sql.legacy.parquet.nanosAsLong)")
       spark.read.parquet(s"$dir/events.parquet")
         // integer `div`: ns epoch exceeds 2^53, double division would lose ticks
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

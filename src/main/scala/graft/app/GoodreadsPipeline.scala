@@ -52,13 +52,21 @@ object GoodreadsPipeline {
     *
     * `booksSmall` = goodbooks-10k CSV (FIXTURES §1.3), `booksRaw` = the
     * UCSD JSON (§1.4, its `book_id` is the goodreads id), `genresRaw` =
-    * §1.5. Steps: join enrich (J1/J2) → English-only filter (P6) →
-    * keep latest edition per work (O1/O2, window form) → authors split
-    * (P9) → id-space shift (P10) → casts (P11). */
+    * §1.5. Steps: join enrich (J1/J2) → keep latest edition per work
+    * (O1/O2, window form, ordered by the UCSD `publication_year`
+    * exactly as goodreads.py:83) → English-only filter (P6, AFTER the
+    * dedup as in goodreads.py:84 — a work whose latest edition is
+    * non-English is dropped entirely, not replaced by an older English
+    * edition) → authors split (P9) → id-space shift (P10) → casts
+    * (P11). `publication_year` keeps its source type (string in the
+    * UCSD JSON, so the ordering is the reference's lexicographic one);
+    * it is consumed by the dedup and not selected into the output,
+    * matching the reference's final column list. */
   def curateBooks(booksSmall: DataFrame, booksRaw: DataFrame,
       genresRaw: DataFrame, idOffset: Long = 100000L): DataFrame = {
     val ucsd = booksRaw.select(
       col("book_id").as("goodreads_book_id"),
+      col("publication_year"),
       col("description"), col("popular_shelves"), col("similar_books"),
       col("num_pages"))
     val genre = dominantGenre(genresRaw)
@@ -67,10 +75,10 @@ object GoodreadsPipeline {
     val joined = booksSmall
       .join(ucsd, Seq("goodreads_book_id"))                    // J1
       .join(genre, Seq("goodreads_book_id"), "left")           // J2
-      .filter(col("language_code").isin("en-US", "en-GB", "eng", "en-CA")) // P6
 
     Relational.dedupLatest(joined, Seq("work_id"),             // O1/O2
-        Seq(col("original_publication_year").desc_nulls_last, col("book_id").asc))
+        Seq(col("publication_year").desc_nulls_last, col("book_id").asc))
+      .filter(col("language_code").isin("en-US", "en-GB", "eng", "en-CA")) // P6
       .select(
         (col("book_id") + idOffset).cast("int").as("book_id"), // P10
         col("work_id").cast("int").as("work_id"),

@@ -78,13 +78,12 @@ object Dedup {
     // persisted: shingling (regex tokenize + n-gram assembly) is the
     // dominant cost (~6 s/pass at sf0.1) and ex feeds both the df count
     // and the join below — without the cache it runs twice
-    val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
-      .persist()
+    val ex = graft.Caches.cached(
+      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh")))
     // persisted too: referenced by sizes + both sides of the pair join
-    val rare = ex.join(
+    val rare = graft.Caches.cached(ex.join(
         ex.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf), Seq("sh"))
-      .select("sh", "id")
-      .persist()
+      .select("sh", "id"))
     val sizes = rare.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = rare.toDF("sh", "id_a")
     val b = rare.toDF("sh", "id_b")
@@ -119,7 +118,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
     // persisted: banding + the two verification joins rescan it
-    val sig = minhashSignature(df, idCol, textCol, n, numHashes).persist()
+    val sig = graft.Caches.cached(minhashSignature(df, idCol, textCol, n, numHashes))
 
     val bandHashes = (0 until bands).map { b =>
       xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)
@@ -159,7 +158,7 @@ object Dedup {
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
     val mins = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh_$i"))
-    val sig = ex.groupBy("id").agg(mins.head, mins.tail: _*).persist()
+    val sig = graft.Caches.cached(ex.groupBy("id").agg(mins.head, mins.tail: _*))
 
     val bandHashes = (0 until bands).map { b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*))
@@ -220,7 +219,7 @@ object Dedup {
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     // persisted: both sides of the band self-join rescan the sketch
-    val sk = simhashPortable(df, idCol, textCol).persist()
+    val sk = graft.Caches.cached(simhashPortable(df, idCol, textCol))
     val bandNames = (0 until 4).map(b => s"band$b")
     val banded = sk.select(col("id") +: bandNames.map(col) :+
       posexplode(array(bandNames.map(col): _*)).as(Seq("band", "bh")): _*)
@@ -260,7 +259,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int): DataFrame = {
     // persisted: both sides of the band self-join rescan the sketch
-    val sk = simhash(df, idCol, textCol).persist()
+    val sk = graft.Caches.cached(simhash(df, idCol, textCol))
     val banded = sk.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*))

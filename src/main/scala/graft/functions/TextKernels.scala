@@ -19,14 +19,36 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** Replicates Spark's `lower()` dispatch (UTF8String.toLowerCase):
+    * a locale-independent ASCII fast path when the string is all-ASCII
+    * — so e.g. "TITLE" lowers to "title" even under a tr-TR default
+    * locale, where a blanket `toLowerCase()` would produce "tıtle" —
+    * and the default-locale `String.toLowerCase()` (what Spark's slow
+    * path bottoms out in) only for strings with non-ASCII chars. */
+  private def sparkLower(s: String): String = {
+    var i = 0
+    var allAscii = true
+    while (i < s.length && allAscii) {
+      if (s.charAt(i) >= 0x80) allAscii = false
+      i += 1
+    }
+    if (!allAscii) return s.toLowerCase()
+    val a = s.toCharArray
+    var j = 0
+    while (j < a.length) {
+      val c = a(j)
+      if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar
+      j += 1
+    }
+    new String(a)
+  }
+
   /** Distinct word n-gram shingles of `text`. Null-in → handled by
     * StaticInvoke's propagateNull (never called with null).
-    * Lowercasing uses the default-locale `String.toLowerCase()` — the
-    * same call Spark's `lower()` bottoms out in for non-ASCII input —
-    * so kernel and expression form agree char-for-char on ANY JVM
-    * locale (Locale.ROOT here would diverge on e.g. tr-TR dotted I). */
+    * Lowercasing via [[sparkLower]] — bit-compatible with Spark's
+    * `lower()` (and the DuckDB oracles) on any JVM locale. */
   def shingles(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString.toLowerCase()
+    val s = sparkLower(text.toString)
     val tokens = new java.util.ArrayList[String]()
     var i = 0
     val len = s.length

@@ -31,7 +31,7 @@ object IterativeGraph {
       resetProb: Double = 0.15): DataFrame = {
     val v = vertices.select("id")
     val out = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = edges.select("src", "dst").join(out, "src").persist()
+    val e = graft.Caches.cached(edges.select("src", "dst").join(out, "src"))
     var ranks = v.select(col("id"), lit(1.0).as("rank"))
     for (_ <- 1 to iters) {
       val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -55,9 +55,8 @@ object IterativeGraph {
   def labelPropagationFixed(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = vertices.select("id")
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val sym = graft.Caches.cached(edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = v.select(col("id"), col("id").as("label"))
     val w = Window.partitionBy("id").orderBy(col("c").desc, col("label"))
     for (_ <- 1 to iters) {
@@ -81,9 +80,8 @@ object IterativeGraph {
     * of PropertyGraph.bfs (which materializes paths). Output:
     * (id, dist) for vertices reached within `iters` hops. */
   def bfsDistances(edges: DataFrame, sourceId: Long, iters: Int): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val sym = graft.Caches.cached(edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
     val spark = edges.sparkSession
     import spark.implicits._
     var dist = Seq((sourceId, 0)).toDF("id", "dist")
@@ -104,9 +102,8 @@ object IterativeGraph {
     * with fewer, a deterministic partial labelling. Output: (id, label). */
   def minLabelComponents(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val v = vertices.select("id")
-    val sym = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val sym = graft.Caches.cached(edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
     var labels = v.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       val nb = sym.join(labels.withColumnRenamed("id", "src"), "src")

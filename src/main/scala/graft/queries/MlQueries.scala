@@ -119,6 +119,24 @@ object MlQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- ALS closed-form check: fit on a tiny rank-1 synthetic
+    // ratings matrix (r_ui = a_u·b_i with known factors) — a rank-2
+    // model must reconstruct every observed entry within tolerance, so
+    // n_bad = 0 regardless of ALS internals/platform. The ONE M-family
+    // row whose value the DuckDB oracle can assert (constants).
+    NamedQuery("m09_als_closed_form", (s, dir) => {
+      import s.implicits._
+      val ratings = (for (u <- 0 until 20; i <- 0 until 10)
+        yield (u, i, ((1.0 + u / 20.0) * (1.0 + i / 10.0)).toFloat))
+        .toDF("user", "item", "rating")
+      val model = Recommend.fit(ratings, "user", "item", "rating",
+        rank = 2, maxIter = 15, regParam = 0.01, seed = 7L)
+      val bad = model.transform(ratings)
+        .filter(abs(col("prediction") - col("rating")) > 0.1).count()
+      Seq((200L, bad)).toDF("n_obs", "n_bad")
+    },
+      Some("SELECT CAST(200 AS BIGINT) AS n_obs, CAST(0 AS BIGINT) AS n_bad")),
+
     // ---- M20 (goodreads.py:632–647): PIC cluster sizes on the
     // customer→part rating graph.
     NamedQuery("m08_pic_cluster_sizes", (s, dir) => {

@@ -276,7 +276,8 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
         .orderBy("split", "lang"),
       Some("""WITH b AS (
-             |  SELECT doc_id, lang, ascii(substr(md5(text), 1, 1)) % 10 AS bucket
+             |  SELECT doc_id, lang,
+             |         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 10 AS bucket
              |  FROM documents)
              |SELECT CASE WHEN bucket < 7 THEN 'train'
              |            WHEN bucket < 8 THEN 'val' ELSE 'test' END AS split,

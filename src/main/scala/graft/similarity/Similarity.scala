@@ -127,10 +127,9 @@ object Similarity {
     val rows = nBits / bands
     val planes = hyperplanes(dim, nBits, seed)
     val mask = (1L << rows) - 1
-    val n = df.toDF("id", "v")
+    val n = graft.Caches.cached(df.toDF("id", "v")
       .withColumn("nrm", norm(col("v")))
-      .withColumn("sig", signature(col("v"), planes))
-      .persist()
+      .withColumn("sig", signature(col("v"), planes)))
     val banded = n.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         shiftrightunsigned(col("sig"), b * rows).bitwiseAND(mask)): _*))

@@ -13,14 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Stable bucket in [0, nBuckets) from the first hex nibble of
-    * md5(key) — engine-portable (md5 + ascii exist everywhere,
-    * including the DuckDB oracle). Approximately uniform (16 nibbles
-    * folded into nBuckets); for finer or perfectly-uniform bucketing
-    * use `xxhash64(key) pmod nBuckets` — Spark-exact but not
-    * oracle-portable. */
+  /** Stable bucket in [0, nBuckets) from the first 32 bits of
+    * md5(key) — engine-portable (md5 + hex-string parse exist
+    * everywhere; the DuckDB oracle uses `CAST('0x'||substr(md5(k),1,8)
+    * AS BIGINT)`). Uniform to within 1 part in 2³²/nBuckets (2³² mod
+    * nBuckets residue — ~2·10⁻¹⁰ per bucket at nBuckets=10), so the
+    * splitLabel defaults really are 70/10/20. For Spark-only pipelines
+    * `xxhash64(key) pmod nBuckets` is cheaper but not oracle-portable. */
   def hashBucket(key: Column, nBuckets: Int): Column =
-    ascii(substring(md5(key), 1, 1)) % nBuckets
+    (conv(substring(md5(key), 1, 8), 16, 10).cast("long") % nBuckets).cast("int")
 
   /** Deterministic train/val/test assignment by content hash. */
   def splitLabel(key: Column, nBuckets: Int = 10,

@@ -39,7 +39,11 @@ class GoodreadsPipelineSpec extends SparkSpec {
       (11, 1, 100, "Ann A, Bob B", 2001.0, "Alpha 2nd ed", "eng", 4.1, 100),
       (12, 2, 100, "Ann A", 1999.0, "Alpha 1st ed", "en-US", 4.0, 90),
       (13, 3, 200, "Cy C", 2010.0, "Beta", "fre", 3.5, 50),
-      (14, 4, 300, "Dee D", 2015.0, "Gamma", "en-GB", 4.8, 300))
+      (14, 4, 300, "Dee D", 2015.0, "Gamma", "en-GB", 4.8, 300),
+      // work 400: the LATEST edition is French — the reference dedups
+      // FIRST, then language-filters, so the whole work disappears
+      (15, 5, 400, "Eve E", 2020.0, "Delta (fr)", "fre", 3.9, 70),
+      (16, 6, 400, "Eve E", 2010.0, "Delta (en)", "eng", 4.0, 80))
       .toDF("book_id", "goodreads_book_id", "work_id", "authors",
         "original_publication_year", "title", "language_code",
         "average_rating", "work_ratings_count")
@@ -47,10 +51,13 @@ class GoodreadsPipelineSpec extends SparkSpec {
 
   private lazy val booksRaw = {
     import spark.implicits._
+    // UCSD JSON: all scalars are STRINGS (FIXTURES §1.4), including
+    // publication_year — the dedup ordering column (goodreads.py:83)
     Seq(
-      ("1", "desc alpha2", "320"), ("2", "desc alpha1", "250"),
-      ("3", "desc beta", "100"), ("4", "desc gamma", "500"))
-      .toDF("book_id", "description", "num_pages")
+      ("1", "2001", "desc alpha2", "320"), ("2", "1999", "desc alpha1", "250"),
+      ("3", "2010", "desc beta", "100"), ("4", "2015", "desc gamma", "500"),
+      ("5", "2020", "desc delta fr", "410"), ("6", "2010", "desc delta en", "400"))
+      .toDF("book_id", "publication_year", "description", "num_pages")
       .withColumn("popular_shelves",
         array(struct(lit("3").as("count"), lit("to-read").as("name"))))
       .withColumn("similar_books", array(lit("9"), lit("8")))
@@ -70,10 +77,13 @@ class GoodreadsPipelineSpec extends SparkSpec {
       "4" -> "non-fiction"))
   }
 
-  test("curateBooks: English filter + dedup-latest + id offset + authors split") {
+  test("curateBooks: dedup-latest THEN English filter + id offset + authors split") {
     val rows = curated.collect()
-    // work 100 keeps the 2001 edition; French Beta dropped; Gamma kept
+    // work 100 keeps the 2001 edition; French Beta dropped; Gamma kept;
+    // work 400 dropped ENTIRELY (latest edition is French — reference
+    // order: dedup first, goodreads.py:83, then language, :84)
     assert(rows.length === 2)
+    assert(!rows.map(_.getAs[String]("title")).exists(_.startsWith("Delta")))
     val byTitle = rows.map(r => r.getAs[String]("title") -> r).toMap
     assert(byTitle.contains("Alpha 2nd ed") && byTitle.contains("Gamma"))
     val alpha = byTitle("Alpha 2nd ed")
@@ -123,6 +133,79 @@ class GoodreadsPipelineSpec extends SparkSpec {
     val nn = GoodreadsPipeline.findNearestBooks(model, featured, 1L, 2)
     assert(nn.map(_._1).toSet === Set(2L, 4L))
     assert(GoodreadsPipeline.findNearestBooks(model, featured, 99L, 2) === Seq.empty)
+  }
+
+  test("scaled Goodreads-shaped fixture: structural goldens hold at 10k books / 100k ratings") {
+    import spark.implicits._
+    // deterministic 10k-book / 5k-work fixture (2 editions per work),
+    // FIXTURES §1.3/§1.4 shapes — the proportional analog of the
+    // notebook's 10k→8 723 curation (goodreads.py:86): every golden
+    // below is recomputed INDEPENDENTLY in plain Scala first.
+    val nBooks = 10000
+    val langs = Array("eng", "en-US", "fre", "ger", "en-GB",
+      "spa", "eng", "en-CA", "ita", "eng")
+    val english = Set("en-US", "en-GB", "eng", "en-CA")
+    def py(b: Int) = (1990 + (b * 7) % 30).toString
+    def lang(b: Int) = langs(b % 10)
+
+    val booksSmallBig = (1 to nBooks).map(b => (b, b, (b + 1) / 2,
+        "Auth A, Auth B", 1900.0 + b % 100, s"Book $b", lang(b),
+        3.0 + (b % 20) / 10.0, b % 1000))
+      .toDF("book_id", "goodreads_book_id", "work_id", "authors",
+        "original_publication_year", "title", "language_code",
+        "average_rating", "work_ratings_count")
+    val booksRawBig = (1 to nBooks).map(b => (b.toString, py(b),
+        s"desc $b", (100 + b % 400).toString))
+      .toDF("book_id", "publication_year", "description", "num_pages")
+      .withColumn("popular_shelves",
+        array(struct(lit("3").as("count"), lit("to-read").as("name"))))
+      .withColumn("similar_books", array(lit("9")))
+    val genresBig = (1 to nBooks by 3).map(b => (b.toString, b % 10)).toDF("book_id", "gi")
+      .select(col("book_id"), struct(GoodreadsPipeline.genreFields.zipWithIndex.map {
+        case (f, i) => when(col("gi") === i, 5L).otherwise(lit(null)).as(f)
+      }: _*).as("genres"))
+
+    // independent plain-Scala oracle: latest publication_year per work
+    // (string desc, book_id asc tie-break), THEN the English filter
+    val kept = (1 to nBooks / 2).flatMap { w =>
+      val eds = Seq(2 * w - 1, 2 * w)
+      val winner = eds.maxBy(b => (py(b), -b))
+      if (english(lang(winner))) Some(winner) else None
+    }
+
+    val curatedBig = GoodreadsPipeline.curateBooks(booksSmallBig, booksRawBig, genresBig)
+    assert(curatedBig.count() === kept.size)
+    // ~60% of works should survive (6/10 langs are English): the
+    // notebook's 87% analog — a real ratio, not 100%
+    assert(kept.size > 2000 && kept.size < nBooks / 2)
+    assert(curatedBig.select(countDistinct("work_id")).head().getLong(0) === kept.size)
+    // id shift: min curated book_id = 100000 + min surviving raw id
+    // (the notebook's `min(book_id)` print, goodreads.py:107)
+    assert(curatedBig.agg(min("book_id")).head().getInt(0) === 100000 + kept.min)
+    // schema golden (ipynb cell 18): names, order, key types
+    assert(curatedBig.columns.toSeq === Seq("book_id", "work_id", "authors",
+      "original_publication_year", "title", "description", "popular_shelves",
+      "genre", "num_pages", "similar_books", "average_rating",
+      "work_ratings_count"))
+    val dt = curatedBig.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(dt("book_id") === "int" && dt("authors") === "array<string>" &&
+      dt("num_pages") === "int" && dt("original_publication_year") === "double")
+
+    // 100k ratings; restriction must keep exactly those on kept books
+    val keptSet = kept.toSet
+    val ratingsBig = spark.range(0, 100000).select(
+      (col("id") % 5000 + 1).cast("int").as("user_id"),
+      ((col("id") * 31) % nBooks + 1).cast("int").as("book_id"),
+      (col("id") % 5 + 1).cast("int").as("rating"))
+    val expectedRatings = (0L until 100000L)
+      .count(r => keptSet.contains(((r * 31) % nBooks + 1).toInt))
+    val rs = GoodreadsPipeline.ratingsSmall(ratingsBig, curatedBig)
+    assert(rs.count() === expectedRatings)
+    // graph partitions: user ids < 100000 <= shifted book ids — disjoint
+    val gBig = GoodreadsPipeline.ratingsGraph(rs, curatedBig)
+    val maxUser = gBig.edges.agg(max("src")).head().getLong(0)
+    val minBook = gBig.edges.agg(min("dst")).head().getLong(0)
+    assert(maxUser < 100000L && minBook >= 100000L)
   }
 
   test("ratingsSmall restricts to curated books; graph shapes up") {

@@ -104,6 +104,42 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a deliberately skewed join (hot-key skew posture)") {
+    import spark.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds scaled down so a ~MB hot partition counts as skewed
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // one hot key carrying ~100k wide rows vs 3 singleton keys
+      val hot = spark.range(0, 100000)
+        .select(lit(0L).as("k"), concat(lit("x" * 64), $"id").as("va"))
+      val left = hot.unionAll(
+        spark.range(1, 4).select($"id".as("k"), $"id".cast("string").as("va")))
+      val right = spark.range(0, 4).select($"id".as("k"), $"id".as("vb"))
+      val joined = left.join(right, "k")
+      val plan = planOf(joined)
+      assert(plan.toLowerCase.contains("skew"),
+        s"expected AQE to mark/split the skewed partition in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation matches the plain groupBy exactly on counts") {
     val plain = Tables.lineitem(spark, sf)
       .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))

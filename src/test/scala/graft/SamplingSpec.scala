@@ -22,6 +22,19 @@ class SamplingSpec extends SparkSpec {
     assert(splits.subsetOf(Set("train", "val", "test")))
   }
 
+  test("splitLabel fractions approximate the documented 70/10/20") {
+    import spark.implicits._
+    // 32-bit-hash buckets are uniform (the single-nibble form they
+    // replaced skewed to ~62.5/12.5/25 at nBuckets=10)
+    val n = 4000
+    val frac = (1 to n).map(i => s"doc $i").toDF("text")
+      .groupBy(Sampling.splitLabel(col("text")).as("s")).count()
+      .as[(String, Long)].collect().toMap.view.mapValues(_.toDouble / n).toMap
+    assert(math.abs(frac("train") - 0.7) < 0.03, s"train=${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.02, s"val=${frac("val")}")
+    assert(math.abs(frac("test") - 0.2) < 0.03, s"test=${frac("test")}")
+  }
+
   test("upsample emits exactly weight copies; weights < 1 emit nothing") {
     import spark.implicits._
     val df = Seq((1L, 3), (2L, 1), (3L, 0), (4L, -2)).toDF("id", "w")

@@ -48,6 +48,22 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("ASCII input is locale-independent (tr-TR dotted-I trap)") {
+    // Spark's lower() takes a locale-independent ASCII fast path for
+    // all-ASCII strings; the kernel must do the same — under a tr-TR
+    // default locale a blanket String.toLowerCase() would turn "TITLE"
+    // into "tıtle" (dotless ı is non-[a-z], splitting the token)
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      val got = graft.functions.TextKernels
+        .shingles(org.apache.spark.unsafe.types.UTF8String.fromString(
+          "TITLE WITH CAPITAL I"), 2)
+        .toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      assert(got === Seq("title with", "with capital", "capital i"))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
   test("shingle invariants: n-token join, distinct, order-preserving") {
     import spark.implicits._
     val got = bothForms(Seq("one two three two three four"), 3).head._1
