@@ -202,6 +202,90 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def sampleEdges(n: Int): DataFrame =
     edges.orderBy("src", "dst").limit(n)
 
+  /** G6 (goodreads.py:588): the reference's call shape — SQL-string
+    * vertex conditions ("id = 1"). */
+  def bfs(fromExpr: String, toExpr: String, maxPathLength: Int): DataFrame =
+    bfs(expr(fromExpr), expr(toExpr), maxPathLength)
+
+  /** General motif finding — the reference's `graph.find` surface
+    * (goodreads.py:582) compiled to equi-joins, one per pattern term:
+    *
+    *   find("(u1)-[r1]->(b); (u2)-[r2]->(b)")
+    *     .filter("r1.rating = r2.rating")
+    *
+    * Output: one struct column per NAMED vertex (full vertex row) and
+    * per named edge, in first-appearance order — GraphFrames' result
+    * shape, so reference filters like `u1.id < u2.id` work verbatim.
+    * Anonymous `()` / `[]` elements match without binding. Repeated
+    * vertex names unify via join conditions on the id; `!(a)-[]->(b)`
+    * terms compile to anti-joins (no such edge may exist). Each named
+    * vertex is inner-joined against the vertex table, so matches are
+    * restricted to the graph's vertex set.
+    *
+    * Scale: every term join keys on shared vertex ids — shuffled
+    * equi-joins, broadcastable when a side is small; terms sharing no
+    * name with what's been matched so far cross-join (inherent to the
+    * semantics — GraphFrames does the same). Morphisms on a hot hub
+    * are combinatorial BY CONTRACT; for counting queries prefer the
+    * closed forms ([[threeStarCounts]]). */
+  def find(pattern: String): DataFrame = {
+    val terms = Motif.parse(pattern)
+    val (neg, pos) = terms.partition(_.negated)
+    require(pos.nonEmpty, "motif pattern needs at least one positive term")
+
+    val eStruct = struct(edges.columns.map(col): _*)
+    val vStruct = struct(vertices.columns.map(col): _*)
+    // vertex name -> bound id column; names in first-appearance order
+    val vertexId = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val outOrder = scala.collection.mutable.ArrayBuffer.empty[String]
+    var df: DataFrame = null
+
+    pos.zipWithIndex.foreach { case (t, i) =>
+      val srcCol = s"__src_$i"
+      val dstCol = s"__dst_$i"
+      t.edge.foreach { en =>
+        require(!outOrder.contains(en) && !vertexId.contains(en),
+          s"duplicate name '$en' in motif pattern")
+      }
+      val e = edges.select(Seq(col("src").as(srcCol), col("dst").as(dstCol)) ++
+        t.edge.map(en => eStruct.as(s"__e_$en")).toSeq: _*)
+      // unification constraints against names bound by EARLIER terms
+      // (or, for (a)-[]->(a), within this term)
+      var conds = Seq.empty[Column]
+      t.src.foreach { n =>
+        vertexId.get(n).foreach(bound => conds :+= (col(bound) === col(srcCol))) }
+      t.dst.foreach { n =>
+        vertexId.get(n).foreach(bound => conds :+= (col(bound) === col(dstCol))) }
+      if (t.src.nonEmpty && t.src == t.dst && !vertexId.contains(t.src.get))
+        conds :+= (col(srcCol) === col(dstCol))
+      df =
+        if (df == null) conds.foldLeft(e)(_ filter _)
+        else if (conds.nonEmpty) df.join(e, conds.reduce(_ && _))
+        else df.crossJoin(e)
+      t.src.foreach { n =>
+        if (!vertexId.contains(n)) { vertexId(n) = srcCol; outOrder += n } }
+      t.edge.foreach { en => outOrder += en }
+      t.dst.foreach { n =>
+        if (!vertexId.contains(n)) { vertexId(n) = dstCol; outOrder += n } }
+    }
+
+    neg.foreach { t =>
+      require(vertexId.contains(t.src.get) && vertexId.contains(t.dst.get),
+        s"negated term references unbound vertex names: ${t.src.get}, ${t.dst.get}")
+      val ne = edges.select(col("src").as("__nsrc"), col("dst").as("__ndst"))
+      df = df.join(ne,
+        col(vertexId(t.src.get)) === col("__nsrc") &&
+          col(vertexId(t.dst.get)) === col("__ndst"), "left_anti")
+    }
+
+    vertexId.foreach { case (name, idCol) =>
+      val vs = vertices.select(col("id").as(s"__vid_$name"), vStruct.as(name))
+      df = df.join(vs, col(idCol) === col(s"__vid_$name")).drop(s"__vid_$name")
+    }
+    df.select(outOrder.toSeq.map(n =>
+      (if (vertexId.contains(n)) col(n) else col(s"__e_$n")).as(n)): _*)
+  }
+
   /** G7 (goodreads.py:582) COUNTING form: per-hub 3-star triple counts
     * computed closed-form from the in-degree table — n_triples =
     * C(d, 3) = d(d−1)(d−2)/6 over distinct spokes. One aggregation, no

@@ -135,6 +135,28 @@ object GraphQueries {
              |              JOIN heavy e3 ON e2.dst = e3.dst AND e2.src < e3.src
              |GROUP BY e1.dst ORDER BY n_triples DESC, hub LIMIT 20""".stripMargin)),
 
+    // ---- general motif DSL (goodreads.py:582 verbatim shape): the
+    // reference's "3 users who read the same book" pattern via
+    // find(...), compiled to equi-joins; struct-column filters exactly
+    // as a GraphFrames user would write them. Heavy-edge subgraph
+    // keeps the morphism count bounded; ordering filter (u1<u2<u3)
+    // canonicalizes each triple. Full DuckDB oracle (3-way self-join).
+    NamedQuery("g14_motif_find_shared_part",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+          .filterEdges(col("weight") >= 45.0)
+        g.find("(u1)-[r1]->(b); (u2)-[r2]->(b); (u3)-[r3]->(b)")
+          .filter(col("u1.id") < col("u2.id") && col("u2.id") < col("u3.id"))
+          .select(col("b.id").as("hub"), col("u1.id").as("s1"),
+            col("u2.id").as("s2"), col("u3.id").as("s3"))
+          .orderBy("hub", "s1", "s2", "s3")
+      },
+      Some(s"""$edgesCte, heavy AS (SELECT src, dst FROM edges WHERE weight >= 45.0)
+             |SELECT e1.dst AS hub, e1.src AS s1, e2.src AS s2, e3.src AS s3
+             |FROM heavy e1 JOIN heavy e2 ON e1.dst = e2.dst AND e1.src < e2.src
+             |              JOIN heavy e3 ON e2.dst = e3.dst AND e2.src < e3.src
+             |ORDER BY hub, s1, s2, s3""".stripMargin)),
+
     // ---- fixed-iteration PageRank (IterativeGraph): deterministic →
     // full DuckDB oracle via an unrolled CTE chain, unlike the
     // tol-driven GraphX g05. 5 supersteps, top-20 by rounded rank.

@@ -102,6 +102,48 @@ class GraphSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"C(d,3) path must not join:\n$plan")
   }
 
+  test("find: motif DSL binds named vertices/edges, unifies repeats") {
+    // 2-hop path over the symmetrized fixture: (a)-[e1]->(b)-[e2]->(c)
+    val res = g.find("(a)-[e1]->(b); (b)-[e2]->(c)")
+    assert(res.columns.toSeq == Seq("a", "e1", "b", "e2", "c"))
+    // directed edges: only user->book exists, so no 2-hop path
+    assert(res.count() == 0)
+    val sym = PropertyGraph(g.vertices,
+      g.edges.unionAll(g.edges.select($"dst".as("src"), $"src".as("dst"),
+        $"weight")))
+    val twoHop = sym.find("(a)-[e1]->(b); (b)-[e2]->(c)")
+      .filter($"a.id" =!= $"c.id")
+      .select($"a.id", $"b.id", $"c.id").as[(Long, Long, Long)].collect().toSet
+    // 1-10-2, 2-10-1, 11-1-10, 10-1-11, 1->10/11 via 1's two books, etc.
+    assert(twoHop.contains((11L, 1L, 10L)) && twoHop.contains((2L, 10L, 1L)))
+    // edge structs carry attributes; filters work GraphFrames-style
+    val heavy = sym.find("(a)-[e]->(b)").filter("e.weight >= 3.0")
+    assert(heavy.count() == 4) // 1->10 (5.0) and 2->10 (3.0), both directions
+    // same-vertex self-loop pattern: none in the fixture
+    assert(g.find("(a)-[e]->(a)").count() == 0)
+  }
+
+  test("find: the reference's shared-book pattern and negation") {
+    // 2 users sharing a book: (u1)->(b)<-(u2), canonicalized
+    val shared = g.find("(u1)-[r1]->(b); (u2)-[r2]->(b)")
+      .filter($"u1.id" < $"u2.id")
+      .select($"u1.id", $"u2.id", $"b.id").as[(Long, Long, Long)].collect().toSet
+    assert(shared == Set((1L, 2L, 10L))) // only book 10 has 2 readers
+    // anonymous elements match without binding
+    assert(g.find("()-[e]->(b)").columns.toSeq == Seq("e", "b"))
+    // negation: open 2-paths only — the closing edge kills 1->2->3
+    val tri = PropertyGraph(
+      Seq((1L, ""), (2L, ""), (3L, "")).toDF("id", "type"),
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("src", "dst"))
+    assert(tri.find("(a)-[e1]->(b); (b)-[e2]->(c)").count() == 1) // 1->2->3
+    assert(tri.find("(a)-[e1]->(b); (b)-[e2]->(c); !(a)-[]->(c)").count() == 0)
+    // parser/compiler reject malformed or unbound patterns
+    intercept[IllegalArgumentException](g.find("(a)->(b)"))
+    intercept[IllegalArgumentException](g.find("!(a)-[e]->(b)"))
+    intercept[IllegalArgumentException](g.find("(a)-[e]->(b); (c)-[e]->(d)"))
+    intercept[IllegalArgumentException](g.find("(a)-[e]->(b); !(a)-[]->(z)"))
+  }
+
   test("labelPropagation assigns every vertex a label") {
     val lp = g.labelPropagation(4)
     assert(lp.count() == 7)
