@@ -35,25 +35,32 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dotF(a, b) / (norm(a) * norm(b))
 
-  /** Exact top-k cosine neighbors for every query row.
+  /** Exact top-k cosine neighbors for every query row — the LABELED
+    * exact baseline (the scale paths are [[lshCosineTopK]] and
+    * graft.ml.VectorSearch's IVF).
     *
-    * `queries`/`corpus`: (id, vec) frames. Query side is broadcast —
-    * at scale keep the query set per-job bounded (or run LSH below).
+    * Scale shape: the (bounded) query side is broadcast, the corpus is
+    * scanned ONCE with no shuffle, and per-query top-k happens in a
+    * map-side-combining Aggregator (graft.functions.TopK) — the
+    * shuffle carries ≤ k rows per query per partition, never the
+    * queries × corpus scored-pair set a window form would move.
     * Ties broken by neighbor id; self-pairs excluded when ids collide.
     * Output: (query_id, neighbor_id, cos, rank).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopK
     val q = queries.toDF("query_id", "qv")
       .withColumn("qn", norm(col("qv")))
     val c = corpus.toDF("neighbor_id", "cv")
       .withColumn("cn", norm(col("cv")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cos"), (col("r0") + 1).cast("int").as("rank"))
   }
 
   /** Deterministic pseudo-random unit hyperplanes (driver-side seeded

@@ -67,6 +67,16 @@ class PlanSpec extends SparkSpec {
       s"near-dup candidates must come from the band equi-join, not all-pairs:\n$plan")
   }
 
+  test("brute-force ANN top-k combines map-side (no scored-pair window shuffle)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "s01_ann_brute_topk")
+    assert(!plan.contains("Window"),
+      s"top-k must aggregate, not window-shuffle every scored pair:\n$plan")
+    // partial (map-side) + final phases of the TopK Aggregator
+    assert("Aggregate".r.findAllIn(plan).size >= 2 && plan.contains("topkagg"),
+      s"expected two-phase topkagg in:\n$plan")
+  }
+
   test("FloatDot stays inside whole-stage codegen") {
     // parquet-backed input (a literal LocalTableScan plan has no
     // codegen stages to inspect)
