@@ -137,6 +137,25 @@ object MlQueries {
     },
       Some("SELECT CAST(200 AS BIGINT) AS n_obs, CAST(0 AS BIGINT) AS n_bad")),
 
+    // ---- KMeans closed-form check (m09's sibling for M11): three
+    // planted well-separated blobs — ANY seed/platform must recover
+    // the exact partition, so purity is a constant the oracle asserts.
+    NamedQuery("m10_kmeans_planted", (s, dir) => {
+      import s.implicits._
+      val pts = (for (g <- 0 until 3; i <- 0 until 20) yield
+        (g * 20 + i, g, Array(g * 100.0 + i % 5, g * 100.0 + (i * 3) % 7)))
+        .toDF("pid", "planted", "xs")
+      val fed = pts.select(col("pid"), col("planted"),
+        org.apache.spark.ml.functions.array_to_vector(col("xs")).as("features"))
+      val clustered = Clustering.kmeans(fed, "features", k = 3, seed = 5L)
+      val impure = clustered.groupBy("planted")
+        .agg(countDistinct("cluster").as("nc")).filter(col("nc") > 1).count()
+      val nClusters = clustered.select(countDistinct("cluster")).head().getLong(0)
+      Seq((60L, nClusters, impure)).toDF("n_points", "n_clusters", "n_impure")
+    },
+      Some("SELECT CAST(60 AS BIGINT) AS n_points, " +
+        "CAST(3 AS BIGINT) AS n_clusters, CAST(0 AS BIGINT) AS n_impure")),
+
     // ---- M20 (goodreads.py:632–647): PIC cluster sizes on the
     // customer→part rating graph.
     NamedQuery("m08_pic_cluster_sizes", (s, dir) => {

@@ -187,6 +187,33 @@ object PipelineQueries {
     },
       Some(lshAnnOracle(dim = 64, nBits = 32, bands = 8, k = 5, seed = 42L))),
 
+    // ---- exact Euclidean top-k: the oracle-checkable exact twin of
+    // m06's BRP-LSH (same metric, same key-vector-vs-corpus shape).
+    // Both engines evaluate the identical norm-expansion identity in
+    // the same fold order, so rounded distances hash-match.
+    NamedQuery("s03_ann_euclidean_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.euclideanTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+        .orderBy("query_id", "rank")
+    },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT vec_id,
+             |    list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * v[i])) AS nn
+             |  FROM e),
+             |scored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(sqrt(greatest(nq.nn - 2 *
+             |      list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+             |      + nc.nn, 0.0)), 6) AS dist
+             |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+             |  JOIN n nq ON q.vec_id = nq.vec_id JOIN n nc ON c.vec_id = nc.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, dist, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- token / char / quality stats per document.
     NamedQuery("t01_text_stats", (s, dir) =>
       Tables.documents(s, dir).select(

@@ -63,6 +63,35 @@ object Similarity {
         col("nb.score").as("cos"), (col("r0") + 1).cast("int").as("rank"))
   }
 
+  /** Exact top-k EUCLIDEAN neighbors — the oracle-checkable exact twin
+    * of spark.ml's BRP-LSH (m06). Same scale shape as
+    * [[bruteForceTopK]]: broadcast queries, one corpus pass, map-side
+    * top-k combine. Distance via the expansion
+    * ‖q−c‖ = √(q·q − 2·q·c + c·c) with per-row squared norms computed
+    * once — three codegen'd dots total, and the SAME identity the
+    * DuckDB oracle evaluates, so rounded distances match bit-for-bit.
+    * Output: (query_id, neighbor_id, dist, rank), ascending distance,
+    * ties by neighbor id. */
+  def euclideanTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopK
+    val q = queries.toDF("query_id", "qv")
+      .withColumn("qq", dotF(col("qv"), col("qv")))
+    val c = corpus.toDF("neighbor_id", "cv")
+      .withColumn("cc", dotF(col("cv"), col("cv")))
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", round(
+        sqrt(greatest(col("qq") - lit(2.0) * dotF(col("qv"), col("cv")) + col("cc"),
+          lit(0.0))), 6))
+      .groupBy("query_id")
+      // negate: TopK keeps the LARGEST scores; nearest = smallest dist
+      .agg(TopK.topK(k)(col("neighbor_id"), -col("dist")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        // abs, not unary minus: -(-0.0) would emit -0.0 for zero dists
+        abs(col("nb.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic pseudo-random unit hyperplanes (driver-side seeded
     * RNG, shipped as literals — tiny: nBits × dim floats). Exposed
     * within the engine so the DuckDB oracle generator can inline the

@@ -45,6 +45,22 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup — the ingest-time twin of
+    * graft.dedup.Dedup.dropExactDups for a continuous document feed:
+    * keep the FIRST arrival per content hash, drop replays. State is
+    * one hash per distinct document, bounded by the watermark: a
+    * duplicate arriving later than `watermark` after its original is
+    * no longer deduplicated (its state was reclaimed) — the standard
+    * streaming-dedup contract. Keyed by the hash, so state partitions
+    * across executors. */
+  def dedupByContent(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__text_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__text_hash")
+      .drop("__text_hash")
+
   /** One event on the wire (micros-precision event time `ts`). */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

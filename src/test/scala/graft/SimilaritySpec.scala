@@ -39,6 +39,17 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH recall too low: $recall")
   }
 
+  test("euclideanTopK returns exact nearest by L2, ties broken by id") {
+    val vecs = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(3f, 4f))).toDF("id", "v")
+    val got = Similarity.euclideanTopK(vecs.filter($"id" === 0), vecs, 3)
+      .select("neighbor_id", "dist", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L)) // 1.0, 1.0 (tie→id), 5.0
+    assert(got.map(_._2).toSeq == Seq(1.0, 1.0, 5.0))
+  }
+
   test("cosineNearDupPairsLsh: exact subset of brute force with bounded recall loss") {
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val brute = Similarity.cosineNearDupPairs(emb, 0.4)

@@ -110,6 +110,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupByContent keeps first arrival per text, drops in-watermark replays") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.dedupByContent(
+        in.toDF().toDF("doc_id", "ts", "text"), "text", "ts",
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 00:00:00"), "alpha"),
+        (2L, ts("2024-01-01 00:05:00"), "beta"),
+        (3L, ts("2024-01-01 00:10:00"), "alpha")) // replay within watermark
+      q.processAllAvailable()
+      // a later replay, still within the watermark of its original
+      in.addData((4L, ts("2024-01-01 00:20:00"), "beta"))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "alpha"), (2L, "beta")))
+    } finally q.stop()
+  }
+
   test("sessionizeWithState closes sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
