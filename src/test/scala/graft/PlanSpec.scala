@@ -36,6 +36,22 @@ class PlanSpec extends SparkSpec {
       "projection must prune unreferenced columns from the scan")
   }
 
+  test("partitionBy sink prunes partitions on read (PartitionFilters)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "part-prune").resolve("t").toString
+    (1 to 300).map(i => (i, s"lang${i % 3}", s"doc $i")).toDF("id", "lang", "text")
+      .write.partitionBy("lang").parquet(dir)
+    val df = spark.read.parquet(dir).filter(col("lang") === "lang1").select("id")
+    val plan = planOf(df)
+    // the partition filter must hit the directory layout, not the rows
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"),
+      s"expected lang partition pruning in:\n$plan")
+    assert(df.count() === 100)
+  }
+
   test("fixed-size dimension joins broadcast; star join has no cartesian") {
     val plan = packPlan(RelationalQueries.all, "q04_revenue_by_nation")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
