@@ -240,13 +240,19 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     val outOrder = scala.collection.mutable.ArrayBuffer.empty[String]
     var df: DataFrame = null
 
+    // vertex and edge name spaces must be disjoint, and edge names
+    // unique — a shared name would emit duplicate output columns
+    val vNames = pos.flatMap(t => t.src ++ t.dst).toSet
+    val eNames = pos.flatMap(t => t.edge)
+    require(eNames.distinct == eNames,
+      s"duplicate edge name in motif pattern: ${eNames.diff(eNames.distinct).head}")
+    eNames.find(vNames.contains).foreach(n =>
+      throw new IllegalArgumentException(
+        s"name '$n' used for both a vertex and an edge in motif pattern"))
+
     pos.zipWithIndex.foreach { case (t, i) =>
       val srcCol = s"__src_$i"
       val dstCol = s"__dst_$i"
-      t.edge.foreach { en =>
-        require(!outOrder.contains(en) && !vertexId.contains(en),
-          s"duplicate name '$en' in motif pattern")
-      }
       val e = edges.select(Seq(col("src").as(srcCol), col("dst").as(dstCol)) ++
         t.edge.map(en => eStruct.as(s"__e_$en")).toSeq: _*)
       // unification constraints against names bound by EARLIER terms

@@ -142,6 +142,7 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](g.find("!(a)-[e]->(b)"))
     intercept[IllegalArgumentException](g.find("(a)-[e]->(b); (c)-[e]->(d)"))
     intercept[IllegalArgumentException](g.find("(a)-[e]->(b); !(a)-[]->(z)"))
+    intercept[IllegalArgumentException](g.find("(a)-[b]->(b)")) // name reuse across kinds
   }
 
   test("labelPropagation assigns every vertex a label") {
