@@ -328,6 +328,17 @@ object PipelineQueries {
              |  SELECT unnest(generate_series(1, weight)) AS i) u
              |ORDER BY doc_id, copy_no""".stripMargin)),
 
+    // ---- END-TO-END curation pipeline (quality → langID → filters →
+    // exact dedup → split): every stage is portable, so the COMPOSED
+    // pipeline is oracle-checked as one flow — the "switch your
+    // curation job to this engine" proof.
+    NamedQuery("p03_curation_pipeline",
+      (s, dir) => graft.text.Curation.curateDocuments(
+          Tables.documents(s, dir), "doc_id", "text",
+          minQuality = 0.3, keepLangs = Seq("en"))
+        .orderBy("id"),
+      Some(curationOracle(minQuality = 0.3, keepLangs = Seq("en")))),
+
     // ---- xxhash64 token-stream fingerprints (rows-only: hash fn).
     NamedQuery("t03_fingerprints", (s, dir) =>
       Tables.documents(s, dir).select(
@@ -370,6 +381,59 @@ object PipelineQueries {
           .mkString("[", ", ", "]")
         s"SELECT $i AS k, CAST($lst AS DOUBLE[]) AS p"
       }.mkString("\n  UNION ALL ")
+
+  /** Composed oracle for the end-to-end curation pipeline (p03) —
+    * the t01 quality CTEs, the t02 language-vote CASE, d07's dedup
+    * window, and p01's split bucket, chained in the operator's order. */
+  private def curationOracle(minQuality: Double, keepLangs: Seq[String]): String = {
+    val scores = TextOps.langMarkers.map { case (lang, words) =>
+      s"len(list_intersect(dt, ${sqlList(words)})) AS s_$lang"
+    }.mkString(",\n    ")
+    val names = TextOps.langMarkers.map(_._1)
+    val best = names.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val chain = names.map(l => s"WHEN s_$l = $best THEN '$l'").mkString("\n      ")
+    val langList = keepLangs.map(l => s"'$l'").mkString("(", ", ", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                x -> len(x) > 0) AS toks,
+       |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+       |      (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE
+       |      / len(text) END AS praw
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, text, toks, praw,
+       |    CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+       |      len(list_filter(toks, x -> list_contains(${sqlList(TextOps.langMarkers.head._2)}, x)))::DOUBLE
+       |      / len(toks) END AS swraw
+       |  FROM t),
+       |q AS (
+       |  SELECT doc_id, text, list_distinct(toks) AS dt,
+       |    round(greatest(least(
+       |      least(len(text)::DOUBLE / 500.0, 1.0) * 0.4 +
+       |      least(swraw * 5.0, 1.0) * 0.4 +
+       |      (1.0 - least(praw * 5.0, 1.0)) * 0.2, 1.0), 0.0), 6) AS quality
+       |  FROM r),
+       |sc AS (SELECT doc_id, text, quality,
+       |    $scores
+       |  FROM q),
+       |lid AS (SELECT doc_id, text, quality,
+       |    CASE WHEN $best = 0 THEN 'und'
+       |      $chain
+       |      END AS pred_lang
+       |  FROM sc),
+       |filt AS (SELECT * FROM lid
+       |         WHERE quality >= $minQuality AND pred_lang IN $langList),
+       |ded AS (SELECT doc_id, quality, pred_lang, text, row_number() OVER (
+       |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM filt)
+       |SELECT doc_id AS id, quality, pred_lang,
+       |  CASE WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 10 < 7 THEN 'train'
+       |       WHEN CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 10 < 8 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM ded WHERE rn = 1
+       |ORDER BY id""".stripMargin
+  }
 
   /** Shared CTE chain for the portable SimHash oracles, mirroring
     * Dedup.simhashPortable stage by stage: tokenize → tf → md5 nibble

@@ -45,4 +45,21 @@ class TextOpsSpec extends SparkSpec {
       .agg(min("q"), max("q")).as[(Double, Double)].head()
     assert(stats._1 >= 0.0 && stats._2 <= 1.0)
   }
+
+  test("curateDocuments composes quality gate, lang gate, dedup, split") {
+    val prose = "the cat and the dog went to the house in the garden " +
+      "and it was good for them"
+    val docs = Seq(
+      (1L, prose),
+      (2L, prose),                                 // exact duplicate → dropped
+      (3L, "zzz qqq xxx"),                         // junk: quality below gate
+      (4L, "le chat et le chien est dans la maison et il est bon")) // French
+      .toDF("doc_id", "text")
+    val got = graft.text.Curation
+      .curateDocuments(docs, "doc_id", "text", minQuality = 0.3, keepLangs = Seq("en"))
+      .as[(Long, Double, String, String)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L)) // min-id survivor only
+    val (_, q, lang, split) = got.head
+    assert(q >= 0.3 && lang == "en" && Set("train", "val", "test").contains(split))
+  }
 }
