@@ -214,6 +214,19 @@ object PipelineQueries {
              |SELECT query_id, neighbor_id, dist, rank FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- IVF ANN with fixed seeded centroids: the oracle-checkable
+    // twin of m07's KMeans IVF — same invert-assign/probe/rank
+    // mechanics, centroids inlined into the oracle as literals (the
+    // s02 trick), so assignments, probe sets, and ranks hash-match.
+    NamedQuery("s04_ann_ivf_fixed", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.ivfFixedTopK(emb.filter(col("vec_id") < 20), emb, k = 5,
+          dim = 64, nlist = IvfLists, nprobe = IvfProbes, seed = 7L)
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfFixedOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+        k = 5, seed = 7L))),
+
     // ---- token / char / quality stats per document.
     NamedQuery("t01_text_stats", (s, dir) =>
       Tables.documents(s, dir).select(
@@ -368,6 +381,50 @@ object PipelineQueries {
   private def MhBands = 4
   private def NdBits = 60
   private def NdBands = 15
+  private def IvfLists = 16
+  private def IvfProbes = 4
+
+  /** Generated oracle for the fixed-centroid IVF ANN: centroids (and
+    * their precomputed self-dots) inlined as double literals, corpus
+    * assigned to the argmin list, queries probe their nprobe nearest
+    * lists, candidates ranked by exact cosine — mirroring
+    * Similarity.ivfFixedTopK stage by stage. */
+  private def ivfFixedOracle(dim: Int, nlist: Int, nprobe: Int, k: Int,
+      seed: Long): String = {
+    val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, seed)
+    val centsSql = cents.zipWithIndex.map { case (c, j) =>
+      val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+      val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+      s"SELECT $j AS j, CAST($lst AS DOUBLE[]) AS c, CAST($self AS DOUBLE) AS cc2"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (
+       |  $centsSql),
+       |nrm AS (SELECT vec_id, sqrt(${dotSql("v", "v")}) AS nm FROM e),
+       |dists AS (SELECT e.vec_id, cents.j,
+       |    -2.0 * ${dotSql("e.v", "cents.c")} + cents.cc2 AS d
+       |  FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS query_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM dists WHERE vec_id < 20) WHERE rn <= $nprobe),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(${dotSql("eq.v", "ec.v")} / (nq.nm * nc.nm), 6) AS cos
+       |  FROM probes p JOIN assign a ON p.cluster = a.cluster
+       |    AND p.query_id <> a.vec_id
+       |  JOIN e eq ON p.query_id = eq.vec_id JOIN e ec ON a.vec_id = ec.vec_id
+       |  JOIN nrm nq ON p.query_id = nq.vec_id JOIN nrm nc ON a.vec_id = nc.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"

@@ -148,6 +148,58 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) ANN with FIXED seeded centroids — the
+    * oracle-checkable twin of graft.ml.VectorSearch.ivfTopK (whose
+    * KMeans centroids are platform-dependent). Mechanics are identical
+    * to production IVF:
+    *  - every corpus row is assigned to its nearest of `nlist`
+    *    centroids by a scan-stage argmin expression (no shuffle, no
+    *    explode — one L2-expansion distance per centroid, centroids
+    *    shipped as literals);
+    *  - each query probes its `nprobe` nearest lists;
+    *  - candidates = corpus rows in probed lists, ranked by exact
+    *    cosine via the map-side TopK combine.
+    * Centroids derive from the seeded generator, so the DuckDB oracle
+    * inlines the SAME values and every assignment, probe set, and rank
+    * matches bit-for-bit. Output: (query_id, neighbor_id, cos, rank).
+    */
+  def ivfFixedTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
+    import graft.functions.TopK
+    val cents = hyperplanes(dim, nlist, seed)
+    val cSelf = cents.map(c => c.map(x => x.toDouble * x).sum) // centᵀcent literals
+
+    // dist²(v, cent_j) up to the common ‖v‖² term (rank-invariant):
+    // −2·v·cent_j + centᵀcent_j — cheapest scan-stage form
+    def distTo(vec: Column, j: Int): Column =
+      lit(-2.0) * dotF(vec, lit(cents(j))) + lit(cSelf(j))
+    def distArr(vec: Column): Column = array((0 until nlist).map(distTo(vec, _)): _*)
+    // first index of the minimum — deterministic tie-break on both engines
+    def nearest(vec: Column): Column =
+      array_position(distArr(vec), array_min(distArr(vec)))
+
+    val c = corpus.toDF("neighbor_id", "cv")
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("cluster", nearest(col("cv")))
+    val probes = queries.toDF("query_id", "qv")
+      .withColumn("qn", norm(col("qv")))
+      .select(col("query_id"), col("qv"), col("qn"),
+        posexplode(distArr(col("qv"))).as(Seq("j", "d")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d"), col("j"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), (col("j") + 1).as("cluster"))
+
+    broadcast(probes).join(c, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cos"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
   /** Embedding near-dup pairs via hyperplane-LSH banding — the
     * REGISTERED scale path (d06). Candidates are rows whose sign-bit
     * signatures agree on ≥1 of `bands` bands (one shuffle keyed by

@@ -69,6 +69,16 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((900001L, 900002L)))
   }
 
+  test("ivfFixedTopK: planted duplicate lands in the probed list with cos 1") {
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat)
+    val far = Array.tabulate(64)(i => (math.cos(i * 2 + 1) * 5).toFloat)
+    val vecs = Seq((1L, base), (2L, base), (3L, far)).toDF("id", "v")
+    val got = Similarity.ivfFixedTopK(vecs.filter($"id" === 1), vecs, k = 1, dim = 64)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect()
+    // identical vector → identical centroid assignment → always probed
+    assert(got.toSeq == Seq((2L, 1.0)))
+  }
+
   test("cosineNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
