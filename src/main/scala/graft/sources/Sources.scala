@@ -33,6 +33,31 @@ object Sources {
       case None => spark.read.json(path)
     }
 
+  /** Quarantining JSON reader for dirty 100 TB ingest: malformed lines
+    * must neither kill the job (FAILFAST) nor vanish silently
+    * (DROPMALFORMED). PERMISSIVE mode + a corrupt-record column splits
+    * the stream into (good rows with the declared schema, quarantined
+    * raw lines) — reprocess the quarantine after fixing the producer.
+    * Spark requires the corrupt column in the read schema and a
+    * cache/materialization barrier before filtering on it (a direct
+    * filter over the lazy scan is disallowed); the persist here is that
+    * barrier. Returns (good, quarantined-raw-lines). */
+  def jsonWithQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val corrupt = "_corrupt_record"
+    val withCorrupt = schema.add(corrupt, "string")
+    val raw = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corrupt)
+      .schema(withCorrupt).json(path)
+      .persist()
+    val good = raw.filter(col(corrupt).isNull)
+      .select(schema.fieldNames.map(col).toSeq: _*)
+    val bad = raw.filter(col(corrupt).isNotNull).select(col(corrupt).as("raw"))
+    (good, bad)
+  }
+
   /** S4 (goodreads.py:133–141): parquet scan (self-describing schema). */
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

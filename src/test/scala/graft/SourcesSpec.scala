@@ -38,6 +38,27 @@ class SourcesSpec extends SparkSpec {
     assert(row.getAs[Seq[String]]("similar_books") === Seq("2", "3"))
   }
 
+  test("jsonWithQuarantine splits good rows from malformed lines, loses nothing") {
+    import spark.implicits._
+    val p = s"$tmp/dirty.json"
+    Files.writeString(Paths.get(p),
+      """{"id":1,"text":"ok one"}
+        |{"id":2 "text":"missing comma"}
+        |{"id":3,"text":"ok two"}
+        |not json at all
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val (good, bad) = Sources.jsonWithQuarantine(spark, p, schema)
+    assert(good.columns.toSeq === Seq("id", "text"))
+    assert(good.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    val quarantined = bad.as[String].collect()
+    assert(quarantined.length === 2) // every malformed line kept, verbatim
+    assert(quarantined.exists(_.contains("missing comma")))
+    assert(quarantined.contains("not json at all"))
+  }
+
   test("partitioned parquet sink roundtrips and prunes by partition column") {
     import spark.implicits._
     val df = Seq((1, "a", 2001), (2, "b", 2001), (3, "c", 2002))
