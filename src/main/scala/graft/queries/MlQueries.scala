@@ -85,12 +85,14 @@ object MlQueries {
     NamedQuery("m05_silhouettes", (s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val meta = ContentFeatures.metadataFeatures(docs,
-        Seq("lang", "source"), Seq("n_chars")).persist()
-      val metaClusters = Clustering.kmeans(meta, "features", k = 8, seed = 1L).persist()
+      val meta = graft.Caches.cached(ContentFeatures.metadataFeatures(docs,
+        Seq("lang", "source"), Seq("n_chars")))
+      val metaClusters = graft.Caches.cached(
+        Clustering.kmeans(meta, "features", k = 8, seed = 1L))
       val sMeta = Clustering.silhouette(metaClusters, "features")
       val tf = tfidfPca(s, dir)
-      val tfClusters = Clustering.kmeans(tf, "pca", k = 10, seed = 1L).persist()
+      val tfClusters = graft.Caches.cached(
+        Clustering.kmeans(tf, "pca", k = 10, seed = 1L))
       val sTf = Clustering.silhouette(tfClusters, "pca")
       Seq(("metadata_kmeans", math.rint(sMeta * 10000) / 10000),
           ("tfidf_pca_kmeans", math.rint(sTf * 10000) / 10000))
