@@ -341,6 +341,25 @@ object PipelineQueries {
              |  SELECT unnest(generate_series(1, weight)) AS i) u
              |ORDER BY doc_id, copy_no""".stripMargin)),
 
+    // ---- deterministic stratified downsampling (data-mix rebalance):
+    // keep 50% of English, 25% of German, all the rest — content-keyed,
+    // so the exact surviving set is oracle-checkable.
+    NamedQuery("p04_stratified_sample",
+      (s, dir) => Sampling.stratifiedSample(
+          Tables.documents(s, dir), "lang", col("text"),
+          fractions = Map("en" -> 0.5, "de" -> 0.25))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+        .orderBy("lang"),
+      Some("""WITH b AS (
+             |  SELECT doc_id, lang,
+             |         CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 10000 AS bucket
+             |  FROM documents),
+             |kept AS (SELECT * FROM b WHERE bucket <
+             |  (CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 1.0 END) * 10000)
+             |SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id
+             |FROM kept GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // ---- END-TO-END curation pipeline (quality → langID → filters →
     // exact dedup → split): every stage is portable, so the COMPOSED
     // pipeline is oracle-checked as one flow — the "switch your

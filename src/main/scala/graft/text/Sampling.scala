@@ -32,6 +32,22 @@ object Sampling {
       .otherwise(lit("test"))
   }
 
+  /** Deterministic stratified (per-group rate) downsampling — the
+    * data-mix primitive for rebalancing an overrepresented stratum
+    * ("keep 25% of English, all of the rest"). A row survives iff its
+    * content-hash bucket (of `nBuckets`) falls below its stratum's
+    * fraction — reproducible across engines/runs/partitionings, unlike
+    * `df.stat.sampleBy` (RNG). Scan-stage filter, zero shuffle; exact
+    * per-document determinism, fraction resolution 1/nBuckets. */
+  def stratifiedSample(df: DataFrame, strataCol: String, key: Column,
+      fractions: Map[String, Double], default: Double = 1.0,
+      nBuckets: Int = 10000): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, nBuckets) < frac * nBuckets)
+  }
+
   /** Weighted upsampling: emit `weightCol` copies of each row
     * (1-indexed `copy_no`) — the data-mix construction primitive
     * ("3 epochs of wiki, 1 of crawl"). A generator, not a join: cost

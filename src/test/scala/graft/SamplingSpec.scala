@@ -35,6 +35,21 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.2) < 0.03, s"test=${frac("test")}")
   }
 
+  test("stratifiedSample applies per-stratum rates deterministically") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, if (i % 2 == 0) "en" else "fr",
+      s"text number $i")).toDF("id", "lang", "text")
+    val kept = Sampling.stratifiedSample(df, "lang", col("text"),
+      Map("en" -> 0.25))
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("fr") === 1000L) // default rate 1.0 keeps everything
+    assert(math.abs(byLang("en") - 250L) < 60, s"en=${byLang("en")}")
+    // content-keyed: identical on re-run
+    val again = Sampling.stratifiedSample(df, "lang", col("text"),
+      Map("en" -> 0.25)).select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+  }
+
   test("upsample emits exactly weight copies; weights < 1 emit nothing") {
     import spark.implicits._
     val df = Seq((1L, 3), (2L, 1), (3L, 0), (4L, -2)).toDF("id", "w")
