@@ -61,6 +61,55 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("__text_hash")
       .drop("__text_hash")
 
+  /** Per-row MinHash band hashes as a PURE expression — no groupBy, so
+    * it runs scan-stage on an unbounded stream: signature element i =
+    * min over shingles of xxhash64(i, shingle); band hash = xxhash64 of
+    * its signature rows. Same family as the batch
+    * graft.dedup.Dedup.minhashLshPairs. */
+  private def minhashBands(text: org.apache.spark.sql.Column,
+      n: Int, numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
+    val sh = graft.dedup.Dedup.shingles(text, n)
+    val mins = (0 until numHashes).map(i =>
+      array_min(transform(sh, s => xxhash64(lit(i), s))))
+    val rows = numHashes / bands
+    array((0 until bands).map(b =>
+      xxhash64((b * rows until (b + 1) * rows).map(mins): _*)): _*)
+  }
+
+  /** Streaming NEAR-dup candidate detection — the banded-MinHash
+    * sibling of [[dedupByContent]]: each arriving document's band
+    * hashes are computed scan-stage, and a watermarked stream-stream
+    * self-join keyed by (band, bandHash) emits candidate pairs whose
+    * arrival times lie within `maxSkew` (the join-state retention
+    * bound — without it stream-stream join state grows forever).
+    * Emits one row per agreeing band (id_a, id_b, band) with id_a <
+    * id_b; downstream exact verification (or a batch reconcile) dedups
+    * and confirms, exactly as in the batch LSH pipeline. */
+  def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "1 hour", maxSkew: String = "1 hour",
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // two independently-derived subplans over the same source: a
+    // toDF-renamed self-join of ONE streaming plan trips ambiguous
+    // attribute resolution inside the streaming join planner
+    def banded(idName: String, tsName: String, bandName: String, bhName: String) =
+      docs
+        .withColumn("__bands", minhashBands(col(textCol), n, numHashes, bands))
+        .withWatermark(tsCol, watermark)
+        .select(col(idCol).as(idName), col(tsCol).as(tsName),
+          posexplode(col("__bands")).as(Seq(bandName, bhName)))
+    val a = banded("id_a", "ts_a", "band_a", "bh_a")
+    val b = banded("id_b", "ts_b", "band_b", "bh_b")
+    // id_a < id_b must be a POST-join filter: Spark's streaming join
+    // helper parses every '<' in the condition as a potential
+    // state-watermark bound and chokes on non-time columns
+    a.join(b,
+      col("band_a") === col("band_b") && col("bh_a") === col("bh_b") &&
+        col("ts_b") >= col("ts_a") - expr(s"INTERVAL $maxSkew") &&
+        col("ts_b") <= col("ts_a") + expr(s"INTERVAL $maxSkew"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("band_a").as("band"))
+  }
+
   /** One event on the wire (micros-precision event time `ts`). */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -134,6 +134,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidates pairs a near-duplicate arriving within the skew") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prose = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the cat watches from the old wooden fence nearby"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.nearDupCandidates(
+        in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 00:00:00"), prose),
+        (2L, ts("2024-01-01 00:10:00"), prose + " with a tiny suffix change"),
+        (3L, ts("2024-01-01 00:20:00"), "completely different text about " +
+          "spaceships and planets orbiting a distant star in deep space"))
+      q.processAllAvailable()
+      val got = spark.table("neardup_stream")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 2L)), s"near-dup pair missing: $got")
+      assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+        s"unrelated docs must not pair: $got")
+    } finally q.stop()
+  }
+
   test("sessionizeWithState closes sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
