@@ -36,11 +36,14 @@ object Memo {
       m
     }
 
+  // kind prefixes keep df/obj namespaces disjoint inside the shared
+  // per-session map — an equal key string across the two entry points
+  // must not alias (it did briefly, a ClassCastException trap)
   /** Memoize + persist a DataFrame for the lifetime of `spark`. */
   def df(spark: SparkSession, key: String)(mk: => DataFrame): DataFrame =
-    sessionMap(spark).getOrElseUpdate(key, mk.persist()).asInstanceOf[DataFrame]
+    sessionMap(spark).getOrElseUpdate(s"df|$key", mk.persist()).asInstanceOf[DataFrame]
 
   /** Memoize an arbitrary session-scoped object (e.g. a PropertyGraph). */
   def obj[T <: AnyRef](spark: SparkSession, key: String)(mk: => T): T =
-    sessionMap(spark).getOrElseUpdate(key, mk).asInstanceOf[T]
+    sessionMap(spark).getOrElseUpdate(s"obj|$key", mk).asInstanceOf[T]
 }

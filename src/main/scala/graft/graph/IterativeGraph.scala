@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object IterativeGraph {
 
+  /** Symmetrized (bidirectional) src/dst edge view — the one
+    * definition shared by every undirected iterative algorithm here
+    * and by the BFS queries. Cached per call (released via
+    * graft.Caches.clear): each superstep rescans it. */
+  private[graft] def symmetrize(edges: DataFrame): DataFrame =
+    graft.Caches.cached(edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+
   /** PageRank, `iters` synchronous supersteps:
     * r₀ = 1; r₊(v) = resetProb + (1−resetProb)·Σ_{u→v} r(u)/outdeg(u).
     * Unnormalized (GraphFrames/GraphX convention — scores sum ≈ N);
@@ -55,8 +63,7 @@ object IterativeGraph {
   def labelPropagationFixed(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val v = vertices.select("id")
-    val sym = graft.Caches.cached(edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val sym = symmetrize(edges)
     var labels = v.select(col("id"), col("id").as("label"))
     val w = Window.partitionBy("id").orderBy(col("c").desc, col("label"))
     for (_ <- 1 to iters) {
@@ -80,8 +87,7 @@ object IterativeGraph {
     * of PropertyGraph.bfs (which materializes paths). Output:
     * (id, dist) for vertices reached within `iters` hops. */
   def bfsDistances(edges: DataFrame, sourceId: Long, iters: Int): DataFrame = {
-    val sym = graft.Caches.cached(edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val sym = symmetrize(edges)
     val spark = edges.sparkSession
     import spark.implicits._
     var dist = Seq((sourceId, 0)).toDF("id", "dist")
@@ -102,8 +108,7 @@ object IterativeGraph {
     * with fewer, a deterministic partial labelling. Output: (id, label). */
   def minLabelComponents(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val v = vertices.select("id")
-    val sym = graft.Caches.cached(edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"))))
+    val sym = symmetrize(edges)
     var labels = v.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       val nb = sym.join(labels.withColumnRenamed("id", "src"), "src")

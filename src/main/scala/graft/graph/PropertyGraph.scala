@@ -309,12 +309,12 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   /** G7 materializing form — (a)-[]->(b); (c)-[]->(b); (d)-[]->(b)
     * with distinct spokes — compiled to self-equi-joins on dst, spokes
     * ordered a<c<d so each triple appears once. Returns
-    * (hub, s1, s2, s3) ROWS, so output is Σ C(d,3): `maxHubDegree`
-    * caps the per-hub blowup (a 23k-degree hub alone would emit 2×10¹²
-    * rows); pass Int.MaxValue to disable when the degree distribution
-    * is known to be tame. Counting queries should use
-    * [[threeStarCounts]] instead. */
-  def threeStarMotif(maxHubDegree: Int = 10000): DataFrame = {
+    * (hub, s1, s2, s3) ROWS, so output is Σ C(d,3): pass `maxHubDegree`
+    * to cap the per-hub blowup (a 23k-degree hub alone would emit
+    * 2×10¹² rows). The default enumerates EVERYTHING — capping is an
+    * explicit opt-in, never silent truncation. Counting queries should
+    * use [[threeStarCounts]] instead. */
+  def threeStarMotif(maxHubDegree: Int = Int.MaxValue): DataFrame = {
     val tame = edges.join(
       inDegrees.filter(col("inDegree") <= maxHubDegree)
         .select(col("id").as("dst")), Seq("dst"), "left_semi")

@@ -106,9 +106,7 @@ object GraphQueries {
     // (start, end) — flattened to id columns for the rows-only dump.
     NamedQuery("g08_bfs_customer_to_part", (s, dir) => {
       val g = PropertyGraph.customerPartGraph(s, dir)
-      val sym = PropertyGraph(g.vertices,
-        g.edges.select("src", "dst").unionAll(
-          g.edges.select(col("dst").as("src"), col("src").as("dst"))))
+      val sym = PropertyGraph(g.vertices, IterativeGraph.symmetrize(g.edges))
       val res = sym.bfs(col("id") === 1L, col("id") === 1000007L, maxPathLength = 4)
       // vertex-position columns in path order (from, v1, …, to)
       val vPos = res.columns.filter(c => !c.startsWith("e"))

@@ -47,11 +47,12 @@ object Sources {
     import org.apache.spark.sql.functions.col
     val corrupt = "_corrupt_record"
     val withCorrupt = schema.add(corrupt, "string")
-    val raw = spark.read
+    // registered in Caches so a long-lived ingest session can release
+    // it (graft.Caches.clear) instead of pinning storage per call
+    val raw = graft.Caches.cached(spark.read
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", corrupt)
-      .schema(withCorrupt).json(path)
-      .persist()
+      .schema(withCorrupt).json(path))
     val good = raw.filter(col(corrupt).isNull)
       .select(schema.fieldNames.map(col).toSeq: _*)
     val bad = raw.filter(col(corrupt).isNotNull).select(col(corrupt).as("raw"))

@@ -93,6 +93,11 @@ object EventStreams {
     // attribute resolution inside the streaming join planner
     def banded(idName: String, tsName: String, bandName: String, bhName: String) =
       docs
+        // docs with < n tokens have NO shingles: their signature would
+        // degenerate to one shared null-band constant and pair every
+        // short doc with every other — drop them (as the batch twin's
+        // groupBy does implicitly)
+        .filter(size(graft.dedup.Dedup.shingles(col(textCol), n)) > 0)
         .withColumn("__bands", minhashBands(col(textCol), n, numHashes, bands))
         .withWatermark(tsCol, watermark)
         .select(col(idCol).as(idName), col(tsCol).as(tsName),

@@ -149,13 +149,17 @@ class StreamingSpec extends SparkSpec {
         (1L, ts("2024-01-01 00:00:00"), prose),
         (2L, ts("2024-01-01 00:10:00"), prose + " with a tiny suffix change"),
         (3L, ts("2024-01-01 00:20:00"), "completely different text about " +
-          "spaceships and planets orbiting a distant star in deep space"))
+          "spaceships and planets orbiting a distant star in deep space"),
+        // sub-shingle-length docs: degenerate sketches must NOT pair
+        (4L, ts("2024-01-01 00:21:00"), "ok"),
+        (5L, ts("2024-01-01 00:22:00"), "yes"))
       q.processAllAvailable()
       val got = spark.table("neardup_stream")
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got.contains((1L, 2L)), s"near-dup pair missing: $got")
       assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
         s"unrelated docs must not pair: $got")
+      assert(!got.contains((4L, 5L)), s"shingle-less docs must not pair: $got")
     } finally q.stop()
   }
 
