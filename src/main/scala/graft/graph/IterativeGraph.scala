@@ -101,6 +101,36 @@ object IterativeGraph {
     dist
   }
 
+  /** Fixed-iteration power smoothing — the deterministic core of
+    * Power Iteration Clustering (the linear iteration v₊ = D⁻¹·W·v
+    * over the symmetrized affinity graph) WITHOUT the trailing k-means
+    * step, so it is bit-deterministic and SQL-oracle-checkable (the
+    * m08 family's twin, like g10 is g05's). v₀ = deg·n/Σdeg (mean 1);
+    * D⁻¹W is row-stochastic, so each step is a weighted average of
+    * neighbour values — no per-step normalization needed, values stay
+    * O(1). Isolated vertices (no edges) are out of scope, as in PIC's
+    * affinity matrix. Output: (id, v) after `iters` supersteps. */
+  def powerSmoothingFixed(edges: DataFrame, weightCol: String, iters: Int): DataFrame = {
+    val sym = graft.Caches.cached(
+      edges.select(col("src"), col("dst"), col(weightCol).as("w"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+          col(weightCol).as("w"))))
+    val deg = graft.Caches.cached(
+      sym.groupBy(col("src").as("id")).agg(sum("w").as("deg")))
+    val stats = deg.agg(count(lit(1)).as("n"), sum("deg").as("sumdeg"))
+    var v = deg.crossJoin(stats)
+      .select(col("id"), (col("deg") * col("n") / col("sumdeg")).as("v"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val s = sym.join(v.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("w") * col("v")).as("s"))
+      v = deg.join(s, Seq("id"), "left")
+        .select(col("id"), (coalesce(col("s"), lit(0.0)) / col("deg")).as("v"))
+        .localCheckpoint()
+    }
+    v
+  }
+
   /** Connected components by min-label propagation over symmetrized
     * edges, `iters` synchronous supersteps: label₀ = id;
     * label₊(v) = min(label(v), min over neighbours). After enough

@@ -191,6 +191,18 @@ object GraphQueries {
       },
       Some(bfsDistOracle(BfsIters))),
 
+    // ---- fixed-iteration power smoothing (deterministic PIC core):
+    // the oracle-checkable twin of m08 — v₊ = D⁻¹Wv over the weighted
+    // symmetrized rating graph, unrolled-CTE oracle like g10.
+    NamedQuery("g15_power_smoothing",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.powerSmoothingFixed(g.edges, "weight", iters = PsIters)
+          .select(col("id"), round(col("v"), 6).as("v"))
+          .orderBy(col("v").desc, col("id")).limit(20)
+      },
+      Some(powerSmoothingOracle(PsIters))),
+
     // ---- fixed-iteration min-label connected components: integer
     // labels → exact oracle match; component sizes after 6 supersteps.
     NamedQuery("g11_minlabel_components",
@@ -209,6 +221,27 @@ object GraphQueries {
   private def CcIters = 6
   private def LpIters = 4
   private def BfsIters = 3
+  private def PsIters = 4
+
+  /** Unrolled-CTE power smoothing (v₊ = D⁻¹Wv, v₀ = deg·n/Σdeg) —
+    * the portable-SQL rendering of IterativeGraph.powerSmoothingFixed. */
+  private def powerSmoothingOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT sym.dst AS id, sum(sym.w * v${i - 1}.v) AS s
+         |  FROM sym JOIN v${i - 1} ON sym.src = v${i - 1}.id GROUP BY sym.dst),
+         |v$i AS (SELECT deg.id, COALESCE(s$i.s, 0) / deg.deg AS v
+         |  FROM deg LEFT JOIN s$i ON deg.id = s$i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |sym AS (SELECT src, dst, weight AS w FROM edges
+       |        UNION ALL SELECT dst, src, weight FROM edges),
+       |deg AS (SELECT src AS id, sum(w) AS deg FROM sym GROUP BY src),
+       |st AS (SELECT count(*) AS n, sum(deg) AS sumdeg FROM deg),
+       |v0 AS (SELECT id, deg * n / sumdeg AS v FROM deg CROSS JOIN st),
+       |$steps
+       |SELECT id, round(v, 6) AS v FROM v$iters
+       |ORDER BY v DESC, id LIMIT 20""".stripMargin
+  }
 
   /** Vertex set shared by the fixed-iteration oracles — ALL customers
     * and parts, matching PropertyGraph.customerPartGraph (isolated

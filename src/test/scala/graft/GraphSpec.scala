@@ -145,6 +145,21 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](g.find("(a)-[b]->(b)")) // name reuse across kinds
   }
 
+  test("powerSmoothingFixed computes v+ = D^-1 W v with degree-proportional start") {
+    import graft.graph.IterativeGraph
+    // path graph 1-2-3, unit weights: deg = (1,2,1), n=3, sumdeg=4
+    // v0 = (0.75, 1.5, 0.75); one step: v1 = (1.5, 0.75, 1.5)
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "weight")
+    val v1 = IterativeGraph.powerSmoothingFixed(edges, "weight", iters = 1)
+      .as[(Long, Double)].collect().toMap
+    assert(v1 == Map(1L -> 1.5, 2L -> 0.75, 3L -> 1.5))
+    // the path graph is bipartite: the iteration is period-2, so two
+    // steps return exactly to v0 — pins the map applied twice
+    val v2 = IterativeGraph.powerSmoothingFixed(edges, "weight", iters = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(v2 == Map(1L -> 0.75, 2L -> 1.5, 3L -> 0.75))
+  }
+
   test("labelPropagation assigns every vertex a label") {
     val lp = g.labelPropagation(4)
     assert(lp.count() == 7)
