@@ -55,6 +55,33 @@ class PropertySpec extends SparkSpec {
     }, cases = 15)
   }
 
+  test("TopK aggregator equals the window row_number form on random scores") {
+    import spark.implicits._
+    val rowGen = for {
+      g <- Gen.choose(0, 3); id <- Gen.choose(0L, 50L)
+      s <- Gen.choose(-1000, 1000).map(_ / 100.0)
+    } yield (g, id, s)
+    check(Prop.forAll(Gen.choose(1, 4), Gen.listOfN(40, rowGen)) { (k, rows) =>
+      rows.isEmpty || {
+        // duplicate (group, id) pairs make rank order ill-defined — drop
+        val df = rows.distinctBy(r => (r._1, r._2)).toDF("g", "id", "s")
+        val viaAgg = df.groupBy("g")
+          .agg(graft.functions.TopK.topK(k)(col("id"), col("s")).as("nn"))
+          .select(col("g"), posexplode(col("nn")).as(Seq("r0", "nb")))
+          .select(col("g"), col("nb.id"), col("nb.score"), (col("r0") + 1).as("rank"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(col("s").desc, col("id"))
+        val viaWindow = df.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+          .toSet
+        viaAgg == viaWindow
+      }
+    }, cases = 15)
+  }
+
   test("degree tables sum to edge count; union preserves total rows") {
     import spark.implicits._
     val edgeGen = for {
