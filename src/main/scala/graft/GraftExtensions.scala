@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatDot
+
+/** Session-extension entry point — the deployment-grade way to wire
+  * the engine's custom Catalyst expressions into EVERY session of a
+  * cluster, without per-session registration calls:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  *   // or programmatically:
+  *   SparkSession.builder().withExtensions(new GraftExtensions)…
+  *
+  * Registers `float_dot` (codegen'd float-vector dot product) as a
+  * built-in-style function: visible to `spark.sql`, usable in views,
+  * and resolved by the analyzer like any other function. Per-session
+  * registration for ad-hoc use remains available via
+  * `graft.functions.FloatVector.registerSql`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => FloatDot(a, b)
+        case other => throw new IllegalArgumentException(
+          s"float_dot expects 2 arguments, got ${other.size}")
+      }))
+  }
+}

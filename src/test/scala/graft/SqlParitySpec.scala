@@ -38,6 +38,28 @@ class SqlParitySpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions injects float_dot into a fresh session's SQL surface") {
+    import org.apache.spark.sql.SparkSession
+    val orig = spark // keep the shared session restorable
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // new session over the SAME SparkContext, extensions applied at build
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne orig)
+      val got = s2.sql(
+        "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+          "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head().getDouble(0)
+      assert(got === 11.0)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("registerAll exposes every testdata table to SQL") {
     Tables.registerAll(spark, sf)
     Tables.all.foreach { t =>
