@@ -314,6 +314,21 @@ object AdvancedQueries {
         .orderBy("l_suppkey")
     },
 
+    // ---- HLL sketch with a tolerance-bound oracle: the approx value
+    // itself is Spark-internal, but exact count + a within-5% flag ARE
+    // oracle constants — the sketch family's hash-checkable row
+    // (PlanSpec covers the tighter 5% band empirically).
+    q("q33_approx_distinct_bound",
+      """SELECT count(DISTINCT user_id) AS exact_users, TRUE AS approx_within_5pct
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .agg(countDistinct("user_id").as("exact_users"),
+          approx_count_distinct("user_id").as("approx"))
+        .select(col("exact_users"),
+          (abs(col("approx") - col("exact_users")).cast("double") / col("exact_users")
+            <= 0.05).as("approx_within_5pct"))
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
