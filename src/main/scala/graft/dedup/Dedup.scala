@@ -236,6 +236,30 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Near-dup KEEP operator — the canonical LLM-corpus dedup move:
+    * collapse every near-duplicate CLUSTER (not just pairwise matches)
+    * to its minimum-id representative. Pipeline: banded-MinHash pairs
+    * → near-dup graph → min-label connected components (`iters`
+    * supersteps ≥ cluster diameter; band-connected clusters are
+    * near-cliques, so small values converge) → keep rows whose id IS
+    * their component label. All stages are the engine's existing
+    * banded/iterative primitives — shuffles stay O(docs × bands) +
+    * O(pairs) per superstep, never all-pairs. The md5 `portable`
+    * variant keeps the WHOLE operator DuckDB-oracle-checkable (d12);
+    * production use swaps in [[minhashLshPairs]]. */
+  def dropNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, minJaccard: Double,
+      iters: Int = 4): DataFrame = {
+    val pairs = minhashLshPairsPortable(df, idCol, textCol, n, numHashes,
+      bands, minJaccard)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val vertices = df.select(col(idCol).as("id"))
+    val labels = graft.graph.IterativeGraph
+      .minLabelComponents(vertices, edges, iters)
+    df.join(labels.filter(col("id") === col("label")).select("id"),
+      df(idCol) === col("id"), "left_semi")
+  }
+
   /** 64-bit SimHash over the document's term-frequency vector: bit i of
     * the sketch is the sign of Σ_tokens tf·(±1 by bit i of xxhash64(tok)). */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -94,6 +94,21 @@ object PipelineQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---- near-dup KEEP (cluster collapse): banded-MinHash pairs →
+    // min-label connected components → min-id survivor per near-dup
+    // cluster. The whole composition is oracle-checked end to end
+    // (pair CTEs + unrolled component steps).
+    NamedQuery("d12_neardup_kept_docs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        Dedup.dropNearDupsPortable(docs.unionByName(planted), "doc_id", "text",
+            n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5,
+            iters = 4)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(neardupKeepOracle(MhHashes, MhBands, 0.5, iters = 4))),
+
     // ---- portable SimHash sketches (md5-nibble bit family): the
     // oracle-checked twin of d04 — same tf-weighted sign-bit sketch,
     // emitted as four nonnegative 16-bit band longs.
@@ -628,6 +643,33 @@ object PipelineQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Generated oracle for the near-dup KEEP operator (d12): the d08
+    * pair CTEs + unrolled min-label component steps + survivors whose
+    * id equals their component label — mirroring
+    * Dedup.dropNearDupsPortable stage by stage. */
+  private def neardupKeepOracle(numHashes: Int, bands: Int,
+      minJaccard: Double, iters: Int): String = {
+    val base = minhashPortableOracle(numHashes, bands, minJaccard)
+    // reuse everything up to (and including) the `ver` CTE
+    val ctes = base.substring(0, base.indexOf("\nSELECT id_a"))
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS (SELECT v.id,
+         |    least(l${i - 1}.label, COALESCE(m.minl, l${i - 1}.label)) AS label
+         |  FROM v JOIN l${i - 1} ON v.id = l${i - 1}.id
+         |  LEFT JOIN (SELECT symp.dst AS id, min(l${i - 1}.label) AS minl
+         |             FROM symp JOIN l${i - 1} ON symp.src = l${i - 1}.id
+         |             GROUP BY symp.dst) m ON v.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$ctes,
+       |pairs AS (SELECT id_a, id_b FROM ver WHERE est_jaccard >= $minJaccard),
+       |v AS (SELECT doc_id AS id FROM all_docs),
+       |symp AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps
+       |SELECT id AS doc_id FROM l$iters WHERE id = label ORDER BY doc_id""".stripMargin
   }
 
   /** Generated oracle for the portable MinHash: same shingling CTE as

@@ -49,6 +49,14 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("dropNearDupsPortable collapses near-dup clusters to the min-id survivor") {
+    // cluster {1, 2, 4} (near + exact dups) collapses to 1; 3 and 5 survive
+    val kept = Dedup.dropNearDupsPortable(base, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, minJaccard = 0.5, iters = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L))
+  }
+
   test("simhash is deterministic; identical text => identical sketch; pairs verify hamming") {
     val sk = Dedup.simhash(base, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
