@@ -166,6 +166,16 @@ object PipelineQueries {
       Some(neardupLshOracle(dim = 64, nBits = NdBits, bands = NdBands,
         minCos = 0.4, seed = 42L))),
 
+    // ---- embedding near-dup KEEP: LSH pairs → component collapse →
+    // min-id survivors; composed oracle (d06 CTEs + unrolled steps).
+    NamedQuery("d13_embedding_neardup_kept",
+      (s, dir) => Similarity.dropNearDupEmbeddingsLsh(
+          Tables.embeddings(s, dir).select("vec_id", "embedding"), minCos = 0.4,
+          dim = 64, nBits = NdBits, bands = NdBands, seed = 42L, iters = 4)
+        .select(col("id").as("vec_id")).orderBy("vec_id"),
+      Some(neardupEmbKeepOracle(dim = 64, nBits = NdBits, bands = NdBands,
+        minCos = 0.4, seed = 42L, iters = 4))),
+
     // ---- brute-force exact ANN: top-5 cosine neighbors for the first
     // 20 vectors against the whole corpus.
     NamedQuery("s01_ann_brute_topk", (s, dir) => {
@@ -576,6 +586,31 @@ object PipelineQueries {
        |  FROM cand JOIN sk a ON id_a = a.id JOIN sk b ON id_b = b.id)
        |SELECT id_a, id_b, hamming FROM ver WHERE hamming <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Generated oracle for the embedding near-dup KEEP (d13): the d06
+    * LSH-pair CTEs + unrolled min-label component steps + min-id
+    * survivors — mirroring Similarity.dropNearDupEmbeddingsLsh. */
+  private def neardupEmbKeepOracle(dim: Int, nBits: Int, bands: Int,
+      minCos: Double, seed: Long, iters: Int): String = {
+    val base = neardupLshOracle(dim, nBits, bands, minCos, seed)
+    val ctes = base.substring(0, base.indexOf("\nSELECT id_a"))
+    val steps = (1 to iters).map { i =>
+      s"""l$i AS (SELECT v.id,
+         |    least(l${i - 1}.label, COALESCE(m.minl, l${i - 1}.label)) AS label
+         |  FROM v JOIN l${i - 1} ON v.id = l${i - 1}.id
+         |  LEFT JOIN (SELECT symp.dst AS id, min(l${i - 1}.label) AS minl
+         |             FROM symp JOIN l${i - 1} ON symp.src = l${i - 1}.id
+         |             GROUP BY symp.dst) m ON v.id = m.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$ctes,
+       |pairs AS (SELECT id_a, id_b FROM scored WHERE cos >= $minCos),
+       |v AS (SELECT vec_id AS id FROM e),
+       |symp AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps
+       |SELECT id AS vec_id FROM l$iters WHERE id = label ORDER BY vec_id""".stripMargin
   }
 
   /** Generated oracle for the LSH-banded embedding near-dup: rebuild

@@ -236,6 +236,25 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Embedding near-dup KEEP — collapse every cosine-near-dup CLUSTER
+    * to its minimum-id representative: LSH-banded pairs
+    * ([[cosineNearDupPairsLsh]]) → min-label connected components →
+    * survivors whose id equals their component label. The embedding
+    * sibling of graft.dedup.Dedup.dropNearDupsPortable, same scale
+    * shape (banded candidates, per-superstep keyed shuffles). Output:
+    * surviving (id, v) rows. */
+  def dropNearDupEmbeddingsLsh(df: DataFrame, minCos: Double, dim: Int,
+      nBits: Int = 60, bands: Int = 15, seed: Long = 42L,
+      iters: Int = 4): DataFrame = {
+    val pairs = cosineNearDupPairsLsh(df, minCos, dim, nBits, bands, seed)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val named = df.toDF("id", "v")
+    val labels = graft.graph.IterativeGraph
+      .minLabelComponents(named.select("id"), edges, iters)
+    named.join(labels.filter(col("id") === col("label")).select("id"),
+      Seq("id"), "left_semi")
+  }
+
   /** All pairs with cosine ≥ minCos, id_a < id_b — the brute-force
     * EXACT form. O(n²) pairs: not a registered query path; kept as the
     * oracle cross-check for [[cosineNearDupPairsLsh]] (SimilaritySpec

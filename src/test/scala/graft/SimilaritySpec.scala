@@ -79,6 +79,15 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq == Seq((2L, 1.0)))
   }
 
+  test("dropNearDupEmbeddingsLsh collapses a duplicate cluster to min id") {
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat)
+    val far = Array.tabulate(64)(i => (math.cos(i * 2 + 1) * 5).toFloat)
+    val vecs = Seq((1L, base), (2L, base), (3L, far), (4L, base)).toDF("id", "v")
+    val kept = Similarity.dropNearDupEmbeddingsLsh(vecs, minCos = 0.99, dim = 64)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L)) // {1,2,4} collapse to 1; 3 survives
+  }
+
   test("cosineNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
