@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatDot
+import graft.functions.{FloatDot, FloatVector}
 
 /** Session-extension entry point — the deployment-grade way to wire
   * the engine's custom Catalyst expressions into EVERY session of a
@@ -25,10 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
-      (args: Seq[Expression]) => args match {
-        case Seq(a, b) => FloatDot(a, b)
-        case other => throw new IllegalArgumentException(
-          s"float_dot expects 2 arguments, got ${other.size}")
-      }))
+      (args: Seq[Expression]) => FloatVector.builder(args)))
   }
 }

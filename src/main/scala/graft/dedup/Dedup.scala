@@ -256,8 +256,11 @@ object Dedup {
     val vertices = df.select(col(idCol).as("id"))
     val labels = graft.graph.IterativeGraph
       .minLabelComponents(vertices, edges, iters)
-    df.join(labels.filter(col("id") === col("label")).select("id"),
-      df(idCol) === col("id"), "left_semi")
+    // survivors aliased to a fresh name: a caller whose idCol is
+    // literally "id" must not make the join condition ambiguous
+    val keep = labels.filter(col("id") === col("label"))
+      .select(col("id").as("__keep_id"))
+    df.join(keep, df(idCol) === col("__keep_id"), "left_semi")
   }
 
   /** 64-bit SimHash over the document's term-frequency vector: bit i of

@@ -80,11 +80,16 @@ object FloatVector {
   def dotF(a: Column, b: Column): Column =
     column(FloatDot(expression(a), expression(b)))
 
+  /** The one `float_dot` function builder — shared by the per-session
+    * registration below and the cluster-wide graft.GraftExtensions
+    * injection, so the two SQL paths can never drift. */
+  private[graft] val builder: Seq[Expression] => Expression = {
+    case Seq(a, b) => FloatDot(a, b)
+    case args => throw new IllegalArgumentException(
+      s"float_dot expects 2 arguments, got ${args.size}")
+  }
+
   /** Make the expression visible to SQL (EP2): `float_dot(a, b)`. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
-    GraftExpressionBridge.registerFunction(spark, "float_dot", {
-      case Seq(a, b) => FloatDot(a, b)
-      case args => throw new IllegalArgumentException(
-        s"float_dot expects 2 arguments, got ${args.size}")
-    })
+    GraftExpressionBridge.registerFunction(spark, "float_dot", builder)
 }

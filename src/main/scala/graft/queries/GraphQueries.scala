@@ -197,8 +197,10 @@ object GraphQueries {
     NamedQuery("g15_power_smoothing",
       (s, dir) => {
         val g = PropertyGraph.customerPartGraph(s, dir)
+        // round(4), not (6): iterated double sums accumulate in
+        // different orders on the two engines (same reasoning as g10)
         IterativeGraph.powerSmoothingFixed(g.edges, "weight", iters = PsIters)
-          .select(col("id"), round(col("v"), 6).as("v"))
+          .select(col("id"), round(col("v"), 4).as("v"))
           .orderBy(col("v").desc, col("id")).limit(20)
       },
       Some(powerSmoothingOracle(PsIters))),
@@ -239,7 +241,7 @@ object GraphQueries {
        |st AS (SELECT count(*) AS n, sum(deg) AS sumdeg FROM deg),
        |v0 AS (SELECT id, deg * n / sumdeg AS v FROM deg CROSS JOIN st),
        |$steps
-       |SELECT id, round(v, 6) AS v FROM v$iters
+       |SELECT id, round(v, 4) AS v FROM v$iters
        |ORDER BY v DESC, id LIMIT 20""".stripMargin
   }
 
@@ -312,14 +314,7 @@ object GraphQueries {
 
   /** Unrolled-CTE min-label propagation over symmetrized edges. */
   private def minLabelOracle(iters: Int): String = {
-    val steps = (1 to iters).map { i =>
-      s"""l$i AS (SELECT v.id,
-         |    least(l${i - 1}.label, COALESCE(m.minl, l${i - 1}.label)) AS label
-         |  FROM v JOIN l${i - 1} ON v.id = l${i - 1}.id
-         |  LEFT JOIN (SELECT sym.dst AS id, min(l${i - 1}.label) AS minl
-         |             FROM sym JOIN l${i - 1} ON sym.src = l${i - 1}.id
-         |             GROUP BY sym.dst) m ON v.id = m.id)""".stripMargin
-    }.mkString(",\n")
+    val steps = OracleFragments.minLabelSteps("sym", iters)
     s"""$edgesCte,
        |$vertexCte,
        |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),

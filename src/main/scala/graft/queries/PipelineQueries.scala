@@ -595,14 +595,7 @@ object PipelineQueries {
       minCos: Double, seed: Long, iters: Int): String = {
     val base = neardupLshOracle(dim, nBits, bands, minCos, seed)
     val ctes = base.substring(0, base.indexOf("\nSELECT id_a"))
-    val steps = (1 to iters).map { i =>
-      s"""l$i AS (SELECT v.id,
-         |    least(l${i - 1}.label, COALESCE(m.minl, l${i - 1}.label)) AS label
-         |  FROM v JOIN l${i - 1} ON v.id = l${i - 1}.id
-         |  LEFT JOIN (SELECT symp.dst AS id, min(l${i - 1}.label) AS minl
-         |             FROM symp JOIN l${i - 1} ON symp.src = l${i - 1}.id
-         |             GROUP BY symp.dst) m ON v.id = m.id)""".stripMargin
-    }.mkString(",\n")
+    val steps = OracleFragments.minLabelSteps("symp", iters)
     s"""$ctes,
        |pairs AS (SELECT id_a, id_b FROM scored WHERE cos >= $minCos),
        |v AS (SELECT vec_id AS id FROM e),
@@ -689,14 +682,7 @@ object PipelineQueries {
     val base = minhashPortableOracle(numHashes, bands, minJaccard)
     // reuse everything up to (and including) the `ver` CTE
     val ctes = base.substring(0, base.indexOf("\nSELECT id_a"))
-    val steps = (1 to iters).map { i =>
-      s"""l$i AS (SELECT v.id,
-         |    least(l${i - 1}.label, COALESCE(m.minl, l${i - 1}.label)) AS label
-         |  FROM v JOIN l${i - 1} ON v.id = l${i - 1}.id
-         |  LEFT JOIN (SELECT symp.dst AS id, min(l${i - 1}.label) AS minl
-         |             FROM symp JOIN l${i - 1} ON symp.src = l${i - 1}.id
-         |             GROUP BY symp.dst) m ON v.id = m.id)""".stripMargin
-    }.mkString(",\n")
+    val steps = OracleFragments.minLabelSteps("symp", iters)
     s"""$ctes,
        |pairs AS (SELECT id_a, id_b FROM ver WHERE est_jaccard >= $minJaccard),
        |v AS (SELECT doc_id AS id FROM all_docs),
