@@ -99,4 +99,24 @@ object Relational {
       .groupBy(keys.map(col): _*)
       .agg(sum("__cnt").as("cnt"), sum("__sum").as(s"${valueCol}_sum"))
   }
+
+  /** As-of join: for every left row, attach the single most recent
+    * right row with `rightTs` ≤ `leftTs`, matched on `keys` — the
+    * event-attribution / point-in-time-lookup primitive (q20 is its
+    * registered instance). `leftIdCol` must uniquely identify left rows
+    * (the rank window partitions by it); `rightTieBreak` pins a
+    * deterministic winner among equal timestamps. Physical shape: one
+    * shuffled equi-join on `keys` with a residual range predicate —
+    * never a cartesian — then a per-left-row rank. Left rows with no
+    * qualifying right row are dropped (inner as-of). */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftIdCol: String, leftTs: String, rightTs: String,
+      rightTieBreak: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(leftIdCol)
+      .orderBy(col(rightTs).desc +: rightTieBreak: _*)
+    left.join(right, keys)
+      .filter(col(rightTs) <= col(leftTs))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
 }

@@ -107,12 +107,9 @@ object AdvancedQueries {
         .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
       val c = e.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
-      val w = Window.partitionBy("purchase_id")
-        .orderBy(col("c_ts").desc, col("click_id").desc)
-      p.join(c, Seq("user_id"))
-        .filter(col("c_ts") <= col("p_ts"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      graft.operators.Relational.asofJoin(p, c, Seq("user_id"),
+          leftIdCol = "purchase_id", leftTs = "p_ts", rightTs = "c_ts",
+          rightTieBreak = Seq(col("click_id").desc))
         .select(col("purchase_id"), col("user_id"), col("click_id"),
           unix_micros(col("c_ts")).as("click_us"))
         .orderBy("purchase_id")

@@ -396,6 +396,24 @@ object PipelineQueries {
         .orderBy("id"),
       Some(curationOracle(minQuality = 0.3, keepLangs = Seq("en")))),
 
+    // ---- corpus-statistical quality: mean unigram surprisal under
+    // the corpus's own empirical distribution (KenLM-lite scoring).
+    NamedQuery("t06_unigram_surprisal",
+      (s, dir) => TextOps.unigramSurprisal(
+          Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS id, unnest(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |n AS (SELECT count(*) AS n_total FROM toks)
+             |SELECT id, round(-avg(ln(cnt::DOUBLE / n_total)), 4) AS surprisal,
+             |       count(*) AS n_tokens
+             |FROM toks JOIN freq USING (tok) CROSS JOIN n
+             |GROUP BY id ORDER BY id""".stripMargin)),
+
     // ---- xxhash64 token-stream fingerprints (rows-only: hash fn).
     NamedQuery("t03_fingerprints", (s, dir) =>
       Tables.documents(s, dir).select(

@@ -86,6 +86,29 @@ object TextOps {
     chain
   }
 
+  /** Corpus-statistical quality signal: per-document mean unigram
+    * surprisal −avg(ln p(tok)) under the corpus's own empirical
+    * unigram distribution — the "KenLM-lite" scoring used to separate
+    * natural prose (common words → low surprisal) from word salad /
+    * boilerplate (rare tokens → high). Unlike the heuristic
+    * [[qualityScore]] this is CORPUS-level: one token frequency
+    * aggregation (shuffle on token), then a broadcast-friendly join
+    * back — at 100 TB the frequency table is ~vocabulary-sized, tiny
+    * next to the corpus. Output: (id, surprisal, n_tokens); documents
+    * with zero tokens are absent. */
+  def unigramSurprisal(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = graft.Caches.cached(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok")))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val n = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(freq, "tok").crossJoin(n)
+      .withColumn("logp", log(col("cnt").cast("double") / col("n_total")))
+      .groupBy("id")
+      .agg(round(-avg("logp"), 4).as("surprisal"),
+        count(lit(1)).as("n_tokens"))
+  }
+
   /** 64-bit document fingerprint: xxhash64 rolling over the token
     * stream (order-sensitive, whitespace-normalization-invariant).
     * Content-defined identity for exact/near-exact dedup bookkeeping. */

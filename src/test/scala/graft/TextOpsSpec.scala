@@ -46,6 +46,19 @@ class TextOpsSpec extends SparkSpec {
     assert(stats._1 >= 0.0 && stats._2 <= 1.0)
   }
 
+  test("unigramSurprisal: common words score lower than rare ones") {
+    val docs = Seq(
+      (1L, "the the the the"),     // most common token → minimal surprisal
+      (2L, "zyx qwv ploink gnarf") // singletons → maximal surprisal
+    ).toDF("doc_id", "text")
+    val got = graft.text.TextOps.unigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) < got(2L))
+    // doc 1: p(the) = 4/8 → surprisal = ln 2; doc 2: p = 1/8 → ln 8
+    assert(math.abs(got(1L) - math.log(2)) < 1e-3)
+    assert(math.abs(got(2L) - math.log(8)) < 1e-3)
+  }
+
   test("curateDocuments composes quality gate, lang gate, dedup, split") {
     val prose = "the cat and the dog went to the house in the garden " +
       "and it was good for them"
