@@ -100,6 +100,17 @@ object Relational {
       .agg(sum("__cnt").as("cnt"), sum("__sum").as(s"${valueCol}_sum"))
   }
 
+  /** Range join: (left, right) pairs sharing `keys` with `rightTs`
+    * strictly after `leftTs` and within `window` of it — the
+    * time-proximity pairing primitive (q19 is its registered
+    * instance). Physical shape: shuffled equi-join on `keys` with a
+    * residual range predicate — never a cartesian (PlanSpec-pinned). */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, window: String): DataFrame =
+    left.join(right, keys)
+      .filter(col(rightTs) > col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $window"))
+
   /** As-of join: for every left row, attach the single most recent
     * right row with `rightTs` ≤ `leftTs`, matched on `keys` — the
     * event-attribution / point-in-time-lookup primitive (q20 is its

@@ -77,11 +77,10 @@ object AdvancedQueries {
         | AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTE
         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val e = Tables.events(s, dir).select("user_id", "ts")
-      val a = e.toDF("user_id", "a_ts")
-      val b = e.toDF("user_id", "b_ts")
-      a.join(b, Seq("user_id"))
-        .filter(col("b_ts") > col("a_ts") &&
-          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTE"))
+      graft.operators.Relational.rangeJoin(
+          e.toDF("user_id", "a_ts"), e.toDF("user_id", "b_ts"),
+          Seq("user_id"), leftTs = "a_ts", rightTs = "b_ts",
+          window = "10 MINUTE")
         .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
         .orderBy("user_id")
     },
