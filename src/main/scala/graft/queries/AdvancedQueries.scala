@@ -325,6 +325,23 @@ object AdvancedQueries {
             <= 0.05).as("approx_within_5pct"))
     },
 
+    // ---- ANALYZE-style profiling: per-column null/distinct/min/max
+    // over documents in one aggregation pass (ingest QA).
+    q("q34_profile_documents", {
+      val cols = Seq("doc_id", "lang", "n_chars", "source")
+      cols.map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    }) { (s, dir) =>
+      graft.operators.Profiling.profile(Tables.documents(s, dir),
+          Seq("doc_id", "lang", "n_chars", "source"))
+        .orderBy("col_name")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
