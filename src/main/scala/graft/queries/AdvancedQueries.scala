@@ -325,6 +325,31 @@ object AdvancedQueries {
             <= 0.05).as("approx_within_5pct"))
     },
 
+    // ---- running (cumulative) aggregation: per-nation monthly revenue
+    // with a ROWS UNBOUNDED PRECEDING frame — the window-frame form the
+    // other window queries (rank/lag/top-k) don't exercise.
+    q("q35_cumulative_revenue",
+      """WITH m AS (
+        |  SELECT n_name, strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, month, revenue,
+        |  round(sum(revenue) OVER (PARTITION BY n_name ORDER BY month
+        |    ROWS UNBOUNDED PRECEDING), 2) AS cum_revenue
+        |FROM m ORDER BY n_name, month""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("n_name").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+        .withColumn("cum_revenue", round(sum("revenue").over(w), 2))
+        .orderBy("n_name", "month")
+    },
+
     // ---- ANALYZE-style profiling: per-column null/distinct/min/max
     // over documents in one aggregation pass (ingest QA).
     q("q34_profile_documents", {

@@ -414,6 +414,44 @@ object PipelineQueries {
              |FROM toks JOIN freq USING (tok) CROSS JOIN n
              |GROUP BY id ORDER BY id""".stripMargin)),
 
+    // ---- deterministic category-keyword extraction: top-5 tokens per
+    // source by tf·idf over categories — the corpus-exploration job
+    // spark.ml's LDA serves (m04), in a fully oracle-checkable form.
+    NamedQuery("t07_category_terms",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+        val nCats = tf.select(countDistinct("source").as("n_cats"))
+        val dfc = tf.groupBy("tok").agg(count(lit(1)).as("cat_df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("score").desc, col("tok"))
+        tf.join(dfc, "tok").crossJoin(nCats)
+          .withColumn("score", round(
+            col("tf") * log(col("n_cats").cast("double") / col("cat_df")), 4))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("source", "rank", "tok", "score")
+          .orderBy("source", "rank")
+      },
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |nc AS (SELECT count(DISTINCT source) AS n_cats FROM tf),
+             |dfc AS (SELECT tok, count(*) AS cat_df FROM tf GROUP BY tok),
+             |scored AS (
+             |  SELECT tf.source, tf.tok,
+             |    round(tf.tf * ln(nc.n_cats::DOUBLE / dfc.cat_df), 4) AS score
+             |  FROM tf JOIN dfc ON tf.tok = dfc.tok CROSS JOIN nc),
+             |ranked AS (SELECT source, tok, score, row_number() OVER (
+             |    PARTITION BY source ORDER BY score DESC, tok) AS rank
+             |  FROM scored)
+             |SELECT source, rank, tok, score FROM ranked WHERE rank <= 5
+             |ORDER BY source, rank""".stripMargin)),
+
     // ---- xxhash64 token-stream fingerprints (rows-only: hash fn).
     NamedQuery("t03_fingerprints", (s, dir) =>
       Tables.documents(s, dir).select(
