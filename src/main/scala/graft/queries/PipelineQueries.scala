@@ -421,7 +421,9 @@ object PipelineQueries {
       (s, dir) => {
         val toks = Tables.documents(s, dir)
           .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
-        val tf = toks.groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+        // cached: nCats, dfc, and the score join all derive from tf
+        val tf = graft.Caches.cached(
+          toks.groupBy("source", "tok").agg(count(lit(1)).as("tf")))
         val nCats = tf.select(countDistinct("source").as("n_cats"))
         val dfc = tf.groupBy("tok").agg(count(lit(1)).as("cat_df"))
         val w = org.apache.spark.sql.expressions.Window

@@ -101,7 +101,9 @@ object TextOps {
     val toks = graft.Caches.cached(
       df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok")))
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val n = toks.agg(count(lit(1)).as("n_total"))
+    // total from the vocabulary-sized freq table, not a second pass
+    // over the corpus-sized token stream
+    val n = freq.agg(sum(col("cnt")).as("n_total"))
     toks.join(freq, "tok").crossJoin(n)
       .withColumn("logp", log(col("cnt").cast("double") / col("n_total")))
       .groupBy("id")
