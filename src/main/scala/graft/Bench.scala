@@ -11,21 +11,36 @@ object Bench {
     // attribution run-to-run (Map order reshuffles with key set)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failed query must NOT look like a fast one: record the error
+      // class so a regression shows up as a failure, not a speedup
+      val err = try { fn(spark, sfDir).count(); null } catch {
+        case t: Throwable => t.getClass.getSimpleName
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9 // clear stays UNtimed
       Caches.clear(spark) // per-call intermediates; Memo frames stay
-      name -> elapsed
+      (name, elapsed, Option(err))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, e) =>
+      "\"" + k + "\":" + e.fold(fmt(v))(_ => "null") }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)
-    // stdout capture through sbt can truncate the (long) JSON line —
-    // persist it next to the repo as well so the record is lossless
+    // stdout capture through sbt truncates the HEAD of the (long) full
+    // JSON line — persist the lossless record to a file, and print a
+    // compact summary LAST (same schema, slowest 12 queries only) so a
+    // tail capture always contains one parseable JSON line.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), json + "\n")
+    val slow = results.filter(_._3.isEmpty).sortBy(-_._2).take(12)
+      .map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":$slow,"failed":$failed,"n":${results.size},""" +
+      s""""queries_full":"$out","sf":"$sfDir"}""")
     spark.stop()
   }
 }

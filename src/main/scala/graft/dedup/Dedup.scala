@@ -65,6 +65,35 @@ object Dedup {
         Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))))
       .filter(col("__rn") === 1).drop("__rn")
 
+  /** SUB-document exact dedup — the paragraph/chunk-level pass LLM
+    * corpora run after document-level dedup (boilerplate headers,
+    * license blocks and quoted passages repeat across otherwise
+    * distinct documents). Documents are split into fixed
+    * `chunkTokens`-token chunks (the paragraph analog for unstructured
+    * text); each DISTINCT chunk string keeps its FIRST occurrence by
+    * (id, chunk index) and every other occurrence is dropped.
+    *
+    * Output: surviving (id, idx, chunk) rows. Scale shape: the
+    * chunking is a pure scan-stage expression; the only shuffle is the
+    * window partitioned BY CHUNK TEXT — i.e. keyed on content, so it
+    * partitions evenly at any corpus size (a groupBy-on-hash
+    * equivalent; no all-pairs anywhere). */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    // guard the empty doc: sequence(0, -1) would count DOWN
+    val chunkArr = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        c => concat_ws(" ", slice(toks, c * chunkTokens + 1, lit(chunkTokens)))))
+    val chunks = df.select(col(idCol).as("id"),
+      posexplode(chunkArr).as(Seq("idx", "chunk")))
+    chunks.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("id"), col("idx"))))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("idx").cast("long").as("idx"), col("chunk"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs via inverted shingle index.
     *
     * `maxDf` drops shingles present in more than that many documents
@@ -141,23 +170,29 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Engine-portable MinHash + LSH: hash family = md5 hex of
-    * "<i>|<shingle>", signature element i = lexicographic min hex.
-    * Identical pipeline shape to [[minhashLshPairs]] (band → bucket
-    * join → signature-agreement verify) but every primitive (md5,
-    * string min, string concat) exists in any SQL engine, so the WHOLE
-    * algorithm is DuckDB-oracle-checkable end to end. Production use
-    * favors the xxhash64 variant (~an order of magnitude cheaper per
-    * hash); this one is the cross-engine-verifiable form.
-    */
+  /** Engine-portable MinHash + LSH: ONE md5 per shingle, split into
+    * two 32-bit halves (h1, h2), hash function i derived by
+    * Kirsch–Mitzenmacher double hashing — h_i = (h1 + i·h2 + i²) mod
+    * 2147483647 (i² de-correlates band 0 from h1 alone). Signature
+    * element i = min over shingles of h_i. Identical pipeline shape to
+    * [[minhashLshPairs]] (band → bucket join → signature-agreement
+    * verify) but every primitive (md5, hex parse, modular arithmetic)
+    * exists in any SQL engine, so the WHOLE algorithm is
+    * DuckDB-oracle-checkable end to end — and one md5 + numHashes
+    * fused multiply-adds per shingle costs ~the xxhash64 family,
+    * unlike the earlier numHashes-md5s-per-shingle form. */
   def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rows = numHashes / bands
+    val P = 2147483647L // 2³¹−1, Mersenne prime; h1 + 63·h2 + 63² < 2³⁹ ≪ 2⁶³
     // not persisted: consumed exactly once (the signature groupBy)
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
+      .withColumn("hx", md5(col("sh")))
+      .withColumn("h1", conv(substring(col("hx"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("hx"), 9, 8), 16, 10).cast("long"))
     val mins = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh_$i"))
+      min((col("h1") + lit(i.toLong) * col("h2") + lit(i.toLong * i)) % P).as(s"mh_$i"))
     val sig = graft.Caches.cached(ex.groupBy("id").agg(mins.head, mins.tail: _*))
 
     val bandHashes = (0 until bands).map { b =>
@@ -193,15 +228,16 @@ object Dedup {
     * per token vs an md5 + 16 nibble decodes). Output:
     * (id, band0..band3). */
   def simhashPortable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    // no (id, token) tf pre-aggregation: Σ per-occurrence ±1 equals the
+    // tf-weighted sum, so the final groupBy(id) is the only shuffle
+    val ex = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("hx", md5(col("tok")))
-    val withNibbles = (0 until 16).foldLeft(tf) { case (d, j) =>
+    val withNibbles = (0 until 16).foldLeft(ex) { case (d, j) =>
       d.withColumn(s"hv_$j", conv(substring(col("hx"), j + 1, 1), 16, 10).cast("int"))
     }
     val bitSums = (0 until 64).map { g =>
-      sum(when(shiftright(col(s"hv_${g / 4}"), g % 4).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b_$g")
+      sum(when(shiftright(col(s"hv_${g / 4}"), g % 4).bitwiseAND(1) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"b_$g")
     }
     val sums = withNibbles.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val bandCols = (0 until 4).map { b =>
@@ -246,16 +282,27 @@ object Dedup {
     * banded/iterative primitives — shuffles stay O(docs × bands) +
     * O(pairs) per superstep, never all-pairs. The md5 `portable`
     * variant keeps the WHOLE operator DuckDB-oracle-checkable (d12);
-    * production use swaps in [[minhashLshPairs]]. */
+    * production use swaps in [[minhashLshPairs]].
+    *
+    * `iters < 0` (the default) iterates components to a FIXPOINT, so a
+    * near-dup chain longer than any fixed superstep count still
+    * collapses to one survivor. A fixed `iters ≥ 0` runs exactly that
+    * many supersteps — only correct when the cluster diameter is known
+    * to be ≤ iters (band-connected clusters are near-cliques, so small
+    * values usually converge); the oracle-checked queries pin it to
+    * match their unrolled-CTE step count. */
   def dropNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, minJaccard: Double,
-      iters: Int = 4): DataFrame = {
+      iters: Int = -1): DataFrame = {
     val pairs = minhashLshPairsPortable(df, idCol, textCol, n, numHashes,
       bands, minJaccard)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val vertices = df.select(col(idCol).as("id"))
-    val labels = graft.graph.IterativeGraph
-      .minLabelComponents(vertices, edges, iters)
+    val labels =
+      if (iters < 0) graft.graph.IterativeGraph
+        .minLabelComponentsConverged(vertices, edges)
+      else graft.graph.IterativeGraph
+        .minLabelComponents(vertices, edges, iters)
     // survivors aliased to a fresh name: a caller whose idCol is
     // literally "id" must not make the join condition ambiguous
     val keep = labels.filter(col("id") === col("label"))
@@ -264,16 +311,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash over the document's term-frequency vector: bit i of
-    * the sketch is the sign of Σ_tokens tf·(±1 by bit i of xxhash64(tok)). */
+    * the sketch is the sign of Σ_tokens tf·(±1 by bit i of xxhash64(tok)).
+    *
+    * Computed WITHOUT a (id, token) tf pre-aggregation: summing ±1 per
+    * token OCCURRENCE is identical to the tf-weighted sum (Σ_occ ±1 =
+    * Σ_distinct tf·±1), so the only shuffle is the final groupBy(id) —
+    * whose 64-long buffers partial-aggregate map-side. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+    val ex = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"b_$i")
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, lit(1L))
+        .otherwise(lit(-1L))).as(s"b_$i")
     }
-    val sums = tf.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sums = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
     val sketch = (0 until 64)
       .map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))

@@ -20,10 +20,13 @@ object TopK {
   case class Buf(rows: Seq[Scored])
 
   /** Keep the k largest by (score desc, id asc). The buffer compacts
-    * lazily at 4k to amortize sorting. */
+    * lazily at 4k to amortize sorting. Scores are canonicalized with
+    * `+ 0.0` so -0.0 (e.g. `round` of a tiny negative cosine) compares
+    * equal to 0.0 — matching SQL/DuckDB total order at a top-k
+    * boundary, where the id tie-break must decide, not the sign bit. */
   class TopKAgg(k: Int) extends Aggregator[Scored, Buf, Seq[Scored]] {
     private def best(rows: Seq[Scored]): Seq[Scored] =
-      rows.sortBy(s => (-s.score, s.id)).take(k)
+      rows.sortBy(s => (-(s.score + 0.0d), s.id)).take(k)
     override def zero: Buf = Buf(Vector.empty)
     override def reduce(b: Buf, a: Scored): Buf = {
       val r = b.rows :+ a

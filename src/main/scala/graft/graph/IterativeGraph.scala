@@ -152,4 +152,38 @@ object IterativeGraph {
     }
     labels
   }
+
+  /** [[minLabelComponents]] iterated to a FIXPOINT: supersteps run
+    * until no vertex's label improves (checked with a cheap
+    * `limit(1).count` on the changed set — one extra job per
+    * superstep, each over localCheckpointed inputs so lineage stays
+    * flat). Use this when the near-dup graph's cluster diameter isn't
+    * known a priori — a chain of near-dups longer than a fixed `iters`
+    * would otherwise stay split across several survivors. `maxIters`
+    * bounds the loop (min-label propagation needs ≤ diameter
+    * supersteps; 64 covers any plausible near-dup chain). */
+  def minLabelComponentsConverged(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 64): DataFrame = {
+    val v = vertices.select("id")
+    val sym = symmetrize(edges)
+    var labels = v.select(col("id"), col("id").as("label")).localCheckpoint()
+    var step = 0
+    var converged = false
+    while (!converged && step < maxIters) {
+      val nb = sym.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min("label").as("nb_min"))
+      val next = v.join(labels, Seq("id"))
+        .join(nb, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label")))
+          .as("label"))
+        .localCheckpoint()
+      converged = next.join(
+          labels.withColumnRenamed("label", "__prev"), Seq("id"))
+        .filter(col("label") =!= col("__prev")).limit(1).count() == 0L
+      labels = next
+      step += 1
+    }
+    labels
+  }
 }

@@ -300,11 +300,18 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * 2×10¹² rows from a single key; this computes the same number with
     * arithmetic. Long math is exact while C(d,3) < 2⁶³ (d ≲ 2.4M
     * in-degree — beyond that the count itself needs a decimal column).
-    * Returns (hub, n_triples) for hubs with ≥3 spokes. */
+    * Returns (hub, n_triples) for hubs with ≥3 spokes.
+    *
+    * Degrees are taken over DISTINCT (src, dst) edges: `inDegrees`
+    * counts edge rows, so on a multigraph C(rowCount, 3) would
+    * overcount relative to the distinct-spoke triples the
+    * materializing form enumerates. */
   def threeStarCounts(): DataFrame =
-    inDegrees.filter(col("inDegree") >= 3)
-      .select(col("id").as("hub"),
-        expr("(inDegree * (inDegree - 1) * (inDegree - 2)) div 6").as("n_triples"))
+    edges.select("src", "dst").distinct()
+      .groupBy(col("dst").as("hub")).agg(count("*").as("__d"))
+      .filter(col("__d") >= 3)
+      .select(col("hub"),
+        expr("(__d * (__d - 1) * (__d - 2)) div 6").as("n_triples"))
 
   /** G7 materializing form — (a)-[]->(b); (c)-[]->(b); (d)-[]->(b)
     * with distinct spokes — compiled to self-equi-joins on dst, spokes
@@ -313,11 +320,15 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * to cap the per-hub blowup (a 23k-degree hub alone would emit
     * 2×10¹² rows). The default enumerates EVERYTHING — capping is an
     * explicit opt-in, never silent truncation. Counting queries should
-    * use [[threeStarCounts]] instead. */
+    * use [[threeStarCounts]] instead. Edges are deduplicated to
+    * (src, dst) first so a multigraph's parallel edges don't emit
+    * duplicate triple rows — keeps Σ rows = [[threeStarCounts]]. */
   def threeStarMotif(maxHubDegree: Int = Int.MaxValue): DataFrame = {
-    val tame = edges.join(
-      inDegrees.filter(col("inDegree") <= maxHubDegree)
-        .select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val distinctEdges = edges.select("src", "dst").distinct()
+    val tame = distinctEdges.join(
+      distinctEdges.groupBy(col("dst")).agg(count("*").as("__d"))
+        .filter(col("__d") <= maxHubDegree).select("dst"),
+      Seq("dst"), "left_semi")
     val e1 = tame.select(col("dst").as("hub"), col("src").as("s1"))
     val e2 = tame.select(col("dst").as("hub"), col("src").as("s2"))
     val e3 = tame.select(col("dst").as("hub"), col("src").as("s3"))

@@ -325,6 +325,30 @@ object AdvancedQueries {
             <= 0.05).as("approx_within_5pct"))
     },
 
+    // ---- approx percentile sketch (t-digest-family) with the q33
+    // tolerance-bound pattern: exact quantiles checked cross-engine,
+    // the sketch asserted within 1% relative error Spark-side.
+    q("q36_approx_quantile_bound",
+      """SELECT round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_exact,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_exact,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      def ok(i: Int) =
+        (abs(element_at(col("ap"), i) - element_at(col("ex"), i))
+          / element_at(col("ex"), i) <= 0.01)
+      Tables.lineitem(s, dir)
+        .agg(
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ex"),
+          expr("percentile_approx(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)")
+            .as("ap"))
+        .select(
+          round(element_at(col("ex"), 1), 4).as("p50_exact"),
+          round(element_at(col("ex"), 2), 4).as("p90_exact"),
+          round(element_at(col("ex"), 3), 4).as("p99_exact"),
+          ok(1).as("p50_ok"), ok(2).as("p90_ok"), ok(3).as("p99_ok"))
+    },
+
     // ---- running (cumulative) aggregation: per-nation monthly revenue
     // with a ROWS UNBOUNDED PRECEDING frame — the window-frame form the
     // other window queries (rank/lag/top-k) don't exercise.

@@ -473,7 +473,127 @@ object PipelineQueries {
              |  md5(array_to_string(list_filter(
              |    string_split_regex(lower(text), '[^a-z0-9]+'),
              |    x -> len(x) > 0), chr(1))) AS fingerprint
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ---- Gopher-style repetition quality signals: duplicate n-gram
+    // fractions + top-token concentration, all pure scan-stage
+    // expressions (zero shuffle at any corpus size).
+    NamedQuery("t08_repetition_stats", (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        TextOps.dupNgramFrac(col("text"), 2).as("dup_2gram_frac"),
+        TextOps.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"),
+        TextOps.topTokenFrac(col("text")).as("top_token_frac"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |g AS (
+             |  SELECT doc_id, ts,
+             |    list_transform(generate_series(2, len(ts)),
+             |                   i -> array_to_string(ts[i-1:i], ' ')) AS g2,
+             |    list_transform(generate_series(3, len(ts)),
+             |                   i -> array_to_string(ts[i-2:i], ' ')) AS g3
+             |  FROM t)
+             |SELECT doc_id,
+             |  CASE WHEN len(g2) = 0 THEN 0.0
+             |       ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END
+             |    AS dup_2gram_frac,
+             |  CASE WHEN len(g3) = 0 THEN 0.0
+             |       ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) END
+             |    AS dup_3gram_frac,
+             |  CASE WHEN len(ts) = 0 THEN 0.0
+             |       ELSE round(list_max(list_transform(list_distinct(ts),
+             |         x -> len(list_filter(ts, y -> y = x))))::DOUBLE / len(ts), 6) END
+             |    AS top_token_frac
+             |FROM g ORDER BY doc_id""".stripMargin)),
+
+    // ---- PII detection + redaction: emails/phones planted
+    // deterministically per doc (the corpus itself is clean word-soup),
+    // counted and scrubbed with the SAME RE2-subset patterns on both
+    // engines.
+    NamedQuery("t09_pii_redaction", (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com or 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+        .select(
+          col("doc_id"),
+          TextOps.emailCount(col("text")).as("n_emails"),
+          TextOps.phoneCount(col("text")).as("n_phones"),
+          TextOps.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id"),
+      Some(s"""WITH p AS (
+             |  SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@mail.example.com or 415-555-'
+             |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(text, '${TextOps.EmailRe}')) AS n_emails,
+             |  len(regexp_extract_all(text, '${TextOps.PhoneRe}')) AS n_phones,
+             |  regexp_replace(regexp_replace(text, '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+             |                 '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // ---- chunk-level exact dedup (the sub-document/paragraph pass):
+    // documents ∪ planted copies split into 20-token chunks; every
+    // distinct chunk keeps its first (id, idx) occurrence — all planted
+    // chunks must drop.
+    NamedQuery("d09_chunk_dedup", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+      Dedup.chunkDedup(docs.unionByName(planted), "doc_id", "text",
+          chunkTokens = 20)
+        .orderBy("id", "idx")
+    },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+             |t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS ts
+             |  FROM all_docs),
+             |chunks AS (
+             |  SELECT doc_id AS id, i.c AS idx,
+             |    array_to_string(ts[i.c*20+1 : least((i.c+1)*20, len(ts))], ' ') AS chunk
+             |  FROM t CROSS JOIN LATERAL (SELECT unnest(generate_series(
+             |    0, CAST(ceil(len(ts) / 20.0) AS INT) - 1)) AS c) i),
+             |ranked AS (
+             |  SELECT id, idx, chunk,
+             |    row_number() OVER (PARTITION BY chunk ORDER BY id, idx) AS rn
+             |  FROM chunks)
+             |SELECT id, idx, chunk FROM ranked WHERE rn = 1
+             |ORDER BY id, idx""".stripMargin)),
+
+    // ---- per-label centroids + nearest-centroid assignment: the
+    // known-label sibling of KMeans assignment (centroid table is
+    // labels × dim → broadcast; corpus scanned once).
+    NamedQuery("s05_centroid_assign",
+      (s, dir) => Similarity.centroidAssign(
+          Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+        .select(col("id").as("vec_id"), col("label"), col("assigned"), col("cos"))
+        .orderBy("vec_id"),
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |ex AS (SELECT label, unnest(v) AS x,
+             |    unnest(generate_series(1, len(v))) AS pos FROM e),
+             |cm AS (SELECT label, pos, avg(x) AS cx FROM ex GROUP BY label, pos),
+             |cent AS (SELECT label AS clabel, list(cx ORDER BY pos) AS c
+             |  FROM cm GROUP BY label),
+             |cn AS (SELECT clabel, c,
+             |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cent),
+             |sc AS (SELECT e.vec_id, e.label, cn.clabel,
+             |    round(${dotSql("e.v", "cn.c")}
+             |      / (sqrt(${dotSql("e.v", "e.v")}) * cn.cnrm), 4) AS cos
+             |  FROM e CROSS JOIN cn),
+             |r AS (SELECT vec_id, label, clabel AS assigned, cos,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+             |  FROM sc)
+             |SELECT vec_id, label, assigned, cos FROM r WHERE rn = 1
+             |ORDER BY vec_id""".stripMargin))
   )
 
   private def sqlList(words: Seq[String]): String =
@@ -752,15 +872,19 @@ object PipelineQueries {
   }
 
   /** Generated oracle for the portable MinHash: same shingling CTE as
-    * d02, md5("<i>|sh") min-hex signatures, band hashes, bucket join,
-    * agreement verify. */
+    * d02, ONE md5 per shingle split into two 32-bit halves, hash i =
+    * (h1 + i·h2 + i²) mod 2147483647 (Kirsch–Mitzenmacher double
+    * hashing — mirrors Dedup.minhashLshPairsPortable), min per doc,
+    * band hashes, bucket join, agreement verify. */
   private def minhashPortableOracle(numHashes: Int, bands: Int,
       minJaccard: Double): String = {
     val rows = numHashes / bands
     val minCols = (0 until numHashes)
-      .map(i => s"min(md5('$i|' || sh)) AS mh_$i").mkString(",\n    ")
+      .map(i => s"min((h1 + $i * h2 + ${i.toLong * i}) % 2147483647) AS mh_$i")
+      .mkString(",\n    ")
     val bandRows = (0 until bands).map { b =>
-      val cat = (b * rows until (b + 1) * rows).map(i => s"mh_$i").mkString(" || '|' || ")
+      val cat = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || '|' || ")
       s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
     val agree = (0 until numHashes)
@@ -778,9 +902,13 @@ object PipelineQueries {
        |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS arr
        |  FROM toks WHERE len(ts) >= 3),
        |ex AS (SELECT doc_id AS id, unnest(arr) AS sh FROM shs),
+       |hs AS (SELECT id,
+       |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+       |  FROM ex),
        |sig AS (SELECT id,
        |    $minCols
-       |  FROM ex GROUP BY id),
+       |  FROM hs GROUP BY id),
        |banded AS (
        |  $bandRows),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b

@@ -242,15 +242,21 @@ object Similarity {
     * survivors whose id equals their component label. The embedding
     * sibling of graft.dedup.Dedup.dropNearDupsPortable, same scale
     * shape (banded candidates, per-superstep keyed shuffles). Output:
-    * surviving (id, v) rows. */
+    * surviving (id, v) rows. `iters < 0` (default) iterates components
+    * to a fixpoint; a fixed count is only correct when cluster
+    * diameter ≤ iters (the oracle queries pin it to their unrolled-CTE
+    * step count). */
   def dropNearDupEmbeddingsLsh(df: DataFrame, minCos: Double, dim: Int,
       nBits: Int = 60, bands: Int = 15, seed: Long = 42L,
-      iters: Int = 4): DataFrame = {
+      iters: Int = -1): DataFrame = {
     val pairs = cosineNearDupPairsLsh(df, minCos, dim, nBits, bands, seed)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val named = df.toDF("id", "v")
-    val labels = graft.graph.IterativeGraph
-      .minLabelComponents(named.select("id"), edges, iters)
+    val labels =
+      if (iters < 0) graft.graph.IterativeGraph
+        .minLabelComponentsConverged(named.select("id"), edges)
+      else graft.graph.IterativeGraph
+        .minLabelComponents(named.select("id"), edges, iters)
     named.join(labels.filter(col("id") === col("label")).select("id"),
       Seq("id"), "left_semi")
   }
@@ -267,5 +273,48 @@ object Similarity {
       .withColumn("cos", round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
+  }
+
+  /** Per-label centroids + nearest-centroid assignment — the
+    * embedding-space "cluster profile" pass (known-label sibling of
+    * KMeans assignment; the building block of IVF probing and
+    * centroid-based corpus audits).
+    *
+    * Centroids: posexplode to (label, pos, x) → avg per (label, pos) →
+    * re-assembled in pos order. One shuffle keyed by (label, pos);
+    * the centroid table is labels × dim — vocabulary-sized, so it
+    * BROADCASTS to the assignment join at any corpus size. Assignment:
+    * each vector scores every centroid (labels is small) in DOUBLE
+    * precision via a sequential zip_with fold — the exact arithmetic
+    * the DuckDB oracle replays — and keeps the best by
+    * (rounded cos desc, label asc).
+    *
+    * Output: (id, label, assigned, cos) — `label` the row's own label,
+    * `assigned` the nearest centroid's, `cos` rounded to 4dp
+    * (centroid averages are parallel-summed, so trailing bits differ
+    * from a sequential engine's; 4dp absorbs that). */
+  def centroidAssign(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val e = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col(labelCol).as("label"))
+    val ex = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = ex.groupBy("label", "pos")
+      .agg(avg(col("x").cast("double")).as("cx"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cx")))),
+        s => s.getField("cx")).as("c"))
+      .select(col("label").as("clabel"), col("c"),
+        sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x)).as("cnrm"))
+    val scored = e
+      .withColumn("vnrm",
+        sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x.cast("double") * x)))
+      .join(broadcast(cent))
+      .withColumn("cos", round(
+        aggregate(zip_with(col("v"), col("c"), (a, b) => a.cast("double") * b),
+          lit(0.0), (acc, x) => acc + x) / (col("vnrm") * col("cnrm")), 4))
+    scored.withColumn("__rn", row_number().over(Window.partitionBy("id")
+        .orderBy(col("cos").desc, col("clabel"))))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("label"), col("clabel").as("assigned"), col("cos"))
   }
 }

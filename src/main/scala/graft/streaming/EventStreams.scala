@@ -65,10 +65,11 @@ object EventStreams {
     * it runs scan-stage on an unbounded stream: signature element i =
     * min over shingles of xxhash64(i, shingle); band hash = xxhash64 of
     * its signature rows. Same family as the batch
-    * graft.dedup.Dedup.minhashLshPairs. */
-  private def minhashBands(text: org.apache.spark.sql.Column,
-      n: Int, numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
-    val sh = graft.dedup.Dedup.shingles(text, n)
+    * graft.dedup.Dedup.minhashLshPairs. Takes the SHINGLE array column
+    * (not the raw text) so callers compute shingles once — shingling is
+    * the dominant per-row cost on this hot scan-stage path. */
+  private def minhashBandsFromShingles(sh: org.apache.spark.sql.Column,
+      numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
     val mins = (0 until numHashes).map(i =>
       array_min(transform(sh, s => xxhash64(lit(i), s))))
     val rows = numHashes / bands
@@ -93,12 +94,15 @@ object EventStreams {
     // attribute resolution inside the streaming join planner
     def banded(idName: String, tsName: String, bandName: String, bhName: String) =
       docs
+        // shingle ONCE into a column; the filter and the band hashes
+        // both read it (shingling twice doubled the scan-stage cost)
+        .withColumn("__sh", graft.dedup.Dedup.shingles(col(textCol), n))
         // docs with < n tokens have NO shingles: their signature would
         // degenerate to one shared null-band constant and pair every
         // short doc with every other — drop them (as the batch twin's
         // groupBy does implicitly)
-        .filter(size(graft.dedup.Dedup.shingles(col(textCol), n)) > 0)
-        .withColumn("__bands", minhashBands(col(textCol), n, numHashes, bands))
+        .filter(size(col("__sh")) > 0)
+        .withColumn("__bands", minhashBandsFromShingles(col("__sh"), numHashes, bands))
         .withWatermark(tsCol, watermark)
         .select(col(idCol).as(idName), col(tsCol).as(tsName),
           posexplode(col("__bands")).as(Seq(bandName, bhName)))

@@ -123,4 +123,54 @@ object TextOps {
     * cheap in-engine form. */
   def fingerprintPortable(text: Column): Column =
     md5(concat_ws("", tokens(text)))
+
+  /** Word n-gram array IN TOKEN ORDER (duplicates kept) — the
+    * repetition-measure primitive; [[graft.dedup.Dedup.shingles]] is
+    * the DISTINCT-set variant used for Jaccard/MinHash. */
+  def ngramsOrdered(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(n), size(toks)),
+        i => concat_ws(" ", slice(toks, i - (n - 1), lit(n)))))
+  }
+
+  /** Gopher-style repetition fraction: 1 − distinct/total over ordered
+    * word n-grams (0.0 for docs with < n tokens). Natural prose sits
+    * low; boilerplate, keyword stuffing and templated spam sit high —
+    * the canonical "repetition" quality filter for LLM corpora. Pure
+    * scan-stage expression. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val grams = ngramsOrdered(text, n)
+    when(size(grams) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+  }
+
+  /** Fraction of tokens taken by the single most frequent token (0.0
+    * for empty docs). High values flag keyword-stuffed / degenerate
+    * documents. Only the max COUNT is needed, so no tie-break enters
+    * the result. Quadratic in (distinct × total) tokens per row —
+    * fine for document-sized inputs, still scan-stage. */
+  def topTokenFrac(text: Column): Column = {
+    val toks = tokens(text)
+    val counts = transform(array_distinct(toks),
+      x => size(filter(toks, y => y === x)))
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      round(array_max(counts).cast("double") / size(toks), 6))
+  }
+
+  /** PII regexes — deliberately in the RE2-compatible subset so the
+    * same pattern string runs under Java regex (Spark) and RE2
+    * (DuckDB/Go scrubbers) identically. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Count of email-shaped / phone-shaped substrings. */
+  def emailCount(text: Column): Column = size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def phoneCount(text: Column): Column = size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+
+  /** PII scrub: emails → `<EMAIL>`, phones → `<PHONE>`. Pure
+    * scan-stage expression — the shape of every redaction pass a
+    * training-data pipeline runs before tokenization. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 }

@@ -68,4 +68,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 4L)) == 0)
     assert(!pairs.contains((1L, 3L)))
   }
+
+  test("chunkDedup drops repeated chunks, keeps first (id, idx) occurrence") {
+    val docs = Seq(
+      (1L, "a b c d e f"),          // chunks (size 3): "a b c", "d e f"
+      (2L, "a b c x y z"),          // first chunk repeats doc 1's
+      (3L, "d e f"),                // equals doc 1's second chunk
+      (4L, "")                      // empty doc: no chunks at all
+    ).toDF("doc_id", "text")
+    val kept = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 3)
+      .select("id", "idx", "chunk").as[(Long, Long, String)].collect().toSet
+    assert(kept == Set((1L, 0L, "a b c"), (1L, 1L, "d e f"), (2L, 1L, "x y z")))
+  }
+
+  test("fixpoint components collapse a chain a fixed superstep count splits") {
+    // 5—9—1—8—4 near-dup CHAIN: after 1 superstep each node holds the
+    // min of its 1-hop neighborhood, so the LOCAL minima 5, 1 and 4 all
+    // keep their own label → three survivors (a split cluster). The
+    // converged form reaches the true single component.
+    import graft.graph.IterativeGraph
+    val v = Seq(5L, 9L, 1L, 8L, 4L).toDF("id")
+    val e = Seq((5L, 9L), (9L, 1L), (1L, 8L), (8L, 4L)).toDF("src", "dst")
+    val fixed = IterativeGraph.minLabelComponents(v, e, iters = 1)
+      .filter($"id" === $"label").count()
+    val converged = IterativeGraph.minLabelComponentsConverged(v, e)
+      .filter($"id" === $"label").count()
+    assert(fixed == 3)     // 5, 1, 4 are 1-hop local minima
+    assert(converged == 1) // fixpoint reaches the true single component
+  }
 }

@@ -96,4 +96,19 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L)))
   }
+
+  test("centroidAssign maps every vector of separated label groups to its own centroid") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.9f, -0.1f), 0),
+      (2L, Array(-0.1f, 1.0f), 1), (3L, Array(0.1f, 0.9f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidAssign(vecs, "vec_id", "embedding", "label")
+      .select("id", "label", "assigned", "cos")
+      .as[(Long, Int, Int, Double)].collect()
+    assert(got.length == 4)
+    got.foreach { case (_, label, assigned, cos) =>
+      assert(assigned == label)
+      assert(cos > 0.9 && cos <= 1.0)
+    }
+  }
 }

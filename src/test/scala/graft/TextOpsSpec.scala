@@ -75,4 +75,35 @@ class TextOpsSpec extends SparkSpec {
     val (_, q, lang, split) = got.head
     assert(q >= 0.3 && lang == "en" && Set("train", "val", "test").contains(split))
   }
+
+  test("repetition stats: templated text scores high, varied text low, empty zero") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now"),  // heavy 2-gram repetition
+      (2L, "one two three four five six seven eight"), // all distinct
+      (3L, "")
+    ).toDF("id", "text")
+    val got = docs.select($"id",
+        TextOps.dupNgramFrac($"text", 2).as("d2"),
+        TextOps.topTokenFrac($"text").as("tt"))
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // "buy now"×4: 7 bigrams, 2 distinct → 1 - 2/7; top token 4/8
+    assert(math.abs(got(1L)._1 - (1.0 - 2.0 / 7)) < 1e-6)
+    assert(got(1L)._2 == 0.5)
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == 0.125)
+    assert(got(3L) == (0.0, 0.0))
+  }
+
+  test("PII redaction counts and scrubs emails/phones, leaves clean text alone") {
+    val docs = Seq(
+      (1L, "reach me at jo.doe+x@corp.example.org or 415-555-0199 thanks"),
+      (2L, "no pii in this sentence at all")
+    ).toDF("id", "text")
+    val got = docs.select($"id",
+        TextOps.emailCount($"text").as("e"), TextOps.phoneCount($"text").as("p"),
+        TextOps.redactPii($"text").as("r"))
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1 && got(1L)._3 == 1)
+    assert(got(1L)._4 == "reach me at <EMAIL> or <PHONE> thanks")
+    assert(got(2L)._2 == 0 && got(2L)._3 == 0 && got(2L)._4 == "no pii in this sentence at all")
+  }
 }
