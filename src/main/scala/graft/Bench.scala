@@ -7,6 +7,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = Sessions.local(cpus)
+    // untimed warmup: JIT + codegen + parquet footer caches otherwise
+    // land entirely on the alphabetically-first query (d01 measured
+    // ~4.5 s of which ~4 s was first-query warmup, not the operator)
+    try {
+      SparkEntry.entry(spark).count()
+      Tables.documents(spark, sfDir).count()
+      Tables.embeddings(spark, sfDir).count()
+      Tables.lineitem(spark, sfDir).count()
+      Tables.events(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     // sorted: deterministic execution order → stable cache-warmup
     // attribution run-to-run (Map order reshuffles with key set)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

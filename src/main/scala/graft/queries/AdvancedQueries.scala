@@ -349,6 +349,23 @@ object AdvancedQueries {
           ok(1).as("p50_ok"), ok(2).as("p90_ok"), ok(3).as("p99_ok"))
     },
 
+    // ---- CUBE: all four grouping combinations in one pass — completes
+    // the multi-grouping family (q18 ROLLUP, q31 GROUPING SETS).
+    q("q37_cube_quantity",
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_items
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n_items"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_items"))
+        .orderBy("returnflag", "linestatus")
+    },
+
     // ---- running (cumulative) aggregation: per-nation monthly revenue
     // with a ROWS UNBOUNDED PRECEDING frame — the window-frame form the
     // other window queries (rank/lag/top-k) don't exercise.

@@ -593,7 +593,39 @@ object PipelineQueries {
              |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
              |  FROM sc)
              |SELECT vec_id, label, assigned, cos FROM r WHERE rn = 1
-             |ORDER BY vec_id""".stripMargin))
+             |ORDER BY vec_id""".stripMargin)),
+
+    // ---- token-budget shard packing (the sequence-packing precursor):
+    // within each source stream, docs are assigned to consecutive
+    // shards of ≤2048 tokens by an exclusive running token count.
+    // The window is PARTITIONED BY SOURCE — the per-stream keyed form
+    // that scales (a single global ordering would serialize the whole
+    // corpus through one partition).
+    NamedQuery("p05_token_shards", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("shard", floor(col("cum") / 2048.0).cast("long"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("source", "shard")
+    },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                    x -> len(x) > 0)) AS n_tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, source, n_tokens,
+             |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM t)
+             |SELECT source, CAST(floor(cum / 2048.0) AS BIGINT) AS shard,
+             |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin))
   )
 
   private def sqlList(words: Seq[String]): String =

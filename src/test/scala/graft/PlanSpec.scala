@@ -190,4 +190,27 @@ class PlanSpec extends SparkSpec {
     // two HashAggregate phases around one shuffle
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected partial+final agg in:\n$plan")
   }
+
+  test("chunkDedup shuffles once, keyed by chunk content — no join, no cartesian") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"alpha beta g$i d$i e$i f$i"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.dedup.Dedup.chunkDedup(docs, "doc_id", "text", 3))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      s"chunk dedup must not join:\n$plan")
+    // exactly one exchange, keyed by chunk content (the AQE plan string
+    // repeats the tree under "== Initial Plan ==" — count the final only)
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning\\(chunk".r.findAllIn(finalPlan).size == 1,
+      s"expected a single content-keyed exchange in:\n$finalPlan")
+  }
+
+  test("centroidAssign broadcasts the centroid table (corpus never shuffles)") {
+    val e = Tables.embeddings(spark, sf)
+    val plan = planOf(Similarity.centroidAssign(e, "vec_id", "embedding", "label"))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected the labels×dim centroid table broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"centroid scoring must broadcast, not cartesian-shuffle:\n$plan")
+  }
 }
