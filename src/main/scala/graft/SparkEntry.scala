@@ -16,7 +16,7 @@ object SparkEntry {
   private def packs: Seq[NamedQuery] =
     RelationalQueries.all ++ AdvancedQueries.all ++ PipelineQueries.all ++
       MultimodalQueries.all ++ GraphQueries.all ++ MlQueries.all ++
-      StreamingQueries.all
+      StreamingQueries.all ++ SourceQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Star join + aggregate: lineitem ⋈ orders ⋈ customer ⋈ nation with

@@ -82,4 +82,73 @@ object TextKernels {
     while (it.hasNext) { out(p) = UTF8String.fromString(it.next()); p += 1 }
     new GenericArrayData(out)
   }
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(bytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((h(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(h(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Portable MinHash band hashes over a shingle array — ONE tight
+    * loop per row, replacing a chain of interpreted higher-order
+    * expressions (numHashes × array passes) that dominated the
+    * streaming near-dup scan stage.
+    *
+    * Bit-compatible with the expression/oracle construction
+    * (TextKernelsSpec property): per shingle md5 hex, h1/h2 = first/
+    * second 8 hex chars as unsigned 32-bit, minhash i = min over
+    * shingles of (h1 + i·h2 + i²) mod 2147483647, band hash = md5 hex
+    * of the '|'-joined decimal minhash rows of the band. Returns
+    * `bands` hex strings; empty input → empty array (callers filter
+    * shingle-less docs first, as the expression form does). */
+  def minhashBandsPortable(sh: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val m = sh.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val P = 2147483647L
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      val hex = md5Hex(sh.getUTF8String(j).getBytes)
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+      var i = 0
+      while (i < numHashes) {
+        val v = (h1 + i * h2 + i.toLong * i) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    val rows = numHashes / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < rows) {
+        if (k > 0) sb.append('|')
+        sb.append(mins(b * rows + k))
+        k += 1
+      }
+      out(b) = UTF8String.fromString(
+        md5Hex(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }

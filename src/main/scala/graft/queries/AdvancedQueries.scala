@@ -349,6 +349,44 @@ object AdvancedQueries {
           ok(1).as("p50_ok"), ok(2).as("p90_ok"), ok(3).as("p99_ok"))
     },
 
+    // ---- EP2 SQL entry under the oracle gate: the engine executes a
+    // SQL STRING over registered temp views (the reference's %sql
+    // cells), not a DataFrame chain — parser → analyzer → same plan.
+    q("q38_sql_entry_revenue",
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_sqlentry")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        count(*) AS n_items
+        FROM lineitem_sqlentry GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    },
+
+    // ---- ntile quartiles: the ranking-window form (rank/row_number/
+    // lag/cumsum are covered; ntile's uneven-bucket arithmetic is its
+    // own semantics).
+    q("q39_balance_quartiles",
+      """SELECT c_mktsegment, q, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+        |FROM (SELECT c_mktsegment, c_acctbal,
+        |        ntile(4) OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal, c_custkey) AS q
+        |      FROM customer)
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, q""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.customer(s, dir)
+        .withColumn("q", ntile(4).over(Window.partitionBy("c_mktsegment")
+          .orderBy(col("c_acctbal"), col("c_custkey"))))
+        .groupBy("c_mktsegment", "q")
+        .agg(count(lit(1)).as("n"), round(min("c_acctbal"), 2).as("min_bal"),
+          round(max("c_acctbal"), 2).as("max_bal"))
+        .orderBy("c_mktsegment", "q")
+    },
+
     // ---- CUBE: all four grouping combinations in one pass — completes
     // the multi-grouping family (q18 ROLLUP, q31 GROUPING SETS).
     q("q37_cube_quantity",

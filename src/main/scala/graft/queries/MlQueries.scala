@@ -158,6 +158,24 @@ object MlQueries {
       Some("SELECT CAST(60 AS BIGINT) AS n_points, " +
         "CAST(3 AS BIGINT) AS n_clusters, CAST(0 AS BIGINT) AS n_impure")),
 
+    // ---- silhouette closed-form check (m05's sibling for M12): the
+    // m10 planted blobs evaluated on their TRUE labels — a pure
+    // function of the fixed points, so the evaluator's value is a
+    // constant the oracle asserts (4dp absorbs parallel-summation
+    // float noise).
+    NamedQuery("m11_silhouette_planted", (s, dir) => {
+      import s.implicits._
+      val pts = (for (g <- 0 until 3; i <- 0 until 20) yield
+        (g * 20 + i, g, Array(g * 100.0 + i % 5, g * 100.0 + (i * 3) % 7)))
+        .toDF("pid", "cluster", "xs")
+      val fed = pts.select(col("pid"), col("cluster"),
+        org.apache.spark.ml.functions.array_to_vector(col("xs")).as("features"))
+      val sil = Clustering.silhouette(fed, "features", "cluster")
+      Seq(BigDecimal(sil).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toDF("silhouette")
+    },
+      Some("SELECT 0.9993 AS silhouette")),
+
     // ---- M20 (goodreads.py:632–647): PIC cluster sizes on the
     // customer→part rating graph.
     NamedQuery("m08_pic_cluster_sizes", (s, dir) => {

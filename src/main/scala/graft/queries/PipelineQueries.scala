@@ -631,8 +631,8 @@ object PipelineQueries {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private def MhHashes = 16
-  private def MhBands = 4
+  private[queries] def MhHashes = 16
+  private[queries] def MhBands = 4
   private def NdBits = 60
   private def NdBands = 15
   private def IvfLists = 16
@@ -908,7 +908,7 @@ object PipelineQueries {
     * (h1 + i·h2 + i²) mod 2147483647 (Kirsch–Mitzenmacher double
     * hashing — mirrors Dedup.minhashLshPairsPortable), min per doc,
     * band hashes, bucket join, agreement verify. */
-  private def minhashPortableOracle(numHashes: Int, bands: Int,
+  private[queries] def minhashPortableOracle(numHashes: Int, bands: Int,
       minJaccard: Double): String = {
     val rows = numHashes / bands
     val minCols = (0 until numHashes)

@@ -1,0 +1,70 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Sources
+
+/** Non-parquet source/sink round-trips under the oracle gate (SURVEY
+  * §2.1 S1/S2 were previously spec-only): each query WRITES the
+  * documents table through a text format, reads it back through the
+  * engine's explicit-schema readers, and aggregates — the oracle runs
+  * the same aggregate over the original parquet, so any encode/decode
+  * or quarantine defect breaks the hash match.
+  */
+object SourceQueries {
+
+  private def stageDir(name: String, dir: String): String = {
+    val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_io/${name}_$safe"
+  }
+
+  val all: Seq[NamedQuery] = Seq(
+
+    // ---- JSON round-trip + quarantine: docs → newline-JSON → read with
+    // explicit schema in PERMISSIVE+corrupt-record mode; three planted
+    // malformed lines must land in the quarantine, not kill the job or
+    // vanish. Output: per-lang stats of the GOOD rows + one quarantine
+    // row.
+    NamedQuery("io01_json_roundtrip", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = stageDir("json_docs", dir)
+      Sources.writeJson(docs, stage)
+      Files.writeString(Paths.get(stage, "zz_corrupt.json"),
+        "{not json\n{\"doc_id\": }\ngarbage line\n")
+      val (good, bad) = Sources.jsonWithQuarantine(s, stage, docs.schema)
+      val stats = good.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      stats.unionByName(
+          bad.agg(count(lit(1)).as("n_docs")).select(
+            lit("__quarantined").as("lang"), col("n_docs"),
+            lit(0L).as("sum_chars")))
+        .orderBy("lang")
+    },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang
+             |UNION ALL SELECT '__quarantined', 3, 0
+             |ORDER BY lang""".stripMargin)),
+
+    // ---- CSV round-trip: header CSV with quoted embedded delimiters,
+    // read back with the EXPLICIT schema (no inference pass). Per-source
+    // stats must survive the trip bit-exactly.
+    NamedQuery("io02_csv_roundtrip", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = stageDir("csv_docs", dir)
+      Sources.writeCsv(docs, stage)
+      Sources.csv(s, stage, Some(docs.schema))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          countDistinct("lang").as("n_langs"))
+        .orderBy("source")
+    },
+      Some("""SELECT source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  count(DISTINCT lang) AS n_langs
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+  )
+}

@@ -61,6 +61,69 @@ object StreamingQueries {
       },
       Some("""SELECT substr(md5(text), 1, 1) AS bucket,
              |  count(DISTINCT text) AS n_docs
-             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // ---- streaming SESSION windows (twin of q32): merging session
+    // state driven by the real streaming engine, checked against the
+    // batch gaps-and-islands oracle.
+    NamedQuery("sw03_stream_user_sessions",
+      (s, dir) => {
+        val res = StreamRunner.runAvailableNow(s, Tables.events(s, dir),
+            "sw03_sessions", "complete") { src =>
+          EventStreams.sessionWindowStats(src, "30 minutes", "1 hour")
+        }
+        res.select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start_us"),
+            col("n_events"), col("total_value"))
+          .orderBy("user_id", "session_start_us")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+             |  count(*) AS n_events, round(sum(value), 2) AS total_value
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // ---- streaming NEAR-dup candidates with the PORTABLE MinHash
+    // family: scan-stage band sketches + watermarked stream-stream
+    // self-join keyed by (band, bandHash). Every arrival time lies
+    // within the 30-day skew bound, so the batch banded-pairs oracle
+    // (the d08 CTEs, candidates-only) is the exact expected output.
+    NamedQuery("sw04_stream_neardup_candidates",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        def stamped(d: org.apache.spark.sql.DataFrame) =
+          d.withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id)"))
+        val feed = stamped(docs).unionByName(
+          stamped(docs.withColumn("doc_id", col("doc_id") + 1000000)))
+        val cands = StreamRunner.runAvailableNow(s, feed,
+            "sw04_neardup", "append") { src =>
+          EventStreams.nearDupCandidatesPortable(src, "doc_id", "text", "ts",
+            watermark = "30 days", maxSkew = "30 days", n = 3,
+            numHashes = PipelineQueries.MhHashes, bands = PipelineQueries.MhBands)
+        }
+        cands.select("id_a", "id_b", "band").distinct()
+          .orderBy("id_a", "id_b", "band")
+      },
+      Some {
+        val base = PipelineQueries.minhashPortableOracle(
+          PipelineQueries.MhHashes, PipelineQueries.MhBands, 0.5)
+        // reuse everything up to (and including) the `banded` CTE
+        val ctes = base.substring(0, base.indexOf(",\ncand AS"))
+        s"""$ctes,
+           |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.band
+           |         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+           |         WHERE a.id < b.id)
+           |SELECT id_a, id_b, band FROM cand
+           |ORDER BY id_a, id_b, band""".stripMargin
+      })
   )
 }

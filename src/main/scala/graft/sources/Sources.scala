@@ -77,4 +77,15 @@ object Sources {
   def saveTable(df: DataFrame, name: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format("parquet").saveAsTable(name)
+
+  /** S1 sink: newline-JSON. */
+  def writeJson(df: DataFrame, path: String,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
+  /** S2 sink: header CSV (Spark's writer quotes embedded delimiters,
+    * so `csv(...)` with the same options round-trips losslessly). */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("header", header.toString).csv(path)
 }

@@ -88,7 +88,73 @@ object EventStreams {
     * and confirms, exactly as in the batch LSH pipeline. */
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String = "1 hour", maxSkew: String = "1 hour",
-      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    nearDupCandidatesWith(docs, idCol, textCol, tsCol, watermark, maxSkew, n,
+      prep = identity,
+      bandsOf = sh => minhashBandsFromShingles(sh, numHashes, bands))
+
+  /** [[nearDupCandidates]] with the PORTABLE MinHash family (one md5
+    * per shingle + Kirsch–Mitzenmacher double hashing — the same
+    * construction as graft.dedup.Dedup.minhashLshPairsPortable), so the
+    * streaming candidate stream is DuckDB-oracle-checkable end to end
+    * (sw04). */
+  def nearDupCandidatesPortable(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, watermark: String = "1 hour", maxSkew: String = "1 hour",
+      n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    nearDupCandidatesWith(docs, idCol, textCol, tsCol, watermark, maxSkew, n,
+      prep = identity,
+      bandsOf = sh => minhashBandsPortableKernel(sh, numHashes, bands))
+
+  /** Codegen'd StaticInvoke form of the portable band sketch
+    * (graft.functions.TextKernels.minhashBandsPortable) — one tight
+    * loop per row. The interpreted HOF form it replaced
+    * ([[minhashBandsPortableExpr]], kept for the equivalence spec) ran
+    * numHashes separate array passes per row and dominated the sw04
+    * scan stage (15 s → ~3 s at sf0.1). */
+  private[graft] def minhashBandsPortableKernel(sh: org.apache.spark.sql.Column,
+      numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    GraftExpressionBridge.column(StaticInvoke(
+      Class.forName("graft.functions.TextKernels"),
+      ArrayType(StringType, containsNull = false),
+      "minhashBandsPortable",
+      Seq(GraftExpressionBridge.expression(sh), Literal(numHashes), Literal(bands)),
+      returnNullable = false))
+  }
+
+  /** Pure-expression portable band sketch — the (slower) reference
+    * implementation of [[minhashBandsPortableKernel]], equivalence-
+    * tested in TextKernelsSpec. The (h1, h2) halves are built inside
+    * ONE transform so md5 runs once per shingle even without
+    * subexpression elimination across the numHashes mins. */
+  private[graft] def minhashBandsPortableExpr(sh: org.apache.spark.sql.Column,
+      numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
+    val P = 2147483647L
+    val hs = transform(sh, s => {
+      val hx = md5(s)
+      struct(conv(substring(hx, 1, 8), 16, 10).cast("long").as("h1"),
+        conv(substring(hx, 9, 8), 16, 10).cast("long").as("h2"))
+    })
+    val mins = (0 until numHashes).map(i => array_min(transform(hs,
+      h => (h.getField("h1") + lit(i.toLong) * h.getField("h2")
+        + lit(i.toLong * i)) % P)))
+    val rows = numHashes / bands
+    array((0 until bands).map(b =>
+      md5(concat_ws("|", (b * rows until (b + 1) * rows).map(mins): _*))): _*)
+  }
+
+  /** Shared body: `prep` runs once per row into its own column (the
+    * per-shingle hash material), `bandsOf` derives the band-hash array
+    * from that column. */
+  private def nearDupCandidatesWith(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, watermark: String, maxSkew: String,
+      n: Int,
+      prep: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      bandsOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
     // two independently-derived subplans over the same source: a
     // toDF-renamed self-join of ONE streaming plan trips ambiguous
     // attribute resolution inside the streaming join planner
@@ -102,7 +168,8 @@ object EventStreams {
         // short doc with every other — drop them (as the batch twin's
         // groupBy does implicitly)
         .filter(size(col("__sh")) > 0)
-        .withColumn("__bands", minhashBandsFromShingles(col("__sh"), numHashes, bands))
+        .withColumn("__hs", prep(col("__sh")))
+        .withColumn("__bands", bandsOf(col("__hs")))
         .withWatermark(tsCol, watermark)
         .select(col(idCol).as(idName), col(tsCol).as(tsName),
           posexplode(col("__bands")).as(Seq(bandName, bhName)))

@@ -71,4 +71,23 @@ class TextKernelsSpec extends SparkSpec {
       "two three four"))
     assert(got.forall(_.split(" ").length === 3))
   }
+
+  test("portable minhash band kernel matches the expression form (property)") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val rnd = new scala.util.Random(7)
+    val words = Array("spark", "scan", "join", "agg", "x9", "row", "batch", "key")
+    def text(): String =
+      Seq.fill(3 + rnd.nextInt(40))(words(rnd.nextInt(words.length))).mkString(" ")
+    val texts = Seq.fill(60)(text())
+    val sh = graft.dedup.Dedup.shingles(col("text"), 3)
+    val got = texts.toDF("text")
+      .filter(size(sh) > 0)
+      .select(
+        EventStreams.minhashBandsPortableKernel(sh, 16, 4).as("fast"),
+        EventStreams.minhashBandsPortableExpr(sh, 16, 4).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (fast, ref) => assert(fast === ref) }
+  }
 }
