@@ -19,13 +19,20 @@ object Caches {
     new java.util.IdentityHashMap[SparkSession, ArrayBuffer[DataFrame]]()
 
   /** Persist `df` and register it for a later [[clear]]. */
-  private[graft] def cached(df: DataFrame): DataFrame = tracked.synchronized {
+  private[graft] def cached(df: DataFrame): DataFrame = {
+    register(df)
+    df.persist()
+  }
+
+  /** Register an ALREADY-persisted frame for a later [[clear]] (the
+    * iterative loops persist supersteps themselves and hand the final
+    * frame here so callers release it with everything else). */
+  private[graft] def register(df: DataFrame): Unit = tracked.synchronized {
     val it = tracked.entrySet().iterator()
     while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()
     var buf = tracked.get(df.sparkSession)
     if (buf == null) { buf = ArrayBuffer.empty; tracked.put(df.sparkSession, buf) }
     buf += df
-    df.persist()
   }
 
   /** Unpersist every intermediate registered by this session's library

@@ -60,6 +60,33 @@ object MultimodalQueries {
              |  round_even(CAST(sum(v) AS DOUBLE) / (w * h) * 10000, 0) / 10000
              |    AS mean_byte,
              |  max(v) AS max_byte
-             |FROM cells GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin))
+             |FROM cells GROUP BY doc_id, w, h ORDER BY media_id""".stripMargin)),
+
+    // ---- frame-sampling plumbing (the video→frames exploder): every
+    // 2nd body row of each synthetic payload becomes a frame row. The
+    // oracle re-derives the expected (media, frame_no, byte-length)
+    // triples from the generator's closed form — verifying the stride/
+    // offset arithmetic of the exploder; mm02 already verifies byte
+    // CONTENT end to end.
+    NamedQuery("mm03_frame_samples", (s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          (id, Multimodal.syntheticPayload(
+            width = 8 + (nChars % 24).toInt, height = 6, seed = (id % 97).toInt))
+        }
+        .toDF("media_id", "content")
+      Multimodal.sampleFrames(media, "media_id", "content", stride = 2)
+        .select(col("media_id"), col("frame_no"),
+          length(col("frame")).as("frame_len"))
+        .orderBy("media_id", "frame_no")
+    },
+      Some("""SELECT doc_id AS media_id, y.i AS frame_no,
+             |  8 + (n_chars % 24) AS frame_len
+             |FROM documents
+             |CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 5, 2)) AS i) y
+             |ORDER BY media_id, frame_no""".stripMargin))
   )
 }

@@ -1,0 +1,28 @@
+package graft.tools
+
+/** Per-query timing harness: `runMain graft.tools.Perf <query>...`
+  * times each named SparkEntry query (3 runs after the shared warmup)
+  * at SPARK_GRAFT_SF_DIR — the measure-first loop for optimizing a
+  * single operator without a full bench sweep. */
+object Perf {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = graft.Sessions.local(cpus)
+    try { graft.SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+    args.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        graft.Caches.clear(spark)
+        t
+      }
+      println(f"PERF $name%-34s ${times.map(t => f"$t%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}
