@@ -205,6 +205,14 @@ class PlanSpec extends SparkSpec {
       s"expected a single content-keyed exchange in:\n$finalPlan")
   }
 
+  test("p05 token-shard window is keyed by source — never a single global partition") {
+    val plan = packPlan(graft.queries.PipelineQueries.all, "p05_token_shards")
+    // a global ORDER BY window would plan Exchange SinglePartition and
+    // serialize the whole corpus through one task at scale
+    assert(!plan.contains("SinglePartition"),
+      s"expected the running-count window partitioned by source in:\n$plan")
+  }
+
   test("centroidAssign broadcasts the centroid table (corpus never shuffles)") {
     val e = Tables.embeddings(spark, sf)
     val plan = planOf(Similarity.centroidAssign(e, "vec_id", "embedding", "label"))
