@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g: the full Bench/Verify sweep holds the Memo'd shared frames
+  // (base tables, graph edges, features) for ~90 queries at sf0.1 —
+  // at 8g the storage region evicted mid-sweep and GC dominated the
+  // slow tail (d04 12 s driver-bench vs 0.5 s in isolation). The box
+  // has 128 GiB; the JVM only commits what it touches.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -310,6 +310,38 @@ object Dedup {
     df.join(keep, df(idCol) === col("__keep_id"), "left_semi")
   }
 
+  /** Benchmark decontamination, step 1 — ids of corpus documents that
+    * share ANY word n-gram with a benchmark/eval set (the standard
+    * train-set decontamination rule: a single verbatim n-gram overlap
+    * flags the document).
+    *
+    * Scale posture: the benchmark side is an EVAL SUITE — thousands of
+    * documents, not the corpus — so its distinct n-gram set is small
+    * and explicitly `broadcast`: the 100 TB corpus side never
+    * shuffles; flagging is a scan-stage broadcast-hash-join over the
+    * exploded corpus n-grams, then one distinct on the (tiny) flagged
+    * id set. If a benchmark ever outgrew broadcast, drop the hint and
+    * the same plan degrades to a shuffled join — the semantics don't
+    * change. */
+  def contaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("ng")).distinct()
+    corpus.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("ng"))
+      .join(broadcast(bGrams), "ng")
+      .select("id").distinct()
+  }
+
+  /** Benchmark decontamination, step 2 — the corpus minus every
+    * document flagged by [[contaminatedIds]] (left-anti on the flagged
+    * id set, which is benchmark-overlap-sized, not corpus-sized). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bad = contaminatedIds(corpus, benchmark, idCol, textCol, n)
+      .select(col("id").as("__contam_id"))
+    corpus.join(bad, corpus(idCol) === col("__contam_id"), "left_anti")
+  }
+
   /** 64-bit SimHash over the document's term-frequency vector: bit i of
     * the sketch is the sign of Σ_tokens tf·(±1 by bit i of xxhash64(tok)).
     *

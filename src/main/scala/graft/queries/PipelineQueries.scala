@@ -176,6 +176,46 @@ object PipelineQueries {
       Some(neardupEmbKeepOracle(dim = 64, nBits = NdBits, bands = NdBands,
         minCos = 0.4, seed = 42L, iters = 4))),
 
+    // ---- benchmark decontamination REPORT: corpus docs (doc_id%10≠0)
+    // sharing any 4-gram with the held-out benchmark slice (doc_id%10=0),
+    // counted per source. Benchmark n-gram set is broadcast — the
+    // corpus side never shuffles (PlanSpec pins the broadcast).
+    NamedQuery("d14_decontam_report",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        val benchmark = docs.filter(col("doc_id") % 10 === 0)
+        val flagged = Dedup.contaminatedIds(corpus, benchmark, "doc_id", "text", n = DecontamN)
+          .select(col("id").as("doc_id"), lit(1L).as("contam"))
+        corpus.select("doc_id", "source").join(flagged, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("contam"), lit(0L))).as("n_contaminated"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ${decontamCtes(DecontamN)}
+             |SELECT d.source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN f.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_contaminated
+             |FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+             |WHERE d.doc_id % 10 != 0
+             |GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // ---- benchmark decontamination KEEP: the corpus minus every
+    // flagged doc — the form a training-data export actually runs.
+    NamedQuery("d15_decontam_kept",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.decontaminate(docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = DecontamN)
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some(s"""WITH ${decontamCtes(DecontamN)}
+             |SELECT doc_id, source FROM documents d
+             |WHERE d.doc_id % 10 != 0
+             |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- brute-force exact ANN: top-5 cosine neighbors for the first
     // 20 vectors against the whole corpus.
     NamedQuery("s01_ann_brute_topk", (s, dir) => {
@@ -625,11 +665,89 @@ object PipelineQueries {
              |  FROM t)
              |SELECT source, CAST(floor(cum / 2048.0) AS BIGINT) AS shard,
              |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
-             |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin))
+             |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin)),
+
+    // ---- deterministic shuffle-shard export: reproducible pseudo-
+    // random order (md5 of salted id) in 16 independent shards; the
+    // per-shard window never sees more than corpus/nShards rows.
+    // first_doc probes the within-shard ORDER, not just membership.
+    NamedQuery("p06_shuffle_shards",
+      (s, dir) => Sampling.shuffleShards(Tables.documents(s, dir), "doc_id",
+          nShards = 16, salt = "epoch0")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
+        .orderBy("shard"),
+      Some("""WITH h AS (
+             |  SELECT doc_id, n_chars,
+             |         md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS hx
+             |  FROM documents),
+             |s AS (SELECT doc_id, n_chars, hx,
+             |    CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 16 AS INT) AS shard
+             |  FROM h),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY shard ORDER BY hx, doc_id) AS pos FROM s)
+             |SELECT shard, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
+             |FROM r GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // ---- int8 embedding quantization: per-vector scale / q checksum /
+    // reconstruction MSE, all sequential-fold double arithmetic so the
+    // oracle replays it exactly (rounded only at the emit boundary).
+    NamedQuery("s06_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(Tables.embeddings(s, dir),
+          "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale_r"),
+          round(col("mse"), 8).as("mse_r"),
+          element_at(col("q"), 1).cast("long").as("q0"),
+          aggregate(col("q"), lit(0L), _ + _).as("q_sum"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |  FROM e),
+             |q AS (SELECT vec_id, v, scale,
+             |    CASE WHEN scale > 0
+             |         THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+             |         ELSE list_transform(v, x -> 0) END AS qv
+             |  FROM s),
+             |m AS (SELECT vec_id, scale, qv,
+             |    list_sum(list_transform(generate_series(1, len(v)),
+             |      i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale))) / len(v) AS mse
+             |  FROM q)
+             |SELECT vec_id, round(scale, 6) AS scale_r, round(mse, 8) AS mse_r,
+             |  CAST(qv[1] AS BIGINT) AS q0,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum
+             |FROM m ORDER BY vec_id""".stripMargin))
   )
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private[queries] def DecontamN = 4
+
+  /** CTE chain `toksd → shd → exd → bench → flagged`: corpus docs
+    * (doc_id%10≠0) sharing any n-gram with the benchmark slice
+    * (doc_id%10=0) — mirrors Dedup.contaminatedIds (same shingle
+    * family as the d02 oracle). */
+  private def decontamCtes(n: Int): String =
+    s"""toksd AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                             x -> len(x) > 0) AS ts
+       |  FROM documents),
+       |shd AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(ts) - ${n - 1}),
+       |    i -> array_to_string(ts[i:i+${n - 1}], ' '))) AS shs
+       |  FROM toksd WHERE len(ts) >= $n),
+       |exd AS (SELECT doc_id, unnest(shs) AS ng FROM shd),
+       |bench AS (SELECT DISTINCT ng FROM exd WHERE doc_id % 10 = 0),
+       |flagged AS (
+       |  SELECT DISTINCT exd.doc_id FROM exd JOIN bench USING (ng)
+       |  WHERE exd.doc_id % 10 != 0)""".stripMargin
 
   private[queries] def MhHashes = 16
   private[queries] def MhBands = 4

@@ -261,6 +261,35 @@ object Similarity {
       Seq("id"), "left_semi")
   }
 
+  /** Per-vector symmetric int8 scalar quantization — the embedding
+    * COMPRESSION pass a 100 TB vector corpus runs before serving or
+    * re-indexing (4× smaller than float32, dot products stay in
+    * integer SIMD on a real serving path).
+    *
+    *   scale = max(|v_i|) / 127;  q_i = floor(v_i/scale + 0.5) ∈ [-127, 127]
+    *
+    * (floor(x + 0.5) = round-half-toward-+∞ — chosen over `round`
+    * because its semantics are bit-identical across engines, so the
+    * whole operator is DuckDB-oracle-checkable.) Emits per-row
+    * reconstruction MSE = Σ(v_i − q_i·scale)²/dim as the quality
+    * signal. Pure scan-stage expressions in double precision,
+    * sequential folds only — zero shuffle, deterministic. Zero vectors
+    * quantize to all-zero with scale 0 (guarded: no 0/0). */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val asDouble = transform(col(vecCol), _.cast("double"))
+    df.select(col(idCol), asDouble.as("__v"))
+      .withColumn("scale", array_max(transform(col("__v"), abs(_))) / 127.0)
+      .withColumn("q",
+        when(col("scale") > 0,
+          transform(col("__v"), x => floor(x / col("scale") + lit(0.5)).cast("int")))
+        .otherwise(transform(col("__v"), _ => lit(0))))
+      .withColumn("mse",
+        aggregate(zip_with(col("__v"), col("q"),
+            (x, qi) => (x - qi * col("scale")) * (x - qi * col("scale"))),
+          lit(0.0d), _ + _) / size(col("__v")))
+      .withColumnRenamed("__v", "v")
+  }
+
   /** All pairs with cosine ≥ minCos, id_a < id_b — the brute-force
     * EXACT form. O(n²) pairs: not a registered query path; kept as the
     * oracle cross-check for [[cosineNearDupPairsLsh]] (SimilaritySpec

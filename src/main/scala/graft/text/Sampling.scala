@@ -48,6 +48,32 @@ object Sampling {
     df.filter(hashBucket(key, nBuckets) < frac * nBuckets)
   }
 
+  /** Deterministic global shuffle + shard assignment — the training-
+    * data EXPORT primitive: a corpus must be written as N shards in a
+    * reproducible pseudo-random order (so every epoch/re-run/engine
+    * sees the same byte stream), without a global orderBy, which would
+    * serialize 100 TB through a single total-order sort.
+    *
+    * shard = md5-bucket of (salt, id)  — embarrassingly parallel;
+    * pos   = rank of the full md5 hex WITHIN the shard (keyed window:
+    *         each shard sorts ~corpus/nShards rows independently).
+    *
+    * Different `salt` values give independent permutations (epoch
+    * reshuffles). Engine-portable: md5-hex everywhere, same contract
+    * as [[hashBucket]]. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val salted = concat_ws("|", lit(salt), col(idCol).cast("string"))
+    df.withColumn("__hx", md5(salted))
+      .withColumn("shard",
+        (conv(substring(col("__hx"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__hx"), col(idCol))))
+      .drop("__hx")
+  }
+
   /** Weighted upsampling: emit `weightCol` copies of each row
     * (1-indexed `copy_no`) — the data-mix construction primitive
     * ("3 epochs of wiki, 1 of crawl"). A generator, not a join: cost

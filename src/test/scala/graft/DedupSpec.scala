@@ -81,6 +81,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set((1L, 0L, "a b c"), (1L, 1L, "d e f"), (2L, 1L, "x y z")))
   }
 
+  test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "zzz alpha beta gamma delta yyy"), // contains benchmark 4-gram
+      (2L, "alpha beta gamma xxx delta"),     // 3-gram overlap only → kept
+      (3L, "totally unrelated words here"),
+      (4L, "delta epsilon alpha beta")        // no shared 4-GRAM (order differs)
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contaminatedIds(corpus, benchmark, "doc_id", "text", n = 4)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L))
+    val kept = Dedup.decontaminate(corpus, benchmark, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L))
+  }
+
   test("fixpoint components collapse a chain a fixed superstep count splits") {
     // 5—9—1—8—4 near-dup CHAIN: after 1 superstep each node holds the
     // min of its 1-hop neighborhood, so the LOCAL minima 5, 1 and 4 all

@@ -213,6 +213,20 @@ class PlanSpec extends SparkSpec {
       s"expected the running-count window partitioned by source in:\n$plan")
   }
 
+  test("decontamination broadcasts the benchmark n-gram set (corpus-side flagging is scan-stage)") {
+    val plan = packPlan(graft.queries.PipelineQueries.all, "d14_decontam_report")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the benchmark gram set broadcast to the corpus scan in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"corpus n-grams must never shuffle for the contamination probe:\n$plan")
+  }
+
+  test("p06 shuffle-shard window is keyed by shard — never a single global sort") {
+    val plan = packPlan(graft.queries.PipelineQueries.all, "p06_shuffle_shards")
+    assert(!plan.contains("SinglePartition"),
+      s"expected the position window partitioned by shard in:\n$plan")
+  }
+
   test("centroidAssign broadcasts the centroid table (corpus never shuffles)") {
     val e = Tables.embeddings(spark, sf)
     val plan = planOf(Similarity.centroidAssign(e, "vec_id", "embedding", "label"))

@@ -50,6 +50,31 @@ class SamplingSpec extends SparkSpec {
     assert(again === kept.select("id").as[Long].collect().toSet)
   }
 
+  test("shuffleShards: deterministic permutation, dense per-shard positions, salt reshuffles") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val a = Sampling.shuffleShards(df, "id", nShards = 8, salt = "e0")
+    val rows = a.select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(rows.length === 500 && rows.map(_._1).toSet.size === 500)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are a dense 1..n ranking within every shard
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.map(_._3).sorted.toSeq === (1 to g.length).toSeq)
+    }
+    // content-keyed: identical on re-run …
+    val b = Sampling.shuffleShards(df, "id", nShards = 8, salt = "e0")
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(rows.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq)
+    // … and the shard order is not the id order (it IS a shuffle)
+    val firstShardIds = rows.filter(_._2 == rows.head._2).sortBy(_._3).map(_._1)
+    assert(firstShardIds.toSeq !== firstShardIds.sorted.toSeq)
+    // a different salt yields a different permutation (epoch reshuffle)
+    val c = Sampling.shuffleShards(df, "id", nShards = 8, salt = "e1")
+      .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+    assert(c.sortBy(_._1).map(t => (t._2, t._3)).toSeq !==
+      rows.sortBy(_._1).map(t => (t._2, t._3)).toSeq)
+  }
+
   test("upsample emits exactly weight copies; weights < 1 emit nothing") {
     import spark.implicits._
     val df = Seq((1L, 3), (2L, 1), (3L, 0), (4L, -2)).toDF("id", "w")

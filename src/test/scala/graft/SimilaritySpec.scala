@@ -97,6 +97,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Set((0L, 1L)))
   }
 
+  test("quantizeInt8: q within [-127,127], max|v| hits ±127, bounded error, zero-vector safe") {
+    val vecs = Seq(
+      (0L, Array(1.27f, -0.635f, 0.0f, 0.01f)),
+      (1L, Array(-2.54f, 2.54f, 1.27f, -0.3f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: scale 0, q all 0
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .select("vec_id", "scale", "q", "mse")
+      .as[(Long, Double, Seq[Int], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    got.values.foreach { case (_, scale, q, mse) =>
+      assert(q.forall(x => x >= -127 && x <= 127))
+      assert(scale >= 0 && mse >= 0)
+      // per-element reconstruction error is at most scale/2 → mse ≤ scale²/4
+      assert(mse <= scale * scale / 4 + 1e-12)
+    }
+    // the max-|value| element quantizes exactly to ±127
+    assert(got(0L)._3.head == 127 && got(1L)._3.head == -127)
+    assert(got(2L)._2 == 0.0 && got(2L)._3.forall(_ == 0) && got(2L)._4 == 0.0)
+  }
+
   test("centroidAssign maps every vector of separated label groups to its own centroid") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.9f, -0.1f), 0),
