@@ -578,6 +578,44 @@ object PipelineQueries {
              |                 '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // ---- distribution-cutoff quality filter: drop the shortest 10%
+    // of docs WITHIN each source (rank-based, so the cutoff adapts to
+    // each source's own length distribution — a fixed global threshold
+    // over- or under-prunes heterogeneous sources). Keyed windows:
+    // rank + count partition by source, never a global sort.
+    NamedQuery("t10_quality_cutoff",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val byLen = Window.partitionBy("source")
+          .orderBy(col("n_tokens"), col("doc_id"))
+        val bySource = Window.partitionBy("source")
+        t.withColumn("rk", row_number().over(byLen))
+          .withColumn("n", count(lit(1)).over(bySource))
+          .withColumn("dropped", col("rk") <= ceil(col("n") * lit(0.1)))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("dropped"), lit(1L)).otherwise(lit(0L))).as("n_dropped"),
+            min(when(!col("dropped"), col("n_tokens"))).as("min_kept_tokens"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                    x -> len(x) > 0)) AS n_tokens
+             |  FROM documents),
+             |r AS (
+             |  SELECT source, n_tokens,
+             |    row_number() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rk,
+             |    count(*) OVER (PARTITION BY source) AS n
+             |  FROM t)
+             |SELECT source, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN rk <= ceil(n * 0.1) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dropped,
+             |  min(CASE WHEN rk > ceil(n * 0.1) THEN n_tokens END) AS min_kept_tokens
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- chunk-level exact dedup (the sub-document/paragraph pass):
     // documents ∪ planted copies split into 20-token chunks; every
     // distinct chunk keeps its first (id, idx) occurrence — all planted
@@ -733,7 +771,7 @@ object PipelineQueries {
     * (doc_id%10≠0) sharing any n-gram with the benchmark slice
     * (doc_id%10=0) — mirrors Dedup.contaminatedIds (same shingle
     * family as the d02 oracle). */
-  private def decontamCtes(n: Int): String =
+  private[queries] def decontamCtes(n: Int): String =
     s"""toksd AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                             x -> len(x) > 0) AS ts

@@ -124,6 +124,32 @@ object StreamingQueries {
            |         WHERE a.id < b.id)
            |SELECT id_a, id_b, band FROM cand
            |ORDER BY id_a, id_b, band""".stripMargin
-      })
+      }),
+
+    // ---- streaming decontamination (stream-STATIC broadcast join):
+    // arriving corpus docs probe the batch-built benchmark gram set;
+    // per-doc matched-gram counts are the complete-mode aggregate.
+    // The ingest-time twin of d14's flagging stage.
+    NamedQuery("sw05_stream_decontam_counts",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val benchGrams = docs.filter(col("doc_id") % 10 === 0)
+          .select(explode(graft.dedup.Dedup.shingles(col("text"),
+            PipelineQueries.DecontamN)).as("ng")).distinct()
+        val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+          .select("doc_id", "text")
+        val res = StreamRunner.runAvailableNow(s, corpus,
+            "sw05_decontam", "complete") { src =>
+          EventStreams.contaminationCounts(src, benchGrams, "doc_id", "text",
+            PipelineQueries.DecontamN)
+        }
+        res.select(col("id").as("doc_id"), col("n_grams"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${PipelineQueries.decontamCtes(PipelineQueries.DecontamN)}
+             |SELECT exd.doc_id, count(*) AS n_grams
+             |FROM exd JOIN bench USING (ng)
+             |WHERE exd.doc_id % 10 != 0
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
   )
 }

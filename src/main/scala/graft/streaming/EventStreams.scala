@@ -45,6 +45,22 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Streaming decontamination probe — the stream-STATIC broadcast
+    * join pattern: each arriving document's distinct n-grams probe a
+    * static benchmark gram set (built batch-side, broadcast once);
+    * emits (id, n_grams) per contaminated document. The stream side
+    * never shuffles for the probe itself — flagging happens in the
+    * scan-stage micro-batch — and only flagged (id, gram-hit) rows
+    * enter the per-id aggregation state. The streaming twin of
+    * graft.dedup.Dedup.contaminatedIds: an ingest pipeline drops or
+    * quarantines flagged docs before they ever land in the corpus. */
+  def contaminationCounts(docs: DataFrame, benchGrams: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(graft.dedup.Dedup.shingles(col(textCol), n)).as("ng"))
+      .join(broadcast(benchGrams.toDF("ng")), "ng")
+      .groupBy("id").agg(count(lit(1)).as("n_grams"))
+
   /** Streaming exact dedup — the ingest-time twin of
     * graft.dedup.Dedup.dropExactDups for a continuous document feed:
     * keep the FIRST arrival per content hash, drop replays. State is

@@ -134,6 +134,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationCounts flags streamed docs against a static benchmark gram set") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val benchGrams = Seq("alpha beta gamma delta").toDF("ng") // one static 4-gram
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.contaminationCounts(
+        in.toDF().toDF("doc_id", "text"), benchGrams, "doc_id", "text", n = 4)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(
+        (1L, "xx alpha beta gamma delta yy"), // contains the benchmark gram
+        (2L, "alpha beta gamma zz delta"))    // no 4-gram overlap
+      q.processAllAvailable()
+      // a second micro-batch: another contaminated arrival updates state
+      in.addData((3L, "alpha beta gamma delta"))
+      q.processAllAvailable()
+      val got = spark.table("contam_stream")
+        .as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1L, 3L -> 1L)) // doc 2 is never flagged
+    } finally q.stop()
+  }
+
   test("nearDupCandidates pairs a near-duplicate arriving within the skew") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
