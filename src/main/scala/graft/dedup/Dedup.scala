@@ -181,10 +181,15 @@ object Dedup {
     * DuckDB-oracle-checkable end to end — and one md5 + numHashes
     * fused multiply-adds per shingle costs ~the xxhash64 family,
     * unlike the earlier numHashes-md5s-per-shingle form. */
-  def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val rows = numHashes / bands
+  /** Portable MinHash signature table — one row per id with numHashes
+    * `mh_i` columns: ONE md5 per distinct shingle split into two
+    * 32-bit halves, hash_i = (h1 + i·h2 + i²) mod (2³¹−1)
+    * (Kirsch–Mitzenmacher double hashing). The shared kernel of the
+    * self-join pair finder ([[minhashLshPairsPortable]]) and the
+    * incremental ingest join ([[minhashLshJoinPortable]]); its only
+    * shuffle is the per-id groupBy, which partial-aggregates map-side. */
+  def minhashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
     val P = 2147483647L // 2³¹−1, Mersenne prime; h1 + 63·h2 + 63² < 2³⁹ ≪ 2⁶³
     // not persisted: consumed exactly once (the signature groupBy)
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))
@@ -193,13 +198,25 @@ object Dedup {
       .withColumn("h2", conv(substring(col("hx"), 9, 8), 16, 10).cast("long"))
     val mins = (0 until numHashes).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2") + lit(i.toLong * i)) % P).as(s"mh_$i"))
-    val sig = graft.Caches.cached(ex.groupBy("id").agg(mins.head, mins.tail: _*))
+    ex.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
 
+  /** (id, band, bh) band-hash rows of a signature table — the LSH
+    * bucket keys both join forms shuffle on. */
+  private def bandedOf(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
     val bandHashes = (0 until bands).map { b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*))
     }
-    val banded = sig.select(col("id"),
-      posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    sig.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+  }
+
+  def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val sig = graft.Caches.cached(
+      minhashSignaturesPortable(df, idCol, textCol, n, numHashes))
+    val banded = bandedOf(sig, numHashes, bands)
     val cand = banded.toDF("id_a", "band", "bh")
       .join(banded.toDF("id_b", "band", "bh"), Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
@@ -214,6 +231,44 @@ object Dedup {
       .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 6))
       .filter(col("est_jaccard") >= minJaccard)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** Incremental-ingest near-dup detection — a NEW document batch
+    * against the EXISTING corpus (the production shape of dedup: a
+    * continuously-fed corpus dedups each arriving batch against what
+    * is already indexed, never re-pairing the corpus with itself).
+    * Band hashes of both sides meet on (band, bh); candidates are
+    * verified on full signatures; emits (new_id, corpus_id,
+    * est_jaccard ≥ minJaccard).
+    *
+    * Scale posture: at 100 TB the corpus side of this join is a
+    * PRECOMPUTED signature/band INDEX (a persisted table bucketed by
+    * (band, bh) — [[minhashSignaturesPortable]] is exactly what that
+    * index materializes), so per-ingest cost is O(batch × bands)
+    * shuffle + bucket probes; the corpus text is never rescanned. Here
+    * both sides are derived from text inline to keep the operator
+    * end-to-end oracle-checkable. */
+  def minhashLshJoinPortable(newDocs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int, bands: Int,
+      minJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val sigNew = graft.Caches.cached(
+      minhashSignaturesPortable(newDocs, idCol, textCol, n, numHashes))
+    val sigOld = graft.Caches.cached(
+      minhashSignaturesPortable(corpus, idCol, textCol, n, numHashes))
+    val cand = bandedOf(sigNew, numHashes, bands).toDF("new_id", "band", "bh")
+      .join(bandedOf(sigOld, numHashes, bands).toDF("corpus_id", "band", "bh"),
+        Seq("band", "bh"))
+      .select("new_id", "corpus_id").distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sigNew.as("a"), col("new_id") === col("a.id"))
+      .join(sigOld.as("b"), col("corpus_id") === col("b.id"))
+      .withColumn("est_jaccard", round(agree.cast("double") / numHashes, 6))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select("new_id", "corpus_id", "est_jaccard")
   }
 
   /** Engine-portable SimHash: identical tf-weighted sign-bit

@@ -216,6 +216,21 @@ object PipelineQueries {
              |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- incremental-ingest near-dup: a NEW batch (planted replays of
+    // every 7th doc) joined against the EXISTING corpus on band
+    // hashes — the production dedup shape (batch × index, never
+    // corpus × corpus). Planted replays must surface at est 1.0.
+    NamedQuery("d16_incremental_neardup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val newBatch = docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+        Dedup.minhashLshJoinPortable(newBatch, docs, "doc_id", "text",
+            n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5)
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(minhashIncrementalOracle(MhHashes, MhBands, 0.5))),
+
     // ---- brute-force exact ANN: top-5 cosine neighbors for the first
     // 20 vectors against the whole corpus.
     NamedQuery("s01_ann_brute_topk", (s, dir) => {
@@ -764,6 +779,55 @@ object PipelineQueries {
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Two-sided variant of [[minhashPortableOracle]]: new batch
+    * (replays of every 7th doc, ids +1000000) vs the corpus — same
+    * signature/band CTEs, candidates restricted to new×corpus. */
+  private def minhashIncrementalOracle(numHashes: Int, bands: Int,
+      minJaccard: Double): String = {
+    val rows = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(i => s"min((h1 + $i * h2 + ${i.toLong * i}) % 2147483647) AS mh_$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val cat = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                             x -> len(x) > 0) AS ts
+       |  FROM all_docs),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS arr
+       |  FROM toks WHERE len(ts) >= 3),
+       |ex AS (SELECT doc_id AS id, unnest(arr) AS sh FROM shs),
+       |hs AS (SELECT id,
+       |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+       |  FROM ex),
+       |sig AS (SELECT id,
+       |    $minCols
+       |  FROM hs GROUP BY id),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (SELECT DISTINCT a.id AS new_id, b.id AS corpus_id
+       |         FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |         WHERE a.id >= 1000000 AND b.id < 1000000),
+       |ver AS (SELECT new_id, corpus_id,
+       |    round(($agree) / ${numHashes.toDouble}, 6) AS est_jaccard
+       |  FROM cand JOIN sig a ON new_id = a.id JOIN sig b ON corpus_id = b.id)
+       |SELECT new_id, corpus_id, est_jaccard FROM ver
+       |WHERE est_jaccard >= $minJaccard
+       |ORDER BY new_id, corpus_id""".stripMargin
+  }
 
   private[queries] def DecontamN = 4
 

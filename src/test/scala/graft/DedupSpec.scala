@@ -49,6 +49,23 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("minhashLshJoinPortable matches a new batch against the corpus, not the corpus with itself") {
+    // new batch: an exact replay of corpus doc 1 plus a fresh document
+    val newBatch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (101L, "entirely novel content that matches nothing in the existing corpus at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshJoinPortable(newBatch, base, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select("new_id", "corpus_id", "est_jaccard")
+      .as[(Long, Long, Double)].collect()
+    val byPair = got.map(p => (p._1, p._2) -> p._3).toMap
+    // the replay hits BOTH its exact twins (docs 1 and 4) at est 1.0
+    assert(byPair((100L, 1L)) == 1.0 && byPair((100L, 4L)) == 1.0)
+    // the fresh doc matches nothing; corpus-internal pairs never appear
+    assert(got.forall(_._1 >= 100L) && !got.exists(_._1 == 101L))
+  }
+
   test("dropNearDupsPortable collapses near-dup clusters to the min-id survivor") {
     // cluster {1, 2, 4} (near + exact dups) collapses to 1; 3 and 5 survive
     val kept = Dedup.dropNearDupsPortable(base, "doc_id", "text",
