@@ -731,19 +731,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
         .orderBy("shard"),
-      Some("""WITH h AS (
-             |  SELECT doc_id, n_chars,
-             |         md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS hx
-             |  FROM documents),
-             |s AS (SELECT doc_id, n_chars, hx,
-             |    CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 16 AS INT) AS shard
-             |  FROM h),
-             |r AS (SELECT *, row_number() OVER (
-             |    PARTITION BY shard ORDER BY hx, doc_id) AS pos FROM s)
-             |SELECT shard, count(*) AS n_docs,
-             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-             |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
-             |FROM r GROUP BY shard ORDER BY shard""".stripMargin)),
+      Some(shuffleShardOracle)),
 
     // ---- int8 embedding quantization: per-vector scale / q checksum /
     // reconstruction MSE, all sequential-fold double arithmetic so the
@@ -828,6 +816,24 @@ object PipelineQueries {
        |WHERE est_jaccard >= $minJaccard
        |ORDER BY new_id, corpus_id""".stripMargin
   }
+
+  /** Shared by p06 (the operator) and io03 (the partitioned-parquet
+    * export round-trip of the same assignment) — one definition so the
+    * two checks can never drift. */
+  private[queries] def shuffleShardOracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |         md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS hx
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_chars, hx,
+      |    CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 16 AS INT) AS shard
+      |  FROM h),
+      |r AS (SELECT *, row_number() OVER (
+      |    PARTITION BY shard ORDER BY hx, doc_id) AS pos FROM s)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(CASE WHEN pos = 1 THEN doc_id END) AS first_doc
+      |FROM r GROUP BY shard ORDER BY shard""".stripMargin
 
   private[queries] def DecontamN = 4
 

@@ -65,6 +65,26 @@ object SourceQueries {
       Some("""SELECT source, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  count(DISTINCT lang) AS n_langs
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- corpus EXPORT round-trip: the shuffle-shard assignment
+    // (p06's operator) written as shard-partitioned parquet — the
+    // physical layout a training job consumes — then read back with
+    // partition pruning and re-aggregated. Directory layout IS the
+    // shard assignment, so any partitionBy/discovery defect breaks the
+    // hash match against the p06 oracle.
+    NamedQuery("io03_sharded_export", (s, dir) => {
+      val stage = stageDir("shard_export", dir)
+      graft.text.Sampling.shuffleShards(Tables.documents(s, dir), "doc_id",
+          nShards = 16, salt = "epoch0")
+        .write.mode("overwrite").partitionBy("shard").parquet(stage)
+      s.read.parquet(stage)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min(when(col("pos") === 1, col("doc_id"))).as("first_doc"))
+        .withColumn("shard", col("shard").cast("int"))
+        .orderBy("shard")
+    },
+      Some(PipelineQueries.shuffleShardOracle))
   )
 }
