@@ -227,6 +227,12 @@ class PlanSpec extends SparkSpec {
       s"expected the position window partitioned by shard in:\n$plan")
   }
 
+  test("incremental near-dup joins batch bands to corpus bands (keyed equi-join, no cartesian)") {
+    val plan = packPlan(graft.queries.PipelineQueries.all, "d16_incremental_neardup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay a (band, bh)-keyed equi-join:\n$plan")
+  }
+
   test("centroidAssign broadcasts the centroid table (corpus never shuffles)") {
     val e = Tables.embeddings(spark, sf)
     val plan = planOf(Similarity.centroidAssign(e, "vec_id", "embedding", "label"))

@@ -118,6 +118,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got(2L)._2 == 0.0 && got(2L)._3.forall(_ == 0) && got(2L)._4 == 0.0)
   }
 
+  test("int8-quantized vectors preserve exact top-10 cosine neighbors (recall ≥ 0.9)") {
+    // quantization feeds search: reconstruct q·scale and re-rank — the
+    // top-k sets must essentially survive 8-bit compression
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").limit(300)
+    val recon = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .select(col("vec_id"),
+        transform(col("q"), qi => (qi * col("scale")).cast("float")).as("embedding"))
+    def topk(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(corpus.filter(col("vec_id") < 20), corpus, k = 10)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topk(emb)
+    val quant = topk(recon)
+    val recalls = exact.keys.map(q =>
+      (exact(q) intersect quant.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean top-10 recall after int8 quantization = $mean")
+  }
+
   test("centroidAssign maps every vector of separated label groups to its own centroid") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.9f, -0.1f), 0),
