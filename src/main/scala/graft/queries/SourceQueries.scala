@@ -77,6 +77,10 @@ object SourceQueries {
       val stage = stageDir("shard_export", dir)
       graft.text.Sampling.shuffleShards(Tables.documents(s, dir), "doc_id",
           nShards = 16, salt = "epoch0")
+        // repartition BY the partition column first: otherwise every
+        // input partition writes a file into every shard directory
+        // (inputPartitions × nShards small files at scale)
+        .repartition(16, col("shard"))
         .write.mode("overwrite").partitionBy("shard").parquet(stage)
       s.read.parquet(stage)
         .groupBy("shard")

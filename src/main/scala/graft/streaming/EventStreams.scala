@@ -53,7 +53,10 @@ object EventStreams {
     * scan-stage micro-batch — and only flagged (id, gram-hit) rows
     * enter the per-id aggregation state. The streaming twin of
     * graft.dedup.Dedup.contaminatedIds: an ingest pipeline drops or
-    * quarantines flagged docs before they ever land in the corpus. */
+    * quarantines flagged docs before they ever land in the corpus.
+    * (Complete-mode aggregate state is one row per FLAGGED doc —
+    * contamination-sized; a continuous deployment would swap in a
+    * watermarked windowed aggregate to bound it in time as well.) */
   def contaminationCounts(docs: DataFrame, benchGrams: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
