@@ -24,9 +24,13 @@ object Caches {
     df.persist()
   }
 
-  /** Register an ALREADY-persisted frame for a later [[clear]] (the
-    * iterative loops persist supersteps themselves and hand the final
-    * frame here so callers release it with everything else). */
+  /** Register an ALREADY-persisted frame for a later [[clear]].
+    * Currently only [[cached]] goes through here — the iterative loops
+    * `localCheckpoint` their supersteps instead (those blocks are
+    * reclaimed by the ContextCleaner once unreferenced, not by
+    * [[clear]]) and route their persisted EDGE frames through
+    * [[cached]]. Kept public-to-package as the seam for any operator
+    * that persists with a custom StorageLevel. */
   private[graft] def register(df: DataFrame): Unit = tracked.synchronized {
     val it = tracked.entrySet().iterator()
     while (it.hasNext) if (it.next().getKey.sparkContext.isStopped) it.remove()

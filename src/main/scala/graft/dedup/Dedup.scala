@@ -170,17 +170,6 @@ object Dedup {
       .select("id_a", "id_b", "est_jaccard")
   }
 
-  /** Engine-portable MinHash + LSH: ONE md5 per shingle, split into
-    * two 32-bit halves (h1, h2), hash function i derived by
-    * Kirsch–Mitzenmacher double hashing — h_i = (h1 + i·h2 + i²) mod
-    * 2147483647 (i² de-correlates band 0 from h1 alone). Signature
-    * element i = min over shingles of h_i. Identical pipeline shape to
-    * [[minhashLshPairs]] (band → bucket join → signature-agreement
-    * verify) but every primitive (md5, hex parse, modular arithmetic)
-    * exists in any SQL engine, so the WHOLE algorithm is
-    * DuckDB-oracle-checkable end to end — and one md5 + numHashes
-    * fused multiply-adds per shingle costs ~the xxhash64 family,
-    * unlike the earlier numHashes-md5s-per-shingle form. */
   /** Portable MinHash signature table — one row per id with numHashes
     * `mh_i` columns: ONE md5 per distinct shingle split into two
     * 32-bit halves, hash_i = (h1 + i·h2 + i²) mod (2³¹−1)
@@ -211,6 +200,17 @@ object Dedup {
     sig.select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
   }
 
+  /** Engine-portable MinHash + LSH: ONE md5 per shingle, split into
+    * two 32-bit halves (h1, h2), hash function i derived by
+    * Kirsch–Mitzenmacher double hashing — h_i = (h1 + i·h2 + i²) mod
+    * 2147483647 (i² de-correlates band 0 from h1 alone). Signature
+    * element i = min over shingles of h_i. Identical pipeline shape to
+    * [[minhashLshPairs]] (band → bucket join → signature-agreement
+    * verify) but every primitive (md5, hex parse, modular arithmetic)
+    * exists in any SQL engine, so the WHOLE algorithm is
+    * DuckDB-oracle-checkable end to end — and one md5 + numHashes
+    * fused multiply-adds per shingle costs ~the xxhash64 family,
+    * unlike the earlier numHashes-md5s-per-shingle form. */
   def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")

@@ -109,7 +109,6 @@ object EventStreams {
       tsCol: String, watermark: String = "1 hour", maxSkew: String = "1 hour",
       n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
     nearDupCandidatesWith(docs, idCol, textCol, tsCol, watermark, maxSkew, n,
-      prep = identity,
       bandsOf = sh => minhashBandsFromShingles(sh, numHashes, bands))
 
   /** [[nearDupCandidates]] with the PORTABLE MinHash family (one md5
@@ -121,7 +120,6 @@ object EventStreams {
       tsCol: String, watermark: String = "1 hour", maxSkew: String = "1 hour",
       n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
     nearDupCandidatesWith(docs, idCol, textCol, tsCol, watermark, maxSkew, n,
-      prep = identity,
       bandsOf = sh => minhashBandsPortableKernel(sh, numHashes, bands))
 
   /** Codegen'd StaticInvoke form of the portable band sketch
@@ -165,13 +163,12 @@ object EventStreams {
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(mins): _*))): _*)
   }
 
-  /** Shared body: `prep` runs once per row into its own column (the
-    * per-shingle hash material), `bandsOf` derives the band-hash array
-    * from that column. */
+  /** Shared body: `bandsOf` derives the band-hash array from the
+    * (computed-once) shingle column — the only per-family difference
+    * between the xxhash64 and portable md5 candidate streams. */
   private def nearDupCandidatesWith(docs: DataFrame, idCol: String,
       textCol: String, tsCol: String, watermark: String, maxSkew: String,
       n: Int,
-      prep: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       bandsOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {
     // two independently-derived subplans over the same source: a
@@ -187,8 +184,7 @@ object EventStreams {
         // short doc with every other — drop them (as the batch twin's
         // groupBy does implicitly)
         .filter(size(col("__sh")) > 0)
-        .withColumn("__hs", prep(col("__sh")))
-        .withColumn("__bands", bandsOf(col("__hs")))
+        .withColumn("__bands", bandsOf(col("__sh")))
         .withWatermark(tsCol, watermark)
         .select(col(idCol).as(idName), col(tsCol).as(tsName),
           posexplode(col("__bands")).as(Seq(bandName, bhName)))

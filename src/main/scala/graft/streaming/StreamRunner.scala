@@ -29,9 +29,21 @@ object StreamRunner {
 
   private val runSeq = new AtomicLong(0)
 
+  // latest memory-sink view per (still-running session, query name):
+  // each new run drops its predecessor so a long session (Perf loops,
+  // repeated Bench) holds at most ONE materialized result per query,
+  // not one per invocation. Dropping only the PREVIOUS sink keeps the
+  // frame we just returned alive for the caller.
+  private val lastSink = scala.collection.mutable.Map[(SparkSession, String), String]()
+
   def runAvailableNow(spark: SparkSession, batch: DataFrame, name: String,
       outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
-    val stage = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream/$name"
+    // pid + runSeq scope the staging dir: concurrent JVMs (a Bench
+    // sweep racing a Verify run) and re-runs at a different sf must
+    // never overwrite a directory another AvailableNow stream is
+    // reading mid-flight
+    val stage = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream/" +
+      s"${name}_p${ProcessHandle.current().pid()}_${runSeq.incrementAndGet()}"
     batch.write.mode("overwrite").parquet(stage)
     val src = spark.readStream.schema(batch.schema).parquet(stage)
     val sink = s"${name}_${runSeq.incrementAndGet()}"
@@ -40,6 +52,10 @@ object StreamRunner {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastSink.synchronized {
+      lastSink.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      lastSink.put((spark, name), sink).foreach(spark.catalog.dropTempView)
+    }
     spark.table(sink)
   }
 }
