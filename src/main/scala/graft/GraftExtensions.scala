@@ -26,5 +26,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),
       (args: Seq[Expression]) => FloatVector.builder(args)))
+    // the text kernels behind the dedup pack, as SQL functions — a SQL
+    // user can build shingles / LSH band sketches without touching the
+    // Scala API: e.g.
+    //   SELECT doc_id, explode(graft_minhash_bands(
+    //     graft_shingles(text, 3), 16, 4)) FROM docs
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo("graft.functions.TextKernels", "graft_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_shingles(text, n)")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          Class.forName("graft.functions.TextKernels"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false),
+          "shingles", args, returnNullable = false)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo("graft.functions.TextKernels", "graft_minhash_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_minhash_bands(shingles, numHashes, bands)")
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          Class.forName("graft.functions.TextKernels"),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false),
+          "minhashBandsPortable", args, returnNullable = false)
+      }))
   }
 }

@@ -104,4 +104,58 @@ class PropertySpec extends SparkSpec {
       Relational.unionTagged(ta, "A", tb, "B").count() == a.size + b.size
     }, cases = 10)
   }
+
+  test("quantizeInt8: per-element error ≤ scale/2, q bounded, roundtrip on arbitrary floats") {
+    import spark.implicits._
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-100f, 100f))
+    check(Prop.forAll(Gen.nonEmptyListOf(vecGen)) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("vec_id", "embedding")
+      val got = graft.similarity.Similarity
+        .quantizeInt8(df, "vec_id", "embedding")
+        .select("vec_id", "scale", "q", "v")
+        .as[(Long, Double, Seq[Int], Seq[Double])].collect()
+      got.forall { case (_, scale, q, v) =>
+        q.forall(x => x >= -127 && x <= 127) &&
+          v.zip(q).forall { case (x, qi) =>
+            math.abs(x - qi * scale) <= scale / 2 + 1e-9 }
+      }
+    }, cases = 10)
+  }
+
+  test("shuffleShards is a bijection: every id exactly once, dense per-shard positions") {
+    import spark.implicits._
+    val idsGen = Gen.nonEmptyListOf(Gen.choose(0L, 5000L)).map(_.distinct)
+    check(Prop.forAll(idsGen, Gen.choose(1, 12)) { (ids, nShards) =>
+      val got = graft.text.Sampling
+        .shuffleShards(ids.toDF("id"), "id", nShards, "prop")
+        .select("id", "shard", "pos").as[(Long, Int, Int)].collect()
+      got.length == ids.length &&
+        got.map(_._1).toSet == ids.toSet &&
+        got.forall { case (_, s, _) => s >= 0 && s < nShards } &&
+        got.groupBy(_._2).values.forall(g =>
+          g.map(_._3).sorted.toSeq == (1 to g.length))
+    }, cases = 10)
+  }
+
+  test("decontaminate partitions the corpus: kept ∪ flagged == corpus, disjoint") {
+    import spark.implicits._
+    val word = Gen.oneOf("ax", "bx", "cx", "dx", "ex", "fx")
+    val docGen = Gen.listOfN(6, word).map(_.mkString(" "))
+    check(Prop.forAll(Gen.nonEmptyListOf(docGen), Gen.nonEmptyListOf(docGen)) {
+      (corpusTexts, benchTexts) =>
+        val corpus = corpusTexts.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val bench = benchTexts.zipWithIndex
+          .map { case (t, i) => (i.toLong + 1000, t) }.toDF("doc_id", "text")
+        val flagged = graft.dedup.Dedup
+          .contaminatedIds(corpus, bench, "doc_id", "text", n = 3)
+          .as[Long].collect().toSet
+        val kept = graft.dedup.Dedup
+          .decontaminate(corpus, bench, "doc_id", "text", n = 3)
+          .select("doc_id").as[Long].collect().toSet
+        val all = corpusTexts.indices.map(_.toLong).toSet
+        (kept union flagged) == all && (kept intersect flagged).isEmpty
+    }, cases = 10)
+  }
 }

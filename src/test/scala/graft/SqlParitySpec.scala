@@ -54,6 +54,15 @@ class SqlParitySpec extends SparkSpec {
         "SELECT float_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT)))").head().getDouble(0)
       assert(got === 11.0)
+      // the text kernels ride the same injection: a pure-SQL user can
+      // shingle and band-sketch without the Scala API
+      val sh = s2.sql("SELECT graft_shingles('a b c d', 3)")
+        .head().getSeq[String](0)
+      assert(sh === Seq("a b c", "b c d"))
+      val bands = s2.sql(
+        "SELECT graft_minhash_bands(graft_shingles('a b c d', 3), 16, 4)")
+        .head().getSeq[String](0)
+      assert(bands.length === 4 && bands.forall(_.nonEmpty))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
