@@ -112,6 +112,61 @@ object Multimodal {
       .toDF()
   }
 
+  final case class ResizedMedia(media_id: Long, out_w: Option[Int],
+      out_h: Option[Int], sum_bytes: Option[Long], resized: Option[Array[Byte]])
+
+  /** Resize plumbing: nearest-neighbor downscale to fit within
+    * (maxW, maxH) PRESERVING aspect ratio — the thumbnail/normalize
+    * pass an image corpus runs before feature extraction. Never
+    * upscales. All arithmetic is integer floor division
+    * (out dims from the binding axis, source pixel = (x·w)/outW), so
+    * the stub is bit-reproducible across engines and the closed-form
+    * oracle can replay every output byte. Emits the resized body plus
+    * its byte-sum so downstream checks never re-scan the blob. A real
+    * resampler (SIMD/JNI) swaps in at the marked loop; degenerate
+    * (zero-area) or corrupt payloads yield nulls, never exceptions. */
+  def resizeNearest(df: DataFrame, idCol: String, contentCol: String,
+      maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          readHeader(bytes) match {
+            case Some((w, h)) if w > 0 && h > 0 && bytes.length >= 12 + w * h =>
+              val (ow, oh) =
+                if (w <= maxW && h <= maxH) (w, h)
+                else if (w.toLong * maxH <= h.toLong * maxW) {
+                  val t = math.min(h, maxH)
+                  (math.max(1, (w.toLong * t / h).toInt), t)
+                } else {
+                  val t = math.min(w, maxW)
+                  (t, math.max(1, (h.toLong * t / w).toInt))
+                }
+              val out = new Array[Byte](ow * oh)
+              var sum = 0L
+              var y = 0
+              while (y < oh) { // STUB: a real resampler goes here
+                val sy = y * h / oh
+                var x = 0
+                while (x < ow) {
+                  val b = bytes(12 + sy * w + x * w / ow)
+                  out(y * ow + x) = b
+                  sum += b & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              ResizedMedia(id, Some(ow), Some(oh), Some(sum), Some(out))
+            case _ => ResizedMedia(id, None, None, None, None)
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Frame sampling plumbing: every `stride`-th body row, emitted as
     * (media_id, frame_no, frame bytes) — the video-to-frames exploder.
     * A real decoder swaps in at the marked line. */

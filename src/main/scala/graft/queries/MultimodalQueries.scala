@@ -87,6 +87,46 @@ object MultimodalQueries {
              |  8 + (n_chars % 24) AS frame_len
              |FROM documents
              |CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 5, 2)) AS i) y
-             |ORDER BY media_id, frame_no""".stripMargin))
+             |ORDER BY media_id, frame_no""".stripMargin)),
+
+    // ---- resize plumbing (thumbnail/normalize pass): every payload
+    // downscaled to fit 12×4 preserving aspect ratio, nearest-neighbor
+    // with integer floor arithmetic — the oracle replays output dims
+    // AND every resized byte (as sum_bytes) from the generator's
+    // closed form, so the whole resample path is hash-checked.
+    NamedQuery("mm04_resized_media", (s, dir) => {
+      import s.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          (id, Multimodal.syntheticPayload(
+            width = 8 + (nChars % 24).toInt, height = 6, seed = (id % 97).toInt))
+        }
+        .toDF("media_id", "content")
+      Multimodal.resizeNearest(media, "media_id", "content", maxW = 12, maxH = 4)
+        .select(col("media_id"), col("out_w"), col("out_h"), col("sum_bytes"),
+          octet_length(col("resized")).as("n_bytes"))
+        .orderBy("media_id")
+    },
+      Some("""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
+             |                  doc_id % 97 AS seed FROM documents),
+             |d AS (SELECT doc_id, w, h, seed,
+             |  CASE WHEN w <= 12 AND h <= 4 THEN w
+             |       WHEN w * 4 <= h * 12 THEN greatest(1, (w * least(h, 4)) // h)
+             |       ELSE least(w, 12) END AS ow,
+             |  CASE WHEN w <= 12 AND h <= 4 THEN h
+             |       WHEN w * 4 <= h * 12 THEN least(h, 4)
+             |       ELSE greatest(1, (h * least(w, 12)) // w) END AS oh
+             |  FROM p),
+             |cells AS (SELECT doc_id, ow, oh,
+             |    ((x.i * w) // ow + (y.i * h) // oh + seed) % 251 AS v
+             |  FROM d
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, ow - 1)) AS i) x
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, oh - 1)) AS i) y)
+             |SELECT doc_id AS media_id, CAST(ow AS INT) AS out_w,
+             |  CAST(oh AS INT) AS out_h, CAST(sum(v) AS BIGINT) AS sum_bytes,
+             |  CAST(ow * oh AS INT) AS n_bytes
+             |FROM cells GROUP BY doc_id, ow, oh ORDER BY media_id""".stripMargin))
   )
 }

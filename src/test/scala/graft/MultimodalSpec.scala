@@ -59,4 +59,24 @@ class MultimodalSpec extends SparkSpec {
     // frame content matches the synthetic generator: byte(x,y) = (x+y+1)%251
     assert(frames.head._3.toSeq === (0 until 5).map(x => ((x + 0 + 1) % 251).toByte))
   }
+
+  test("resizeNearest: aspect-preserving floor dims, exact NN bytes, no upscale, corrupt→null") {
+    import spark.implicits._
+    val df = mediaDf(Seq(
+      (1L, Multimodal.syntheticPayload(8, 4, seed = 0)),   // 2:1 → fits after halving
+      (2L, Multimodal.syntheticPayload(3, 2, seed = 5)),   // already fits: passthrough
+      (3L, "junk".getBytes("UTF-8"))))                     // corrupt
+    val got = Multimodal.resizeNearest(df, "media_id", "content", maxW = 4, maxH = 2)
+      .as[Multimodal.ResizedMedia].collect().map(r => r.media_id -> r).toMap
+    // 8×4 → binding height: oh=2, ow=8*2/4=4; NN source pixel (x*8/4, y*4/2)
+    assert(got(1L).out_w.contains(4) && got(1L).out_h.contains(2))
+    val expected = for (y <- 0 until 2; x <- 0 until 4)
+      yield (((x * 8 / 4) + (y * 4 / 2) + 0) % 251).toByte
+    assert(got(1L).resized.get.toSeq === expected)
+    assert(got(1L).sum_bytes.contains(expected.map(_ & 0xFF).sum.toLong))
+    // smaller than the box: untouched dims (never upscaled)
+    assert(got(2L).out_w.contains(3) && got(2L).out_h.contains(2))
+    assert(got(2L).resized.get.length === 6)
+    assert(got(3L).out_w.isEmpty && got(3L).resized.isEmpty)
+  }
 }
