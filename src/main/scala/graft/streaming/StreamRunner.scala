@@ -52,6 +52,16 @@ object StreamRunner {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // the stream has fully consumed the staging dir (AvailableNow) —
+    // reclaim it so per-run dirs don't accumulate across a session
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(stage)
+      if (Files.exists(root))
+        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: java.io.IOException => () }
     lastSink.synchronized {
       lastSink.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
       lastSink.put((spark, name), sink).foreach(spark.catalog.dropTempView)
