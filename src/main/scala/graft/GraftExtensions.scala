@@ -31,27 +31,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Scala API: e.g.
     //   SELECT doc_id, explode(graft_minhash_bands(
     //     graft_shingles(text, 3), 16, 4)) FROM docs
+    // arg validation (positive INT literals, arity, divisibility)
+    // happens inside TextKernelExprs at ANALYSIS time — a malformed
+    // SQL call fails with a readable message, never per-row
     ext.injectFunction((
       FunctionIdentifier("graft_shingles"),
       new ExpressionInfo("graft.functions.TextKernels", "graft_shingles"),
-      (args: Seq[Expression]) => {
-        require(args.length == 2, "graft_shingles(text, n)")
-        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-          Class.forName("graft.functions.TextKernels"),
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StringType, containsNull = false),
-          "shingles", args, returnNullable = false)
-      }))
+      (args: Seq[Expression]) => graft.functions.TextKernelExprs.shingles(args)))
     ext.injectFunction((
       FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo("graft.functions.TextKernels", "graft_minhash_bands"),
-      (args: Seq[Expression]) => {
-        require(args.length == 3, "graft_minhash_bands(shingles, numHashes, bands)")
-        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
-          Class.forName("graft.functions.TextKernels"),
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.StringType, containsNull = false),
-          "minhashBandsPortable", args, returnNullable = false)
-      }))
+      (args: Seq[Expression]) => graft.functions.TextKernelExprs.minhashBands(args)))
   }
 }

@@ -31,14 +31,8 @@ object Dedup {
   def shingles(text: Column, n: Int): Column = {
     import org.apache.spark.sql.GraftExpressionBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-    import org.apache.spark.sql.types.{ArrayType, StringType}
-    GraftExpressionBridge.column(StaticInvoke(
-      Class.forName("graft.functions.TextKernels"),
-      ArrayType(StringType, containsNull = false),
-      "shingles",
-      Seq(GraftExpressionBridge.expression(text), Literal(n)),
-      returnNullable = false))
+    GraftExpressionBridge.column(graft.functions.TextKernelExprs.shingles(
+      Seq(GraftExpressionBridge.expression(text), Literal(n))))
   }
 
   /** Pure-expression shingling — semantically identical to `shingles`

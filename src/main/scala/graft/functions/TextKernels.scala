@@ -152,3 +152,41 @@ object TextKernels {
     new GenericArrayData(out)
   }
 }
+
+/** The single authority for wiring [[TextKernels]] methods into
+  * Catalyst plans: every caller (the Column helpers in Dedup /
+  * EventStreams, the SQL registrations in graft.GraftExtensions)
+  * builds its `StaticInvoke` here, so the class/method/return-type
+  * binding lives in exactly one place. */
+object TextKernelExprs {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
+
+  private val StringArray = ArrayType(StringType, containsNull = false)
+  private val Kernels = Class.forName("graft.functions.TextKernels")
+
+  /** Positive foldable-int check for SQL-surface args: malformed
+    * calls must fail ANALYSIS with a readable message, not blow up
+    * per-row inside the kernel. */
+  private def literalInt(e: Expression, name: String, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) if v > 0 => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $name must be a positive INT literal, got $e")
+  }
+
+  def shingles(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_shingles(text, n)")
+    literalInt(args(1), "n", "graft_shingles")
+    StaticInvoke(Kernels, StringArray, "shingles", args, returnNullable = false)
+  }
+
+  def minhashBands(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "graft_minhash_bands(shingles, numHashes, bands)")
+    val nh = literalInt(args(1), "numHashes", "graft_minhash_bands")
+    val b = literalInt(args(2), "bands", "graft_minhash_bands")
+    require(nh % b == 0, s"graft_minhash_bands: numHashes ($nh) must divide into bands ($b)")
+    StaticInvoke(Kernels, StringArray, "minhashBandsPortable", args,
+      returnNullable = false)
+  }
+}

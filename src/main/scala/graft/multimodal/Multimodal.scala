@@ -149,10 +149,13 @@ object Multimodal {
               var sum = 0L
               var y = 0
               while (y < oh) { // STUB: a real resampler goes here
-                val sy = y * h / oh
+                // Long products: x·w / y·h can exceed Int for extreme
+                // aspect ratios (w=10⁶, h=1 passes the w·h size check
+                // but x*w wraps negative and indexes out of bounds)
+                val sy = (y.toLong * h / oh).toInt
                 var x = 0
                 while (x < ow) {
-                  val b = bytes(12 + sy * w + x * w / ow)
+                  val b = bytes(12 + sy * w + (x.toLong * w / ow).toInt)
                   out(y * ow + x) = b
                   sum += b & 0xFF
                   x += 1

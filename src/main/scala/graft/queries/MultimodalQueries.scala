@@ -36,15 +36,7 @@ object MultimodalQueries {
     // binary round-trip (encode → bytes → parse → stats) is verified
     // end to end.
     NamedQuery("mm02_media_features", (s, dir) => {
-      import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .map { case (id, nChars) =>
-          (id, Multimodal.syntheticPayload(
-            width = 8 + (nChars % 24).toInt, height = 6, seed = (id % 97).toInt))
-        }
-        .toDF("media_id", "content")
+      val media = syntheticMedia(s, dir)
       Multimodal.decodeFeatures(media, "media_id", "content")
         .orderBy("media_id")
     },
@@ -69,15 +61,7 @@ object MultimodalQueries {
     // offset arithmetic of the exploder; mm02 already verifies byte
     // CONTENT end to end.
     NamedQuery("mm03_frame_samples", (s, dir) => {
-      import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .map { case (id, nChars) =>
-          (id, Multimodal.syntheticPayload(
-            width = 8 + (nChars % 24).toInt, height = 6, seed = (id % 97).toInt))
-        }
-        .toDF("media_id", "content")
+      val media = syntheticMedia(s, dir)
       Multimodal.sampleFrames(media, "media_id", "content", stride = 2)
         .select(col("media_id"), col("frame_no"),
           length(col("frame")).as("frame_len"))
@@ -95,15 +79,7 @@ object MultimodalQueries {
     // AND every resized byte (as sum_bytes) from the generator's
     // closed form, so the whole resample path is hash-checked.
     NamedQuery("mm04_resized_media", (s, dir) => {
-      import s.implicits._
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("n_chars"))
-        .as[(Long, Long)]
-        .map { case (id, nChars) =>
-          (id, Multimodal.syntheticPayload(
-            width = 8 + (nChars % 24).toInt, height = 6, seed = (id % 97).toInt))
-        }
-        .toDF("media_id", "content")
+      val media = syntheticMedia(s, dir)
       Multimodal.resizeNearest(media, "media_id", "content", maxW = 12, maxH = 4)
         .select(col("media_id"), col("out_w"), col("out_h"), col("sum_bytes"),
           octet_length(col("resized")).as("n_bytes"))
@@ -129,4 +105,21 @@ object MultimodalQueries {
              |  CAST(ow * oh AS INT) AS n_bytes
              |FROM cells GROUP BY doc_id, ow, oh ORDER BY media_id""".stripMargin))
   )
+
+  /** Shared fixture for mm02/mm03/mm04: doc-keyed synthetic payloads
+    * (width = 8 + n_chars%24, height 6, seed = doc_id%97). The THREE
+    * DuckDB oracles mirror this closed form — one definition here so a
+    * tweak cannot silently diverge a subset of them. */
+  private def syntheticMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, Multimodal.syntheticPayload(
+          width = 8 + (nChars % 24).toInt, height = 6, seed = (id % 97).toInt))
+      }
+      .toDF("media_id", "content")
+  }
 }

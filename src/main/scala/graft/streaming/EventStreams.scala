@@ -132,14 +132,8 @@ object EventStreams {
       numHashes: Int, bands: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftExpressionBridge
     import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-    import org.apache.spark.sql.types.{ArrayType, StringType}
-    GraftExpressionBridge.column(StaticInvoke(
-      Class.forName("graft.functions.TextKernels"),
-      ArrayType(StringType, containsNull = false),
-      "minhashBandsPortable",
-      Seq(GraftExpressionBridge.expression(sh), Literal(numHashes), Literal(bands)),
-      returnNullable = false))
+    GraftExpressionBridge.column(graft.functions.TextKernelExprs.minhashBands(
+      Seq(GraftExpressionBridge.expression(sh), Literal(numHashes), Literal(bands))))
   }
 
   /** Pure-expression portable band sketch — the (slower) reference

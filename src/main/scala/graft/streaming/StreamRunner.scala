@@ -54,14 +54,20 @@ object StreamRunner {
     q.awaitTermination()
     // the stream has fully consumed the staging dir (AvailableNow) —
     // reclaim it so per-run dirs don't accumulate across a session
+    // NonFatal, not just IOException: Files.walk surfaces races with
+    // tmp reapers as UncheckedIOException mid-iteration, and a failed
+    // best-effort cleanup must never lose an already-correct result
     try {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
       val root = Paths.get(stage)
-      if (Files.exists(root))
-        Files.walk(root).iterator().asScala.toSeq.reverseIterator
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverseIterator
           .foreach(p => Files.deleteIfExists(p))
-    } catch { case _: java.io.IOException => () }
+        finally walk.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
     lastSink.synchronized {
       lastSink.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
       lastSink.put((spark, name), sink).foreach(spark.catalog.dropTempView)
