@@ -42,5 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo("graft.functions.TextKernels", "graft_minhash_bands"),
       (args: Seq[Expression]) => graft.functions.TextKernelExprs.minhashBands(args)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo("graft.functions.TextKernels", "graft_nfc"),
+      (args: Seq[Expression]) => graft.functions.TextKernelExprs.nfc(args)))
   }
 }

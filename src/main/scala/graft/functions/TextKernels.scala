@@ -19,6 +19,22 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernels {
 
+  /** Unicode NFC normalization (canonical composition) — the corpus
+    * text-cleaning primitive Spark lacks as a builtin: decomposed
+    * sequences (e + U+0301) fold to their composed forms (é), so
+    * hashing / dedup / tokenization see ONE byte representation per
+    * canonically-equal string. Matches DuckDB's `nfc_normalize`
+    * (both implement Unicode canonical composition), which is what
+    * makes the t11 oracle possible. ASCII fast path: already-NFC
+    * strings (the common case at corpus scale) return the input
+    * object without allocating. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Replicates Spark's `lower()` dispatch (UTF8String.toLowerCase):
     * a locale-independent ASCII fast path when the string is all-ASCII
     * — so e.g. "TITLE" lowers to "title" even under a tr-TR default
@@ -179,6 +195,11 @@ object TextKernelExprs {
     require(args.length == 2, "graft_shingles(text, n)")
     literalInt(args(1), "n", "graft_shingles")
     StaticInvoke(Kernels, StringArray, "shingles", args, returnNullable = false)
+  }
+
+  def nfc(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "graft_nfc(text)")
+    StaticInvoke(Kernels, StringType, "nfcNormalize", args, returnNullable = false)
   }
 
   def minhashBands(args: Seq[Expression]): Expression = {

@@ -593,6 +593,33 @@ object PipelineQueries {
              |                 '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // ---- Unicode NFC text normalization (the cleaning pass before
+    // any hash-based dedup): every doc gets a planted DECOMPOSED
+    // suffix (e + U+0301, mixed whitespace), so composition and
+    // whitespace collapse both do real work — byte lengths and the
+    // md5 of the normalized text are hash-checked against DuckDB's
+    // nfc_normalize.
+    NamedQuery("t11_normalized_text",
+      (s, dir) => {
+        val dirty = concat(col("text"), lit("  e\u0301\n\tcafe\u0301"))
+        Tables.documents(s, dir).select(col("doc_id"), dirty.as("dirty"))
+          .select(col("doc_id"),
+            substring(md5(TextOps.normalizeText(col("dirty"))), 1, 8).as("hash8"),
+            octet_length(TextOps.normalizeText(col("dirty"))).as("n_bytes_norm"),
+            octet_length(col("dirty")).as("n_bytes_raw"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    text || '  e' || chr(769) || chr(10) || chr(9) || 'cafe' || chr(769) AS dirty
+             |  FROM documents),
+             |n AS (SELECT doc_id, dirty,
+             |    trim(regexp_replace(nfc_normalize(dirty), '[ \t\n\r]+', ' ', 'g')) AS norm
+             |  FROM p)
+             |SELECT doc_id, substr(md5(norm), 1, 8) AS hash8,
+             |  octet_length(encode(norm)) AS n_bytes_norm,
+             |  octet_length(encode(dirty)) AS n_bytes_raw
+             |FROM n ORDER BY doc_id""".stripMargin)),
+
     // ---- distribution-cutoff quality filter: drop the shortest 10%
     // of docs WITHIN each source (rank-based, so the cutoff adapts to
     // each source's own length distribution — a fixed global threshold

@@ -20,6 +20,24 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Unicode NFC canonical composition (codegen'd kernel — Spark has
+    * no builtin): one byte representation per canonically-equal
+    * string, so downstream hashing/dedup/tokenization never split a
+    * document from its decomposed twin. */
+  def nfc(text: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.functions.TextKernelExprs.nfc(
+      Seq(GraftExpressionBridge.expression(text))))
+  }
+
+  /** Corpus text normalization: NFC + collapse whitespace runs to a
+    * single space + trim — the canonical cleaning pass before any
+    * hash-based dedup. Explicit [ \t\n\r] class (not \s) because Java
+    * and RE2 disagree on \s's exact membership — oracle parity
+    * requires one definition. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(nfc(text), "[ \t\n\r]+", " "))
+
   /** BPE-ish subword count estimate: whitespace tokens weighted by
     * ceil(len/4) — the "~4 chars per token" heuristic, purely
     * declarative. */

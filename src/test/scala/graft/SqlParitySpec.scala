@@ -63,6 +63,10 @@ class SqlParitySpec extends SparkSpec {
         "SELECT graft_minhash_bands(graft_shingles('a b c d', 3), 16, 4)")
         .head().getSeq[String](0)
       assert(bands.length === 4 && bands.forall(_.nonEmpty))
+      // NFC normalization from SQL: decomposed e+U+0301 composes to é
+      // (combining char embedded directly — Spark's chr() is byte-only)
+      val nfc = s2.sql("SELECT graft_nfc('café')").head().getString(0)
+      assert(nfc === "café", s"expected composed form, got $nfc")
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

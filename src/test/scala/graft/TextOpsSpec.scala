@@ -106,4 +106,22 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1L)._4 == "reach me at <EMAIL> or <PHONE> thanks")
     assert(got(2L)._2 == 0 && got(2L)._3 == 0 && got(2L)._4 == "no pii in this sentence at all")
   }
+
+  test("normalizeText: NFC composes decomposed chars, collapses whitespace, idempotent") {
+    val docs = Seq(
+      (1L, "café  du\n\tmonde"),  // decomposed e + U+0301, messy whitespace
+      (2L, "  plain ascii text  "),
+      (3L, "café du monde")          // already composed + clean
+    ).toDF("id", "text")
+    val got = docs.select($"id", TextOps.normalizeText($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "café du monde") // composed single code point
+    assert(got(2L) == "plain ascii text")
+    assert(got(3L) == "café du monde")
+    // idempotent: normalizing the normalized form is a no-op
+    val again = docs.select($"id",
+        TextOps.normalizeText(TextOps.normalizeText($"text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(again == got)
+  }
 }
