@@ -25,10 +25,12 @@ object TextKernels {
     * hashing / dedup / tokenization see ONE byte representation per
     * canonically-equal string. Matches DuckDB's `nfc_normalize`
     * (both implement Unicode canonical composition), which is what
-    * makes the t11 oracle possible. ASCII fast path: already-NFC
-    * strings (the common case at corpus scale) return the input
-    * object without allocating. */
+    * makes the t11 oracle possible. ASCII fast path: ASCII is NFC by
+    * construction, so the (corpus-dominant) all-ASCII case returns
+    * the input object from a byte scan with NO String decode; only
+    * non-ASCII rows pay the decode + isNormalized check. */
   def nfcNormalize(text: UTF8String): UTF8String = {
+    if (text.isFullAscii) return text
     val s = text.toString
     if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
     else UTF8String.fromString(
