@@ -107,6 +107,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("codegen id"), s"expression must not break codegen:\n$plan")
   }
 
+  test("text kernels (shingles/nfc StaticInvoke) stay inside whole-stage codegen") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val df = docs.select(col("doc_id"),
+      graft.dedup.Dedup.shingles(col("text"), 3).as("sh"),
+      graft.text.TextOps.nfc(col("text")).as("norm"))
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("static_invoke") || plan.contains("staticinvoke"),
+      s"expected the kernel calls in:\n$plan")
+    assert(plan.contains("codegen id"),
+      s"kernel projection must not break whole-stage codegen:\n$plan")
+  }
+
   test("bucketed tables co-locate their join (no shuffle exchange)") {
     import spark.implicits._
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
