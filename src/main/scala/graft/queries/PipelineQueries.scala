@@ -593,6 +593,28 @@ object PipelineQueries {
              |                 '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // ---- temperature-smoothed mixture rebalance (α=0.5): big sources
+    // downsampled toward √(n_min/n_s), small ones kept whole — the
+    // data-mix flattening pass. q is bit-identical cross-engine (exact
+    // ints through correctly-rounded sqrt/div), so the per-source keep
+    // counts hash-match exactly.
+    NamedQuery("p07_temperature_mix",
+      (s, dir) => Sampling.temperatureMix(Tables.documents(s, dir),
+          "source", col("text"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), min("doc_id").as("min_kept_id"))
+        .orderBy("source"),
+      Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+             |t AS (SELECT source,
+             |    CAST(floor(round(least(1.0,
+             |      sqrt(CAST((SELECT min(n) FROM c) AS DOUBLE) / n)), 6)
+             |      * 1000000) AS BIGINT) AS thr
+             |  FROM c)
+             |SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS min_kept_id
+             |FROM documents d JOIN t ON d.source = t.source
+             |WHERE CAST('0x' || substr(md5(d.text), 1, 8) AS BIGINT) % 1000000 < t.thr
+             |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
     // ---- Unicode NFC text normalization (the cleaning pass before
     // any hash-based dedup): every doc gets a planted DECOMPOSED
     // suffix (e + U+0301, mixed whitespace), so composition and

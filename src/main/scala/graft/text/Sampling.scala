@@ -48,6 +48,37 @@ object Sampling {
     df.filter(hashBucket(key, nBuckets) < frac * nBuckets)
   }
 
+  /** Temperature-smoothed mixture rebalance (α = 0.5): per-stratum
+    * keep-rate q_s = min(1, √(n_min/n_s)) downsamples large strata
+    * toward the α-smoothed mixture (the standard LLM-corpus move for
+    * flattening a source/language imbalance without discarding small
+    * strata). Rows are kept by content hash — reproducible across
+    * engines/runs like every sampler here.
+    *
+    * Determinism across engines is engineered, not assumed: n_min and
+    * n_s are exact integers, and `sqrt` + division are CORRECTLY
+    * ROUNDED IEEE ops (unlike `pow`, whose last ulp is
+    * implementation-defined — that is why α is fixed at 0.5 instead
+    * of a parameter), so q_s is bit-identical everywhere; the rate is
+    * then rounded to 6 dp and floored to an integer bucket threshold,
+    * making the keep decision an exact integer compare.
+    *
+    * Scale shape: one tiny per-stratum count aggregate, its min
+    * broadcast back, and a scan-stage hash filter — the corpus never
+    * shuffles. */
+  def temperatureMix(df: DataFrame, strataCol: String, key: Column,
+      nBuckets: Int = 1000000): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val thresholds = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .withColumn("__q", least(lit(1.0), sqrt(col("__nmin") / col("__n"))))
+      .withColumn("__thr", floor(round(col("__q"), 6) * nBuckets).cast("long"))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(thresholds), strataCol)
+      .filter(hashBucket(key, nBuckets) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic global shuffle + shard assignment — the training-
     * data EXPORT primitive: a corpus must be written as N shards in a
     * reproducible pseudo-random order (so every epoch/re-run/engine

@@ -50,6 +50,23 @@ class SamplingSpec extends SparkSpec {
     assert(again === kept.select("id").as[Long].collect().toSet)
   }
 
+  test("temperatureMix keeps small strata whole, downsamples large toward sqrt ratio") {
+    import spark.implicits._
+    val df = ((1 to 4000).map(i => (i.toLong, "big", s"text $i")) ++
+      (1 to 250).map(i => (i.toLong + 10000, "small", s"other $i")))
+      .toDF("id", "src", "text")
+    val kept = Sampling.temperatureMix(df, "src", col("text"))
+    val bySrc = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    // smallest stratum: q = 1 → every row survives
+    assert(bySrc("small") === 250L)
+    // big stratum: q = sqrt(250/4000) = 0.25 → ~1000 of 4000 (hash noise)
+    assert(math.abs(bySrc("big") - 1000L) < 120, s"big=${bySrc("big")}")
+    // content-keyed: identical keep set on re-run
+    val again = Sampling.temperatureMix(df, "src", col("text"))
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+  }
+
   test("shuffleShards: deterministic permutation, dense per-shard positions, salt reshuffles") {
     import spark.implicits._
     val df = (1L to 500L).toDF("id")
