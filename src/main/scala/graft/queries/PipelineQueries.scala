@@ -593,6 +593,52 @@ object PipelineQueries {
              |                 '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // ---- corpus snapshot delta: FULL OUTER join of two corpus
+    // versions on doc id, classifying every row added / removed /
+    // changed (content hash differs) / unchanged — the incremental-
+    // snapshot audit a continuously-rebuilt corpus runs between
+    // releases. v2 simulates a release: every 13th doc dropped, every
+    // 17th edited, a small new batch appended. One id-keyed shuffle
+    // join; content comparison by md5, never by full text.
+    NamedQuery("p08_snapshot_delta",
+      (s, dir) => {
+        val v1 = Tables.documents(s, dir).select(col("doc_id"),
+          md5(col("text")).as("h1"))
+        val v2base = Tables.documents(s, dir).filter(col("doc_id") % 13 =!= 0)
+        val v2 = v2base.select(col("doc_id"),
+            md5(when(col("doc_id") % 17 === 0, concat(col("text"), lit(" [edited]")))
+              .otherwise(col("text"))).as("h2"))
+          .unionByName(v2base.filter(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              md5(concat(lit("new "), col("text"))).as("h2")))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("h1").isNull, lit("added"))
+              .when(col("h2").isNull, lit("removed"))
+              .when(col("h1") === col("h2"), lit("unchanged"))
+              .otherwise(lit("changed")))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+          .orderBy("status")
+      },
+      Some("""WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+             |v2 AS (
+             |  SELECT doc_id,
+             |    md5(CASE WHEN doc_id % 17 = 0 THEN text || ' [edited]'
+             |             ELSE text END) AS h2
+             |  FROM documents WHERE doc_id % 13 != 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5('new ' || text)
+             |  FROM documents WHERE doc_id % 13 != 0 AND doc_id % 19 = 0),
+             |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+             |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+             |SELECT CASE WHEN h1 IS NULL THEN 'added'
+             |            WHEN h2 IS NULL THEN 'removed'
+             |            WHEN h1 = h2 THEN 'unchanged'
+             |            ELSE 'changed' END AS status,
+             |  count(*) AS n_docs, min(doc_id) AS min_doc
+             |FROM j GROUP BY 1 ORDER BY status""".stripMargin)),
+
     // ---- temperature-smoothed mixture rebalance (α=0.5): big sources
     // downsampled toward √(n_min/n_s), small ones kept whole — the
     // data-mix flattening pass. q is bit-identical cross-engine (exact
