@@ -68,14 +68,21 @@ object Sampling {
     * shuffles. */
   def temperatureMix(df: DataFrame, strataCol: String, key: Column,
       nBuckets: Int = 1000000): DataFrame = {
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    // null strata: excluded from the mixture computation AND kept
+    // whole (q = 1) — matching stratifiedSample, where a null stratum
+    // falls through to the default rate. Without the isNotNull guard a
+    // tiny unattributed group could become n_min and deflate every
+    // real stratum's keep-rate; without the null-keeps-row filter
+    // below, the inner equi-join would silently DROP unattributed rows.
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
     val thresholds = counts
       .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
       .withColumn("__q", least(lit(1.0), sqrt(col("__nmin") / col("__n"))))
       .withColumn("__thr", floor(round(col("__q"), 6) * nBuckets).cast("long"))
       .select(col(strataCol), col("__thr"))
-    df.join(broadcast(thresholds), strataCol)
-      .filter(hashBucket(key, nBuckets) < col("__thr"))
+    df.join(broadcast(thresholds), Seq(strataCol), "left")
+      .filter(col("__thr").isNull || hashBucket(key, nBuckets) < col("__thr"))
       .drop("__thr")
   }
 

@@ -65,6 +65,14 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.temperatureMix(df, "src", col("text"))
       .select("id").as[Long].collect().toSet
     assert(again === kept.select("id").as[Long].collect().toSet)
+    // null strata: kept whole AND excluded from n_min (two unattributed
+    // rows must not become the reference minimum and crush 'big')
+    val withNull = df.unionByName(Seq((20001L, null.asInstanceOf[String], "x1"),
+      (20002L, null.asInstanceOf[String], "x2")).toDF("id", "src", "text"))
+    val keptN = Sampling.temperatureMix(withNull, "src", col("text"))
+    assert(keptN.filter(col("src").isNull).count() === 2L)
+    val bigN = keptN.filter(col("src") === "big").count()
+    assert(math.abs(bigN - 1000L) < 120, s"null stratum skewed n_min: big=$bigN")
   }
 
   test("shuffleShards: deterministic permutation, dense per-shard positions, salt reshuffles") {
