@@ -593,6 +593,43 @@ object PipelineQueries {
              |                 '${TextOps.PhoneRe}', '<PHONE>', 'g') AS redacted
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // ---- normalization-aware exact dedup: byte-exact dedup misses
+    // whitespace/Unicode VARIANTS of the same text; hashing the
+    // NFC-normalized form collapses them. Planted variants (doubled
+    // spaces + a decomposed suffix vs the composed original) must
+    // dedup INTO their originals — the composition normalizeText →
+    // dropExactDups that motivates the cleaning pass.
+    NamedQuery("d17_normalized_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        // variant: doubled internal spaces + decomposed " café" tail;
+        // original gets the composed tail so raw bytes differ but the
+        // normalized forms agree
+        val originals = docs.withColumn("text", concat(col("text"), lit(" café")))
+        val variants = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(regexp_replace(col("text"), " ", "  "), lit("  café"))
+              .as("text"))
+        val all = originals.unionByName(variants)
+          .select(col("doc_id"), TextOps.normalizeText(col("text")).as("text"))
+        Dedup.dropExactDups(all, "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text || ' ' || 'caf' || chr(233) AS text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000,
+             |    replace(text, ' ', '  ') || '  cafe' || chr(769)
+             |  FROM documents WHERE doc_id % 5 = 0),
+             |n AS (SELECT doc_id,
+             |    trim(regexp_replace(nfc_normalize(text), '[ \t\n\r]+', ' ', 'g')) AS norm
+             |  FROM all_docs)
+             |SELECT doc_id FROM (
+             |  SELECT doc_id, row_number() OVER (
+             |    PARTITION BY md5(norm) ORDER BY doc_id) AS rn
+             |  FROM n) WHERE rn = 1
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- corpus snapshot delta: FULL OUTER join of two corpus
     // versions on doc id, classifying every row added / removed /
     // changed (content hash differs) / unchanged — the incremental-
