@@ -114,38 +114,50 @@ object Similarity {
     * ranks them. Recall grows with bands; cost stays linear in rows.
     * Output: (query_id, neighbor_id, cos, rank) — rank ≤ k per query,
     * possibly fewer than k rows when buckets miss true neighbors.
+    *
+    * Scale shape (same as [[cosineNearDupPairsLsh]] / s01/s03/s04):
+    * only (query_id, neighbor_id) id pairs ride the candidate-dedup
+    * shuffle — the embedding payloads rejoin AFTER the distinct, so a
+    * hot band bucket never duplicates vectors through an exchange —
+    * and per-query top-k is the map-side-combining TopK Aggregator
+    * (≤ k rows per query per partition), never a window over every
+    * scored candidate. The bounded query side broadcasts twice: into
+    * the band join and into the vector rejoin.
     */
   def lshCosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       dim: Int, nBits: Int = 32, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    import graft.functions.TopK
     require(nBits % bands == 0)
     val rows = nBits / bands
     val planes = hyperplanes(dim, nBits, seed)
     val mask = (1L << rows) - 1
 
-    def banded(df: DataFrame, idName: String, vecName: String) = {
-      val withSig = df.toDF(idName, vecName)
-        .withColumn(s"${idName}_n", norm(col(vecName)))
-        .withColumn("sig", signature(col(vecName), planes))
-      withSig.select(col(idName), col(vecName), col(s"${idName}_n"),
-        posexplode(array((0 until bands).map(b =>
-          shiftrightunsigned(col("sig"), b * rows).bitwiseAND(mask)): _*))
-          .as(Seq("band", "bh")))
-    }
+    val q = queries.toDF("query_id", "qv")
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("sig", signature(col("qv"), planes))
+    val c = graft.Caches.cached(corpus.toDF("neighbor_id", "cv")
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("sig", signature(col("cv"), planes)))
 
-    val qb = banded(queries, "query_id", "qv")
-    val cb = banded(corpus, "neighbor_id", "cv")
-    val cand = qb.join(cb, Seq("band", "bh"))
+    def bandsOf(df: DataFrame, idName: String) = df.select(col(idName),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * rows).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bh")))
+
+    val cand = broadcast(bandsOf(q, "query_id"))
+      .join(bandsOf(c, "neighbor_id"), Seq("band", "bh"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "query_id_n", "neighbor_id", "cv", "neighbor_id_n")
-      .distinct()
+      .select("query_id", "neighbor_id").distinct()
 
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     cand
-      .withColumn("cos", round(
-        dotF(col("qv"), col("cv")) / (col("query_id_n") * col("neighbor_id_n")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+      .join(c.select("neighbor_id", "cv", "cn"), Seq("neighbor_id"))
+      .withColumn("cos", round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("cos"), (col("r0") + 1).cast("int").as("rank"))
   }
 
   /** IVF (inverted-file) ANN with FIXED seeded centroids — the

@@ -93,6 +93,19 @@ class PlanSpec extends SparkSpec {
       s"expected two-phase topkagg in:\n$plan")
   }
 
+  test("LSH ANN top-k dedups id pairs (no payload distinct) and combines map-side") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "s02_ann_lsh_topk")
+    assert(!plan.contains("Window"),
+      s"top-k must aggregate, not window-shuffle every scored candidate:\n$plan")
+    assert("Aggregate".r.findAllIn(plan).size >= 2 && plan.contains("topkagg"),
+      s"expected two-phase topkagg in:\n$plan")
+    // the candidate-dedup aggregate must key on ids only — an embedding
+    // payload in the distinct keys means vectors ride the dedup shuffle
+    assert(!"HashAggregate\\(keys=\\[[^\\]]*(qv|cv)#".r.findFirstIn(plan).isDefined,
+      s"candidate distinct must carry only (query_id, neighbor_id):\n$plan")
+  }
+
   test("FloatDot stays inside whole-stage codegen") {
     // parquet-backed input (a literal LocalTableScan plan has no
     // codegen stages to inspect)
