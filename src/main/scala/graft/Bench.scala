@@ -36,7 +36,9 @@ object Bench {
       "\"" + k + "\":" + e.fold(fmt(v))(_ => "null") }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(e)) => s""""$k":"$e"""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures are reported, not timed: time-to-exception in the total
+    // would let a crash read as a speedup (or a slow failure inflate it)
+    val total = results.filter(_._3.isEmpty).map(_._2).sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(json)

@@ -118,7 +118,7 @@ object IterativeGraph {
     val deg = graft.Caches.cached(
       sym.groupBy(col("src").as("id")).agg(sum("w").as("deg")))
     val stats = deg.agg(count(lit(1)).as("n"), sum("deg").as("sumdeg"))
-    var v = deg.crossJoin(stats)
+    var v = deg.crossJoin(broadcast(stats))
       .select(col("id"), (col("deg") * col("n") / col("sumdeg")).as("v"))
       .localCheckpoint()
     for (_ <- 1 to iters) {

@@ -483,7 +483,7 @@ object PipelineQueries {
         val dfc = tf.groupBy("tok").agg(count(lit(1)).as("cat_df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("source").orderBy(col("score").desc, col("tok"))
-        tf.join(dfc, "tok").crossJoin(nCats)
+        tf.join(broadcast(dfc), "tok").crossJoin(broadcast(nCats))
           .withColumn("score", round(
             col("tf") * log(col("n_cats").cast("double") / col("cat_df")), 4))
           .withColumn("rank", row_number().over(w))

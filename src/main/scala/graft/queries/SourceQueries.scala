@@ -16,9 +16,21 @@ import graft.sources.Sources
   */
 object SourceQueries {
 
+  // pid-scoped (like StreamRunner's checkpoint dirs): a Bench sweep
+  // racing a Verify run must never share a stage dir — mode=overwrite
+  // would delete files the other JVM is mid-read
+  private val runId = ProcessHandle.current().pid()
+
   private def stageDir(name: String, dir: String): String = {
     val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_io/${name}_$safe"
+    val d = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_io_$runId/${name}_$safe"
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }))
+    d
   }
 
   val all: Seq[NamedQuery] = Seq(

@@ -350,9 +350,15 @@ object Similarity {
       .withColumn("vnrm",
         sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x.cast("double") * x)))
       .join(broadcast(cent))
+      // zero-norm guard: 0-division would yield null, and null ordering
+      // differs between engines (Spark desc-nulls-last vs DuckDB
+      // nulls-first) — pin degenerate rows to cos 0 so the
+      // (cos desc, label) tie-break is deterministic cross-engine
       .withColumn("cos", round(
-        aggregate(zip_with(col("v"), col("c"), (a, b) => a.cast("double") * b),
-          lit(0.0), (acc, x) => acc + x) / (col("vnrm") * col("cnrm")), 4))
+        when(col("vnrm") * col("cnrm") > 0,
+          aggregate(zip_with(col("v"), col("c"), (a, b) => a.cast("double") * b),
+            lit(0.0), (acc, x) => acc + x) / (col("vnrm") * col("cnrm")))
+        .otherwise(lit(0.0)), 4))
     scored.withColumn("__rn", row_number().over(Window.partitionBy("id")
         .orderBy(col("cos").desc, col("clabel"))))
       .filter(col("__rn") === 1)

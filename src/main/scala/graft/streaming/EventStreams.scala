@@ -153,8 +153,15 @@ object EventStreams {
       h => (h.getField("h1") + lit(i.toLong) * h.getField("h2")
         + lit(i.toLong * i)) % P)))
     val rows = numHashes / bands
-    array((0 until bands).map(b =>
+    val bandsArr = array((0 until bands).map(b =>
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(mins): _*))): _*)
+    // empty-input contract must match the kernel form: [] → [] (and
+    // null → null), NOT a constant md5('')-derived array — concat_ws
+    // skips the null mins, so an unguarded empty input would hash every
+    // shingle-less doc into the same band bucket
+    when(sh.isNull, lit(null).cast("array<string>"))
+      .when(size(sh) === 0, array().cast("array<string>"))
+      .otherwise(bandsArr)
   }
 
   /** Shared body: `bandsOf` derives the band-hash array from the

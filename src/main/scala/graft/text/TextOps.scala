@@ -122,7 +122,9 @@ object TextOps {
     // total from the vocabulary-sized freq table, not a second pass
     // over the corpus-sized token stream
     val n = freq.agg(sum(col("cnt")).as("n_total"))
-    toks.join(freq, "tok").crossJoin(n)
+    // both sides are vocabulary-sized — hint them so the corpus-sized
+    // token stream never risks being the built/shuffled side at scale
+    toks.join(broadcast(freq), "tok").crossJoin(broadcast(n))
       .withColumn("logp", log(col("cnt").cast("double") / col("n_total")))
       .groupBy("id")
       .agg(round(-avg("logp"), 4).as("surprisal"),

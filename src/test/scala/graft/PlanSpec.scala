@@ -260,6 +260,23 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must stay a (band, bh)-keyed equi-join:\n$plan")
   }
 
+  test("surprisal/tf-idf joins broadcast their vocabulary-sized sides") {
+    import graft.queries.PipelineQueries
+    // t06: freq + 1-row total joined back to the corpus token stream;
+    // t07: cat_df + 1-row n_cats joined back to the tf table — all four
+    // are vocabulary-sized and must broadcast, never BNLJ/shuffle the
+    // corpus-derived side
+    for (name <- Seq("t06_unigram_surprisal", "t07_category_terms")) {
+      val plan = packPlan(PipelineQueries.all, name)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: expected broadcast joins in:\n$plan")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: 1-row total must broadcast, not cartesian:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: vocabulary join must broadcast, not shuffle both sides:\n$plan")
+    }
+  }
+
   test("centroidAssign broadcasts the centroid table (corpus never shuffles)") {
     val e = Tables.embeddings(spark, sf)
     val plan = planOf(Similarity.centroidAssign(e, "vec_id", "embedding", "label"))

@@ -79,10 +79,11 @@ class TextKernelsSpec extends SparkSpec {
     val words = Array("spark", "scan", "join", "agg", "x9", "row", "batch", "key")
     def text(): String =
       Seq.fill(3 + rnd.nextInt(40))(words(rnd.nextInt(words.length))).mkString(" ")
-    val texts = Seq.fill(60)(text())
+    // include shingle-less docs (< 3 tokens): both forms must agree on
+    // the empty-input contract ([] → []), not just post-filter
+    val texts = Seq.fill(60)(text()) ++ Seq("short doc", "one")
     val sh = graft.dedup.Dedup.shingles(col("text"), 3)
     val got = texts.toDF("text")
-      .filter(size(sh) > 0)
       .select(
         EventStreams.minhashBandsPortableKernel(sh, 16, 4).as("fast"),
         EventStreams.minhashBandsPortableExpr(sh, 16, 4).as("ref"))
