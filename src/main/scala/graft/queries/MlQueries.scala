@@ -176,6 +176,35 @@ object MlQueries {
     },
       Some("SELECT 0.9993 AS silhouette")),
 
+    // ---- M2/M3 (goodreads.py:243–263): ParamGrid + CrossValidator,
+    // actually FIT (the reference builds the grid and never fits it).
+    // On the m09 planted rank-1 ratings a 2×2 grid (rank ∈ {1,2} ×
+    // regParam ∈ {0.01, 1.0}) must select the weak regularizer — with
+    // reg 1.0 the factors shrink toward 0 and CV-RMSE blows past any
+    // tolerance, with 0.01 a rank-≥1 model reconstructs the matrix —
+    // so the chosen regParam and an RMSE bound are constants the
+    // DuckDB oracle asserts regardless of ALS internals/platform.
+    NamedQuery("m12_als_cross_validation", (s, dir) => {
+      import s.implicits._
+      val ratings = (for (u <- 0 until 20; i <- 0 until 10)
+        yield (u, i, ((1.0 + u / 20.0) * (1.0 + i / 10.0)).toFloat))
+        .toDF("user", "item", "rating")
+      val est = Recommend.als("user", "item", "rating",
+        maxIter = 10, seed = 7L)
+      val cv = Recommend.crossValidator(est, "rating",
+        ranks = Seq(1, 2), maxIters = Seq(10),
+        regParams = Seq(0.01, 1.0), folds = 2)
+      val model = cv.fit(ratings)
+      val byMetric = cv.getEstimatorParamMaps.zip(model.avgMetrics)
+      val (bestMap, bestRmse) = byMetric.minBy(_._2)
+      val bestReg = bestMap(est.regParam)
+      Seq((byMetric.length.toLong, bestReg,
+          if (bestRmse < 0.15) 1L else 0L))
+        .toDF("n_models", "best_reg", "rmse_ok")
+    },
+      Some("SELECT CAST(4 AS BIGINT) AS n_models, 0.01 AS best_reg, " +
+        "CAST(1 AS BIGINT) AS rmse_ok")),
+
     // ---- M20 (goodreads.py:632–647): PIC cluster sizes on the
     // customer→part rating graph.
     NamedQuery("m08_pic_cluster_sizes", (s, dir) => {
