@@ -101,6 +101,33 @@ object SourceQueries {
         .withColumn("shard", col("shard").cast("int"))
         .orderBy("shard")
     },
-      Some(PipelineQueries.shuffleShardOracle))
+      Some(PipelineQueries.shuffleShardOracle)),
+
+    // ---- P1 struct star-expansion (goodreads.py:45 `genres.*`) under
+    // the oracle: documents packed into a NESTED struct column, written
+    // as parquet, read back, then flattened with `meta.*` followed by a
+    // nested `size.*` — any defect in struct construction, nested
+    // parquet IO, or star-expansion breaks the hash match against the
+    // flat-source oracle aggregate.
+    NamedQuery("q40_struct_star_expansion", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = stageDir("struct_docs", dir)
+      docs.select(col("doc_id"),
+        struct(col("lang"), col("source"),
+          struct(col("n_chars"), length(col("text")).as("n_text")).as("size"))
+          .as("meta"))
+        .write.mode("overwrite").parquet(stage)
+      s.read.parquet(stage)
+        .select(col("doc_id"), col("meta.*"))
+        .select(col("doc_id"), col("lang"), col("source"), col("size.*"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          sum("n_text").as("sum_text"))
+        .orderBy("lang", "source")
+    },
+      Some("""SELECT lang, source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(sum(length(text)) AS BIGINT) AS sum_text
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin))
   )
 }

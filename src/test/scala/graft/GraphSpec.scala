@@ -35,6 +35,31 @@ class GraphSpec extends SparkSpec {
     assert(pr.values.forall(_ > 0))
   }
 
+  test("pageRank(tol) converges to pageRankFixed's fixed point (SURVEY §7.5 risk 1)") {
+    import graft.graph.IterativeGraph
+    // same recurrence, two engines: GraphX Pregel with tol-based
+    // stopping vs the DataFrame fixed-iteration form (g05 vs g10).
+    // Their common fixed point r(v) = 0.15 + 0.85·Σ r(u)/outdeg(u)
+    // is unique, so a tight tol and enough supersteps must agree —
+    // the attainable stand-in for the notebook's 109.789 golden,
+    // which needs the real Goodreads data.
+    val gx = g.pageRank(tol = 1e-8).as[(Long, Double)].collect().toMap
+    val raw = IterativeGraph.pageRankFixed(g.vertices, g.edges, iters = 60)
+      .as[(Long, Double)].collect().toMap
+    assert(gx.keySet == raw.keySet)
+    // GraphX's tol form normalizes the rank SUM to N (SPARK-18847
+    // dangling-mass correction); the fixed form keeps the raw
+    // recurrence values — same fixed point up to that global scale
+    val scale = raw.size / raw.values.sum
+    val fixed = raw.view.mapValues(_ * scale).toMap
+    for ((id, r) <- fixed)
+      assert(math.abs(gx(id) - r) < 1e-4, s"vertex $id: graphx=${gx(id)} fixed=$r")
+    // rank ORDERING identical (the signal g05's rows-only check rides on)
+    val ordGx = gx.toSeq.sortBy { case (id, r) => (-r, id) }.map(_._1)
+    val ordFx = fixed.toSeq.sortBy { case (id, r) => (-r, id) }.map(_._1)
+    assert(ordGx == ordFx)
+  }
+
   test("connectedComponents separates the two components and the isolate") {
     val cc = g.connectedComponents().as[(Long, Long)].collect().toMap
     assert(cc(1L) == cc(10L) && cc(1L) == cc(11L) && cc(1L) == cc(2L))
