@@ -281,20 +281,20 @@ object Dedup {
     // tf-weighted sum, so the final groupBy(id) is the only shuffle
     val ex = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("hx", md5(col("tok")))
-    val withNibbles = (0 until 16).foldLeft(ex) { case (d, j) =>
-      d.withColumn(s"hv_$j", conv(substring(col("hx"), j + 1, 1), 16, 10).cast("int"))
-    }
-    val bitSums = (0 until 64).map { g =>
-      sum(when(shiftright(col(s"hv_${g / 4}"), g % 4).bitwiseAND(1) === 1, lit(1L))
-        .otherwise(lit(-1L))).as(s"b_$g")
-    }
-    val sums = withNibbles.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val bandCols = (0 until 4).map { b =>
-      (0 until 16).map(i =>
-        when(col(s"b_${b * 16 + i}") > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_.bitwiseOR(_)).as(s"band$b")
-    }
-    sums.select(col("id") +: bandCols: _*)
+    // pack the 16 nibbles into ONE long with global bit g = bit g%4 of
+    // nibble g/4 — the same bit layout the 64 per-bit aggregates read —
+    // then run the single-pass SimHash Aggregator over it (identical
+    // partial state and sign rule, so sketches are bit-identical to the
+    // legacy 64-aggregate form; d10/d11's oracles pin that)
+    val packed = (0 until 16).map(j =>
+      shiftleft(conv(substring(col("hx"), j + 1, 1), 16, 10).cast("long"), 4 * j))
+      .reduce(_.bitwiseOR(_))
+    val sk = ex.select(col("id"), packed.as("h64"))
+      .groupBy("id")
+      .agg(graft.functions.SimHashAgg.simhash64(col("h64")).as("sk"))
+    val bandCols = (0 until 4).map(b =>
+      shiftrightunsigned(col("sk"), b * 16).bitwiseAND(0xFFFFL).as(s"band$b"))
+    sk.select(col("id") +: bandCols: _*)
   }
 
   /** Banded near-dup pairs over the portable sketch: candidates agree
@@ -398,19 +398,11 @@ object Dedup {
     * token OCCURRENCE is identical to the tf-weighted sum (Σ_occ ±1 =
     * Σ_distinct tf·±1), so the only shuffle is the final groupBy(id) —
     * whose 64-long buffers partial-aggregate map-side. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, lit(1L))
-        .otherwise(lit(-1L))).as(s"b_$i")
-    }
-    val sums = ex.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sketch = (0 until 64)
-      .map(i => when(col(s"b_$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    sums.select(col("id"), sketch.as("simhash"))
-  }
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy("id")
+      .agg(graft.functions.SimHashAgg.simhash64(col("h")).as("simhash"))
 
   /** SimHash near-dup pairs: candidates from 4 16-bit bands (a pair
     * within hamming distance 3 must agree on ≥1 band), verified with

@@ -154,14 +154,17 @@ object IterativeGraph {
   }
 
   /** [[minLabelComponents]] iterated to a FIXPOINT: supersteps run
-    * until no vertex's label improves (checked with a cheap
-    * `limit(1).count` on the changed set — one extra job per
-    * superstep, each over localCheckpointed inputs so lineage stays
-    * flat). Use this when the near-dup graph's cluster diameter isn't
-    * known a priori — a chain of near-dups longer than a fixed `iters`
-    * would otherwise stay split across several survivors. `maxIters`
-    * bounds the loop (min-label propagation needs ≤ diameter
-    * supersteps; 64 covers any plausible near-dup chain). */
+    * until no vertex's label improves. The change flag is computed
+    * INSIDE the superstep projection (`chg` = neighbour min beats the
+    * current label) and rides the localCheckpoint, so detection costs
+    * one `limit(1)`-early-exit scan of the just-materialized blocks —
+    * not the join of two checkpointed frames (a full extra shuffle per
+    * superstep) it previously was. Use this when the near-dup graph's
+    * cluster diameter isn't known a priori — a chain of near-dups
+    * longer than a fixed `iters` would otherwise stay split across
+    * several survivors. `maxIters` bounds the loop (min-label
+    * propagation needs ≤ diameter supersteps; 64 covers any plausible
+    * near-dup chain). */
   def minLabelComponentsConverged(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 64): DataFrame = {
     val v = vertices.select("id")
@@ -175,13 +178,12 @@ object IterativeGraph {
         .agg(min("label").as("nb_min"))
       val next = v.join(labels, Seq("id"))
         .join(nb, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label")))
-          .as("label"))
+        .select(col("id"),
+          least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),
+          (coalesce(col("nb_min"), col("label")) < col("label")).as("chg"))
         .localCheckpoint()
-      converged = next.join(
-          labels.withColumnRenamed("label", "__prev"), Seq("id"))
-        .filter(col("label") =!= col("__prev")).limit(1).count() == 0L
-      labels = next
+      converged = next.filter(col("chg")).limit(1).count() == 0L
+      labels = next.select("id", "label")
       step += 1
     }
     labels

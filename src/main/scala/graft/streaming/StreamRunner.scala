@@ -44,14 +44,31 @@ object StreamRunner {
     // reading mid-flight
     val stage = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream/" +
       s"${name}_p${ProcessHandle.current().pid()}_${runSeq.incrementAndGet()}"
-    batch.write.mode("overwrite").parquet(stage)
+    // modest file count: the file source lists + tracks every staged
+    // file per micro-batch, and the harness batches are aggregate-sized
+    batch.coalesce(8).write.mode("overwrite").parquet(stage)
     val src = spark.readStream.schema(batch.schema).parquet(stage)
     val sink = s"${name}_${runSeq.incrementAndGet()}"
-    val q = transform(src).writeStream
-      .format("memory").queryName(sink).outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // Each stateful operator commits one state store PER shuffle
+    // partition PER micro-batch — at the session default (32) a 3-batch
+    // AvailableNow run pays ~100 state commits of pure orchestration.
+    // The harness aggregates are small; 8 partitions keeps the same
+    // plan shape (a real deployment sizes this to its key cardinality)
+    // at a quarter of the fixed cost. Restored after termination so
+    // batch queries in the same session are unaffected.
+    // (restored only after termination: the stream thread clones the
+    // session conf asynchronously after start(), so an early restore
+    // would race it)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+      val q = transform(src).writeStream
+        .format("memory").queryName(sink).outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // the stream has fully consumed the staging dir (AvailableNow) —
     // reclaim it so per-run dirs don't accumulate across a session
     // NonFatal, not just IOException: Files.walk surfaces races with
