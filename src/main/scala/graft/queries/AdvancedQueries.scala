@@ -446,6 +446,34 @@ object AdvancedQueries {
         .orderBy("col_name")
     },
 
+    // ---- P2/P16 (goodreads.py:52 na.fill, :423 dropna) under the
+    // oracle: nulls planted deterministically by key, repaired with the
+    // real DataFrameNaFunctions API (fill for the numeric, drop on the
+    // group key), then aggregated — COALESCE / IS NOT NULL on the
+    // oracle side. Both repairs are scan-stage projections (no shuffle
+    // beyond the final groupBy).
+    q("q41_null_repair",
+      """WITH planted AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |repaired AS (
+        |  SELECT c_custkey, coalesce(bal, 0.0) AS bal, seg
+        |  FROM planted WHERE seg IS NOT NULL)
+        |SELECT seg, count(*) AS n_rows, round(sum(bal), 2) AS sum_bal
+        |FROM repaired GROUP BY seg ORDER BY seg""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 7 === 0, lit(null)).otherwise(col("c_acctbal")).as("bal"),
+          when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_mktsegment")).as("seg"))
+        .na.fill(0.0, Seq("bal"))
+        .na.drop(Seq("seg"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_rows"), round(sum("bal"), 2).as("sum_bal"))
+        .orderBy("seg")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

@@ -128,6 +128,76 @@ object SourceQueries {
       Some("""SELECT lang, source, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  CAST(sum(length(text)) AS BIGINT) AS sum_text
-             |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin))
+             |FROM documents GROUP BY 1, 2 ORDER BY lang, source""".stripMargin)),
+
+    // ---- ORC round-trip: docs written through the ORC sink and read
+    // back with the explicit schema — any encode/decode drift between
+    // the two columnar formats breaks the hash match against the
+    // parquet-side oracle.
+    NamedQuery("io04_orc_roundtrip", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = stageDir("orc_docs", dir)
+      Sources.writeOrc(docs, stage)
+      Sources.orc(s, stage, Some(docs.schema))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("lang")
+    },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  count(DISTINCT source) AS n_sources
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- line-text round-trip: the schemaless format raw corpora
+    // arrive in. Metadata columns framed as one TSV line per doc (the
+    // bodies stay out — line framing can't carry embedded newlines),
+    // read back through the text source and re-parsed with split();
+    // the parse must reconstruct ids, types and counts bit-exactly.
+    NamedQuery("io05_text_roundtrip", (s, dir) => {
+      val stage = stageDir("text_docs", dir)
+      Sources.writeText(Tables.documents(s, dir).select(
+        concat_ws("\t", col("doc_id"), col("lang"), col("n_chars")).as("value")), stage)
+      Sources.text(s, stage)
+        .select(split(col("value"), "\t").as("f"))
+        .select(col("f").getItem(0).cast("long").as("doc_id"),
+          col("f").getItem(1).as("lang"),
+          col("f").getItem(2).cast("long").as("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          countDistinct("doc_id").as("n_ids"))
+        .orderBy("lang")
+    },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  count(DISTINCT doc_id) AS n_ids
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- bucketed co-located join: orders and lineitem written as
+    // catalog tables bucketed 8-ways on the order key, then joined ON
+    // that key — the layout, not the optimizer, eliminates the join
+    // shuffle (PlanSpec pins zero exchanges under a disabled-broadcast
+    // session). THE pattern for repeated fact-fact joins at 100 TB:
+    // pay the shuffle once at ingest, never again per query.
+    NamedQuery("io06_bucketed_join", (s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val db = s"graft_buck_${runId}_$safe"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Sources.saveBucketed(Tables.orders(s, dir)
+          .select("o_orderkey", "o_orderpriority"),
+        s"$db.orders_b", "o_orderkey", 8)
+      Sources.saveBucketed(Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_extendedprice"),
+        s"$db.lineitem_b", "l_orderkey", 8)
+      s.table(s"$db.orders_b")
+        .join(s.table(s"$db.lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -78,6 +78,16 @@ object Sources {
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).format("parquet").saveAsTable(name)
 
+  /** S3 at 100 TB: bucketed catalog table — pre-shuffles rows by key at
+    * write time so every downstream equi-join/agg on the bucket key
+    * reads co-located data with NO exchange (PlanSpec pins the
+    * shuffle-free join). The bucket count is a physical contract: both
+    * sides of a co-located join must declare the same count. */
+  def saveBucketed(df: DataFrame, name: String, bucketCol: String,
+      nBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol).saveAsTable(name)
+
   /** S1 sink: newline-JSON. */
   def writeJson(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
@@ -88,4 +98,27 @@ object Sources {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true,
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).option("header", header.toString).csv(path)
+
+  /** ORC scan — Spark's other in-box columnar format (some lakes are
+    * ORC, not parquet); explicit schema skips footer merging across a
+    * large file listing. */
+  def orc(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).orc(path)
+      case None => spark.read.orc(path)
+    }
+
+  /** ORC sink. */
+  def writeOrc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** Line-oriented text scan (single `value` string column) — the
+    * format raw-crawl corpora arrive in before any schema exists. */
+  def text(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Text sink: requires exactly one string column; line framing means
+    * embedded newlines are the caller's responsibility. */
+  def writeText(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).text(path)
 }

@@ -138,8 +138,8 @@ class PlanSpec extends SparkSpec {
     import spark.implicits._
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
     val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
-    a.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("planspec_a")
-    b.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("planspec_b")
+    graft.sources.Sources.saveBucketed(a, "planspec_a", "k", 8)
+    graft.sources.Sources.saveBucketed(b, "planspec_b", "k", 8)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       // forbid broadcast so the planner must pick the sort-merge path,
