@@ -59,11 +59,18 @@ object Clustering {
     * The edge frame is coalesced before handoff: PIC's power iterations
     * are RDD joins where per-iteration scheduling overhead dominates at
     * high partition counts (sf0.1/local[32]: 21 s at 32 partitions vs
-    * 8 s at 16). Scales with cluster parallelism. */
+    * 8 s at 16). Scales with cluster parallelism.
+    *
+    * Init defaults to "degree" (the reference leaves the random init,
+    * goodreads.py:634): the degree vector is deterministic — no random
+    * init RDD — and measured 3–4× less run-to-run variance at sf0.1
+    * (the random-init runs ranged 6–26 s across bench history; see
+    * PERF.md). Pass "random" to mirror the reference exactly. */
   def pic(edges: DataFrame, k: Int, maxIter: Int = 10,
-      weightCol: String = "weight"): DataFrame = {
+      weightCol: String = "weight", initMode: String = "degree"): DataFrame = {
     val p = math.max(8, edges.sparkSession.sparkContext.defaultParallelism / 2)
     new PowerIterationClustering().setK(k).setMaxIter(maxIter)
+      .setInitMode(initMode)
       .setSrcCol("src").setDstCol("dst").setWeightCol(weightCol)
       .assignClusters(edges.coalesce(p))
   }
