@@ -198,6 +198,50 @@ object SourceQueries {
       Some("""SELECT o_orderpriority, count(*) AS n_lines,
              |  round(sum(l_extendedprice), 2) AS revenue
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- dynamic-partition overwrite: epoch 0 lands the full corpus
+    // partitioned by lang; epoch 1 re-delivers ONLY the 'en' partition
+    // with corrected (doubled) n_chars. Dynamic mode must replace the
+    // en directory and leave every other lang untouched — static
+    // overwrite semantics (drop-all) would zero the other partitions
+    // and break the count side of the oracle; a non-replaced 'en'
+    // would break the sum side.
+    NamedQuery("io07_dynamic_overwrite", (s, dir) => {
+      val stage = stageDir("dyn_overwrite", dir)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      docs.write.mode("overwrite").partitionBy("lang").parquet(stage)
+      Sources.overwritePartitions(
+        docs.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") * 2L),
+        stage, Seq("lang"))
+      s.read.parquet(stage)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("lang")
+    },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars * 2
+             |           ELSE n_chars END) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- small-file compaction: fragment the corpus into 64 files
+    // (what a wide writer produces), compact to 4 with the no-shuffle
+    // coalesce path, and read back. n_files counts distinct
+    // input_file_name() — the physical layout is asserted through the
+    // oracle, not just the row content.
+    NamedQuery("io08_compaction", (s, dir) => {
+      val stage = stageDir("compact", dir)
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      docs.repartition(64).write.mode("overwrite").parquet(s"$stage/frag")
+      Sources.compact(s.read.parquet(s"$stage/frag"), s"$stage/out", targetFiles = 4)
+      s.read.parquet(s"$stage/out")
+        .withColumn("__file", input_file_name())
+        .agg(countDistinct(col("__file")).as("n_files"),
+          count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+    },
+      Some("""SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents""".stripMargin))
   )
 }

@@ -88,6 +88,35 @@ object Sources {
     df.write.mode(mode).format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol).saveAsTable(name)
 
+  /** Small-file compaction — the 100 TB housekeeping operator: a
+    * directory fragmented by high-parallelism writers (one file per
+    * task per partition) is rewritten into `targetFiles` balanced
+    * files. `coalesce`, not `repartition`: collapsing 64 → 4 files
+    * needs no shuffle (each output task just concatenates input
+    * splits); use repartition only when the inputs are skewed enough
+    * that balanced outputs are worth a full shuffle. */
+  def compact(df: DataFrame, path: String, targetFiles: Int,
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.coalesce(targetFiles).write.mode(mode).parquet(path)
+
+  /** Dynamic-partition overwrite: re-deliver ONE partition's data and
+    * replace only the directories the incoming frame actually touches
+    * (static overwrite would drop every other partition). The
+    * incremental-ingest primitive for partitioned 100 TB corpora.
+    * Session-conf scoped to this call. */
+  def overwritePartitions(df: DataFrame, path: String,
+      partitionBy: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try df.write.mode(SaveMode.Overwrite).partitionBy(partitionBy: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** S1 sink: newline-JSON. */
   def writeJson(df: DataFrame, path: String,
       mode: SaveMode = SaveMode.Overwrite): Unit =
