@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Recommend {
 
+  /** `blocks` = ALS user/item block count (Spark default 10). Size it
+    * to the data: ~one block per parallel task at scale, but 1 for
+    * tiny planted fixtures — 10 blocks over 20 users is pure
+    * scheduling overhead (measured 2× on the m12 CV grid). */
   def als(userCol: String, itemCol: String, ratingCol: String,
       rank: Int = 10, maxIter: Int = 10, regParam: Double = 0.1,
-      seed: Long = 42L): ALS =
+      seed: Long = 42L, blocks: Int = 10): ALS =
     new ALS()
       .setUserCol(userCol).setItemCol(itemCol).setRatingCol(ratingCol)
       .setRank(rank).setMaxIter(maxIter).setRegParam(regParam)
+      .setNumBlocks(blocks)
       .setNonnegative(true)             // goodreads.py:237
       .setColdStartStrategy("drop")     // goodreads.py:237
       .setSeed(seed)
@@ -51,9 +56,13 @@ object Recommend {
 
   /** M2/M3 (goodreads.py:243–262): the reference's 4×4×4 grid and
     * 5-fold CV, runnable for real (`cv.fit`) unlike the reference. */
+  /** `parallelism`: models evaluated concurrently (Spark default 1 —
+    * serial grid search; the fits are independent, so overlap them up
+    * to executor-memory limits). */
   def crossValidator(estimator: ALS, ratingCol: String,
       ranks: Seq[Int] = Seq(5, 10), maxIters: Seq[Int] = Seq(5, 10),
-      regParams: Seq[Double] = Seq(0.05, 0.1), folds: Int = 3): CrossValidator = {
+      regParams: Seq[Double] = Seq(0.05, 0.1), folds: Int = 3,
+      parallelism: Int = 4): CrossValidator = {
     val grid = new ParamGridBuilder()
       .addGrid(estimator.rank, ranks)
       .addGrid(estimator.maxIter, maxIters)
@@ -65,6 +74,7 @@ object Recommend {
         .setLabelCol(ratingCol).setPredictionCol("prediction"))
       .setEstimatorParamMaps(grid)
       .setNumFolds(folds)
+      .setParallelism(parallelism)
       .setSeed(42L)
   }
 

@@ -190,7 +190,7 @@ object MlQueries {
         yield (u, i, ((1.0 + u / 20.0) * (1.0 + i / 10.0)).toFloat))
         .toDF("user", "item", "rating")
       val est = Recommend.als("user", "item", "rating",
-        maxIter = 5, seed = 7L)
+        maxIter = 5, seed = 7L, blocks = 1)
       val cv = Recommend.crossValidator(est, "rating",
         ranks = Seq(1, 2), maxIters = Seq(5),
         regParams = Seq(0.01, 1.0), folds = 2)

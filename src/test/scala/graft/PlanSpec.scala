@@ -157,6 +157,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("compaction is the no-shuffle coalesce path (no exchange in the rewrite)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "compact").toString
+    (1 to 1000).map(i => (i, s"doc $i")).toDF("id", "text")
+      .repartition(16).write.parquet(s"$dir/frag")
+    // the frame compact() writes: scan → coalesce, nothing else — a
+    // repartition here would shuffle the whole corpus to fix file sizes
+    val df = spark.read.parquet(s"$dir/frag").coalesce(4)
+    val plan = planOf(df)
+    assert(plan.contains("Coalesce"), s"expected coalesce in:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"compaction must not shuffle:\n$plan")
+    graft.sources.Sources.compact(spark.read.parquet(s"$dir/frag"), s"$dir/out", 4)
+    assert(spark.read.parquet(s"$dir/out").count() === 1000)
+  }
+
   test("AQE splits a deliberately skewed join (hot-key skew posture)") {
     import spark.implicits._
     val keys = Seq(
