@@ -101,6 +101,31 @@ object IterativeGraph {
     dist
   }
 
+  /** Multi-landmark unweighted shortest distances — the long-form core
+    * of GraphFrames' `shortestPaths(landmarks)` (PropertyGraph wraps it
+    * into the map-column shape). Follows edge direction as given;
+    * symmetrize first for undirected semantics. ALL landmarks relax in
+    * the SAME superstep jobs — the frontier state is keyed by
+    * (landmark, id), so k landmarks cost one extra key column, not k
+    * sequential BFS loops. Deterministic integer math →
+    * SQL-oracle-checkable (g18). Output: (landmark, id, dist) for
+    * vertices reached within `iters` hops. */
+  def shortestPathsLandmarks(edges: DataFrame, landmarks: Seq[Long],
+      iters: Int): DataFrame = {
+    val e = graft.Caches.cached(edges.select(col("src"), col("dst")))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = landmarks.map(l => (l, l, 0)).toDF("landmark", "id", "dist")
+    for (_ <- 1 to iters) {
+      val relaxed = e.join(dist.withColumnRenamed("id", "src"), "src")
+        .select(col("landmark"), col("dst").as("id"), (col("dist") + 1).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("landmark", "id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Fixed-iteration power smoothing — the deterministic core of
     * Power Iteration Clustering (the linear iteration v₊ = D⁻¹·W·v
     * over the symmetrized affinity graph) WITHOUT the trailing k-means

@@ -292,6 +292,108 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       (if (vertexId.contains(n)) col(n) else col(s"__e_$n")).as(n)): _*)
   }
 
+  /** GraphFrames' triplet view: one row per edge with full `src`
+    * vertex, `edge`, and `dst` vertex structs — the join primitive
+    * aggregateMessages and custom message-passing code build on. Two
+    * keyed equi-joins; Catalyst broadcasts the vertex side when small
+    * enough, otherwise both shuffles key on the vertex id. */
+  def triplets: DataFrame = {
+    val vS = struct(vertices.columns.map(col): _*)
+    val eS = struct(edges.columns.map(col): _*)
+    edges.select(col("src").as("__s"), col("dst").as("__d"), eS.as("edge"))
+      .join(vertices.select(col("id").as("__s"), vS.as("src")), "__s")
+      .join(vertices.select(col("id").as("__d"), vS.as("dst")), "__d")
+      .select("src", "edge", "dst")
+  }
+
+  /** GraphFrames' `aggregateMessages` primitive: evaluate an optional
+    * message expression toward each edge's source and/or destination
+    * vertex (expressions reference the [[triplets]] struct columns —
+    * `src.*`, `edge.*`, `dst.*`), then aggregate all messages arriving
+    * at each vertex with `aggExprs` over `col("msg")`. Output:
+    * (id, <one column per agg>).
+    *
+    * This is the exact Pregel superstep shape: triplet joins + ONE
+    * shuffle keyed by vertex id with map-side partial aggregation —
+    * what GraphX's aggregateMessages does in RDD land, kept here as a
+    * Catalyst-visible DataFrame plan (AQE skew handling and broadcast
+    * selection apply per superstep). */
+  def aggregateMessages(msgToSrc: Option[Column], msgToDst: Option[Column],
+      aggExprs: Column*): DataFrame = {
+    require(msgToSrc.nonEmpty || msgToDst.nonEmpty,
+      "aggregateMessages needs at least one of msgToSrc / msgToDst")
+    require(aggExprs.nonEmpty, "aggregateMessages needs at least one aggregate")
+    val t = graft.Caches.cached(triplets)
+    val parts =
+      msgToSrc.map(m => t.select(col("src.id").as("id"), m.as("msg"))).toSeq ++
+        msgToDst.map(m => t.select(col("dst.id").as("id"), m.as("msg"))).toSeq
+    parts.reduce(_ unionAll _)
+      .groupBy("id").agg(aggExprs.head, aggExprs.tail: _*)
+  }
+
+  /** GraphFrames' per-vertex triangle counts, skew-aware: edges are
+    * canonicalized to undirected (a < b, self-loops and parallel edges
+    * dropped), then ORIENTED from the lower- to the higher-(degree, id)
+    * endpoint before the wedge join. Orientation bounds every vertex's
+    * out-degree by O(√2m) regardless of hub skew — the classic fix for
+    * the naive wedge enumeration, whose hottest vertex would otherwise
+    * emit C(d, 2) wedge rows (2.6×10⁸ from one 23k-degree hub). Each
+    * triangle {u,v,w} is generated exactly once (as the wedge at its
+    * orientation-minimal corner, closed by the oriented v→w edge), then
+    * credited to all three corners. Output: (id, triangles) for EVERY
+    * vertex, zero-filled — the GraphFrames result shape. */
+  def triangleCounts(): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    // oriented edge (u → v) with v's (degree, id) kept for the wedge
+    // ordering below — the orientation key must be reusable there
+    val oriented = graft.Caches.cached(und
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v"), col("db").as("dv")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"), col("da").as("dv")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.dv").as("dv")))
+    val e1 = oriented.toDF("u", "v", "dv")
+    val e2 = oriented.toDF("u", "w", "dw")
+    // wedge (v, w) ordered by the SAME (degree, id) key as the
+    // orientation, so the closing edge — if present — is oriented v→w
+    val tris = e1.join(e2, Seq("u"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+      .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"), "left_semi")
+      .select("u", "v", "w")
+    val corners = tris.select(col("u").as("id"))
+      .unionAll(tris.select(col("v").as("id")))
+      .unionAll(tris.select(col("w").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+    vertices.select("id").join(corners, Seq("id"), "left")
+      .select(col("id"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** GraphFrames' `shortestPaths(landmarks)`: unweighted distances from
+    * every vertex TO each reachable landmark, returned in the
+    * GraphFrames shape — the vertex row plus a `distances`
+    * map<landmark, dist> (absent landmarks omitted from the map).
+    * Distances follow edge direction over the graph as constructed;
+    * symmetrize the edges first for undirected semantics. The long-form
+    * core ([[IterativeGraph.shortestPathsLandmarks]]) is the
+    * oracle-checked path (g18); this wrapper adds the map assembly —
+    * one groupBy(id) over the (id, landmark, dist) rows. */
+  def shortestPaths(landmarks: Seq[Long], maxIter: Int): DataFrame = {
+    val dists = IterativeGraph.shortestPathsLandmarks(
+      edges.select(col("dst").as("src"), col("src").as("dst")), landmarks, maxIter)
+    val maps = dists.groupBy("id")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("landmark"), col("dist"))))).as("distances"))
+    vertices.join(maps, Seq("id"), "left")
+  }
+
   /** G7 (goodreads.py:582) COUNTING form: per-hub 3-star triple counts
     * computed closed-form from the in-degree table — n_triples =
     * C(d, 3) = d(d−1)(d−2)/6 over distinct spokes. One aggregation, no
@@ -363,5 +465,30 @@ object PropertyGraph {
         .select((col("p_partkey") + 1000000L).as("id"), col("p_name").as("name"),
           lit("Part").as("type"), col("p_retailprice").as("balance"))
       PropertyGraph(customers.unionByName(parts), edges)
+    }
+
+  /** Unipartite part↔part co-purchase graph — parts are adjacent when
+    * some order contains both (the "customers also bought" projection
+    * of the bipartite ratings graph; the reference's user→book graph
+    * projects the same way for book-book similarity). Edges are
+    * canonical (src < dst) and distinct. The pair generation is a
+    * basket self-join keyed by order — Σ C(|basket|, 2) pairs, bounded
+    * by the max basket size (7 lines in TPC-H-shaped data), never
+    * corpus × corpus — and is the input for triangle counting (g16),
+    * whose degree-ordered orientation handles any hub skew downstream. */
+  def partCoPurchaseGraph(spark: SparkSession, dir: String): PropertyGraph =
+    graft.Memo.obj(spark, s"partCoPurchaseGraph|$dir") {
+      import graft.Tables
+      val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      val a = li.toDF("ok", "src")
+      val b = li.toDF("ok", "dst")
+      val edges = graft.Memo.df(spark, s"partCoPurchaseEdges|$dir") {
+        a.join(b, Seq("ok")).filter(col("src") < col("dst"))
+          .select("src", "dst").distinct()
+      }
+      val parts = Tables.part(spark, dir)
+        .select(col("p_partkey").cast("long").as("id"), col("p_name").as("name"),
+          col("p_retailprice").as("balance"))
+      PropertyGraph(parts, edges)
     }
 }

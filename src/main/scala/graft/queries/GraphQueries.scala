@@ -205,6 +205,78 @@ object GraphQueries {
       },
       Some(powerSmoothingOracle(PsIters))),
 
+    // ---- GraphFrames triangleCount surface: per-part triangle counts
+    // over the part-part co-purchase projection. The engine runs the
+    // degree-ORIENTED wedge algorithm (out-degree bounded by O(√2m) —
+    // skew-safe); the oracle enumerates u<v<w triangles by a plain
+    // 3-way join, so the orientation trick is cross-checked against
+    // the definitional count.
+    NamedQuery("g16_triangle_counts",
+      (s, dir) => {
+        val g = PropertyGraph.partCoPurchaseGraph(s, dir)
+        g.triangleCounts()
+          .orderBy(col("triangles").desc, col("id")).limit(20)
+      },
+      Some(s"""$coPurchaseCte,
+             |tri AS (
+             |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+             |  FROM cedges e1
+             |  JOIN cedges e2 ON e2.src = e1.src AND e2.dst > e1.dst
+             |  JOIN cedges e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+             |corners AS (
+             |  SELECT u AS id FROM tri
+             |  UNION ALL SELECT v FROM tri
+             |  UNION ALL SELECT w FROM tri),
+             |cnt AS (SELECT id, count(*) AS triangles FROM corners GROUP BY id)
+             |SELECT p_partkey AS id, COALESCE(triangles, 0) AS triangles
+             |FROM part LEFT JOIN cnt ON p_partkey = cnt.id
+             |ORDER BY triangles DESC, id LIMIT 20""".stripMargin)),
+
+    // ---- GraphFrames aggregateMessages surface: one superstep of
+    // message passing over the bipartite ratings graph — every vertex
+    // receives its neighbours' balance weighted by the edge's line
+    // count, aggregated map-side by vertex id (the Pregel shuffle
+    // shape). Messages flow BOTH directions in the same pass.
+    NamedQuery("g17_aggregate_messages",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        g.aggregateMessages(
+            msgToSrc = Some(struct(
+              (col("dst.balance") * col("edge.n_lines")).as("x"),
+              col("edge.n_lines").as("w"))),
+            msgToDst = Some(struct(
+              (col("src.balance") * col("edge.n_lines")).as("x"),
+              col("edge.n_lines").as("w"))),
+            round(sum(col("msg.x")) / sum(col("msg.w")), 4).as("wavg_balance"),
+            count(lit(1)).as("n_msgs"))
+          .orderBy(col("wavg_balance").desc, col("id")).limit(20)
+      },
+      Some(s"""$edgesCte, m AS (
+             |  SELECT e.src AS id, p.p_retailprice * e.n_lines AS x, e.n_lines AS w
+             |  FROM edges e JOIN part p ON e.dst = p.p_partkey + 1000000
+             |  UNION ALL
+             |  SELECT e.dst, c.c_acctbal * e.n_lines, e.n_lines
+             |  FROM edges e JOIN customer c ON e.src = c.c_custkey)
+             |SELECT id, round(sum(x) / sum(w), 4) AS wavg_balance,
+             |       count(*) AS n_msgs
+             |FROM m GROUP BY id
+             |ORDER BY wavg_balance DESC, id LIMIT 20""".stripMargin)),
+
+    // ---- GraphFrames shortestPaths surface: distances from THREE
+    // landmarks over the symmetrized graph, all landmarks relaxed in
+    // the same supersteps ((landmark, id)-keyed state — one BFS loop,
+    // not one per landmark). Distance histogram per landmark,
+    // unrolled-CTE oracle like g13.
+    NamedQuery("g18_landmark_distances",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.shortestPathsLandmarks(
+            IterativeGraph.symmetrize(g.edges), Landmarks, iters = SpIters)
+          .groupBy("landmark", "dist").agg(count(lit(1)).as("n_vertices"))
+          .orderBy("landmark", "dist")
+      },
+      Some(landmarkDistOracle(Landmarks, SpIters))),
+
     // ---- fixed-iteration min-label connected components: integer
     // labels → exact oracle match; component sizes after 6 supersteps.
     NamedQuery("g11_minlabel_components",
@@ -224,6 +296,37 @@ object GraphQueries {
   private def LpIters = 4
   private def BfsIters = 3
   private def PsIters = 4
+  private def SpIters = 3
+  private def Landmarks = Seq(1L, 42L, 1000007L)
+
+  /** Canonical (src < dst) distinct part-part co-purchase edges —
+    * the oracle rendering of PropertyGraph.partCoPurchaseGraph. */
+  private def coPurchaseCte =
+    """WITH cedges AS (
+      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)""".stripMargin
+
+  /** Unrolled-CTE multi-landmark BFS relaxation (g18). */
+  private def landmarkDistOracle(landmarks: Seq[Long], iters: Int): String = {
+    val values = landmarks.map(l => s"($l)").mkString(", ")
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (SELECT landmark, id, min(dist) AS dist FROM (
+         |    SELECT landmark, id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.landmark, sym.dst AS id, d.dist + 1 AS dist
+         |    FROM sym JOIN d${i - 1} d ON sym.src = d.id)
+         |  GROUP BY landmark, id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |d0 AS (SELECT CAST(x AS BIGINT) AS landmark, CAST(x AS BIGINT) AS id,
+       |              0 AS dist
+       |       FROM (VALUES $values) AS t(x)),
+       |$steps
+       |SELECT landmark, dist, count(*) AS n_vertices FROM d$iters
+       |GROUP BY landmark, dist ORDER BY landmark, dist""".stripMargin
+  }
 
   /** Unrolled-CTE power smoothing (v₊ = D⁻¹Wv, v₀ = deg·n/Σdeg) —
     * the portable-SQL rendering of IterativeGraph.powerSmoothingFixed. */

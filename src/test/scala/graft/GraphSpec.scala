@@ -190,4 +190,57 @@ class GraphSpec extends SparkSpec {
     assert(lp.count() == 7)
     assert(lp.filter($"label".isNull).count() == 0)
   }
+
+  test("triangleCounts matches hand counts and GraphX on a known graph") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per vertex) plus pendant 5-1 and
+    // isolated 6; edges deliberately mixed-direction + one duplicate
+    // to exercise canonicalization
+    val tg = PropertyGraph(
+      (1L to 6L).map((_, "")).toDF("id", "type"),
+      Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (4L, 2L),
+        (3L, 4L), (5L, 1L)).toDF("src", "dst"))
+    val got = tg.triangleCounts().as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L, 6L -> 0L))
+    // GraphX's library TriangleCount agrees (canonicalized input)
+    val gx = org.apache.spark.graphx.lib.TriangleCount
+      .run(tg.graphX).vertices.collect().toMap
+    for ((id, n) <- got) assert(gx.getOrElse(id, 0) == n, s"vertex $id")
+  }
+
+  test("aggregateMessages sums weighted messages in both directions") {
+    // msg to dst: src weight; msg to src: constant 1 → per-vertex
+    // (sum, count) over the fixture graph g
+    val am = tg17Fixture.aggregateMessages(
+      msgToSrc = Some(lit(1.0)),
+      msgToDst = Some($"edge.weight"),
+      sum($"msg").as("s"), count(lit(1)).as("n"))
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // vertex 1: two to-src msgs (1+1); vertex 10: edges w=5,3 → 8
+    assert(am(1L) == ((2.0, 2L)))
+    assert(am(10L) == ((8.0, 2L)))
+    assert(am(11L) == ((1.0, 1L)) && am(12L) == ((2.0, 1L)))
+    assert(!am.contains(4L)) // isolated vertices receive no messages
+    intercept[IllegalArgumentException](
+      tg17Fixture.aggregateMessages(None, None, sum($"msg")))
+  }
+  private def tg17Fixture = g
+
+  test("shortestPaths returns the GraphFrames map shape over directed edges") {
+    import graft.graph.IterativeGraph
+    // distances TO landmarks follow edge direction: 1->10 gives
+    // dist(1, 10)=1; no path from 10 to anywhere (sinks)
+    val sp = g.shortestPaths(Seq(10L, 12L), maxIter = 3)
+    assert(sp.columns.toSeq == Seq("id", "type", "distances"))
+    val m = sp.select($"id", $"distances").as[(Long, Option[Map[Long, Int]])]
+      .collect().toMap
+    assert(m(1L).get == Map(10L -> 1))
+    assert(m(3L).get == Map(12L -> 1))
+    assert(m(10L).get == Map(10L -> 0))
+    assert(m(4L).forall(_.isEmpty)) // unreachable: empty or absent map
+    // long-form core over symmetrized edges reaches 2-hop neighbours
+    val d = IterativeGraph.shortestPathsLandmarks(
+      IterativeGraph.symmetrize(g.edges), Seq(10L), iters = 2)
+      .as[(Long, Long, Int)].collect().map(r => r._2 -> r._3).toMap
+    assert(d(10L) == 0 && d(1L) == 1 && d(2L) == 1 && d(11L) == 2)
+  }
 }
