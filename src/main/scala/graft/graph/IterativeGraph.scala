@@ -101,6 +101,42 @@ object IterativeGraph {
     dist
   }
 
+  /** Parallel personalized PageRank, fixed supersteps — GraphFrames'
+    * `parallelPersonalizedPageRank`: one rank vector per source
+    * vertex, reset mass returning to THAT source only (r₀ = 1 at the
+    * source, 0 elsewhere; r₊(v) = resetProb·1{v=src} +
+    * (1−resetProb)·Σ_{u→v} r(u)/outdeg(u)). ALL sources iterate in
+    * the SAME superstep jobs — state keyed by (source, id), exactly
+    * like [[shortestPathsLandmarks]] — so k sources cost one extra
+    * key column, not k sequential PageRank loops. Deterministic →
+    * SQL-oracle-checkable (g19). Output: (source, id, rank) for
+    * vertices with nonzero mass within `iters` hops (plus every
+    * source's own row). */
+  def personalizedPageRankFixed(edges: DataFrame, sources: Seq[Long],
+      iters: Int, resetProb: Double = 0.15): DataFrame = {
+    val out = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val e = graft.Caches.cached(edges.select("src", "dst").join(out, "src"))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val seeds = graft.Caches.cached(
+      sources.map(s => (s, s)).toDF("source", "id"))
+    var ranks = seeds.select(col("source"), col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("source"), col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      // frontier-sparse union form: rows exist only where mass is —
+      // the (source × |V|) dense frame never materializes
+      ranks = contrib
+        .join(seeds.withColumn("__seed", lit(1)), Seq("source", "id"), "full_outer")
+        .select(col("source"), col("id"),
+          (when(col("__seed").isNotNull, lit(resetProb)).otherwise(lit(0.0)) +
+            lit(1 - resetProb) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Multi-landmark unweighted shortest distances — the long-form core
     * of GraphFrames' `shortestPaths(landmarks)` (PropertyGraph wraps it
     * into the map-column shape). Follows edge direction as given;

@@ -394,6 +394,14 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     vertices.join(maps, Seq("id"), "left")
   }
 
+  /** GraphFrames' `parallelPersonalizedPageRank`: per-source rank
+    * vectors over the graph's directed edges, every source iterated in
+    * the same supersteps. Thin wrapper over the oracle-checked core
+    * ([[IterativeGraph.personalizedPageRankFixed]], g19). */
+  def parallelPersonalizedPageRank(sources: Seq[Long], maxIter: Int,
+      resetProb: Double = 0.15): DataFrame =
+    IterativeGraph.personalizedPageRankFixed(edges, sources, maxIter, resetProb)
+
   /** G7 (goodreads.py:582) COUNTING form: per-hub 3-star triple counts
     * computed closed-form from the in-degree table — n_triples =
     * C(d, 3) = d(d−1)(d−2)/6 over distinct spokes. One aggregation, no

@@ -170,6 +170,85 @@ object Multimodal {
       .toDF()
   }
 
+  final case class MediaHash(media_id: Long, ahash: Option[Long])
+
+  /** Perceptual average-hash (aHash) — the image near-dup
+    * fingerprint: nearest-neighbor sample the body onto a fixed
+    * gw×gh grid (classic aHash squashes, no aspect preservation),
+    * take the grid mean, and set bit (y·gw + x) when the sampled
+    * byte is STRICTLY above the mean. Runs in the same mapPartitions
+    * codec seam as [[decodeFeatures]] (a real pipeline hashes the
+    * decoded luma plane here); integer sampling arithmetic and the
+    * strict-> threshold make the hash bit-reproducible, so the
+    * DuckDB oracle replays it from the generator's closed form.
+    * Corrupt payloads yield null, never exceptions. gw·gh ≤ 64. */
+  def avgHash(df: DataFrame, idCol: String, contentCol: String,
+      gw: Int = 8, gh: Int = 4): DataFrame = {
+    require(gw > 0 && gh > 0 && gw * gh <= 64, "aHash needs gw*gh <= 64 bits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          readHeader(bytes) match {
+            case Some((w, h)) if w > 0 && h > 0 && bytes.length >= 12 + w * h =>
+              val v = new Array[Int](gw * gh)
+              var sum = 0L
+              var y = 0
+              while (y < gh) {
+                val sy = (y.toLong * h / gh).toInt
+                var x = 0
+                while (x < gw) {
+                  val b = bytes(12 + sy * w + (x.toLong * w / gw).toInt) & 0xFF
+                  v(y * gw + x) = b
+                  sum += b
+                  x += 1
+                }
+                y += 1
+              }
+              val mean = sum.toDouble / (gw * gh)
+              var hash = 0L
+              var i = 0
+              while (i < gw * gh) {
+                if (v(i) > mean) hash |= (1L << i)
+                i += 1
+              }
+              MediaHash(id, Some(hash))
+            case _ => MediaHash(id, None)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** Media near-dup pairs from [[avgHash]] fingerprints — same banded
+    * shape as the text SimHash path (dedup.Dedup.simhashPairs): hashes
+    * agreeing on ≥1 of `bands` contiguous bit-bands become candidates
+    * (one (band, bits)-keyed shuffle — never all-pairs), then the
+    * exact Hamming distance bit_count(xor) ≤ maxHamming verifies each.
+    * Output: (id_a, id_b, hamming), id_a < id_b. */
+  def hashNearDupPairs(hashes: DataFrame, totalBits: Int, bands: Int,
+      maxHamming: Int): DataFrame = {
+    require(totalBits % bands == 0)
+    val rows = totalBits / bands
+    val mask = (1L << rows) - 1
+    val hk = graft.Caches.cached(hashes.toDF("id", "ahash")
+      .filter(col("ahash").isNotNull))
+    val banded = hk.select(col("id"), col("ahash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("ahash"), b * rows).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bh")))
+    banded.toDF("id_a", "h_a", "band", "bh")
+      .join(banded.toDF("id_b", "h_b", "band", "bh"), Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "h_a", "h_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Frame sampling plumbing: every `stride`-th body row, emitted as
     * (media_id, frame_no, frame bytes) — the video-to-frames exploder.
     * A real decoder swaps in at the marked line. */

@@ -100,6 +100,27 @@ object Relational {
       .agg(sum("__cnt").as("cnt"), sum("__sum").as(s"${valueCol}_sum"))
   }
 
+  /** Skew-tolerant salted JOIN — the join-side sibling of
+    * [[saltedAggregate]]: a random salt splits every hot key of the
+    * BIG side across `saltBuckets` reducers, and the small side is
+    * replicated once per bucket (explode over 0..saltBuckets-1) so
+    * every salted partition still finds its match. Results are EXACTLY
+    * the plain equi-join's (the salt is internal; q42's oracle proves
+    * it) — only the shuffle shape changes: no reducer sees more than
+    * 1/saltBuckets of any key. Use when the small side is too big to
+    * broadcast but the big side's key histogram is spiked; AQE's
+    * skew-join split covers sort-merge plans after the fact, salting
+    * fixes the layout up front (and composes with pre-aggregation).
+    * `keys` must name columns present on BOTH sides. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      saltBuckets: Int = 16): DataFrame = {
+    val salted = big.withColumn("__salt",
+      (rand(seed = 11L) * saltBuckets).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until saltBuckets).map(lit): _*)))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   /** Range join: (left, right) pairs sharing `keys` with `rightTs`
     * strictly after `leftTs` and within `window` of it — the
     * time-proximity pairing primitive (q19 is its registered

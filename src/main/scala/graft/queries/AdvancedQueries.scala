@@ -474,6 +474,28 @@ object AdvancedQueries {
         .orderBy("seg")
     },
 
+    // ---- skew-tolerant salted JOIN (join-side sibling of q30's
+    // salted aggregation): lineitem ⋈ orders with the big side salted
+    // into 16 buckets and the small side replicated per bucket — the
+    // salt is internal, so the oracle's PLAIN join must match exactly.
+    q("q42_salted_join_revenue",
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.operators.Relational.saltedJoin(
+          Tables.lineitem(s, dir)
+            .select("l_orderkey", "l_extendedprice", "l_discount"),
+          Tables.orders(s, dir)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          keys = Seq("l_orderkey"), saltBuckets = 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

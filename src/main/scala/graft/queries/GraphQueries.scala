@@ -277,6 +277,26 @@ object GraphQueries {
       },
       Some(landmarkDistOracle(Landmarks, SpIters))),
 
+    // ---- GraphFrames parallelPersonalizedPageRank surface: one rank
+    // vector per source, reset mass pinned to its own source, ALL
+    // sources iterating in the same supersteps ((source, id)-keyed
+    // state — one loop, not one per source). Top-10 per source,
+    // unrolled-CTE oracle like g10.
+    NamedQuery("g19_personalized_pagerank",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val w = Window.partitionBy("source")
+          .orderBy(col("pr").desc, col("id"))
+        IterativeGraph.personalizedPageRankFixed(
+            IterativeGraph.symmetrize(g.edges), Landmarks, iters = PprIters)
+          .select(col("source"), col("id"), round(col("rank"), 4).as("pr"))
+          .withColumn("pos", row_number().over(w).cast("int"))
+          .filter(col("pos") <= 10)
+          .orderBy("source", "pos")
+      },
+      Some(pprOracle(Landmarks, PprIters))),
+
     // ---- fixed-iteration min-label connected components: integer
     // labels → exact oracle match; component sizes after 6 supersteps.
     NamedQuery("g11_minlabel_components",
@@ -297,7 +317,39 @@ object GraphQueries {
   private def BfsIters = 3
   private def PsIters = 4
   private def SpIters = 3
+  private def PprIters = 4
   private def Landmarks = Seq(1L, 42L, 1000007L)
+
+  /** Unrolled-CTE parallel personalized PageRank (g19) — frontier-
+    * sparse: each step is the contribution aggregate FULL OUTER JOINed
+    * with the seed rows, mirroring personalizedPageRankFixed. */
+  private def pprOracle(sources: Seq[Long], iters: Int): String = {
+    val values = sources.map(l => s"($l)").mkString(", ")
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT r.source, e.dst AS id, sum(r.rank / e.outdeg) AS in_sum
+         |  FROM e JOIN r${i - 1} r ON e.src = r.id GROUP BY r.source, e.dst),
+         |r$i AS (SELECT COALESCE(c.source, s.source) AS source,
+         |    COALESCE(c.id, s.id) AS id,
+         |    (CASE WHEN s.id IS NOT NULL THEN 0.15 ELSE 0.0 END)
+         |      + 0.85 * COALESCE(c.in_sum, 0) AS rank
+         |  FROM c$i c FULL OUTER JOIN seeds s
+         |    ON c.source = s.source AND c.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |outd AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+       |e AS (SELECT sym.src, sym.dst, outd.outdeg
+       |      FROM sym JOIN outd ON sym.src = outd.src),
+       |seeds AS (SELECT CAST(x AS BIGINT) AS source, CAST(x AS BIGINT) AS id
+       |          FROM (VALUES $values) AS t(x)),
+       |r0 AS (SELECT source, id, CAST(1.0 AS DOUBLE) AS rank FROM seeds),
+       |$steps,
+       |ranked AS (SELECT source, id, round(rank, 4) AS pr, row_number() OVER (
+       |    PARTITION BY source ORDER BY round(rank, 4) DESC, id) AS pos
+       |  FROM r$iters)
+       |SELECT source, id, pr, CAST(pos AS INT) AS pos
+       |FROM ranked WHERE pos <= 10 ORDER BY source, pos""".stripMargin
+  }
 
   /** Canonical (src < dst) distinct part-part co-purchase edges —
     * the oracle rendering of PropertyGraph.partCoPurchaseGraph. */

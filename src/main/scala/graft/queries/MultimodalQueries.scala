@@ -103,7 +103,59 @@ object MultimodalQueries {
              |SELECT doc_id AS media_id, CAST(ow AS INT) AS out_w,
              |  CAST(oh AS INT) AS out_h, CAST(sum(v) AS BIGINT) AS sum_bytes,
              |  CAST(ow * oh AS INT) AS n_bytes
-             |FROM cells GROUP BY doc_id, ow, oh ORDER BY media_id""".stripMargin))
+             |FROM cells GROUP BY doc_id, ow, oh ORDER BY media_id""".stripMargin)),
+
+    // ---- perceptual near-dup pairs: aHash (8×4 grid, 32 bits) over
+    // the decoded payloads, banded candidates (4×8-bit bands — never
+    // all-pairs), exact Hamming verify. The oracle replays the WHOLE
+    // chain — sampling, mean threshold, bit packing, banding,
+    // bit_count — from the generator's closed form.
+    // Emitted per-media (not per-pair): the synthetic gradient payloads
+    // are perceptually degenerate — 113k pairs at maxHamming 4 — so the
+    // query summarizes each media's match count and its best match
+    // (min (hamming, id) encoded in integer space for a deterministic
+    // cross-engine arg-min).
+    NamedQuery("mm05_phash_neardups", (s, dir) => {
+      val media = syntheticMedia(s, dir)
+      val hashes = Multimodal.avgHash(media, "media_id", "content", gw = 8, gh = 4)
+      Multimodal.hashNearDupPairs(hashes.select("media_id", "ahash"),
+          totalBits = 32, bands = 4, maxHamming = 4)
+        .groupBy("id_a")
+        .agg(count(lit(1)).as("n_matches"),
+          min(col("hamming") * 10000000L + col("id_b")).as("__enc"))
+        .select(col("id_a"), col("n_matches"),
+          expr("__enc div 10000000").as("best_hamming"),
+          (col("__enc") % 10000000L).as("best_match"))
+        .orderBy("id_a")
+    },
+      Some("""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
+             |                  doc_id % 97 AS seed FROM documents),
+             |cells AS (SELECT doc_id, y.i * 8 + x.i AS bit,
+             |    ((x.i * w) // 8 + (y.i * h) // 4 + seed) % 251 AS v
+             |  FROM p
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 7)) AS i) x
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 3)) AS i) y),
+             |m AS (SELECT doc_id, bit, v,
+             |    CAST(sum(v) OVER (PARTITION BY doc_id) AS DOUBLE) / 32 AS avgv
+             |  FROM cells),
+             |hs AS (SELECT doc_id, CAST(sum(CASE WHEN v > avgv
+             |      THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS ahash
+             |  FROM m GROUP BY doc_id),
+             |banded AS (SELECT doc_id, b.i AS band, (ahash >> (b.i * 8)) & 255 AS bh
+             |  FROM hs CROSS JOIN LATERAL (
+             |    SELECT unnest(generate_series(0, 3)) AS i) b),
+             |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+             |ver AS (SELECT id_a, id_b,
+             |    CAST(bit_count(xor(ha.ahash, hb.ahash)) AS BIGINT) AS hamming
+             |  FROM cand JOIN hs ha ON id_a = ha.doc_id
+             |            JOIN hs hb ON id_b = hb.doc_id
+             |  WHERE bit_count(xor(ha.ahash, hb.ahash)) <= 4)
+             |SELECT id_a, count(*) AS n_matches,
+             |  min(hamming * 10000000 + id_b) // 10000000 AS best_hamming,
+             |  min(hamming * 10000000 + id_b) % 10000000 AS best_match
+             |FROM ver GROUP BY id_a ORDER BY id_a""".stripMargin))
   )
 
   /** Shared fixture for mm02/mm03/mm04: doc-keyed synthetic payloads

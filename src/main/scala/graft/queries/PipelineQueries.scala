@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import graft.text.{Sampling, TextOps}
+import graft.text.{Sampling, Sketches, TextOps}
 
 /** Training-data pipeline queries over documents/embeddings: dedup
   * (exact, n-gram Jaccard, MinHash LSH, SimHash), similarity search
@@ -894,7 +894,100 @@ object PipelineQueries {
              |SELECT vec_id, round(scale, 6) AS scale_r, round(mse, 8) AS mse_r,
              |  CAST(qv[1] AS BIGINT) AS q0,
              |  CAST(list_sum(qv) AS BIGINT) AS q_sum
-             |FROM m ORDER BY vec_id""".stripMargin))
+             |FROM m ORDER BY vec_id""".stripMargin)),
+
+    // ---- product-quantization encode: every embedding → m=4 code
+    // indices + reconstruction MSE (fixed seeded codebooks inlined on
+    // both engines — every code and error replayed bit-for-bit).
+    NamedQuery("s07_pq_codes",
+      (s, dir) => Similarity.pqEncode(
+          Tables.embeddings(s, dir).select("vec_id", "embedding"),
+          "vec_id", "embedding", dim = 64, m = PqM, k = PqK, seed = PqSeed)
+        .select(Seq(col("vec_id")) ++
+          (1 to PqM).map(j => element_at(col("codes"), j).as(s"c$j")) :+
+          round(col("mse"), 6).as("mse_r"): _*)
+        .orderBy("vec_id"),
+      Some(s"""WITH $pqCodesCtes
+             |SELECT vec_id, ${(1 to PqM).map(j => s"codes[$j] AS c$j").mkString(", ")},
+             |  round(mse, 6) AS mse_r
+             |FROM pq ORDER BY vec_id""".stripMargin)),
+
+    // ---- PQ asymmetric-distance top-k: raw queries scan the ENCODED
+    // corpus (m ints per row, never the float vectors) — the
+    // serving-scale ANN pass over compressed storage. Ranks replayed
+    // exactly: distances fold in subspace order on both engines.
+    NamedQuery("s08_pq_adc_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val codes = Similarity.pqEncode(emb, "vec_id", "embedding",
+          dim = 64, m = PqM, k = PqK, seed = PqSeed).select("vec_id", "codes")
+        Similarity.pqAdcTopK(emb.filter(col("vec_id") < 20), codes, topK = 5,
+            dim = 64, m = PqM, k = PqK, seed = PqSeed)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $pqCodesCtes,
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+             |adists AS (
+             |  SELECT q.query_id, pq.vec_id AS neighbor_id,
+             |    round(list_sum(list(
+             |      ${pqAdcTermSql} ORDER BY cb.j)), 6) AS adc_dist
+             |  FROM q CROSS JOIN pq
+             |  JOIN cb ON cb.ci = pq.codes[cb.j + 1]
+             |  WHERE q.query_id <> pq.vec_id
+             |  GROUP BY q.query_id, pq.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY adc_dist, neighbor_id) AS rank
+             |  FROM adists)
+             |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- KMV bottom-k distinct-count sketch per source: mergeable
+    // sketch audit instead of exact distinct — deterministic md5
+    // bottom-k, so sketch members AND the estimate hash-match (no
+    // tolerance band needed).
+    NamedQuery("p09_kmv_distinct",
+      (s, dir) => Sketches.distinctEstimate(
+          Tables.documents(s, dir), "source", "text", k = KmvK)
+        .select(col("source"), col("n_sketch").cast("long").as("n_sketch"),
+          col("est_distinct"))
+        .orderBy("source"),
+      Some(s"""WITH $kmvSketchCtes,
+             |agg AS (SELECT source, count(*) AS n_sketch,
+             |    max(CASE WHEN rn = $KmvK THEN h END) AS hk
+             |  FROM sk GROUP BY source)
+             |SELECT source, CAST(n_sketch AS BIGINT) AS n_sketch,
+             |  round(CASE WHEN n_sketch < $KmvK THEN CAST(n_sketch AS DOUBLE)
+             |        ELSE ($KmvK - 1) * 4503599627370496.0 / hk END, 4)
+             |    AS est_distinct
+             |FROM agg ORDER BY source""".stripMargin)),
+
+    // ---- pairwise source overlap from the SAME sketches: Jaccard of
+    // every two sources estimated in sketch space (|groups|²·k rows,
+    // independent of corpus size) — the cross-corpus contamination /
+    // provenance audit at 100 TB.
+    NamedQuery("p10_source_overlap",
+      (s, dir) => Sketches.jaccardOverlap(
+          Tables.documents(s, dir), "source", "text", k = KmvK)
+        .orderBy("group_a", "group_b"),
+      Some(s"""WITH $kmvSketchCtes,
+             |p AS (SELECT a.source AS ga, b.source AS gb
+             |  FROM (SELECT DISTINCT source FROM sk) a
+             |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+             |u AS (
+             |  SELECT p.ga, p.gb, sk.h,
+             |    max(CASE WHEN sk.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+             |    max(CASE WHEN sk.source = p.gb THEN 1 ELSE 0 END) AS in_b
+             |  FROM p JOIN sk ON sk.source = p.ga OR sk.source = p.gb
+             |  GROUP BY p.ga, p.gb, sk.h),
+             |t AS (SELECT *, row_number() OVER (
+             |    PARTITION BY ga, gb ORDER BY h) AS rn FROM u)
+             |SELECT ga AS group_a, gb AS group_b,
+             |  count(*) AS k_used,
+             |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard_est
+             |FROM t WHERE rn <= $KmvK GROUP BY ga, gb
+             |ORDER BY group_a, group_b""".stripMargin))
   )
 
   private def sqlList(words: Seq[String]): String =
@@ -995,6 +1088,69 @@ object PipelineQueries {
   private def NdBands = 15
   private def IvfLists = 16
   private def IvfProbes = 4
+  private def PqM = 4
+  private def PqK = 16
+  private def PqSeed = 11L
+  private def KmvK = 64
+
+  /** Shared CTE chain for the PQ queries (s07/s08): codebooks inlined
+    * as double literals (cb: j 0-based subspace, ci 1-based code,
+    * c vector, cc2 self-dot), corpus rows encoded to `pq(vec_id,
+    * codes, mse)` — mirrors Similarity.pqEncode stage by stage
+    * (first-minimum argmin, errors summed in subspace order). */
+  private def pqCodesCtes: String = {
+    val dim = 64
+    val sub = dim / PqM
+    val books = graft.similarity.Similarity.pqCodebooks(dim, PqM, PqK, PqSeed)
+    val cbSql = books.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (c, ci) =>
+        val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+          .mkString("[", ", ", "]")
+        val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+        s"SELECT $j AS j, ${ci + 1} AS ci, CAST($lst AS DOUBLE[]) AS c, " +
+          s"CAST($self AS DOUBLE) AS cc2"
+      }
+    }.mkString("\n  UNION ALL ")
+    s"""cb AS (
+       |  $cbSql),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |dists AS (SELECT e.vec_id, cb.j, cb.ci,
+       |    -2.0 * list_sum(list_transform(generate_series(1, $sub),
+       |        i -> e.v[cb.j * $sub + i] * cb.c[i])) + cb.cc2 AS d,
+       |    list_sum(list_transform(generate_series(1, $sub),
+       |        i -> e.v[cb.j * $sub + i] * e.v[cb.j * $sub + i])) AS xx
+       |  FROM e CROSS JOIN cb),
+       |code AS (SELECT vec_id, j, ci AS code, d + xx AS err FROM (
+       |    SELECT vec_id, j, ci, d, xx, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |pq AS (SELECT vec_id, list(CAST(code AS INT) ORDER BY j) AS codes,
+       |    list_sum(list(err ORDER BY j)) / $dim.0 AS mse
+       |  FROM code GROUP BY vec_id)""".stripMargin
+  }
+
+  /** Per-subspace ADC term (s08): ‖q_j − c‖² against the joined
+    * selected-code row — same expression order as pqAdcTopK's distJ. */
+  private def pqAdcTermSql: String = {
+    val sub = 64 / PqM
+    s"""list_sum(list_transform(generate_series(1, $sub),
+       |        i -> q.qv[cb.j * $sub + i] * q.qv[cb.j * $sub + i]))
+       |      - 2.0 * list_sum(list_transform(generate_series(1, $sub),
+       |        i -> q.qv[cb.j * $sub + i] * cb.c[i])) + cb.cc2""".stripMargin
+  }
+
+  /** Shared KMV sketch CTEs (p09/p10): distinct 52-bit md5 content
+    * hashes per source, ranked ascending, kept to the k smallest —
+    * mirrors text.Sketches.bottomK. */
+  private def kmvSketchCtes: String =
+    s"""h AS (SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(text), 1, 13) AS BIGINT) AS h
+       |  FROM documents),
+       |r AS (SELECT source, h, row_number() OVER (
+       |    PARTITION BY source ORDER BY h) AS rn FROM h),
+       |sk AS (SELECT source, h, rn FROM r WHERE rn <= $KmvK)""".stripMargin
 
   /** Generated oracle for the fixed-centroid IVF ANN: centroids (and
     * their precomputed self-dots) inlined as double literals, corpus

@@ -242,6 +242,46 @@ object SourceQueries {
     },
       Some("""SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n_docs,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // ---- Z-order layout: lineitem clustered by the interleaved bits
+    // of (l_partkey, l_suppkey) into 16 z-prefix directories — the
+    // multi-column data-skipping layout. Deterministic bucket
+    // assignment (integer quantize + Morton interleave, no sampled
+    // range boundaries), so the oracle replays the ENTIRE layout:
+    // per-bucket row counts, bounding boxes in both dimensions, and
+    // content checksums of the written files read back.
+    NamedQuery("io09_zorder_layout", (s, dir) => {
+      val stage = stageDir("zorder", dir)
+      val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      Sources.zOrderWrite(li, "l_partkey", "l_suppkey", stage,
+        bits = 8, bucketBits = 4)
+      s.read.parquet(stage)
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"),
+          min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"),
+          min("l_suppkey").as("sk_min"), max("l_suppkey").as("sk_max"),
+          sum("l_partkey").as("pk_sum"), sum("l_suppkey").as("sk_sum"))
+        .orderBy("zbucket")
+    },
+      Some {
+        val zExpr = (0 until 8).map(i =>
+          s"(((qa >> $i) & 1) << ${2 * i}) | (((qb >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        s"""WITH mx AS (SELECT max(l_partkey) AS ma, max(l_suppkey) AS mb
+           |            FROM lineitem),
+           |q AS (SELECT l_partkey, l_suppkey,
+           |    (l_partkey * 256) // (ma + 1) AS qa,
+           |    (l_suppkey * 256) // (mb + 1) AS qb
+           |  FROM lineitem CROSS JOIN mx),
+           |b AS (SELECT l_partkey, l_suppkey,
+           |    CAST(($zExpr) >> 12 AS INT) AS zbucket FROM q)
+           |SELECT zbucket, count(*) AS n_rows,
+           |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+           |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max,
+           |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
+           |  CAST(sum(l_suppkey) AS BIGINT) AS sk_sum
+           |FROM b GROUP BY zbucket ORDER BY zbucket""".stripMargin
+      })
   )
 }

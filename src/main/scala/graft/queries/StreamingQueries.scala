@@ -150,6 +150,29 @@ object StreamingQueries {
              |SELECT exd.doc_id, count(*) AS n_grams
              |FROM exd JOIN bench USING (ng)
              |WHERE exd.doc_id % 10 != 0
-             |GROUP BY 1 ORDER BY doc_id""".stripMargin))
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
+    // ---- streaming UPSERT ingest (foreachBatch merge-into): orders
+    // stream in across several micro-batches; each batch merges into a
+    // versioned target keeping the latest row per customer. The final
+    // table must equal batch q06's latest-order-per-customer EXACTLY —
+    // the merge is associative, so the micro-batch split cannot show
+    // through.
+    NamedQuery("sw06_stream_upsert_latest",
+      (s, dir) => {
+        val res = StreamRunner.runUpsertLatest(s, Tables.orders(s, dir),
+          "sw06_upsert", keyCols = Seq("o_custkey"),
+          latestByCols = Seq("o_orderdate", "o_orderkey"))
+        res.select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("order_date"), col("o_totalprice"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             |  o_totalprice
+             |FROM (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+             |  FROM orders) WHERE rn = 1
+             |ORDER BY o_custkey""".stripMargin))
   )
 }

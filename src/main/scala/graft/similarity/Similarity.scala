@@ -302,6 +302,97 @@ object Similarity {
       .withColumnRenamed("__v", "v")
   }
 
+  /** Fixed seeded PQ codebooks: `m` subspaces × `k` code vectors of
+    * dim/m floats each (same generator family as [[hyperplanes]], one
+    * seed offset per subspace). Exposed so the DuckDB oracle inlines
+    * the SAME values. */
+  private[graft] def pqCodebooks(dim: Int, m: Int, k: Int,
+      seed: Long): Seq[Seq[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    (0 until m).map(j => hyperplanes(dim / m, k, seed + j))
+  }
+
+  /** Product quantization encode — the embedding COMPRESSION step past
+    * int8 ([[quantizeInt8]]): each vector is split into `m` subvectors
+    * and each subvector replaced by the index of its nearest code in a
+    * per-subspace codebook of `k` entries, so a dim-float vector
+    * becomes m small ints (dim=64, m=4, k=16 → 256 B → 4 B codes +
+    * shared codebooks). Codebooks here are FIXED seeded literals (the
+    * production path would k-means them per corpus slice; the
+    * mechanics — argmin assignment, code layout, ADC — are identical),
+    * which keeps every code and error DuckDB-replayable.
+    *
+    * Pure scan-stage expressions: per subspace one L2-expansion
+    * distance to each code (‖x−c‖² = x·x − 2x·c + c·c, codes shipped
+    * as literals), argmin by first-minimum — zero shuffle,
+    * deterministic. Output: (id, v, codes array<int> 1-based, mse) —
+    * mse is the per-row reconstruction error Σ_j ‖x_j − c_sel‖² / dim,
+    * accumulated in subspace order (sequential fold, oracle-matched).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 4, k: Int = 16, seed: Long = 11L): DataFrame = {
+    val books = pqCodebooks(dim, m, k, seed)
+    val sub = dim / m
+    // vectors stay float arrays: FloatDot widens per-element to double
+    // internally (the exact arithmetic the oracle's CAST-to-double
+    // list_sum replays)
+    def subv(j: Int): Column = slice(col("__v"), j * sub + 1, sub)
+    // per-subspace distances up to the common x·x term (argmin-safe)
+    def distArr(j: Int): Column = array(books(j).map { c =>
+      lit(-2.0) * dotF(subv(j), lit(c)) + lit(c.map(x => x.toDouble * x).sum)
+    }: _*)
+    val codes = array((0 until m).map(j =>
+      array_position(distArr(j), array_min(distArr(j))).cast("int")): _*)
+    // true squared error per subspace = min(dist) + x_j·x_j; summed in
+    // j order so the oracle's list_sum reproduces the same fold
+    val errs = array((0 until m).map(j =>
+      array_min(distArr(j)) + dotF(subv(j), subv(j))): _*)
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("codes", codes)
+      .withColumn("mse", aggregate(errs, lit(0.0), _ + _) / lit(dim))
+      .withColumnRenamed("__v", "v")
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): raw query vectors against the
+    * PQ-ENCODED corpus — the serving-scale ANN scan. The corpus side
+    * carries ONLY (id, codes): m small ints per row instead of dim
+    * floats, so the broadcast-queries × corpus pass moves 64× less
+    * data than brute force; distance is the standard ADC approximation
+    * Σ_j ‖q_j − codebook_j[code_j]‖², computed against code literals
+    * (codebooks are vocabulary-sized and live in the plan). Map-side
+    * TopK combine as in [[bruteForceTopK]] — ≤ topK rows per query per
+    * partition ride the shuffle. Output: (query_id, neighbor_id,
+    * adc_dist, rank), ascending distance, ties by neighbor id. */
+  def pqAdcTopK(queries: DataFrame, corpusCodes: DataFrame, topK: Int,
+      dim: Int, m: Int = 4, k: Int = 16, seed: Long = 11L): DataFrame = {
+    import graft.functions.TopK
+    val books = pqCodebooks(dim, m, k, seed)
+    val sub = dim / m
+    val q = queries.toDF("query_id", "qv") // float arrays (see pqEncode)
+    val c = corpusCodes.toDF("neighbor_id", "codes")
+    def subq(j: Int): Column = slice(col("qv"), j * sub + 1, sub)
+    def codeAt(j: Int): Column = element_at(col("codes"), j + 1)
+    // ‖q_j − c‖² with the selected code's dot/self-dot looked up from
+    // literal arrays (q_j·c recomputed per pair — dim·1 flops; the
+    // classic per-query LUT is an optimization the oracle can't see)
+    def distJ(j: Int): Column = {
+      val codeArr = typedLit(books(j).map(_.toSeq))
+      val selfArr = typedLit(books(j).map(_.map(x => x.toDouble * x).sum))
+      dotF(subq(j), subq(j)) -
+        lit(2.0) * dotF(subq(j), element_at(codeArr, codeAt(j))) +
+        element_at(selfArr, codeAt(j))
+    }
+    val dist = (0 until m).map(distJ).reduce(_ + _)
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", round(dist, 6))
+      .groupBy("query_id")
+      .agg(TopK.topK(topK)(col("neighbor_id"), -col("d")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        abs(col("nb.score")).as("adc_dist"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
   /** All pairs with cosine ≥ minCos, id_a < id_b — the brute-force
     * EXACT form. O(n²) pairs: not a registered query path; kept as the
     * oracle cross-check for [[cosineNearDupPairsLsh]] (SimilaritySpec

@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{lit, pmod, shiftleft, shiftrightunsigned}
 import org.apache.spark.sql.types.StructType
 
 /** Readers/sinks for the engine (SURVEY §2.1 S1–S4).
@@ -150,4 +151,57 @@ object Sources {
     * embedded newlines are the caller's responsibility. */
   def writeText(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).text(path)
+
+  /** Z-value (Morton code) of two non-negative ints already quantized
+    * to `bits` bits each: bit i of `a` lands at position 2i, bit i of
+    * `b` at 2i+1. Pure integer bit expressions — codegen'd scan-stage
+    * work, replayable in portable SQL. */
+  def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftrightunsigned(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Quantize a non-negative value onto [0, 2^bits): (v · 2^bits) div
+    * (max + 1). Spark's `/` on longs is DOUBLE division, so integer
+    * div is built exactly as (n − n mod d) / d — the numerator is then
+    * exactly divisible and the double division exact at any magnitude. */
+  def zQuantize(v: org.apache.spark.sql.Column, maxV: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    val n = v.cast("long") * (1L << bits)
+    val d = maxV.cast("long") + 1L
+    ((n - pmod(n, d)) / d).cast("long")
+  }
+
+  /** Z-ORDER layout: cluster rows by the interleaved bits of two
+    * columns so files are tight in BOTH dimensions — the multi-column
+    * data-skipping layout (Delta's OPTIMIZE ZORDER, Hudi clustering)
+    * that lets min/max footer stats prune scans filtered on either
+    * column. Rows land in 2^bucketBits directories by z-value prefix
+    * (a deterministic assignment — unlike repartitionByRange's sampled
+    * boundaries — so the layout is oracle-checkable), sorted by full
+    * z within each, and written via partitionBy. Quantization maxes
+    * come from one tiny agg broadcast into the scan. Returns the
+    * bucketed frame (with `zbucket`) for callers that write
+    * elsewhere. */
+  def zOrderWrite(df: DataFrame, colA: String, colB: String, path: String,
+      bits: Int = 8, bucketBits: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, max}
+    val maxes = df.agg(max(col(colA)).as("__ma"), max(col(colB)).as("__mb"))
+    val z = zValue(zQuantize(col(colA), col("__ma"), bits),
+      zQuantize(col(colB), col("__mb"), bits), bits)
+    val bucketed = df.crossJoin(broadcast(maxes))
+      .withColumn("__z", z)
+      .withColumn("zbucket",
+        shiftrightunsigned(col("__z"), 2 * bits - bucketBits).cast("int"))
+      .drop("__ma", "__mb")
+    bucketed
+      .repartition(col("zbucket"))
+      .sortWithinPartitions("zbucket", "__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).partitionBy("zbucket").parquet(path)
+    bucketed.drop("__z")
+  }
 }

@@ -91,4 +91,69 @@ object StreamRunner {
     }
     spark.table(sink)
   }
+
+  /** Streaming UPSERT ingest via `foreachBatch` — the
+    * merge-into-a-table sink pattern (CDC apply / incremental
+    * re-delivery): each micro-batch is merged with the current target
+    * and collapsed to the latest row per key (`dedupLatest` — the
+    * same operator as batch q06), then committed as a NEW immutable
+    * version directory whose path advances only after the write
+    * succeeds — the poor-man's transactional commit every table
+    * format (Delta/Iceberg/Hudi) formalizes; a real deployment swaps
+    * the version-dir swap for MERGE INTO. `maxFilesPerTrigger` forces
+    * several micro-batches so the merge really runs incrementally.
+    *
+    * The merge is associative — latest of (previous-latest ∪ batch) =
+    * global latest — so the result is independent of how the stream
+    * splits into batches, which is what makes it oracle-checkable.
+    * Returns the final table, materialized (the harness then reclaims
+    * every staging/version directory). */
+  def runUpsertLatest(spark: SparkSession, batch: DataFrame, name: String,
+      keyCols: Seq[String], latestByCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream/" +
+      s"${name}_p${ProcessHandle.current().pid()}_${runSeq.incrementAndGet()}"
+    val stage = s"$root/in"
+    batch.coalesce(8).write.mode("overwrite").parquet(stage)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 2).parquet(stage)
+    @volatile var current: Option[String] = None
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            batchId: Long) =>
+          val merged = current match {
+            case Some(p) => spark.read.parquet(p).unionByName(b)
+            case None => b.toDF()
+          }
+          val latest = graft.operators.Relational.dedupLatest(
+            merged, keyCols, latestByCols.map(col(_).desc))
+          val out = s"$root/target/v$batchId"
+          latest.write.mode("overwrite").parquet(out)
+          current = Some(out) // advance the pointer only after success
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    // materialize before reclaiming the version dirs
+    val result = current.map(p => spark.read.parquet(p).localCheckpoint())
+      .getOrElse(batch.limit(0))
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val r = Paths.get(root)
+      if (Files.exists(r)) {
+        val walk = Files.walk(r)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    result
+  }
 }

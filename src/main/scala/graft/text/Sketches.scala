@@ -1,0 +1,93 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+
+/** Bottom-k (KMV) sketches over document content — the mergeable
+  * distinct-counting / set-overlap primitive a 100 TB corpus audit
+  * runs instead of exact distinct joins: per group, keep only the k
+  * smallest hash values of the distinct members; any two groups'
+  * sketches then answer distinct-count and Jaccard-overlap questions
+  * in sketch space (k rows each), never by rescanning the corpus.
+  *
+  * The hash is the first 52 bits of md5 — exactly representable in a
+  * double AND replayable in DuckDB, so every sketch member, estimate,
+  * and overlap is oracle-checkable bit-for-bit (no tolerance bands
+  * needed: the estimator is deterministic given the data).
+  *
+  * Scale shape: sketch construction is a distinct on (group, hash) —
+  * one keyed shuffle — followed by the map-side-combining TopK
+  * Aggregator (≤ k rows per group per partition ride the agg
+  * shuffle). Pairwise overlap then runs entirely in sketch space:
+  * |groups|² × k rows, independent of corpus size.
+  */
+object Sketches {
+
+  /** 52-bit uniform content hash (13 md5 hex chars) — integer-exact in
+    * a double, portable across engines. */
+  val H_MAX: Double = math.pow(2, 52) // 13 hex digits
+  def h52(c: Column): Column =
+    conv(substring(md5(c), 1, 13), 16, 10).cast("long")
+
+  /** Bottom-k sketch per group: the k smallest distinct h52 values of
+    * `valueCol`, as a sorted array. */
+  def bottomK(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame =
+    df.select(col(groupCol), h52(col(valueCol)).as("__h"))
+      .distinct()
+      .groupBy(groupCol)
+      // TopK keeps largest scores; bottom-k = top-k of the negated
+      // hash. h < 2^52 is exact in the double score, so the selection
+      // (and the id tie-break on equal doubles) is exactly ascending h.
+      .agg(TopK.topK(k)(col("__h"), -col("__h").cast("double")).as("__nn"))
+      .select(col(groupCol),
+        array_sort(transform(col("__nn"), _.getField("id"))).as("sketch"))
+
+  /** KMV distinct estimate per group: D̂ = (k−1)·2⁵²/h_k when the
+    * sketch is full, |sketch| exactly otherwise (the standard KMV
+    * estimator). Output: (group, n_sketch, est_distinct). */
+  def distinctEstimate(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame =
+    bottomK(df, groupCol, valueCol, k)
+      .select(col(groupCol), size(col("sketch")).as("n_sketch"),
+        round(when(size(col("sketch")) < k,
+            size(col("sketch")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(H_MAX) /
+            element_at(col("sketch"), k).cast("double")), 4)
+          .as("est_distinct"))
+
+  /** Pairwise Jaccard overlap between every two groups, estimated in
+    * sketch space: for each group pair (a < b), take the bottom-k of
+    * the UNION of their sketches and count how many of those hashes
+    * appear in both — J ≈ |both| / |union sketch|. All joins below are
+    * over sketch rows (≤ k per group), so the whole comparison is
+    * |groups|²·k work regardless of corpus size; the per-pair rank
+    * window orders ≤ 2k rows. Output: (group_a, group_b, k_used,
+    * jaccard_est). */
+  def jaccardOverlap(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = graft.Caches.cached(
+      bottomK(df, groupCol, valueCol, k)
+        .select(col(groupCol).as("g"), explode(col("sketch")).as("h")))
+    val pairs = rows.select(col("g").as("ga")).distinct()
+      .join(rows.select(col("g").as("gb")).distinct(), col("ga") < col("gb"))
+    // two broadcast equi-joins (never an OR-predicate nested loop):
+    // each pair pulls in its two sketches, flags merge per hash
+    val tagged = broadcast(pairs).join(rows.toDF("ga", "h"), "ga")
+      .select(col("ga"), col("gb"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionAll(broadcast(pairs).join(rows.toDF("gb", "h"), "gb")
+        .select(col("ga"), col("gb"), col("h"), lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("ga", "gb", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val w = Window.partitionBy("ga", "gb").orderBy("h")
+    tagged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("ga").as("group_a"), col("gb").as("group_b"))
+      .agg(count(lit(1)).as("k_used"),
+        round(sum(col("in_a") * col("in_b")).cast("double") / count(lit(1)), 6)
+          .as("jaccard_est"))
+  }
+}

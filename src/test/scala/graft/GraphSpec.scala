@@ -225,6 +225,23 @@ class GraphSpec extends SparkSpec {
   }
   private def tg17Fixture = g
 
+  test("personalized PageRank keeps reset mass at its own source") {
+    import graft.graph.IterativeGraph
+    // path 1-2-3 symmetrized; sources 1 and 3 ranked in one loop
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val pr = IterativeGraph.personalizedPageRankFixed(
+        IterativeGraph.symmetrize(edges), Seq(1L, 3L), iters = 8)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    // locality: each source ranks ITSELF highest, its 1-hop neighbour
+    // next, the far end lowest — and the two vectors mirror each other
+    assert(pr(1L)(1L) > pr(1L)(2L) && pr(1L)(2L) > pr(1L)(3L))
+    assert(pr(3L)(3L) > pr(3L)(2L) && pr(3L)(2L) > pr(3L)(1L))
+    assert(math.abs(pr(1L)(3L) - pr(3L)(1L)) < 1e-12) // symmetry
+    // per-source mass stays bounded by the unit injection: Σ ≤ 1/(1-d)
+    pr.values.foreach(v => assert(v.values.sum <= 1.0 / 0.15 + 1e-9))
+  }
+
   test("shortestPaths returns the GraphFrames map shape over directed edges") {
     import graft.graph.IterativeGraph
     // distances TO landmarks follow edge direction: 1->10 gives

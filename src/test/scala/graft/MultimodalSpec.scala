@@ -79,4 +79,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got(2L).resized.get.length === 6)
     assert(got(3L).out_w.isEmpty && got(3L).resized.isEmpty)
   }
+
+  test("avgHash: constant image hashes to 0, duplicates pair at hamming 0, corrupt→null") {
+    import spark.implicits._
+    // constant body: no byte is STRICTLY above the mean → hash 0
+    val const = {
+      val buf = java.nio.ByteBuffer.allocate(12 + 8 * 4)
+      buf.put(Multimodal.MagicBytes).putInt(8).putInt(4)
+      (0 until 32).foreach(_ => buf.put(7.toByte))
+      buf.array()
+    }
+    val rows = Seq(
+      (1L, Multimodal.syntheticPayload(10, 6, seed = 3)),
+      (2L, Multimodal.syntheticPayload(10, 6, seed = 3)), // exact dup of 1
+      (3L, const),
+      (4L, "junk".getBytes("UTF-8"))).toDF("media_id", "content")
+    val hashes = Multimodal.avgHash(rows, "media_id", "content", gw = 8, gh = 4)
+    val hm = hashes.as[(Long, Option[Long])].collect().toMap
+    assert(hm(1L) == hm(2L) && hm(1L).nonEmpty)
+    assert(hm(3L).contains(0L))
+    assert(hm(4L).isEmpty) // corrupt → null, dropped by the pair stage
+    val pairs = Multimodal.hashNearDupPairs(hashes.select("media_id", "ahash"),
+      totalBits = 32, bands = 4, maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0L)))
+    assert(pairs.forall { case (a, b, h) => h == 0 && a < b && a != 4L && b != 4L })
+    intercept[IllegalArgumentException](
+      Multimodal.avgHash(rows, "media_id", "content", gw = 9, gh = 8))
+  }
 }

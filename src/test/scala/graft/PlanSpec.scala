@@ -220,6 +220,25 @@ class PlanSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("salted join matches the plain join exactly; plan replicates via explode on (key, salt)") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, "l_orderkey")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderpriority").collect().toSeq
+    val saltedDf = graft.operators.Relational.saltedJoin(li, o, Seq("l_orderkey"))
+    val salted = saltedDf
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .orderBy("o_orderpriority").collect().toSeq
+    assert(salted === plain)
+    // physical shape: the small side replicates through a Generate
+    // (explode) and the join condition carries the salt column
+    val plan = planOf(saltedDf)
+    assert(plan.contains("Generate explode"), s"expected explode replication in:\n$plan")
+    assert(plan.contains("__salt"), s"expected salted join keys in:\n$plan")
+  }
+
   test("approx_count_distinct stays within 5% of exact (scale variant of A5)") {
     val e = Tables.events(spark, sf)
     val exact = e.select(countDistinct("user_id")).head().getLong(0).toDouble

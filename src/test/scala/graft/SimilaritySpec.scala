@@ -137,6 +137,54 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean top-10 recall after int8 quantization = $mean")
   }
 
+  test("pqEncode: codes in range, zero quantization error on codebook vectors") {
+    val dim = 8; val m = 2; val k = 4; val seed = 11L
+    val books = Similarity.pqCodebooks(dim, m, k, seed)
+    // rows BUILT from codebook entries must encode to those exact
+    // codes with ~zero reconstruction error
+    val planted = (0 until k).map { ci =>
+      (ci.toLong, books(0)(ci) ++ books(1)((ci + 1) % k))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(planted, "vec_id", "embedding", dim, m, k, seed)
+      .select("vec_id", "codes", "mse").as[(Long, Seq[Int], Double)].collect()
+    got.foreach { case (id, codes, mse) =>
+      assert(codes == Seq(id.toInt + 1, ((id + 1) % k).toInt + 1)) // 1-based
+      assert(mse < 1e-10, s"vec $id mse=$mse")
+    }
+    intercept[IllegalArgumentException](
+      Similarity.pqEncode(planted, "vec_id", "embedding", dim, m = 3, k, seed))
+  }
+
+  test("pqAdcTopK ranks a planted near-codebook duplicate first") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", dim = 64)
+      .select("vec_id", "codes")
+    val got = Similarity.pqAdcTopK(emb.filter(col("vec_id") < 10), codes,
+      topK = 5, dim = 64)
+    val rows = got.select("query_id", "neighbor_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..5 per query, ascending distance
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq, s"query $q")
+    }
+    // ADC distance of two rows sharing ALL codes is identical — the
+    // quantizer is the only geometry ADC sees
+    val sameCodes = codes.as[(Long, Seq[Int])].collect()
+      .groupBy(_._2).filter(_._2.length >= 2)
+    if (sameCodes.nonEmpty) {
+      val ids = sameCodes.head._2.map(_._1).toSet
+      val q0 = rows.filter(r => ids.contains(r._2)).groupBy(_._1)
+      q0.values.foreach { rs =>
+        val ds = rs.filter(r => ids.contains(r._2)).map(_._3).distinct
+        assert(ds.length <= 1)
+      }
+    }
+  }
+
   test("centroidAssign maps every vector of separated label groups to its own centroid") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.9f, -0.1f), 0),

@@ -78,4 +78,37 @@ class SourcesSpec extends SparkSpec {
     assert(spark.sql("SELECT v FROM sources_spec_t WHERE id = 1").head().getString(0) === "x")
     spark.sql("DROP TABLE sources_spec_t")
   }
+
+  test("zValue interleaves bits; zOrderWrite clusters BOTH dimensions per bucket") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // hand value: a=0b101, b=0b011 → z = 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(Sources.zValue($"a", $"b", 3).as("z")).as[Long].head()
+    assert(z == 27L)
+    // quantize: exact integer floor division
+    val qs = Seq((0L, 999L), (500L, 999L), (999L, 999L)).toDF("v", "m")
+      .select(Sources.zQuantize($"v", $"m", 8).as("q")).as[Long].collect().toSeq
+    assert(qs == Seq(0L, 128L, 255L)) // v*256 div 1000
+    // layout: a 64×64 grid of (x, y) keys → per-bucket bounding boxes
+    // must be tight in BOTH dims (the data-skipping property a
+    // single-column sort cannot give)
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder_spec").toString
+    Sources.zOrderWrite(grid, "x", "y", dir, bits = 6, bucketBits = 4)
+    val boxes = spark.read.parquet(dir)
+      .groupBy("zbucket")
+      .agg(count(lit(1)).as("n"),
+        (max("x") - min("x")).as("xr"), (max("y") - min("y")).as("yr"))
+      .collect()
+    assert(boxes.length == 16)
+    boxes.foreach { r =>
+      assert(r.getAs[Long]("n") == 256L) // uniform grid → equal buckets
+      // each z-prefix bucket covers a 32×8 or 8×32 tile of the 64×64
+      // grid: both ranges bounded far below the global 63
+      assert(r.getAs[Long]("xr") <= 31 && r.getAs[Long]("yr") <= 31,
+        s"bucket ${r.get(0)}: xr=${r.get(2)} yr=${r.get(3)}")
+    }
+  }
 }

@@ -213,4 +213,21 @@ class StreamingSpec extends SparkSpec {
       assert(got === Set((1L, 2L, 3.0), (2L, 2L, 7.0)))
     } finally q.stop()
   }
+
+  test("runUpsertLatest merges micro-batches to one latest row per key") {
+    import spark.implicits._
+    // 40 rows / 4 versions per key: the 8-file staging split with
+    // maxFilesPerTrigger=2 spreads versions across several
+    // micro-batches, so the merge must carry state batch to batch
+    val rows = for (k <- 1L to 10L; v <- 1L to 4L)
+      yield (k, v, s"payload_${k}_$v")
+    val df = rows.toDF("key", "version", "payload")
+    val got = graft.streaming.StreamRunner.runUpsertLatest(spark, df,
+        "spec_upsert", keyCols = Seq("key"), latestByCols = Seq("version"))
+      .as[(Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == (1L to 10L))
+    got.foreach { case (k, v, p) =>
+      assert(v == 4L && p == s"payload_${k}_4", s"key $k kept version $v")
+    }
+  }
 }
