@@ -91,8 +91,13 @@ object IterativeGraph {
     val spark = edges.sparkSession
     import spark.implicits._
     var dist = Seq((sourceId, 0)).toDF("id", "dist")
-    for (_ <- 1 to iters) {
-      val relaxed = sym.join(dist.withColumnRenamed("id", "src"), "src")
+    for (i <- 1 to iters) {
+      // relax only the CURRENT frontier (dist = i−1): vertices reached
+      // earlier already relaxed their neighbours when they were the
+      // frontier, so re-expanding them costs a join for nothing —
+      // BFS level order guarantees identical distances either way
+      val relaxed = sym
+        .join(dist.filter(col("dist") === i - 1).withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), (col("dist") + 1).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy("id").agg(min("dist").as("dist"))
@@ -152,8 +157,11 @@ object IterativeGraph {
     val spark = edges.sparkSession
     import spark.implicits._
     var dist = landmarks.map(l => (l, l, 0)).toDF("landmark", "id", "dist")
-    for (_ <- 1 to iters) {
-      val relaxed = e.join(dist.withColumnRenamed("id", "src"), "src")
+    for (i <- 1 to iters) {
+      // frontier-only relaxation (see bfsDistances): identical output,
+      // one frontier-sized join per superstep instead of all-reached
+      val relaxed = e
+        .join(dist.filter(col("dist") === i - 1).withColumnRenamed("id", "src"), "src")
         .select(col("landmark"), col("dst").as("id"), (col("dist") + 1).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy("landmark", "id").agg(min("dist").as("dist"))

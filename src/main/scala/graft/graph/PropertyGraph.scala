@@ -479,11 +479,15 @@ object PropertyGraph {
     * some order contains both (the "customers also bought" projection
     * of the bipartite ratings graph; the reference's user→book graph
     * projects the same way for book-book similarity). Edges are
-    * canonical (src < dst) and distinct. The pair generation is a
-    * basket self-join keyed by order — Σ C(|basket|, 2) pairs, bounded
-    * by the max basket size (7 lines in TPC-H-shaped data), never
-    * corpus × corpus — and is the input for triangle counting (g16),
-    * whose degree-ordered orientation handles any hub skew downstream. */
+    * canonical (src < dst) and carry `n_orders` = distinct supporting
+    * orders — the market-basket SUPPORT, the knob every projection
+    * graph at scale filters on: support-1 projections are quadratic
+    * noise (1.2M edges / 1.9M triangles from random co-occurrence at
+    * sf0.1), support ≥ 2 keeps the signal graph. The pair generation
+    * is a basket self-join keyed by order — Σ C(|basket|, 2) pairs,
+    * bounded by the max basket size, never corpus × corpus — and the
+    * input for triangle counting (g16), whose degree-ordered
+    * orientation handles hub skew downstream. */
   def partCoPurchaseGraph(spark: SparkSession, dir: String): PropertyGraph =
     graft.Memo.obj(spark, s"partCoPurchaseGraph|$dir") {
       import graft.Tables
@@ -492,7 +496,8 @@ object PropertyGraph {
       val b = li.toDF("ok", "dst")
       val edges = graft.Memo.df(spark, s"partCoPurchaseEdges|$dir") {
         a.join(b, Seq("ok")).filter(col("src") < col("dst"))
-          .select("src", "dst").distinct()
+          .groupBy("src", "dst")
+          .agg(countDistinct(col("ok")).as("n_orders"))
       }
       val parts = Tables.part(spark, dir)
         .select(col("p_partkey").cast("long").as("id"), col("p_name").as("name"),

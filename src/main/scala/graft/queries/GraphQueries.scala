@@ -213,7 +213,11 @@ object GraphQueries {
     // the definitional count.
     NamedQuery("g16_triangle_counts",
       (s, dir) => {
+        // support ≥ 2 (G4 filterEdges): repeated co-occurrence only —
+        // the support-1 projection is quadratic random noise (1.9M
+        // triangles at sf0.1) that no market-basket pipeline keeps
         val g = PropertyGraph.partCoPurchaseGraph(s, dir)
+          .filterEdges(col("n_orders") >= 2)
         g.triangleCounts()
           .orderBy(col("triangles").desc, col("id")).limit(20)
       },
@@ -355,9 +359,10 @@ object GraphQueries {
     * the oracle rendering of PropertyGraph.partCoPurchaseGraph. */
   private def coPurchaseCte =
     """WITH cedges AS (
-      |  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      |  SELECT l1.l_partkey AS src, l2.l_partkey AS dst
       |  FROM lineitem l1 JOIN lineitem l2
-      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey)""".stripMargin
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |  GROUP BY 1, 2 HAVING count(DISTINCT l1.l_orderkey) >= 2)""".stripMargin
 
   /** Unrolled-CTE multi-landmark BFS relaxation (g18). */
   private def landmarkDistOracle(landmarks: Seq[Long], iters: Int): String = {

@@ -987,7 +987,25 @@ object PipelineQueries {
              |  count(*) AS k_used,
              |  round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 6) AS jaccard_est
              |FROM t WHERE rn <= $KmvK GROUP BY ga, gb
-             |ORDER BY group_a, group_b""".stripMargin))
+             |ORDER BY group_a, group_b""".stripMargin)),
+
+    // ---- exact-k deterministic sample per source (fixed-budget
+    // sibling of p04's rate-based keep): the 5 smallest-md5 doc ids
+    // per stratum via the map-side TopK combine — stable under corpus
+    // growth, replayed exactly by the oracle's rank window.
+    NamedQuery("p11_fixed_k_sample",
+      (s, dir) => Sampling.sampleKPerGroup(
+          Tables.documents(s, dir), "source", "doc_id", k = 5)
+        .orderBy("source", "sample_rank"),
+      Some("""WITH h AS (SELECT source, doc_id,
+             |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+             |      AS h
+             |  FROM documents),
+             |r AS (SELECT source, doc_id, row_number() OVER (
+             |    PARTITION BY source ORDER BY h, doc_id) AS sample_rank FROM h)
+             |SELECT source, doc_id, CAST(sample_rank AS INT) AS sample_rank
+             |FROM r WHERE sample_rank <= 5
+             |ORDER BY source, sample_rank""".stripMargin))
   )
 
   private def sqlList(words: Seq[String]): String =

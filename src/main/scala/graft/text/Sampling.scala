@@ -118,6 +118,35 @@ object Sampling {
     * is proportional to output rows only. Weights < 1 emit NOTHING —
     * guarded explicitly, because Spark's `sequence(1, 0)` counts DOWN
     * ([1, 0]) instead of returning empty. */
+  /** Exact-k deterministic sample per stratum: the k rows with the
+    * smallest md5(key) in each group — the fixed-budget sibling of
+    * [[stratifiedSample]]'s rate-based keep (eval sets, per-source
+    * inspection samples, few-shot pools all want "exactly k per
+    * group", not a fraction). Hash-ordered, so the sample is
+    * reproducible across engines, runs, AND corpus growth: a row
+    * already sampled stays sampled until k better-hashed rows arrive
+    * (bottom-k sketches' stability property, applied to rows).
+    *
+    * Scale shape: the map-side-combining TopK Aggregator — at most k
+    * rows per group per partition ride the shuffle; never a global or
+    * per-group full sort. Returns (strata, id) pairs; join back for
+    * payloads. Ties cannot happen (md5 collisions aside) but the id
+    * tie-break pins them anyway. */
+  def sampleKPerGroup(df: DataFrame, strataCol: String, idCol: String,
+      k: Int): DataFrame = {
+    import graft.functions.TopK
+    // 52-bit hash: integer-exact in the aggregator's double score
+    // (same family as text.Sketches.h52)
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    df.select(col(strataCol), col(idCol).cast("long").as("__id"), h.as("__h"))
+      .groupBy(strataCol)
+      .agg(TopK.topK(k)(col("__id"), -col("__h").cast("double")).as("__nn"))
+      .select(col(strataCol), posexplode(col("__nn")).as(Seq("__r", "__s")))
+      .select(col(strataCol), col("__s.id").as(idCol),
+        (col("__r") + 1).cast("int").as("sample_rank"))
+  }
+
   def upsample(df: DataFrame, weightCol: Column): DataFrame =
     df.withColumn("copy_no", explode(
       when(weightCol >= 1, sequence(lit(1), weightCol))

@@ -110,4 +110,29 @@ class SamplingSpec extends SparkSpec {
     // ids 3 and 4 (weight 0 / negative) produce no rows at all
     assert(!got.contains(3L) && !got.contains(4L))
   }
+
+  test("sampleKPerGroup: exactly k per stratum, stable under corpus growth") {
+    import spark.implicits._
+    def corpus(n: Int) = (1 to n).map(i => (s"src${i % 3}", i.toLong))
+      .toDF("source", "doc_id")
+    val k = 8
+    val small = Sampling.sampleKPerGroup(corpus(99), "source", "doc_id", k)
+      .as[(String, Long, Int)].collect()
+    val big = Sampling.sampleKPerGroup(corpus(300), "source", "doc_id", k)
+      .as[(String, Long, Int)].collect()
+    // exactly k rows per stratum, ranks dense 1..k
+    Seq(small, big).foreach { s =>
+      s.groupBy(_._1).foreach { case (_, rows) =>
+        assert(rows.length == k)
+        assert(rows.map(_._3).sorted.toSeq == (1 to k))
+      }
+    }
+    // bottom-k stability: a doc sampled from the GROWN corpus that
+    // already existed in the small corpus must have been sampled there
+    // too (growth can only evict, never admit, among old rows)
+    val smallSet = small.map(r => (r._1, r._2)).toSet
+    big.filter(_._2 <= 99).foreach { r =>
+      assert(smallSet.contains((r._1, r._2)), s"unstable sample row $r")
+    }
+  }
 }
