@@ -989,6 +989,21 @@ object PipelineQueries {
              |FROM t WHERE rn <= $KmvK GROUP BY ga, gb
              |ORDER BY group_a, group_b""".stripMargin)),
 
+    // ---- MMR diversity selection: 5 rows relevant to the query
+    // vector but mutually diverse (λ·rel − (1−λ)·max-sim-to-selected,
+    // greedy). The oracle unrolls all 5 greedy steps — each one
+    // argmax over the corpus cross-joined with the already-selected
+    // rows — so every selection and score is replayed exactly.
+    NamedQuery("s09_mmr_diverse_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        // the one-row query-vector fetch is the serving call shape
+        val q = emb.filter(col("vec_id") === 0).head()
+          .getAs[scala.collection.Seq[Float]]("embedding").toArray
+        Similarity.mmrTopK(emb, q, k = 5, lambda = 0.7).orderBy("pos")
+      },
+      Some(mmrOracle(k = 5, lambda = 0.7))),
+
     // ---- exact-k deterministic sample per source (fixed-budget
     // sibling of p04's rate-based keep): the 5 smallest-md5 doc ids
     // per stratum via the map-side TopK combine — stable under corpus
@@ -1157,6 +1172,55 @@ object PipelineQueries {
        |        i -> q.qv[cb.j * $sub + i] * q.qv[cb.j * $sub + i]))
        |      - 2.0 * list_sum(list_transform(generate_series(1, $sub),
        |        i -> q.qv[cb.j * $sub + i] * cb.c[i])) + cb.cc2""".stripMargin
+  }
+
+  /** Unrolled greedy MMR (s09): step CTE s_i cross-joins the corpus
+    * with every already-selected row and takes the (rounded score
+    * desc, id) argmax — mirroring Similarity.mmrTopK step by step.
+    * λ and 1−λ are emitted via Double.toString so the oracle computes
+    * with the IDENTICAL doubles (1−0.7 is NOT the double 0.3). */
+  private def mmrOracle(k: Int, lambda: Double): String = {
+    val lam = java.lang.Double.toString(lambda)
+    val oneMinus = java.lang.Double.toString(1 - lambda)
+    def simTo(i: Int) = s"${dotSql("b.v", s"s$i.v")} / (b.nrm * s$i.nrm)"
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        s"""s1 AS (SELECT id, v, nrm, score FROM (
+           |    SELECT id, v, nrm, round($lam * qcos, 6) AS score,
+           |      row_number() OVER (
+           |        ORDER BY round($lam * qcos, 6) DESC, id) AS rn
+           |    FROM base) WHERE rn = 1)""".stripMargin
+      else {
+        val joins = (1 until i).map(j => s"CROSS JOIN s$j").mkString(" ")
+        val excl = (1 until i).map(j => s"b.id <> s$j.id").mkString(" AND ")
+        val sims = (1 until i).map(simTo)
+        val maxSim = if (sims.size == 1) sims.head
+          else s"greatest(${sims.mkString(", ")})"
+        s"""s$i AS (SELECT id, v, nrm, score FROM (
+           |    SELECT id, v, nrm, score,
+           |      row_number() OVER (ORDER BY score DESC, id) AS rn
+           |    FROM (
+           |      SELECT b.id, b.v, b.nrm,
+           |        round($lam * b.qcos - $oneMinus * ($maxSim), 6) AS score
+           |      FROM base b $joins WHERE $excl)) WHERE rn = 1)""".stripMargin
+      }
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(i => s"SELECT $i AS pos, id, score FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |q AS (SELECT v AS qv, sqrt(${dotSql("v", "v")}) AS qn
+       |      FROM e WHERE vec_id = 0),
+       |base AS (SELECT e.vec_id AS id, e.v,
+       |    sqrt(${dotSql("e.v", "e.v")}) AS nrm,
+       |    ${dotSql("e.v", "q.qv")} / (sqrt(${dotSql("e.v", "e.v")}) * q.qn)
+       |      AS qcos
+       |  FROM e CROSS JOIN q),
+       |$steps
+       |SELECT pos, id, score FROM (
+       |  $out) ORDER BY pos""".stripMargin
   }
 
   /** Shared KMV sketch CTEs (p09/p10): distinct 52-bit md5 content

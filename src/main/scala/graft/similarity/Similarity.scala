@@ -393,6 +393,52 @@ object Similarity {
         abs(col("nb.score")).as("adc_dist"), (col("r0") + 1).cast("int").as("rank"))
   }
 
+  /** Maximal Marginal Relevance (MMR) selection: pick `k` rows that
+    * are RELEVANT to the query but DIVERSE among themselves —
+    * greedily maximizing λ·cos(c, q) − (1−λ)·max_{s∈selected}
+    * cos(c, s). The diversity-aware sampling move (few-shot pools,
+    * eval sets, dedup-aware retrieval) where a plain top-k returns k
+    * near-duplicates of the same best hit.
+    *
+    * Greedy MMR is inherently sequential in k: each of the k steps is
+    * ONE distributed corpus scan (selected vectors ship as literals —
+    * k·dim floats in the plan, no join) ending in a
+    * TakeOrderedAndProject(1); only the single winning row comes back
+    * to the driver. That driver loop is the algorithm, not an
+    * anti-pattern — k is a constant (5–100), the corpus never
+    * collects. Scores round to 6dp before the argmax so the
+    * (score desc, id) selection replays identically in the oracle
+    * (s09). Output: (pos 1..k, id, score). */
+  def mmrTopK(corpus: DataFrame, queryVec: Array[Float], k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
+    val base = graft.Caches.cached(corpus.toDF("id", "v")
+      .withColumn("nrm", norm(col("v")))
+      .withColumn("qcos", dotF(col("v"), lit(queryVec)) / (col("nrm") * lit(qn))))
+    var selected = Vector.empty[(Long, Array[Float], Double)] // id, vec, score
+    for (_ <- 1 to k) {
+      val maxSim = selected.map { case (_, sv, _) =>
+        dotF(col("v"), lit(sv)) /
+          (col("nrm") * lit(math.sqrt(sv.map(x => x.toDouble * x).sum)))
+      }.reduceOption(greatest(_, _)).getOrElse(lit(0.0))
+      val score = round(lit(lambda) * col("qcos") - lit(1 - lambda) * maxSim, 6)
+      val next = base
+        .filter(!col("id").isInCollection(selected.map(_._1)))
+        .withColumn("score", score)
+        .orderBy(col("score").desc, col("id"))
+        .limit(1)
+        .select("id", "v", "score")
+        .as[(Long, Array[Float], Double)]
+        .head()
+      selected :+= next
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, s), i) => (i + 1, id, s) }
+      .toDF("pos", "id", "score")
+  }
+
   /** All pairs with cosine ≥ minCos, id_a < id_b — the brute-force
     * EXACT form. O(n²) pairs: not a registered query path; kept as the
     * oracle cross-check for [[cosineNearDupPairsLsh]] (SimilaritySpec

@@ -185,6 +185,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrTopK trades relevance for diversity (picks from both clusters)") {
+    // two tight clusters near the query; plain top-2 would take both
+    // rows of cluster A (higher cos), MMR's diversity term pulls the
+    // second pick from cluster B
+    val q = Array(1.0f, 0.0f)
+    val vecs = Seq(
+      (1L, Array(0.99f, 0.14f)), (2L, Array(0.98f, 0.15f)), // cluster A
+      (3L, Array(0.80f, 0.60f)), (4L, Array(0.79f, 0.61f))) // cluster B
+      .toDF("id", "v")
+    val mmr = Similarity.mmrTopK(vecs, q, k = 2, lambda = 0.3)
+      .select("pos", "id").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(mmr.head == 1L) // first pick = plain argmax relevance
+    assert(mmr(1) == 3L || mmr(1) == 4L, s"second pick ${mmr(1)} not diverse")
+    // λ = 1 degenerates to plain top-k by relevance
+    val plain = Similarity.mmrTopK(vecs, q, k = 2, lambda = 1.0)
+      .select("pos", "id").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(plain.toSeq == Seq(1L, 2L))
+  }
+
   test("centroidAssign maps every vector of separated label groups to its own centroid") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.9f, -0.1f), 0),
