@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1020,7 +1021,38 @@ object PipelineQueries {
              |    PARTITION BY source ORDER BY h, doc_id) AS sample_rank FROM h)
              |SELECT source, doc_id, CAST(sample_rank AS INT) AS sample_rank
              |FROM r WHERE sample_rank <= 5
-             |ORDER BY source, sample_rank""".stripMargin))
+             |ORDER BY source, sample_rank""".stripMargin)),
+
+    // ---- HLL sketch per source + sketch UNION (Datasketches HLL,
+    // codegen'd): the mergeable distinct-count artifact a sharded
+    // corpus persists per shard and unions at audit time — the
+    // binary-sketch sibling of p09's KMV (KMV: exact-replayable
+    // bottom-k; HLL: constant-size, union-closed). Estimates checked
+    // with the q33 tolerance-bound pattern (exact counts cross-engine,
+    // sketch asserted within 5% Spark-side; the union row must bound
+    // the GLOBAL distinct, proving the merge).
+    NamedQuery("p12_hll_sketch_union",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val per = graft.Caches.cached(docs.groupBy("source")
+          .agg(hll_sketch_agg(col("text"), lit(12)).as("sk"),
+            countDistinct(col("text")).as("exact")))
+        def bounded(est: Column, exact: Column) =
+          (abs(est - exact).cast("double") / exact <= 0.05).as("within_5pct")
+        val perRow = per.select(col("source"), col("exact"),
+          bounded(hll_sketch_estimate(col("sk")), col("exact")))
+        val union = per.agg(hll_union_agg(col("sk")).as("sk"))
+          .crossJoin(broadcast(
+            docs.agg(countDistinct(col("text")).as("exact"))))
+          .select(lit("__ALL").as("source"), col("exact"),
+            bounded(hll_sketch_estimate(col("sk")), col("exact")))
+        perRow.unionByName(union).orderBy("source")
+      },
+      Some("""SELECT source, count(DISTINCT text) AS exact, TRUE AS within_5pct
+             |FROM documents GROUP BY source
+             |UNION ALL
+             |SELECT '__ALL', count(DISTINCT text), TRUE FROM documents
+             |ORDER BY source""".stripMargin))
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -239,6 +239,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("__salt"), s"expected salted join keys in:\n$plan")
   }
 
+  test("triangle counting joins stay keyed (no cartesian) and TopK samplers combine map-side") {
+    import graft.graph.PropertyGraph
+    val g = PropertyGraph.partCoPurchaseGraph(spark, sf)
+      .filterEdges(col("n_orders") >= 2)
+    val plan = planOf(g.triangleCounts())
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle plan must stay keyed:\n$plan")
+    // p11's per-group sampler: the TopK udaf aggregates in two phases
+    // (partial map-side, final) — never a per-group window or sort
+    val sample = graft.text.Sampling.sampleKPerGroup(
+      Tables.documents(spark, sf), "source", "doc_id", 5)
+    val sPlan = planOf(sample)
+    assert(!sPlan.contains("Window"), s"sampler must not window:\n$sPlan")
+    assert("ObjectHashAggregate".r.findAllIn(sPlan).size >= 2,
+      s"expected partial+final TopK aggregate in:\n$sPlan")
+  }
+
   test("approx_count_distinct stays within 5% of exact (scale variant of A5)") {
     val e = Tables.events(spark, sf)
     val exact = e.select(countDistinct("user_id")).head().getLong(0).toDouble
