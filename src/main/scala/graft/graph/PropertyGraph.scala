@@ -105,6 +105,23 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .toDF("id", "component")
   }
 
+  /** Strongly connected components (directed mutual reachability) via
+    * GraphX — the last GraphFrames/GraphX library algorithm in the
+    * surface. Deterministic: labels are the minimum vertex id of each
+    * SCC (GraphX's coloring converges to the min id), so results are
+    * platform-stable; semantics pinned by GraphSpec on a hand digraph
+    * (not SQL-expressible — unbounded mutual reachability — so no
+    * oracle query; the operator is spec-covered like
+    * sessionizeWithState). `numIter` bounds the outer peeling loop
+    * (≥ the longest chain of nested SCC discoveries, NOT the cycle
+    * length; GraphX peels converged SCCs each round). */
+  def stronglyConnectedComponents(numIter: Int): DataFrame = {
+    val scc = org.apache.spark.graphx.lib.StronglyConnectedComponents
+      .run(graphX, numIter).vertices
+    spark.createDataFrame(scc.map { case (id, c) => (id, c) })
+      .toDF("id", "scc")
+  }
+
   /** G6 (goodreads.py:588): BFS shortest paths from vertices matching
     * `fromCond` to vertices matching `toCond`, following edge
     * direction, up to `maxPathLength` hops. Returns the GraphFrames
@@ -392,6 +409,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
       .agg(map_from_entries(array_sort(
         collect_list(struct(col("landmark"), col("dist"))))).as("distances"))
     vertices.join(maps, Seq("id"), "left")
+      // GraphFrames parity: a vertex reaching NO landmark carries an
+      // EMPTY map, not NULL (size()/map_keys() written against the
+      // GraphFrames shape must see 0/[], not null)
+      .withColumn("distances", coalesce(col("distances"),
+        map_from_entries(array().cast("array<struct<landmark:bigint,dist:int>>"))))
   }
 
   /** GraphFrames' `parallelPersonalizedPageRank`: per-source rank

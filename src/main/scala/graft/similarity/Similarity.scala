@@ -35,6 +35,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dotF(a, b) / (norm(a) * norm(b))
 
+  /** Cosine from precomputed norms, ZERO-NORM SAFE: a degenerate
+    * all-zero vector scores 0 instead of the NULL a 0-division yields —
+    * a NULL would crash the non-nullable TopK Aggregator every top-k
+    * operator here feeds (and its ordering differs across engines, the
+    * same reason [[centroidAssign]] guards). Pure codegen `when`. */
+  private def safeCos(dot: Column, na: Column, nb: Column): Column =
+    when(na * nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+
   /** Exact top-k cosine neighbors for every query row — the LABELED
     * exact baseline (the scale paths are [[lshCosineTopK]] and
     * graft.ml.VectorSearch's IVF).
@@ -55,7 +63,7 @@ object Similarity {
       .withColumn("cn", norm(col("cv")))
     broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", round(safeCos(dotF(col("qv"), col("cv")), col("qn"), col("cn")), 6))
       .groupBy("query_id")
       .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
@@ -152,7 +160,7 @@ object Similarity {
     cand
       .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
       .join(c.select("neighbor_id", "cv", "cn"), Seq("neighbor_id"))
-      .withColumn("cos", round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", round(safeCos(dotF(col("qv"), col("cv")), col("qn"), col("cn")), 6))
       .groupBy("query_id")
       .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
@@ -204,7 +212,7 @@ object Similarity {
 
     broadcast(probes).join(c, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dotF(col("qv"), col("cv")) / (col("qn") * col("cn")), 6))
+      .withColumn("cos", round(safeCos(dotF(col("qv"), col("cv")), col("qn"), col("cn")), 6))
       .groupBy("query_id")
       .agg(TopK.topK(k)(col("neighbor_id"), col("cos")).as("nn"))
       .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
@@ -243,7 +251,7 @@ object Similarity {
     cand
       .join(n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a")), "id_a")
       .join(n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b")), "id_b")
-      .withColumn("cos", round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("cos", round(safeCos(dotF(col("va"), col("vb")), col("nrm_a"), col("nrm_b")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }
@@ -416,12 +424,14 @@ object Similarity {
     val qn = math.sqrt(queryVec.map(x => x.toDouble * x).sum)
     val base = graft.Caches.cached(corpus.toDF("id", "v")
       .withColumn("nrm", norm(col("v")))
-      .withColumn("qcos", dotF(col("v"), lit(queryVec)) / (col("nrm") * lit(qn))))
+      .withColumn("qcos",
+        safeCos(dotF(col("v"), lit(queryVec)), col("nrm"), lit(qn))))
     var selected = Vector.empty[(Long, Array[Float], Double)] // id, vec, score
-    for (_ <- 1 to k) {
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
       val maxSim = selected.map { case (_, sv, _) =>
-        dotF(col("v"), lit(sv)) /
-          (col("nrm") * lit(math.sqrt(sv.map(x => x.toDouble * x).sum)))
+        safeCos(dotF(col("v"), lit(sv)), col("nrm"),
+          lit(math.sqrt(sv.map(x => x.toDouble * x).sum)))
       }.reduceOption(greatest(_, _)).getOrElse(lit(0.0))
       val score = round(lit(lambda) * col("qcos") - lit(1 - lambda) * maxSim, 6)
       val next = base
@@ -431,8 +441,9 @@ object Similarity {
         .limit(1)
         .select("id", "v", "score")
         .as[(Long, Array[Float], Double)]
-        .head()
-      selected :+= next
+        .collect()
+      // corpus smaller than k: return what's selectable, not a crash
+      if (next.isEmpty) exhausted = true else selected :+= next.head
     }
     selected.zipWithIndex
       .map { case ((id, _, s), i) => (i + 1, id, s) }
@@ -448,7 +459,7 @@ object Similarity {
     val a = n.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("nrm_a"))
     val b = n.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", round(dotF(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")), 6))
+      .withColumn("cos", round(safeCos(dotF(col("va"), col("vb")), col("nrm_a"), col("nrm_b")), 6))
       .filter(col("cos") >= minCos)
       .select("id_a", "id_b", "cos")
   }

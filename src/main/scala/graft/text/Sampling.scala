@@ -140,6 +140,9 @@ object Sampling {
     val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
       .cast("long")
     df.select(col(strataCol), col(idCol).cast("long").as("__id"), h.as("__h"))
+      // NULL ids have no hash and cannot be sampled — and a null score
+      // would crash the non-nullable TopK Aggregator buffer
+      .filter(col("__h").isNotNull && col("__id").isNotNull)
       .groupBy(strataCol)
       .agg(TopK.topK(k)(col("__id"), -col("__h").cast("double")).as("__nn"))
       .select(col(strataCol), posexplode(col("__nn")).as(Seq("__r", "__s")))

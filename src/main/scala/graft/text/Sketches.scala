@@ -36,6 +36,9 @@ object Sketches {
   def bottomK(df: DataFrame, groupCol: String, valueCol: String,
       k: Int): DataFrame =
     df.select(col(groupCol), h52(col(valueCol)).as("__h"))
+      // NULL values have no hash and cannot be sketched — and a null
+      // score would crash the non-nullable TopK Aggregator buffer
+      .filter(col("__h").isNotNull)
       .distinct()
       .groupBy(groupCol)
       // TopK keeps largest scores; bottom-k = top-k of the negated

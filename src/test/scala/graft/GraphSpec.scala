@@ -225,6 +225,22 @@ class GraphSpec extends SparkSpec {
   }
   private def tg17Fixture = g
 
+  test("stronglyConnectedComponents: cycles group, DAG tails stay singletons") {
+    // digraph: 3-cycle {1,2,3}, 2-cycle {4,5}, chain 3→4, tail 6 (6→1)
+    val dg = PropertyGraph(
+      (1L to 6L).map((_, "")).toDF("id", "type"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 4L), (3L, 4L), (6L, 1L))
+        .toDF("src", "dst"))
+    val scc = dg.stronglyConnectedComponents(numIter = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(scc(1L) == 1L && scc(2L) == 1L && scc(3L) == 1L) // min-id label
+    assert(scc(4L) == 4L && scc(5L) == 4L)
+    assert(scc(6L) == 6L) // no cycle through 6: its own SCC
+    // directed ≠ undirected: one weak component, three SCCs
+    assert(dg.connectedComponents().select("component").distinct().count() == 1)
+    assert(scc.values.toSet.size == 3)
+  }
+
   test("personalized PageRank keeps reset mass at its own source") {
     import graft.graph.IterativeGraph
     // path 1-2-3 symmetrized; sources 1 and 3 ranked in one loop
@@ -253,7 +269,7 @@ class GraphSpec extends SparkSpec {
     assert(m(1L).get == Map(10L -> 1))
     assert(m(3L).get == Map(12L -> 1))
     assert(m(10L).get == Map(10L -> 0))
-    assert(m(4L).forall(_.isEmpty)) // unreachable: empty or absent map
+    assert(m(4L).contains(Map.empty)) // unreachable: EMPTY map (GraphFrames parity)
     // long-form core over symmetrized edges reaches 2-hop neighbours
     val d = IterativeGraph.shortestPathsLandmarks(
       IterativeGraph.symmetrize(g.edges), Seq(10L), iters = 2)

@@ -202,6 +202,8 @@ class SimilaritySpec extends SparkSpec {
     val plain = Similarity.mmrTopK(vecs, q, k = 2, lambda = 1.0)
       .select("pos", "id").as[(Int, Long)].collect().sortBy(_._1).map(_._2)
     assert(plain.toSeq == Seq(1L, 2L))
+    // k beyond the corpus returns every selectable row, not a crash
+    assert(Similarity.mmrTopK(vecs, q, k = 10, lambda = 0.5).count() == 4)
   }
 
   test("centroidAssign maps every vector of separated label groups to its own centroid") {
