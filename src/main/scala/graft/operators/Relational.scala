@@ -135,20 +135,42 @@ object Relational {
   /** As-of join: for every left row, attach the single most recent
     * right row with `rightTs` ≤ `leftTs`, matched on `keys` — the
     * event-attribution / point-in-time-lookup primitive (q20 is its
-    * registered instance). `leftIdCol` must uniquely identify left rows
-    * (the rank window partitions by it); `rightTieBreak` pins a
-    * deterministic winner among equal timestamps. Physical shape: one
-    * shuffled equi-join on `keys` with a residual range predicate —
-    * never a cartesian — then a per-left-row rank. Left rows with no
-    * qualifying right row are dropped (inner as-of). */
+    * registered instance). `rightTieBreak` names right columns that pin
+    * a deterministic winner among equal timestamps (latest-wins, i.e.
+    * the lexicographic MAX of (rightTs, tieBreak…) at or before the
+    * left row).
+    *
+    * Physical shape — the part that matters at 100 TB: NOT a join.
+    * Both sides are tagged and unioned, then ONE keyed window computes
+    * a running `last(right_payload, ignoreNulls)` in (ts, side) order,
+    * so each left row reads the nearest preceding right row directly.
+    * A join-then-rank form would materialize every (left, earlier
+    * right) pair per key before pruning — quadratic per hot key; this
+    * form shuffles each input row exactly once and holds O(1) state
+    * per row (PlanSpec pins the no-join shape on q20).
+    *
+    * Left rows with no qualifying right row are dropped (inner as-of).
+    * Non-key column names must not collide across sides. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftIdCol: String, leftTs: String, rightTs: String,
-      rightTieBreak: Seq[Column] = Nil): DataFrame = {
-    val w = Window.partitionBy(leftIdCol)
-      .orderBy(col(rightTs).desc +: rightTieBreak: _*)
-    left.join(right, keys)
-      .filter(col(rightTs) <= col(leftTs))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      leftTs: String, rightTs: String,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    // Right rows sort BEFORE left rows at the same instant (__side 0<1)
+    // so `rightTs == leftTs` matches match (inclusive as-of).
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(payload.map(col): _*).as("__r")): _*)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val order = col("__ts").asc +: col("__side").asc +:
+      rightTieBreak.map(c => col("__r")(c).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__m").isNotNull)
+      .select(left.columns.map(col) ++ payload.map(p => col("__m")(p).as(p)): _*)
   }
 }

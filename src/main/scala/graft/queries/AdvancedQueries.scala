@@ -107,8 +107,7 @@ object AdvancedQueries {
       val c = e.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("c_ts"))
       graft.operators.Relational.asofJoin(p, c, Seq("user_id"),
-          leftIdCol = "purchase_id", leftTs = "p_ts", rightTs = "c_ts",
-          rightTieBreak = Seq(col("click_id").desc))
+          leftTs = "p_ts", rightTs = "c_ts", rightTieBreak = Seq("click_id"))
         .select(col("purchase_id"), col("user_id"), col("click_id"),
           unix_micros(col("c_ts")).as("click_us"))
         .orderBy("purchase_id")

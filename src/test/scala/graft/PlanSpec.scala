@@ -76,6 +76,16 @@ class PlanSpec extends SparkSpec {
       s"range join must use the user_id equi key:\n$plan")
   }
 
+  test("as-of join is union + running-last — no join node, no pair blowup") {
+    val plan = packPlan(AdvancedQueries.all, "q20_purchase_attribution")
+    // the scale property: each input row shuffles ONCE on the key; a
+    // join-then-rank form would materialize purchases × earlier clicks
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Union") && plan.contains("RunningWindowFunction")
+        || plan.contains("Window"),
+      s"expected union + window running-last shape:\n$plan")
+  }
+
   test("registered embedding near-dup has no all-pairs join (LSH banding)") {
     import graft.queries.PipelineQueries
     val plan = packPlan(PipelineQueries.all, "d06_embedding_neardup")

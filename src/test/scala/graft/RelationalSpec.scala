@@ -57,15 +57,16 @@ class RelationalSpec extends SparkSpec {
   test("asofJoin attaches the latest right row at-or-before each left ts") {
     val purchases = Seq((10L, 1, 100L), (11L, 1, 50L), (12L, 2, 100L))
       .toDF("pid", "user", "pts")
-    val clicks = Seq((20L, 1, 40L), (21L, 1, 90L), (22L, 1, 150L), (23L, 3, 10L))
+    val clicks = Seq((20L, 1, 40L), (21L, 1, 90L), (22L, 1, 150L), (23L, 3, 10L),
+        (24L, 1, 100L), (25L, 1, 100L))
       .toDF("cid", "user", "cts")
     val got = Relational.asofJoin(purchases, clicks, Seq("user"),
-        leftIdCol = "pid", leftTs = "pts", rightTs = "cts",
-        rightTieBreak = Seq(col("cid").desc))
+        leftTs = "pts", rightTs = "cts", rightTieBreak = Seq("cid"))
       .select("pid", "cid").as[(Long, Long)].collect().toMap
-    // pid 10 @100 → click 21 @90; pid 11 @50 → click 20 @40;
-    // pid 12 (user 2, no clicks) dropped; click 22 @150 is in the future
-    assert(got == Map(10L -> 21L, 11L -> 20L))
+    // pid 10 @100 → cid 25 (inclusive boundary; tie at ts=100 broken by
+    // max cid); pid 11 @50 → click 20 @40; pid 12 (user 2, no clicks)
+    // dropped; click 22 @150 is in the future
+    assert(got == Map(10L -> 25L, 11L -> 20L))
   }
 
   test("collectSortedSet produces sorted deterministic arrays") {
