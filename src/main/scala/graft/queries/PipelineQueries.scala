@@ -944,6 +944,54 @@ object PipelineQueries {
              |FROM ranked WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- two-stage retrieval: PQ-ADC shortlist (25 candidates/query
+    // over the encoded corpus) → exact Euclidean rerank of only those
+    // candidates → top-5. The oracle replays both stages: the s08 ADC
+    // ranking cut at shortK, then the s03 expansion identity on the
+    // shortlisted ids — approximate recall, exact precision, replayed
+    // bit-for-bit.
+    NamedQuery("s10_two_stage_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        Similarity.pqRerankTopK(emb.filter(col("vec_id") < 20), emb,
+            shortK = 25, k = 5, dim = 64, m = PqM, kCodes = PqK, seed = PqSeed)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $pqCodesCtes,
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+             |adists AS (
+             |  SELECT q.query_id, pq.vec_id AS neighbor_id,
+             |    round(list_sum(list(
+             |      ${pqAdcTermSql} ORDER BY cb.j)), 6) AS adc_dist
+             |  FROM q CROSS JOIN pq
+             |  JOIN cb ON cb.ci = pq.codes[cb.j + 1]
+             |  WHERE q.query_id <> pq.vec_id
+             |  GROUP BY q.query_id, pq.vec_id),
+             |short AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rn
+             |    FROM adists) WHERE rn <= 25),
+             |n AS (SELECT vec_id,
+             |    list_sum(list_transform(generate_series(1, len(v)),
+             |      i -> v[i] * v[i])) AS nn
+             |  FROM e),
+             |rer AS (SELECT s.query_id, s.neighbor_id,
+             |    round(sqrt(greatest(nq.nn - 2 *
+             |      list_sum(list_transform(generate_series(1, 64),
+             |        i -> eq.v[i] * ec.v[i])) + nc.nn, 0.0)), 6) AS dist
+             |  FROM short s
+             |  JOIN e eq ON eq.vec_id = s.query_id
+             |  JOIN e ec ON ec.vec_id = s.neighbor_id
+             |  JOIN n nq ON nq.vec_id = s.query_id
+             |  JOIN n nc ON nc.vec_id = s.neighbor_id),
+             |ranked AS (SELECT query_id, neighbor_id, dist,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY dist, neighbor_id) AS rank
+             |  FROM rer)
+             |SELECT query_id, neighbor_id, dist, CAST(rank AS INT) AS rank
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- KMV bottom-k distinct-count sketch per source: mergeable
     // sketch audit instead of exact distinct — deterministic md5
     // bottom-k, so sketch members AND the estimate hash-match (no

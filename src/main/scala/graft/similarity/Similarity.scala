@@ -401,6 +401,45 @@ object Similarity {
         abs(col("nb.score")).as("adc_dist"), (col("r0") + 1).cast("int").as("rank"))
   }
 
+  /** Two-stage retrieval: a PQ-ADC shortlist over the ENCODED corpus,
+    * then an EXACT Euclidean rerank of only the shortlisted candidates
+    * against the true vectors — the production serving pattern
+    * (compressed first-pass scan for recall, exact second pass for
+    * precision). At 100 TB the economics are the point: stage 1 scans
+    * m small ints per corpus row ([[pqAdcTopK]] — broadcast queries,
+    * map-side TopK combine); stage 2 touches full vectors for only
+    * `shortK` ids per query, rejoined by keyed equi-join on the
+    * ID-ONLY shortlist (the d06 dedup-then-rejoin house rule — float
+    * payloads never ride a shuffle they don't need). Rerank uses the
+    * same expansion identity as [[euclideanTopK]], so the DuckDB
+    * oracle replays both stages bit-for-bit (s10). Output:
+    * (query_id, neighbor_id, dist, rank), ascending exact distance,
+    * ties by neighbor id. */
+  def pqRerankTopK(queries: DataFrame, corpus: DataFrame, shortK: Int,
+      k: Int, dim: Int, m: Int = 4, kCodes: Int = 16,
+      seed: Long = 11L): DataFrame = {
+    import graft.functions.TopK
+    val codes = pqEncode(corpus.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim, m, kCodes, seed).select("vec_id", "codes")
+    val short = pqAdcTopK(queries, codes, shortK, dim, m, kCodes, seed)
+      .select("query_id", "neighbor_id") // ids only past this point
+    val q = queries.toDF("query_id", "qv")
+      .withColumn("qq", dotF(col("qv"), col("qv")))
+    val c = corpus.toDF("neighbor_id", "cv")
+      .withColumn("cc", dotF(col("cv"), col("cv")))
+    short
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("dist", round(
+        sqrt(greatest(col("qq") - lit(2.0) * dotF(col("qv"), col("cv")) + col("cc"),
+          lit(0.0))), 6))
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("neighbor_id"), -col("dist")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        abs(col("nb.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
   /** Maximal Marginal Relevance (MMR) selection: pick `k` rows that
     * are RELEVANT to the query but DIVERSE among themselves —
     * greedily maximizing λ·cos(c, q) − (1−λ)·max_{s∈selected}

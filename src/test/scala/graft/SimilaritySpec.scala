@@ -185,6 +185,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqRerankTopK with a full-corpus shortlist equals exact euclideanTopK") {
+    // shortK ≥ |corpus| makes stage 1 a no-op filter, so the two-stage
+    // result must coincide with the exact scan — pins that the rerank
+    // stage computes true distances, not ADC ones
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val n = emb.count().toInt
+    val q = emb.filter(col("vec_id") < 10)
+    val got = Similarity.pqRerankTopK(q, emb, shortK = n, k = 5, dim = 64)
+      .select("query_id", "neighbor_id", "dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val exact = Similarity.euclideanTopK(q, emb, k = 5)
+      .select("query_id", "neighbor_id", "dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == exact)
+  }
+
   test("mmrTopK trades relevance for diversity (picks from both clusters)") {
     // two tight clusters near the query; plain top-2 would take both
     // rows of cluster A (higher cos), MMR's diversity term pulls the
