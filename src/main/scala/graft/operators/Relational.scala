@@ -173,4 +173,28 @@ object Relational {
       .filter(col("__side") === 1 && col("__m").isNotNull)
       .select(left.columns.map(col) ++ payload.map(p => col("__m")(p).as(p)): _*)
   }
+
+  /** Sweep-line interval aggregation: given one [start, end] DATE
+    * interval per row (inclusive), the count of intervals covering
+    * each boundary day — "how many items were open/in-transit on day
+    * d" (q43 is its registered instance). The naive form is an
+    * interval join (every day × every interval — O(rows × days), what
+    * q43's oracle deliberately does); the sweep computes the identical
+    * step function linearly: +1 at start, −1 at end+1, ONE keyed
+    * aggregation by day, then a cumulative sum. The cumulative window
+    * is safe at any input scale because it runs over the AGGREGATED
+    * date dimension (thousands of rows — bounded by the calendar, not
+    * the data); the per-row work all happens in the keyed agg before
+    * it. Output: (day, open_cnt) at every step-function breakpoint. */
+  def sweepLineCounts(intervals: DataFrame, startCol: String,
+      endCol: String): DataFrame = {
+    val deltas = intervals
+      .select(to_date(col(startCol)).as("day"), lit(1L).as("__d"))
+      .unionAll(intervals
+        .select(date_add(to_date(col(endCol)), 1).as("day"), lit(-1L).as("__d")))
+      .groupBy("day").agg(sum("__d").as("__d"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("open_cnt", sum("__d").over(w)).select("day", "open_cnt")
+  }
 }
