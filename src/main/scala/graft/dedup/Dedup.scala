@@ -207,9 +207,20 @@ object Dedup {
     * unlike the earlier numHashes-md5s-per-shingle form. */
   def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val sig = graft.Caches.cached(
       minhashSignaturesPortable(df, idCol, textCol, n, numHashes))
+    minhashLshPairsFromSig(sig, numHashes, bands, minJaccard)
+  }
+
+  /** [[minhashLshPairsPortable]] over a PRECOMPUTED signature table
+    * (id, mh_0..mh_{numHashes−1}) — the seam that lets several
+    * registered queries share ONE signature build (callers memoize the
+    * signatures per (session, input) via graft.Memo; at 100 TB this is
+    * the persisted signature index the incremental-ingest path probes).
+    * The caller owns the signature frame's caching. */
+  def minhashLshPairsFromSig(sig: DataFrame, numHashes: Int, bands: Int,
+      minJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val banded = bandedOf(sig, numHashes, bands)
     val cand = banded.toDF("id_a", "band", "bh")
       .join(banded.toDF("id_b", "band", "bh"), Seq("band", "bh"))
@@ -342,9 +353,13 @@ object Dedup {
     * match their unrolled-CTE step count. */
   def dropNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, minJaccard: Double,
-      iters: Int = -1): DataFrame = {
-    val pairs = minhashLshPairsPortable(df, idCol, textCol, n, numHashes,
-      bands, minJaccard)
+      iters: Int = -1, sig: Option[DataFrame] = None): DataFrame = {
+    // `sig`: optionally reuse a precomputed signature table for the
+    // pair stage (see minhashLshPairsFromSig) instead of rebuilding it
+    val pairs = sig
+      .map(minhashLshPairsFromSig(_, numHashes, bands, minJaccard))
+      .getOrElse(minhashLshPairsPortable(df, idCol, textCol, n, numHashes,
+        bands, minJaccard))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val vertices = df.select(col(idCol).as("id"))
     val labels =

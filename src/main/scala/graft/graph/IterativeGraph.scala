@@ -200,6 +200,35 @@ object IterativeGraph {
     v
   }
 
+  /** Deterministic Power Iteration Clustering — the MEASURED path of
+    * the M20 surface (m08): [[powerSmoothingFixed]] embedding, rounded
+    * to 4dp (cross-engine double-sum pinning, as g15), then k
+    * EQUAL-WIDTH histogram bins over [min(v), max(v)] as the cluster
+    * assignment. 1-D k-means on a power-smoothed embedding converges
+    * to contiguous segments; equal-width binning is its deterministic,
+    * single-pass stand-in — no RDD handoff, no iterative re-seeding,
+    * and every step (smoothing, rounding, binning) is
+    * SQL-oracle-checkable. spark.ml's PIC (graft.ml.Clustering.pic)
+    * stays as the reference-parity API; its RDD-internal power
+    * iterations measured a 6× run-to-run spread on identical inputs
+    * (PERF.md round 6), which is a scheduling hazard this path
+    * removes. Scale shape: smoothing supersteps are keyed equi-joins;
+    * the binning adds ONE broadcast min/max agg + a scan-stage
+    * projection. Output: (id, cluster 0..k−1). */
+  def picClustersFixed(edges: DataFrame, weightCol: String, iters: Int,
+      k: Int): DataFrame = {
+    val v = powerSmoothingFixed(edges, weightCol, iters)
+      .select(col("id"), round(col("v"), 4).as("v"))
+    val bounds = v.agg(min("v").as("lo"), max("v").as("hi"))
+    v.crossJoin(broadcast(bounds))
+      .select(col("id"),
+        // degenerate all-equal embedding → one cluster; the boundary
+        // point v = hi clamps into bin k−1
+        when(col("hi") <= col("lo"), lit(0)).otherwise(
+          least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * k),
+            lit(k - 1)).cast("int")).as("cluster"))
+  }
+
   /** Connected components by min-label propagation over symmetrized
     * edges, `iters` synchronous supersteps: label₀ = id;
     * label₊(v) = min(label(v), min over neighbours). After enough

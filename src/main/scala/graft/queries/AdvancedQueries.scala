@@ -495,6 +495,32 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // ---- sweep-line interval coverage: open orders per boundary day
+    // over a deterministic synthetic fulfillment window
+    // [o_orderdate, o_orderdate + o_orderkey%90 days]. The engine runs
+    // the LINEAR sweep (+1/−1 deltas, one keyed agg, cumulative sum
+    // over the calendar-bounded date dimension); the oracle
+    // deliberately does the NAIVE boundary-day × interval join — an
+    // independent computation of the same step function. Null starts
+    // are planted (o_orderkey%97=0) to pin the operator's null guard
+    // against the oracle's explicit WHERE.
+    q("q43_open_order_days",
+      """WITH iv AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS s,
+        |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 90 AS INTEGER) AS e
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |bnd AS (SELECT s AS day FROM iv UNION SELECT e + 1 FROM iv)
+        |SELECT b.day AS day, CAST(count(iv.s) AS BIGINT) AS open_cnt
+        |FROM bnd b LEFT JOIN iv ON iv.s <= b.day AND b.day <= iv.e
+        |GROUP BY b.day ORDER BY day""".stripMargin) { (s, dir) =>
+      val iv = Tables.orders(s, dir).select(
+        when(col("o_orderkey") % 97 === 0, lit(null))
+          .otherwise(to_date(col("o_orderdate"))).as("s"),
+        date_add(to_date(col("o_orderdate")),
+          (col("o_orderkey") % 90).cast("int")).as("e"))
+      graft.operators.Relational.sweepLineCounts(iv, "s", "e").orderBy("day")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

@@ -301,6 +301,36 @@ object GraphQueries {
       },
       Some(pprOracle(Landmarks, PprIters))),
 
+    // ---- G10 layout export (goodreads.py:500–541): deterministic
+    // grid coordinates for the 1000-edge sample subgraph, joined with
+    // the vertex type (the reference's color-by-type) — the full data
+    // half of the visualization cell, integer-math oracle-checked.
+    NamedQuery("g20_layout_export",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        g.layoutGrid(sampleN = 1000)
+          .join(g.vertices.select(col("id"), col("type")), Seq("id"))
+          .select(col("id"), col("type"), col("degree"), col("x"), col("y"))
+          .orderBy("id")
+      },
+      Some(s"""$edgesCte,
+             |se AS (SELECT src, dst FROM edges ORDER BY src, dst LIMIT 1000),
+             |deg AS (SELECT id, count(*) AS degree FROM (
+             |    SELECT src AS id FROM se UNION ALL SELECT dst FROM se) t
+             |  GROUP BY id),
+             |w AS (SELECT GREATEST(1, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS w
+             |      FROM deg),
+             |p AS (SELECT id, degree,
+             |    CAST(row_number() OVER (ORDER BY degree DESC, id) - 1 AS BIGINT)
+             |      AS pos
+             |  FROM deg),
+             |vt AS (SELECT c_custkey AS id, 'Customer' AS type FROM customer
+             |       UNION ALL SELECT p_partkey + 1000000, 'Part' FROM part)
+             |SELECT p.id AS id, vt.type AS type, p.degree AS degree,
+             |  p.pos % w.w AS x, p.pos // w.w AS y
+             |FROM p CROSS JOIN w JOIN vt ON p.id = vt.id
+             |ORDER BY id""".stripMargin)),
+
     // ---- fixed-iteration min-label connected components: integer
     // labels → exact oracle match; component sizes after 6 supersteps.
     NamedQuery("g11_minlabel_components",
@@ -319,7 +349,7 @@ object GraphQueries {
   private def CcIters = 6
   private def LpIters = 4
   private def BfsIters = 3
-  private def PsIters = 4
+  private[queries] def PsIters = 4
   private def SpIters = 3
   private def PprIters = 4
   private def Landmarks = Seq(1L, 42L, 1000007L)
@@ -403,6 +433,35 @@ object GraphQueries {
        |$steps
        |SELECT id, round(v, 4) AS v FROM v$iters
        |ORDER BY v DESC, id LIMIT 20""".stripMargin
+  }
+
+  /** Unrolled-CTE deterministic PIC cluster sizes (m08) — the power-
+    * smoothing CTEs of [[powerSmoothingOracle]] plus 4dp rounding,
+    * equal-width binning over [min, max], and the size histogram;
+    * mirrors IterativeGraph.picClustersFixed expression-for-expression
+    * (identical rounded inputs + identical IEEE arithmetic → identical
+    * bins on both engines). */
+  private[queries] def picClusterSizesOracle(iters: Int, k: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""s$i AS (SELECT sym.dst AS id, sum(sym.w * v${i - 1}.v) AS s
+         |  FROM sym JOIN v${i - 1} ON sym.src = v${i - 1}.id GROUP BY sym.dst),
+         |v$i AS (SELECT deg.id, COALESCE(s$i.s, 0) / deg.deg AS v
+         |  FROM deg LEFT JOIN s$i ON deg.id = s$i.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |sym AS (SELECT src, dst, weight AS w FROM edges
+       |        UNION ALL SELECT dst, src, weight FROM edges),
+       |deg AS (SELECT src AS id, sum(w) AS deg FROM sym GROUP BY src),
+       |st AS (SELECT count(*) AS n, sum(deg) AS sumdeg FROM deg),
+       |v0 AS (SELECT id, deg * n / sumdeg AS v FROM deg CROSS JOIN st),
+       |$steps,
+       |rv AS (SELECT id, round(v, 4) AS v FROM v$iters),
+       |b AS (SELECT min(v) AS lo, max(v) AS hi FROM rv),
+       |cl AS (SELECT id, CASE WHEN hi <= lo THEN 0
+       |    ELSE CAST(least(floor((v - lo) / (hi - lo) * $k), $k - 1) AS INTEGER)
+       |  END AS cluster FROM rv CROSS JOIN b)
+       |SELECT cluster, count(*) AS size FROM cl
+       |GROUP BY cluster ORDER BY size DESC, cluster""".stripMargin
   }
 
   /** Vertex set shared by the fixed-iteration oracles — ALL customers

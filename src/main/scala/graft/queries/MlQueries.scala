@@ -206,12 +206,21 @@ object MlQueries {
         "CAST(1 AS BIGINT) AS rmse_ok")),
 
     // ---- M20 (goodreads.py:632–647): PIC cluster sizes on the
-    // customer→part rating graph.
+    // customer→part rating graph. The MEASURED path is the
+    // deterministic pipeline (power-smoothing embedding + equal-width
+    // binning — IterativeGraph.picClustersFixed), fully oracle-checked;
+    // spark.ml's PIC stays as the reference-parity API
+    // (Clustering.pic, MlSpec), but its RDD-internal iterations showed
+    // a 6× run-to-run spread on identical inputs (PERF.md r6), which
+    // disqualifies it as a gate-measured query.
     NamedQuery("m08_pic_cluster_sizes", (s, dir) => {
       val g = PropertyGraph.customerPartGraph(s, dir)
-      Clustering.pic(g.edges.select("src", "dst", "weight"), k = 10, maxIter = 10)
+      graft.graph.IterativeGraph.picClustersFixed(
+          g.edges.select("src", "dst", "weight"), "weight",
+          iters = GraphQueries.PsIters, k = 10)
         .groupBy("cluster").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("cluster"))
-    })
+    },
+      Some(GraphQueries.picClusterSizesOracle(GraphQueries.PsIters, k = 10)))
   )
 }

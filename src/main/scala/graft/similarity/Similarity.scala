@@ -427,7 +427,10 @@ object Similarity {
       .withColumn("qq", dotF(col("qv"), col("qv")))
     val c = corpus.toDF("neighbor_id", "cv")
       .withColumn("cc", dotF(col("cv"), col("cv")))
-    short
+    // broadcast the shortlist (≤ queries × shortK ids): without the
+    // hint Catalyst may estimate it large and sort-merge-shuffle every
+    // corpus row's full vector — the exact shuffle this stage avoids
+    broadcast(short)
       .join(c, "neighbor_id")
       .join(broadcast(q), "query_id")
       .withColumn("dist", round(

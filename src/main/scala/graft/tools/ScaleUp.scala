@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds a COPIES× replica of a testdata dir for larger-scale perf
+  * spot-checks (PERF.md's mixed-scale table): each copy shifts every
+  * key family by a disjoint offset so joins stay consistent and
+  * cardinalities scale linearly — fact tables, documents and
+  * embeddings grow COPIES×, dimension tables (region/nation) stay.
+  *
+  * Document text is Caesar-rotated per copy (translate over [a-z]):
+  * identical text across copies would plant COPIES·(COPIES·2−1) real
+  * near-dup pairs per document — a quadratic-in-duplication semantic
+  * blowup that would make the dedup queries measure duplicate-volume
+  * growth, not corpus-size scaling. Rotation keeps per-copy token
+  * statistics (lengths, frequencies) while making cross-copy shingle
+  * sets disjoint.
+  *
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies>
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    val spark = graft.Sessions.local(
+      Runtime.getRuntime.availableProcessors.toString)
+
+    val KO = 10000000L // orderkey stride (sf0.1 max ~6e6)
+    val KC = 100000L   // custkey stride (max 15000)
+    val KP = 100000L   // partkey stride (max 20000; stays < the +1e6 graph shift)
+    val KS = 100000L   // suppkey stride
+    val KD = 100000L   // doc_id stride (stays < the +1e6 planted shift)
+    val KV = 1000000L  // vec_id stride
+    val KE = 100000000L // event_id stride
+    val KU = 100000L   // user_id stride
+
+    def rep(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val copiesDf = (0 until copies).map(i => shift(base, i))
+        .reduce(_ unionByName _)
+      copiesDf.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"SCALEUP $name x$copies -> $out")
+    }
+    def copy(name: String): Unit = {
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"SCALEUP $name x1 (dimension) -> $out")
+    }
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int): String = {
+      val k = i % 26
+      alpha.substring(k) + alpha.substring(0, k)
+    }
+
+    copy("region"); copy("nation")
+    rep("customer", (d, i) => d.withColumn("c_custkey", col("c_custkey") + i * KC)
+      .withColumn("c_nationkey", col("c_nationkey")))
+    rep("supplier", (d, i) => d.withColumn("s_suppkey", col("s_suppkey") + i * KS))
+    rep("part", (d, i) => d.withColumn("p_partkey", col("p_partkey") + i * KP))
+    rep("orders", (d, i) => d.withColumn("o_orderkey", col("o_orderkey") + i * KO)
+      .withColumn("o_custkey", col("o_custkey") + i * KC))
+    rep("lineitem", (d, i) => d.withColumn("l_orderkey", col("l_orderkey") + i * KO)
+      .withColumn("l_partkey", col("l_partkey") + i * KP)
+      .withColumn("l_suppkey", col("l_suppkey") + i * KS))
+    // events.ts stays raw nanos-long (written back as read) so the
+    // normalizing Tables.events loader applies unchanged
+    rep("events", (d, i) => d.withColumn("event_id", col("event_id") + i * KE)
+      .withColumn("user_id", col("user_id") + i * KU))
+    rep("documents", (d, i) => d.withColumn("doc_id", col("doc_id") + i * KD)
+      .withColumn("text", translate(col("text"), alpha, rot(i))))
+    rep("embeddings", (d, i) => d.withColumn("vec_id", col("vec_id") + i * KV))
+    spark.stop()
+  }
+}

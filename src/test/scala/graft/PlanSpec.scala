@@ -81,8 +81,8 @@ class PlanSpec extends SparkSpec {
     // the scale property: each input row shuffles ONCE on the key; a
     // join-then-rank form would materialize purchases × earlier clicks
     assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
-    assert(plan.contains("Union") && plan.contains("RunningWindowFunction")
-        || plan.contains("Window"),
+    assert(plan.contains("Union") &&
+        (plan.contains("RunningWindowFunction") || plan.contains("Window")),
       s"expected union + window running-last shape:\n$plan")
   }
 

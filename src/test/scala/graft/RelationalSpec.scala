@@ -69,6 +69,25 @@ class RelationalSpec extends SparkSpec {
     assert(got == Map(10L -> 25L, 11L -> 20L))
   }
 
+  test("sweepLineCounts computes the interval-coverage step function") {
+    // intervals (inclusive): [1,3], [2,2], [5,5]; null endpoints dropped
+    val iv = Seq(
+      (Some("2020-01-01"), Some("2020-01-03")),
+      (Some("2020-01-02"), Some("2020-01-02")),
+      (Some("2020-01-05"), Some("2020-01-05")),
+      (None, Some("2020-01-09")),
+      (Some("2020-01-09"), None)
+    ).toDF("s", "e").select(to_date(col("s")).as("s"), to_date(col("e")).as("e"))
+    val got = Relational.sweepLineCounts(iv, "s", "e")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("open_cnt"))
+      .as[(String, Long)].collect().toMap
+    // breakpoints: 01(+1)=1, 02(+1)=2, 03(-1 for [2,2])=1, 04(end of
+    // [1,3])=0, 05(+1)=1, 06(end)=0 — null rows contribute nothing
+    assert(got == Map("2020-01-01" -> 1L, "2020-01-02" -> 2L,
+      "2020-01-03" -> 1L, "2020-01-04" -> 0L, "2020-01-05" -> 1L,
+      "2020-01-06" -> 0L))
+  }
+
   test("collectSortedSet produces sorted deterministic arrays") {
     val df = Seq((1, "b"), (1, "a"), (1, "b"), (2, "z")).toDF("k", "v")
     val got = Relational.collectSortedSet(df, "k", "v")
