@@ -169,6 +169,80 @@ object TextKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Fused text → portable MinHash band hashes: [[shingles]] and
+    * [[minhashBandsPortable]] in ONE pass with NO intermediate
+    * UTF8String shingle array — each distinct shingle's md5 feeds the
+    * minhash accumulators directly from a reused StringBuilder. The
+    * streaming near-dup scan stage evaluates this per side of the
+    * self-join, so the saved per-shingle allocations count double
+    * (sw04). Bit-compatible with composing the two kernels
+    * (TextKernelsSpec property): distinct-shingle dedup kept — min
+    * over a multiset equals min over its set, but skipping repeat
+    * md5s is the point of the set. Fewer than n tokens → empty array
+    * (the caller's shingle-less-doc filter contract). */
+  def minhashBandsFromText(text: UTF8String, n: Int, numHashes: Int,
+      bands: Int): ArrayData = {
+    val s = sparkLower(text.toString)
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      var c = s.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        val start = i
+        var continue = true
+        while (i < len && continue) {
+          c = s.charAt(i)
+          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) i += 1
+          else continue = false
+        }
+        tokens.add(s.substring(start, i))
+      } else i += 1
+    }
+    val m = tokens.size
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val P = 2147483647L
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j + n <= m) {
+      sb.setLength(0)
+      sb.append(tokens.get(j))
+      var k = 1
+      while (k < n) { sb.append(' ').append(tokens.get(j + k)); k += 1 }
+      val sh = sb.toString
+      if (seen.add(sh)) {
+        val hex = md5Hex(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        var q = 0
+        while (q < numHashes) {
+          val v = (h1 + q * h2 + q.toLong * q) % P
+          if (v < mins(q)) mins(q) = v
+          q += 1
+        }
+      }
+      j += 1
+    }
+    val rows = numHashes / bands
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val bb = new java.lang.StringBuilder()
+      var k = 0
+      while (k < rows) {
+        if (k > 0) bb.append('|')
+        bb.append(mins(b * rows + k))
+        k += 1
+      }
+      out(b) = UTF8String.fromString(
+        md5Hex(bb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** The single authority for wiring [[TextKernels]] methods into
@@ -210,6 +284,18 @@ object TextKernelExprs {
     val b = literalInt(args(2), "bands", "graft_minhash_bands")
     require(nh % b == 0, s"graft_minhash_bands: numHashes ($nh) must divide into bands ($b)")
     StaticInvoke(Kernels, StringArray, "minhashBandsPortable", args,
+      returnNullable = false)
+  }
+
+  def minhashBandsText(args: Seq[Expression]): Expression = {
+    require(args.length == 4,
+      "graft_minhash_bands_text(text, n, numHashes, bands)")
+    literalInt(args(1), "n", "graft_minhash_bands_text")
+    val nh = literalInt(args(2), "numHashes", "graft_minhash_bands_text")
+    val b = literalInt(args(3), "bands", "graft_minhash_bands_text")
+    require(nh % b == 0,
+      s"graft_minhash_bands_text: numHashes ($nh) must divide into bands ($b)")
+    StaticInvoke(Kernels, StringArray, "minhashBandsFromText", args,
       returnNullable = false)
   }
 }

@@ -108,8 +108,15 @@ object EventStreams {
   def nearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String = "1 hour", maxSkew: String = "1 hour",
       n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
-    nearDupCandidatesWith(docs, idCol, textCol, tsCol, watermark, maxSkew, n,
-      bandsOf = sh => minhashBandsFromShingles(sh, numHashes, bands))
+    nearDupCandidatesWith(docs, idCol, textCol, tsCol, watermark, maxSkew,
+      bandsOfText = t => {
+        // empty-shingles guard: the expression form would otherwise
+        // emit one shared constant band array for every < n-token doc
+        // (codegen CSE evaluates the shingle kernel once per row)
+        val sh = graft.dedup.Dedup.shingles(t, n)
+        when(size(sh) === 0, array().cast("array<bigint>"))
+          .otherwise(minhashBandsFromShingles(sh, numHashes, bands))
+      })
 
   /** [[nearDupCandidates]] with the PORTABLE MinHash family (one md5
     * per shingle + Kirsch–Mitzenmacher double hashing — the same
@@ -119,8 +126,16 @@ object EventStreams {
   def nearDupCandidatesPortable(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, watermark: String = "1 hour", maxSkew: String = "1 hour",
       n: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
-    nearDupCandidatesWith(docs, idCol, textCol, tsCol, watermark, maxSkew, n,
-      bandsOf = sh => minhashBandsPortableKernel(sh, numHashes, bands))
+    nearDupCandidatesWith(docs, idCol, textCol, tsCol, watermark, maxSkew,
+      // fused text→bands kernel: no intermediate shingle array — the
+      // scan stage runs once per join side, so the saving doubles
+      bandsOfText = t => {
+        import org.apache.spark.sql.GraftExpressionBridge
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        GraftExpressionBridge.column(graft.functions.TextKernelExprs
+          .minhashBandsText(Seq(GraftExpressionBridge.expression(t),
+            Literal(n), Literal(numHashes), Literal(bands))))
+      })
 
   /** Codegen'd StaticInvoke form of the portable band sketch
     * (graft.functions.TextKernels.minhashBandsPortable) — one tight
@@ -164,28 +179,25 @@ object EventStreams {
       .otherwise(bandsArr)
   }
 
-  /** Shared body: `bandsOf` derives the band-hash array from the
-    * (computed-once) shingle column — the only per-family difference
-    * between the xxhash64 and portable md5 candidate streams. */
+  /** Shared body: `bandsOfText` derives the band-hash array straight
+    * from the text column — the only per-family difference between
+    * the xxhash64 and portable md5 candidate streams. The
+    * shingle-less-doc contract moves to the BANDS array: a doc with
+    * < n tokens yields an EMPTY band array (both kernels guarantee
+    * it), and is dropped before the join — its signature would
+    * otherwise degenerate to one shared constant and pair every short
+    * doc with every other. */
   private def nearDupCandidatesWith(docs: DataFrame, idCol: String,
       textCol: String, tsCol: String, watermark: String, maxSkew: String,
-      n: Int,
-      bandsOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      bandsOfText: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
       : DataFrame = {
     // two independently-derived subplans over the same source: a
     // toDF-renamed self-join of ONE streaming plan trips ambiguous
     // attribute resolution inside the streaming join planner
     def banded(idName: String, tsName: String, bandName: String, bhName: String) =
       docs
-        // shingle ONCE into a column; the filter and the band hashes
-        // both read it (shingling twice doubled the scan-stage cost)
-        .withColumn("__sh", graft.dedup.Dedup.shingles(col(textCol), n))
-        // docs with < n tokens have NO shingles: their signature would
-        // degenerate to one shared null-band constant and pair every
-        // short doc with every other — drop them (as the batch twin's
-        // groupBy does implicitly)
-        .filter(size(col("__sh")) > 0)
-        .withColumn("__bands", bandsOf(col("__sh")))
+        .withColumn("__bands", bandsOfText(col(textCol)))
+        .filter(size(col("__bands")) > 0)
         .withWatermark(tsCol, watermark)
         .select(col(idCol).as(idName), col(tsCol).as(tsName),
           posexplode(col("__bands")).as(Seq(bandName, bhName)))

@@ -91,4 +91,29 @@ class TextKernelsSpec extends SparkSpec {
     assert(got.nonEmpty)
     got.foreach { case (fast, ref) => assert(fast === ref) }
   }
+
+  test("fused text→bands kernel matches shingles∘bands composition (property)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val rnd = new scala.util.Random(11)
+    val words = Array("spark", "scan", "join", "agg", "x9", "row", "batch",
+      "key", "Ümlaut", "123")
+    def text(): String =
+      Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.length))).mkString(" ")
+    val texts = Seq.fill(80)(text()) ++
+      Seq("", "one", "short doc", "dup dup dup dup", "a b a b a b")
+    def fused(t: org.apache.spark.sql.Column) =
+      GraftExpressionBridge.column(graft.functions.TextKernelExprs
+        .minhashBandsText(Seq(GraftExpressionBridge.expression(t),
+          Literal(3), Literal(16), Literal(4))))
+    val got = texts.toDF("text")
+      .select(
+        fused(col("text")).as("fast"),
+        graft.streaming.EventStreams.minhashBandsPortableKernel(
+          graft.dedup.Dedup.shingles(col("text"), 3), 16, 4).as("ref"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (fast, ref) => assert(fast === ref) }
+  }
 }
