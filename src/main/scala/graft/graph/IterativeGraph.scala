@@ -61,18 +61,19 @@ object IterativeGraph {
     * by map-iteration order — this fixed variant pins them, making the
     * whole algorithm SQL-oracle-checkable. Output: (id, label). */
   def labelPropagationFixed(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = vertices.select("id")
     val sym = symmetrize(edges)
     var labels = v.select(col("id"), col("id").as("label"))
-    val w = Window.partitionBy("id").orderBy(col("c").desc, col("label"))
     for (_ <- 1 to iters) {
+      // two hash aggregations, no window: the per-(id, label) counts
+      // reduce map-side, then max_by picks the (count, −label)-max —
+      // identical tie rule to the rank form it replaced (most frequent,
+      // ties → smallest label) without sorting every neighbour group
       val best = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("id"), col("label").as("nb_label"))
+        .groupBy("id")
+        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("nb_label"))
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("nb_label"), col("label")).as("label"))
         .localCheckpoint()

@@ -866,6 +866,84 @@ object PipelineQueries {
              |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
              |FROM c GROUP BY 1, 2 ORDER BY source, shard""".stripMargin)),
 
+    // ---- sequence packing WITH intra-doc splitting (the step after
+    // token sharding): docs concatenate per source stream and slice
+    // into 512-token training sequences; a doc crossing a boundary
+    // contributes a span to each sequence it overlaps. Every sequence
+    // but the last per stream must pack to exactly 512 tokens — the
+    // oracle replays the integer span arithmetic and pins that.
+    NamedQuery("p13_sequence_packing", (s, dir) =>
+      Sampling.packSequences(Tables.documents(s, dir), "source", "doc_id",
+          "text", seqLen = 512)
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"))
+        .orderBy("source", "seq_id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, source,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                    x -> len(x) > 0)) AS n
+             |  FROM documents),
+             |nz AS (SELECT * FROM t WHERE n > 0),
+             |c AS (
+             |  SELECT doc_id, source, n,
+             |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM nz),
+             |spans AS (
+             |  SELECT source, doc_id, n, cum,
+             |    unnest(generate_series(CAST(cum // 512 AS BIGINT),
+             |                           CAST((cum + n - 1) // 512 AS BIGINT))) AS seq_id
+             |  FROM c)
+             |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+             |  count(*) AS n_docs,
+             |  CAST(sum(least((seq_id + 1) * 512, cum + n)
+             |         - greatest(seq_id * 512, cum)) AS BIGINT) AS n_tokens
+             |FROM spans GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin)),
+
+    // ---- BPE merge-candidate counts (tokenizer-training inner loop):
+    // adjacent char-pair frequencies weighted by word frequency — one
+    // corpus pass to the vocab table, pair explode over the VOCAB only.
+    NamedQuery("t12_bpe_pair_counts", (s, dir) =>
+      TextOps.bpePairCounts(Tables.documents(s, dir), "text")
+        .orderBy(col("cnt").desc, col("pair")).limit(50),
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                            x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+             |pairs AS (
+             |  SELECT substr(tok, i, 2) AS pair, c
+             |  FROM tf, unnest(generate_series(1, len(tok) - 1)) AS t(i)
+             |  WHERE len(tok) >= 2)
+             |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pairs
+             |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
+
+    // ---- sliding-window chunking with stride (RAG/embedding
+    // pre-chunking; d09's fixed splitter is the dedup sibling):
+    // 32-token windows every 16 tokens — consecutive chunks overlap by
+    // 16 so no boundary sentence is lost to both neighbours. Pure
+    // scan-stage generator, zero shuffle (ordered output only here).
+    NamedQuery("t13_sliding_chunks", (s, dir) =>
+      TextOps.slidingChunks(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 32, strideTokens = 16)
+        .orderBy("id", "idx"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, ts,
+             |    CASE WHEN len(ts) = 0 THEN -1
+             |         ELSE CAST(floor((len(ts) - 1) / 16.0) AS INTEGER) END AS maxw
+             |  FROM toks),
+             |ch AS (
+             |  SELECT doc_id, i AS idx,
+             |    array_to_string(ts[i * 16 + 1 : i * 16 + 32], ' ') AS chunk
+             |  FROM w, unnest(generate_series(0, maxw)) AS t(i)
+             |  WHERE maxw >= 0)
+             |SELECT doc_id AS id, CAST(idx AS BIGINT) AS idx, chunk
+             |FROM ch ORDER BY id, idx""".stripMargin)),
+
     // ---- deterministic shuffle-shard export: reproducible pseudo-
     // random order (md5 of salted id) in 16 independent shards; the
     // per-shard window never sees more than corpus/nShards rows.

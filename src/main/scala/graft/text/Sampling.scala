@@ -154,4 +154,37 @@ object Sampling {
     df.withColumn("copy_no", explode(
       when(weightCol >= 1, sequence(lit(1), weightCol))
         .otherwise(array().cast("array<int>"))))
+
+  /** Training sequence packing WITH intra-document splitting — the
+    * step after [[shuffleShards]]/token sharding in an LLM data
+    * pipeline: documents are concatenated per stream and sliced into
+    * fixed `seqLen`-token training sequences, so a document whose
+    * token span crosses a sequence boundary contributes a span to
+    * EACH sequence it overlaps. Output: one row per (document,
+    * overlapped sequence) with the token count the doc contributes —
+    * (streamCol, idCol, seq_id, n_toks).
+    *
+    * Scale shape: the running token offset is a window PARTITIONED BY
+    * STREAM (the p05 form — never one global ordering), and the
+    * boundary-span explode emits ⌈n/seqLen⌉+1 rows max per doc. All
+    * integer math → exact oracle (p13). Zero-token docs contribute no
+    * span and are dropped, like the shingle-less-doc contract. */
+  def packSequences(df: DataFrame, streamCol: String, idCol: String,
+      textCol: String, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(streamCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(col(streamCol), col(idCol),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
+      .filter(col("__n") > 0)
+      .withColumn("__cum", coalesce(sum("__n").over(w), lit(0L)))
+      // doc occupies global token interval [__cum, __cum+__n) →
+      // sequences floor(__cum/L) .. floor((__cum+__n−1)/L)
+      .withColumn("seq_id", explode(sequence(
+        floor(col("__cum") / seqLen).cast("long"),
+        floor((col("__cum") + col("__n") - 1) / seqLen).cast("long"))))
+      .select(col(streamCol), col(idCol), col("seq_id"),
+        (least((col("seq_id") + 1) * seqLen, col("__cum") + col("__n")) -
+          greatest(col("seq_id") * seqLen, col("__cum"))).as("n_toks"))
+  }
 }

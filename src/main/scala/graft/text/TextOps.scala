@@ -131,6 +131,58 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** BPE merge-candidate counts — the inner statistic of byte-pair-
+    * encoding tokenizer TRAINING: adjacent character-pair frequencies
+    * over the corpus, weighted by word frequency (BPE trains on the
+    * word-frequency table, not the raw stream — Sennrich et al. 2016).
+    * One corpus pass builds the vocabulary-sized (tok, count) table;
+    * the pair explode then runs over the VOCABULARY (≤ token length
+    * rows per distinct token), so at 100 TB the corpus is touched
+    * once and the candidate ranking is vocabulary-bounded. A full BPE
+    * trainer iterates this: merge the top pair, re-segment, recount —
+    * each iteration is this same keyed aggregation. Output:
+    * (pair, cnt), the merge-candidate ranking input. */
+  def bpePairCounts(df: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    tf.filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))"))
+        .as("pair"), col("c"))
+      .groupBy("pair").agg(sum("c").as("cnt"))
+  }
+
+  /** Sliding-window chunking with stride — the RAG/embedding-pipeline
+    * pre-chunking move ([[graft.dedup.Dedup.chunkDedup]]'s fixed,
+    * non-overlapping splitter is the dedup sibling): windows of
+    * `chunkTokens` tokens starting every `strideTokens`, so
+    * consecutive chunks overlap by chunkTokens − strideTokens and no
+    * boundary sentence is lost to both neighbours. The LAST window is
+    * the final full-or-partial stride start (no empty tail windows);
+    * docs shorter than one chunk emit their whole text as window 0.
+    * Pure scan-stage generator — zero shuffle. Output via posexplode:
+    * (id, idx, chunk). */
+  def slidingChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, chunkTokens: Int, strideTokens: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(strideTokens > 0 && chunkTokens >= strideTokens,
+      "need 0 < strideTokens <= chunkTokens")
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    // windows start at 0, stride, 2·stride, …; the last start is the
+    // greatest multiple of stride STRICTLY below n (so a doc with
+    // n ≤ chunk gets exactly one window)
+    val nWins = when(n === 0, lit(0))
+      .otherwise(floor((n - 1).cast("double") / strideTokens).cast("int") + 1)
+    val chunkArr = when(n === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nWins - 1), w =>
+        concat_ws(" ", slice(toks, w * strideTokens + 1, lit(chunkTokens)))))
+    df.select(col(idCol).as("id"),
+        posexplode(chunkArr).as(Seq("idx", "chunk")))
+      .select(col("id"), col("idx").cast("long").as("idx"), col("chunk"))
+  }
+
   /** 64-bit document fingerprint: xxhash64 rolling over the token
     * stream (order-sensitive, whitespace-normalization-invariant).
     * Content-defined identity for exact/near-exact dedup bookkeeping. */

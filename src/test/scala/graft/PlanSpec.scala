@@ -93,6 +93,13 @@ class PlanSpec extends SparkSpec {
       s"near-dup candidates must come from the band equi-join, not all-pairs:\n$plan")
   }
 
+  test("two-stage rerank broadcasts the shortlist (corpus vectors never sort-merge)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "s10_two_stage_rerank")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rerank stage must broadcast the id-only shortlist, not shuffle corpus vectors:\n$plan")
+  }
+
   test("brute-force ANN top-k combines map-side (no scored-pair window shuffle)") {
     import graft.queries.PipelineQueries
     val plan = packPlan(PipelineQueries.all, "s01_ann_brute_topk")

@@ -135,4 +135,26 @@ class SamplingSpec extends SparkSpec {
       assert(smallSet.contains((r._1, r._2)), s"unstable sample row $r")
     }
   }
+
+  test("packSequences: spans split at boundaries, every non-final sequence full") {
+    import spark.implicits._
+    // stream A: docs of 3,4,5 tokens, seqLen 4 →
+    //   doc1 [0,3) seq0; doc2 [3,7) seq0+seq1; doc3 [7,12) seq1+seq2
+    val docs = Seq(
+      ("A", 1L, "a b c"), ("A", 2L, "d e f g"), ("A", 3L, "h i j k l"),
+      ("B", 4L, "x y"), ("B", 5L, "")
+    ).toDF("source", "doc_id", "text")
+    val got = Sampling.packSequences(docs, "source", "doc_id", "text", seqLen = 4)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("A", 1L, 0L, 3L), ("A", 2L, 0L, 1L), ("A", 2L, 1L, 3L),
+      ("A", 3L, 1L, 1L), ("A", 3L, 2L, 4L),
+      ("B", 4L, 0L, 2L)))
+    // per-sequence totals: every sequence except the stream's last is
+    // exactly seqLen
+    val bySeq = got.toSeq.groupBy(t => (t._1, t._3))
+      .view.mapValues(_.map(_._4).sum).toMap
+    assert(bySeq == Map(("A", 0L) -> 4L, ("A", 1L) -> 4L, ("A", 2L) -> 4L,
+      ("B", 0L) -> 2L))
+  }
 }

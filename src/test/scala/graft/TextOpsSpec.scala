@@ -124,4 +124,28 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(again == got)
   }
+
+  test("bpePairCounts: word-frequency-weighted adjacent pair counts") {
+    import spark.implicits._
+    // tf: ab=3 ("ab ab. AB!"), abc=1 → pairs: ab: 3+1, bc: 1
+    val docs = Seq("ab ab abc", "AB!").toDF("text")
+    val got = TextOps.bpePairCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("ab" -> 4L, "bc" -> 1L))
+  }
+
+  test("slidingChunks: stride windows overlap; short docs emit one window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), // 5 tokens, chunk 3 stride 2 → starts 0,2,4
+      (2L, "x y"),       // shorter than one chunk → one window
+      (3L, "")           // no tokens → no rows
+    ).toDF("doc_id", "text")
+    val got = TextOps.slidingChunks(docs, "doc_id", "text",
+        chunkTokens = 3, strideTokens = 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e"),
+      (2L, 0L, "x y")))
+  }
 }
