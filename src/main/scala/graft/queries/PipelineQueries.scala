@@ -190,6 +190,26 @@ object PipelineQueries {
       Some(neardupEmbKeepOracle(dim = 64, nBits = NdBits, bands = NdBands,
         minCos = 0.4, seed = 42L, iters = 4))),
 
+    // ---- SEMANTIC decontamination (embedding-level): corpus vectors
+    // (vec_id%10≠0) cosine-close (≥0.4) to ANY held-out benchmark
+    // vector (vec_id%10=0) are dropped — catches the paraphrased eval
+    // leakage n-gram decontamination (d14/d15) can't see. Cross-set
+    // banded join (the d16 shape): benchmark signatures + vectors
+    // broadcast; exact cosine verifies every flag. Oracle replays the
+    // seeded planes, signatures, buckets, and cosines bit-for-bit.
+    NamedQuery("d18_semantic_decontam_kept",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        Similarity.semanticDecontaminate(
+            e.filter(col("vec_id") % 10 =!= 0),
+            e.filter(col("vec_id") % 10 === 0),
+            "vec_id", "embedding", minCos = 0.4, dim = 64,
+            nBits = NdBits, bands = NdBands, seed = 42L)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some(semanticDecontamOracle(dim = 64, nBits = NdBits, bands = NdBands,
+        minCos = 0.4, seed = 42L))),
+
     // ---- benchmark decontamination REPORT: corpus docs (doc_id%10≠0)
     // sharing any 4-gram with the held-out benchmark slice (doc_id%10=0),
     // counted per source. Benchmark n-gram set is broadcast — the
@@ -1587,6 +1607,36 @@ object PipelineQueries {
     * signatures from the inlined planes, band→bucket join for
     * candidates, exact cosine ≥ minCos — mirroring
     * Similarity.cosineNearDupPairsLsh stage by stage. */
+  /** Generated oracle for d18 — the d06 signature/band CTEs, but the
+    * candidate join is CROSS-SET (corpus side % 10 ≠ 0 vs benchmark
+    * side % 10 = 0) and the output is the anti-joined survivor set. */
+  private def semanticDecontamOracle(dim: Int, nBits: Int, bands: Int,
+      minCos: Double, seed: Long): String = {
+    val rows = nBits / bands
+    val mask = (1L << rows) - 1
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes AS (
+       |  ${planesSql(dim, nBits, seed)}),
+       |sig AS (SELECT e.vec_id,
+       |    CAST(sum(CASE WHEN ${dotSql("e.v", "planes.p")} > 0
+       |        THEN (CAST(1 AS BIGINT) << planes.k) ELSE 0 END) AS BIGINT) AS sg
+       |  FROM e CROSS JOIN planes GROUP BY e.vec_id),
+       |nrm AS (SELECT vec_id, sqrt(${dotSql("v", "v")}) AS nm FROM e),
+       |bnd AS (SELECT sig.vec_id, b.band, (sg >> (b.band * $rows)) & $mask AS bh
+       |        FROM sig CROSS JOIN (
+       |          SELECT unnest(generate_series(0, ${bands - 1})) AS band) b),
+       |cand AS (SELECT DISTINCT c.vec_id AS id, bm.vec_id AS bid
+       |         FROM bnd c JOIN bnd bm ON c.band = bm.band AND c.bh = bm.bh
+       |         WHERE c.vec_id % 10 != 0 AND bm.vec_id % 10 = 0),
+       |flag AS (SELECT DISTINCT id FROM cand
+       |  JOIN e ec ON cand.id = ec.vec_id JOIN e eb ON cand.bid = eb.vec_id
+       |  JOIN nrm nc ON cand.id = nc.vec_id JOIN nrm nb ON cand.bid = nb.vec_id
+       |  WHERE round(${dotSql("ec.v", "eb.v")} / (nc.nm * nb.nm), 6) >= $minCos)
+       |SELECT vec_id FROM e
+       |WHERE vec_id % 10 != 0 AND vec_id NOT IN (SELECT id FROM flag)
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private def neardupLshOracle(dim: Int, nBits: Int, bands: Int,
       minCos: Double, seed: Long): String = {
     val rows = nBits / bands

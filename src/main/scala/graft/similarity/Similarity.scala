@@ -281,6 +281,62 @@ object Similarity {
       Seq("id"), "left_semi")
   }
 
+  /** SEMANTIC decontamination, step 1 — ids of corpus rows whose
+    * embedding has cosine ≥ `minCos` with ANY benchmark/eval
+    * embedding. The embedding-level sibling of the exact n-gram
+    * decontamination (graft.dedup.Dedup.contaminatedIds): verbatim
+    * overlap is caught by n-grams, but a PARAPHRASED eval item only
+    * the embedding space sees. Cross-set shape = the incremental
+    * near-dup join (d16), not a self-join: the benchmark side is an
+    * eval suite — small — so its banded signatures and its vectors
+    * BROADCAST; the corpus side is scanned once for signatures and
+    * probed only on band-bucket hits. Exact cosine verifies every
+    * candidate (flags are never estimate-only). Output: (id) distinct
+    * flagged corpus ids. */
+  def semanticContaminatedIds(corpus: DataFrame, benchmark: DataFrame,
+      minCos: Double, dim: Int, nBits: Int = 60, bands: Int = 15,
+      seed: Long = 42L): DataFrame = {
+    require(nBits % bands == 0)
+    val rows = nBits / bands
+    val planes = hyperplanes(dim, nBits, seed)
+    val mask = (1L << rows) - 1
+    def sigOf(df: DataFrame, idName: String, vName: String) =
+      df.toDF(idName, vName)
+        .withColumn(s"${idName}_nrm", norm(col(vName)))
+        .withColumn("sig", signature(col(vName), planes))
+    def bandsOf(df: DataFrame, idName: String) = df.select(col(idName),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("sig"), b * rows).bitwiseAND(mask)): _*))
+        .as(Seq("band", "bh")))
+    val c = graft.Caches.cached(sigOf(corpus, "id", "v"))
+    val b = graft.Caches.cached(sigOf(benchmark, "bid", "bv"))
+    // ids only through the candidate dedup (the d06 house rule)
+    val cand = bandsOf(c, "id")
+      .join(broadcast(bandsOf(b, "bid")), Seq("band", "bh"))
+      .select("id", "bid").distinct()
+    cand
+      .join(c.select("id", "v", "id_nrm"), "id")
+      .join(broadcast(b.select("bid", "bv", "bid_nrm")), "bid")
+      .filter(round(safeCos(dotF(col("v"), col("bv")),
+        col("id_nrm"), col("bid_nrm")), 6) >= minCos)
+      .select("id").distinct()
+  }
+
+  /** Semantic decontamination, step 2 — the corpus minus every row
+    * flagged by [[semanticContaminatedIds]] (left-anti on the flagged
+    * id set, which is benchmark-overlap-sized). Corpus columns pass
+    * through unchanged. */
+  def semanticDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, vecCol: String, minCos: Double, dim: Int,
+      nBits: Int = 60, bands: Int = 15, seed: Long = 42L): DataFrame = {
+    val bad = semanticContaminatedIds(
+        corpus.select(col(idCol), col(vecCol)),
+        benchmark.select(col(idCol), col(vecCol)),
+        minCos, dim, nBits, bands, seed)
+      .select(col("id").as("__contam_id"))
+    corpus.join(bad, corpus(idCol) === col("__contam_id"), "left_anti")
+  }
+
   /** Per-vector symmetric int8 scalar quantization — the embedding
     * COMPRESSION pass a 100 TB vector corpus runs before serving or
     * re-indexing (4× smaller than float32, dot products stay in

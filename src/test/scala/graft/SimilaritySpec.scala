@@ -223,6 +223,30 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.mmrTopK(vecs, q, k = 10, lambda = 0.5).count() == 4)
   }
 
+  test("semanticContaminatedIds flags clones of benchmark vectors, keeps orthogonal rows") {
+    val dim = 8
+    def unit(axis: Int, eps: Float = 0f): Array[Float] = {
+      val a = Array.fill(dim)(eps)
+      a(axis) = 1f
+      a
+    }
+    val benchmark = Seq((100L, unit(0)), (101L, unit(1))).toDF("id", "v")
+    val corpus = Seq(
+      (1L, unit(0, 0.01f)),  // near-clone of benchmark 100 → flagged
+      (2L, unit(1)),         // exact clone of benchmark 101 → flagged
+      (3L, unit(4)),         // orthogonal → kept
+      (4L, unit(5))          // orthogonal → kept
+    ).toDF("id", "v")
+    val flagged = Similarity.semanticContaminatedIds(corpus, benchmark,
+        minCos = 0.9, dim = dim, nBits = 60, bands = 15, seed = 42L)
+      .as[Long].collect().toSet
+    assert(flagged == Set(1L, 2L))
+    val kept = Similarity.semanticDecontaminate(corpus, benchmark, "id", "v",
+        minCos = 0.9, dim = dim, nBits = 60, bands = 15, seed = 42L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L))
+  }
+
   test("centroidAssign maps every vector of separated label groups to its own centroid") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.1f), 0), (1L, Array(0.9f, -0.1f), 0),
