@@ -168,7 +168,11 @@ object Sampling {
     * STREAM (the p05 form — never one global ordering), and the
     * boundary-span explode emits ⌈n/seqLen⌉+1 rows max per doc. All
     * integer math → exact oracle (p13). Zero-token docs contribute no
-    * span and are dropped, like the shingle-less-doc contract. */
+    * span and are dropped, like the shingle-less-doc contract. At
+    * 100 TB a single source stream can itself be huge — compose with
+    * [[shuffleShards]] and pass the shard as `streamCol`, which bounds
+    * every window partition at corpus/nShards rows (training pipelines
+    * shuffle-shard before packing anyway). */
   def packSequences(df: DataFrame, streamCol: String, idCol: String,
       textCol: String, seqLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -93,6 +93,15 @@ class PlanSpec extends SparkSpec {
       s"near-dup candidates must come from the band equi-join, not all-pairs:\n$plan")
   }
 
+  test("semantic decontam is a banded broadcast join (no all-pairs, no corpus shuffle)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "d18_semantic_decontam_kept")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"cross-set candidates must come from the band equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark side (signatures + vectors) must broadcast:\n$plan")
+  }
+
   test("two-stage rerank broadcasts the shortlist (corpus vectors never sort-merge)") {
     import graft.queries.PipelineQueries
     val plan = packPlan(PipelineQueries.all, "s10_two_stage_rerank")
