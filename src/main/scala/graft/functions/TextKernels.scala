@@ -214,9 +214,17 @@ object TextKernels {
       while (k < n) { sb.append(' ').append(tokens.get(j + k)); k += 1 }
       val sh = sb.toString
       if (seen.add(sh)) {
-        val hex = md5Hex(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-        val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        // h1/h2 straight from digest bytes — identical to parsing the
+        // first/second 8 hex chars (big-endian unsigned 32-bit), but
+        // without materializing + reparsing a 32-char hex string per
+        // shingle (the hex form only exists for the oracle's SQL md5())
+        val d = md5Local.get()
+        d.reset()
+        val h = d.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val h1 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+        val h2 = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+          ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
         var q = 0
         while (q < numHashes) {
           val v = (h1 + q * h2 + q.toLong * q) % P
