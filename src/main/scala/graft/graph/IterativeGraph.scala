@@ -217,9 +217,15 @@ object IterativeGraph {
     * the binning adds ONE broadcast min/max agg + a scan-stage
     * projection. Output: (id, cluster 0..k−1). */
   def picClustersFixed(edges: DataFrame, weightCol: String, iters: Int,
-      k: Int): DataFrame = {
-    val v = powerSmoothingFixed(edges, weightCol, iters)
-      .select(col("id"), round(col("v"), 4).as("v"))
+      k: Int): DataFrame =
+    picClustersFromEmbedding(powerSmoothingFixed(edges, weightCol, iters), k)
+
+  /** [[picClustersFixed]] over a PRECOMPUTED raw smoothing embedding
+    * (id, v) — the seam that lets m08 and g15 share one memoized
+    * smoothing run per (session, input); rounding happens HERE so the
+    * shared frame stays raw and both consumers round identically. */
+  def picClustersFromEmbedding(embedding: DataFrame, k: Int): DataFrame = {
+    val v = embedding.select(col("id"), round(col("v"), 4).as("v"))
     val bounds = v.agg(min("v").as("lo"), max("v").as("hi"))
     v.crossJoin(broadcast(bounds))
       .select(col("id"),
@@ -243,7 +249,9 @@ object IterativeGraph {
       val nb = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("nb_min"))
-      labels = v.join(labels, Seq("id"))
+      // labels' id set is invariantly the vertex set (initialized from
+      // it, preserved every step), so no per-superstep re-join with v
+      labels = labels
         .join(nb, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nb_min"), col("label")))
           .as("label"))
@@ -275,7 +283,9 @@ object IterativeGraph {
       val nb = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min("label").as("nb_min"))
-      val next = v.join(labels, Seq("id"))
+      // labels' id set is invariantly the vertex set — see
+      // minLabelComponents; no per-superstep re-join with v
+      val next = labels
         .join(nb, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nb_min"), col("label"))).as("label"),

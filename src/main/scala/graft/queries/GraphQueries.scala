@@ -195,14 +195,12 @@ object GraphQueries {
     // the oracle-checkable twin of m08 — v₊ = D⁻¹Wv over the weighted
     // symmetrized rating graph, unrolled-CTE oracle like g10.
     NamedQuery("g15_power_smoothing",
-      (s, dir) => {
-        val g = PropertyGraph.customerPartGraph(s, dir)
+      (s, dir) =>
         // round(4), not (6): iterated double sums accumulate in
         // different orders on the two engines (same reasoning as g10)
-        IterativeGraph.powerSmoothingFixed(g.edges, "weight", iters = PsIters)
+        smoothedEmbedding(s, dir)
           .select(col("id"), round(col("v"), 4).as("v"))
-          .orderBy(col("v").desc, col("id")).limit(20)
-      },
+          .orderBy(col("v").desc, col("id")).limit(20),
       Some(powerSmoothingOracle(PsIters))),
 
     // ---- GraphFrames triangleCount surface: per-part triangle counts
@@ -351,6 +349,17 @@ object GraphQueries {
   private def BfsIters = 3
   private[queries] def PsIters = 4
   private def SpIters = 3
+
+  /** RAW power-smoothing embedding, memoized per (session, dir): g15
+    * and m08 both consume the same 4-superstep run — one build per
+    * sweep instead of two (the materialized-view move, like the graph
+    * objects above). Rounding stays in the consumers. */
+  private[queries] def smoothedEmbedding(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Memo.df(s, s"powerSmoothing|$dir|$PsIters") {
+      val g = PropertyGraph.customerPartGraph(s, dir)
+      IterativeGraph.powerSmoothingFixed(g.edges, "weight", iters = PsIters)
+    }
   private def PprIters = 4
   private def Landmarks = Seq(1L, 42L, 1000007L)
 

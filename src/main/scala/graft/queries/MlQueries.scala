@@ -213,14 +213,11 @@ object MlQueries {
     // (Clustering.pic, MlSpec), but its RDD-internal iterations showed
     // a 6× run-to-run spread on identical inputs (PERF.md r6), which
     // disqualifies it as a gate-measured query.
-    NamedQuery("m08_pic_cluster_sizes", (s, dir) => {
-      val g = PropertyGraph.customerPartGraph(s, dir)
-      graft.graph.IterativeGraph.picClustersFixed(
-          g.edges.select("src", "dst", "weight"), "weight",
-          iters = GraphQueries.PsIters, k = 10)
+    NamedQuery("m08_pic_cluster_sizes", (s, dir) =>
+      graft.graph.IterativeGraph.picClustersFromEmbedding(
+          GraphQueries.smoothedEmbedding(s, dir), k = 10)
         .groupBy("cluster").agg(count(lit(1)).as("size"))
-        .orderBy(col("size").desc, col("cluster"))
-    },
+        .orderBy(col("size").desc, col("cluster")),
       Some(GraphQueries.picClusterSizesOracle(GraphQueries.PsIters, k = 10)))
   )
 }
