@@ -46,5 +46,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo("graft.functions.TextKernels", "graft_nfc"),
       (args: Seq[Expression]) => graft.functions.TextKernelExprs.nfc(args)))
+    // fused text→bands form (skips the intermediate shingle array):
+    //   SELECT doc_id, explode(graft_minhash_bands_text(text, 3, 16, 4))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_bands_text"),
+      new ExpressionInfo("graft.functions.TextKernels", "graft_minhash_bands_text"),
+      (args: Seq[Expression]) => graft.functions.TextKernelExprs.minhashBandsText(args)))
   }
 }

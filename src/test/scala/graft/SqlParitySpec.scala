@@ -63,6 +63,11 @@ class SqlParitySpec extends SparkSpec {
         "SELECT graft_minhash_bands(graft_shingles('a b c d', 3), 16, 4)")
         .head().getSeq[String](0)
       assert(bands.length === 4 && bands.forall(_.nonEmpty))
+      // the fused text→bands form must agree with the composition
+      val fused = s2.sql(
+        "SELECT graft_minhash_bands_text('a b c d', 3, 16, 4)")
+        .head().getSeq[String](0)
+      assert(fused === bands)
       // NFC normalization from SQL: decomposed e+U+0301 composes to é
       // (combining char embedded directly — Spark's chr() is byte-only)
       val nfc = s2.sql("SELECT graft_nfc('café')").head().getString(0)
