@@ -41,9 +41,12 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, Option(err))
       }
       val (t1, e1) = once()
+      // a run-1 failure skips run 2 — and "runs" then records ONE
+      // measurement, not a fabricated identical pair
       val (t2, e2) = if (e1.isEmpty) once() else (t1, e1)
       Caches.clear(spark) // per-pair intermediates; Memo frames stay
-      (name, math.min(t1, t2), Seq(t1, t2), e1.orElse(e2))
+      (name, math.min(t1, t2), if (e1.isEmpty) Seq(t1, t2) else Seq(t1),
+        e1.orElse(e2))
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

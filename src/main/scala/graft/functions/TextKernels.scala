@@ -61,11 +61,11 @@ object TextKernels {
     new String(a)
   }
 
-  /** Distinct word n-gram shingles of `text`. Null-in → handled by
-    * StaticInvoke's propagateNull (never called with null).
-    * Lowercasing via [[sparkLower]] — bit-compatible with Spark's
-    * `lower()` (and the DuckDB oracles) on any JVM locale. */
-  def shingles(text: UTF8String, n: Int): ArrayData = {
+  /** Lowercased [a-z0-9]-run tokens of `text` — the ONE tokenizer
+    * authority every kernel shares (the fused band kernel and
+    * [[shingles]] must never drift apart: their bit-compatibility is
+    * the oracle contract). */
+  private def tokenize(text: UTF8String): java.util.ArrayList[String] = {
     val s = sparkLower(text.toString)
     val tokens = new java.util.ArrayList[String]()
     var i = 0
@@ -83,6 +83,15 @@ object TextKernels {
         tokens.add(s.substring(start, i))
       } else i += 1
     }
+    tokens
+  }
+
+  /** Distinct word n-gram shingles of `text`. Null-in → handled by
+    * StaticInvoke's propagateNull (never called with null).
+    * Lowercasing via [[sparkLower]] — bit-compatible with Spark's
+    * `lower()` (and the DuckDB oracles) on any JVM locale. */
+  def shingles(text: UTF8String, n: Int): ArrayData = {
+    val tokens = tokenize(text)
     val m = tokens.size
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
@@ -134,24 +143,34 @@ object TextKernels {
     * of the '|'-joined decimal minhash rows of the band. Returns
     * `bands` hex strings; empty input → empty array (callers filter
     * shingle-less docs first, as the expression form does). */
-  def minhashBandsPortable(sh: ArrayData, numHashes: Int, bands: Int): ArrayData = {
-    val m = sh.numElements()
-    if (m == 0) return new GenericArrayData(Array.empty[Any])
+  /** Fold one shingle's md5 into the minhash accumulators: h1/h2 are
+    * the digest's first/second 4 bytes as unsigned 32-bit big-endian —
+    * bit-identical to parsing the first/second 8 HEX chars (the form
+    * the DuckDB oracles compute) without materializing a hex string.
+    * Shared by the array-input and fused kernels — one authority. */
+  private def accumulateMinhash(shingleBytes: Array[Byte], mins: Array[Long],
+      numHashes: Int): Unit = {
     val P = 2147483647L
-    val mins = Array.fill(numHashes)(Long.MaxValue)
-    var j = 0
-    while (j < m) {
-      val hex = md5Hex(sh.getUTF8String(j).getBytes)
-      val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
-      val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
-      var i = 0
-      while (i < numHashes) {
-        val v = (h1 + i * h2 + i.toLong * i) % P
-        if (v < mins(i)) mins(i) = v
-        i += 1
-      }
-      j += 1
+    val d = md5Local.get()
+    d.reset()
+    val h = d.digest(shingleBytes)
+    val h1 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    val h2 = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+    var i = 0
+    while (i < numHashes) {
+      val v = (h1 + i * h2 + i.toLong * i) % P
+      if (v < mins(i)) mins(i) = v
+      i += 1
     }
+  }
+
+  /** md5 band hashes of the minhash signature: band b = md5 hex of the
+    * '|'-joined decimal minhash rows — the same construction as the
+    * oracles' concat_ws('|', …) → md5. Shared band authority. */
+  private def bandHashes(mins: Array[Long], numHashes: Int,
+      bands: Int): Array[Any] = {
     val rows = numHashes / bands
     val out = new Array[Any](bands)
     var b = 0
@@ -167,7 +186,19 @@ object TextKernels {
         md5Hex(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       b += 1
     }
-    new GenericArrayData(out)
+    out
+  }
+
+  def minhashBandsPortable(sh: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val m = sh.numElements()
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    while (j < m) {
+      accumulateMinhash(sh.getUTF8String(j).getBytes, mins, numHashes)
+      j += 1
+    }
+    new GenericArrayData(bandHashes(mins, numHashes, bands))
   }
 
   /** Fused text → portable MinHash band hashes: [[shingles]] and
@@ -183,26 +214,9 @@ object TextKernels {
     * (the caller's shingle-less-doc filter contract). */
   def minhashBandsFromText(text: UTF8String, n: Int, numHashes: Int,
       bands: Int): ArrayData = {
-    val s = sparkLower(text.toString)
-    val tokens = new java.util.ArrayList[String]()
-    var i = 0
-    val len = s.length
-    while (i < len) {
-      var c = s.charAt(i)
-      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
-        val start = i
-        var continue = true
-        while (i < len && continue) {
-          c = s.charAt(i)
-          if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) i += 1
-          else continue = false
-        }
-        tokens.add(s.substring(start, i))
-      } else i += 1
-    }
+    val tokens = tokenize(text)
     val m = tokens.size
     if (m < n) return new GenericArrayData(Array.empty[Any])
-    val P = 2147483647L
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val seen = new java.util.HashSet[String]()
     val sb = new java.lang.StringBuilder()
@@ -213,43 +227,12 @@ object TextKernels {
       var k = 1
       while (k < n) { sb.append(' ').append(tokens.get(j + k)); k += 1 }
       val sh = sb.toString
-      if (seen.add(sh)) {
-        // h1/h2 straight from digest bytes — identical to parsing the
-        // first/second 8 hex chars (big-endian unsigned 32-bit), but
-        // without materializing + reparsing a 32-char hex string per
-        // shingle (the hex form only exists for the oracle's SQL md5())
-        val d = md5Local.get()
-        d.reset()
-        val h = d.digest(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val h1 = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
-          ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
-        val h2 = ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
-          ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
-        var q = 0
-        while (q < numHashes) {
-          val v = (h1 + q * h2 + q.toLong * q) % P
-          if (v < mins(q)) mins(q) = v
-          q += 1
-        }
-      }
+      if (seen.add(sh))
+        accumulateMinhash(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          mins, numHashes)
       j += 1
     }
-    val rows = numHashes / bands
-    val out = new Array[Any](bands)
-    var b = 0
-    while (b < bands) {
-      val bb = new java.lang.StringBuilder()
-      var k = 0
-      while (k < rows) {
-        if (k > 0) bb.append('|')
-        bb.append(mins(b * rows + k))
-        k += 1
-      }
-      out(b) = UTF8String.fromString(
-        md5Hex(bb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-      b += 1
-    }
-    new GenericArrayData(out)
+    new GenericArrayData(bandHashes(mins, numHashes, bands))
   }
 }
 

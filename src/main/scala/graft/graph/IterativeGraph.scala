@@ -66,14 +66,16 @@ object IterativeGraph {
     var labels = v.select(col("id"), col("id").as("label"))
     for (_ <- 1 to iters) {
       // two hash aggregations, no window: the per-(id, label) counts
-      // reduce map-side, then max_by picks the (count, −label)-max —
-      // identical tie rule to the rank form it replaced (most frequent,
-      // ties → smallest label) without sorting every neighbour group
+      // reduce map-side, then min_by on (−count, label) picks the
+      // most-frequent label with ties → smallest — identical rule to
+      // the rank form it replaced, without sorting every neighbour
+      // group, and ordering-generic over the label type (a negated
+      // label would pin labels to numeric)
       val best = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"), col("label"))
         .agg(count(lit(1)).as("c"))
         .groupBy("id")
-        .agg(max_by(col("label"), struct(col("c"), -col("label"))).as("nb_label"))
+        .agg(min_by(col("label"), struct(-col("c"), col("label"))).as("nb_label"))
       labels = labels.join(best, Seq("id"), "left")
         .select(col("id"), coalesce(col("nb_label"), col("label")).as("label"))
         .localCheckpoint()

@@ -63,27 +63,37 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * below don't need attributes); edge attribute = optional numeric
     * weight column. */
   def toGraphX(weightCol: Option[String] = None,
-      parts: Option[Int] = None): Graph[Int, Double] = {
+      parts: Option[Int] = None,
+      strategy: Option[org.apache.spark.graphx.PartitionStrategy] =
+        Some(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D))
+      : Graph[Int, Double] = {
     val p = parts.getOrElse(graphParts)
-    val eRdd = weightCol match {
+    val raw = weightCol match {
       case Some(w) => edges.select(col("src").cast("long"), col("dst").cast("long"),
           col(w).cast("double"))
         .coalesce(p).rdd.map((r: Row) => Edge(r.getLong(0), r.getLong(1), r.getDouble(2)))
       case None => edges.select(col("src").cast("long"), col("dst").cast("long"))
         .coalesce(p).rdd.map((r: Row) => Edge(r.getLong(0), r.getLong(1), 1.0))
     }
+    // EdgePartition2D (default): √p-grid vertex-cut partitioning
+    // bounds each vertex's replication across edge partitions by 2√p,
+    // which is what every Pregel superstep ships — measured
+    // (tools.LpProbe, sf0.1) label propagation 10.8→6.3 s at p=8 vs
+    // the arrival-order layout; the win grows with p (16.8→6.9 s at
+    // p=16), i.e. with cluster scale. Applied to the RAW edge RDD
+    // BEFORE Graph construction — Graph(...).partitionBy(...) would
+    // cache BOTH the arrival-order and the re-partitioned EdgeRDD at
+    // MEMORY_AND_DISK for the session (2× edge storage).
+    val eRdd = strategy.fold(raw) { s =>
+      raw.map(e => (s.getPartition(e.srcId, e.dstId, p), e))
+        .partitionBy(new org.apache.spark.HashPartitioner(p))
+        .map(_._2)
+    }
     val vRdd = vertices.select(col("id").cast("long"))
       .coalesce(p).rdd.map((r: Row) => (r.getLong(0): VertexId, 1))
-    // EdgePartition2D: √p-grid vertex-cut partitioning bounds each
-    // vertex's replication across edge partitions by 2√p, which is
-    // what every Pregel superstep ships — measured (tools.LpProbe,
-    // sf0.1) label propagation 10.8→6.3 s at p=8 vs the arrival-order
-    // edge layout; the win grows with p (16.8→6.9 s at p=16), i.e.
-    // with cluster scale
     Graph(vRdd, eRdd, defaultVertexAttr = 1,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
-      .partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
   }
 
   private def spark: SparkSession = vertices.sparkSession
@@ -242,8 +252,11 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   def layoutGrid(sampleN: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = sampleEdges(sampleN)
-    val deg = e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
+    // cached: the width count() below and the returned frame would
+    // otherwise each run the sample sort + degree aggregation
+    val deg = graft.Caches.cached(
+      e.select(col("src").as("id")).unionAll(e.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("degree")))
     val n = deg.count() // bounded by 2·sampleN — one cheap action
     val w = math.max(1L, math.ceil(math.sqrt(n.toDouble)).toLong)
     deg

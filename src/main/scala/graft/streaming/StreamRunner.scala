@@ -41,11 +41,29 @@ object StreamRunner {
   // source directly), so a repeat run of the same query over the same
   // input — Bench's warm second run, Perf loops — must not re-pay it.
   // Keyed by the analyzed input plan so the same query name at a
-  // different sf stages fresh; dirs are pid-scoped tmp and bounded by
-  // one per (query, input) per session (reclaimed by tmp reapers /
-  // JVM exit rather than per-run deletion).
+  // different sf stages fresh; dirs are pid-scoped tmp, one per
+  // (query, input) per session, deleted by the shutdown hook below
+  // (per-run deletion would defeat the reuse).
   private val stagedInputs =
     scala.collection.mutable.Map[(SparkSession, String), String]()
+
+  private def deleteDir(dir: String): Unit =
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(dir)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  // one hook for the JVM: staged dirs would otherwise accumulate one
+  // set per pid across repeated sweeps until the tmp volume fills
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    stagedInputs.synchronized { stagedInputs.values.foreach(deleteDir) }))
 
   def runAvailableNow(spark: SparkSession, batch: DataFrame, name: String,
       outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
@@ -59,7 +77,10 @@ object StreamRunner {
     // reading mid-flight
     val stage = stagedInputs.synchronized {
       stagedInputs.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      // a tmp reaper may have removed a memoized dir mid-session:
+      // re-stage rather than hand the file source a dead path
       stagedInputs.get(stageKey)
+        .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
     }.getOrElse {
       val dir = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream/" +
         s"${name}_p${ProcessHandle.current().pid()}_${runSeq.incrementAndGet()}"

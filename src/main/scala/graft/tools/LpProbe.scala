@@ -12,11 +12,12 @@ object LpProbe {
       Runtime.getRuntime.availableProcessors.toString)
     val g = graft.graph.PropertyGraph.customerPartGraph(spark, dir)
     for (p <- Seq(16, 8, 4, 2)) {
-      val gx = g.toGraphX(None, Some(p))
-      gx.edges.count() // materialize the cached graph outside the timer
+      // strategy threaded through toGraphX so strat=none really is the
+      // arrival-order layout (a partitionBy on an already-2D graph
+      // would compare 2D against itself)
       for (strat <- Seq(None, Some(PartitionStrategy.EdgePartition2D))) {
-        val gp = strat.map(s => gx.partitionBy(s)).getOrElse(gx)
-        if (strat.isDefined) gp.edges.count()
+        val gp = g.toGraphX(None, Some(p), strat)
+        gp.edges.count() // materialize the cached graph outside the timer
         val times = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           org.apache.spark.graphx.lib.LabelPropagation.run(gp, 4)
@@ -25,8 +26,8 @@ object LpProbe {
         }
         println(f"LPPROBE parts=$p%-3d strat=${strat.fold("none")(_ => "2d")}%-4s " +
           times.map(t => f"$t%.2f").mkString(" "))
+        gp.unpersist()
       }
-      gx.unpersist()
     }
     spark.stop()
   }

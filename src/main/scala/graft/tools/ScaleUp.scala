@@ -22,6 +22,12 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (src, out, copies) = (args(0), args(1), args(2).toInt)
+    // the custkey/partkey/doc_id strides are 100k: copy 10 would cross
+    // the +1,000,000 shifts (part vertex ids, planted-duplicate ids)
+    // and silently merge unrelated keys
+    require(copies >= 1 && copies <= 10,
+      s"copies must be in [1, 10] (got $copies): stride × 10 reaches the " +
+        "+1e6 part-vertex / planted-duplicate id shifts")
     val spark = graft.Sessions.local(
       Runtime.getRuntime.availableProcessors.toString)
 
@@ -54,8 +60,9 @@ object ScaleUp {
     }
 
     copy("region"); copy("nation")
-    rep("customer", (d, i) => d.withColumn("c_custkey", col("c_custkey") + i * KC)
-      .withColumn("c_nationkey", col("c_nationkey")))
+    // c_nationkey deliberately NOT shifted: nation is a dimension,
+    // copied unshifted
+    rep("customer", (d, i) => d.withColumn("c_custkey", col("c_custkey") + i * KC))
     rep("supplier", (d, i) => d.withColumn("s_suppkey", col("s_suppkey") + i * KS))
     rep("part", (d, i) => d.withColumn("p_partkey", col("p_partkey") + i * KP))
     rep("orders", (d, i) => d.withColumn("o_orderkey", col("o_orderkey") + i * KO)
