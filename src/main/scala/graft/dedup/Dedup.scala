@@ -374,6 +374,36 @@ object Dedup {
     df.join(keep, df(idCol) === col("__keep_id"), "left_semi")
   }
 
+  /** Near-dup KEEP-BEST — [[dropNearDupsPortable]]'s survivor rule
+    * generalized from "minimum id" to "best by `keepByCol`" (ties →
+    * smallest id): production dedup keeps the highest-quality or most
+    * complete member of each near-dup cluster, not an arbitrary
+    * canonical id (e.g. token count keeps the untruncated original
+    * over its clipped mirror copies). Same pipeline: banded pairs →
+    * min-label components; the survivor pick is ONE window partitioned
+    * by cluster label — keyed, never global. Output: surviving rows of
+    * `df`, all columns intact. */
+  def dropNearDupsKeepBest(df: DataFrame, idCol: String, textCol: String,
+      keepByCol: String, n: Int, numHashes: Int, bands: Int,
+      minJaccard: Double, iters: Int = -1): DataFrame = {
+    val pairs = minhashLshPairsPortable(df, idCol, textCol, n, numHashes,
+      bands, minJaccard)
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val vertices = df.select(col(idCol).as("id"))
+    val labels =
+      if (iters < 0) graft.graph.IterativeGraph
+        .minLabelComponentsConverged(vertices, edges)
+      else graft.graph.IterativeGraph
+        .minLabelComponents(vertices, edges, iters)
+    df.join(labels.select(col("id").as("__kid"), col("label").as("__lbl")),
+        df(idCol) === col("__kid"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__lbl"))
+          .orderBy(col(keepByCol).desc, col("__kid"))))
+      .filter(col("__rn") === 1)
+      .drop("__kid", "__lbl", "__rn")
+  }
+
   /** Benchmark decontamination, step 1 — ids of corpus documents that
     * share ANY word n-gram with a benchmark/eval set (the standard
     * train-set decontamination rule: a single verbatim n-gram overlap

@@ -123,6 +123,26 @@ object PipelineQueries {
       },
       Some(neardupKeepOracle(MhHashes, MhBands, 0.5, iters = 4))),
 
+    // ---- near-dup KEEP-BEST: like d12, but the survivor of each
+    // cluster is the MOST-COMPLETE member (max token count, ties →
+    // min id), exercised against 80%-truncated mirror copies — the
+    // production rule (keep the best version) where d12 keeps the
+    // canonical id. Whole composition oracle-checked end to end.
+    NamedQuery("d19_neardup_best_kept",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = docs.select((col("doc_id") + 1000000).as("doc_id"),
+          expr("substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))")
+            .as("text"))
+        val all = docs.unionByName(planted)
+          .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("long"))
+        Dedup.dropNearDupsKeepBest(all, "doc_id", "text", "n_tokens",
+            n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5,
+            iters = 4)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(neardupBestKeptOracle(MhHashes, MhBands, 0.5, iters = 4))),
+
     // ---- portable SimHash sketches (md5-nibble bit family): the
     // oracle-checked twin of d04 — same tf-weighted sign-bit sketch,
     // emitted as four nonnegative 16-bit band longs.
@@ -1607,6 +1627,43 @@ object PipelineQueries {
     * signatures from the inlined planes, band→bucket join for
     * candidates, exact cosine ≥ minCos — mirroring
     * Similarity.cosineNearDupPairsLsh stage by stage. */
+  /** Planted input for d19: originals plus 80%-truncated mirror
+    * copies — near-dups with a REAL quality difference, so the
+    * keep-best rule (most tokens wins) is actually exercised.
+    * floor() before the int cast on BOTH engines: DuckDB's
+    * DOUBLE→INTEGER cast rounds-to-nearest where Spark's truncates. */
+  private def truncatedDocsCte: String =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000,
+      |    substr(text, 1, CAST(floor(length(text) * 0.8) AS INT))
+      |  FROM documents""".stripMargin
+
+  /** Generated oracle for d19 — the d08 pair CTEs over the truncated
+    * planted input, unrolled min-label components, then ONE window
+    * per cluster keeping the max-token (ties → min id) member. */
+  private def neardupBestKeptOracle(numHashes: Int, bands: Int,
+      minJaccard: Double, iters: Int): String = {
+    val base = minhashPortableOracle(numHashes, bands, minJaccard,
+      allDocs = truncatedDocsCte)
+    val ctes = base.substring(0, base.indexOf("\nSELECT id_a"))
+    val steps = OracleFragments.minLabelSteps("symp", iters)
+    s"""$ctes,
+       |pairs AS (SELECT id_a, id_b FROM ver WHERE est_jaccard >= $minJaccard),
+       |v AS (SELECT doc_id AS id FROM all_docs),
+       |symp AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps,
+       |q AS (SELECT doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                    x -> len(x) > 0)) AS n_tokens
+       |  FROM all_docs),
+       |ranked AS (SELECT l.id, row_number() OVER (
+       |    PARTITION BY l.label ORDER BY q.n_tokens DESC, l.id) AS rn
+       |  FROM l$iters l JOIN q ON l.id = q.doc_id)
+       |SELECT id AS doc_id FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Generated oracle for d18 — the d06 signature/band CTEs, but the
     * candidate join is CROSS-SET (corpus side % 10 ≠ 0 vs benchmark
     * side % 10 = 0) and the output is the anti-joined survivor set. */
@@ -1726,7 +1783,10 @@ object PipelineQueries {
     * hashing — mirrors Dedup.minhashLshPairsPortable), min per doc,
     * band hashes, bucket join, agreement verify. */
   private[queries] def minhashPortableOracle(numHashes: Int, bands: Int,
-      minJaccard: Double): String = {
+      minJaccard: Double,
+      allDocs: String = """SELECT doc_id, text FROM documents
+                          |  UNION ALL SELECT doc_id + 1000000, text FROM documents"""
+        .stripMargin): String = {
     val rows = numHashes / bands
     val minCols = (0 until numHashes)
       .map(i => s"min((h1 + $i * h2 + ${i.toLong * i}) % 2147483647) AS mh_$i")
@@ -1740,8 +1800,7 @@ object PipelineQueries {
       .map(i => s"CASE WHEN a.mh_$i = b.mh_$i THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""WITH all_docs AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |  $allDocs),
        |toks AS (
        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                             x -> len(x) > 0) AS ts

@@ -114,6 +114,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("dropNearDupsKeepBest keeps the max-score member per cluster, not the min id") {
+    // doc 10 (long) and its truncated mirror 20 are near-dups; the
+    // HIGHER-id original must survive because it scores higher — the
+    // exact case the min-id rule (d12) gets backwards. 30 is unrelated.
+    val full = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val cut = (1 to 24).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 30).map(i => s"zz$i").mkString(" ")
+    val docs = Seq((20L, full), (10L, cut), (30L, other)).toDF("doc_id", "text")
+      .withColumn("n_tokens",
+        graft.text.TextOps.tokenCount($"text").cast("long"))
+    val kept = Dedup.dropNearDupsKeepBest(docs, "doc_id", "text", "n_tokens",
+        n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(20L, 30L))
+  }
+
   test("fixpoint components collapse a chain a fixed superstep count splits") {
     // 5—9—1—8—4 near-dup CHAIN: after 1 superstep each node holds the
     // min of its 1-hop neighborhood, so the LOCAL minima 5, 1 and 4 all
