@@ -874,6 +874,49 @@ object PipelineQueries {
              |SELECT vec_id, label, assigned, cos FROM r WHERE rn = 1
              |ORDER BY vec_id""".stripMargin)),
 
+    // ---- diversity-balanced sampling (SemDeDup-style subset
+    // selection): assign every embedding to its nearest label
+    // centroid (s05's stage), then keep a deterministic bottom-k-hash
+    // sample PER CENTROID (p11's stage) — equal representation from
+    // every region of embedding space, where a uniform sample
+    // over-draws the dense clusters. Composed oracle: the s05
+    // assignment CTEs feeding the p11 hash-rank window.
+    NamedQuery("s11_diverse_sample",
+      (s, dir) => {
+        val a = Similarity.centroidAssign(
+            Tables.embeddings(s, dir), "vec_id", "embedding", "label")
+          .select(col("id"), col("assigned"))
+        Sampling.sampleKPerGroup(a, "assigned", "id", k = 10)
+          .select(col("assigned"), col("id").as("vec_id"), col("sample_rank"))
+          .orderBy("assigned", "sample_rank")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+             |  FROM embeddings),
+             |ex AS (SELECT label, unnest(v) AS x,
+             |    unnest(generate_series(1, len(v))) AS pos FROM e),
+             |cm AS (SELECT label, pos, avg(x) AS cx FROM ex GROUP BY label, pos),
+             |cent AS (SELECT label AS clabel, list(cx ORDER BY pos) AS c
+             |  FROM cm GROUP BY label),
+             |cn AS (SELECT clabel, c,
+             |    sqrt(list_sum(list_transform(c, x -> x * x))) AS cnrm FROM cent),
+             |sc AS (SELECT e.vec_id, cn.clabel,
+             |    round(${dotSql("e.v", "cn.c")}
+             |      / (sqrt(${dotSql("e.v", "e.v")}) * cn.cnrm), 4) AS cos
+             |  FROM e CROSS JOIN cn),
+             |r AS (SELECT vec_id, clabel AS assigned, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY cos DESC, clabel) AS rn
+             |  FROM sc),
+             |a AS (SELECT assigned, vec_id FROM r WHERE rn = 1),
+             |h AS (SELECT assigned, vec_id,
+             |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 13) AS BIGINT)
+             |      AS h
+             |  FROM a),
+             |rk AS (SELECT assigned, vec_id, row_number() OVER (
+             |    PARTITION BY assigned ORDER BY h, vec_id) AS sample_rank FROM h)
+             |SELECT assigned, vec_id, CAST(sample_rank AS INT) AS sample_rank
+             |FROM rk WHERE sample_rank <= 10
+             |ORDER BY assigned, sample_rank""".stripMargin)),
+
     // ---- token-budget shard packing (the sequence-packing precursor):
     // within each source stream, docs are assigned to consecutive
     // shards of ≤2048 tokens by an exclusive running token count.
