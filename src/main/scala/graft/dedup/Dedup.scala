@@ -449,6 +449,49 @@ object Dedup {
       .groupBy("id")
       .agg(graft.functions.SimHashAgg.simhash64(col("h")).as("simhash"))
 
+  /** Corpus-boilerplate n-gram density (the CCNet/RefinedWeb cleaning
+    * signal): an n-gram is boilerplate when it appears in ≥ `dfPct`%
+    * of documents; each document reports how many of its gram
+    * OCCURRENCES (positions, not distinct grams) are boilerplate. The
+    * threshold is integer math (`gdf·100 ≥ n_corpus·dfPct`) so the
+    * cutoff is exact on any engine at any corpus size.
+    *
+    * Shuffle shape: gram-keyed df count over distinct (doc, gram),
+    * then the occurrence stream joins the BROADCAST boilerplate set
+    * and re-aggregates per doc. The boilerplate set is bounded by
+    * construction — Σdf over grams ≤ total occurrences, so at most
+    * (avg grams/doc)·100/dfPct grams can clear the bar — which is why
+    * the broadcast is safe at 100 TB where the full gram-df table is
+    * not. Documents with fewer than n tokens have no grams and are
+    * absent from the output (nothing to clean). */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, dfPct: Int): DataFrame = {
+    // occurrences (not distinct): the output measures text density
+    val ex = graft.Caches.cached(
+      df.select(col(idCol).as("id"), explode(ngramsWithDups(col(textCol), n)).as("g")))
+    val nDocs = df.select(count(lit(1)).as("n_corpus"))
+    val boiler = ex.select("id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("gdf") * 100 >= col("n_corpus") * dfPct)
+      .select("g")
+    ex.join(broadcast(boiler.withColumn("is_b", lit(1L))), Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
+      .withColumn("boiler_ratio", round(col("n_boiler") / col("n_grams"), 4))
+  }
+
+  /** Ordered word n-grams WITH duplicates (the positional sibling of
+    * [[shingles]], which distincts): one entry per gram occurrence. */
+  private def ngramsWithDups(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** SimHash near-dup pairs: candidates from 4 16-bit bands (a pair
     * within hamming distance 3 must agree on ≥1 band), verified with
     * bit_count(xor) ≤ maxHamming. */

@@ -1274,7 +1274,115 @@ object PipelineQueries {
              |FROM documents GROUP BY source
              |UNION ALL
              |SELECT '__ALL', count(DISTINCT text), TRUE FROM documents
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ---- Gopher-style rule-flag quality filter: one 0/1 verdict per
+    // rule (token band / mean-word-length band / stopword hits) plus
+    // the conjunction — the audit view a data mix needs before
+    // filtering on `pass`. Bounds chosen to exercise both outcomes of
+    // every rule on the synthetic corpus (tokens 10-99, mean length
+    // 3.7-5.3, stop hits 0-2). Scan-stage, zero shuffle.
+    NamedQuery("t14_quality_rules",
+      (s, dir) => TextOps.gopherRules(Tables.documents(s, dir), "doc_id",
+          "text", stopwords = enStop, minTokens = 30, maxTokens = 5000,
+          minMeanLen = 3.0, maxMeanLen = 4.8, minStopHits = 2)
+        .orderBy("id"),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |m AS (SELECT doc_id AS id, len(ts) AS n_tokens,
+             |    round(CASE WHEN len(ts) = 0 THEN 0.0
+             |      ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)
+             |        / len(ts) END, 4) AS mean_tok_len,
+             |    len(list_intersect(list_distinct(ts), ${sqlList(enStop)}))
+             |      AS stop_hits
+             |  FROM t),
+             |f AS (SELECT id, n_tokens, mean_tok_len, stop_hits,
+             |    CASE WHEN n_tokens BETWEEN 30 AND 5000 THEN 1 ELSE 0 END AS len_ok,
+             |    CASE WHEN mean_tok_len BETWEEN 3.0 AND 4.8 THEN 1 ELSE 0 END
+             |      AS word_len_ok,
+             |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS stop_ok
+             |  FROM m)
+             |SELECT id, CAST(n_tokens AS BIGINT) AS n_tokens, mean_tok_len,
+             |  CAST(stop_hits AS BIGINT) AS stop_hits,
+             |  CAST(len_ok AS BIGINT) AS len_ok,
+             |  CAST(word_len_ok AS BIGINT) AS word_len_ok,
+             |  CAST(stop_ok AS BIGINT) AS stop_ok,
+             |  CAST(len_ok * word_len_ok * stop_ok AS BIGINT) AS pass
+             |FROM f ORDER BY id""".stripMargin)),
+
+    // ---- corpus-boilerplate n-gram density: 2-grams in ≥8% of docs
+    // are boilerplate (integer threshold math — exact at any corpus
+    // size); every 4th doc gets a planted nav-bar phrase so the
+    // detector always has a true positive to find regardless of the
+    // corpus's natural gram distribution.
+    NamedQuery("d20_boilerplate_ngrams",
+      (s, dir) => {
+        val dirty = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" subscribe now click here subscribe now")))
+          .otherwise(col("text")).as("text"))
+        Dedup.boilerplateNgrams(dirty, "doc_id", "text", n = 2, dfPct = 8)
+          .orderBy("id")
+      },
+      Some("""WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0
+             |    THEN text || ' subscribe now click here subscribe now'
+             |    ELSE text END AS text FROM documents),
+             |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                                 x -> len(x) > 0) AS ts FROM d),
+             |ex AS (SELECT doc_id AS id, unnest(list_transform(
+             |    generate_series(1, len(ts) - 1), i -> array_to_string(ts[i:i+1], ' ')))
+             |      AS g
+             |  FROM t WHERE len(ts) >= 2),
+             |n AS (SELECT count(*) AS n_corpus FROM d),
+             |b AS (SELECT g FROM (SELECT g, count(DISTINCT id) AS gdf FROM ex GROUP BY g),
+             |      n WHERE gdf * 100 >= n_corpus * 8)
+             |SELECT id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN g IN (SELECT g FROM b) THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_boiler,
+             |  round(sum(CASE WHEN g IN (SELECT g FROM b) THEN 1 ELSE 0 END)
+             |    / count(*), 4) AS boiler_ratio
+             |FROM ex GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---- embedding-norm outlier report (Tukey fences per label):
+    // every 97th vector is scaled ×4 (a power of two — float×4 is
+    // exact, so both engines see bit-identical planted norms) and must
+    // surface as an outlier of its label's rank-based IQR band.
+    NamedQuery("s12_norm_outliers",
+      (s, dir) => {
+        val planted = Tables.embeddings(s, dir).select(col("vec_id"),
+          col("label"),
+          when(col("vec_id") % 97 === 0,
+            transform(col("embedding"), x => x * lit(4.0f)))
+          .otherwise(col("embedding")).as("embedding"))
+        Similarity.normOutliers(planted, "vec_id", "embedding", "label")
+          .orderBy("label")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    CASE WHEN vec_id % 97 = 0
+             |         THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x * 4.0)
+             |         ELSE CAST(embedding AS DOUBLE[]) END AS v
+             |  FROM embeddings),
+             |nm AS (SELECT vec_id, label,
+             |    round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS nrm
+             |  FROM e),
+             |r AS (SELECT vec_id, label, nrm,
+             |    row_number() OVER (PARTITION BY label ORDER BY nrm, vec_id) AS rk,
+             |    count(*) OVER (PARTITION BY label) AS n
+             |  FROM nm),
+             |q AS (SELECT label,
+             |    max(CASE WHEN rk = ceil(n * 0.25) THEN nrm END) AS q1,
+             |    max(CASE WHEN rk = ceil(n * 0.75) THEN nrm END) AS q3
+             |  FROM r GROUP BY label),
+             |j AS (SELECT r.label, r.vec_id, r.nrm, q.q1, q.q3,
+             |    q.q1 - (q.q3 - q.q1) * 1.5 AS lo, q.q3 + (q.q3 - q.q1) * 1.5 AS hi
+             |  FROM r JOIN q USING (label))
+             |SELECT label, count(*) AS n_vecs, max(q1) AS q1, max(q3) AS q3,
+             |  CAST(sum(CASE WHEN nrm < lo OR nrm > hi THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_outliers,
+             |  min(CASE WHEN nrm < lo OR nrm > hi THEN vec_id END) AS min_outlier_id
+             |FROM j GROUP BY label ORDER BY label""".stripMargin))
   )
 
   private def sqlList(words: Seq[String]): String =

@@ -35,6 +35,36 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dotF(a, b) / (norm(a) * norm(b))
 
+  /** Per-label embedding-norm hygiene report (Tukey fences): Q1/Q3 by
+    * RANK per label over 6dp-rounded norms, outlier = norm outside
+    * [q1 − 1.5·iqr, q3 + 1.5·iqr]. Order statistics on rounded values
+    * are deterministic on any engine — unlike mean/σ, whose float-sum
+    * association order differs between engines. The quartile ranks use
+    * ⌈n·0.25⌉/⌈n·0.75⌉ (0.25/0.75 are exact binary fractions, so the
+    * rank arithmetic is exact too). Keyed windows per label, never a
+    * global sort; the per-label quartile table broadcasts back.
+    * Output: (label, n_vecs, q1, q3, n_outliers, min_outlier_id). */
+  def normOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val byNorm = Window.partitionBy("label").orderBy(col("nrm"), col("id"))
+    val byLabel = Window.partitionBy("label")
+    val t = graft.Caches.cached(
+      df.select(col(idCol).as("id"), col(labelCol).as("label"),
+          round(norm(col(vecCol)), 6).as("nrm"))
+        .withColumn("rk", row_number().over(byNorm))
+        .withColumn("n", count(lit(1)).over(byLabel)))
+    val q = t.groupBy("label").agg(
+      max(when(col("rk") === ceil(col("n") * 0.25), col("nrm"))).as("q1"),
+      max(when(col("rk") === ceil(col("n") * 0.75), col("nrm"))).as("q3"))
+    val out = col("nrm") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+      col("nrm") > col("q3") + (col("q3") - col("q1")) * 1.5
+    t.join(broadcast(q), "label")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), max("q1").as("q1"), max("q3").as("q3"),
+        sum(when(out, lit(1L)).otherwise(lit(0L))).as("n_outliers"),
+        min(when(out, col("id"))).as("min_outlier_id"))
+  }
+
   /** Cosine from precomputed norms, ZERO-NORM SAFE: a degenerate
     * all-zero vector scores 0 instead of the NULL a 0-division yields —
     * a NULL would crash the non-nullable TopK Aggregator every top-k

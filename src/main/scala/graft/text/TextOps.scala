@@ -79,6 +79,41 @@ object TextOps {
       lit(1.0)), lit(0.0)), 6)
   }
 
+  /** Gopher-style rule-based quality filter (the repetition rules live
+    * in [[dupNgramFrac]]/[[topTokenFrac]], scored by t08): each
+    * document gets one 0/1 verdict per rule — token-count band,
+    * mean-token-length band, minimum distinct-stopword hits — plus the
+    * conjunction, so downstream mixes can filter on `pass` or audit a
+    * single rule's kill rate. Pure scan-stage expressions, zero
+    * shuffle; the mean length is rounded to 4dp BEFORE the band check
+    * so the verdict is reproducible on any engine. Flags are 0/1
+    * bigints, not booleans (the oracle hash contract's proven types).
+    *
+    * Reference scope: goodreads-pyspark filters only on rating
+    * thresholds (goodreads.py:151-160); rule-flag quality filtering is
+    * part of the north-star pipeline surface. */
+  def gopherRules(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, stopwords: Seq[String], minTokens: Int,
+      maxTokens: Int, minMeanLen: Double, maxMeanLen: Double,
+      minStopHits: Int): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col(textCol))
+    val flag = (c: Column) => when(c, lit(1L)).otherwise(lit(0L))
+    df.select(col(idCol).as("id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(when(size(toks) === 0, lit(0.0)).otherwise(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+            / size(toks)), 4).as("mean_tok_len"),
+        size(array_intersect(array_distinct(toks), lit(stopwords.toArray)))
+          .cast("long").as("stop_hits"))
+      .withColumn("len_ok",
+        flag(col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens))
+      .withColumn("word_len_ok",
+        flag(col("mean_tok_len") >= minMeanLen && col("mean_tok_len") <= maxMeanLen))
+      .withColumn("stop_ok", flag(col("stop_hits") >= minStopHits))
+      .withColumn("pass",
+        col("len_ok") * col("word_len_ok") * col("stop_ok"))
+  }
+
   /** Tiny per-language marker lexicons for the n-gram/stopword-voting
     * language-ID heuristic. Deterministic, order = tie-break priority. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

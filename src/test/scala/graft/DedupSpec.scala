@@ -145,4 +145,22 @@ class DedupSpec extends SparkSpec {
     assert(fixed == 3)     // 5, 1, 4 are 1-hop local minima
     assert(converged == 1) // fixpoint reaches the true single component
   }
+
+  test("boilerplateNgrams: shared grams clear the df% bar, unique ones don't") {
+    // "click here" appears in 3 of 4 docs (75% ≥ 50%); every other
+    // 2-gram is document-unique. Each sharing doc has 3 gram
+    // occurrences of which exactly 1 is boilerplate.
+    val docs = Seq(
+      (1L, "alpha beta click here"), (2L, "gamma delta click here"),
+      (3L, "epsilon zeta click here"), (4L, "unique words only completely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.boilerplateNgrams(docs, "doc_id", "text", n = 2, dfPct = 50)
+      .select("id", "n_grams", "n_boiler", "boiler_ratio")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 1L, 0.3333)))
+    assert(got(2L) == ((3L, 1L, 0.3333)))
+    assert(got(3L) == ((3L, 1L, 0.3333)))
+    assert(got(4L) == ((3L, 0L, 0.0)))
+  }
 }

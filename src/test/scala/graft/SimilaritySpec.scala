@@ -261,4 +261,20 @@ class SimilaritySpec extends SparkSpec {
       assert(cos > 0.9 && cos <= 1.0)
     }
   }
+
+  test("normOutliers: a scaled vector breaks its label's fence; tight labels report none") {
+    // label a: eight unit vectors + one ×40 → zero-width IQR, one
+    // outlier. label b: all identical → no outlier.
+    val a = (1L to 8L).map(i => (i, "a", Array(1.0f, 0.0f)))
+    val b = (11L to 14L).map(i => (i, "b", Array(0.0f, 2.0f)))
+    val vecs = (a :+ ((9L, "a", Array(40.0f, 0.0f)))) ++ b
+    val got = Similarity.normOutliers(
+        vecs.toDF("vec_id", "label", "embedding"),
+        "vec_id", "embedding", "label")
+      .select("label", "n_vecs", "n_outliers", "min_outlier_id")
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("a") == ((9L, 1L, Some(9L))))
+    assert(got("b") == ((4L, 0L, None)))
+  }
 }

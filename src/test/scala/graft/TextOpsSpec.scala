@@ -148,4 +148,22 @@ class TextOpsSpec extends SparkSpec {
       (1L, 0L, "a b c"), (1L, 1L, "c d e"), (1L, 2L, "e"),
       (2L, 0L, "x y")))
   }
+
+  test("gopherRules: each rule fails independently; pass is the conjunction") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat is in the house and it runs to it for fun"), // all pass
+      (2L, "zzzzzzzzzz qqqqqqqq"), // too short, too-long words, no stops
+      (3L, "")                     // empty: every rule fails
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherRules(docs, "doc_id", "text",
+        stopwords = TextOps.langMarkers.head._2, minTokens = 5,
+        maxTokens = 20, minMeanLen = 2.0, maxMeanLen = 4.0, minStopHits = 2)
+      .select("id", "len_ok", "word_len_ok", "stop_ok", "pass")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L))) // 13 toks, mean 2.8462, 7 stop hits
+    assert(got(2L) == ((0L, 0L, 0L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L, 0L))) // empty → mean 0.0 fails the band
+  }
 }
