@@ -468,7 +468,8 @@ object Dedup {
       n: Int, dfPct: Int): DataFrame = {
     // occurrences (not distinct): the output measures text density
     val ex = graft.Caches.cached(
-      df.select(col(idCol).as("id"), explode(ngramsWithDups(col(textCol), n)).as("g")))
+      df.select(col(idCol).as("id"),
+        explode(TextOps.ngramsOrdered(col(textCol), n)).as("g")))
     val nDocs = df.select(count(lit(1)).as("n_corpus"))
     val boiler = ex.select("id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("gdf"))
@@ -480,16 +481,6 @@ object Dedup {
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("is_b"), lit(0L))).as("n_boiler"))
       .withColumn("boiler_ratio", round(col("n_boiler") / col("n_grams"), 4))
-  }
-
-  /** Ordered word n-grams WITH duplicates (the positional sibling of
-    * [[shingles]], which distincts): one entry per gram occurrence. */
-  private def ngramsWithDups(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
   }
 
   /** SimHash near-dup pairs: candidates from 4 16-bit bands (a pair

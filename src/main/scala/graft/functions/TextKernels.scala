@@ -110,6 +110,26 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Ordered word n-grams WITH duplicates — the positional sibling of
+    * [[shingles]] (which distincts): one entry per occurrence, in
+    * document order. Backs TextOps.ngramsOrdered (repetition metrics,
+    * boilerplate density) through the same one-pass tokenizer. */
+  def ngrams(text: UTF8String, n: Int): ArrayData = {
+    val tokens = tokenize(text)
+    val m = tokens.size
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var j = 0
+    while (j + n <= m) {
+      val sb = new java.lang.StringBuilder(tokens.get(j))
+      var k = 1
+      while (k < n) { sb.append(' ').append(tokens.get(j + k)); k += 1 }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -262,6 +282,12 @@ object TextKernelExprs {
     require(args.length == 2, "graft_shingles(text, n)")
     literalInt(args(1), "n", "graft_shingles")
     StaticInvoke(Kernels, StringArray, "shingles", args, returnNullable = false)
+  }
+
+  def ngrams(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_ngrams(text, n)")
+    literalInt(args(1), "n", "graft_ngrams")
+    StaticInvoke(Kernels, StringArray, "ngrams", args, returnNullable = false)
   }
 
   def nfc(args: Seq[Expression]): Expression = {

@@ -233,8 +233,19 @@ object TextOps {
 
   /** Word n-gram array IN TOKEN ORDER (duplicates kept) — the
     * repetition-measure primitive; [[graft.dedup.Dedup.shingles]] is
-    * the DISTINCT-set variant used for Jaccard/MinHash. */
+    * the DISTINCT-set variant used for Jaccard/MinHash. One codegen'd
+    * static call per row (graft.functions.TextKernels.ngrams);
+    * [[ngramsOrderedExpr]] is the pure-expression reference form. */
   def ngramsOrdered(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    GraftExpressionBridge.column(graft.functions.TextKernelExprs.ngrams(
+      Seq(GraftExpressionBridge.expression(text), Literal(n))))
+  }
+
+  /** Pure-expression ordered n-grams — semantically identical to
+    * [[ngramsOrdered]] (scalacheck-verified); the reference form. */
+  private[graft] def ngramsOrderedExpr(text: Column, n: Int): Column = {
     val toks = tokens(text)
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(n), size(toks)),

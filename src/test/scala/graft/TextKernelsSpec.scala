@@ -31,6 +31,22 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("ngrams kernel matches expression form: order, duplicates, edges (property)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Array("the", "a", "dup", "x1", "café", "!!", "Zebra99")
+    def text(): String =
+      Seq.fill(rnd.nextInt(20))(words(rnd.nextInt(words.length))).mkString(" ")
+    val cases = Seq("", "a", "a b", "dup dup dup", "a b a b") ++ Seq.fill(60)(text())
+    for (n <- Seq(2, 3)) {
+      cases.toDF("text")
+        .select(graft.text.TextOps.ngramsOrdered(col("text"), n).as("fast"),
+          graft.text.TextOps.ngramsOrderedExpr(col("text"), n).as("ref"))
+        .as[(Seq[String], Seq[String])].collect()
+        .foreach { case (fast, ref) => assert(fast === ref, s"n=$n") }
+    }
+  }
+
   test("kernel matches expression form on seeded randomized text (property)") {
     val rnd = new scala.util.Random(42)
     val words = Array("the", "café", "x1", "", "-", "A_B", "Zebra99", "ünïcode",
