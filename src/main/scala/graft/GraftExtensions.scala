@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo("graft.functions.TextKernels", "graft_minhash_bands"),
       (args: Seq[Expression]) => graft.functions.TextKernelExprs.minhashBands(args)))
     ext.injectFunction((
+      FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo("graft.functions.TextKernels", "graft_ngrams"),
+      (args: Seq[Expression]) => graft.functions.TextKernelExprs.ngrams(args)))
+    ext.injectFunction((
       FunctionIdentifier("graft_nfc"),
       new ExpressionInfo("graft.functions.TextKernels", "graft_nfc"),
       (args: Seq[Expression]) => graft.functions.TextKernelExprs.nfc(args)))

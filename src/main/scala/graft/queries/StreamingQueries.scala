@@ -173,6 +173,52 @@ object StreamingQueries {
              |  SELECT *, row_number() OVER (
              |    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
              |  FROM orders) WHERE rn = 1
-             |ORDER BY o_custkey""".stripMargin))
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // ---- streaming quality audit (ingest-time lift of t14): the
+    // Gopher rule flags run scan-stage on the stream — ZERO state,
+    // append mode, no watermark — and the per-rule kill rates
+    // aggregated from the sink must equal the batch rules exactly
+    // (streaming-vs-batch consistency on a stateless path).
+    NamedQuery("sw07_stream_quality_flags",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val res = StreamRunner.runAvailableNow(s, docs,
+            "sw07_quality", "append") { src =>
+          EventStreams.qualityFlags(src, "doc_id", "text",
+            stopwords = graft.text.TextOps.langMarkers.head._2,
+            minTokens = 30, maxTokens = 5000, minMeanLen = 3.0,
+            maxMeanLen = 4.8, minStopHits = 2)
+        }
+        res.agg(count(lit(1)).as("n_docs"),
+          sum("len_ok").as("n_len_ok"),
+          sum("word_len_ok").as("n_word_len_ok"),
+          sum("stop_ok").as("n_stop_ok"),
+          sum("pass").as("n_pass"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |m AS (SELECT doc_id, len(ts) AS n_tokens,
+             |    round(CASE WHEN len(ts) = 0 THEN 0.0
+             |      ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)
+             |        / len(ts) END, 4) AS mean_tok_len,
+             |    len(list_intersect(list_distinct(ts),
+             |      ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']))
+             |      AS stop_hits
+             |  FROM t),
+             |f AS (SELECT
+             |    CASE WHEN n_tokens BETWEEN 30 AND 5000 THEN 1 ELSE 0 END AS len_ok,
+             |    CASE WHEN mean_tok_len BETWEEN 3.0 AND 4.8 THEN 1 ELSE 0 END
+             |      AS word_len_ok,
+             |    CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS stop_ok
+             |  FROM m)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(len_ok) AS BIGINT) AS n_len_ok,
+             |  CAST(sum(word_len_ok) AS BIGINT) AS n_word_len_ok,
+             |  CAST(sum(stop_ok) AS BIGINT) AS n_stop_ok,
+             |  CAST(sum(len_ok * word_len_ok * stop_ok) AS BIGINT) AS n_pass
+             |FROM f""".stripMargin))
   )
 }

@@ -64,6 +64,19 @@ object EventStreams {
       .join(broadcast(benchGrams.toDF("ng")), "ng")
       .groupBy("id").agg(count(lit(1)).as("n_grams"))
 
+  /** Streaming quality audit — the ingest-time lift of
+    * graft.text.TextOps.gopherRules: the rule flags are pure
+    * scan-stage expressions, so they ride an unbounded stream with
+    * ZERO state (no watermark, no aggregation — append mode). Emits
+    * every document with its per-rule 0/1 verdicts; an ingest
+    * deployment filters `pass = 1` into the corpus sink and routes
+    * the rest to a quarantine sink from the same stream. */
+  def qualityFlags(docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], minTokens: Int, maxTokens: Int,
+      minMeanLen: Double, maxMeanLen: Double, minStopHits: Int): DataFrame =
+    graft.text.TextOps.gopherRules(docs, idCol, textCol, stopwords,
+      minTokens, maxTokens, minMeanLen, maxMeanLen, minStopHits)
+
   /** Streaming exact dedup — the ingest-time twin of
     * graft.dedup.Dedup.dropExactDups for a continuous document feed:
     * keep the FIRST arrival per content hash, drop replays. State is

@@ -59,6 +59,10 @@ class SqlParitySpec extends SparkSpec {
       val sh = s2.sql("SELECT graft_shingles('a b c d', 3)")
         .head().getSeq[String](0)
       assert(sh === Seq("a b c", "b c d"))
+      // ordered form keeps duplicates (shingles distincts them)
+      val ng = s2.sql("SELECT graft_ngrams('a b a b', 2)")
+        .head().getSeq[String](0)
+      assert(ng === Seq("a b", "b a", "a b"))
       val bands = s2.sql(
         "SELECT graft_minhash_bands(graft_shingles('a b c d', 3), 16, 4)")
         .head().getSeq[String](0)
