@@ -449,6 +449,30 @@ object Dedup {
       .groupBy("id")
       .agg(graft.functions.SimHashAgg.simhash64(col("h")).as("simhash"))
 
+  /** Cross-source duplicate attribution (the provenance audit behind
+    * a dedup decision): for every unordered source pair, how many
+    * exact-duplicate document pairs span it — "which sources mirror
+    * each other" drives both crawl budgeting and which copy the KEEP
+    * pass should prefer. The self-join is keyed by content hash and
+    * group sizes are duplicate multiplicities (small by nature — and
+    * a pathological viral-text key degrades to C(m,2) for THAT key
+    * only, not the corpus), so the shuffle is O(rows), never
+    * all-pairs. Output: (src_lo, src_hi, n_pairs), including same-
+    * source pairs (src_lo = src_hi) — intra-source redundancy is part
+    * of the audit. */
+  def crossSourceDupAttribution(df: DataFrame, idCol: String,
+      textCol: String, srcCol: String): DataFrame = {
+    val t = graft.Caches.cached(df.select(col(idCol).as("id"),
+      md5(col(textCol)).as("h"), col(srcCol).as("src")))
+    t.toDF("id_a", "h", "src_a")
+      .join(t.toDF("id_b", "h", "src_b"), Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("src_lo"),
+        greatest(col("src_a"), col("src_b")).as("src_hi"))
+      .groupBy("src_lo", "src_hi")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Corpus-boilerplate n-gram density (the CCNet/RefinedWeb cleaning
     * signal): an n-gram is boilerplate when it appears in ≥ `dfPct`%
     * of documents; each document reports how many of its gram

@@ -1276,6 +1276,40 @@ object PipelineQueries {
              |SELECT '__ALL', count(DISTINCT text), TRUE FROM documents
              |ORDER BY source""".stripMargin)),
 
+    // ---- cross-source duplicate attribution: every 5th doc is
+    // mirrored by an 'aggregator' source and every 15th ALSO by a
+    // 'scraper' — the audit must count (origin, aggregator) pairs per
+    // origin source, the scraper overlaps, and the aggregator×scraper
+    // pairs their shared texts induce.
+    NamedQuery("d21_cross_source_dups",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text", "source")
+        val agg = docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"),
+            lit("aggregator").as("source"))
+        val scr = docs.filter(col("doc_id") % 15 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"),
+            lit("scraper").as("source"))
+        Dedup.crossSourceDupAttribution(
+            docs.unionByName(agg).unionByName(scr), "doc_id", "text", "source")
+          .orderBy("src_lo", "src_hi")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text, 'aggregator' FROM documents
+             |  WHERE doc_id % 5 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, text, 'scraper' FROM documents
+             |  WHERE doc_id % 15 = 0),
+             |t AS (SELECT doc_id AS id, md5(text) AS h, source AS src
+             |      FROM all_docs),
+             |p AS (SELECT least(a.src, b.src) AS src_lo,
+             |             greatest(a.src, b.src) AS src_hi
+             |      FROM t a JOIN t b ON a.h = b.h AND a.id < b.id)
+             |SELECT src_lo, src_hi, count(*) AS n_pairs
+             |FROM p GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin)),
+
     // ---- Gopher-style rule-flag quality filter: one 0/1 verdict per
     // rule (token band / mean-word-length band / stopword hits) plus
     // the conjunction — the audit view a data mix needs before

@@ -299,6 +299,43 @@ object SourceQueries {
            |  CAST(sum(l_partkey) AS BIGINT) AS pk_sum,
            |  CAST(sum(l_suppkey) AS BIGINT) AS sk_sum
            |FROM b GROUP BY zbucket ORDER BY zbucket""".stripMargin
-      })
+      }),
+
+    // ---- parquet schema evolution: batch 1 written at schema v1
+    // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality
+    // added); the mergeSchema read must union the footers, null-fill
+    // both gaps, and discover the batch partition column. The oracle
+    // replays both batches' expected shapes from the original table —
+    // a silently-dropped column breaks the null counts, a broken
+    // merge breaks the read outright.
+    NamedQuery("io10_schema_evolution", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = stageDir("evolve", dir)
+      Sources.writeParquet(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"), col("lang")), s"$stage/batch=1")
+      Sources.writeParquet(docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars") % 7).as("quality")), s"$stage/batch=2")
+      Sources.parquetMergeSchema(s, stage)
+        .groupBy(col("batch").cast("long").as("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_lang_null"),
+          sum(when(col("quality").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_quality_null"),
+          sum("n_chars").as("sum_chars"),
+          sum("quality").as("sum_quality"))
+        .orderBy("batch")
+    },
+      Some("""SELECT CAST(1 AS BIGINT) AS batch, count(*) AS n_docs,
+             |  CAST(0 AS BIGINT) AS n_lang_null, count(*) AS n_quality_null,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(NULL AS BIGINT) AS sum_quality
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT 2, count(*), count(*), CAST(0 AS BIGINT),
+             |  CAST(sum(n_chars) AS BIGINT), CAST(sum(n_chars % 7) AS BIGINT)
+             |FROM documents WHERE doc_id % 2 != 0
+             |ORDER BY batch""".stripMargin))
   )
 }

@@ -64,6 +64,16 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Parquet scan with schema MERGING across files written at
+    * different schema versions: a plain read trusts one footer's
+    * schema (columns added later silently vanish for old files);
+    * mergeSchema unions all footers and null-fills the gaps — the
+    * read path a long-lived evolving corpus needs. Costs a footer
+    * scan per file at planning time, which is why Spark doesn't
+    * default to it — turn it on per evolving dataset, not globally. */
+  def parquetMergeSchema(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** S3 (goodreads.py:121–129): parquet path sink, optionally
     * partitioned — partition columns become directory-level pruning keys
     * for every downstream scan. */

@@ -146,6 +146,16 @@ class DedupSpec extends SparkSpec {
     assert(converged == 1) // fixpoint reaches the true single component
   }
 
+  test("crossSourceDupAttribution counts pairs per unordered source pair, incl. intra-source") {
+    // text "x": a×2, b×1 → (a,a)=1, (a,b)=2; text "y": c×1 only → none
+    val docs = Seq(
+      (1L, "x", "a"), (2L, "x", "a"), (3L, "x", "b"), (4L, "y", "c"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceDupAttribution(docs, "doc_id", "text", "source")
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(("a", "a") -> 1L, ("a", "b") -> 2L))
+  }
+
   test("boilerplateNgrams: shared grams clear the df% bar, unique ones don't") {
     // "click here" appears in 3 of 4 docs (75% ≥ 50%); every other
     // 2-gram is document-unique. Each sharing doc has 3 gram

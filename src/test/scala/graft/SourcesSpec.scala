@@ -111,4 +111,19 @@ class SourcesSpec extends SparkSpec {
         s"bucket ${r.get(0)}: xr=${r.get(2)} yr=${r.get(3)}")
     }
   }
+
+  test("parquetMergeSchema unions evolved footers and null-fills both directions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve_spec").toString
+    Sources.writeParquet(Seq((1L, "en")).toDF("id", "lang"), s"$dir/batch=1")
+    Sources.writeParquet(Seq((2L, 0.5)).toDF("id", "score"), s"$dir/batch=2")
+    val merged = Sources.parquetMergeSchema(spark, dir)
+    assert(merged.columns.toSet == Set("id", "lang", "score", "batch"))
+    val rows = merged.select("id", "lang", "score")
+      .as[(Long, Option[String], Option[Double])].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, Some("en"), None)))
+    assert(rows(1) == ((2L, None, Some(0.5))))
+    // the plain read keeps one footer's schema — the defect mergeSchema fixes
+    assert(spark.read.parquet(dir).columns.toSet != merged.columns.toSet)
+  }
 }
