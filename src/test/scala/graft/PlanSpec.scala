@@ -365,4 +365,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"centroid scoring must broadcast, not cartesian-shuffle:\n$plan")
   }
+
+  test("boilerplate gram set broadcasts back; occurrence stream never re-shuffles onto it") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "d20_boilerplate_ngrams")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"d20: bounded boilerplate set must broadcast-join the stream:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("normOutliers: quartile table broadcasts; windows stay label-keyed") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "s12_norm_outliers")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s12: the per-label quartile table must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"s12: rejoining quartiles must not shuffle the norm stream:\n$plan")
+  }
+
+  test("cross-source dup attribution joins only on the content hash (no all-pairs)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "d21_cross_source_dups")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"d21: the self-join must stay keyed by md5(text):\n$plan")
+  }
 }
