@@ -1310,6 +1310,41 @@ object PipelineQueries {
              |SELECT src_lo, src_hi, count(*) AS n_pairs
              |FROM p GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin)),
 
+    // ---- ANN recall audit: per-query recall@5 of the LSH top-k (s02)
+    // against the exact top-k (s01) — the monitoring query a serving
+    // ANN index runs continuously. The oracle rebuilds BOTH result
+    // sets (the s01 and s02 CTEs) and replays the audit join, so a
+    // recall regression in either path breaks the hash.
+    NamedQuery("s13_ann_recall_audit",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val q = emb.filter(col("vec_id") < 20)
+        Similarity.recallAudit(
+            Similarity.bruteForceTopK(q, emb, k = 5),
+            Similarity.lshCosineTopK(q, emb, k = 5,
+              dim = 64, nBits = 32, bands = 8, seed = 42L),
+            k = 5)
+          .orderBy("query_id")
+      },
+      Some(s"""WITH ${lshAnnCtes(dim = 64, nBits = 32, bands = 8, seed = 42L)},
+             |apx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+             |bscored AS (
+             |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             |    round(${dotSql("q.v", "c.v")} / (nq.nm * nc.nm), 6) AS cos
+             |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+             |  JOIN nrm nq ON q.vec_id = nq.vec_id
+             |  JOIN nrm nc ON c.vec_id = nc.vec_id),
+             |branked AS (
+             |  SELECT query_id, neighbor_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+             |  FROM bscored),
+             |ex AS (SELECT query_id, neighbor_id FROM branked WHERE rank <= 5)
+             |SELECT ex.query_id, count(apx.neighbor_id) AS n_hits,
+             |  round(count(apx.neighbor_id) / 5.0, 4) AS recall
+             |FROM ex LEFT JOIN apx
+             |  ON ex.query_id = apx.query_id AND ex.neighbor_id = apx.neighbor_id
+             |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)),
+
     // ---- Gopher-style rule-flag quality filter: one 0/1 verdict per
     // rule (token band / mean-word-length band / stopword hits) plus
     // the conjunction — the audit view a data mix needs before
@@ -1911,12 +1946,13 @@ object PipelineQueries {
     * (Double.toString round-trips), signatures rebuilt bit-for-bit,
     * then band-bucket join + exact cosine + rank — mirroring
     * Similarity.lshCosineTopK stage by stage. */
-  private def lshAnnOracle(dim: Int, nBits: Int, bands: Int, k: Int,
-      seed: Long): String = {
+  /** CTE block ending in `ranked` (query_id, neighbor_id, cos, rank)
+    * — shared by the s02 oracle and the s13 recall-audit composition. */
+  private def lshAnnCtes(dim: Int, nBits: Int, bands: Int, seed: Long): String = {
     val rows = nBits / bands
     val mask = (1L << rows) - 1
     def dot(a: String, b: String) = dotSql(a, b)
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |planes AS (
        |  ${planesSql(dim, nBits, seed)}),
        |sig AS (SELECT e.vec_id,
@@ -1937,10 +1973,14 @@ object PipelineQueries {
        |  JOIN nrm nq ON query_id = nq.vec_id JOIN nrm nc ON neighbor_id = nc.vec_id),
        |ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |  FROM scored)""".stripMargin
+  }
+
+  private def lshAnnOracle(dim: Int, nBits: Int, bands: Int, k: Int,
+      seed: Long): String =
+    s"""WITH ${lshAnnCtes(dim, nBits, bands, seed)}
        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
-  }
 
   /** Generated oracle for the near-dup KEEP operator (d12): the d08
     * pair CTEs + unrolled min-label component steps + survivors whose

@@ -35,6 +35,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dotF(a, b) / (norm(a) * norm(b))
 
+  /** ANN recall audit — the monitoring join a production ANN
+    * deployment runs continuously: per-query recall@k of an
+    * approximate top-k result against the exact one. Both inputs are
+    * (query_id, neighbor_id) top-k frames (any method pair); the
+    * ground-truth side drives a left join onto the approximate side,
+    * so the shuffle is O(queries × k), independent of corpus size —
+    * auditing stays cheap even when the index it audits is not.
+    * Output: (query_id, n_hits, recall), recall = n_hits/k. */
+  def recallAudit(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / k.toDouble, 4))
+
   /** Per-label embedding-norm hygiene report (Tukey fences): Q1/Q3 by
     * RANK per label over 6dp-rounded norms, outlier = norm outside
     * [q1 − 1.5·iqr, q3 + 1.5·iqr]. Order statistics on rounded values

@@ -262,6 +262,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("recallAudit: full overlap → 1.0, disjoint → 0.0, ground truth drives the rows") {
+    val ex = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "neighbor_id")
+    val ap = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAudit(ex, ap, k = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // query 3 exists only on the approx side → absent (no ground truth)
+    assert(got == Map(1L -> ((2L, 1.0)), 2L -> ((0L, 0.0))))
+  }
+
   test("normOutliers: a scaled vector breaks its label's fence; tight labels report none") {
     // label a: eight unit vectors + one ×40 → zero-width IQR, one
     // outlier. label b: all identical → no outlier.
