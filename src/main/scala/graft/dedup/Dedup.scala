@@ -426,6 +426,39 @@ object Dedup {
       .select("id").distinct()
   }
 
+  /** GRADED benchmark contamination — per-document n-gram overlap
+    * fraction against the benchmark gram set, the form the large-scale
+    * decontam recipes actually threshold (e.g. "contaminated when ≥ X%
+    * of the document's n-grams appear in an eval example" rather than
+    * [[contaminatedIds]]'s any-single-gram rule, which over-flags long
+    * documents).
+    *
+    * Output, one row per corpus document that has ≥1 n-gram:
+    * (id, n_grams, n_hit, overlap_frac, contaminated) where n_grams
+    * counts the document's DISTINCT grams, n_hit those also present in
+    * the benchmark set, overlap_frac = n_hit/n_grams (4dp) and
+    * contaminated = [2·n_hit ≥ n_grams] — the flag itself is integer
+    * math so thresholding is engine-exact.
+    *
+    * Same scale posture as [[contaminatedIds]]: benchmark grams
+    * broadcast, corpus side is a scan-stage explode + one keyed
+    * groupBy(id) whose (count,sum) buffers combine map-side. */
+  def contaminationOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val bGrams = benchmark
+      .select(explode(shingles(col(textCol), n)).as("ng")).distinct()
+      .withColumn("__hit", lit(1L))
+    corpus.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("ng"))
+      .join(broadcast(bGrams), Seq("ng"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .select(col("id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_grams"), 4).as("overlap_frac"),
+        when(col("n_hit") * 2 >= col("n_grams"), lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+  }
+
   /** Benchmark decontamination, step 2 — the corpus minus every
     * document flagged by [[contaminatedIds]] (left-anti on the flagged
     * id set, which is benchmark-overlap-sized, not corpus-sized). */

@@ -270,6 +270,32 @@ object PipelineQueries {
              |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- GRADED decontamination: per-doc n-gram overlap FRACTION vs
+    // the benchmark slice — the thresholded form (≥50% of a doc's
+    // distinct 4-grams in the eval set → contaminated) that replaces
+    // d14's over-flagging any-single-gram rule on long documents. The
+    // flag is integer math (2·n_hit ≥ n_grams); the fraction is
+    // reporting-only, rounded 4dp on both engines.
+    NamedQuery("d22_contam_overlap",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.contaminationOverlap(docs.filter(col("doc_id") % 10 =!= 0),
+            docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+            n = DecontamN)
+          .orderBy("id")
+      },
+      Some(s"""WITH ${decontamCtes(DecontamN)}
+             |SELECT exd.doc_id AS id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             |    AS n_hit,
+             |  round(CAST(sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             |    / count(*), 4) AS overlap_frac,
+             |  CAST(CASE WHEN 2 * sum(CASE WHEN b.ng IS NULL THEN 0 ELSE 1 END)
+             |    >= count(*) THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+             |FROM exd LEFT JOIN bench b USING (ng)
+             |WHERE exd.doc_id % 10 != 0
+             |GROUP BY exd.doc_id ORDER BY id""".stripMargin)),
+
     // ---- incremental-ingest near-dup: a NEW batch (planted replays of
     // every 7th doc) joined against the EXISTING corpus on band
     // hashes — the production dedup shape (batch × index, never
@@ -1380,6 +1406,27 @@ object PipelineQueries {
              |  CAST(stop_ok AS BIGINT) AS stop_ok,
              |  CAST(len_ok * word_len_ok * stop_ok AS BIGINT) AS pass
              |FROM f ORDER BY id""".stripMargin)),
+
+    // ---- vocabulary coverage / OOV rate: per-doc occurrences outside
+    // the corpus top-16 vocabulary (31 distinct tokens in the synthetic
+    // corpus → a real split; ties in the top-K cut break by token asc,
+    // a total order both engines share). Integer columns only.
+    NamedQuery("t15_oov_rate",
+      (s, dir) => TextOps.oovRate(Tables.documents(s, dir), "doc_id",
+          "text", vocabSize = 16)
+        .orderBy("id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+             |vocab AS (SELECT tok FROM counts ORDER BY c DESC, tok LIMIT 16)
+             |SELECT doc_id AS id, count(*) AS n_tokens,
+             |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_oov
+             |FROM toks LEFT JOIN vocab v USING (tok)
+             |GROUP BY doc_id ORDER BY id""".stripMargin)),
 
     // ---- corpus-boilerplate n-gram density: 2-grams in ≥8% of docs
     // are boilerplate (integer threshold math — exact at any corpus

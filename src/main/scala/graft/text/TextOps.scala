@@ -166,6 +166,33 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Vocabulary coverage / OOV rate — per-document count of token
+    * OCCURRENCES outside the corpus's top-`vocabSize` vocabulary (the
+    * tokenizer-fit health check run before committing a vocab size:
+    * a rising OOV rate on a new source means the vocabulary no longer
+    * covers the mix). Vocabulary = top `vocabSize` tokens by corpus
+    * occurrence count, ties broken by token ascending (total order →
+    * deterministic on any engine).
+    *
+    * Scale shape: one corpus pass builds the vocabulary-sized
+    * (tok, count) table; the top-K is a TakeOrdered over THAT table
+    * (never a corpus sort); the K-row vocab broadcasts back onto the
+    * exploded token stream and the per-doc verdict is one keyed
+    * groupBy(id) with map-side combine. Output: (id, n_tokens, n_oov)
+    * — integer columns only; docs with zero tokens are absent. */
+  def oovRate(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, vocabSize: Int): org.apache.spark.sql.DataFrame = {
+    val toks = graft.Caches.cached(
+      df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok")))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** BPE merge-candidate counts — the inner statistic of byte-pair-
     * encoding tokenizer TRAINING: adjacent character-pair frequencies
     * over the corpus, weighted by word frequency (BPE trains on the

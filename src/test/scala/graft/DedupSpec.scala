@@ -114,6 +114,25 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L))
   }
 
+  test("contaminationOverlap grades overlap per doc; flag is the ≥50% rule") {
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    // benchmark 2-grams: {alpha beta, beta gamma, gamma delta, delta epsilon}
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // all 4 grams hit → 1.0, flagged
+      (2L, "alpha beta zzz yyy xxx www"),     // 1 of 5 grams hit → 0.2, kept
+      (3L, "alpha beta gamma qqq"),           // 2 of 3 → 0.6667, flagged
+      (4L, "totally unrelated words here")    // 0 of 3 → 0.0, kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationOverlap(corpus, benchmark, "doc_id", "text", n = 2)
+      .select("id", "n_grams", "n_hit", "overlap_frac", "contaminated")
+      .as[(Long, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((4L, 4L, 1.0, 1L)))
+    assert(got(2L) == ((5L, 1L, 0.2, 0L)))
+    assert(got(3L) == ((3L, 2L, 0.6667, 1L)))
+    assert(got(4L) == ((3L, 0L, 0.0, 0L)))
+  }
+
   test("dropNearDupsKeepBest keeps the max-score member per cluster, not the min id") {
     // doc 10 (long) and its truncated mirror 20 are near-dups; the
     // HIGHER-id original must survive because it scores higher — the

@@ -125,6 +125,22 @@ class TextOpsSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("oovRate: top-K vocab by count with token-asc ties; occurrences counted") {
+    // counts: aa=4, bb=3, cc=3, dd=1 → vocab(2) = {aa, bb} (bb beats
+    // cc on the token-asc tie-break)
+    val docs = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "aa bb cc dd"),
+      (3L, "aa bb cc")
+    ).toDF("doc_id", "text")
+    val got = TextOps.oovRate(docs, "doc_id", "text", vocabSize = 2)
+      .select("id", "n_tokens", "n_oov").as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4L, 1L))) // cc
+    assert(got(2L) == ((4L, 2L))) // cc dd
+    assert(got(3L) == ((3L, 1L))) // cc
+  }
+
   test("bpePairCounts: word-frequency-weighted adjacent pair counts") {
     import spark.implicits._
     // tf: ab=3 ("ab ab. AB!"), abc=1 → pairs: ab: 3+1, bc: 1
