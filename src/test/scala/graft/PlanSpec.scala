@@ -328,6 +328,24 @@ class PlanSpec extends SparkSpec {
       s"corpus n-grams must never shuffle for the contamination probe:\n$plan")
   }
 
+  test("graded contamination overlap broadcasts the gram set; corpus side stays scan-stage") {
+    val plan = packPlan(graft.queries.PipelineQueries.all, "d22_contam_overlap")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the benchmark gram set broadcast to the corpus scan in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"corpus n-grams must never shuffle for the overlap grading:\n$plan")
+  }
+
+  test("oovRate broadcasts the top-K vocab; per-doc verdict aggregates map-side") {
+    val plan = packPlan(graft.queries.PipelineQueries.all, "t15_oov_rate")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the K-row vocab broadcast onto the token stream in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"vocab membership must be a keyed broadcast probe:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"expected map-side partial aggregation before the id exchange:\n$plan")
+  }
+
   test("p06 shuffle-shard window is keyed by shard — never a single global sort") {
     val plan = packPlan(graft.queries.PipelineQueries.all, "p06_shuffle_shards")
     assert(!plan.contains("SinglePartition"),
