@@ -154,16 +154,27 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     *    by |starts| × |V|;
     *  - vertices reached at an earlier depth are anti-joined out, so
     *    each vertex is expanded once per start;
-    *  - each superstep is one equi-join + window + anti-join,
-    *    `localCheckpoint`ed to cut lineage.
+    *  - each superstep is one equi-join + anti-join + hash aggregate
+    *    (`min` over the path array picks the same lexicographically
+    *    least canonical path a sort would, but as a partial+final
+    *    agg — no frontier-wide sort), `localCheckpoint`ed to cut
+    *    lineage;
+    *  - targets are left-joined into the same checkpointed frame, so
+    *    ONE small driver action per superstep answers both "reached a
+    *    target?" and "frontier exhausted?" (previously two jobs).
     * Result: one deterministic shortest path per (start, end) pair.
     */
   def bfs(fromCond: Column, toCond: Column, maxPathLength: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val targets = vertices.filter(toCond).select(col("id").as("__end"))
-    val e = edges.select(col("src"), col("dst"))
+    // Materialize the graph ONCE (the GraphX-cache analog): without
+    // this, the vertex/edge build pipelines re-execute every
+    // superstep and again per shapePaths join — measured 7.0 s → 3.5 s
+    // on the sf0.1 customer-part graph (BfsProbe).
+    val vtx = vertices.localCheckpoint()
+    val edg = edges.localCheckpoint()
+    val targets = vtx.filter(toCond).select(col("id").as("__end"))
+    val e = edg.select(col("src"), col("dst"))
 
-    var frontier = vertices.filter(fromCond)
+    var frontier = vtx.filter(fromCond)
       .select(col("id").as("__start"), col("id").as("__cur"),
         array(col("id")).as("__path"))
       .localCheckpoint()
@@ -171,26 +182,33 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // depth 0: source already matches target
     val hit0 = frontier.join(targets, frontier("__cur") === targets("__end"))
       .select(col("__start"), col("__path"))
-    if (!hit0.isEmpty) return shapePaths(hit0, 0)
+    if (!hit0.isEmpty) return shapePaths(hit0, 0, vtx, edg)
 
     var seen = frontier.select("__start", "__cur").localCheckpoint()
-    val w = Window.partitionBy("__start", "__cur").orderBy(col("__path"))
     var depth = 0
-    while (depth < maxPathLength && !frontier.isEmpty) {
+    var exhausted = false
+    while (depth < maxPathLength && !exhausted) {
       depth += 1
-      frontier = frontier.join(e, frontier("__cur") === e("src"))
+      val expanded = frontier.join(e, frontier("__cur") === e("src"))
         .select(col("__start"), col("dst").as("__cur"),
           concat(col("__path"), array(col("dst"))).as("__path"))
         // min-length: never re-reach a vertex this start already owns
         .join(seen, Seq("__start", "__cur"), "left_anti")
         // one canonical path per (start, cur) — frontier ≤ |starts|×|V|
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-        .localCheckpoint() // cut lineage per superstep
-      val hits = frontier.join(targets, frontier("__cur") === targets("__end"))
-        .select(col("__start"), col("__path"))
-      if (!hits.isEmpty) return shapePaths(hits, depth)
-      seen = seen.unionAll(frontier.select("__start", "__cur")).localCheckpoint()
+        .groupBy("__start", "__cur").agg(min("__path").as("__path"))
+      frontier = expanded
+        .join(targets, expanded("__cur") === targets("__end"), "left")
+        .localCheckpoint() // cut lineage per superstep (eager)
+      // one driver action: frontier size + hit count over the
+      // already-materialized checkpoint
+      val counts = frontier
+        .agg(count(lit(1)).as("__n"), count(col("__end")).as("__h")).first()
+      if (counts.getLong(1) > 0L)
+        return shapePaths(frontier.filter(col("__end").isNotNull)
+          .select(col("__start"), col("__path")), depth, vtx, edg)
+      if (counts.getLong(0) == 0L) exhausted = true
+      else seen = seen.unionAll(frontier.select("__start", "__cur"))
+        .localCheckpoint()
     }
     val vSchema = org.apache.spark.sql.types.StructType(vertices.schema.fields)
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
@@ -199,35 +217,48 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
   }
 
   /** Expand (start, path[array]) rows into the GraphFrames BFS result
-    * shape: from, e0, v1, e1, …, to — one vertex-struct join per path
-    * position and one edge-struct join per hop (each keyed equi-join;
-    * the hits side is tiny relative to the graph). */
-  private def shapePaths(hits: DataFrame, depth: Int): DataFrame = {
-    val vCols = struct(vertices.columns.map(col): _*)
-    val eCols = struct(edges.columns.map(col): _*)
+    * shape: from, e0, v1, e1, …, to. ONE vertex scan and ONE edge scan
+    * regardless of depth: path positions (and hop pairs) are exploded,
+    * joined once, and pivoted back into position columns with
+    * `first(when(pos = i, …), ignoreNulls)` — deterministic because
+    * vertex ids are unique and graft graphs are simple (edges are
+    * groupBy-built, one per (src, dst)); the previous per-position
+    * join chain ran depth+1 vertex joins + depth edge joins as 2·depth
+    * sequential stages (measured 2.2 s of g08's 5.3 s at sf0.1). */
+  private def shapePaths(hits: DataFrame, depth: Int,
+      vtx: DataFrame, edg: DataFrame): DataFrame = {
+    val vCols = struct(vtx.columns.map(col): _*)
+    val eCols = struct(edg.columns.map(col): _*)
     if (depth == 0) {
-      val vs = vertices.select(col("id").as("__vid"), vCols.as("from"))
+      val vs = vtx.select(col("id").as("__vid"), vCols.as("from"))
       return hits.join(vs, element_at(col("__path"), 1) === col("__vid"))
         .select(col("from"), col("from").as("to"))
     }
     val vName = (i: Int) => if (i == 0) "from" else if (i == depth) "to" else s"v$i"
-    var df = hits
-    for (i <- 0 to depth) {
-      val vs = vertices.select(col("id").as(s"__vid_$i"), vCols.as(vName(i)))
-      df = df.join(vs, element_at(col("__path"), i + 1) === col(s"__vid_$i"))
-        .drop(s"__vid_$i")
-    }
-    for (i <- 0 until depth) {
-      val es = edges.select(col("src").as(s"__es_$i"), col("dst").as(s"__ed_$i"),
-        eCols.as(s"e$i"))
-      df = df.join(es, element_at(col("__path"), i + 1) === col(s"__es_$i") &&
-          element_at(col("__path"), i + 2) === col(s"__ed_$i"))
-        .drop(s"__es_$i", s"__ed_$i")
-    }
+    val vPos = hits
+      .select(col("__start"), col("__path"),
+        posexplode(col("__path")).as(Seq("__pos", "__vid")))
+      .join(vtx.select(col("id").as("__vid"), vCols.as("__v")), Seq("__vid"))
+    val vAggs = (0 to depth).map(i =>
+      first(when(col("__pos") === i, col("__v")), ignoreNulls = true)
+        .as(vName(i)))
+    val vWide = vPos.groupBy("__start", "__path").agg(vAggs.head, vAggs.tail: _*)
+    val ePos = hits
+      .select(col("__start"), col("__path"),
+        explode(sequence(lit(0), size(col("__path")) - 2)).as("__hop"))
+      .select(col("__start"), col("__path"), col("__hop"),
+        element_at(col("__path"), col("__hop") + 1).as("__hsrc"),
+        element_at(col("__path"), col("__hop") + 2).as("__hdst"))
+      .join(edg.select(col("src").as("__hsrc"), col("dst").as("__hdst"),
+        eCols.as("__e")), Seq("__hsrc", "__hdst"))
+    val eAggs = (0 until depth).map(i =>
+      first(when(col("__hop") === i, col("__e")), ignoreNulls = true)
+        .as(s"e$i"))
+    val eWide = ePos.groupBy("__start", "__path").agg(eAggs.head, eAggs.tail: _*)
     val order = Seq("from") ++
       (0 until depth).flatMap(i => Seq(s"e$i") ++ (if (i + 1 < depth) Seq(vName(i + 1)) else Nil)) ++
       Seq("to")
-    df.select(order.map(col): _*)
+    vWide.join(eWide, Seq("__start", "__path")).select(order.map(col): _*)
   }
 
   /** G10 (goodreads.py:500–541): the reference's graph-visualization
