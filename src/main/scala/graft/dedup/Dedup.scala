@@ -540,6 +540,45 @@ object Dedup {
       .withColumn("boiler_ratio", round(col("n_boiler") / col("n_grams"), 4))
   }
 
+  /** Substring-level exact dedup — the suffix-array-style hygiene
+    * pass that catches long repeated substrings at UNALIGNED
+    * positions, which chunk-boundary dedup ([[chunkDedup]]) misses.
+    * Gram-seeded approximation of the suffix-array scan: every
+    * repeated substring of ≥ k tokens is a run of token-k-grams that
+    * each occur more than once in the corpus, so
+    *  1. explode ordered k-grams WITH their token position,
+    *  2. keep grams whose corpus-wide occurrence count is > 1
+    *     (intra-document repeats count — they are equally removable),
+    *  3. merge CONSECUTIVE duplicated gram starts per document into
+    *     maximal spans (gaps-and-islands: pos − row_number collapses
+    *     each run to one group key).
+    * Output: (id, start_tok, end_tok, span_tokens), 0-based inclusive
+    * token positions, every span ≥ k tokens by construction — the
+    * regions a cleaning pass cuts or keeps one copy of.
+    *
+    * Scale shape: gram counting is a keyed partial-agg shuffle
+    * (map-side combine collapses each partition's repeats); the
+    * duplicated-gram set is usually corpus-small and the semi-join
+    * broadcasts under AQE, degrading to a keyed shuffle join — never
+    * all-pairs — when it isn't; the islands window is per-document,
+    * bounded by document length. */
+  def repeatedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(TextOps.ngramsOrdered(col(textCol), k)).as(Seq("pos", "gram")))
+    val dupGrams = grams.groupBy("gram")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).select("gram")
+    grams.join(dupGrams, Seq("gram"), "left_semi")
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("id").orderBy("pos")))
+      .withColumn("__isl", col("pos") - col("__rn"))
+      .groupBy("id", "__isl")
+      .agg(min("pos").cast("long").as("start_tok"),
+        (max("pos") + (k - 1)).cast("long").as("end_tok"))
+      .withColumn("span_tokens", col("end_tok") - col("start_tok") + 1L)
+      .select("id", "start_tok", "end_tok", "span_tokens")
+  }
+
   /** SimHash near-dup pairs: candidates from 4 16-bit bands (a pair
     * within hamming distance 3 must agree on ≥1 band), verified with
     * bit_count(xor) ≤ maxHamming. */

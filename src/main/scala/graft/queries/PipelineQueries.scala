@@ -296,6 +296,33 @@ object PipelineQueries {
              |WHERE exd.doc_id % 10 != 0
              |GROUP BY exd.doc_id ORDER BY id""".stripMargin)),
 
+    // ---- substring-level exact dedup: maximal repeated-substring
+    // spans from duplicated k-gram runs (suffix-array-style hygiene,
+    // catches unaligned repeats chunk dedup misses). Pure integer
+    // output (0-based token positions) — deterministic at any sf.
+    NamedQuery("d23_repeated_substrings",
+      (s, dir) => Dedup.repeatedSubstringSpans(Tables.documents(s, dir),
+          "doc_id", "text", k = 8)
+        .orderBy("id", "start_tok"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS ts FROM documents),
+             |ex AS (SELECT doc_id AS id, i - 1 AS pos,
+             |    array_to_string(ts[i : i + 7], ' ') AS gram
+             |  FROM t, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+             |  WHERE len(ts) >= 8),
+             |dup AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) > 1),
+             |m AS (SELECT id, pos,
+             |    row_number() OVER (PARTITION BY id ORDER BY pos) AS rn
+             |  FROM ex WHERE gram IN (SELECT gram FROM dup)),
+             |sp AS (SELECT id, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM (SELECT id, pos, pos - rn AS isl FROM m)
+             |  GROUP BY id, isl)
+             |SELECT id, CAST(s AS BIGINT) AS start_tok,
+             |  CAST(e AS BIGINT) AS end_tok,
+             |  CAST(e - s + 1 AS BIGINT) AS span_tokens
+             |FROM sp ORDER BY id, start_tok""".stripMargin)),
+
     // ---- incremental-ingest near-dup: a NEW batch (planted replays of
     // every 7th doc) joined against the EXISTING corpus on band
     // hashes — the production dedup shape (batch × index, never

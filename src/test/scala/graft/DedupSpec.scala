@@ -98,6 +98,34 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set((1L, 0L, "a b c"), (1L, 1L, "d e f"), (2L, 1L, "x y z")))
   }
 
+  test("repeatedSubstringSpans finds unaligned cross-doc repeats as maximal spans") {
+    // a 5-token passage planted at DIFFERENT offsets (1 vs 3) — the
+    // unaligned case fixed-boundary chunk dedup cannot catch
+    val passage = "red orange yellow green blue"
+    val docs = Seq(
+      (1L, s"zebra $passage walrus yak"),
+      (2L, s"apple mango kiwi $passage"),
+      (3L, "one two three four five six seven")  // no repeats
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, "doc_id", "text", k = 3)
+      .select("id", "start_tok", "end_tok", "span_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 1: passage at token positions 1..5; doc 2: positions 3..7;
+    // k=3 seeds at the 3 gram starts of the passage merge to one span
+    assert(spans == Set((1L, 1L, 5L, 5L), (2L, 3L, 7L, 5L)))
+  }
+
+  test("repeatedSubstringSpans counts intra-document repeats and splits disjoint runs") {
+    val docs = Seq(
+      (1L, "p q r gap1 gap2 p q r"),  // "p q r" twice WITHIN one doc
+      (2L, "solo tokens only here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSubstringSpans(docs, "doc_id", "text", k = 3)
+      .select("id", "start_tok", "end_tok").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(spans == Set((1L, 0L, 2L), (1L, 5L, 7L)))
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val benchmark = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(

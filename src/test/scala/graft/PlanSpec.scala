@@ -93,6 +93,15 @@ class PlanSpec extends SparkSpec {
       s"near-dup candidates must come from the band equi-join, not all-pairs:\n$plan")
   }
 
+  test("repeated-substring spans use keyed gram joins (no all-pairs)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "d23_repeated_substrings")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"duplicated-gram marking must be a keyed semi-join, not all-pairs:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"gram marking should plan as a semi-join:\n$plan")
+  }
+
   test("semantic decontam is a banded broadcast join (no all-pairs, no corpus shuffle)") {
     import graft.queries.PipelineQueries
     val plan = packPlan(PipelineQueries.all, "d18_semantic_decontam_kept")
