@@ -1054,6 +1054,18 @@ object PipelineQueries {
              |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pairs
              |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin)),
 
+    // ---- iterative BPE trainer: 6 merge rounds (count pairs over
+    // the word-frequency table → merge best → re-segment), the full
+    // tokenizer-training loop on top of t12's single statistic.
+    // Oracle = the same 6 rounds as unrolled CTEs (the g10/g12
+    // pattern); tie-break (cnt DESC, pair ASC) is a total order both
+    // engines share, and the space-joined-segmentation replace is
+    // left-to-right non-overlapping in both.
+    NamedQuery("t16_bpe_merges", (s, dir) =>
+      TextOps.bpeTrain(Tables.documents(s, dir), "text", merges = 6)
+        .orderBy("step"),
+      Some(bpeOracle(6))),
+
     // ---- sliding-window chunking with stride (RAG/embedding
     // pre-chunking; d09's fixed splitter is the dedup sibling):
     // 32-token windows every 16 tokens — consecutive chunks overlap by
@@ -1619,6 +1631,41 @@ object PipelineQueries {
        |flagged AS (
        |  SELECT DISTINCT exd.doc_id FROM exd JOIN bench USING (ng)
        |  WHERE exd.doc_id % 10 != 0)""".stripMargin
+
+  /** Unrolled-CTE oracle for the k-round BPE trainer: s0 = char
+    * segmentations of the word-frequency table; each round i counts
+    * adjacent pairs (pr_i), picks the argmax under the shared total
+    * order (b_i), and applies the merge with a literal replace (s_i+1)
+    * — the exact loop bpeTrain runs. An exhausted round yields an
+    * empty b_i, which empties every later s/b via the cross join, so
+    * both engines stop at the same step. */
+  private def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder(
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |s0 AS (SELECT ' ' || array_to_string(
+        |    list_transform(generate_series(1, len(tok)), i -> substr(tok, i, 1)),
+        |    ' ') || ' ' AS seg, c FROM tf)""".stripMargin)
+    for (i <- 0 until k) {
+      sb ++= s""",
+        |pr$i AS (SELECT x.syms[u.i] || ' ' || x.syms[u.i + 1] AS pair, x.c
+        |  FROM (SELECT string_split(trim(seg), ' ') AS syms, c FROM s$i) x,
+        |       unnest(generate_series(1, len(x.syms) - 1)) AS u(i)),
+        |b$i AS (SELECT CAST($i AS BIGINT) AS step, pair,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM pr$i GROUP BY pair ORDER BY sum(c) DESC, pair LIMIT 1),
+        |s${i + 1} AS (SELECT replace(s.seg, ' ' || b.pair || ' ',
+        |    ' ' || replace(b.pair, ' ', '') || ' ') AS seg, s.c
+        |  FROM s$i s, b$i b)""".stripMargin
+    }
+    sb ++= "\nSELECT step, pair, cnt FROM (" +
+      (0 until k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+    sb.toString
+  }
 
   private[queries] def MhHashes = 16
   private[queries] def MhBands = 4

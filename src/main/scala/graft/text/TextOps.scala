@@ -215,6 +215,60 @@ object TextOps {
       .groupBy("pair").agg(sum("c").as("cnt"))
   }
 
+  /** Iterative BPE trainer — `merges` rounds of the Sennrich et al.
+    * 2016 loop on top of [[bpePairCounts]]'s single statistic: count
+    * adjacent symbol pairs over the word-frequency table, merge the
+    * best pair (max count, ties to the lexicographically least pair —
+    * a total order), re-segment, repeat. Segmentations are the
+    * classic space-joined symbol strings, so applying a merge is ONE
+    * literal string replace (left-to-right non-overlapping in both
+    * Spark and DuckDB — greedy BPE semantics for free).
+    *
+    * Scale shape: the corpus is touched ONCE (the token-frequency
+    * aggregation); every iteration then runs over the VOCABULARY
+    * table (one row per distinct token — corpus-small), and the only
+    * driver traffic per round is the single argmax row (k-bounded by
+    * contract, like MMR's per-step selection). Stops early if no
+    * pairs remain. Output: (step, pair, cnt) — the ranked merge
+    * table a tokenizer ships. */
+  def bpeTrain(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tf = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    var segs = tf.select(
+      concat(lit(" "), concat_ws(" ", expr(
+        "transform(sequence(1, length(tok)), i -> substr(tok, i, 1))")),
+        lit(" ")).as("seg"), col("c"))
+      .localCheckpoint() // vocabulary-sized; cut per-round lineage
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < merges && !exhausted) {
+      val best = segs
+        .withColumn("syms", split(trim(col("seg")), " "))
+        // guard single-symbol rows: sequence(1, 0) counts DOWN
+        .select(explode(expr("CASE WHEN size(syms) < 2" +
+          " THEN array() ELSE transform(sequence(1, size(syms) - 1)," +
+          " i -> concat(syms[i-1], ' ', syms[i])) END")).as("pair"), col("c"))
+        .groupBy("pair").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        merged += ((step.toLong, pair, best(0).getLong(1)))
+        segs = segs.select(
+          org.apache.spark.sql.functions.replace(col("seg"),
+            lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")).as("seg"),
+          col("c"))
+          .localCheckpoint()
+      }
+      step += 1
+    }
+    merged.toSeq.toDF("step", "pair", "cnt")
+  }
+
   /** Sliding-window chunking with stride — the RAG/embedding-pipeline
     * pre-chunking move ([[graft.dedup.Dedup.chunkDedup]]'s fixed,
     * non-overlapping splitter is the dedup sibling): windows of

@@ -150,6 +150,25 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Map("ab" -> 4L, "bc" -> 1L))
   }
 
+  test("bpeTrain: merge order follows max count with lexicographic ties, greedy re-segment") {
+    import spark.implicits._
+    // tf: aaab=2, ab=1. Round 0 pairs: (a,a)=4, (a,b)=3 → merge "a a";
+    // greedy left-to-right re-segment: "a a a b" → "aa a b" (NOT "a aa b").
+    // Round 1: (aa,a)=2, (a,b)=2+1 → merge "a b". Round 2: (aa,ab)=2.
+    val docs = Seq("aaab aaab ab").toDF("text")
+    val got = TextOps.bpeTrain(docs, "text", merges = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, "a a", 4L), (1L, "a b", 3L), (2L, "aa ab", 2L)))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    import spark.implicits._
+    val docs = Seq("ab ab").toDF("text") // one 2-char token: 1 merge possible
+    val got = TextOps.bpeTrain(docs, "text", merges = 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((0L, "a b", 2L)))
+  }
+
   test("slidingChunks: stride windows overlap; short docs emit one window") {
     import spark.implicits._
     val docs = Seq(
