@@ -59,8 +59,13 @@ object Bench {
     // failures are reported, not timed: time-to-exception in the total
     // would let a crash read as a speedup (or a slow failure inflate it)
     val total = results.filter(_._4.isEmpty).map(_._2).sum
+    // cold total = sum of each query's FIRST run — the apples-to-apples
+    // column against rounds 1-5's single-run totals (min-of-2 excludes
+    // per-call cache-build cost by design)
+    val totalCold = results.filter(_._4.isEmpty).map(_._3.head).sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""timing":"min_of_2","queries":$qs,"runs":$runs,""" +
+      s""""timing":"min_of_2","total_cold":${fmt(totalCold)},""" +
+      s""""queries":$qs,"runs":$runs,""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout capture through sbt truncates the HEAD of the (long) full

@@ -53,10 +53,17 @@ object ScaleUp {
       println(s"SCALEUP $name x1 (dimension) -> $out")
     }
 
+    // rotate letters AND digits: the tokenizer keeps [a-z0-9] runs, so
+    // an a-z-only rotation would leave digit tokens (and any shingle
+    // containing one) identical across copies — partially reintroducing
+    // the cross-copy near-dup blowup the rotation exists to prevent
     val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
     def rot(i: Int): String = {
       val k = i % 26
-      alpha.substring(k) + alpha.substring(0, k)
+      val d = i % 10
+      alpha.substring(k) + alpha.substring(0, k) +
+        digits.substring(d) + digits.substring(0, d)
     }
 
     copy("region"); copy("nation")
@@ -75,7 +82,7 @@ object ScaleUp {
     rep("events", (d, i) => d.withColumn("event_id", col("event_id") + i * KE)
       .withColumn("user_id", col("user_id") + i * KU))
     rep("documents", (d, i) => d.withColumn("doc_id", col("doc_id") + i * KD)
-      .withColumn("text", translate(col("text"), alpha, rot(i))))
+      .withColumn("text", translate(col("text"), alpha + digits, rot(i))))
     rep("embeddings", (d, i) => d.withColumn("vec_id", col("vec_id") + i * KV))
     spark.stop()
   }
