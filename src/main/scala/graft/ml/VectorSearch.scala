@@ -33,41 +33,31 @@ object VectorSearch {
       df: DataFrame, key: Vector, n: Int): DataFrame =
     model.approxNearestNeighbors(df, key, n).toDF()
 
-  /** IVF ANN over (id, array<float>) frames.
+  /** IVF ANN over (id, array<float>) frames — SPHERICAL build: the
+    * ranking metric is cosine, so KMeans clusters the UNIT-normalized
+    * corpus (Euclidean cells on the unit sphere = cosine cells) and
+    * queries probe by the same assignment rule
+    * (argmin −2·q̂·cⱼ + cⱼ·cⱼ). On the synthetic corpus the measured
+    * gain over raw-vector KMeans is a few recall points per probe
+    * count (the vectors are already near-isotropic); on a corpus with
+    * magnitude spread the raw build splits cells by NORM, which
+    * cosine ignores — spherical is the principled build for a cosine
+    * index either way.
     *
-    * Build: KMeans(nlist, seed) on the corpus → per-row partition id.
     * Search: each query scores the nlist centroids (tiny, literal
     * arrays), probes its `nprobe` nearest partitions, and ranks only
-    * those partitions' vectors by exact cosine. All declarative —
-    * centroid scoring and partition pruning happen in codegen'd
-    * expressions; the only shuffle is the partition-id equi-join.
-    * Output: (query_id, neighbor_id, cos, rank ≤ k).
+    * those partitions' vectors by exact cosine of the ORIGINAL
+    * vectors. All declarative — centroid scoring and partition
+    * pruning happen in codegen'd expressions; the only shuffle is the
+    * partition-id equi-join. Output: (query_id, neighbor_id, cos,
+    * rank ≤ k).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 1L): DataFrame = {
-    val c = corpus.toDF("neighbor_id", "cv")
+    val (assigned, centroids) = sphericalIndex(corpus, nlist, seed)
     val q = queries.toDF("query_id", "qv")
-
-    val withVec = c.withColumn("__v", array_to_vector(col("cv")))
-    val km = new KMeans().setK(nlist).setSeed(seed)
-      .setFeaturesCol("__v").setPredictionCol("part")
-      .fit(withVec)
-    val assigned = km.transform(withVec).select("neighbor_id", "cv", "part")
-
-    // float literals: Similarity's dot is a codegen'd array<float>
-    // expression (graft.functions.FloatDot)
-    val centroids: Seq[(Int, Array[Float])] =
-      km.clusterCenters.toSeq.zipWithIndex.map { case (v, i) =>
-        (i, v.toArray.map(_.toFloat))
-      }
-
-    // per-query centroid scores -> array<struct(cos,part)> -> top nprobe
-    val scored = array(centroids.map { case (i, arr) =>
-      struct(Similarity.cosine(col("qv"), lit(arr)).as("cos"), lit(i).as("part"))
-    }: _*)
-    val probes = slice(reverse(array_sort(scored)), 1, nprobe)
-    val qProbed = q.withColumn("part", explode(probes.getField("part")))
-
+    val qProbed = q.withColumn("part",
+      explode(probeParts(col("qv"), centroids, nprobe)))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     qProbed.join(assigned, Seq("part"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -75,5 +65,95 @@ object VectorSearch {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** Spherical IVF build: KMeans over unit-normalized vectors. Returns
+    * the cached (neighbor_id, cv, part) assignment and the centroid
+    * float literals. */
+  private def sphericalIndex(corpus: DataFrame, nlist: Int, seed: Long)
+      : (DataFrame, Seq[(Int, Array[Float])]) = {
+    val c = corpus.toDF("neighbor_id", "cv")
+    // norm materialized BEFORE the per-element divide so the lambda
+    // doesn't recompute it dim times per row
+    val withVec = c.withColumn("__n", Similarity.norm(col("cv")))
+      .withColumn("__v", array_to_vector(
+        when(col("__n") > 0, expr("transform(cv, x -> x / __n)"))
+          .otherwise(col("cv"))))
+    val km = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("__v").setPredictionCol("part")
+      .fit(withVec)
+    val assigned = graft.Caches.cached(
+      km.transform(withVec).select("neighbor_id", "cv", "part"))
+    // float literals: Similarity's dot is a codegen'd array<float>
+    // expression (graft.functions.FloatDot)
+    val centroids = km.clusterCenters.toSeq.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat))
+    }
+    (assigned, centroids)
+  }
+
+  /** The `nprobe` nearest partitions of a query under the ASSIGNMENT
+    * rule (Euclidean to centroids of the unit-normalized query —
+    * probing must rank cells the same way vectors were assigned to
+    * them, or the probe set misses the query's own cell ordering). */
+  private def probeParts(qv: Column, centroids: Seq[(Int, Array[Float])],
+      nprobe: Int): Column = {
+    val qn = Similarity.norm(qv)
+    val scored = array(centroids.map { case (i, arr) =>
+      val cc = arr.map(x => x.toDouble * x).sum
+      // zero-norm guard: a degenerate query treats q̂·c as 0 (ranks
+      // cells by centroid norm alone) instead of poisoning the sort
+      // with nulls
+      val qdot = when(qn > 0, Similarity.dot(qv, lit(arr)) / qn).otherwise(lit(0.0))
+      struct((lit(-2.0) * qdot + lit(cc)).as("d"), lit(i).as("part"))
+    }: _*)
+    slice(array_sort(scored), 1, nprobe).getField("part")
+  }
+
+  /** Probe-count recall sweep on the TRAINED-centroid IVF path — the
+    * KMeans twin of graft.similarity.Similarity.ivfProbeSweep (same
+    * output shape, same audit-vs-brute-force contract; rows-only at
+    * the gate because trained cluster assignments are not
+    * SQL-replayable). KMeans is fit ONCE; each sweep point re-probes
+    * against the cached assignment.
+    *
+    * Measured at sf0.1 (2 000 × 64-d vectors, k = 10, spherical
+    * build, tools.IvfProbe): nlist 16 → recall 0.235 / 0.425 / 0.645
+    * / 0.845 / 0.905 at nprobe 1 / 2 / 4 / 8 / 10; nlist 8 → 0.94 at
+    * nprobe 6. The raw-vector build measured 0.215 / 0.395 / 0.585 /
+    * 0.845 at nprobe 1 / 2 / 4 / 8. These synthetic embeddings are
+    * ISOTROPIC — no cluster structure, IVF's worst case — so the
+    * pruning ratio is poor by construction; a real embedding corpus
+    * with topical clusters probes far fewer cells for the same
+    * recall. MEASURED DEFAULT at this corpus shape: nlist = 16,
+    * nprobe = 10 (recall 0.905 ≥ 0.9, scanning ~10/16 of the
+    * corpus) — i.e. on data this isotropic, IVF buys little over
+    * brute force, and the sweep is what says so. */
+  def ivfProbeSweepTrained(queries: DataFrame, corpus: DataFrame, k: Int,
+      nlist: Int, nprobes: Seq[Int], seed: Long): DataFrame = {
+    val (assigned, centroids) = sphericalIndex(corpus, nlist, seed)
+    val q = queries.toDF("query_id", "qv")
+    val exact = graft.Caches.cached(
+      Similarity.bruteForceTopK(queries, corpus, k)
+        .select("query_id", "neighbor_id"))
+    nprobes.map { np =>
+      val qProbed = q.withColumn("part",
+        explode(probeParts(col("qv"), centroids, np)))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val apx = qProbed.join(assigned, Seq("part"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(Similarity.cosine(col("qv"), col("cv")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id")
+      Similarity.recallAudit(exact, apx, k)
+        .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("total_hits"),
+          min("n_hits").as("min_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("total_hits"), col("min_hits"),
+          round(col("total_hits") / (col("n_queries") * k.toDouble), 4)
+            .as("avg_recall"))
+    }.reduce(_ unionByName _)
   }
 }

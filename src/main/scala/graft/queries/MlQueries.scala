@@ -121,6 +121,21 @@ object MlQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- IVF probe-count recall sweep on the TRAINED-centroid path
+    // (KMeans — the production IVF build): recall@10 vs brute force
+    // for nprobe ∈ {1,2,4,8}, one KMeans fit shared across the sweep.
+    // Rows-only (trained assignments aren't SQL-replayable); its
+    // oracle-checked twin is s14_ivf_probe_sweep (fixed centroids,
+    // same audit mechanics). The grid includes nprobe = 10 — the
+    // measured ≥0.9-recall default on this (isotropic, IVF-worst-
+    // case) corpus; see VectorSearch.ivfProbeSweepTrained.
+    NamedQuery("m14_ivf_probe_sweep_trained", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      VectorSearch.ivfProbeSweepTrained(emb.filter(col("vec_id") < 20), emb,
+          k = 10, nlist = 16, nprobes = Seq(1, 2, 4, 8, 10), seed = 1L)
+        .orderBy("nprobe")
+    }),
+
     // ---- ALS closed-form check: fit on a tiny rank-1 synthetic
     // ratings matrix (r_ui = a_u·b_i with known factors) — a rank-2
     // model must reconstruct every observed entry within tolerance, so

@@ -1410,6 +1410,23 @@ object PipelineQueries {
              |  ON ex.query_id = apx.query_id AND ex.neighbor_id = apx.neighbor_id
              |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin)),
 
+    // ---- IVF probe-count recall sweep (fixed hyperplane centroids —
+    // the oracle-replayable path): recall@10 vs brute force for
+    // nprobe ∈ {1,2,4,8}. Pins the recall/latency trade-off the IVF
+    // default rides on; integer hit counts + one single-division
+    // ratio keep the hash engine-stable. The trained-KMeans twin is
+    // m14 (rows-only).
+    NamedQuery("s14_ivf_probe_sweep",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        Similarity.ivfProbeSweep(emb.filter(col("vec_id") < 20), emb,
+            k = 10, dim = 64, nlist = IvfLists, nprobes = Seq(1, 2, 4, 8),
+            seed = 7L)
+          .orderBy("nprobe")
+      },
+      Some(ivfProbeSweepOracle(dim = 64, nlist = IvfLists, k = 10,
+        nprobes = Seq(1, 2, 4, 8), seed = 7L))),
+
     // ---- Gopher-style rule-flag quality filter: one 0/1 verdict per
     // rule (token band / mean-word-length band / stopword hits) plus
     // the conjunction — the audit view a data mix needs before
@@ -1826,6 +1843,70 @@ object PipelineQueries {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Sweep oracle for s14: the ivfFixedOracle CTE chain (shared
+    * centroid/assignment CTEs), an exact brute-force top-k CTE, and a
+    * probes→scored→ranked→recall chain PER probe count, unioned. */
+  private def ivfProbeSweepOracle(dim: Int, nlist: Int, k: Int,
+      nprobes: Seq[Int], seed: Long): String = {
+    val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, seed)
+    val centsSql = cents.zipWithIndex.map { case (c, j) =>
+      val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+      val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+      s"SELECT $j AS j, CAST($lst AS DOUBLE[]) AS c, CAST($self AS DOUBLE) AS cc2"
+    }.mkString("\n  UNION ALL ")
+    val shared =
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |cents AS (
+         |  $centsSql),
+         |nrm AS (SELECT vec_id, sqrt(${dotSql("v", "v")}) AS nm FROM e),
+         |dists AS (SELECT e.vec_id, cents.j,
+         |    -2.0 * ${dotSql("e.v", "cents.c")} + cents.cc2 AS d
+         |  FROM e CROSS JOIN cents),
+         |assign AS (SELECT vec_id, j + 1 AS cluster FROM (
+         |    SELECT vec_id, j, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d, j) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |pranks AS (SELECT vec_id AS query_id, j + 1 AS cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS pr
+         |  FROM dists WHERE vec_id < 20),
+         |bscored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${dotSql("q.v", "c.v")} / (nq.nm * nc.nm), 6) AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+         |  JOIN nrm nq ON q.vec_id = nq.vec_id
+         |  JOIN nrm nc ON c.vec_id = nc.vec_id),
+         |bex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM bscored) WHERE rank <= $k)""".stripMargin
+    val perNp = nprobes.map { np =>
+      s""",
+         |scored_$np AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(${dotSql("eq.v", "ec.v")} / (nq.nm * nc.nm), 6) AS cos
+         |  FROM pranks p JOIN assign a ON p.cluster = a.cluster
+         |    AND p.query_id <> a.vec_id AND p.pr <= $np
+         |  JOIN e eq ON p.query_id = eq.vec_id JOIN e ec ON a.vec_id = ec.vec_id
+         |  JOIN nrm nq ON p.query_id = nq.vec_id JOIN nrm nc ON a.vec_id = nc.vec_id),
+         |apx_$np AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored_$np) WHERE rank <= $k),
+         |rec_$np AS (SELECT bex.query_id, count(apx_$np.neighbor_id) AS n_hits
+         |  FROM bex LEFT JOIN apx_$np
+         |    ON bex.query_id = apx_$np.query_id
+         |    AND bex.neighbor_id = apx_$np.neighbor_id
+         |  GROUP BY bex.query_id),
+         |agg_$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+         |    count(*) AS n_queries, CAST(sum(n_hits) AS BIGINT) AS total_hits,
+         |    CAST(min(n_hits) AS BIGINT) AS min_hits,
+         |    round(sum(n_hits) / ($k.0 * count(*)), 4) AS avg_recall
+         |  FROM rec_$np)""".stripMargin
+    }.mkString
+    shared + perNp + "\nSELECT * FROM (" +
+      nprobes.map(np => s"SELECT * FROM agg_$np").mkString(" UNION ALL ") +
+      ") ORDER BY nprobe"
   }
 
   private def dotSql(a: String, b: String) =

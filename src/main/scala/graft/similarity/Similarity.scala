@@ -51,6 +51,29 @@ object Similarity {
       .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
       .withColumn("recall", round(col("n_hits") / k.toDouble, 4))
 
+  /** IVF probe-count recall sweep — pins the recall/latency trade-off
+    * instead of assuming it: for each candidate `nprobe`, run
+    * [[ivfFixedTopK]] and audit it against the exact brute-force
+    * top-k. Output one row per probe count:
+    * (nprobe, n_queries, total_hits, min_hits, avg_recall) — integer
+    * counts plus one single-division ratio, so the row hashes
+    * identically on any engine. The exact set is computed ONCE and
+    * cached; each sweep point re-probes only. */
+  def ivfProbeSweep(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, nlist: Int, nprobes: Seq[Int], seed: Long): DataFrame = {
+    val exact = graft.Caches.cached(
+      bruteForceTopK(queries, corpus, k).select("query_id", "neighbor_id"))
+    nprobes.map { np =>
+      recallAudit(exact, ivfFixedTopK(queries, corpus, k, dim, nlist, np, seed), k)
+        .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("total_hits"),
+          min("n_hits").as("min_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("total_hits"), col("min_hits"),
+          round(col("total_hits") / (col("n_queries") * k.toDouble), 4)
+            .as("avg_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-label embedding-norm hygiene report (Tukey fences): Q1/Q3 by
     * RANK per label over 6dp-rounded norms, outlier = norm outside
     * [q1 − 1.5·iqr, q3 + 1.5·iqr]. Order statistics on rounded values

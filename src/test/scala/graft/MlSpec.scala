@@ -78,6 +78,20 @@ class MlSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
 
+  test("IVF probe sweep: recall is monotone in nprobe and exact at full probe") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 10)
+    val sweep = VectorSearch.ivfProbeSweepTrained(q, emb, k = 5,
+        nlist = 8, nprobes = Seq(1, 2, 4, 8), seed = 1L)
+      .orderBy("nprobe")
+      .select("nprobe", "avg_recall").as[(Long, Double)].collect().toSeq
+    assert(sweep.map(_._1) == Seq(1L, 2L, 4L, 8L))
+    assert(sweep.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall must not decrease with more probes: $sweep")
+    // probing every cell IS brute force — recall exactly 1
+    assert(sweep.last._2 == 1.0, s"full probe must be exact: $sweep")
+  }
+
   test("PIC assigns clusters over the rating graph") {
     val g = graph.PropertyGraph.customerPartGraph(spark, sf)
     val assign = Clustering.pic(g.edges.select("src", "dst", "weight"), k = 5, maxIter = 5)
