@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * cardinalities scale linearly — fact tables, documents and
   * embeddings grow COPIES×, dimension tables (region/nation) stay.
   *
-  * Document text is Caesar-rotated per copy (translate over [a-z]):
-  * identical text across copies would plant COPIES·(COPIES·2−1) real
-  * near-dup pairs per document — a quadratic-in-duplication semantic
-  * blowup that would make the dedup queries measure duplicate-volume
-  * growth, not corpus-size scaling. Rotation keeps per-copy token
-  * statistics (lengths, frequencies) while making cross-copy shingle
-  * sets disjoint.
+  * Document text is Caesar-rotated per copy (translate over [a-z0-9] —
+  * digits included, because the tokenizer keeps [a-z0-9] runs and an
+  * a-z-only rotation would leave digit-bearing shingles identical
+  * across copies): identical text across copies would plant
+  * COPIES·(COPIES·2−1) real near-dup pairs per document — a
+  * quadratic-in-duplication semantic blowup that would make the dedup
+  * queries measure duplicate-volume growth, not corpus-size scaling.
+  * Rotation keeps per-copy token statistics (lengths, frequencies)
+  * while making cross-copy shingle sets disjoint.
   *
   * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies>
   */
