@@ -1036,6 +1036,41 @@ object PipelineQueries {
              |         - greatest(seq_id * 512, cum)) AS BIGINT) AS n_tokens
              |FROM spans GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin)),
 
+    // ---- token-budget corpus selection: greedy best-quality-first
+    // until a 20k-token budget is spent. Score = distinct-stopword
+    // hits (0..10, the sw07 list) — deliberately coarse, so the
+    // per-score histogram that replaces the naive global ordered
+    // cumsum stays tiny; only the single score group straddling the
+    // budget pays a window. Oracle = the naive global-window form —
+    // same selected set, which is exactly the point.
+    NamedQuery("p14_budget_select", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.budgetSelect(docs, "doc_id",
+          scoreCol = size(array_intersect(
+            array_distinct(TextOps.tokens(col("text"))),
+            typedLit(TextOps.langMarkers.head._2))),
+          weightCol = TextOps.tokenCount(col("text")),
+          budget = 20000L)
+        .select(col("id").as("doc_id"), col("score"), col("w").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |m AS (SELECT doc_id,
+             |    CAST(len(list_intersect(list_distinct(ts),
+             |      ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']))
+             |      AS BIGINT) AS score,
+             |    CAST(len(ts) AS BIGINT) AS n_tokens
+             |  FROM t),
+             |c AS (SELECT *,
+             |    coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM m)
+             |SELECT doc_id, score, n_tokens FROM c
+             |WHERE cum < 20000 ORDER BY doc_id""".stripMargin)),
+
     // ---- BPE merge-candidate counts (tokenizer-training inner loop):
     // adjacent char-pair frequencies weighted by word frequency — one
     // corpus pass to the vocab table, pair explode over the VOCAB only.
@@ -1065,6 +1100,48 @@ object PipelineQueries {
       TextOps.bpeTrain(Tables.documents(s, dir), "text", merges = 6)
         .orderBy("step"),
       Some(bpeOracle(6))),
+
+    // ---- BPE encode: apply the 6 trained merges back to the corpus
+    // and count subword pieces per doc — the corpus-budget statistic.
+    // The encode is a token-explode joined to the BROADCAST vocab
+    // segmentation table (training already segmented every distinct
+    // token), never a per-document merge replay.
+    NamedQuery("t17_bpe_encoded_counts", (s, dir) =>
+      TextOps.bpeEncodedCounts(Tables.documents(s, dir), "doc_id", "text",
+          merges = 6)
+        .orderBy("id"),
+      Some(bpeEncodeOracle(6))),
+
+    // ---- bigram-LM surprisal (conditional sibling of t06): per-doc
+    // mean -ln p(w2|w1) under add-one smoothing — the self-hosted
+    // KenLM-shaped fluency score; both tails (formulaic / gibberish)
+    // get cut in quality filtering. Bigram counts join on the (w1,w2)
+    // KEY (bigram vocab grows with the corpus — never broadcast);
+    // unigram table + V broadcast.
+    NamedQuery("t18_bigram_surprisal", (s, dir) =>
+      TextOps.bigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("id"),
+      Some("""WITH t AS (
+             |  SELECT doc_id AS id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |toks AS (SELECT id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+             |  FROM t),
+             |big AS (SELECT a.id, a.tok AS w1, b.tok AS w2
+             |  FROM toks a JOIN toks b ON a.id = b.id AND b.i = a.i + 1),
+             |uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+             |vv AS (SELECT count(*) AS v FROM uni),
+             |c2 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+             |sc AS (
+             |  SELECT big.id, count(*) AS n_bigrams,
+             |    round(-avg(ln((c12 + 1.0) / (c1 + v))), 4) AS surprisal
+             |  FROM big JOIN c2 USING (w1, w2)
+             |    JOIN uni ON big.w1 = uni.tok CROSS JOIN vv
+             |  GROUP BY big.id)
+             |SELECT t.id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+             |  coalesce(sc.surprisal, 0.0) AS surprisal
+             |FROM t LEFT JOIN sc USING (id) ORDER BY id""".stripMargin)),
 
     // ---- sliding-window chunking with stride (RAG/embedding
     // pre-chunking; d09's fixed splitter is the dedup sibling):
@@ -1649,21 +1726,22 @@ object PipelineQueries {
        |  SELECT DISTINCT exd.doc_id FROM exd JOIN bench USING (ng)
        |  WHERE exd.doc_id % 10 != 0)""".stripMargin
 
-  /** Unrolled-CTE oracle for the k-round BPE trainer: s0 = char
+  /** Shared unrolled CTEs for the k-round BPE trainer: s0 = char
     * segmentations of the word-frequency table; each round i counts
     * adjacent pairs (pr_i), picks the argmax under the shared total
     * order (b_i), and applies the merge with a literal replace (s_i+1)
     * — the exact loop bpeTrain runs. An exhausted round yields an
-    * empty b_i, which empties every later s/b via the cross join, so
-    * both engines stop at the same step. */
-  private def bpeOracle(k: Int): String = {
+    * empty b_i; the LEFT-JOIN-ON-TRUE carry then keeps s_{i+1} = s_i
+    * (frozen, like the Scala loop's early stop) while every later b
+    * stays empty. */
+  private def bpeCtes(k: Int): String = {
     val sb = new StringBuilder(
-      """WITH toks AS (
+      """toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                            x -> len(x) > 0)) AS tok
         |  FROM documents),
         |tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
-        |s0 AS (SELECT ' ' || array_to_string(
+        |s0 AS (SELECT tok, ' ' || array_to_string(
         |    list_transform(generate_series(1, len(tok)), i -> substr(tok, i, 1)),
         |    ' ') || ' ' AS seg, c FROM tf)""".stripMargin)
     for (i <- 0 until k) {
@@ -1674,15 +1752,37 @@ object PipelineQueries {
         |b$i AS (SELECT CAST($i AS BIGINT) AS step, pair,
         |    CAST(sum(c) AS BIGINT) AS cnt
         |  FROM pr$i GROUP BY pair ORDER BY sum(c) DESC, pair LIMIT 1),
-        |s${i + 1} AS (SELECT replace(s.seg, ' ' || b.pair || ' ',
-        |    ' ' || replace(b.pair, ' ', '') || ' ') AS seg, s.c
-        |  FROM s$i s, b$i b)""".stripMargin
+        |s${i + 1} AS (SELECT s.tok,
+        |    CASE WHEN b.pair IS NULL THEN s.seg
+        |         ELSE replace(s.seg, ' ' || b.pair || ' ',
+        |              ' ' || replace(b.pair, ' ', '') || ' ') END AS seg, s.c
+        |  FROM s$i s LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
-    sb ++= "\nSELECT step, pair, cnt FROM (" +
-      (0 until k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
-      ") ORDER BY step"
     sb.toString
   }
+
+  private def bpeOracle(k: Int): String =
+    "WITH " + bpeCtes(k) + "\nSELECT step, pair, cnt FROM (" +
+      (0 until k).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
+
+  /** Encode oracle (t17): join every document token to its trained
+    * segmentation (s_k) and count pieces; tokenless docs emit 0/0. */
+  private def bpeEncodeOracle(k: Int): String =
+    "WITH " + bpeCtes(k) +
+      s""",
+        |dtoks AS (SELECT doc_id AS id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |enc AS (SELECT d.id, count(*) AS n_tokens,
+        |    CAST(sum(len(string_split(trim(s.seg), ' '))) AS BIGINT) AS n_pieces
+        |  FROM dtoks d JOIN s$k s USING (tok) GROUP BY d.id)
+        |SELECT doc_id AS id,
+        |  CAST(coalesce(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(enc.n_pieces, 0) AS BIGINT) AS n_pieces
+        |FROM documents LEFT JOIN enc ON documents.doc_id = enc.id
+        |ORDER BY id""".stripMargin
 
   private[queries] def MhHashes = 16
   private[queries] def MhBands = 4

@@ -150,6 +150,49 @@ object Sampling {
         (col("__r") + 1).cast("int").as("sample_rank"))
   }
 
+  /** Token-budget corpus selection — greedy "best score first until
+    * the budget is spent", the final assembly step of a curation
+    * pipeline ("give me the top-quality ~20M tokens for this mix").
+    * A row is selected iff the total weight of all strictly-better
+    * rows (higher `score`, then lower `id` among equals) is still
+    * below `budget` — so the budget overshoots by at most one row,
+    * and the selected set is a deterministic function of the corpus.
+    *
+    * Scale shape: the naive form is a GLOBAL ordered cumulative sum —
+    * a total-order sort of the corpus. This instead (a) aggregates
+    * per-score weight totals (score-cardinality rows, tiny — scores
+    * are coarse by construction), (b) broadcasts the per-score prefix
+    * sums back, so full-in-budget score groups pass with a scan-stage
+    * filter, and (c) pays a keyed window ONLY inside the single
+    * boundary score group that straddles the budget. Returns
+    * (id, score, w) for the selected rows. */
+  def budgetSelect(df: DataFrame, idCol: String, scoreCol: Column,
+      weightCol: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(idCol).cast("long").as("id"),
+      scoreCol.cast("long").as("score"), weightCol.cast("long").as("w"))
+    // per-score totals + weight of all STRICTLY better score groups;
+    // score cardinality is small (coarse quality buckets), so this
+    // window sorts a tiny aggregate, never the corpus
+    val wS = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = rows.groupBy("score").agg(sum("w").as("__sw"))
+      .withColumn("__before", coalesce(sum("__sw").over(wS), lit(0L)))
+    val ann = rows.join(broadcast(cum), "score")
+    // groups fully inside the budget: every row's strictly-better
+    // prefix is < budget, no per-row ordering needed
+    val full = ann.filter(col("__before") + col("__sw") <= budget)
+    // the one group straddling the budget pays a window over itself
+    val wB = Window.partitionBy("score").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = ann
+      .filter(col("__before") < budget && col("__before") + col("__sw") > budget)
+      .withColumn("__p", coalesce(sum("w").over(wB), lit(0L)))
+      .filter(col("__before") + col("__p") < budget)
+      .drop("__p")
+    full.unionByName(boundary).select("id", "score", "w")
+  }
+
   def upsample(df: DataFrame, weightCol: Column): DataFrame =
     df.withColumn("copy_no", explode(
       when(weightCol >= 1, sequence(lit(1), weightCol))

@@ -166,6 +166,52 @@ object TextOps {
         count(lit(1)).as("n_tokens"))
   }
 
+  /** Bigram-LM surprisal — the conditional sibling of
+    * [[unigramSurprisal]], and the cheapest "KenLM-shaped" fluency
+    * score a corpus pipeline can self-host: per document, the mean
+    * negative log of p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + V) — add-one
+    * smoothing over the corpus vocabulary V — across the document's
+    * bigram positions. Repetitive or formulaic text scores LOW
+    * (predictable transitions), gibberish scores HIGH; both tails get
+    * cut in quality filtering. Documents with < 2 tokens have no
+    * bigram evidence and emit (0 bigrams, 0.0 surprisal).
+    *
+    * Scale shape: bigrams come from an array transform in the scan
+    * stage (no positional self-join of the token stream); the bigram
+    * count table is corpus-bigram-vocabulary-sized and joins back on
+    * the (w1, w2) key — a keyed shuffle, NOT broadcast, because bigram
+    * vocabularies grow with the corpus; the unigram table and the
+    * scalar V are broadcast. Surprisal rounds to 4 dp (doubles summed
+    * in engine-dependent order). */
+  def bigramSurprisal(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val ts = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+    val bigs = graft.Caches.cached(
+      ts.filter(size(col("__ts")) >= 2)
+        .select(col("id"), explode(expr(
+          """transform(sequence(1, size(__ts) - 1),
+            |  i -> struct(element_at(__ts, i) AS w1,
+            |              element_at(__ts, i + 1) AS w2))""".stripMargin))
+          .as("bg"))
+        .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+    val uni = ts.select(explode(col("__ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val c2 = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val scored = bigs.join(c2, Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+      .crossJoin(broadcast(v))
+      .withColumn("__logp",
+        log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+      .groupBy("id")
+      .agg(round(-avg("__logp"), 4).as("surprisal"),
+        count(lit(1)).as("n_bigrams"))
+    ts.select("id").join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
+  }
+
   /** Vocabulary coverage / OOV rate — per-document count of token
     * OCCURRENCES outside the corpus's top-`vocabSize` vocabulary (the
     * tokenizer-fit health check run before committing a vocab size:
@@ -235,9 +281,30 @@ object TextOps {
       merges: Int): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    bpeLoop(df, textCol, merges)._1.toDF("step", "pair", "cnt")
+  }
+
+  /** The shared BPE training loop: returns (merge table, final
+    * per-token segmentations (tok, seg, c)). [[bpeTrain]] publishes
+    * the merges; [[bpeEncodedCounts]] joins the segmentations back
+    * onto the corpus. Memoized per (session, input plan, rounds) —
+    * the trainer and the encoder run over the same corpus in one
+    * sweep, and training is the dominant cost of both. */
+  private def bpeLoop(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int)
+      : (Seq[(Long, String, Long)], org.apache.spark.sql.DataFrame) =
+    graft.Memo.obj(df.sparkSession, "bpeLoop|" +
+      df.queryExecution.analyzed.canonicalized.semanticHash() +
+      s"|$textCol|$merges") {
+      bpeLoopUncached(df, textCol, merges)
+    }
+
+  private def bpeLoopUncached(df: org.apache.spark.sql.DataFrame,
+      textCol: String, merges: Int)
+      : (Seq[(Long, String, Long)], org.apache.spark.sql.DataFrame) = {
     val tf = df.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    var segs = tf.select(
+    var segs = tf.select(col("tok"),
       concat(lit(" "), concat_ws(" ", expr(
         "transform(sequence(1, length(tok)), i -> substr(tok, i, 1))")),
         lit(" ")).as("seg"), col("c"))
@@ -258,7 +325,7 @@ object TextOps {
       else {
         val pair = best(0).getString(0)
         merged += ((step.toLong, pair, best(0).getLong(1)))
-        segs = segs.select(
+        segs = segs.select(col("tok"),
           org.apache.spark.sql.functions.replace(col("seg"),
             lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")).as("seg"),
           col("c"))
@@ -266,7 +333,30 @@ object TextOps {
       }
       step += 1
     }
-    merged.toSeq.toDF("step", "pair", "cnt")
+    (merged.toSeq, segs)
+  }
+
+  /** BPE ENCODE — apply a freshly-trained merge table to the corpus
+    * and count the resulting subword pieces per document: the
+    * "how many tokens will training see" statistic every corpus
+    * budget is planned against. The scale-right encode is a JOIN, not
+    * per-document replay: training already produced the final
+    * segmentation of every DISTINCT token, so encoding is one corpus
+    * token explode joined to the (vocabulary-sized, broadcastable)
+    * tok→pieces table. Docs with no tokens emit (0, 0). Output:
+    * (id, n_tokens, n_pieces), integers only. */
+  def bpeEncodedCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Int): org.apache.spark.sql.DataFrame = {
+    val (_, segs) = bpeLoop(df, textCol, merges)
+    val pieces = segs.select(col("tok"),
+      size(split(trim(col("seg")), " ")).cast("long").as("__np"))
+    val counts = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .join(broadcast(pieces), "tok")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__np").as("n_pieces"))
+    df.select(col(idCol).as("id")).join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
   }
 
   /** Sliding-window chunking with stride — the RAG/embedding-pipeline

@@ -157,4 +157,24 @@ class SamplingSpec extends SparkSpec {
     assert(bySeq == Map(("A", 0L) -> 4L, ("A", 1L) -> 4L, ("A", 2L) -> 4L,
       ("B", 0L) -> 2L))
   }
+
+  test("budgetSelect: best-score-first, boundary row admitted while budget unspent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // score 3: ids 1,2 (w 10, 10); score 2: ids 3,4 (w 15, 50); score 1: id 5
+    val rows = Seq((1L, 3L, 10L), (2L, 3L, 10L), (3L, 2L, 15L),
+      (4L, 2L, 50L), (5L, 1L, 100L)).toDF("doc_id", "s", "w")
+    def sel(b: Long) =
+      Sampling.budgetSelect(rows, "doc_id", col("s"), col("w"), b)
+        .as[(Long, Long, Long)].collect().map(_._1).toSet
+    // budget 30: score-3 group (20) fully in; id 3 enters at cum 20 < 30
+    // (overshoots to 35 — allowed, budget was unspent); id 4 at 35 ≥ 30 out
+    assert(sel(30L) == Set(1L, 2L, 3L))
+    // budget 20: score-3 group consumes it exactly; cum 20 not < 20
+    assert(sel(20L) == Set(1L, 2L))
+    // budget 1000: everything fits
+    assert(sel(1000L) == Set(1L, 2L, 3L, 4L, 5L))
+    // budget 5: only the first row of the best group
+    assert(sel(5L) == Set(1L))
+  }
 }

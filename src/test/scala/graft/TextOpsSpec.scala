@@ -141,6 +141,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L))) // cc
   }
 
+  test("bigramSurprisal: add-one smoothed conditional logp; short docs emit 0/0") {
+    import spark.implicits._
+    // uni: a=3, b=3, x=1, V=3; bigrams (a,b)=2, (b,a)=2 →
+    // p(b|a) = (2+1)/(3+3) = 0.5 = p(a|b) → surprisal ln 2 = 0.6931
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisal(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 3L, 0.6931), (2L, 1L, 0.6931),
+      (3L, 0L, 0.0), (4L, 0L, 0.0)))
+  }
+
   test("bpePairCounts: word-frequency-weighted adjacent pair counts") {
     import spark.implicits._
     // tf: ab=3 ("ab ab. AB!"), abc=1 → pairs: ab: 3+1, bc: 1
@@ -159,6 +171,22 @@ class TextOpsSpec extends SparkSpec {
     val got = TextOps.bpeTrain(docs, "text", merges = 3)
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((0L, "a a", 4L), (1L, "a b", 3L), (2L, "aa ab", 2L)))
+  }
+
+  test("bpeEncodedCounts: pieces counted under the trained segmentation; empty doc 0/0") {
+    import spark.implicits._
+    // after the 3 trained rounds ("a a", "a b", "aa ab" — see the
+    // bpeTrain test) both vocab tokens collapse to ONE piece:
+    // aaab -> [aaab], ab -> [ab]; so "aaab aaab ab" = 3 tokens,
+    // 1+1+1 = 3 pieces. With merges = 2 the third round never runs:
+    // aaab -> [aa, ab] (2 pieces), ab -> [ab] -> 2+2+1 = 5.
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "")).toDF("doc_id", "text")
+    val got3 = TextOps.bpeEncodedCounts(docs, "doc_id", "text", merges = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got3 == Set((1L, 3L, 3L), (2L, 0L, 0L)))
+    val got2 = TextOps.bpeEncodedCounts(docs, "doc_id", "text", merges = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 3L, 5L), (2L, 0L, 0L)))
   }
 
   test("bpeTrain stops early when no pairs remain") {
