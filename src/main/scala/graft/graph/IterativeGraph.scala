@@ -299,4 +299,45 @@ object IterativeGraph {
     }
     labels
   }
+
+  /** k-core peeling, `rounds` synchronous rounds: repeatedly drop
+    * every vertex whose (undirected) degree is below `k`, keeping an
+    * edge only while BOTH endpoints survive. The classic "dense
+    * backbone" extraction — in a corpus graph it isolates the heavily
+    * cross-linked cluster a near-dup or citation analysis should focus
+    * on; on customer–part it finds the high-interaction core. The
+    * synchronous fixed-round form (all sub-k vertices drop together
+    * each round) is deterministic integer math → SQL-oracle-checkable
+    * by unrolled CTEs (g21), unlike degeneracy-order peeling, which is
+    * inherently sequential. Converged after at most |V| rounds;
+    * per-round survivor counts expose the convergence profile.
+    *
+    * Scale shape per round: one degree aggregation keyed by endpoint
+    * (map-side partial) + one semi-join of edges against surviving
+    * vertices keyed by src then dst — the aggregateMessages shuffle,
+    * nothing more. `localCheckpoint` per round cuts the lineage.
+    * Output: (round, n_vertices, n_edges) with rounds 1..`rounds`,
+    * n_edges counting undirected edges. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var sym = symmetrize(edges).localCheckpoint()
+    val out = Seq.newBuilder[(Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      // survivors of THIS round = degree ≥ k over the current edges;
+      // checkpointed because it's both counted and joined twice
+      val alive = sym.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select("id")
+        .localCheckpoint()
+      sym = sym
+        .join(alive.withColumnRenamed("id", "src"), "src")
+        .join(alive.withColumnRenamed("id", "dst"), "dst")
+        .select("src", "dst")
+        .localCheckpoint()
+      out += ((r.toLong, alive.count(), sym.count() / 2))
+    }
+    out.result().toDF("round", "n_vertices", "n_edges")
+  }
 }

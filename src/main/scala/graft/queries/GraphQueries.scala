@@ -329,6 +329,20 @@ object GraphQueries {
              |FROM p CROSS JOIN w JOIN vt ON p.id = vt.id
              |ORDER BY id""".stripMargin)),
 
+    // ---- k-core peeling (k = 25, 5 synchronous rounds): per-round
+    // survivor counts of the dense customer–part backbone. Sub-k
+    // vertices drop together each round — deterministic integer math,
+    // oracle = the same rounds unrolled (the g10/g12/g13 pattern). At
+    // sf0.01 the 25-core peels 2948 → 1119 vertices over the 5 rounds,
+    // so every round's HAVING clause is exercised, not just the first.
+    NamedQuery("g21_kcore_peel",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.kcorePeel(g.edges, k = 25, rounds = 5)
+          .orderBy("round")
+      },
+      Some(kcoreOracle(k = 25, rounds = 5))),
+
     // ---- fixed-iteration min-label connected components: integer
     // labels → exact oracle match; component sizes after 6 supersteps.
     NamedQuery("g11_minlabel_components",
@@ -538,6 +552,29 @@ object GraphQueries {
        |$steps
        |SELECT dist, count(*) AS n_vertices FROM d$iters
        |GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
+  /** Unrolled-CTE k-core peeling: each round keeps vertices with
+    * degree ≥ k over the previous round's edges, then edges between
+    * survivors — mirroring IterativeGraph.kcorePeel exactly. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""v$i AS (SELECT a AS id FROM sym${i - 1} GROUP BY a
+         |  HAVING count(*) >= $k),
+         |sym$i AS (SELECT s.a, s.b FROM sym${i - 1} s
+         |  JOIN v$i x ON s.a = x.id JOIN v$i y ON s.b = y.id)""".stripMargin
+    }.mkString(",\n")
+    val stats = (1 to rounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS round,
+         |  (SELECT count(*) FROM v$i) AS n_vertices,
+         |  (SELECT count(*) // 2 FROM sym$i) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$edgesCte,
+       |sym0 AS (SELECT src AS a, dst AS b FROM edges
+       |         UNION ALL SELECT dst, src FROM edges),
+       |$steps
+       |SELECT round, n_vertices, n_edges FROM ($stats)
+       |ORDER BY round""".stripMargin
   }
 
   /** Unrolled-CTE min-label propagation over symmetrized edges. */

@@ -276,4 +276,16 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().map(r => r._2 -> r._3).toMap
     assert(d(10L) == 0 && d(1L) == 1 && d(2L) == 1 && d(11L) == 2)
   }
+
+  test("kcorePeel: pendant drops first, cascades peel level by level") {
+    import graft.graph.IterativeGraph
+    // triangle 1-2-3 + path 3-4-5: k=2 → round 1 drops 5 (deg 1);
+    // round 2 drops 4 (its only surviving neighbour is 3); round 3
+    // the triangle is stable (everyone deg 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = IterativeGraph.kcorePeel(edges, k = 2, rounds = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 4L), (2L, 3L, 3L), (3L, 3L, 3L)))
+  }
 }
