@@ -162,6 +162,41 @@ object StreamingQueries {
              |WHERE exd.doc_id % 10 != 0
              |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
 
+    // ---- streaming purchase ATTRIBUTION (stream-stream INTERVAL
+    // join, the q20 as-of bounded to a 6-hour lookback): candidate
+    // (purchase, click) pairs emit on match; last-click-wins is the
+    // per-purchase max_by over the sink. Watermark 35 days covers the
+    // events table's full 30-day span, so no candidate is lost to
+    // file-feed disorder — the batch windowed-as-of oracle is the
+    // exact expected output.
+    NamedQuery("sw08_stream_attribution",
+      (s, dir) => {
+        val pairs = StreamRunner.runAvailableNow(s, Tables.events(s, dir),
+            "sw08_attribution", "append", extraConfs = Map(
+              "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")) { src =>
+          EventStreams.attributionPairs(src, watermark = "35 days",
+            maxLag = "6 hours")
+        }
+        pairs.groupBy("purchase_id", "user_id")
+          .agg(max_by(col("click_id"),
+              struct(col("c_ts"), col("click_id"))).as("click_id"),
+            unix_micros(max(col("c_ts"))).as("click_us"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+             |           FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+             |           FROM events WHERE event_type = 'click'),
+             |     j AS (SELECT purchase_id, p.user_id, click_id,
+             |             epoch_us(c_ts) AS click_us,
+             |             row_number() OVER (PARTITION BY purchase_id
+             |               ORDER BY c_ts DESC, click_id DESC) AS rn
+             |           FROM p JOIN c ON p.user_id = c.user_id
+             |             AND c.c_ts <= p.p_ts
+             |             AND c.c_ts >= p.p_ts - INTERVAL 6 HOUR)
+             |SELECT purchase_id, user_id, click_id, click_us
+             |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
+
     // ---- streaming UPSERT ingest (foreachBatch merge-into): orders
     // stream in across several micro-batches; each batch merges into a
     // versioned target keeping the latest row per customer. The final

@@ -45,6 +45,38 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** Streaming purchase attribution — the ingest-time lift of the q20
+    * as-of join as a watermarked stream-stream INTERVAL join: every
+    * (purchase, click by the same user within `maxLag` BEFORE the
+    * purchase) pair. An unbounded as-of would need unbounded join
+    * state, so the streaming contract is the bounded-lookback
+    * attribution clickstream deployments actually run; "last click
+    * wins" is a per-purchase aggregate over the emitted candidates
+    * (inner-join rows emit on match — append mode needs no
+    * final-watermark flush). State per side is bounded by
+    * watermark + `maxLag` and keyed by user — the join's natural
+    * shuffle key, so state partitions across executors. */
+  def attributionPairs(events: DataFrame, watermark: String,
+      maxLag: String): DataFrame = {
+    // two independently-derived branches of the same source (the
+    // nearDupCandidatesWith pattern): a renamed self-join of ONE
+    // streaming plan trips ambiguous-attribute resolution in the
+    // streaming join planner
+    def side(tpe: String, idName: String, userName: String, tsName: String) =
+      events.filter(col("event_type") === tpe)
+        .withWatermark("ts", watermark)
+        .select(col("event_id").as(idName), col("user_id").as(userName),
+          col("ts").as(tsName))
+    val p = side("purchase", "purchase_id", "p_user", "p_ts")
+    val c = side("click", "click_id", "c_user", "c_ts")
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxLag"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Streaming decontamination probe — the stream-STATIC broadcast
     * join pattern: each arriving document's distinct n-grams probe a
     * static benchmark gram set (built batch-side, broadcast once);
