@@ -174,6 +174,27 @@ object Relational {
       .select(left.columns.map(col) ++ payload.map(p => col("__m")(p).as(p)): _*)
   }
 
+  /** SCD2 history build: turn a change/version log into slowly-
+    * changing-dimension validity intervals — one row per version with
+    * `valid_from` = its own version stamp, `valid_to` = the NEXT
+    * version's stamp for the same key (null while current), and an
+    * `is_current` flag. The standard warehouse shape for "what was
+    * this row's value as of date d" joins (compose with [[asofJoin]]
+    * to query it). Ties on the version stamp are ordered by
+    * `tieBreak`, so the chain is total and deterministic.
+    *
+    * Scale shape: ONE keyed window (partition by key, lead by version
+    * order) — the per-key history sorts independently per partition;
+    * never a global sort. */
+  def scd2Intervals(df: DataFrame, keys: Seq[String], versionCol: String,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (versionCol +: tieBreak).map(c => col(c).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
   /** Sweep-line interval aggregation: given one [start, end] DATE
     * interval per row (inclusive), the count of intervals covering
     * each boundary day — "how many items were open/in-transit on day

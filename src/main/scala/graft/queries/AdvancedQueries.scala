@@ -521,6 +521,32 @@ object AdvancedQueries {
       graft.operators.Relational.sweepLineCounts(iv, "s", "e").orderBy("day")
     },
 
+    // ---- SCD2 history build: each customer's order log becomes
+    // validity intervals (valid_from = own date, valid_to = next
+    // order's date, open while current) — the warehouse dimension
+    // shape an asofJoin then queries. ONE keyed window per customer,
+    // never a global sort.
+    q("q44_scd2_order_history",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS valid_from,
+        |  CAST(lead(o_orderdate) OVER w AS DATE) AS valid_to,
+        |  CAST(CASE WHEN lead(o_orderdate) OVER w IS NULL
+        |       THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+        |  o_totalprice
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      graft.operators.Relational.scd2Intervals(Tables.orders(s, dir),
+          keys = Seq("o_custkey"), versionCol = "o_orderdate",
+          tieBreak = Seq("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("valid_from").cast("date").as("valid_from"),
+          col("valid_to").cast("date").as("valid_to"),
+          col("is_current").cast("long").as("is_current"),
+          col("o_totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

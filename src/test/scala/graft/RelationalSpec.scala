@@ -94,4 +94,22 @@ class RelationalSpec extends SparkSpec {
       .as[(Int, Seq[String])].collect().toMap
     assert(got == Map(1 -> Seq("a", "b"), 2 -> Seq("z")))
   }
+
+  test("scd2Intervals chains versions per key; same-stamp ties follow tieBreak") {
+    // key 1: v10 @ d1, v11 @ d2, v12 @ d2 (tie → v11 before v12);
+    // key 2: single version stays current
+    val df = Seq(
+      (1L, 10L, "2020-01-01"), (1L, 12L, "2020-01-02"),
+      (1L, 11L, "2020-01-02"), (2L, 20L, "2020-01-05")
+    ).toDF("k", "ver", "d").select(col("k"), col("ver"), to_date(col("d")).as("d"))
+    val got = Relational.scd2Intervals(df, Seq("k"), "d", tieBreak = Seq("ver"))
+      .select(col("k"), col("ver"), date_format(col("valid_from"), "yyyy-MM-dd"),
+        date_format(col("valid_to"), "yyyy-MM-dd"), col("is_current"))
+      .as[(Long, Long, String, Option[String], Boolean)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, "2020-01-01", Some("2020-01-02"), false),
+      (1L, 11L, "2020-01-02", Some("2020-01-02"), false),
+      (1L, 12L, "2020-01-02", None, true),
+      (2L, 20L, "2020-01-05", None, true)))
+  }
 }
