@@ -1504,6 +1504,21 @@ object PipelineQueries {
       Some(ivfProbeSweepOracle(dim = 64, nlist = IvfLists, k = 10,
         nprobes = Seq(1, 2, 4, 8), seed = 7L))),
 
+    // ---- matryoshka truncation audit: recall@10 of brute-force
+    // search over only the first {8,16,32} dimensions vs the full
+    // 64-dim exact neighbors — the measurement behind truncate-then-
+    // rerank storage designs (s10 is the retrieval side). The sliced
+    // search is the SAME rounded-cosine brute kernel as s01, so the
+    // oracle replays it on list slices.
+    NamedQuery("s15_truncated_dim_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        Similarity.truncatedDimSweep(emb.filter(col("vec_id") < 20), emb,
+            k = 10, dims = Seq(8, 16, 32))
+          .orderBy("dim")
+      },
+      Some(truncRecallOracle(k = 10, dims = Seq(8, 16, 32)))),
+
     // ---- Gopher-style rule-flag quality filter: one 0/1 verdict per
     // rule (token band / mean-word-length band / stopword hits) plus
     // the conjunction — the audit view a data mix needs before
@@ -2011,6 +2026,42 @@ object PipelineQueries {
 
   private def dotSql(a: String, b: String) =
     s"list_sum(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]))"
+
+  /** Oracle for s15: the s01 rounded-cosine brute ranking replayed on
+    * the full vectors (exact set) and on each `v[1:d]` slice. */
+  private def truncRecallOracle(k: Int, dims: Seq[Int]): String = {
+    // ranked top-k (query_id, neighbor_id) pairs over table `src`
+    def ranked(src: String, name: String) =
+      s"""${name}sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${dotSql("q.v", "c.v")} /
+         |      (sqrt(${dotSql("q.v", "q.v")}) * sqrt(${dotSql("c.v", "c.v")})),
+         |      6) AS cos
+         |  FROM $src q JOIN $src c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |$name AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ${name}sc) WHERE rank <= $k)""".stripMargin
+    val perDim = dims.map { d =>
+      s"""e$d AS (SELECT vec_id, v[1:$d] AS v FROM e),
+         |${ranked(s"e$d", s"a$d")},
+         |h$d AS (SELECT ex.query_id, count(a$d.neighbor_id) AS n_hits
+         |  FROM ex LEFT JOIN a$d ON ex.query_id = a$d.query_id
+         |    AND ex.neighbor_id = a$d.neighbor_id
+         |  GROUP BY ex.query_id),
+         |r$d AS (SELECT CAST($d AS BIGINT) AS dim, count(*) AS n_queries,
+         |  CAST(sum(n_hits) AS BIGINT) AS total_hits,
+         |  CAST(min(n_hits) AS BIGINT) AS min_hits,
+         |  round(sum(n_hits) / (count(*) * $k.0), 4) AS avg_recall
+         |  FROM h$d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${ranked("e", "ex")},
+       |$perDim
+       |SELECT dim, n_queries, total_hits, min_hits, avg_recall
+       |FROM (${dims.map(d => s"SELECT * FROM r$d").mkString(" UNION ALL ")})
+       |ORDER BY dim""".stripMargin
+  }
 
   /** Seeded hyperplanes inlined as exact double literals
     * (Double.toString round-trips) — one SELECT per plane. */

@@ -74,6 +74,34 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Matryoshka truncation audit — recall@k of brute-force search
+    * over only the FIRST `d` dimensions against the full-dimension
+    * exact neighbors, for each d in `dims`: the measurement behind
+    * truncate-then-rerank storage designs (d dims hot, full vector
+    * cold — [[twoStageRerank]] is the retrieval side of the same
+    * trade). The exact full-dim set is computed once and cached; each
+    * sweep point re-scores sliced vectors only. Output one row per
+    * dim: (dim, n_queries, total_hits, min_hits, avg_recall) —
+    * integer counts plus one single-division ratio, engine-stable
+    * like [[ivfProbeSweep]]. */
+  def truncatedDimSweep(queries: DataFrame, corpus: DataFrame, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    val exact = graft.Caches.cached(
+      bruteForceTopK(queries, corpus, k).select("query_id", "neighbor_id"))
+    def sliced(df: DataFrame, d: Int) =
+      df.select(col(df.columns(0)), slice(col(df.columns(1)), 1, d))
+    dims.map { d =>
+      recallAudit(exact,
+          bruteForceTopK(sliced(queries, d), sliced(corpus, d), k), k)
+        .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("total_hits"),
+          min("n_hits").as("min_hits"))
+        .select(lit(d.toLong).as("dim"), col("n_queries"),
+          col("total_hits"), col("min_hits"),
+          round(col("total_hits") / (col("n_queries") * k.toDouble), 4)
+            .as("avg_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-label embedding-norm hygiene report (Tukey fences): Q1/Q3 by
     * RANK per label over 6dp-rounded norms, outlier = norm outside
     * [q1 − 1.5·iqr, q3 + 1.5·iqr]. Order statistics on rounded values
