@@ -354,6 +354,25 @@ object Dedup {
   def dropNearDupsPortable(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int, minJaccard: Double,
       iters: Int = -1, sig: Option[DataFrame] = None): DataFrame = {
+    val labels = nearDupClusterLabels(df, idCol, textCol, n, numHashes,
+      bands, minJaccard, iters, sig)
+    // survivors aliased to a fresh name: a caller whose idCol is
+    // literally "id" must not make the join condition ambiguous
+    val keep = labels.filter(col("id") === col("label"))
+      .select(col("id").as("__keep_id"))
+    df.join(keep, df(idCol) === col("__keep_id"), "left_semi")
+  }
+
+  /** Near-dup CLUSTER LABELS — the (id, label) assignment underlying
+    * [[dropNearDupsPortable]], exposed because the label itself is a
+    * first-class pipeline key: leakage-safe train/val/test splitting
+    * hashes the CLUSTER label (p16), audits group by it, and KEEP-BEST
+    * windows over it. label = min doc id reachable through the banded
+    * near-dup graph within `iters` supersteps (or to convergence when
+    * iters < 0); singletons label themselves. */
+  def nearDupClusterLabels(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, minJaccard: Double,
+      iters: Int = -1, sig: Option[DataFrame] = None): DataFrame = {
     // `sig`: optionally reuse a precomputed signature table for the
     // pair stage (see minhashLshPairsFromSig) instead of rebuilding it
     val pairs = sig
@@ -362,16 +381,10 @@ object Dedup {
         bands, minJaccard))
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
     val vertices = df.select(col(idCol).as("id"))
-    val labels =
-      if (iters < 0) graft.graph.IterativeGraph
-        .minLabelComponentsConverged(vertices, edges)
-      else graft.graph.IterativeGraph
-        .minLabelComponents(vertices, edges, iters)
-    // survivors aliased to a fresh name: a caller whose idCol is
-    // literally "id" must not make the join condition ambiguous
-    val keep = labels.filter(col("id") === col("label"))
-      .select(col("id").as("__keep_id"))
-    df.join(keep, df(idCol) === col("__keep_id"), "left_semi")
+    if (iters < 0) graft.graph.IterativeGraph
+      .minLabelComponentsConverged(vertices, edges)
+    else graft.graph.IterativeGraph
+      .minLabelComponents(vertices, edges, iters)
   }
 
   /** Near-dup KEEP-BEST — [[dropNearDupsPortable]]'s survivor rule

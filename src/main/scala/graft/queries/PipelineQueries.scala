@@ -1071,6 +1071,29 @@ object PipelineQueries {
              |SELECT doc_id, score, n_tokens FROM c
              |WHERE cum < 20000 ORDER BY doc_id""".stripMargin)),
 
+    // ---- leakage-safe train/val/test split: hash the near-dup
+    // CLUSTER label, not the document — a doc and its near-copies
+    // land in the SAME split by construction, so train can never see
+    // a paraphrase of a test doc (the standard eval-contamination
+    // hole in naive per-doc hashing; DedupSpec pins the counterfactual).
+    // Composition: banded pairs (shared memoized signatures) →
+    // min-label components → one scan-stage hash on the label.
+    NamedQuery("p16_leakage_safe_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        Dedup.nearDupClusterLabels(docs.unionByName(planted), "doc_id",
+            "text", n = 3, numHashes = MhHashes, bands = MhBands,
+            minJaccard = 0.5, iters = 4,
+            sig = Some(plantedMinhashSig(s, dir)))
+          .withColumn("split", Sampling.splitLabel(col("label").cast("string")))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("label")).as("n_clusters"))
+          .orderBy("split")
+      },
+      Some(leakageSplitOracle(MhHashes, MhBands, 0.5, iters = 4))),
+
     // ---- BPE merge-candidate counts (tokenizer-training inner loop):
     // adjacent char-pair frequencies weighted by word frequency — one
     // corpus pass to the vocab table, pair explode over the VOCAB only.
@@ -2353,6 +2376,30 @@ object PipelineQueries {
        |l0 AS (SELECT id, id AS label FROM v),
        |$steps
        |SELECT id AS doc_id FROM l$iters WHERE id = label ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for p16: the d12 cluster-label CTEs, then the p01 hash-
+    * split convention applied to the LABEL instead of the document. */
+  private def leakageSplitOracle(numHashes: Int, bands: Int,
+      minJaccard: Double, iters: Int): String = {
+    val base = minhashPortableOracle(numHashes, bands, minJaccard)
+    val ctes = base.substring(0, base.indexOf("\nSELECT id_a"))
+    val steps = OracleFragments.minLabelSteps("symp", iters)
+    s"""$ctes,
+       |pairs AS (SELECT id_a, id_b FROM ver WHERE est_jaccard >= $minJaccard),
+       |v AS (SELECT doc_id AS id FROM all_docs),
+       |symp AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps,
+       |sp AS (SELECT id, label,
+       |    CAST('0x' || substr(md5(CAST(label AS VARCHAR)), 1, 8) AS BIGINT)
+       |      % 10 AS bucket
+       |  FROM l$iters)
+       |SELECT CASE WHEN bucket < 7 THEN 'train'
+       |            WHEN bucket < 8 THEN 'val' ELSE 'test' END AS split,
+       |  count(*) AS n_docs, count(DISTINCT label) AS n_clusters
+       |FROM sp GROUP BY 1 ORDER BY split""".stripMargin
   }
 
   /** Generated oracle for the portable MinHash: same shingling CTE as

@@ -220,4 +220,30 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 1L, 0.3333)))
     assert(got(4L) == ((3L, 0L, 0.0)))
   }
+
+  test("leakage-safe split: cluster-hash keeps a clone pair together where doc-id hash leaks") {
+    import graft.text.Sampling
+    val docs = Seq(
+      (3L, "completely different text about spark catalyst optimizer rules and codegen stages"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (5L, "another unrelated document mentioning parquet scans and shuffle partitions only"),
+      (1000004L, "the quick brown fox jumps over the lazy dog near the river bank today")
+    ).toDF("doc_id", "text")
+    val labels = Dedup.nearDupClusterLabels(docs, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, minJaccard = 0.5, iters = 4)
+    val lab = labels.as[(Long, Long)].collect().toMap
+    assert(lab(4L) == 4L && lab(1000004L) == 4L) // one cluster, min-id label
+    // cluster-hash split: the clone pair lands in ONE split
+    val clusterSplit = labels
+      .withColumn("split", Sampling.splitLabel(col("label").cast("string")))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(clusterSplit(4L) == clusterSplit(1000004L))
+    // counterfactual: hashing the DOC id separates them (md5 bucket 7
+    // for "4" vs 4 for "1000004") — the eval-contamination hole
+    val docSplit = docs
+      .withColumn("split", Sampling.splitLabel(col("doc_id").cast("string")))
+      .select("doc_id", "split")
+      .as[(Long, String)].collect().toMap
+    assert(docSplit(4L) != docSplit(1000004L))
+  }
 }
