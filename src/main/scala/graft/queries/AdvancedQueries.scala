@@ -547,6 +547,47 @@ object AdvancedQueries {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // ---- ordered conversion funnel: view → first click AFTER the
+    // first view → first purchase AFTER that click, per user. Each
+    // stage is one user-keyed min-aggregate joined to the previous
+    // stage's table (users-sized, broadcastable) — the subsequence
+    // match never windows over the raw event stream.
+    q("q45_conversion_funnel",
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |     c AS (SELECT e.user_id, min(e.ts) AS c_ts FROM events e
+        |           JOIN v ON e.user_id = v.user_id
+        |           WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |           GROUP BY e.user_id),
+        |     p AS (SELECT e.user_id, min(e.ts) AS p_ts FROM events e
+        |           JOIN c ON e.user_id = c.user_id
+        |           WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |           GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_no, 'view' AS stage,
+        |         (SELECT count(*) FROM v) AS n_users
+        |  UNION ALL SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
+        |  UNION ALL SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p))
+        |ORDER BY stage_no""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts").as("c_ts"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts").as("p_ts"))
+      def stage(no: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(no.toLong).as("stage_no"), lit(name).as("stage"),
+            col("n_users"))
+      stage(1, "view", v)
+        .unionByName(stage(2, "click_after_view", c))
+        .unionByName(stage(3, "purchase_after_click", p))
+        .orderBy("stage_no")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
