@@ -179,10 +179,12 @@ object TextOps {
     * Scale shape: bigrams come from an array transform in the scan
     * stage (no positional self-join of the token stream); the bigram
     * count table is corpus-bigram-vocabulary-sized and joins back on
-    * the (w1, w2) key — a keyed shuffle, NOT broadcast, because bigram
-    * vocabularies grow with the corpus; the unigram table and the
-    * scalar V are broadcast. Surprisal rounds to 4 dp (doubles summed
-    * in engine-dependent order). */
+    * the (w1, w2) key UNHINTED — Catalyst/AQE broadcast it only while
+    * it is provably small, and it becomes a keyed shuffle join once
+    * the bigram vocabulary outgrows the threshold (it grows with the
+    * corpus, unlike the unigram table and scalar V, which stay
+    * broadcast). Surprisal rounds to 4 dp (doubles summed in
+    * engine-dependent order). */
   def bigramSurprisal(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
     val ts = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))

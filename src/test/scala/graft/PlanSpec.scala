@@ -321,6 +321,49 @@ class PlanSpec extends SparkSpec {
       s"expected a single content-keyed exchange in:\n$finalPlan")
   }
 
+  test("budgetSelect: per-score table broadcasts back; only the tiny histogram sorts globally") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, i % 5, 10L + i % 7)).toDF("id", "s", "w")
+    val plan = planOf(graft.text.Sampling.budgetSelect(
+      rows, "id", col("s"), col("w"), budget = 500L))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"expected the per-score prefix table broadcast back in:\n$finalPlan")
+    // the ONLY single-partition exchange allowed is the score-histogram
+    // cumsum (score-cardinality rows); the corpus-sized boundary window
+    // must stay keyed by score
+    assert("Exchange SinglePartition".r.findAllIn(finalPlan).size <= 1,
+      s"corpus rows must never serialize through one partition in:\n$finalPlan")
+    assert(finalPlan.contains("hashpartitioning(score") ||
+      finalPlan.contains("hashpartitioning(s#"),
+      s"expected the boundary window keyed by score in:\n$finalPlan")
+  }
+
+  test("bigramSurprisal broadcasts the unigram table and V; no cartesian blowup") {
+    import spark.implicits._
+    val docs = (1L to 60L).map(i => (i, s"w$i the quick brown fox w${i % 7} end"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.text.TextOps.bigramSurprisal(docs, "doc_id", "text"))
+    val finalPlan = plan.split("== Initial Plan ==").head
+    assert(!finalPlan.contains("CartesianProduct"), s"no cartesian in:\n$finalPlan")
+    // unigram counts and the scalar V are explicit broadcasts; the
+    // bigram-count join is deliberately UNHINTED (Catalyst/AQE keep it
+    // a keyed shuffle once the bigram vocabulary outgrows the
+    // broadcast threshold)
+    assert("BroadcastExchange".r.findAllIn(finalPlan).size >= 2,
+      s"expected unigram + V broadcast in:\n$finalPlan")
+  }
+
+  test("q44 SCD2 window is keyed by customer — never a single global partition") {
+    val plan = packPlan(AdvancedQueries.all, "q44_scd2_order_history")
+    val finalPlan = plan.split("== Initial Plan ==").head
+    // the final presentation ORDER BY may sort, but the lead() window
+    // itself must run keyed (a global window would serialize the
+    // dimension history through one task)
+    assert(finalPlan.contains("hashpartitioning(o_custkey"),
+      s"expected the lead window partitioned by o_custkey in:\n$finalPlan")
+  }
+
   test("p05 token-shard window is keyed by source — never a single global partition") {
     val plan = packPlan(graft.queries.PipelineQueries.all, "p05_token_shards")
     // a global ORDER BY window would plan Exchange SinglePartition and
