@@ -313,30 +313,36 @@ object IterativeGraph {
     * per-round survivor counts expose the convergence profile.
     *
     * Scale shape per round: one degree aggregation keyed by endpoint
-    * (map-side partial) + one semi-join of edges against surviving
-    * vertices keyed by src then dst — the aggregateMessages shuffle,
-    * nothing more. `localCheckpoint` per round cuts the lineage.
-    * Output: (round, n_vertices, n_edges) with rounds 1..`rounds`,
-    * n_edges counting undirected edges. */
+    * (map-side partial) plus two anti-joins against that round's
+    * DYING vertex set — the set that shrinks to the peel delta, so at
+    * scale it broadcasts where a semi-join against the vertex-sized
+    * ALIVE set would shuffle both sides. The shrinking edge list and
+    * the vertex-sized degree table are `localCheckpoint`-ed per round
+    * (lineage + re-execution control); survivor and edge counts both
+    * read the degree table (n_edges = Σdeg/2) — never a separate pass
+    * over edges. Output: (round, n_vertices, n_edges) with rounds
+    * 1..`rounds`, n_edges counting undirected edges. */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    def degreesOf(sym: DataFrame): DataFrame =
+      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
     var sym = symmetrize(edges).localCheckpoint()
+    var deg = degreesOf(sym)
     val out = Seq.newBuilder[(Long, Long, Long)]
     for (r <- 1 to rounds) {
-      // survivors of THIS round = degree ≥ k over the current edges;
-      // checkpointed because it's both counted and joined twice
-      val alive = sym.groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
-        .select("id")
-        .localCheckpoint()
+      // dropping every vertex in `dying` ≡ keeping every vertex with
+      // deg ≥ k: the degree table's id set IS the edge endpoint set
+      val dying = deg.filter(col("deg") < k).select("id")
+      val nVerts = deg.filter(col("deg") >= k).count()
       sym = sym
-        .join(alive.withColumnRenamed("id", "src"), "src")
-        .join(alive.withColumnRenamed("id", "dst"), "dst")
-        .select("src", "dst")
+        .join(dying.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(dying.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
         .localCheckpoint()
-      out += ((r.toLong, alive.count(), sym.count() / 2))
+      deg = degreesOf(sym)
+      val nEdges = deg.agg(coalesce(sum("deg"), lit(0L))).first().getLong(0) / 2
+      out += ((r.toLong, nVerts, nEdges))
     }
     out.result().toDF("round", "n_vertices", "n_edges")
   }
