@@ -41,8 +41,12 @@ object Caches {
 
   /** Unpersist every intermediate registered by this session's library
     * calls since the last clear. Safe mid-plan: unpersist only drops
-    * the cache, never the data lineage. */
+    * the cache, never the data lineage. BLOCKING: with async removal
+    * a 174-query sweep queues removal work faster than it drains, so
+    * block counts still grow sweep-long (one strand of the r7 d09
+    * contention); callers run clear outside any timed region, so the
+    * synchronous wait costs the benchmark nothing. */
   def clear(spark: SparkSession): Unit = tracked.synchronized {
-    Option(tracked.remove(spark)).foreach(_.foreach(_.unpersist(blocking = false)))
+    Option(tracked.remove(spark)).foreach(_.foreach(_.unpersist(blocking = true)))
   }
 }

@@ -46,4 +46,41 @@ object Memo {
   /** Memoize an arbitrary session-scoped object (e.g. a PropertyGraph). */
   def obj[T <: AnyRef](spark: SparkSession, key: String)(mk: => T): T =
     sessionMap(spark).getOrElseUpdate(s"obj|$key", mk).asInstanceOf[T]
+
+  /** Release every memoized frame/object EXCEPT the base table scans
+    * (`table|…`, `events-norm|…`): sweep harnesses call this at
+    * query-family boundaries so the session-lifetime memo population
+    * stays bounded by one family's working set. The r7 gate showed
+    * why: with 174 queries' memos, checkpoints and cache garbage
+    * accumulating unreleased, full-GC pauses landed on arbitrary
+    * mid-sweep queries (d09 read 6.3 s against a 0.77 s isolated
+    * floor). Safe at a boundary: entries rebuild on next use, and
+    * min-of-2 timing re-warms them on run 1, so warm readings are
+    * unaffected. Objects (graphs, BPE loops) are dropped without an
+    * explicit unpersist — their backing frames become unreferenced
+    * and the ContextCleaner reclaims the blocks on the GC the caller
+    * triggers right after. */
+  def releaseTransients(spark: SparkSession): Unit = {
+    val m = sessionMap(spark)
+    val keep = Seq("df|table|", "df|events-norm|")
+    m.keys.toList.foreach { k =>
+      if (!keep.exists(k.startsWith)) m.remove(k).foreach {
+        case df: DataFrame => df.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+  }
+
+  /** Collision-resistant memo key for a plan: 128-bit MD5 of the
+    * CANONICALIZED logical plan string (attribute ids renumbered
+    * positionally, so true semantic twins — and only those — share a
+    * key). The 32-bit `semanticHash()` previously used here could
+    * collide two same-schema plans differing only in filters/params
+    * and silently serve one query's memoized result to the other. */
+  def planKey(df: DataFrame): String = {
+    val canon = df.queryExecution.analyzed.canonicalized.toString
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
 }

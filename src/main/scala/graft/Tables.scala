@@ -29,24 +29,32 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions built by
-    * [[Sessions.local]] set `spark.sql.legacy.parquet.nanosAsLong` up
-    * front (a loader must not mutate a live session's conf — an
-    * unrelated caller reading nanos parquet would be surprised); this
-    * loader asserts the flag and normalizes the raw nanos to a
-    * TimestampType column (micros, Spark's native precision) so
-    * downstream ops see a clean schema. */
+  /** events.ts normalization. Driver testdata generations have shipped
+    * `ts` both as parquet TIMESTAMP(NANOS) (which Spark's reader only
+    * accepts as a raw long under `spark.sql.legacy.parquet.nanosAsLong`
+    * — [[Sessions.local]] sets it up front, since a loader must not
+    * mutate a live session's conf) and, since round 8, as native
+    * TIMESTAMP(MICROS). This loader dispatches on the READ schema: a
+    * long `ts` is nanos and gets integer-div'd down to micros (ns
+    * epoch exceeds 2^53 — double division would lose ticks); a native
+    * timestamp passes through untouched. Downstream ops always see
+    * TimestampType at Spark's native micros precision. */
   def events(spark: SparkSession, dir: String): DataFrame =
     Memo.df(spark, s"events-norm|$dir") {
-      import org.apache.spark.sql.functions.{expr, timestamp_micros}
-      require(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-          .contains("true"),
-        "events.parquet is TIMESTAMP(NANOS): build the session via " +
-          "graft.Sessions.local (sets spark.sql.legacy.parquet.nanosAsLong)")
-      spark.read.parquet(s"$dir/events.parquet")
-        // integer `div`: ns epoch exceeds 2^53, double division would lose ticks
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case TimestampType => raw
+        // unannotated micros parquet (isAdjustedToUTC=false) reads as
+        // NTZ; the session tz is pinned to UTC (Sessions.local), so
+        // this cast is epoch-identical to DuckDB's naive read
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case other => throw new IllegalStateException(
+          s"events.ts: expected TIMESTAMP[/_NTZ] or legacy nanos LONG, got $other")
+      }
     }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

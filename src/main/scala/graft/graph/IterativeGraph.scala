@@ -316,32 +316,47 @@ object IterativeGraph {
     * (map-side partial) plus two anti-joins against that round's
     * DYING vertex set — the set that shrinks to the peel delta, so at
     * scale it broadcasts where a semi-join against the vertex-sized
-    * ALIVE set would shuffle both sides. The shrinking edge list and
-    * the vertex-sized degree table are `localCheckpoint`-ed per round
-    * (lineage + re-execution control); survivor and edge counts both
-    * read the degree table (n_edges = Σdeg/2) — never a separate pass
-    * over edges. Output: (round, n_vertices, n_edges) with rounds
-    * 1..`rounds`, n_edges counting undirected edges. */
+    * ALIVE set would shuffle both sides. Driver traffic is ONE fused
+    * 1-row agg per round (the g08 fusion, ADVICE/VERDICT r7): each
+    * degree table is read once for BOTH numbers — its Σdeg/2 is this
+    * round's n_edges and its count(deg ≥ k) is the NEXT round's
+    * n_vertices (survivors entering that round), so the old
+    * count()+first() pair per round collapses into the single agg
+    * that also materializes the degree cache. The shrinking edge
+    * list is `localCheckpoint`-ed per round (lineage control); the
+    * vertex-sized degree table is persisted lazily via [[Caches]]
+    * (its lineage is one keyed agg over the checkpointed edges, so
+    * an eager second checkpoint job per round bought nothing).
+    * Output: (round, n_vertices, n_edges) with rounds 1..`rounds`,
+    * n_edges counting undirected edges. */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    def degreesOf(sym: DataFrame): DataFrame =
-      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+    def degreesOf(sym: DataFrame): DataFrame = graft.Caches.cached(
+      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    // (survivors entering next round, undirected edges of THIS table)
+    def statsOf(deg: DataFrame): (Long, Long) = {
+      val row = deg.agg(
+        count(when(col("deg") >= k, lit(1))).as("nv"),
+        coalesce(sum("deg"), lit(0L)).as("sd")).first()
+      (row.getLong(0), row.getLong(1) / 2)
+    }
     var sym = symmetrize(edges).localCheckpoint()
     var deg = degreesOf(sym)
+    var nvNext = statsOf(deg)._1
     val out = Seq.newBuilder[(Long, Long, Long)]
     for (r <- 1 to rounds) {
+      val nVerts = nvNext
       // dropping every vertex in `dying` ≡ keeping every vertex with
       // deg ≥ k: the degree table's id set IS the edge endpoint set
       val dying = deg.filter(col("deg") < k).select("id")
-      val nVerts = deg.filter(col("deg") >= k).count()
       sym = sym
         .join(dying.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .join(dying.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
         .localCheckpoint()
       deg = degreesOf(sym)
-      val nEdges = deg.agg(coalesce(sum("deg"), lit(0L))).first().getLong(0) / 2
+      val (nv, nEdges) = statsOf(deg)
+      nvNext = nv
       out += ((r.toLong, nVerts, nEdges))
     }
     out.result().toDF("round", "n_vertices", "n_edges")

@@ -170,7 +170,18 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // superstep and again per shapePaths join — measured 7.0 s → 3.5 s
     // on the sf0.1 customer-part graph (BfsProbe).
     val vtx = vertices.localCheckpoint()
-    val edg = edges.localCheckpoint()
+    // bfs is public API over ARBITRARY PropertyGraph instances: a
+    // multigraph input duplicates the hop-join rows and makes the
+    // shapePaths pivot nondeterministic. Canonicalize to one edge per
+    // (src, dst) up front — min over the full-row struct is a
+    // deterministic pick (struct ordering is field-by-field), and for
+    // graft-built graphs (already simple) the keyed agg is a cheap
+    // pass-through that shares the shuffle with the hop join.
+    val edg = edges
+      .groupBy(col("src").as("__s"), col("dst").as("__d"))
+      .agg(min(struct(edges.columns.map(col): _*)).as("__e"))
+      .select(col("__e.*"))
+      .localCheckpoint()
     val targets = vtx.filter(toCond).select(col("id").as("__end"))
     val e = edg.select(col("src"), col("dst"))
 

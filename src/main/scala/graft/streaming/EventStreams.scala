@@ -350,14 +350,21 @@ object EventStreams {
               }
               known += id; known += ts
             }
-            // prune to the skew horizon behind the bucket's max time
+            // prune against the WATERMARK, not the bucket's max event
+            // time: an entry is dead only once its ts < watermark - skew
+            // (no future non-late arrival can still pair with it). The
+            // old maxTs-based prune could drop an entry that an
+            // out-of-order-but-on-time doc within maxSkew would pair
+            // with, breaking micro-batch-split invariance. maxTs is
+            // still computed for the state-timeout bound below.
             var maxTs = Long.MinValue
             var i = 1
             while (i < known.length) { maxTs = math.max(maxTs, known(i)); i += 2 }
+            val horizon = state.getCurrentWatermarkMs() * 1000L - skewMicros
             val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
             i = 0
             while (i < known.length) {
-              if (known(i + 1) >= maxTs - skewMicros) {
+              if (known(i + 1) >= horizon) {
                 kept += known(i); kept += known(i + 1)
               }
               i += 2

@@ -68,15 +68,14 @@ object StreamRunner {
   def runAvailableNow(spark: SparkSession, batch: DataFrame, name: String,
       outputMode: String, extraConfs: Map[String, String] = Map.empty)
       (transform: DataFrame => DataFrame): DataFrame = {
-    // canonicalized semantic hash: attribute ids (#123) are fresh per
-    // analysis, so a raw plan string would never repeat across runs —
-    // and a regex-normalized string would COLLIDE two genuinely
-    // different plans that differ only in which side's same-named
-    // attribute a condition references; canonicalization renumbers
-    // ids positionally so only true semantic twins share a hash. Schema
-    // stays in the key as a cheap second discriminator.
-    val stageKey = (spark, name + "|" +
-      batch.queryExecution.analyzed.canonicalized.semanticHash() + "|" +
+    // canonicalized 128-bit plan digest: attribute ids (#123) are
+    // fresh per analysis, so a raw plan string would never repeat
+    // across runs — canonicalization renumbers ids positionally so
+    // only true semantic twins share a key, and the MD5 digest (vs
+    // the old 32-bit semanticHash) makes a silent cross-query
+    // collision computationally implausible. Schema stays in the key
+    // as a cheap second discriminator.
+    val stageKey = (spark, name + "|" + graft.Memo.planKey(batch) + "|" +
       batch.schema.catalogString)
     // pid + runSeq scope the staging dir: concurrent JVMs (a Bench
     // sweep racing a Verify run) and re-runs at a different sf must

@@ -181,9 +181,10 @@ object TextOps {
     * count table is corpus-bigram-vocabulary-sized and joins back on
     * the (w1, w2) key UNHINTED — Catalyst/AQE broadcast it only while
     * it is provably small, and it becomes a keyed shuffle join once
-    * the bigram vocabulary outgrows the threshold (it grows with the
-    * corpus, unlike the unigram table and scalar V, which stay
-    * broadcast). Surprisal rounds to 4 dp (doubles summed in
+    * the bigram vocabulary outgrows the threshold. The UNIGRAM table
+    * is likewise unhinted (its distinct-token vocabulary also grows
+    * with the corpus); only the 1-row scalar V keeps a broadcast
+    * hint. Surprisal rounds to 4 dp (doubles summed in
     * engine-dependent order). */
   def bigramSurprisal(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
@@ -200,8 +201,12 @@ object TextOps {
       .groupBy("tok").agg(count(lit(1)).as("c1"))
     val v = uni.agg(count(lit(1)).as("v"))
     val c2 = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // unigram join UNHINTED (like the bigram-count join): the distinct-
+    // token vocabulary grows with the corpus, so a forced broadcast
+    // would OOM the driver at scale — Catalyst/AQE broadcasts it only
+    // while provably small. Only the 1-row scalar V keeps its hint.
     val scored = bigs.join(c2, Seq("w1", "w2"))
-      .join(broadcast(uni.withColumnRenamed("tok", "w1")), "w1")
+      .join(uni.withColumnRenamed("tok", "w1"), "w1")
       .crossJoin(broadcast(v))
       .withColumn("__logp",
         log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
@@ -268,9 +273,20 @@ object TextOps {
     * adjacent symbol pairs over the word-frequency table, merge the
     * best pair (max count, ties to the lexicographically least pair —
     * a total order), re-segment, repeat. Segmentations are the
-    * classic space-joined symbol strings, so applying a merge is ONE
-    * literal string replace (left-to-right non-overlapping in both
-    * Spark and DuckDB — greedy BPE semantics for free).
+    * classic space-joined symbol strings; applying a merge is ONE
+    * literal string replace, left-to-right non-overlapping and
+    * IDENTICAL in Spark and DuckDB.
+    *
+    * KNOWN DEVIATION from reference BPE (subword-nmt): the literal
+    * replace of " A B " consumes the shared boundary space, so inside
+    * a run of repeated symbols only alternating occurrences merge in
+    * one round (" a a a a " → " aa a a ", where reference greedy BPE
+    * with zero-width boundaries gives " aa aa "). Both engines (and
+    * the DuckDB oracle) share the exact same semantics, so results
+    * stay self-consistent and deterministic; merge counts on
+    * repeated-symbol runs (e.g. "aaaa") differ from subword-nmt. The
+    * unmerged residue is picked up by later rounds, so segmentations
+    * converge to the same fixpoint when merge rounds are not scarce.
     *
     * Scale shape: the corpus is touched ONCE (the token-frequency
     * aggregation); every iteration then runs over the VOCABULARY
@@ -296,7 +312,7 @@ object TextOps {
       merges: Int)
       : (Seq[(Long, String, Long)], org.apache.spark.sql.DataFrame) =
     graft.Memo.obj(df.sparkSession, "bpeLoop|" +
-      df.queryExecution.analyzed.canonicalized.semanticHash() +
+      graft.Memo.planKey(df) +
       s"|$textCol|$merges") {
       bpeLoopUncached(df, textCol, merges)
     }
@@ -352,8 +368,10 @@ object TextOps {
     val (_, segs) = bpeLoop(df, textCol, merges)
     val pieces = segs.select(col("tok"),
       size(split(trim(col("seg")), " ")).cast("long").as("__np"))
+    // unhinted: the tok→pieces table is vocabulary-sized (grows with
+    // the corpus), so AQE picks broadcast only while it actually fits
     val counts = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .join(broadcast(pieces), "tok")
+      .join(pieces, "tok")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum("__np").as("n_pieces"))
     df.select(col(idCol).as("id")).join(counts, Seq("id"), "left")
