@@ -592,6 +592,61 @@ object Dedup {
       .select("id", "start_tok", "end_tok", "span_tokens")
   }
 
+  /** Span-cut corpus emission — the hygiene pass that CONSUMES
+    * [[repeatedSubstringSpans]]: for every distinct repeated-span
+    * CONTENT (the exact token sequence of a maximal span), keep the
+    * canonical first occurrence — smallest (id, start_tok) — intact,
+    * CUT every other occurrence, and re-emit each document in
+    * normalized token space. A token position is cut iff it lies in
+    * ≥1 non-canonical span occurrence AND in no canonical one (so the
+    * kept copy is never mutilated when spans overlap inside a doc).
+    * Output: (id, cleaned_text, n_tokens_kept, n_tokens_removed) —
+    * one row per input document; cleaned_text is the surviving tokens
+    * joined by single spaces (the same normalized space the spans are
+    * defined in; docs with nothing cut re-emit all their tokens).
+    *
+    * Scale shape: everything keyed, never all-pairs — span contents
+    * group on a content key (span table ≈ duplicated-region count,
+    * corpus-small); cut/kept positions explode per-document (bounded
+    * by doc length) and resolve via (id, pos) anti-joins; the final
+    * re-assembly is one per-document aggregate (sort_array over the
+    * collected (pos, tok) structs — no global sort). */
+  def spanCutEmit(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spans = repeatedSubstringSpans(df, idCol, textCol, k)
+    val toks = graft.Caches.cached(df.select(col(idCol).as("id"),
+      TextOps.tokens(col(textCol)).as("__toks")))
+    val withContent = spans.join(toks, Seq("id"))
+      .withColumn("__content", array_join(
+        slice(col("__toks"), (col("start_tok") + 1).cast("int"),
+          col("span_tokens").cast("int")), " "))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__content").orderBy("id", "start_tok")))
+    def positions(f: Column => Column) = withContent.filter(f(col("__rn")))
+      .select(col("id"),
+        explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
+      .distinct()
+    val cutPos = positions(_ > 1)
+      .join(positions(_ === 1), Seq("id", "pos"), "left_anti")
+    val tokPos = toks.select(col("id"),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val rebuilt = tokPos
+      .join(cutPos.withColumn("__cut", lit(1L)), Seq("id", "pos"), "left")
+      .groupBy("id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__cut").isNull,
+            struct(col("pos"), col("tok"))))),
+          s => s.getField("tok")), " ").as("cleaned_text"),
+        count(when(col("__cut").isNull, lit(1))).as("n_tokens_kept"),
+        count(col("__cut")).as("n_tokens_removed"))
+    df.select(col(idCol).as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"))
+  }
+
   /** SimHash near-dup pairs: candidates from 4 16-bit bands (a pair
     * within hamming distance 3 must agree on ≥1 band), verified with
     * bit_count(xor) ≤ maxHamming. */

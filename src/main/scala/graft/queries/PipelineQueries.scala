@@ -323,6 +323,57 @@ object PipelineQueries {
              |  CAST(e - s + 1 AS BIGINT) AS span_tokens
              |FROM sp ORDER BY id, start_tok""".stripMargin)),
 
+    // ---- span-cut emission: the pass that CONSUMES d23's spans —
+    // keep the canonical first occurrence of each repeated span
+    // content, cut the rest, re-emit cleaned token text. The oracle
+    // reassembles strings from kept token ranges the naive way
+    // (explode every position); the Spark path must agree exactly.
+    NamedQuery("d24_span_cut_emission",
+      (s, dir) => Dedup.spanCutEmit(Tables.documents(s, dir),
+          "doc_id", "text", k = 8)
+        .orderBy("id"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS ts FROM documents),
+             |ex AS (SELECT doc_id AS id, i - 1 AS pos,
+             |    array_to_string(ts[i : i + 7], ' ') AS gram
+             |  FROM t, unnest(generate_series(1, len(ts) - 7)) AS u(i)
+             |  WHERE len(ts) >= 8),
+             |dup AS (SELECT gram FROM ex GROUP BY gram HAVING count(*) > 1),
+             |m AS (SELECT id, pos,
+             |    row_number() OVER (PARTITION BY id ORDER BY pos) AS rn
+             |  FROM ex WHERE gram IN (SELECT gram FROM dup)),
+             |sp AS (SELECT id, min(pos) AS s, max(pos) + 7 AS e
+             |  FROM (SELECT id, pos, pos - rn AS isl FROM m)
+             |  GROUP BY id, isl),
+             |spc AS (SELECT sp.id, sp.s, sp.e,
+             |    array_to_string(t.ts[sp.s + 1 : sp.e + 1], ' ') AS content
+             |  FROM sp JOIN t ON t.doc_id = sp.id),
+             |rk AS (SELECT id, s, e,
+             |    row_number() OVER (PARTITION BY content ORDER BY id, s) AS rn
+             |  FROM spc),
+             |cutp AS (SELECT DISTINCT id, u.p AS pos
+             |  FROM rk, unnest(generate_series(s, e)) AS u(p) WHERE rn > 1),
+             |keepp AS (SELECT DISTINCT id, u.p AS pos
+             |  FROM rk, unnest(generate_series(s, e)) AS u(p) WHERE rn = 1),
+             |realcut AS (SELECT id, pos FROM cutp
+             |  ANTI JOIN keepp USING (id, pos)),
+             |tok AS (SELECT doc_id AS id, i - 1 AS pos, ts[i] AS tok
+             |  FROM t, unnest(generate_series(1, len(ts))) AS u(i)),
+             |kept AS (SELECT id, pos, tok FROM tok
+             |  ANTI JOIN realcut USING (id, pos)),
+             |outp AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) AS ct,
+             |    count(*) AS nk FROM kept GROUP BY id),
+             |rem AS (SELECT id, count(*) AS nr FROM realcut GROUP BY id)
+             |SELECT d.doc_id AS id,
+             |  coalesce(outp.ct, '') AS cleaned_text,
+             |  CAST(coalesce(outp.nk, 0) AS BIGINT) AS n_tokens_kept,
+             |  CAST(coalesce(rem.nr, 0) AS BIGINT) AS n_tokens_removed
+             |FROM documents d
+             |LEFT JOIN outp ON outp.id = d.doc_id
+             |LEFT JOIN rem ON rem.id = d.doc_id
+             |ORDER BY id""".stripMargin)),
+
     // ---- incremental-ingest near-dup: a NEW batch (planted replays of
     // every 7th doc) joined against the EXISTING corpus on band
     // hashes — the production dedup shape (batch × index, never

@@ -126,6 +126,58 @@ class DedupSpec extends SparkSpec {
     assert(spans == Set((1L, 0L, 2L), (1L, 5L, 7L)))
   }
 
+  test("spanCutEmit keeps the canonical first occurrence and cuts the replay") {
+    val passage = "red orange yellow green blue"
+    val docs = Seq(
+      (1L, s"zebra $passage walrus yak"),   // canonical copy (smallest id)
+      (2L, s"apple mango kiwi $passage"),   // replay → cut
+      (3L, "one two three four five six")   // untouched
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.spanCutEmit(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L) == (s"zebra $passage walrus yak", 8L, 0L))
+    assert(got(2L) == ("apple mango kiwi", 3L, 5L))
+    assert(got(3L) == ("one two three four five six", 6L, 0L))
+  }
+
+  test("spanCutEmit never mutilates a kept copy when spans overlap in one doc") {
+    // doc 1 holds the canonical copy of "p q r s t"; doc 1 ALSO replays
+    // "r s t u v" whose canonical copy is doc 2's — the two spans
+    // overlap inside doc 1 ("r s t" shared). repeatedSubstringSpans
+    // merges doc 1's duplicated gram starts into ONE maximal span
+    // whose content matches nothing else, so rank-1 keeps it whole;
+    // nothing may be cut from a canonical region.
+    val docs = Seq(
+      (1L, "p q r s t u v"),
+      (2L, "a1 b1 p q r s t"),    // replays "p q r s t" (canonical: doc 1 pos 0)
+      (3L, "r s t u v c1 d1")     // replays "r s t u v" (canonical: doc 1 pos 2)
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.spanCutEmit(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc 1's maximal span "p q r s t u v" is content-unique → kept whole
+    assert(got(1L) == ("p q r s t u v", 7L, 0L))
+    // docs 2/3's spans are content-unique too (each is a maximal span
+    // with different content than doc 1's merged span) → kept
+    assert(got(2L)._3 == 0L && got(3L)._3 == 0L)
+  }
+
+  test("spanCutEmit cuts identical-content replays across many docs, keeping exactly one") {
+    val passage = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (10L, s"$passage tail10"),
+      (11L, s"$passage tail11"),
+      (12L, s"$passage tail12")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.spanCutEmit(docs, "doc_id", "text", k = 8)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(10L) == (s"$passage tail10", 9L, 0L)) // canonical survives
+    assert(got(11L) == ("tail11", 1L, 8L))
+    assert(got(12L) == ("tail12", 1L, 8L))
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val benchmark = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(

@@ -102,6 +102,15 @@ class PlanSpec extends SparkSpec {
       s"gram marking should plan as a semi-join:\n$plan")
   }
 
+  test("span-cut emission stays keyed end-to-end (no all-pairs)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "d24_span_cut_emission")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"span content grouping and position cuts must stay keyed:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"the inherited duplicated-gram marking should still plan as a semi-join:\n$plan")
+  }
+
   test("semantic decontam is a banded broadcast join (no all-pairs, no corpus shuffle)") {
     import graft.queries.PipelineQueries
     val plan = packPlan(PipelineQueries.all, "d18_semantic_decontam_kept")
