@@ -1629,6 +1629,60 @@ object PipelineQueries {
              |  CAST(len_ok * word_len_ok * stop_ok AS BIGINT) AS pass
              |FROM f ORDER BY id""".stripMargin)),
 
+    // ---- model-based quality scoring, frozen-weight path: logistic
+    // unit over the shared 5-signal feature frame with PUBLISHED
+    // weights — the shape a production scorer has once training is
+    // frozen, and the deterministic full-oracle twin of m15 (which
+    // fits the weights with spark.ml LR instead).
+    NamedQuery("t19_quality_model_fixed",
+      (s, dir) => graft.ml.QualityModel.scoreFixed(
+          Tables.documents(s, dir), "doc_id", "text", enStop)
+        .orderBy("id"),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                x -> len(x) > 0) AS ts,
+             |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+             |      (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE
+             |      / len(text) END AS praw
+             |  FROM documents),
+             |g AS (SELECT doc_id, ts, praw,
+             |    list_transform(generate_series(2, len(ts)),
+             |                   i -> array_to_string(ts[i-1:i], ' ')) AS g2
+             |  FROM t),
+             |f AS (SELECT doc_id AS id,
+             |    round(least(len(ts)::DOUBLE / 200.0, 1.0), 6) AS f_len,
+             |    round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+             |      len(list_filter(ts, x -> list_contains(${sqlList(enStop)}, x)))::DOUBLE
+             |      / len(ts) END, 6) AS f_stop,
+             |    round(praw, 6) AS f_punct,
+             |    CASE WHEN len(g2) = 0 THEN 0.0
+             |      ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END
+             |      AS f_dup2,
+             |    round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+             |      CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)
+             |        / len(ts) END / 10.0, 6) AS f_mtl
+             |  FROM g),
+             |z AS (SELECT id, -2.5 + 3.0 * f_len + 6.0 * f_stop
+             |    - 8.0 * f_punct - 4.0 * f_dup2 + 2.0 * f_mtl AS z
+             |  FROM f)
+             |SELECT id, round(1.0 / (1.0 + exp(-z)), 4) AS prob,
+             |  CAST(CASE WHEN round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
+             |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+             |FROM z ORDER BY id""".stripMargin)),
+
+    // ---- model-based quality scoring, TRAINED path: spark.ml
+    // LogisticRegression fit on t14's Gopher-rule weak labels over the
+    // same feature frame, scored back per document. Rows-only at the
+    // gate (LBFGS internals aren't SQL); deterministic twin:
+    // t19_quality_model_fixed (same features, frozen weights) — and
+    // MlSpec pins run-to-run stability + planted-class separation.
+    NamedQuery("m15_quality_model_scores",
+      (s, dir) => graft.ml.QualityModel.fitScore(
+          Tables.documents(s, dir), "doc_id", "text", enStop)
+        .orderBy("id"),
+      None),
+
     // ---- vocabulary coverage / OOV rate: per-doc occurrences outside
     // the corpus top-16 vocabulary (31 distinct tokens in the synthetic
     // corpus → a real split; ties in the top-K cut break by token asc,

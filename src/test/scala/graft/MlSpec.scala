@@ -98,6 +98,40 @@ class MlSpec extends SparkSpec {
     assert(assign.select("cluster").distinct().count() > 1)
   }
 
+  test("quality model: trained scores are run-to-run stable and separate planted classes") {
+    import graft.ml.QualityModel
+    val stop = graft.text.TextOps.langMarkers.head._2 // en markers
+    val good = (0 until 12).map(i => (i.toLong,
+      ("the quick brown fox is running over the hill and it jumps for " +
+        s"joy in a field of tall grass near river number $i ") * 3))
+    val bad = (12 until 24).map(i => (i.toLong,
+      s"buy$i buy$i buy$i buy$i !!! $$$$ ### @@@ buy$i buy$i buy$i buy$i !!!"))
+    val docs = (good ++ bad).toDF("doc_id", "text")
+    val s1 = QualityModel.fitScore(docs, "doc_id", "text", stop)
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    val s2 = QualityModel.fitScore(docs, "doc_id", "text", stop)
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    assert(s1.toSeq == s2.toSeq, "LR fit must be deterministic run-to-run")
+    val byId = s1.map(r => r._1 -> r._2).toMap
+    val worstGood = good.map(g => byId(g._1)).min
+    val bestBad = bad.map(b => byId(b._1)).max
+    assert(worstGood > bestBad,
+      s"model must separate prose from spam: worstGood=$worstGood bestBad=$bestBad")
+  }
+
+  test("quality model: fixed-weight twin agrees with the rules on planted extremes") {
+    import graft.ml.QualityModel
+    val stop = graft.text.TextOps.langMarkers.head._2
+    val docs = Seq(
+      (1L, "the cat and the dog walk to the park and it is a fine day for all of them"),
+      (2L, "zzz !!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) zzz zzz zzz zzz")
+    ).toDF("doc_id", "text")
+    val got = QualityModel.scoreFixed(docs, "doc_id", "text", stop)
+      .as[(Long, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 1L && got(1L)._2 > 0.5)
+    assert(got(2L)._3 == 0L && got(2L)._2 < 0.5)
+  }
+
   test("CrossValidator grid actually fits (unlike the reference's dead code)") {
     val als = Recommend.als("user", "item", "rating", rank = 2, maxIter = 2)
     val cv = Recommend.crossValidator(als, "rating",
