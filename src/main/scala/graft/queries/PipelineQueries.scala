@@ -465,6 +465,24 @@ object PipelineQueries {
       Some(ivfFixedOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
         k = 5, seed = 7L))),
 
+    // ---- PERSISTED-index IVF round trip: the s04 pipeline with a
+    // parquet write/reload of the index (centroids + per-list
+    // assignments, partitioned by list) between build and serve. Same
+    // DuckDB oracle as s04 — passing it IS the round-trip proof that
+    // serving from the persisted artifacts is bit-identical to
+    // serving in memory at equal nprobe.
+    NamedQuery("s16_ivf_persisted_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_ivf" +
+        s"/idx_p${ProcessHandle.current().pid()}"
+      graft.ml.VectorSearch.ivfFixedTopKPersisted(
+          emb.filter(col("vec_id") < 20), emb, k = 5,
+          dim = 64, nlist = IvfLists, nprobe = IvfProbes, seed = 7L, path)
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfFixedOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+        k = 5, seed = 7L))),
+
     // ---- token / char / quality stats per document.
     NamedQuery("t01_text_stats", (s, dir) =>
       Tables.documents(s, dir).select(

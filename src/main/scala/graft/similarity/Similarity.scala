@@ -282,32 +282,52 @@ object Similarity {
     */
   def ivfFixedTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
       nlist: Int = 16, nprobe: Int = 4, seed: Long = 7L): DataFrame = {
-    import graft.functions.TopK
     val cents = hyperplanes(dim, nlist, seed)
-    val cSelf = cents.map(c => c.map(x => x.toDouble * x).sum) // centᵀcent literals
+    ivfServe(queries, assignFixed(corpus, cents), cents, k, nprobe)
+  }
 
-    // dist²(v, cent_j) up to the common ‖v‖² term (rank-invariant):
-    // −2·v·cent_j + centᵀcent_j — cheapest scan-stage form
-    def distTo(vec: Column, j: Int): Column =
-      lit(-2.0) * dotF(vec, lit(cents(j))) + lit(cSelf(j))
-    def distArr(vec: Column): Column = array((0 until nlist).map(distTo(vec, _)): _*)
-    // first index of the minimum — deterministic tie-break on both engines
-    def nearest(vec: Column): Column =
-      array_position(distArr(vec), array_min(distArr(vec)))
+  /** dist²(v, cent_j) up to the common ‖v‖² term (rank-invariant):
+    * −2·v·cent_j + centᵀcent_j — cheapest scan-stage form. */
+  private def distArr(vec: Column, cents: Seq[Array[Float]]): Column = {
+    val cSelf = cents.map(c => c.map(x => x.toDouble * x).sum)
+    array(cents.indices.map(j =>
+      lit(-2.0) * dotF(vec, lit(cents(j))) + lit(cSelf(j))): _*)
+  }
 
-    val c = corpus.toDF("neighbor_id", "cv")
+  /** Scan-stage argmin assignment of corpus rows to centroid lists —
+    * the IVF BUILD: (neighbor_id, cv, cn, cluster 1-based). No
+    * shuffle, no explode: one L2-expansion distance per centroid,
+    * centroids shipped as literals; first-index-of-minimum is the
+    * deterministic tie-break on both engines. */
+  private[graft] def assignFixed(corpus: DataFrame,
+      cents: Seq[Array[Float]]): DataFrame =
+    corpus.toDF("neighbor_id", "cv")
       .withColumn("cn", norm(col("cv")))
-      .withColumn("cluster", nearest(col("cv")))
+      .withColumn("cluster",
+        array_position(distArr(col("cv"), cents),
+          array_min(distArr(col("cv"), cents))).cast("int"))
+
+  /** IVF SERVE over an (neighbor_id, cv, cn, cluster) assignment frame
+    * plus centroid values: probe each query's `nprobe` nearest lists,
+    * rank probed candidates by exact cosine via the map-side TopK
+    * combine. Shared verbatim by the in-memory path ([[ivfFixedTopK]])
+    * and the persisted-index path (graft.ml.VectorSearch.readIvfIndex
+    * → this) — the s16 round-trip contract is exactly "same function,
+    * reloaded inputs". */
+  private[graft] def ivfServe(queries: DataFrame, assigned: DataFrame,
+      cents: Seq[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+    import graft.functions.TopK
     val probes = queries.toDF("query_id", "qv")
       .withColumn("qn", norm(col("qv")))
       .select(col("query_id"), col("qv"), col("qn"),
-        posexplode(distArr(col("qv"))).as(Seq("j", "d")))
+        posexplode(distArr(col("qv"), cents)).as(Seq("j", "d")))
       .withColumn("pr", row_number().over(
         Window.partitionBy("query_id").orderBy(col("d"), col("j"))))
       .filter(col("pr") <= nprobe)
-      .select(col("query_id"), col("qv"), col("qn"), (col("j") + 1).as("cluster"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        (col("j") + 1).cast("int").as("cluster"))
 
-    broadcast(probes).join(c, Seq("cluster"))
+    broadcast(probes).join(assigned, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(safeCos(dotF(col("qv"), col("cv")), col("qn"), col("cn")), 6))
       .groupBy("query_id")

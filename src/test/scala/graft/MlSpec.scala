@@ -98,6 +98,21 @@ class MlSpec extends SparkSpec {
     assert(assign.select("cluster").distinct().count() > 1)
   }
 
+  test("persisted trained IVF index serves identically to the in-memory build") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_ivf" +
+      s"/spec_p${ProcessHandle.current().pid()}"
+    val mem = VectorSearch.ivfTopK(queries, emb, k = 5, nlist = 8,
+        nprobe = 3, seed = 1L)
+      .as[(Long, Long, Double, Int)].collect().sorted
+    val disk = VectorSearch.ivfTopKPersisted(queries, emb, k = 5, nlist = 8,
+        nprobe = 3, seed = 1L, path)
+      .as[(Long, Long, Double, Int)].collect().sorted
+    assert(mem.nonEmpty && mem.toSeq == disk.toSeq,
+      s"round trip must be lossless: mem=${mem.length} disk=${disk.length}")
+  }
+
   test("quality model: trained scores are run-to-run stable and separate planted classes") {
     import graft.ml.QualityModel
     val stop = graft.text.TextOps.langMarkers.head._2 // en markers
