@@ -83,8 +83,19 @@ object GraphQueries {
     }),
 
     // ---- G8 (goodreads.py:594 label propagation): community sizes.
+    // DEMOTED to a bounded spot check in r8 per the r7 verdict's own
+    // clause ("if the LP floor reads > 8 s again … demote g06"): the
+    // full-graph GraphX LabelPropagation.run floor drifted 6.4 → 7.9
+    // → 8.1 s across rounds with no code change (map-message Pregel +
+    // adapter floor, 5.4% of the sweep). The GraphX surface stays
+    // exercised end-to-end, but on the heavy-edge subgraph (the m13
+    // pattern: same ≥40 weight threshold) so the known floor is a
+    // small absolute cost. The FULL-graph declarative twin g12 keeps
+    // pinning full-scale label-propagation semantics under its
+    // DuckDB oracle.
     NamedQuery("g06_label_propagation_sizes", (s, dir) => {
       val g = PropertyGraph.customerPartGraph(s, dir)
+        .filterEdges(col("weight") >= 40.0)
       g.labelPropagation(maxIter = 4)
         .groupBy("label").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("label")).limit(20)
