@@ -79,17 +79,18 @@ object Bench {
     }
 
     // Sweep guard (VERDICT r7): a reading can still be inflated by
-    // in-sweep neighbours (GC timing, cleaner backlog). Re-measure —
-    // once, isolated, after a full flush — every non-trivial query
-    // whose two runs disagree badly (contention signature) or that is
-    // expensive enough to matter in the total; queries whose in-sweep
-    // min-of-2 exceeds 2x the isolated floor are flagged "contended"
-    // in the artifact. The reported time is the min over ALL runs, so
-    // a contended in-sweep reading never masquerades as plan cost.
+    // in-sweep neighbours (GC timing, cleaner backlog, steady-state
+    // storage pressure — the last is run-to-run STABLE, so an
+    // instability trigger alone misses it). Re-measure — once,
+    // isolated, after a full flush — EVERY query above the trivial
+    // floor; queries whose in-sweep min exceeds 2x the isolated
+    // reading are flagged "contended" in the artifact. The reported
+    // time is the min over ALL runs (a disclosed isolated-best-of-3
+    // protocol — every raw run stays visible in "runs"), so a
+    // contended in-sweep reading never masquerades as plan cost.
     lastFam = ""
     val results = swept.map { r =>
-      val suspicious = r.err.isEmpty && r.sweepMin >= 0.75 &&
-        (r.runs.max > 1.3 * r.sweepMin || r.sweepMin >= 4.0)
+      val suspicious = r.err.isEmpty && r.sweepMin >= 0.75
       if (!suspicious) r
       else {
         if (familyOf(r.name) != lastFam) { familyFlush(); lastFam = familyOf(r.name) }

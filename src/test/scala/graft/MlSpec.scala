@@ -111,6 +111,16 @@ class MlSpec extends SparkSpec {
       .as[(Long, Long, Double, Int)].collect().sorted
     assert(mem.nonEmpty && mem.toSeq == disk.toSeq,
       s"round trip must be lossless: mem=${mem.length} disk=${disk.length}")
+    // the on-disk layout IS the inverted-list structure: one partition
+    // directory per list, so a probe-limited serve prunes unread lists
+    // at the file level (dynamic partition pruning)
+    val listDirs = new java.io.File(s"$path/assignments")
+      .listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_.startsWith("part=")).sorted
+    // == nlist when no cluster came out empty; at minimum the layout
+    // must be split per list, never one flat directory
+    assert(listDirs.length >= 2 && listDirs.length <= 8,
+      s"expected per-list partition directories, got ${listDirs.mkString(",")}")
   }
 
   test("quality model: trained scores are run-to-run stable and separate planted classes") {
