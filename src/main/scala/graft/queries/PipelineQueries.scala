@@ -1656,38 +1656,7 @@ object PipelineQueries {
       (s, dir) => graft.ml.QualityModel.scoreFixed(
           Tables.documents(s, dir), "doc_id", "text", enStop)
         .orderBy("id"),
-      Some(s"""WITH t AS (
-             |  SELECT doc_id, text,
-             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-             |                x -> len(x) > 0) AS ts,
-             |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
-             |      (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE
-             |      / len(text) END AS praw
-             |  FROM documents),
-             |g AS (SELECT doc_id, ts, praw,
-             |    list_transform(generate_series(2, len(ts)),
-             |                   i -> array_to_string(ts[i-1:i], ' ')) AS g2
-             |  FROM t),
-             |f AS (SELECT doc_id AS id,
-             |    round(least(len(ts)::DOUBLE / 200.0, 1.0), 6) AS f_len,
-             |    round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
-             |      len(list_filter(ts, x -> list_contains(${sqlList(enStop)}, x)))::DOUBLE
-             |      / len(ts) END, 6) AS f_stop,
-             |    round(praw, 6) AS f_punct,
-             |    CASE WHEN len(g2) = 0 THEN 0.0
-             |      ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END
-             |      AS f_dup2,
-             |    round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
-             |      CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)
-             |        / len(ts) END / 10.0, 6) AS f_mtl
-             |  FROM g),
-             |z AS (SELECT id, -2.5 + 3.0 * f_len + 6.0 * f_stop
-             |    - 8.0 * f_punct - 4.0 * f_dup2 + 2.0 * f_mtl AS z
-             |  FROM f)
-             |SELECT id, round(1.0 / (1.0 + exp(-z)), 4) AS prob,
-             |  CAST(CASE WHEN round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
-             |    THEN 1 ELSE 0 END AS BIGINT) AS keep
-             |FROM z ORDER BY id""".stripMargin)),
+      Some(qualityModelFixedOracle)),
 
     // ---- model-based quality scoring, TRAINED path: spark.ml
     // LogisticRegression fit on t14's Gopher-rule weak labels over the
@@ -1794,6 +1763,44 @@ object PipelineQueries {
              |  min(CASE WHEN nrm < lo OR nrm > hi THEN vec_id END) AS min_outlier_id
              |FROM j GROUP BY label ORDER BY label""".stripMargin))
   )
+
+  /** t19's full oracle — the frozen-weight quality scorer replayed in
+    * SQL. Shared verbatim by sw09 (the streaming lift scores the same
+    * documents through the same projection, so the batch oracle is the
+    * exact expected per-document output). */
+  private[queries] lazy val qualityModelFixedOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                x -> len(x) > 0) AS ts,
+       |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+       |      (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE
+       |      / len(text) END AS praw
+       |  FROM documents),
+       |g AS (SELECT doc_id, ts, praw,
+       |    list_transform(generate_series(2, len(ts)),
+       |                   i -> array_to_string(ts[i-1:i], ' ')) AS g2
+       |  FROM t),
+       |f AS (SELECT doc_id AS id,
+       |    round(least(len(ts)::DOUBLE / 200.0, 1.0), 6) AS f_len,
+       |    round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+       |      len(list_filter(ts, x -> list_contains(${sqlList(enStop)}, x)))::DOUBLE
+       |      / len(ts) END, 6) AS f_stop,
+       |    round(praw, 6) AS f_punct,
+       |    CASE WHEN len(g2) = 0 THEN 0.0
+       |      ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END
+       |      AS f_dup2,
+       |    round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+       |      CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)
+       |        / len(ts) END / 10.0, 6) AS f_mtl
+       |  FROM g),
+       |z AS (SELECT id, -2.5 + 3.0 * f_len + 6.0 * f_stop
+       |    - 8.0 * f_punct - 4.0 * f_dup2 + 2.0 * f_mtl AS z
+       |  FROM f)
+       |SELECT id, round(1.0 / (1.0 + exp(-z)), 4) AS prob,
+       |  CAST(CASE WHEN round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
+       |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM z ORDER BY id""".stripMargin
 
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")

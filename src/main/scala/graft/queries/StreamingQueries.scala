@@ -264,6 +264,53 @@ object StreamingQueries {
              |  CAST(sum(word_len_ok) AS BIGINT) AS n_word_len_ok,
              |  CAST(sum(stop_ok) AS BIGINT) AS n_stop_ok,
              |  CAST(sum(len_ok * word_len_ok * stop_ok) AS BIGINT) AS n_pass
-             |FROM f""".stripMargin))
+             |FROM f""".stripMargin)),
+
+    // ---- streaming MODEL-quality admission (ingest-time lift of the
+    // t19 frozen-weight scorer): the post-training production shape —
+    // scoring is a pure scan-stage projection, so it streams with
+    // ZERO state, append mode, no watermark; per-doc verdicts from
+    // the sink must equal the batch scorer bit-for-bit (t19's oracle,
+    // per-document).
+    NamedQuery("sw09_stream_model_admission",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val res = StreamRunner.runAvailableNow(s, docs,
+            "sw09_model_admission", "append") { src =>
+          graft.ml.QualityModel.scoreFixed(src, "doc_id", "text",
+            graft.text.TextOps.langMarkers.head._2)
+        }
+        res.orderBy("id")
+      },
+      Some(PipelineQueries.qualityModelFixedOracle)),
+
+    // ---- streaming token-BUDGET admission (stateful ingest-time
+    // corpus gating, the p14 family's streaming twin in its
+    // naive-prefix form): each source admits docs while its running
+    // token total (including the current doc, by doc_id order) stays
+    // ≤ 800; state is one long per source (source-cardinality-
+    // bounded, no watermark). Deterministic under the harness's
+    // doc_id-ordered contract, so the batch running-sum SQL is the
+    // exact expected output, per-document.
+    NamedQuery("sw10_stream_budget_admission",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val res = StreamRunner.runAvailableNow(s, docs,
+            "sw10_budget_admission", "append") { src =>
+          EventStreams.budgetAdmission(src, "doc_id", "source", "text",
+            budget = 800L).toDF()
+        }
+        res.orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, source,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                    x -> len(x) > 0))::BIGINT AS n_tokens
+             |  FROM documents),
+             |r AS (SELECT doc_id, source, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             |  FROM t)
+             |SELECT doc_id, source, n_tokens,
+             |  CAST(CASE WHEN cum <= 800 THEN 1 ELSE 0 END AS BIGINT) AS admit
+             |FROM r ORDER BY doc_id""".stripMargin))
   )
 }

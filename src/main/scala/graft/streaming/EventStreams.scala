@@ -380,6 +380,51 @@ object EventStreams {
       .toDF()
   }
 
+  /** One document offered for budget admission. */
+  final case class BudgetDoc(doc_id: Long, source: String, n_tokens: Long)
+
+  /** Per-document admission verdict under a source token budget. */
+  final case class BudgetVerdict(doc_id: Long, source: String,
+      n_tokens: Long, admit: Long)
+
+  /** Streaming token-budget ADMISSION — the ingest-time twin of the
+    * p14 budget family, in the family's documented NAIVE-PREFIX form
+    * (the form p14's own oracle runs): each source admits documents
+    * while its cumulative token total INCLUDING the current document
+    * stays ≤ `budget` — an arrival-order prefix cut at the budget
+    * horizon, exactly a per-source running sum. State per source is
+    * ONE long (cumulative tokens seen), keyed by source, so state
+    * size is source-cardinality-bounded and needs no watermark
+    * (NoTimeout): the production corpus-gating shape, where sources
+    * are few and budgets are absolute.
+    *
+    * Determinism contract: within a micro-batch each source's rows
+    * are processed in doc_id order (sorted in the group handler);
+    * across batches, the prefix follows arrival order — under the
+    * harness's AvailableNow single-staging (and any doc_id-ordered
+    * feed) the verdicts equal the batch running-sum oracle (sw10). */
+  def budgetAdmission(docs: DataFrame, idCol: String, sourceCol: String,
+      textCol: String, budget: Long): Dataset[BudgetVerdict] = {
+    import docs.sparkSession.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(sourceCol).as("source"),
+        graft.text.TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .as[BudgetDoc]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[Long, BudgetVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val verdicts = rows.toArray.sortInPlaceBy(_.doc_id).map { d =>
+            cum += d.n_tokens
+            BudgetVerdict(d.doc_id, d.source, d.n_tokens,
+              if (cum <= budget) 1L else 0L)
+          }
+          state.update(cum)
+          verdicts.iterator
+      }
+  }
+
   /** One event on the wire (micros-precision event time `ts`). */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

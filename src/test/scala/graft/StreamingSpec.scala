@@ -263,6 +263,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("budgetAdmission carries spent-token state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.budgetAdmission(
+        in.toDF().toDF("doc_id", "source", "text"),
+        "doc_id", "source", "text", budget = 5L)
+      .writeStream.format("memory").queryName("budget_admit")
+      .outputMode("append").start()
+    try {
+      // batch 1: srcA spends 2 then 2 (cum 4 ≤ 5); srcB spends 4
+      in.addData((1L, "srcA", "a b"), (2L, "srcA", "c d"),
+        (10L, "srcB", "w x y z"))
+      q.processAllAvailable()
+      // batch 2: srcA's next doc crosses the horizon (cum 4+2=6 > 5),
+      // srcB's stays inside (4+1=5 ≤ 5) — state must have carried
+      in.addData((3L, "srcA", "e f"), (11L, "srcB", "v"))
+      q.processAllAvailable()
+      val got = spark.table("budget_admit")
+        .select("doc_id", "admit").as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 10L -> 1L, 11L -> 1L))
+    } finally q.stop()
+  }
+
+  test("budgetAdmission orders a micro-batch's docs by doc_id before spending") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.budgetAdmission(
+        in.toDF().toDF("doc_id", "source", "text"),
+        "doc_id", "source", "text", budget = 3L)
+      .writeStream.format("memory").queryName("budget_order")
+      .outputMode("append").start()
+    try {
+      // fed in REVERSE id order: the handler must still admit 1,2 and
+      // reject 3 (prefix by doc_id, not by arrival position)
+      in.addData((3L, "s", "z z"), (1L, "s", "a"), (2L, "s", "b c"))
+      q.processAllAvailable()
+      val got = spark.table("budget_order")
+        .select("doc_id", "admit").as[(Long, Long)].collect().toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 0L))
+    } finally q.stop()
+  }
+
   test("runUpsertLatest merges micro-batches to one latest row per key") {
     import spark.implicits._
     // 40 rows / 4 versions per key: the 8-file staging split with
