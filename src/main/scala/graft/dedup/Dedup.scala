@@ -605,9 +605,14 @@ object Dedup {
     * joined by single spaces (the same normalized space the spans are
     * defined in; docs with nothing cut re-emit all their tokens).
     *
-    * Scale shape: everything keyed, never all-pairs — span contents
-    * group on a content key (span table ≈ duplicated-region count,
-    * corpus-small); cut/kept positions explode per-document (bounded
+    * Scale shape: everything keyed, never all-pairs — and NO window:
+    * the canonical occurrence per span content is min(struct(id,
+    * start_tok)) — a partial+final hash aggregate, so a boilerplate
+    * span repeated across millions of documents reduces map-side
+    * instead of sorting one hot window partition; the 1-row-per-
+    * content canonical table joins back on the content key (AQE
+    * skew-join handles a hot content there, and the tiny side
+    * broadcasts). Cut/kept positions explode per-document (bounded
     * by doc length) and resolve via (id, pos) anti-joins; the final
     * re-assembly is one per-document aggregate (sort_array over the
     * collected (pos, tok) structs — no global sort). */
@@ -616,18 +621,22 @@ object Dedup {
     val spans = repeatedSubstringSpans(df, idCol, textCol, k)
     val toks = graft.Caches.cached(df.select(col(idCol).as("id"),
       TextOps.tokens(col(textCol)).as("__toks")))
-    val withContent = spans.join(toks, Seq("id"))
+    val spansC = graft.Caches.cached(spans.join(toks, Seq("id"))
       .withColumn("__content", array_join(
         slice(col("__toks"), (col("start_tok") + 1).cast("int"),
           col("span_tokens").cast("int")), " "))
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("__content").orderBy("id", "start_tok")))
-    def positions(f: Column => Column) = withContent.filter(f(col("__rn")))
+      .select("id", "start_tok", "end_tok", "__content"))
+    val canon = spansC.groupBy("__content")
+      .agg(min(struct(col("id"), col("start_tok"))).as("__c1"))
+    val marked = spansC.join(canon, Seq("__content"))
+      .withColumn("__keep", col("id") === col("__c1.id") &&
+        col("start_tok") === col("__c1.start_tok"))
+    def positions(keep: Boolean) = marked.filter(col("__keep") === keep)
       .select(col("id"),
         explode(sequence(col("start_tok"), col("end_tok"))).as("pos"))
       .distinct()
-    val cutPos = positions(_ > 1)
-      .join(positions(_ === 1), Seq("id", "pos"), "left_anti")
+    val cutPos = positions(keep = false)
+      .join(positions(keep = true), Seq("id", "pos"), "left_anti")
     val tokPos = toks.select(col("id"),
       posexplode(col("__toks")).as(Seq("pos", "tok")))
     val rebuilt = tokPos
