@@ -177,6 +177,10 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // deterministic pick (struct ordering is field-by-field), and for
     // graft-built graphs (already simple) the keyed agg is a cheap
     // pass-through that shares the shuffle with the hop join.
+    // Precondition this inherits: edge property columns must be
+    // ORDERABLE (min over a struct rejects map-typed fields with an
+    // analysis error — loudly, vs the silent nondeterminism it
+    // replaced).
     val edg = edges
       .groupBy(col("src").as("__s"), col("dst").as("__d"))
       .agg(min(struct(edges.columns.map(col): _*)).as("__e"))

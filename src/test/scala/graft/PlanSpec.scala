@@ -102,6 +102,15 @@ class PlanSpec extends SparkSpec {
       s"gram marking should plan as a semi-join:\n$plan")
   }
 
+  test("frozen quality scorer is pure scan-stage (no exchange, no aggregate)") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.ml.QualityModel.scoreFixed(docs, "doc_id", "text",
+        graft.text.TextOps.langMarkers.head._2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("HashAggregate"),
+      s"the frozen scorer must run inside the ingest scan at 100 TB:\n$plan")
+  }
+
   test("span-cut emission stays keyed end-to-end (no all-pairs)") {
     import graft.queries.PipelineQueries
     val plan = packPlan(PipelineQueries.all, "d24_span_cut_emission")
