@@ -91,6 +91,12 @@ object VectorSearch {
     val spark = assigned.sparkSession
     import spark.implicits._
     assigned.withColumn(listCol, col(listCol).cast("int"))
+      // repartition by list BEFORE the partitioned write: without it,
+      // every write task emits one file per list it touches — at 1000
+      // executors that is tasks x nlist small files; with it, each
+      // list's rows land in whole output partitions (one keyed
+      // shuffle, paid once at build time in a build-once index)
+      .repartition(col(listCol))
       .write.mode("overwrite").partitionBy(listCol)
       .parquet(s"$path/assignments")
     centroids.map { case (i, v) => (i, v.toSeq) }.toDF("part", "centroid")
