@@ -107,15 +107,9 @@ object VectorSearch {
     * the centroid values. The centroid fetch is an nlist-row driver
     * collect — k-bounded by contract, like the MMR step fetch. */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String)
-      : (DataFrame, Seq[(Int, Array[Float])]) = {
-    import spark.implicits._
-    val assigned = spark.read.parquet(s"$path/assignments")
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("part"), col("centroid"))
-      .as[(Int, Seq[Float])].collect().sortBy(_._1)
-      .map { case (i, v) => (i, v.toArray) }.toSeq
-    (assigned, cents)
-  }
+      : (DataFrame, Seq[(Int, Array[Float])]) =
+    (spark.read.parquet(s"$path/assignments"),
+      readIvfIndexCentroids(spark, path))
 
   /** TRAINED-build persisted round trip: build the spherical KMeans
     * index, write it, reload it, serve from the reloaded artifacts.
@@ -128,6 +122,34 @@ object VectorSearch {
     writeIvfIndex(assigned, "part", centroids, path)
     val (loaded, cents) = readIvfIndex(queries.sparkSession, path)
     serveTrained(queries, loaded, cents, k, nprobe)
+  }
+
+  /** INCREMENTAL append to a persisted fixed-centroid index — the
+    * production ingest path: new vectors are assigned under the
+    * EXISTING centroids (scan-stage argmin, the d16 batch-vs-index
+    * shape — the corpus already indexed is never touched) and their
+    * lists append to the parquet layout (dynamic partition append:
+    * only the lists the batch lands in gain files). Centroids are
+    * read back from the index itself, so the assignment rule is
+    * frozen with the artifact, not with the caller. */
+  def appendToIvfIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = readIvfIndexCentroids(spark, path)
+    Similarity.assignFixed(newVecs, cents.map(_._2))
+      .withColumn("cluster", col("cluster").cast("int"))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/assignments")
+  }
+
+  /** Centroids of a persisted index alone (nlist-row driver fetch). */
+  def readIvfIndexCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Int, Array[Float])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .select(col("part"), col("centroid"))
+      .as[(Int, Seq[Float])].collect().sortBy(_._1)
+      .map { case (i, v) => (i, v.toArray) }.toSeq
   }
 
   /** FIXED-build persisted round trip — the ORACLE-checkable one

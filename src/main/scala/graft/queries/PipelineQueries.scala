@@ -483,6 +483,32 @@ object PipelineQueries {
       Some(ivfFixedOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
         k = 5, seed = 7L))),
 
+    // ---- INCREMENTAL index growth: build the persisted index on the
+    // even half of the corpus, APPEND the odd half under the frozen
+    // centroids (batch-vs-index, the d16 shape — the indexed corpus is
+    // never re-touched), serve from the combined artifacts. Fixed-
+    // centroid assignment is per-row independent, so incremental
+    // build ≡ full build and s04's oracle is again the exact expected
+    // output — proving append-grown indexes serve identically.
+    NamedQuery("s17_ivf_incremental_append", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_ivf" +
+        s"/idx_incr_p${ProcessHandle.current().pid()}"
+      val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
+      graft.ml.VectorSearch.writeIvfIndex(
+        Similarity.assignFixed(emb.filter(col("vec_id") % 2 === 0), cents),
+        "cluster", cents.zipWithIndex.map(_.swap), path)
+      graft.ml.VectorSearch.appendToIvfIndex(
+        emb.filter(col("vec_id") % 2 =!= 0), path)
+      val (loaded, loadedCents) =
+        graft.ml.VectorSearch.readIvfIndex(s, path)
+      Similarity.ivfServe(emb.filter(col("vec_id") < 20), loaded,
+          loadedCents.map(_._2), k = 5, nprobe = IvfProbes)
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfFixedOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+        k = 5, seed = 7L))),
+
     // ---- token / char / quality stats per document.
     NamedQuery("t01_text_stats", (s, dir) =>
       Tables.documents(s, dir).select(
