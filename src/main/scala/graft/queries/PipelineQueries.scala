@@ -1684,6 +1684,73 @@ object PipelineQueries {
         .orderBy("id"),
       Some(qualityModelFixedOracle)),
 
+    // ---- quality-model EVALUATION: confusion of the frozen-weight
+    // scorer's keep verdicts against the t14 Gopher-rule labels — the
+    // "does the model approximate the rules it bootstraps from"
+    // check a quality-classifier deployment ships with. One keyed
+    // join of two scan-stage verdict frames + a 1-row aggregate;
+    // every cell is an exact integer count.
+    NamedQuery("t20_quality_model_confusion", (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = graft.ml.QualityModel.scoreFixed(docs, "doc_id", "text",
+        enStop).select(col("id"), col("keep"))
+      val rules = TextOps.gopherRules(docs, "doc_id", "text",
+          stopwords = enStop, minTokens = 30, maxTokens = 5000,
+          minMeanLen = 3.0, maxMeanLen = 4.8, minStopHits = 2)
+        .select(col("id"), col("pass"))
+      scored.join(rules, Seq("id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep") * col("pass")).as("n_tp"),
+          sum(col("keep") * (lit(1L) - col("pass"))).as("n_fp"),
+          sum((lit(1L) - col("keep")) * col("pass")).as("n_fn"),
+          sum((lit(1L) - col("keep")) * (lit(1L) - col("pass"))).as("n_tn"))
+    },
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, text,
+             |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                x -> len(x) > 0) AS ts,
+             |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
+             |      (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE
+             |      / len(text) END AS praw
+             |  FROM documents),
+             |g AS (SELECT doc_id, ts, praw,
+             |    list_transform(generate_series(2, len(ts)),
+             |                   i -> array_to_string(ts[i-1:i], ' ')) AS g2
+             |  FROM t),
+             |f AS (SELECT doc_id AS id,
+             |    round(least(len(ts)::DOUBLE / 200.0, 1.0), 6) AS f_len,
+             |    round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+             |      len(list_filter(ts, x -> list_contains(${sqlList(enStop)}, x)))::DOUBLE
+             |      / len(ts) END, 6) AS f_stop,
+             |    round(praw, 6) AS f_punct,
+             |    CASE WHEN len(g2) = 0 THEN 0.0
+             |      ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END
+             |      AS f_dup2,
+             |    round(CASE WHEN len(ts) = 0 THEN 0.0 ELSE
+             |      CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)
+             |        / len(ts) END / 10.0, 6) AS f_mtl,
+             |    len(ts) AS n_tokens,
+             |    round(CASE WHEN len(ts) = 0 THEN 0.0
+             |      ELSE CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)
+             |        / len(ts) END, 4) AS mean_tok_len,
+             |    len(list_intersect(list_distinct(ts), ${sqlList(enStop)}))
+             |      AS stop_hits
+             |  FROM g),
+             |v AS (SELECT id,
+             |    CASE WHEN round(1.0 / (1.0 + exp(-(-2.5 + 3.0 * f_len
+             |      + 6.0 * f_stop - 8.0 * f_punct - 4.0 * f_dup2
+             |      + 2.0 * f_mtl))), 4) >= 0.5 THEN 1 ELSE 0 END AS keep,
+             |    CASE WHEN n_tokens BETWEEN 30 AND 5000
+             |      AND mean_tok_len BETWEEN 3.0 AND 4.8
+             |      AND stop_hits >= 2 THEN 1 ELSE 0 END AS pass
+             |  FROM f)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(keep * pass) AS BIGINT) AS n_tp,
+             |  CAST(sum(keep * (1 - pass)) AS BIGINT) AS n_fp,
+             |  CAST(sum((1 - keep) * pass) AS BIGINT) AS n_fn,
+             |  CAST(sum((1 - keep) * (1 - pass)) AS BIGINT) AS n_tn
+             |FROM v""".stripMargin)),
+
     // ---- model-based quality scoring, TRAINED path: spark.ml
     // LogisticRegression fit on t14's Gopher-rule weak labels over the
     // same feature frame, scored back per document. Rows-only at the
