@@ -604,6 +604,13 @@ object Dedup {
     * one row per input document; cleaned_text is the surviving tokens
     * joined by single spaces (the same normalized space the spans are
     * defined in; docs with nothing cut re-emit all their tokens).
+    * The contract is deliberately CONSERVATIVE at span granularity:
+    * occurrences must match as whole maximal spans — when a shared
+    * passage sits in per-doc context that is itself duplicated, the
+    * maximal spans grow differently per document, their contents
+    * stop matching, and nothing is cut (DedupSpec pins both sides of
+    * this line). Cutting partial overlaps would need span splitting,
+    * which re-introduces the mutilation hazard this rule avoids.
     *
     * Scale shape: everything keyed, never all-pairs — and NO window:
     * the canonical occurrence per span content is min(struct(id,

@@ -178,6 +178,39 @@ class DedupSpec extends SparkSpec {
     assert(got(12L) == ("tail12", 1L, 8L))
   }
 
+  test("spanCutEmit conserves tokens on a generated corpus (kept + removed = total)") {
+    // deterministic pseudo-corpus: DOC-UNIQUE filler tokens around a
+    // planted passage at varying offsets, so the maximal repeated
+    // span is exactly the passage (content-identical across docs) —
+    // a cyclic shared-filler corpus instead yields doc-unique MAXIMAL
+    // spans (boundary grams extend differently per doc) and the
+    // content-level contract then cuts nothing, by design
+    val passage = "r1 r2 r3 r4 r5"
+    val docs = (0 until 30).map { i =>
+      val filler = (0 until (i % 7) + 2).map(j => s"f${i}x$j")
+      val body =
+        if (i % 3 == 0) (filler.take(i % 4) :+ passage) ++ filler.drop(i % 4)
+        else filler
+      (i.toLong, body.mkString(" "))
+    }.toDF("doc_id", "text")
+    val toksOf = docs.select($"doc_id",
+      graft.text.TextOps.tokenCount($"text").cast("long").as("n"))
+      .as[(Long, Long)].collect().toMap
+    val got = graft.dedup.Dedup.spanCutEmit(docs, "doc_id", "text", k = 3)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length == 30)
+    got.foreach { case (id, cleaned, kept, removed) =>
+      assert(kept + removed == toksOf(id),
+        s"doc $id: kept $kept + removed $removed != ${toksOf(id)}")
+      val cleanedToks = cleaned.split(" ").filter(_.nonEmpty).length.toLong
+      assert(cleanedToks == kept, s"doc $id: cleaned has $cleanedToks, kept=$kept")
+    }
+    // exactly one canonical copy of the planted passage survives intact
+    val intact = got.filter(_._2.contains(passage))
+    assert(intact.length == 1, s"expected 1 intact copy, got ${intact.length}")
+    assert(got.map(_._4).sum > 0, "replays must have been cut")
+  }
+
   test("decontaminate drops exactly the docs sharing an n-gram with the benchmark") {
     val benchmark = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
