@@ -112,6 +112,13 @@ object Bench {
     val contended = results.filter(r => r.err.isEmpty && r.contended).map { r =>
       "\"" + r.name + "\":{\"sweep_min\":" + fmt(r.sweepMin) +
         ",\"isolated\":" + fmt(r.recheck.get) + "}" }.mkString("{", ",", "}")
+    // isolated reading for EVERY rechecked query (VERDICT r8 item 3),
+    // not only contended failures: a gate reader can now separate
+    // machine-day environment drift (in-sweep ≈ isolated, both high)
+    // from plan regressions without a local re-run
+    val isolated = results.filter(r => r.err.isEmpty && r.recheck.isDefined)
+      .map { r => "\"" + r.name + "\":{\"sweep_min\":" + fmt(r.sweepMin) +
+        ",\"isolated\":" + fmt(r.recheck.get) + "}" }.mkString("{", ",", "}")
     val failed = results.collect { case r if r.err.isDefined =>
       s""""${r.name}":"${r.err.get}"""" }.mkString("{", ",", "}")
     // failures are reported, not timed: time-to-exception in the total
@@ -121,9 +128,15 @@ object Bench {
     // column against rounds 1-5's single-run totals (min-of-runs
     // excludes per-call cache-build cost by design)
     val totalCold = results.filter(_.err.isEmpty).map(_.runs.head).sum
+    // sweep-only total (min of IN-SWEEP runs, rechecks excluded): the
+    // single-protocol column comparable across rounds regardless of
+    // which queries crossed the 0.75 s recheck threshold (ADVICE r8)
+    val totalSweep = results.filter(_.err.isEmpty).map(_.sweepMin).sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""timing":"min_of_runs","total_cold":${fmt(totalCold)},""" +
+      s""""total_sweep":${fmt(totalSweep)},""" +
       s""""queries":$qs,"runs":$runs,"contended":$contended,""" +
+      s""""isolated":$isolated,""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout capture through sbt truncates the HEAD of the (long) full
