@@ -167,6 +167,62 @@ object VectorSearch {
     Similarity.ivfServe(queries, loaded, loadedCents.map(_._2), k, nprobe)
   }
 
+  /** COMPOSED IVF-PQ index persistence: the [[writeIvfIndex]] layout
+    * (centroids + per-list assignments PARTITIONED BY list id) where
+    * the assignment rows carry PQ CODES instead of float vectors —
+    * m small ints per vector, so the serving scan reads both FEWER
+    * list directories (IVF pruning) and FAR fewer bytes per candidate
+    * (PQ compression). The codebooks are persisted beside the
+    * centroids, so the whole decode rule is frozen with the artifact:
+    *   centroids/   (part int, centroid array<float>)
+    *   codebooks/   (j int 0-based subspace, ci int 1-based code,
+    *                 code array<float>)
+    *   assignments/ (neighbor_id, codes array<int>, cluster int) */
+  def writeIvfPqIndex(coded: DataFrame, cents: Seq[(Int, Array[Float])],
+      books: Seq[Seq[Array[Float]]], path: String): Unit = {
+    writeIvfIndex(coded, "cluster", cents, path)
+    val spark = coded.sparkSession
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (c, ci) => (j, ci + 1, c.toSeq) }
+    }.toDF("j", "ci", "code")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Codebooks of a persisted IVF-PQ index (m·k-row driver fetch —
+    * vocabulary-sized by contract, like the centroid fetch). */
+  def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Array[Float]]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/codebooks")
+      .select(col("j"), col("ci"), col("code"))
+      .as[(Int, Int, Seq[Float])].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray).toSeq)
+  }
+
+  /** FIXED-build IVF-PQ persisted round trip — the s19 proof under the
+    * s16 pattern: encode+assign the corpus in one scan
+    * (Similarity.ivfPqEncodeAssign), persist codes/centroids/codebooks,
+    * reload all three, and serve with Similarity.ivfPqServe over the
+    * reloaded artifacts. Serving is the same function on both sides of
+    * the write, and every parameter is frozen IN the artifact, so the
+    * result is bit-identical to Similarity.ivfPqTopK — s18's DuckDB
+    * oracle checks the round trip. */
+  def ivfPqTopKPersisted(queries: DataFrame, corpus: DataFrame, topK: Int,
+      dim: Int, nlist: Int, nprobe: Int, m: Int, kCodes: Int,
+      ivfSeed: Long, pqSeed: Long, path: String): DataFrame = {
+    val cents = Similarity.hyperplanes(dim, nlist, ivfSeed)
+    val books = Similarity.pqCodebooks(dim, m, kCodes, pqSeed)
+    val coded = Similarity.ivfPqEncodeAssign(corpus, cents, dim, m, kCodes, pqSeed)
+    writeIvfPqIndex(coded, cents.zipWithIndex.map(_.swap), books, path)
+    val spark = queries.sparkSession
+    val loaded = spark.read.parquet(s"$path/assignments")
+    Similarity.ivfPqServe(queries, loaded,
+      readIvfIndexCentroids(spark, path).map(_._2),
+      readPqCodebooks(spark, path), topK, nprobe, dim, m)
+  }
+
   /** Spherical IVF build: KMeans over unit-normalized vectors. Returns
     * the cached (neighbor_id, cv, part) assignment and the centroid
     * float literals. */

@@ -473,8 +473,7 @@ object PipelineQueries {
     // serving in memory at equal nprobe.
     NamedQuery("s16_ivf_persisted_topk", (s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_ivf" +
-        s"/idx_p${ProcessHandle.current().pid()}"
+      val path = graft.ScratchDirs.scratch("ivf_idx")
       graft.ml.VectorSearch.ivfFixedTopKPersisted(
           emb.filter(col("vec_id") < 20), emb, k = 5,
           dim = 64, nlist = IvfLists, nprobe = IvfProbes, seed = 7L, path)
@@ -492,8 +491,7 @@ object PipelineQueries {
     // output — proving append-grown indexes serve identically.
     NamedQuery("s17_ivf_incremental_append", (s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-      val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_ivf" +
-        s"/idx_incr_p${ProcessHandle.current().pid()}"
+      val path = graft.ScratchDirs.scratch("ivf_idx_incr")
       val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
       graft.ml.VectorSearch.writeIvfIndex(
         Similarity.assignFixed(emb.filter(col("vec_id") % 2 === 0), cents),
@@ -508,6 +506,77 @@ object PipelineQueries {
     },
       Some(ivfFixedOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
         k = 5, seed = 7L))),
+
+    // ---- COMPOSED IVF-PQ (s18): probe nprobe lists, ADC-score the PQ
+    // codes WITHIN those lists — IVF pruning × PQ compression, the
+    // production 100 TB ANN serve shape (the scan reads ~nprobe/nlist
+    // of the corpus at m ints per candidate, never a float vector).
+    // Centroids AND codebooks are seeded literals inlined into the
+    // oracle, so assignments, probe sets, ADC distances, and ranks all
+    // replay bit-for-bit.
+    NamedQuery("s18_ivf_pq_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 20), emb, topK = 5,
+          dim = 64, nlist = IvfLists, nprobe = IvfProbes, m = PqM,
+          kCodes = PqK, ivfSeed = 7L, pqSeed = PqSeed)
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfPqOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+        topK = 5, ivfSeed = 7L))),
+
+    // ---- PERSISTED IVF-PQ round trip (s19, the s16 proof pattern):
+    // one-scan encode+assign, write codes/centroids/CODEBOOKS (the
+    // whole decode rule frozen in the artifact), reload all three,
+    // serve via the same ivfPqServe as s18. Same oracle as s18 —
+    // passing it IS the proof that the persisted index serves
+    // bit-identically to the in-memory build.
+    NamedQuery("s19_ivf_pq_persisted", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      graft.ml.VectorSearch.ivfPqTopKPersisted(
+          emb.filter(col("vec_id") < 20), emb, topK = 5,
+          dim = 64, nlist = IvfLists, nprobe = IvfProbes, m = PqM,
+          kCodes = PqK, ivfSeed = 7L, pqSeed = PqSeed,
+          graft.ScratchDirs.scratch("ivfpq_idx"))
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfPqOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+        topK = 5, ivfSeed = 7L))),
+
+    // ---- IVF-PQ recall audit (s20): recall@5 of the composed index
+    // against the EXACT Euclidean top-k (s03's metric — ADC
+    // approximates squared Euclidean), per query. The monitoring
+    // query a deployment of s19 runs continuously; both sides replay
+    // in the oracle, so the recall numbers themselves hash-match.
+    NamedQuery("s20_ivf_pq_recall", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 20)
+      Similarity.recallAudit(
+          Similarity.euclideanTopK(q, emb, k = 5),
+          Similarity.ivfPqTopK(q, emb, topK = 5,
+            dim = 64, nlist = IvfLists, nprobe = IvfProbes, m = PqM,
+            kCodes = PqK, ivfSeed = 7L, pqSeed = PqSeed),
+          k = 5)
+        .orderBy("query_id")
+    },
+      Some(s"""WITH ${ivfPqCtes(dim = 64, nlist = IvfLists,
+                nprobe = IvfProbes, ivfSeed = 7L)},
+             |apx AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+             |bn AS (SELECT vec_id, ${dotSql("v", "v")} AS nn2 FROM e),
+             |bscored AS (SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+             |    round(sqrt(greatest(nq.nn2 - 2 * ${dotSql("eq.v", "ec.v")}
+             |      + nc.nn2, 0.0)), 6) AS dist
+             |  FROM e eq JOIN e ec ON eq.vec_id < 20 AND eq.vec_id <> ec.vec_id
+             |  JOIN bn nq ON eq.vec_id = nq.vec_id
+             |  JOIN bn nc ON ec.vec_id = nc.vec_id),
+             |bex AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT query_id, neighbor_id, row_number() OVER (
+             |      PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+             |    FROM bscored) WHERE rank <= 5)
+             |SELECT bex.query_id, count(apx.neighbor_id) AS n_hits,
+             |  round(count(apx.neighbor_id) / 5.0, 4) AS recall
+             |FROM bex LEFT JOIN apx
+             |  ON bex.query_id = apx.query_id AND bex.neighbor_id = apx.neighbor_id
+             |GROUP BY bex.query_id ORDER BY bex.query_id""".stripMargin)),
 
     // ---- token / char / quality stats per document.
     NamedQuery("t01_text_stats", (s, dir) =>
@@ -1229,6 +1298,17 @@ object PipelineQueries {
           merges = 6)
         .orderBy("id"),
       Some(bpeEncodeOracle(6))),
+
+    // ---- BPE decode + round-trip invariant (t21): decode the t17
+    // encoding back to text and prove decode(encode(x)) ≡
+    // normalized(x) per document — both engines replay train, encode,
+    // decode, AND the comparison independently, so a decoder bug on
+    // either side breaks the hash. Closes the tokenizer loop.
+    NamedQuery("t21_bpe_decode_roundtrip", (s, dir) =>
+      TextOps.bpeDecodeRoundTrip(Tables.documents(s, dir), "doc_id", "text",
+          merges = 6)
+        .orderBy("id"),
+      Some(bpeDecodeOracle(6))),
 
     // ---- bigram-LM surprisal (conditional sibling of t06): per-doc
     // mean -ln p(w2|w1) under add-one smoothing — the self-hosted
@@ -2045,6 +2125,34 @@ object PipelineQueries {
         |FROM documents LEFT JOIN enc ON documents.doc_id = enc.id
         |ORDER BY id""".stripMargin
 
+  /** Decode oracle (t21): decode every token's trained segmentation
+    * (strip sentinels + separators), reassemble in token-position
+    * order, and compare against the independently-normalized original
+    * — mirrors TextOps.bpeDecodeRoundTrip stage by stage. */
+  private def bpeDecodeOracle(k: Int): String =
+    "WITH " + bpeCtes(k) +
+      s""",
+        |dt AS (SELECT doc_id AS id,
+        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                x -> len(x) > 0) AS ts
+        |  FROM documents),
+        |dtoks AS (SELECT id, u.i AS pos, ts[u.i] AS tok
+        |  FROM dt, unnest(generate_series(1, len(ts))) AS u(i)),
+        |dec AS (SELECT tok, replace(trim(seg), ' ', '') AS dec,
+        |    len(string_split(trim(seg), ' ')) AS np FROM s$k),
+        |enc AS (SELECT d.id,
+        |    string_agg(dec.dec, ' ' ORDER BY d.pos) AS decoded,
+        |    CAST(sum(dec.np) AS BIGINT) AS n_pieces
+        |  FROM dtoks d JOIN dec USING (tok) GROUP BY d.id),
+        |nrm AS (SELECT id, array_to_string(ts, ' ') AS norm_text FROM dt)
+        |SELECT nrm.id AS id,
+        |  CAST(coalesce(enc.n_pieces, 0) AS BIGINT) AS n_pieces,
+        |  coalesce(enc.decoded, '') AS decoded,
+        |  CAST(CASE WHEN coalesce(enc.decoded, '') = nrm.norm_text
+        |       THEN 1 ELSE 0 END AS BIGINT) AS round_trip_ok
+        |FROM nrm LEFT JOIN enc ON nrm.id = enc.id
+        |ORDER BY nrm.id""".stripMargin
+
   private[queries] def MhHashes = 16
   private[queries] def MhBands = 4
   private def NdBits = 60
@@ -2205,6 +2313,61 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Shared CTE chain for the COMPOSED IVF-PQ queries (s18/s19/s20):
+    * the pqCodesCtes codebook/encode chain plus the ivfFixedOracle
+    * centroid/assign/probe chain (IVF CTEs renamed icents/idists to
+    * avoid the pq `dists` collision), composed exactly as
+    * Similarity.ivfPqTopK: candidates are rows of the PROBED lists,
+    * scored by the ADC term against the joined selected-code rows.
+    * Ends at `ranked` (query_id, neighbor_id, adc_dist, rank). */
+  private def ivfPqCtes(dim: Int, nlist: Int, nprobe: Int,
+      ivfSeed: Long): String = {
+    val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, ivfSeed)
+    val centsSql = cents.zipWithIndex.map { case (c, j) =>
+      val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+      val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+      s"SELECT $j AS j, CAST($lst AS DOUBLE[]) AS c, CAST($self AS DOUBLE) AS cc2"
+    }.mkString("\n  UNION ALL ")
+    s"""$pqCodesCtes,
+       |icents AS (
+       |  $centsSql),
+       |idists AS (SELECT e.vec_id, icents.j,
+       |    -2.0 * ${dotSql("e.v", "icents.c")} + icents.cc2 AS d
+       |  FROM e CROSS JOIN icents),
+       |iassign AS (SELECT vec_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM idists) WHERE rn = 1),
+       |iprobes AS (SELECT vec_id AS query_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM idists WHERE vec_id < 20) WHERE rn <= $nprobe),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       |adists AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(list_sum(list(
+       |      ${pqAdcTermSql} ORDER BY cb.j)), 6) AS adc_dist
+       |  FROM iprobes p
+       |  JOIN iassign a ON p.cluster = a.cluster AND p.query_id <> a.vec_id
+       |  JOIN pq ON pq.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  JOIN cb ON cb.ci = pq.codes[cb.j + 1]
+       |  GROUP BY p.query_id, a.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS rank
+       |  FROM adists)""".stripMargin
+  }
+
+  /** Oracle for s18/s19: the ivfPqCtes chain cut at top-k. */
+  private def ivfPqOracle(dim: Int, nlist: Int, nprobe: Int, topK: Int,
+      ivfSeed: Long): String =
+    s"""WITH ${ivfPqCtes(dim, nlist, nprobe, ivfSeed)}
+       |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Sweep oracle for s14: the ivfFixedOracle CTE chain (shared
     * centroid/assignment CTEs), an exact brute-force top-k CTE, and a

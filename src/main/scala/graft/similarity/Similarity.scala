@@ -574,6 +574,91 @@ object Similarity {
         abs(col("nb.score")).as("adc_dist"), (col("r0") + 1).cast("int").as("rank"))
   }
 
+  /** COMPOSED IVF-PQ build — one scan stage over the corpus emitting
+    * (neighbor_id, codes, cluster): the PQ codes ([[pqEncode]]'s
+    * argmin expressions) and the IVF list assignment ([[assignFixed]]'s
+    * argmin) are both scan-stage projections, so Catalyst collapses
+    * them into a single pass with zero shuffle — the build shape that
+    * holds at 100 TB (each executor encodes + assigns its own split;
+    * the only exchange is the partitioned index WRITE, paid once).
+    * The float vectors are DROPPED here: the index row is m small ints
+    * + a list id, the whole point of the composition. */
+  private[graft] def ivfPqEncodeAssign(corpus: DataFrame,
+      cents: Seq[Array[Float]], dim: Int, m: Int, kCodes: Int,
+      pqSeed: Long): DataFrame =
+    pqEncode(corpus.toDF("neighbor_id", "cv"), "neighbor_id", "cv",
+        dim, m, kCodes, pqSeed)
+      .withColumn("cluster",
+        array_position(distArr(col("v"), cents),
+          array_min(distArr(col("v"), cents))).cast("int"))
+      .select("neighbor_id", "codes", "cluster")
+
+  /** COMPOSED IVF-PQ serve over a (neighbor_id, codes, cluster) coded
+    * assignment frame: each query probes its `nprobe` nearest lists
+    * (same ranking as [[ivfServe]]), and candidates WITHIN those lists
+    * are scored by the PQ asymmetric distance ([[pqAdcTopK]]'s per-
+    * subspace expression against codebook literals) — never by their
+    * float vectors, which the index doesn't even store. The serve scan
+    * therefore reads m bytes-ish per candidate AND touches only
+    * ~nprobe/nlist of the corpus: the memory×pruning composition a
+    * production 100 TB ANN deployment actually runs. Probes broadcast
+    * into a cluster equi-join (on the persisted layout this prunes
+    * unprobed list directories on disk); per-query top-k is the
+    * map-side-combining TopK Aggregator. Shared verbatim by the
+    * in-memory path ([[ivfPqTopK]]) and the persisted path
+    * (graft.ml.VectorSearch.ivfPqTopKPersisted) — the s19 round-trip
+    * contract is "same function, reloaded inputs", the s16 pattern.
+    * Output: (query_id, neighbor_id, adc_dist, rank), ascending
+    * distance, ties by neighbor id. */
+  private[graft] def ivfPqServe(queries: DataFrame, coded: DataFrame,
+      cents: Seq[Array[Float]], books: Seq[Seq[Array[Float]]],
+      topK: Int, nprobe: Int, dim: Int, m: Int): DataFrame = {
+    import graft.functions.TopK
+    val sub = dim / m
+    val probes = queries.toDF("query_id", "qv")
+      .select(col("query_id"), col("qv"),
+        posexplode(distArr(col("qv"), cents)).as(Seq("j", "d")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d"), col("j"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"),
+        (col("j") + 1).cast("int").as("cluster"))
+    def subq(j: Int): Column = slice(col("qv"), j * sub + 1, sub)
+    def codeAt(j: Int): Column = element_at(col("codes"), j + 1)
+    def distJ(j: Int): Column = {
+      val codeArr = typedLit(books(j).map(_.toSeq))
+      val selfArr = typedLit(books(j).map(_.map(x => x.toDouble * x).sum))
+      dotF(subq(j), subq(j)) -
+        lit(2.0) * dotF(subq(j), element_at(codeArr, codeAt(j))) +
+        element_at(selfArr, codeAt(j))
+    }
+    val dist = (0 until m).map(distJ).reduce(_ + _)
+    broadcast(probes).join(coded, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", round(dist, 6))
+      .groupBy("query_id")
+      .agg(TopK.topK(topK)(col("neighbor_id"), -col("d")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        abs(col("nb.score")).as("adc_dist"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
+  /** IVF-PQ approximate top-k with fixed seeded centroids AND fixed
+    * seeded codebooks — [[ivfFixedTopK]]'s list pruning composed with
+    * [[pqAdcTopK]]'s compressed scoring (s18). Both parameter sets
+    * derive from seeded generators, so the DuckDB oracle inlines the
+    * SAME centroid and codebook literals and replays assignment, probe
+    * sets, ADC distances, and ranks bit-for-bit. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, topK: Int, dim: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, kCodes: Int = 16,
+      ivfSeed: Long = 7L, pqSeed: Long = 11L): DataFrame = {
+    val cents = hyperplanes(dim, nlist, ivfSeed)
+    val books = pqCodebooks(dim, m, kCodes, pqSeed)
+    ivfPqServe(queries,
+      ivfPqEncodeAssign(corpus, cents, dim, m, kCodes, pqSeed),
+      cents, books, topK, nprobe, dim, m)
+  }
+
   /** Two-stage retrieval: a PQ-ADC shortlist over the ENCODED corpus,
     * then an EXACT Euclidean rerank of only the shortlisted candidates
     * against the true vectors — the production serving pattern

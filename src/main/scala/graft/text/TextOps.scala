@@ -379,6 +379,48 @@ object TextOps {
         coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
   }
 
+  /** BPE DECODE + round-trip invariant (t21) — closes the tokenizer
+    * loop t12/t16/t17 opened: decode the trained encoding back to text
+    * and PROVE decode(encode(x)) ≡ normalized(x) per document, the
+    * invariant every production tokenizer ships with. Decoding a
+    * token's segmentation is stripping the boundary sentinels and the
+    * in-seg separators (the exact inverse of the training
+    * segmentation) — EXECUTED here, not assumed: the decoded pieces
+    * re-join in token-position order and the reassembled string is
+    * compared against the normalized original in both engines
+    * independently.
+    *
+    * Scale shape: the tok→(decoded, n_pieces) table is
+    * vocabulary-sized (AQE broadcasts it while it fits — same join as
+    * [[bpeEncodedCounts]]); reassembly is one per-doc keyed agg whose
+    * collect_list is bounded by document length (the d24 span-cut
+    * reassembly bound). Output: (id, n_pieces, decoded,
+    * round_trip_ok 0/1). */
+  def bpeDecodeRoundTrip(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, merges: Int): org.apache.spark.sql.DataFrame = {
+    val (_, segs) = bpeLoop(df, textCol, merges)
+    val pieces = segs.select(col("tok"),
+      org.apache.spark.sql.functions.replace(trim(col("seg")), lit(" "), lit(""))
+        .as("dec"),
+      size(split(trim(col("seg")), " ")).cast("long").as("__np"))
+    val enc = df.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+      .join(pieces, "tok")
+      .groupBy("id")
+      .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("dec")))),
+            s => s.getField("dec"))).as("decoded"),
+        sum(col("__np")).as("n_pieces"))
+    df.select(col(idCol).as("id"),
+        concat_ws(" ", tokens(col(textCol))).as("__norm"))
+      .join(enc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("decoded"), lit("")).as("decoded"),
+        (coalesce(col("decoded"), lit("")) === col("__norm")).cast("long")
+          .as("round_trip_ok"))
+  }
+
   /** Sliding-window chunking with stride — the RAG/embedding-pipeline
     * pre-chunking move ([[graft.dedup.Dedup.chunkDedup]]'s fixed,
     * non-overlapping splitter is the dedup sibling): windows of

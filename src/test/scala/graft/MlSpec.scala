@@ -101,8 +101,7 @@ class MlSpec extends SparkSpec {
   test("persisted trained IVF index serves identically to the in-memory build") {
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val queries = emb.filter(col("vec_id") < 10)
-    val path = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_ivf" +
-      s"/spec_p${ProcessHandle.current().pid()}"
+    val path = graft.ScratchDirs.scratch("ivf_idx_spec")
     val mem = VectorSearch.ivfTopK(queries, emb, k = 5, nlist = 8,
         nprobe = 3, seed = 1L)
       .as[(Long, Long, Double, Int)].collect().sorted

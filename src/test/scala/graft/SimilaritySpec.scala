@@ -202,6 +202,48 @@ class SimilaritySpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("ivfPqTopK at full probe equals pqAdcTopK (pruning-off sanity)") {
+    // probing every list makes the IVF stage a no-op, so the composed
+    // operator must coincide with the plain ADC scan — pins that the
+    // composition changes WHICH candidates are scored, never HOW
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 10)
+    val composed = Similarity.ivfPqTopK(q, emb, topK = 5, dim = 64,
+        nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", dim = 64)
+      .select("vec_id", "codes")
+    val full = Similarity.pqAdcTopK(q, codes, topK = 5, dim = 64)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(composed.nonEmpty && composed == full)
+  }
+
+  test("ivfPqTopKPersisted serves bit-identically to the in-memory build") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 10)
+    val path = graft.ScratchDirs.scratch("ivfpq_idx_spec")
+    val mem = Similarity.ivfPqTopK(q, emb, topK = 5, dim = 64,
+        nlist = 8, nprobe = 3)
+      .as[(Long, Long, Double, Int)].collect().sorted
+    val disk = graft.ml.VectorSearch.ivfPqTopKPersisted(q, emb, topK = 5,
+        dim = 64, nlist = 8, nprobe = 3, m = 4, kCodes = 16,
+        ivfSeed = 7L, pqSeed = 11L, path)
+      .as[(Long, Long, Double, Int)].collect().sorted
+    assert(mem.nonEmpty && mem.toSeq == disk.toSeq,
+      s"round trip must be lossless: mem=${mem.length} disk=${disk.length}")
+    // the persisted assignment rows carry codes, never float vectors —
+    // the m-ints-per-vector economics is the artifact's contract
+    val cols = spark.read.parquet(s"$path/assignments").columns.toSet
+    assert(cols == Set("neighbor_id", "codes", "cluster"), cols.toString)
+    // codebooks are frozen with the artifact
+    val books = graft.ml.VectorSearch.readPqCodebooks(spark, path)
+    assert(books.length == 4 && books.forall(_.length == 16))
+  }
+
   test("mmrTopK trades relevance for diversity (picks from both clusters)") {
     // two tight clusters near the query; plain top-2 would take both
     // rows of cluster A (higher cos), MMR's diversity term pulls the

@@ -189,6 +189,18 @@ class TextOpsSpec extends SparkSpec {
     assert(got2 == Set((1L, 3L, 5L), (2L, 0L, 0L)))
   }
 
+  test("bpeDecodeRoundTrip: decode(encode(x)) equals normalized x on every sf0.001 doc") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val got = TextOps.bpeDecodeRoundTrip(docs, "doc_id", "text", merges = 6)
+    val n = got.count()
+    val ok = got.filter(col("round_trip_ok") === 1L).count()
+    assert(n > 0 && ok == n, s"round trip broke on ${n - ok} of $n docs")
+    // decoded text IS the normalization, not merely same-length
+    val row = got.orderBy("id").select("decoded").as[String].head()
+    assert(row.nonEmpty && !row.exists(_.isUpper))
+  }
+
   test("bpeTrain stops early when no pairs remain") {
     import spark.implicits._
     val docs = Seq("ab ab").toDF("text") // one 2-char token: 1 merge possible
