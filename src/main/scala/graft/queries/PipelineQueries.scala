@@ -2157,8 +2157,8 @@ object PipelineQueries {
   private[queries] def MhBands = 4
   private def NdBits = 60
   private def NdBands = 15
-  private def IvfLists = 16
-  private def IvfProbes = 4
+  private[queries] def IvfLists = 16
+  private[queries] def IvfProbes = 4
   private def PqM = 4
   private def PqK = 16
   private def PqSeed = 11L
@@ -2368,6 +2368,47 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
        |FROM ranked WHERE rank <= $topK
        |ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for sw11 streaming semantic admission: benchmark rows
+    * (vec_id%10=0) assigned to their fixed-centroid lists, stream rows
+    * (vec_id%10≠0) probe their nprobe nearest lists, and a stream row
+    * is ADMITTED iff no benchmark neighbor within its probed lists
+    * reaches cosine `minCos` — the batch replay of
+    * EventStreams.semanticAdmission over the same split. */
+  private[queries] def semanticAdmissionIvfOracle(dim: Int, nlist: Int,
+      nprobe: Int, minCos: Double, seed: Long): String = {
+    val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, seed)
+    val centsSql = cents.zipWithIndex.map { case (c, j) =>
+      val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+      val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+      s"SELECT $j AS j, CAST($lst AS DOUBLE[]) AS c, CAST($self AS DOUBLE) AS cc2"
+    }.mkString("\n  UNION ALL ")
+    val cosThr = java.lang.Double.toString(minCos)
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (
+       |  $centsSql),
+       |nrm AS (SELECT vec_id, sqrt(${dotSql("v", "v")}) AS nm FROM e),
+       |dists AS (SELECT e.vec_id, cents.j,
+       |    -2.0 * ${dotSql("e.v", "cents.c")} + cents.cc2 AS d
+       |  FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM dists WHERE vec_id % 10 = 0) WHERE rn = 1),
+       |probes AS (SELECT vec_id AS qid, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM dists WHERE vec_id % 10 != 0) WHERE rn <= $nprobe),
+       |flagged AS (SELECT DISTINCT p.qid FROM probes p
+       |  JOIN assign a ON p.cluster = a.cluster
+       |  JOIN e eq ON eq.vec_id = p.qid JOIN e ec ON ec.vec_id = a.vec_id
+       |  JOIN nrm nq ON nq.vec_id = p.qid JOIN nrm nc ON nc.vec_id = a.vec_id
+       |  WHERE round(${dotSql("eq.v", "ec.v")} / (nq.nm * nc.nm), 6) >= $cosThr)
+       |SELECT vec_id AS id FROM e
+       |WHERE vec_id % 10 != 0 AND vec_id NOT IN (SELECT qid FROM flagged)
+       |ORDER BY vec_id""".stripMargin
+  }
 
   /** Sweep oracle for s14: the ivfFixedOracle CTE chain (shared
     * centroid/assignment CTEs), an exact brute-force top-k CTE, and a

@@ -311,6 +311,35 @@ object StreamingQueries {
              |  FROM t)
              |SELECT doc_id, source, n_tokens,
              |  CAST(CASE WHEN cum <= 800 THEN 1 ELSE 0 END AS BIGINT) AS admit
-             |FROM r ORDER BY doc_id""".stripMargin))
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
+    // ---- streaming SEMANTIC admission against the PERSISTED IVF
+    // index (the s16 artifact, built here on the benchmark slice
+    // vec_id%10=0): arriving embeddings probe their nprobe nearest
+    // lists and are admitted iff no indexed neighbor reaches cosine
+    // 0.4 — d18's streaming twin, run as ONE stateless stream-static
+    // left-anti join (scan-stage probe expression, no state, no
+    // watermark). The batch IVF-probe replay is the exact oracle.
+    NamedQuery("sw11_stream_semantic_admission",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val bench = emb.filter(col("vec_id") % 10 === 0)
+        val path = graft.ScratchDirs.scratch("ivf_admission_idx")
+        val cents = graft.similarity.Similarity.hyperplanes(
+          dim = 64, nBits = PipelineQueries.IvfLists, seed = 7L)
+        graft.ml.VectorSearch.writeIvfIndex(
+          graft.similarity.Similarity.assignFixed(bench, cents),
+          "cluster", cents.zipWithIndex.map(_.swap), path)
+        val admitted = StreamRunner.runAvailableNow(s,
+            emb.filter(col("vec_id") % 10 =!= 0),
+            "sw11_semantic_admission", "append") { src =>
+          EventStreams.semanticAdmission(src, "vec_id", "embedding", path,
+            minCos = 0.4, nprobe = PipelineQueries.IvfProbes)
+        }
+        admitted.orderBy("id")
+      },
+      Some(PipelineQueries.semanticAdmissionIvfOracle(dim = 64,
+        nlist = PipelineQueries.IvfLists, nprobe = PipelineQueries.IvfProbes,
+        minCos = 0.4, seed = 7L)))
   )
 }

@@ -137,7 +137,7 @@ object Similarity {
     * a NULL would crash the non-nullable TopK Aggregator every top-k
     * operator here feeds (and its ordering differs across engines, the
     * same reason [[centroidAssign]] guards). Pure codegen `when`. */
-  private def safeCos(dot: Column, na: Column, nb: Column): Column =
+  private[graft] def safeCos(dot: Column, na: Column, nb: Column): Column =
     when(na * nb > 0, dot / (na * nb)).otherwise(lit(0.0))
 
   /** Exact top-k cosine neighbors for every query row — the LABELED
@@ -306,6 +306,24 @@ object Similarity {
       .withColumn("cluster",
         array_position(distArr(col("cv"), cents),
           array_min(distArr(col("cv"), cents))).cast("int"))
+
+  /** The `nprobe` nearest 1-based cluster ids of a query vector under
+    * [[assignFixed]]'s distance (−2·q·c + c·c, rank ties by centroid
+    * index) as a PURE SCAN-STAGE expression — array_sort of
+    * (d, cluster) structs, sliced to nprobe. No window, no shuffle, so
+    * it runs unchanged on a STREAMING frame (the sw11 admission path);
+    * the ranking is identical to [[ivfServe]]'s windowed probe
+    * (ORDER BY d, j ≡ lexicographic struct order, cluster = j+1
+    * monotone in j). */
+  private[graft] def probeClusters(qv: Column, cents: Seq[Array[Float]],
+      nprobe: Int): Column = {
+    val scored = array(cents.indices.map { j =>
+      val cc = cents(j).map(x => x.toDouble * x).sum
+      struct((lit(-2.0) * dotF(qv, lit(cents(j))) + lit(cc)).as("d"),
+        lit(j + 1).as("cluster"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cluster"))
+  }
 
   /** IVF SERVE over an (neighbor_id, cv, cn, cluster) assignment frame
     * plus centroid values: probe each query's `nprobe` nearest lists,

@@ -425,6 +425,48 @@ object EventStreams {
       }
   }
 
+  /** Streaming SEMANTIC admission against a PERSISTED IVF index (sw11)
+    * — the embedding-level ingest gate, d18's streaming twin: each
+    * arriving document's embedding probes its `nprobe` nearest lists
+    * of the index at `indexPath` (graft.ml.VectorSearch.writeIvfIndex
+    * layout — the s16 artifact) and is ADMITTED iff no indexed
+    * neighbor in those lists reaches cosine `minCos`. Probe-set
+    * computation is a pure scan-stage expression
+    * (Similarity.probeClusters — no window, streaming-legal); the
+    * admission itself is ONE stream-static LEFT-ANTI join, so the
+    * whole operator is STATELESS (append mode, no watermark): verdicts
+    * emit on arrival and state never grows.
+    *
+    * Scale shape: the decontamination index is benchmark-sized by
+    * nature (an eval suite), so the static side broadcasts — the same
+    * posture as batch d18's broadcast benchmark. IVF pruning lives in
+    * the join predicate (candidates are checked only against lists in
+    * the row's probe set); a corpus-sized index would instead explode
+    * probes into a cluster EQUI-join against the list-partitioned
+    * layout and aggregate verdicts per doc — the mechanics s18/s19
+    * already pin on the batch side. Exact-cosine verification uses the
+    * index's precomputed norms (cn) and the arrival's own (qn) — flags
+    * are never estimate-only. Output: admitted (id) rows. */
+  def semanticAdmission(docs: DataFrame, idCol: String, vecCol: String,
+      indexPath: String, minCos: Double, nprobe: Int): DataFrame = {
+    import graft.similarity.Similarity
+    import graft.functions.FloatVector.dotF
+    val spark = docs.sparkSession
+    val cents = graft.ml.VectorSearch.readIvfIndexCentroids(spark, indexPath)
+    val assigned = spark.read.parquet(s"$indexPath/assignments")
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("cluster"))
+    docs.select(col(idCol).as("id"), col(vecCol).as("qv"))
+      .withColumn("qn", Similarity.norm(col("qv")))
+      .withColumn("probes",
+        Similarity.probeClusters(col("qv"), cents.map(_._2), nprobe))
+      .join(assigned,
+        array_contains(col("probes"), col("cluster")) &&
+          round(Similarity.safeCos(dotF(col("qv"), col("cv")),
+            col("qn"), col("cn")), 6) >= minCos,
+        "left_anti")
+      .select("id")
+  }
+
   /** One event on the wire (micros-precision event time `ts`). */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

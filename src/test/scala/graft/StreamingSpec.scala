@@ -157,6 +157,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticAdmission admits per-arrival, split-invariantly, against the persisted index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") % 10 === 0)
+    val path = graft.ScratchDirs.scratch("ivf_admission_spec")
+    val cents = graft.similarity.Similarity.hyperplanes(64, 16, 7L)
+    graft.ml.VectorSearch.writeIvfIndex(
+      graft.similarity.Similarity.assignFixed(bench, cents),
+      "cluster", cents.zipWithIndex.map(_.swap), path)
+    // plant a verbatim clone of an indexed vector among the arrivals:
+    // it MUST be rejected (cos 1 in its own probed list)
+    val clone = bench.limit(1)
+      .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().head
+    val stream = emb.filter(col("vec_id") % 10 =!= 0)
+      .as[(Long, Array[Float])].collect().toSeq
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.semanticAdmission(
+        in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+        path, minCos = 0.4, nprobe = 4)
+      .writeStream.format("memory").queryName("sem_admit_stream")
+      .outputMode("append").start()
+    try {
+      // two micro-batches at an arbitrary split — stateless operator,
+      // so the admitted set must not depend on the split
+      val (b1, b2) = (stream :+ clone).splitAt(stream.length / 3)
+      in.addData(b1); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      val got = spark.table("sem_admit_stream").as[Long].collect().toSet
+      assert(!got.contains(clone._1), "verbatim clone of an indexed vector must be rejected")
+      val batch = EventStreams.semanticAdmission(
+          (stream :+ clone).toDF("vec_id", "embedding"), "vec_id", "embedding",
+          path, minCos = 0.4, nprobe = 4)
+        .as[Long].collect().toSet
+      assert(got == batch, "streamed admission must equal the batch replay")
+      assert(got.nonEmpty && got.size < stream.length + 1)
+    } finally q.stop()
+  }
+
   test("nearDupCandidates pairs a near-duplicate arriving within the skew") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
