@@ -43,7 +43,18 @@ object Tables {
     Memo.df(spark, s"events-norm|$dir") {
       import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // nanos parquet without the legacy conf fails at schema read with
+      // the raw [PARQUET_TYPE_ILLEGAL] — rethrow with the fix attached
+      // (the conf must be set BEFORE first use; a loader can't mutate a
+      // live session's conf, Sessions.local sets it up front)
+      val raw = try spark.read.parquet(s"$dir/events.parquet") catch {
+        case e: Throwable
+            if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+          throw new IllegalStateException(
+            "events.parquet carries legacy TIMESTAMP(NANOS); build the session " +
+              "with spark.sql.legacy.parquet.nanosAsLong=true (graft.Sessions." +
+              "local does) so this loader can normalize ts to micros", e)
+      }
       raw.schema("ts").dataType match {
         case TimestampType => raw
         // unannotated micros parquet (isAdjustedToUTC=false) reads as

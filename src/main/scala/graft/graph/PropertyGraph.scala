@@ -50,6 +50,24 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     * components on the same memoized graph reuse one RDD lineage. */
   lazy val graphX: Graph[Int, Double] = toGraphX(None)
 
+  /** One edge per (src, dst), materialized ONCE per PropertyGraph
+    * instance (graph instances are themselves memoized per session, so
+    * repeated bfs calls share this — the ADVICE r8 fix for paying the
+    * canonicalization shuffle per call). bfs is public API over
+    * ARBITRARY graphs: a multigraph input duplicates the hop-join rows
+    * and makes the shapePaths pivot nondeterministic, so bfs must see
+    * one canonical edge per pair — min over the full-row struct is a
+    * deterministic pick (struct ordering is field-by-field).
+    * Precondition this inherits: edge property columns must be
+    * ORDERABLE (min over a struct rejects map-typed fields with an
+    * analysis error — loudly, vs the silent nondeterminism it
+    * replaced). */
+  private lazy val canonicalEdges: DataFrame = edges
+    .groupBy(col("src").as("__s"), col("dst").as("__d"))
+    .agg(min(struct(edges.columns.map(col): _*)).as("__e"))
+    .select(col("__e.*"))
+    .localCheckpoint()
+
   /** Partitioning for Pregel supersteps: iterative message passing
     * wants FEWER, chunkier partitions than SQL shuffles — per-superstep
     * task scheduling plus per-partition message maps dominate at high
@@ -170,22 +188,7 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     // superstep and again per shapePaths join — measured 7.0 s → 3.5 s
     // on the sf0.1 customer-part graph (BfsProbe).
     val vtx = vertices.localCheckpoint()
-    // bfs is public API over ARBITRARY PropertyGraph instances: a
-    // multigraph input duplicates the hop-join rows and makes the
-    // shapePaths pivot nondeterministic. Canonicalize to one edge per
-    // (src, dst) up front — min over the full-row struct is a
-    // deterministic pick (struct ordering is field-by-field), and for
-    // graft-built graphs (already simple) the keyed agg is a cheap
-    // pass-through that shares the shuffle with the hop join.
-    // Precondition this inherits: edge property columns must be
-    // ORDERABLE (min over a struct rejects map-typed fields with an
-    // analysis error — loudly, vs the silent nondeterminism it
-    // replaced).
-    val edg = edges
-      .groupBy(col("src").as("__s"), col("dst").as("__d"))
-      .agg(min(struct(edges.columns.map(col): _*)).as("__e"))
-      .select(col("__e.*"))
-      .localCheckpoint()
+    val edg = canonicalEdges
     val targets = vtx.filter(toCond).select(col("id").as("__end"))
     val e = edg.select(col("src"), col("dst"))
 

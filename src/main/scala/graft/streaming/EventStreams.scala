@@ -402,7 +402,11 @@ object EventStreams {
     * are processed in doc_id order (sorted in the group handler);
     * across batches, the prefix follows arrival order — under the
     * harness's AvailableNow single-staging (and any doc_id-ordered
-    * feed) the verdicts equal the batch running-sum oracle (sw10). */
+    * feed) the verdicts equal the batch running-sum oracle (sw10).
+    * The contract is ENFORCED (ADVICE r8): state carries the highest
+    * doc_id already spent per source, and a later batch delivering a
+    * lower (or repeated) doc_id fails loudly instead of silently
+    * diverging from the oracle. */
   def budgetAdmission(docs: DataFrame, idCol: String, sourceCol: String,
       textCol: String, budget: Long): Dataset[BudgetVerdict] = {
     import docs.sparkSession.implicits._
@@ -411,16 +415,25 @@ object EventStreams {
         graft.text.TextOps.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .as[BudgetDoc]
       .groupByKey(_.source)
-      .flatMapGroupsWithState[Long, BudgetVerdict](
+      // state = (cumulative tokens spent, max doc_id processed)
+      .flatMapGroupsWithState[(Long, Long), BudgetVerdict](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (_, rows, state: GroupState[Long]) =>
-          var cum = state.getOption.getOrElse(0L)
-          val verdicts = rows.toArray.sortInPlaceBy(_.doc_id).map { d =>
+        case (src, rows, state: GroupState[(Long, Long)]) =>
+          var (cum, maxId) = state.getOption.getOrElse((0L, Long.MinValue))
+          val batch = rows.toArray.sortInPlaceBy(_.doc_id)
+          if (batch.nonEmpty && batch.head.doc_id <= maxId)
+            throw new IllegalStateException(
+              s"budgetAdmission: out-of-order arrival for source '$src' — " +
+                s"doc_id ${batch.head.doc_id} after $maxId already spent " +
+                "tokens; feed batches in doc_id order (the documented " +
+                "determinism contract)")
+          val verdicts = batch.map { d =>
             cum += d.n_tokens
+            maxId = d.doc_id
             BudgetVerdict(d.doc_id, d.source, d.n_tokens,
               if (cum <= budget) 1L else 0L)
           }
-          state.update(cum)
+          state.update((cum, maxId))
           verdicts.iterator
       }
   }

@@ -347,6 +347,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("budgetAdmission fails loudly on out-of-order cross-batch arrivals") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = EventStreams.budgetAdmission(
+        in.toDF().toDF("doc_id", "source", "text"),
+        "doc_id", "source", "text", budget = 5L)
+      .writeStream.format("memory").queryName("budget_guard")
+      .outputMode("append").start()
+    try {
+      in.addData((5L, "s", "a b"))
+      q.processAllAvailable()
+      // a LOWER doc_id in a later batch breaks the oracle-equivalence
+      // contract: the guard must surface it, never silently diverge
+      in.addData((3L, "s", "c"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+      assert(chain(e).exists(t =>
+        String.valueOf(t.getMessage).contains("out-of-order")), e.getMessage)
+    } finally q.stop()
+  }
+
   test("runUpsertLatest merges micro-batches to one latest row per key") {
     import spark.implicits._
     // 40 rows / 4 versions per key: the 8-file staging split with
