@@ -354,10 +354,18 @@ object IterativeGraph {
       // dropping every vertex in `dying` ≡ keeping every vertex with
       // deg ≥ k: the degree table's id set IS the edge endpoint set
       val dying = deg.filter(col("deg") < k).select("id")
+      // LAZY per-round checkpoint (r9, KcoreProbe-measured): the stats
+      // action below then materializes the round's edge checkpoint,
+      // the degree cache, and the 1-row agg in ONE job — halving the
+      // per-round job count that dominates locally (7.2→4.1 s at
+      // sf0.1). Lineage still cuts at materialization, so this is NOT
+      // the rejected fully-lazy form (each round remains materialized
+      // before the next builds on it). The r9-prescribed incremental-
+      // degree lever measured WORSE (10.3–11.5 s — PERF.md item 6).
       sym = sym
         .join(dying.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
         .join(dying.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(false)
       deg = degreesOf(sym)
       val (nv, nEdges) = statsOf(deg)
       nvNext = nv
