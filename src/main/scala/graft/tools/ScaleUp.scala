@@ -24,20 +24,27 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (src, out, copies) = (args(0), args(1), args(2).toInt)
-    // the custkey/partkey/doc_id strides are 100k: copy 10 would cross
-    // the +1,000,000 shifts (part vertex ids, planted-duplicate ids)
-    // and silently merge unrelated keys
-    require(copies >= 1 && copies <= 10,
-      s"copies must be in [1, 10] (got $copies): stride × 10 reaches the " +
-        "+1e6 part-vertex / planted-duplicate id shifts")
+    require(copies >= 1 && copies <= 30,
+      s"copies must be in [1, 30] (got $copies)")
     val spark = graft.Sessions.local(
       Runtime.getRuntime.availableProcessors.toString)
 
     val KO = 10000000L // orderkey stride (sf0.1 max ~6e6)
-    val KC = 100000L   // custkey stride (max 15000)
-    val KP = 100000L   // partkey stride (max 20000; stays < the +1e6 graph shift)
+    // above 10 copies the 100k custkey/doc_id strides would cross the
+    // +1,000,000 shifts queries apply (part vertex ids = p_partkey+1e6;
+    // planted-duplicate ids = doc_id+1e6) and silently merge unrelated
+    // keys. Wide mode keeps every replica family clear of them:
+    //  - custkey stride 20k (max id 15000) → customers < 600k < 1e6,
+    //    below every shifted part vertex id;
+    //  - doc_id stride 3e6 → replica ids never land in ANY copy's
+    //    planted +1e6 window (base docs < 100k).
+    // 10-copy dirs built by earlier rounds keep their old key layout
+    // (narrow strides) for comparability.
+    val wide = copies > 10
+    val KC = if (wide) 20000L else 100000L   // custkey stride (max 15000)
+    val KP = 100000L   // partkey stride (max 20000; vertex shift +1e6 applies per copy)
     val KS = 100000L   // suppkey stride
-    val KD = 100000L   // doc_id stride (stays < the +1e6 planted shift)
+    val KD = if (wide) 3000000L else 100000L // doc_id stride
     val KV = 1000000L  // vec_id stride
     val KE = 100000000L // event_id stride
     val KU = 100000L   // user_id stride
