@@ -600,16 +600,27 @@ object Similarity {
     * holds at 100 TB (each executor encodes + assigns its own split;
     * the only exchange is the partitioned index WRITE, paid once).
     * The float vectors are DROPPED here: the index row is m small ints
-    * + a list id, the whole point of the composition. */
+    * + a list id, the whole point of the composition.
+    *
+    * MATERIALIZED (Caches.cached) before serving, and measurably so:
+    * whole-stage codegen defers stream-side column evaluation into the
+    * broadcast join's consume path, so an UNmaterialized codes
+    * expression re-runs the 2·m·k encode dot products per (query,
+    * candidate) MATCH instead of once per corpus row — the 30× scale
+    * probe read 20.6 s unmaterialized vs 3.0 s through the persisted
+    * (parquet-materialized) path on identical data; cached, the
+    * in-memory serve matches. The persisted path (writeIvfPqIndex)
+    * needs no cache — parquet IS the materialization. */
   private[graft] def ivfPqEncodeAssign(corpus: DataFrame,
       cents: Seq[Array[Float]], dim: Int, m: Int, kCodes: Int,
       pqSeed: Long): DataFrame =
-    pqEncode(corpus.toDF("neighbor_id", "cv"), "neighbor_id", "cv",
-        dim, m, kCodes, pqSeed)
-      .withColumn("cluster",
-        array_position(distArr(col("v"), cents),
-          array_min(distArr(col("v"), cents))).cast("int"))
-      .select("neighbor_id", "codes", "cluster")
+    graft.Caches.cached(
+      pqEncode(corpus.toDF("neighbor_id", "cv"), "neighbor_id", "cv",
+          dim, m, kCodes, pqSeed)
+        .withColumn("cluster",
+          array_position(distArr(col("v"), cents),
+            array_min(distArr(col("v"), cents))).cast("int"))
+        .select("neighbor_id", "codes", "cluster"))
 
   /** COMPOSED IVF-PQ serve over a (neighbor_id, codes, cluster) coded
     * assignment frame: each query probes its `nprobe` nearest lists
