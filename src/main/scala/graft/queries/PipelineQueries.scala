@@ -547,6 +547,15 @@ object PipelineQueries {
     // approximates squared Euclidean), per query. The monitoring
     // query a deployment of s19 runs continuously; both sides replay
     // in the oracle, so the recall numbers themselves hash-match.
+    // MEASURED FINDING (sf0.01): recall is 0.0 — and so is full-scan
+    // ADC's (s08 ∩ s03 = 0/100): 4 bits/subspace of FIXED seeded
+    // codebooks carries no ranking signal on 5 000 isotropic
+    // Gaussians. That is the corpus's property, not the operator's
+    // (the s14 isotropy caveat, one level deeper): real embedding
+    // corpora cluster, and production codebooks are TRAINED. The
+    // audit exists precisely to surface this before a deployment
+    // trusts the index; the mechanics it verifies (probe sets, ADC
+    // arithmetic, ranks) hash-match the oracle bit-for-bit.
     NamedQuery("s20_ivf_pq_recall", (s, dir) => {
       val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
       val q = emb.filter(col("vec_id") < 20)
@@ -577,6 +586,25 @@ object PipelineQueries {
              |FROM bex LEFT JOIN apx
              |  ON bex.query_id = apx.query_id AND bex.neighbor_id = apx.neighbor_id
              |GROUP BY bex.query_id ORDER BY bex.query_id""".stripMargin)),
+
+    // ---- IVF-PQ probe-count recall sweep (s21): recall@5 of the
+    // COMPOSED index vs exact Euclidean for nprobe ∈ {1,2,4,8} — the
+    // commissioning measurement that picks nprobe for the s19 index.
+    // One shared coded build serves every sweep point; both sides
+    // replay in the oracle, so the recall numbers hash-match.
+    // MEASURED FINDING (sf0.01): flat 0.0 at every probe count —
+    // quantization error dominates probe loss entirely on this
+    // corpus (see s20's comment); the sweep is the instrument that
+    // would catch it at commissioning time.
+    NamedQuery("s21_ivf_pq_probe_sweep", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.ivfPqProbeSweep(emb.filter(col("vec_id") < 20), emb,
+          topK = 5, dim = 64, nlist = IvfLists, nprobes = Seq(1, 2, 4, 8),
+          m = PqM, kCodes = PqK, ivfSeed = 7L, pqSeed = PqSeed)
+        .orderBy("nprobe")
+    },
+      Some(ivfPqProbeSweepOracle(dim = 64, nlist = IvfLists, topK = 5,
+        nprobes = Seq(1, 2, 4, 8), ivfSeed = 7L))),
 
     // ---- token / char / quality stats per document.
     NamedQuery("t01_text_stats", (s, dir) =>
@@ -2359,6 +2387,77 @@ object PipelineQueries {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc_dist, neighbor_id) AS rank
        |  FROM adists)""".stripMargin
+  }
+
+  /** Sweep oracle for s21: the ivfPqCtes machinery with probe ranks
+    * NOT cut (ipranks), an exact-Euclidean baseline CTE, and a
+    * scored→apx→rec→agg chain PER probe count, unioned — the
+    * ivfProbeSweepOracle pattern on the composed index. */
+  private def ivfPqProbeSweepOracle(dim: Int, nlist: Int, topK: Int,
+      nprobes: Seq[Int], ivfSeed: Long): String = {
+    val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, ivfSeed)
+    val centsSql = cents.zipWithIndex.map { case (c, j) =>
+      val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+      val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+      s"SELECT $j AS j, CAST($lst AS DOUBLE[]) AS c, CAST($self AS DOUBLE) AS cc2"
+    }.mkString("\n  UNION ALL ")
+    val shared =
+      s"""WITH $pqCodesCtes,
+         |icents AS (
+         |  $centsSql),
+         |idists AS (SELECT e.vec_id, icents.j,
+         |    -2.0 * ${dotSql("e.v", "icents.c")} + icents.cc2 AS d
+         |  FROM e CROSS JOIN icents),
+         |iassign AS (SELECT vec_id, j + 1 AS cluster FROM (
+         |    SELECT vec_id, j, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY d, j) AS rn
+         |    FROM idists) WHERE rn = 1),
+         |ipranks AS (SELECT vec_id AS query_id, j + 1 AS cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS pr
+         |  FROM idists WHERE vec_id < 20),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         |bn AS (SELECT vec_id, ${dotSql("v", "v")} AS nn2 FROM e),
+         |bscored AS (SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+         |    round(sqrt(greatest(nq.nn2 - 2 * ${dotSql("eq.v", "ec.v")}
+         |      + nc.nn2, 0.0)), 6) AS dist
+         |  FROM e eq JOIN e ec ON eq.vec_id < 20 AND eq.vec_id <> ec.vec_id
+         |  JOIN bn nq ON eq.vec_id = nq.vec_id
+         |  JOIN bn nc ON ec.vec_id = nc.vec_id),
+         |bex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+         |    FROM bscored) WHERE rank <= $topK)""".stripMargin
+    val perNp = nprobes.map { np =>
+      s""",
+         |adists_$np AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+         |    round(list_sum(list(
+         |      ${pqAdcTermSql} ORDER BY cb.j)), 6) AS adc_dist
+         |  FROM ipranks p
+         |  JOIN iassign a ON p.cluster = a.cluster
+         |    AND p.query_id <> a.vec_id AND p.pr <= $np
+         |  JOIN pq ON pq.vec_id = a.vec_id
+         |  JOIN q ON q.query_id = p.query_id
+         |  JOIN cb ON cb.ci = pq.codes[cb.j + 1]
+         |  GROUP BY p.query_id, a.vec_id),
+         |apx_$np AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rank
+         |    FROM adists_$np) WHERE rank <= $topK),
+         |rec_$np AS (SELECT bex.query_id, count(apx_$np.neighbor_id) AS n_hits
+         |  FROM bex LEFT JOIN apx_$np
+         |    ON bex.query_id = apx_$np.query_id
+         |    AND bex.neighbor_id = apx_$np.neighbor_id
+         |  GROUP BY bex.query_id),
+         |agg_$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+         |    count(*) AS n_queries, CAST(sum(n_hits) AS BIGINT) AS total_hits,
+         |    CAST(min(n_hits) AS BIGINT) AS min_hits,
+         |    round(sum(n_hits) / ($topK.0 * count(*)), 4) AS avg_recall
+         |  FROM rec_$np)""".stripMargin
+    }.mkString
+    shared + perNp + "\nSELECT * FROM (" +
+      nprobes.map(np => s"SELECT * FROM agg_$np").mkString(" UNION ALL ") +
+      ") ORDER BY nprobe"
   }
 
   /** Oracle for s18/s19: the ivfPqCtes chain cut at top-k. */

@@ -688,6 +688,38 @@ object Similarity {
       cents, books, topK, nprobe, dim, m)
   }
 
+  /** IVF-PQ probe-count recall sweep — the [[ivfProbeSweep]] of the
+    * COMPOSED index (s21): for each candidate `nprobe`, serve
+    * [[ivfPqTopK]] from ONE shared coded build and audit it against
+    * the exact EUCLIDEAN top-k (the metric ADC approximates — the s20
+    * baseline). This is the commissioning measurement a deployment of
+    * the s19 index runs to pick nprobe: the composed sweep reads
+    * lower than plain IVF's at equal probes because PQ quantization
+    * error stacks on probe misses — which is exactly why it must be
+    * measured on the composition, not inferred from the parts.
+    * Output one row per probe count: (nprobe, n_queries, total_hits,
+    * min_hits, avg_recall) — integer counts plus one single-division
+    * ratio, engine-stable like [[ivfProbeSweep]]. */
+  def ivfPqProbeSweep(queries: DataFrame, corpus: DataFrame, topK: Int,
+      dim: Int, nlist: Int, nprobes: Seq[Int], m: Int = 4, kCodes: Int = 16,
+      ivfSeed: Long = 7L, pqSeed: Long = 11L): DataFrame = {
+    val cents = hyperplanes(dim, nlist, ivfSeed)
+    val books = pqCodebooks(dim, m, kCodes, pqSeed)
+    val coded = ivfPqEncodeAssign(corpus, cents, dim, m, kCodes, pqSeed)
+    val exact = graft.Caches.cached(
+      euclideanTopK(queries, corpus, topK).select("query_id", "neighbor_id"))
+    nprobes.map { np =>
+      recallAudit(exact,
+          ivfPqServe(queries, coded, cents, books, topK, np, dim, m), topK)
+        .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("total_hits"),
+          min("n_hits").as("min_hits"))
+        .select(lit(np.toLong).as("nprobe"), col("n_queries"),
+          col("total_hits"), col("min_hits"),
+          round(col("total_hits") / (col("n_queries") * topK.toDouble), 4)
+            .as("avg_recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Two-stage retrieval: a PQ-ADC shortlist over the ENCODED corpus,
     * then an EXACT Euclidean rerank of only the shortlisted candidates
     * against the true vectors — the production serving pattern
