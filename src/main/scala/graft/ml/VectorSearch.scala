@@ -223,6 +223,32 @@ object VectorSearch {
       readPqCodebooks(spark, path), topK, nprobe, dim, m)
   }
 
+  /** TRAINED per-subspace PQ codebooks — the production answer to the
+    * s20/s21 measured finding (fixed seeded codebooks carry no ranking
+    * signal on this corpus): k-means each of the `m` subvector spaces
+    * over the corpus itself (seeded, deterministic), so codes land on
+    * the data's actual density instead of random Gaussian points.
+    * Returns the same Seq[Seq[Array[Float]]] shape the ADC/encode
+    * kernels consume (Similarity.pqEncodeWith / pqAdcTopKWith).
+    * Platform-dependent like every trained model here → consumed by
+    * rows-only queries (m16), with the fixed-codebook family (s07/s08/
+    * s20/s21) as the oracle-checked twin of the mechanics. */
+  def pqTrainCodebooks(corpus: DataFrame, dim: Int, m: Int, k: Int,
+      seed: Long): Seq[Seq[Array[Float]]] = {
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m subspaces")
+    val sub = dim / m
+    val c = corpus.toDF("id", "v")
+    (0 until m).map { j =>
+      val subv = c.select(array_to_vector(
+        expr(s"transform(slice(v, ${j * sub + 1}, $sub), x -> CAST(x AS DOUBLE))"))
+        .as("f"))
+      new KMeans().setK(k).setSeed(seed + j)
+        .setFeaturesCol("f").setPredictionCol("p")
+        .fit(subv)
+        .clusterCenters.toSeq.map(_.toArray.map(_.toFloat))
+    }
+  }
+
   /** Spherical IVF build: KMeans over unit-normalized vectors. Returns
     * the cached (neighbor_id, cv, part) assignment and the centroid
     * float literals. */

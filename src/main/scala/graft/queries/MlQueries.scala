@@ -136,6 +136,32 @@ object MlQueries {
         .orderBy("nprobe")
     }),
 
+    // ---- TRAINED-vs-FIXED PQ codebooks through the two-stage
+    // (ADC shortlist 100 → exact rerank) pipeline: the remedy the
+    // s20/s21 measured-zero finding calls for. K-means codebooks land
+    // on the corpus's actual density, so the shortlist starts carrying
+    // signal; both variants flow through IDENTICAL serve mechanics, so
+    // the recall delta isolates codebook quality. Rows-only (trained
+    // centers aren't SQL-replayable); the fixed-codebook mechanics are
+    // oracle-pinned by s07/s08/s10/s20/s21. Measured at sf0.01:
+    // fixed 0.24, trained 0.72 avg recall@5 (min_hits 0 → 1) — a 3×
+    // lift from training alone; the remaining gap is the 16-bit code
+    // budget on an isotropic corpus, recoverable by raising shortK.
+    NamedQuery("m16_pq_trained_rerank", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 20)
+      val fixed = graft.similarity.Similarity.pqCodebooks(64, 4, 16, 11L)
+      val trained = VectorSearch.pqTrainCodebooks(emb, dim = 64, m = 4,
+        k = 16, seed = 11L)
+      graft.similarity.Similarity
+        .pqRerankRecallWith(q, emb, fixed, shortK = 100, k = 5, dim = 64)
+        .select(lit("fixed").as("variant"), col("*"))
+        .unionByName(graft.similarity.Similarity
+          .pqRerankRecallWith(q, emb, trained, shortK = 100, k = 5, dim = 64)
+          .select(lit("trained").as("variant"), col("*")))
+        .orderBy("variant")
+    }),
+
     // ---- ALS closed-form check: fit on a tiny rank-1 synthetic
     // ratings matrix (r_ui = a_u·b_i with known factors) — a rank-2
     // model must reconstruct every observed entry within tolerance, so

@@ -529,8 +529,15 @@ object Similarity {
     * accumulated in subspace order (sequential fold, oracle-matched).
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      m: Int = 4, k: Int = 16, seed: Long = 11L): DataFrame = {
-    val books = pqCodebooks(dim, m, k, seed)
+      m: Int = 4, k: Int = 16, seed: Long = 11L): DataFrame =
+    pqEncodeWith(df, idCol, vecCol, dim, pqCodebooks(dim, m, k, seed))
+
+  /** [[pqEncode]] against EXPLICIT codebooks — the entry point for
+    * TRAINED books (graft.ml.VectorSearch.pqTrainCodebooks); the
+    * seeded path above delegates here. */
+  private[graft] def pqEncodeWith(df: DataFrame, idCol: String,
+      vecCol: String, dim: Int, books: Seq[Seq[Array[Float]]]): DataFrame = {
+    val m = books.length
     val sub = dim / m
     // vectors stay float arrays: FloatDot widens per-element to double
     // internally (the exact arithmetic the oracle's CAST-to-double
@@ -563,9 +570,14 @@ object Similarity {
     * partition ride the shuffle. Output: (query_id, neighbor_id,
     * adc_dist, rank), ascending distance, ties by neighbor id. */
   def pqAdcTopK(queries: DataFrame, corpusCodes: DataFrame, topK: Int,
-      dim: Int, m: Int = 4, k: Int = 16, seed: Long = 11L): DataFrame = {
+      dim: Int, m: Int = 4, k: Int = 16, seed: Long = 11L): DataFrame =
+    pqAdcTopKWith(queries, corpusCodes, topK, dim, pqCodebooks(dim, m, k, seed))
+
+  /** [[pqAdcTopK]] against EXPLICIT codebooks (trained or seeded). */
+  private[graft] def pqAdcTopKWith(queries: DataFrame, corpusCodes: DataFrame,
+      topK: Int, dim: Int, books: Seq[Seq[Array[Float]]]): DataFrame = {
     import graft.functions.TopK
-    val books = pqCodebooks(dim, m, k, seed)
+    val m = books.length
     val sub = dim / m
     val q = queries.toDF("query_id", "qv") // float arrays (see pqEncode)
     val c = corpusCodes.toDF("neighbor_id", "codes")
@@ -760,6 +772,43 @@ object Similarity {
       .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
       .select(col("query_id"), col("nb.id").as("neighbor_id"),
         abs(col("nb.score")).as("dist"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
+  /** Two-stage retrieval recall@k against the exact Euclidean top-k,
+    * for EXPLICIT codebooks: ADC shortlist of `shortK` over the
+    * encoded corpus, exact rerank of only the shortlisted ids, then
+    * the recall audit — one aggregate row (n_queries, total_hits,
+    * min_hits, avg_recall). The measurement arm behind m16's
+    * fixed-vs-trained codebook comparison; same join shapes as
+    * [[pqRerankTopK]] + [[recallAudit]]. */
+  private[graft] def pqRerankRecallWith(queries: DataFrame, corpus: DataFrame,
+      books: Seq[Seq[Array[Float]]], shortK: Int, k: Int, dim: Int): DataFrame = {
+    import graft.functions.TopK
+    val codes = pqEncodeWith(corpus.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dim, books).select("vec_id", "codes")
+    val short = pqAdcTopKWith(queries, codes, shortK, dim, books)
+      .select("query_id", "neighbor_id")
+    val q = queries.toDF("query_id", "qv")
+      .withColumn("qq", dotF(col("qv"), col("qv")))
+    val c = corpus.toDF("neighbor_id", "cv")
+      .withColumn("cc", dotF(col("cv"), col("cv")))
+    val rerank = broadcast(short)
+      .join(c, "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("dist", round(
+        sqrt(greatest(col("qq") - lit(2.0) * dotF(col("qv"), col("cv")) + col("cc"),
+          lit(0.0))), 6))
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("neighbor_id"), -col("dist")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"))
+    recallAudit(euclideanTopK(queries, corpus, k)
+        .select("query_id", "neighbor_id"), rerank, k)
+      .agg(count(lit(1)).as("n_queries"), sum("n_hits").as("total_hits"),
+        min("n_hits").as("min_hits"))
+      .select(col("n_queries"), col("total_hits"), col("min_hits"),
+        round(col("total_hits") / (col("n_queries") * k.toDouble), 4)
+          .as("avg_recall"))
   }
 
   /** Maximal Marginal Relevance (MMR) selection: pick `k` rows that

@@ -122,6 +122,25 @@ class MlSpec extends SparkSpec {
       s"expected per-list partition directories, got ${listDirs.mkString(",")}")
   }
 
+  test("pqTrainCodebooks: deterministic, right shape, and rerank recall beats fixed codebooks") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 10)
+    val b1 = VectorSearch.pqTrainCodebooks(emb, dim = 64, m = 4, k = 8, seed = 11L)
+    val b2 = VectorSearch.pqTrainCodebooks(emb, dim = 64, m = 4, k = 8, seed = 11L)
+    assert(b1.length == 4 && b1.forall(_.length == 8))
+    assert(b1.map(_.map(_.toSeq)) == b2.map(_.map(_.toSeq)),
+      "seeded training must be run-to-run deterministic")
+    import graft.similarity.Similarity
+    def recall(books: Seq[Seq[Array[Float]]]): Double =
+      Similarity.pqRerankRecallWith(q, emb, books, shortK = 40, k = 5, dim = 64)
+        .select("avg_recall").as[Double].head()
+    val fixed = recall(Similarity.pqCodebooks(64, 4, 8, 11L))
+    val trained = recall(b1)
+    assert(trained >= fixed,
+      s"trained codebooks must not lose to random ones: trained=$trained fixed=$fixed")
+    assert(trained > 0.0, s"trained rerank recall must be nonzero, got $trained")
+  }
+
   test("quality model: trained scores are run-to-run stable and separate planted classes") {
     import graft.ml.QualityModel
     val stop = graft.text.TextOps.langMarkers.head._2 // en markers
