@@ -162,6 +162,38 @@ object MlQueries {
         .orderBy("variant")
     }),
 
+    // ---- RESIDUAL-codebook training (m17): k-means codebooks fit on
+    // the RESIDUALS v − centroid(cluster) — the full FAISS-IVFPQ
+    // recipe — measured through the residual serve + two-stage rerank
+    // against (a) the same trained-residual books at full probe
+    // (isolates codebook quality) and (b) at the deployed nprobe=4,
+    // plus (c) the seeded fixed residual books as the floor. Rows-only
+    // (trained centers aren't SQL-replayable); twin s22 oracle-pins
+    // the residual mechanics. Measured at sf0.01 (shortK=100, k=5):
+    // fixed-residual 0.23, trained-residual 0.71 at full probe AND
+    // 0.71 at nprobe=4 (probe pruning loses nothing through the
+    // rerank) — training dominates; residual-vs-raw (m16's 0.72) is
+    // equal-within-noise on this isotropic corpus, where cluster
+    // means carry little structure for the coarse quantizer to absorb.
+    NamedQuery("m17_pq_residual_trained_rerank", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 20)
+      import graft.similarity.Similarity
+      val cents = Similarity.hyperplanes(dim = 64, nBits = 16, seed = 7L)
+      val fixedBooks = Similarity.pqCodebooks(64, 4, 16, 11L)
+      val trainedBooks = VectorSearch.pqTrainCodebooks(
+        Similarity.residualVectors(emb, dim = 64, nlist = 16, ivfSeed = 7L),
+        dim = 64, m = 4, k = 16, seed = 11L)
+      def row(name: String, books: Seq[Seq[Array[Float]]], nprobe: Int) =
+        Similarity.residualRerankRecall(q, emb, cents, books,
+            shortK = 100, k = 5, dim = 64, nprobe = nprobe)
+          .select(lit(name).as("variant"), col("*"))
+      row("a_resid_fixed_fullprobe", fixedBooks, 16)
+        .unionByName(row("b_resid_trained_fullprobe", trainedBooks, 16))
+        .unionByName(row("c_resid_trained_nprobe4", trainedBooks, 4))
+        .orderBy("variant")
+    }),
+
     // ---- ALS closed-form check: fit on a tiny rank-1 synthetic
     // ratings matrix (r_ui = a_u·b_i with known factors) — a rank-2
     // model must reconstruct every observed entry within tolerance, so

@@ -587,6 +587,22 @@ object PipelineQueries {
              |  ON bex.query_id = apx.query_id AND bex.neighbor_id = apx.neighbor_id
              |GROUP BY bex.query_id ORDER BY bex.query_id""".stripMargin)),
 
+    // ---- RESIDUAL IVF-PQ (s22): the FAISS-IVFPQ standard form — PQ
+    // codes encode v − centroid(cluster), and each probed list scores
+    // the QUERY's residual against that list's centroid. Residual
+    // subtraction replayed at REAL precision on both engines (see the
+    // oracle builder); assignment, codes, probes, ADC and ranks all
+    // hash-match.
+    NamedQuery("s22_ivf_pq_residual_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.ivfPqResidualTopK(emb.filter(col("vec_id") < 20), emb,
+          topK = 5, dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+          m = PqM, kCodes = PqK, ivfSeed = 7L, pqSeed = PqSeed)
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfPqResidualOracle(dim = 64, nlist = IvfLists,
+        nprobe = IvfProbes, topK = 5, ivfSeed = 7L))),
+
     // ---- IVF-PQ probe-count recall sweep (s21): recall@5 of the
     // COMPOSED index vs exact Euclidean for nprobe ∈ {1,2,4,8} — the
     // commissioning measurement that picks nprobe for the s19 index.
@@ -2458,6 +2474,95 @@ object PipelineQueries {
     shared + perNp + "\nSELECT * FROM (" +
       nprobes.map(np => s"SELECT * FROM agg_$np").mkString(" UNION ALL ") +
       ") ORDER BY nprobe"
+  }
+
+  /** Oracle for s22 RESIDUAL IVF-PQ: the ivfPq machinery with PQ codes
+    * assigned over RESIDUALS v − centroid(cluster) and the query side
+    * ADC-scoring its per-probed-list residual. Residual subtraction is
+    * replayed at FLOAT precision (CAST ... AS REAL) because the Spark
+    * side subtracts float arrays — float subtraction is correctly
+    * rounded identically whether computed natively or as
+    * double-subtract-then-round, so the residual arrays are bit-equal
+    * cross-engine; all sums then widen to double as usual. */
+  private def ivfPqResidualOracle(dim: Int, nlist: Int, nprobe: Int,
+      topK: Int, ivfSeed: Long): String = {
+    val sub = dim / PqM
+    val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, ivfSeed)
+    val centsSql = cents.zipWithIndex.map { case (c, j) =>
+      val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+      val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+      s"SELECT $j AS j, CAST($lst AS DOUBLE[]) AS c, CAST($self AS DOUBLE) AS cc2"
+    }.mkString("\n  UNION ALL ")
+    val books = graft.similarity.Similarity.pqCodebooks(dim, PqM, PqK, PqSeed)
+    val cbSql = books.zipWithIndex.flatMap { case (codes, j) =>
+      codes.zipWithIndex.map { case (c, ci) =>
+        val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+          .mkString("[", ", ", "]")
+        val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+        s"SELECT $j AS j, ${ci + 1} AS ci, CAST($lst AS DOUBLE[]) AS c, " +
+          s"CAST($self AS DOUBLE) AS cc2"
+      }
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |cb AS (
+       |  $cbSql),
+       |icents AS (
+       |  $centsSql),
+       |idists AS (SELECT e.vec_id, icents.j,
+       |    -2.0 * ${dotSql("e.v", "icents.c")} + icents.cc2 AS d
+       |  FROM e CROSS JOIN icents),
+       |iassign AS (SELECT vec_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM idists) WHERE rn = 1),
+       |resid AS (SELECT a.vec_id, a.cluster,
+       |    list_transform(generate_series(1, $dim),
+       |      i -> CAST(CAST(CAST(e.v[i] AS REAL) - CAST(ic.c[i] AS REAL)
+       |        AS REAL) AS DOUBLE)) AS rv
+       |  FROM iassign a JOIN e ON a.vec_id = e.vec_id
+       |  JOIN icents ic ON ic.j + 1 = a.cluster),
+       |rdists AS (SELECT r.vec_id, cb.j, cb.ci,
+       |    -2.0 * list_sum(list_transform(generate_series(1, $sub),
+       |        i -> r.rv[cb.j * $sub + i] * cb.c[i])) + cb.cc2 AS d
+       |  FROM resid r CROSS JOIN cb),
+       |rcode AS (SELECT vec_id, j, ci AS code FROM (
+       |    SELECT vec_id, j, ci, row_number() OVER (
+       |      PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+       |    FROM rdists) WHERE rn = 1),
+       |rpq AS (SELECT vec_id, list(CAST(code AS INT) ORDER BY j) AS codes
+       |  FROM rcode GROUP BY vec_id),
+       |iprobes AS (SELECT vec_id AS query_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM idists WHERE vec_id < 20) WHERE rn <= $nprobe),
+       |qres AS (SELECT p.query_id, p.cluster,
+       |    list_transform(generate_series(1, $dim),
+       |      i -> CAST(CAST(CAST(e.v[i] AS REAL) - CAST(ic.c[i] AS REAL)
+       |        AS REAL) AS DOUBLE)) AS qrv
+       |  FROM iprobes p JOIN e ON e.vec_id = p.query_id
+       |  JOIN icents ic ON ic.j + 1 = p.cluster),
+       |adists AS (SELECT q.query_id, a.vec_id AS neighbor_id,
+       |    round(list_sum(list(
+       |      list_sum(list_transform(generate_series(1, $sub),
+       |        i -> q.qrv[cb.j * $sub + i] * q.qrv[cb.j * $sub + i]))
+       |      - 2.0 * list_sum(list_transform(generate_series(1, $sub),
+       |        i -> q.qrv[cb.j * $sub + i] * cb.c[i])) + cb.cc2
+       |      ORDER BY cb.j)), 6) AS adc_dist
+       |  FROM qres q
+       |  JOIN iassign a ON a.cluster = q.cluster AND q.query_id <> a.vec_id
+       |  JOIN rpq ON rpq.vec_id = a.vec_id
+       |  JOIN cb ON cb.ci = rpq.codes[cb.j + 1]
+       |  GROUP BY q.query_id, a.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, adc_dist,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS rank
+       |  FROM adists)
+       |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** Oracle for s18/s19: the ivfPqCtes chain cut at top-k. */

@@ -700,6 +700,118 @@ object Similarity {
       cents, books, topK, nprobe, dim, m)
   }
 
+  /** PQ code assignment of vector column `v` (1-based, first-minimum
+    * argmin per subspace) — the [[pqEncodeWith]] codes expression over
+    * an arbitrary column, shared by the raw and RESIDUAL builds. */
+  private def pqCodesColumn(v: Column, books: Seq[Seq[Array[Float]]],
+      dim: Int): Column = {
+    val m = books.length
+    val sub = dim / m
+    def subv(j: Int): Column = slice(v, j * sub + 1, sub)
+    def dArr(j: Int): Column = array(books(j).map { c =>
+      lit(-2.0) * dotF(subv(j), lit(c)) + lit(c.map(x => x.toDouble * x).sum)
+    }: _*)
+    array((0 until m).map(j =>
+      array_position(dArr(j), array_min(dArr(j))).cast("int")): _*)
+  }
+
+  /** ADC distance of query-side vector column `qv` against the row's
+    * `codes` column — the [[pqAdcTopKWith]] distance expression over an
+    * arbitrary column, shared by the raw and RESIDUAL serves. */
+  private def pqAdcDistColumn(qv: Column, books: Seq[Seq[Array[Float]]],
+      dim: Int): Column = {
+    val m = books.length
+    val sub = dim / m
+    def subq(j: Int): Column = slice(qv, j * sub + 1, sub)
+    def codeAt(j: Int): Column = element_at(col("codes"), j + 1)
+    (0 until m).map { j =>
+      val codeArr = typedLit(books(j).map(_.toSeq))
+      val selfArr = typedLit(books(j).map(_.map(x => x.toDouble * x).sum))
+      dotF(subq(j), subq(j)) -
+        lit(2.0) * dotF(subq(j), element_at(codeArr, codeAt(j))) +
+        element_at(selfArr, codeAt(j))
+    }.reduce(_ + _)
+  }
+
+  /** RESIDUAL IVF-PQ build (the FAISS-IVFPQ standard form): codes
+    * encode each vector's residual v − centroid(cluster), NOT the raw
+    * vector — residuals concentrate around the origin once the coarse
+    * quantizer has absorbed the cluster mean, so the same code budget
+    * carries strictly more ranking signal. Still one scan stage
+    * (assignment and residual are both literal-backed expressions),
+    * materialized for the serve join like [[ivfPqEncodeAssign]].
+    * Output: (neighbor_id, codes, cluster). */
+  private[graft] def ivfPqResidualEncodeAssign(corpus: DataFrame,
+      cents: Seq[Array[Float]], books: Seq[Seq[Array[Float]]],
+      dim: Int): DataFrame = {
+    val centArr = typedLit(cents.map(_.toSeq))
+    graft.Caches.cached(
+      assignFixed(corpus, cents)
+        .withColumn("rv", zip_with(col("cv"),
+          element_at(centArr, col("cluster")), (a, b) => a - b))
+        .withColumn("codes", pqCodesColumn(col("rv"), books, dim))
+        .select("neighbor_id", "codes", "cluster"))
+  }
+
+  /** RESIDUAL IVF-PQ serve: probes as in [[ivfPqServe]]; within each
+    * probed list the QUERY's residual against THAT list's centroid
+    * (computed per probe row — nprobe small rows per query) ADC-scores
+    * the candidates' residual codes. Output: (query_id, neighbor_id,
+    * adc_dist, rank). */
+  private[graft] def ivfPqResidualServe(queries: DataFrame, coded: DataFrame,
+      cents: Seq[Array[Float]], books: Seq[Seq[Array[Float]]],
+      topK: Int, nprobe: Int, dim: Int): DataFrame = {
+    import graft.functions.TopK
+    val centArr = typedLit(cents.map(_.toSeq))
+    val probes = queries.toDF("query_id", "qv")
+      .select(col("query_id"), col("qv"),
+        posexplode(distArr(col("qv"), cents)).as(Seq("j", "d")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("d"), col("j"))))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), (col("j") + 1).cast("int").as("cluster"),
+        zip_with(col("qv"), element_at(centArr, (col("j") + 1).cast("int")),
+          (a, b) => a - b).as("qrv"))
+    broadcast(probes).join(coded, Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("d", round(pqAdcDistColumn(col("qrv"), books, dim), 6))
+      .groupBy("query_id")
+      .agg(TopK.topK(topK)(col("neighbor_id"), -col("d")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        abs(col("nb.score")).as("adc_dist"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
+  /** Residual IVF-PQ top-k with fixed seeded centroids and codebooks
+    * (s22) — [[ivfPqTopK]] in the FAISS-standard residual form. Every
+    * parameter is a seeded literal, so the oracle replays assignment,
+    * residuals, codes, probe sets, ADC distances, and ranks
+    * bit-for-bit. `booksOverride` lets m17 serve TRAINED residual
+    * codebooks through the identical mechanics. */
+  def ivfPqResidualTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+      dim: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+      kCodes: Int = 16, ivfSeed: Long = 7L, pqSeed: Long = 11L,
+      booksOverride: Option[Seq[Seq[Array[Float]]]] = None): DataFrame = {
+    val cents = hyperplanes(dim, nlist, ivfSeed)
+    val books = booksOverride.getOrElse(pqCodebooks(dim, m, kCodes, pqSeed))
+    ivfPqResidualServe(queries,
+      ivfPqResidualEncodeAssign(corpus, cents, books, dim),
+      cents, books, topK, nprobe, dim)
+  }
+
+  /** The residual frame (id, v − centroid(cluster)) under the fixed
+    * seeded coarse quantizer — the training input for m17's residual
+    * codebooks (graft.ml.VectorSearch.pqTrainCodebooks consumes it). */
+  def residualVectors(corpus: DataFrame, dim: Int, nlist: Int,
+      ivfSeed: Long): DataFrame = {
+    val cents = hyperplanes(dim, nlist, ivfSeed)
+    val centArr = typedLit(cents.map(_.toSeq))
+    assignFixed(corpus, cents)
+      .select(col("neighbor_id").as("id"),
+        zip_with(col("cv"), element_at(centArr, col("cluster")),
+          (a, b) => a - b).as("v"))
+  }
+
   /** IVF-PQ probe-count recall sweep — the [[ivfProbeSweep]] of the
     * COMPOSED index (s21): for each candidate `nprobe`, serve
     * [[ivfPqTopK]] from ONE shared coded build and audit it against
@@ -783,11 +895,33 @@ object Similarity {
     * [[pqRerankTopK]] + [[recallAudit]]. */
   private[graft] def pqRerankRecallWith(queries: DataFrame, corpus: DataFrame,
       books: Seq[Seq[Array[Float]]], shortK: Int, k: Int, dim: Int): DataFrame = {
-    import graft.functions.TopK
     val codes = pqEncodeWith(corpus.toDF("vec_id", "embedding"),
       "vec_id", "embedding", dim, books).select("vec_id", "codes")
-    val short = pqAdcTopKWith(queries, codes, shortK, dim, books)
-      .select("query_id", "neighbor_id")
+    rerankRecallAgainstExact(
+      pqAdcTopKWith(queries, codes, shortK, dim, books)
+        .select("query_id", "neighbor_id"),
+      queries, corpus, k)
+  }
+
+  /** m17's residual arm: shortlist from the RESIDUAL IVF-PQ serve
+    * (given centroids + books), exact rerank, recall vs exact — one
+    * aggregate row, same mechanics as [[pqRerankRecallWith]]. */
+  private[graft] def residualRerankRecall(queries: DataFrame, corpus: DataFrame,
+      cents: Seq[Array[Float]], books: Seq[Seq[Array[Float]]],
+      shortK: Int, k: Int, dim: Int, nprobe: Int): DataFrame =
+    rerankRecallAgainstExact(
+      ivfPqResidualServe(queries,
+          ivfPqResidualEncodeAssign(corpus, cents, books, dim),
+          cents, books, shortK, nprobe, dim)
+        .select("query_id", "neighbor_id"),
+      queries, corpus, k)
+
+  /** Shared tail of the two-stage recall measurements: exact Euclidean
+    * rerank of an id-only shortlist, then the recall audit vs the
+    * exact top-k, collapsed to one aggregate row. */
+  private def rerankRecallAgainstExact(short: DataFrame, queries: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopK
     val q = queries.toDF("query_id", "qv")
       .withColumn("qq", dotF(col("qv"), col("qv")))
     val c = corpus.toDF("neighbor_id", "cv")
