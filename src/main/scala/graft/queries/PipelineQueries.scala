@@ -1570,6 +1570,36 @@ object PipelineQueries {
              |    AS est_distinct
              |FROM agg ORDER BY source""".stripMargin)),
 
+    // ---- count-min heavy hitters: d=4 × w=256 salted-md5 sketch over
+    // ALL corpus tokens, audited on the exact top-20 — the constant-
+    // memory frequency sketch (boilerplate/spam-marker detection at
+    // corpus scale). Deterministic cells → the estimates themselves
+    // hash-match, and est ≥ true is checked BY the oracle comparison.
+    NamedQuery("p17_cms_heavy_hitters",
+      (s, dir) => Sketches.cmsHeavyHitters(
+          Tables.documents(s, dir), "text", d = 4, w = 256, topN = 20)
+        .orderBy(col("true_cnt").desc, col("tok")),
+      Some("""WITH toks AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                            x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |cells AS (SELECT r.i AS r,
+             |    CAST(CAST('0x' || substr(md5('cms' || r.i || '|' || tok), 1, 13)
+             |      AS BIGINT) % 256 AS INT) AS c
+             |  FROM toks, unnest(generate_series(0, 3)) AS r(i)),
+             |sketch AS (SELECT r, c, count(*) AS cell_cnt FROM cells GROUP BY r, c),
+             |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             |top AS (SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT 20),
+             |probes AS (SELECT t.tok, t.cnt, r.i AS r,
+             |    CAST(CAST('0x' || substr(md5('cms' || r.i || '|' || t.tok), 1, 13)
+             |      AS BIGINT) % 256 AS INT) AS c
+             |  FROM top t, unnest(generate_series(0, 3)) AS r(i))
+             |SELECT p.tok, CAST(p.cnt AS BIGINT) AS true_cnt,
+             |  CAST(min(s.cell_cnt) AS BIGINT) AS cms_est
+             |FROM probes p JOIN sketch s ON p.r = s.r AND p.c = s.c
+             |GROUP BY p.tok, p.cnt
+             |ORDER BY true_cnt DESC, tok""".stripMargin)),
+
     // ---- pairwise source overlap from the SAME sketches: Jaccard of
     // every two sources estimated in sketch space (|groups|²·k rows,
     // independent of corpus size) — the cross-corpus contamination /

@@ -61,6 +61,47 @@ object Sketches {
             element_at(col("sketch"), k).cast("double")), 4)
           .as("est_distinct"))
 
+  /** Count-min sketch over corpus tokens + heavy-hitter audit — the
+    * FREQUENCY sibling of the distinct-count sketches above, and the
+    * constant-memory way a 100 TB corpus finds its dominant tokens
+    * (boilerplate markers, spam phrases) without a full token
+    * group-by: `d` hash rows × `w` counters, each token incrementing
+    * one cell per row; est(tok) = min over rows of its cell — the
+    * classic one-sided estimator (always ≥ the true count, error
+    * bounded by collisions/w per row).
+    *
+    * Determinism: row hashes are salted h52 md5 (`cms<i>|token`), so
+    * every cell, estimate, and the ≥-true invariant replay exactly in
+    * the oracle — no tolerance bands. Scale shape: the sketch build is
+    * ONE keyed shuffle on (row, cell) into ≤ d·w cells (mergeable
+    * across shards by cell-wise +); the audit joins the top-N exact
+    * tokens against the BROADCAST sketch (d·w rows — constant).
+    * Output: (tok, true_cnt, cms_est), top `topN` tokens by exact
+    * count, est ≥ true by construction. */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, d: Int, w: Int,
+      topN: Int): DataFrame = {
+    val toks = graft.Caches.cached(
+      df.select(explode(TextOps.tokens(col(textCol))).as("tok")))
+    def cellOf(i: Int, tok: Column): Column =
+      pmod(h52(concat(lit(s"cms$i|"), tok)), lit(w.toLong)).cast("int")
+    val sketch = toks
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("r"), cellOf(i, col("tok")).as("c"))): _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(count(lit(1)).as("cell_cnt"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topN)
+    top
+      .select(col("tok"), col("cnt"),
+        explode(array((0 until d).map(i =>
+          struct(lit(i).as("r"), cellOf(i, col("tok")).as("c"))): _*)).as("rc"))
+      .select(col("tok"), col("cnt"), col("rc.r").as("r"), col("rc.c").as("c"))
+      .join(broadcast(sketch), Seq("r", "c"))
+      .groupBy("tok", "cnt")
+      .agg(min("cell_cnt").as("cms_est"))
+      .select(col("tok"), col("cnt").as("true_cnt"), col("cms_est"))
+  }
+
   /** Pairwise Jaccard overlap between every two groups, estimated in
     * sketch space: for each group pair (a < b), take the bottom-k of
     * the UNION of their sketches and count how many of those hashes

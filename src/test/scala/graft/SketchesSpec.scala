@@ -31,6 +31,22 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(est - 5000) / 5000 < 0.30, s"KMV estimate $est for 5000")
   }
 
+  test("cmsHeavyHitters: one-sided estimates, exact when cells don't collide") {
+    // 3 tokens with known counts; w=256 over a 3-token vocab makes
+    // per-row collisions implausible, so min-over-rows is EXACT here
+    val docs = Seq((1L, "alpha alpha alpha beta beta gamma"),
+      (2L, "alpha beta gamma gamma")).toDF("doc_id", "text")
+    val got = Sketches.cmsHeavyHitters(docs, "text", d = 4, w = 256, topN = 3)
+      .select("tok", "true_cnt", "cms_est").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("alpha" -> ((4L, 4L)), "beta" -> ((3L, 3L)),
+      "gamma" -> ((3L, 3L))))
+    // with w=2 collisions are forced: estimates stay ONE-SIDED (≥ true)
+    val crowded = Sketches.cmsHeavyHitters(docs, "text", d = 2, w = 2, topN = 3)
+      .select("true_cnt", "cms_est").as[(Long, Long)].collect()
+    assert(crowded.nonEmpty && crowded.forall { case (t, e) => e >= t })
+  }
+
   test("jaccardOverlap recovers a planted overlap fraction in sketch space") {
     // A = {1..1000}, B = {501..1500}: true J = 500/1500 = 1/3
     val rows = (1 to 1000).map(i => ("a", s"v $i")) ++
