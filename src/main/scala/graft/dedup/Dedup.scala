@@ -276,6 +276,62 @@ object Dedup {
       .select("new_id", "corpus_id", "est_jaccard")
   }
 
+  /** PERSISTED content-hash dedup index, build side — the EXACT-dedup
+    * sibling of the persisted IVF index (s16/s17): a continuously-fed
+    * corpus keeps one (text_hash, first_id) row per distinct content
+    * on disk and never rescans indexed text at ingest. Layout:
+    * parquet partitioned by the first hash hex char (`hp`, 16 dirs),
+    * repartitioned by `hp` before the write so each partition lands
+    * as whole files (the writeIvfIndex lesson). One keyed shuffle at
+    * build; the index is ~one row per distinct doc — far smaller than
+    * the corpus. */
+  def writeHashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    exactGroups(df, idCol, textCol)
+      .select(col("text_hash"), col("keep_id").as("first_id"))
+      .withColumn("hp", substring(col("text_hash"), 1, 1))
+      .repartition(col("hp"))
+      .write.mode("overwrite").partitionBy("hp")
+      .parquet(s"$path/hashes")
+
+  /** Reload the persisted hash index: (text_hash, first_id, hp). */
+  def readHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/hashes")
+
+  /** Ingest a batch against the persisted hash index — the production
+    * EXACT-dedup loop: (a) dedup WITHIN the batch (min-id row per
+    * content hash), (b) anti-join the index on the 128-bit md5 content
+    * hash (batch × index, the d16 shape — indexed text never
+    * rescanned), (c) APPEND the admitted hashes so the next batch sees
+    * them. Returns the admitted batch rows. Scale: per-ingest cost is
+    * one batch-keyed window + one hash-keyed join against a
+    * hash-partitioned parquet side; the append pays one keyed shuffle
+    * over admitted rows only. */
+  def ingestAgainstHashIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String): DataFrame = {
+    // EAGER localCheckpoint, not Caches.cached: the append below writes
+    // to the same path the anti-join scans, and Spark's post-write
+    // refreshByPath would RE-CACHE a persisted plan against the
+    // appended files — the admitted set would then anti-join its own
+    // output and come back empty. Truncating lineage pins the admitted
+    // set as of the pre-append listing; the blocks are reclaimed by the
+    // ContextCleaner once unreferenced (the superstep pattern).
+    val admitted =
+      dropExactDups(batch, idCol, textCol)
+        .withColumn("text_hash", md5(col(textCol)))
+        .join(readHashIndex(batch.sparkSession, path)
+          .select("text_hash"), Seq("text_hash"), "left_anti")
+        .localCheckpoint()
+    admitted
+      .groupBy("text_hash").agg(min(col(idCol)).as("first_id"))
+      .withColumn("hp", substring(col("text_hash"), 1, 1))
+      .repartition(col("hp"))
+      .write.mode("append").partitionBy("hp")
+      .parquet(s"$path/hashes")
+    admitted.drop("text_hash")
+  }
+
   /** Engine-portable SimHash: identical tf-weighted sign-bit
     * construction to [[simhash]], but the per-token bit source is the
     * first 16 hex nibbles of md5(token) (global bit g = bit g%4 of

@@ -230,6 +230,21 @@ object PipelineQueries {
       Some(semanticDecontamOracle(dim = 64, nBits = NdBits, bands = NdBands,
         minCos = 0.4, seed = 42L))),
 
+    // ---- SemDeDup-style CLUSTER-PARTITIONED embedding dedup: the
+    // OTHER standard candidate-pruning geometry next to d13's LSH
+    // bands — assign to nearest fixed centroid (the s04 cells), drop
+    // rows with a lower-id in-cell neighbor at cosine ≥ 0.4. At 100 TB
+    // nlist grows with the corpus to hold Σ|cell|² bounded (the paper
+    // runs 50k clusters). Centroids inlined into the oracle, so cells,
+    // cosines, and the survivor set replay bit-for-bit.
+    NamedQuery("d25_semdedup_kept",
+      (s, dir) => Similarity.semDedupKept(
+          Tables.embeddings(s, dir).select("vec_id", "embedding"),
+          minCos = 0.4, dim = 64, nlist = IvfLists, seed = 7L)
+        .select(col("id"), col("cluster")).orderBy("id"),
+      Some(semDedupOracle(dim = 64, nlist = IvfLists, minCos = 0.4,
+        seed = 7L))),
+
     // ---- benchmark decontamination REPORT: corpus docs (doc_id%10≠0)
     // sharing any 4-gram with the held-out benchmark slice (doc_id%10=0),
     // counted per source. Benchmark n-gram set is broadcast — the
@@ -389,6 +404,33 @@ object PipelineQueries {
       },
       Some(minhashIncrementalOracle(MhHashes, MhBands, 0.5))),
 
+    // ---- incremental EXACT dedup against a PERSISTED hash index (the
+    // s16 pattern for d01's semantics): build the (text_hash,
+    // first_id) index from the even half, ingest the odd half —
+    // within-batch min-id dedup, hash anti-join against the reloaded
+    // index (indexed text never rescanned), append admitted hashes.
+    // The oracle replays both gates: admitted ⟺ first odd holder of a
+    // hash no even doc holds.
+    NamedQuery("d26_incremental_exact_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("hash_idx")
+        Dedup.writeHashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", path)
+        Dedup.ingestAgainstHashIndex(docs.filter(col("doc_id") % 2 =!= 0),
+            "doc_id", "text", path)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some("""WITH idx AS (SELECT DISTINCT md5(text) AS h FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |odd AS (SELECT doc_id, md5(text) AS h FROM documents
+             |  WHERE doc_id % 2 = 1),
+             |win AS (SELECT doc_id, h, row_number() OVER (
+             |    PARTITION BY h ORDER BY doc_id) AS rn FROM odd)
+             |SELECT doc_id FROM win
+             |WHERE rn = 1 AND h NOT IN (SELECT h FROM idx)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- brute-force exact ANN: top-5 cosine neighbors for the first
     // 20 vectors against the whole corpus.
     NamedQuery("s01_ann_brute_topk", (s, dir) => {
@@ -464,6 +506,26 @@ object PipelineQueries {
     },
       Some(ivfFixedOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
         k = 5, seed = 7L))),
+
+    // ---- metadata-FILTERED vector search (the vector-DB "filtered
+    // search" shape): top-5 among corpus rows with label % 3 = 0,
+    // served from the SHARED unfiltered s04 index — the predicate is
+    // applied to the probed lists' assignment rows BEFORE scoring
+    // (Catalyst pushes it below the probe join), so one index build
+    // serves every predicate and the serve scan still reads only
+    // nprobe/nlist of the corpus. Same probe/rank mechanics as s04 →
+    // the oracle is s04's chain with a WHERE on the assignment CTE.
+    NamedQuery("s23_filtered_ann", (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfFilteredTopK(
+          emb.select("vec_id", "embedding").filter(col("vec_id") < 20),
+          emb.select("vec_id", "embedding", "label"), k = 5,
+          dim = 64, nlist = IvfLists, nprobe = IvfProbes, seed = 7L,
+          keep = col("attr") % 3 === 0)
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfFilteredOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+        k = 5, seed = 7L, predSql = "l.label % 3 = 0"))),
 
     // ---- PERSISTED-index IVF round trip: the s04 pipeline with a
     // parquet write/reload of the index (centroids + per-list
@@ -1579,26 +1641,39 @@ object PipelineQueries {
       (s, dir) => Sketches.cmsHeavyHitters(
           Tables.documents(s, dir), "text", d = 4, w = 256, topN = 20)
         .orderBy(col("true_cnt").desc, col("tok")),
-      Some("""WITH toks AS (
-             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-             |                            x -> len(x) > 0)) AS tok
+      Some(cmsOracle)),
+
+    // ---- histogram quantile sketch: per-source token-count p50/p90/
+    // p99 from a width-16 fixed-width histogram — the constant-memory
+    // distribution read (sequence-length planning, quality thresholds)
+    // a 100 TB corpus runs instead of a per-source sort. One keyed
+    // shuffle into |sources|·|buckets| cells; the cumulative window
+    // and quantile extraction run in CELL space. Deterministic → the
+    // estimates themselves hash-match, no tolerance bands.
+    NamedQuery("p18_hist_quantiles",
+      (s, dir) => Sketches.histogramQuantiles(
+          Tables.documents(s, dir), "source",
+          size(TextOps.tokens(col("text"))).cast("long"),
+          width = 16, qs = Seq(0.5, 0.9, 0.99))
+        .orderBy("source", "q"),
+      Some("""WITH t AS (SELECT source,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                    x -> len(x) > 0))::BIGINT AS n
              |  FROM documents),
-             |cells AS (SELECT r.i AS r,
-             |    CAST(CAST('0x' || substr(md5('cms' || r.i || '|' || tok), 1, 13)
-             |      AS BIGINT) % 256 AS INT) AS c
-             |  FROM toks, unnest(generate_series(0, 3)) AS r(i)),
-             |sketch AS (SELECT r, c, count(*) AS cell_cnt FROM cells GROUP BY r, c),
-             |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
-             |top AS (SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT 20),
-             |probes AS (SELECT t.tok, t.cnt, r.i AS r,
-             |    CAST(CAST('0x' || substr(md5('cms' || r.i || '|' || t.tok), 1, 13)
-             |      AS BIGINT) % 256 AS INT) AS c
-             |  FROM top t, unnest(generate_series(0, 3)) AS r(i))
-             |SELECT p.tok, CAST(p.cnt AS BIGINT) AS true_cnt,
-             |  CAST(min(s.cell_cnt) AS BIGINT) AS cms_est
-             |FROM probes p JOIN sketch s ON p.r = s.r AND p.c = s.c
-             |GROUP BY p.tok, p.cnt
-             |ORDER BY true_cnt DESC, tok""".stripMargin)),
+             |cells AS (SELECT source, n // 16 AS b, count(*) AS cnt
+             |  FROM t GROUP BY 1, 2),
+             |cum AS (SELECT source, b, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+             |  FROM cells),
+             |qt AS (SELECT * FROM cum
+             |  CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)),
+             |sel AS (SELECT source, q, max(total) AS n_rows, min(b) AS bmin
+             |  FROM qt WHERE cum >= CAST(ceil(q * total) AS BIGINT)
+             |  GROUP BY 1, 2)
+             |SELECT source, q, CAST(n_rows AS BIGINT) AS n_rows,
+             |  CAST(bmin * 16 AS BIGINT) AS bucket_lo
+             |FROM sel ORDER BY source, q""".stripMargin)),
 
     // ---- pairwise source overlap from the SAME sketches: Jaccard of
     // every two sources estimated in sketch space (|groups|²·k rows,
@@ -2387,6 +2462,107 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
   }
+
+  /** Oracle for s23 filtered search: the ivfFixedOracle chain with the
+    * metadata predicate (over the embeddings row aliased `l`) applied
+    * to the assignment CTE before scoring — exactly where
+    * Similarity.ivfFilteredTopK applies it. */
+  private def ivfFilteredOracle(dim: Int, nlist: Int, nprobe: Int, k: Int,
+      seed: Long, predSql: String): String = {
+    val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, seed)
+    val centsSql = cents.zipWithIndex.map { case (c, j) =>
+      val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+      val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+      s"SELECT $j AS j, CAST($lst AS DOUBLE[]) AS c, CAST($self AS DOUBLE) AS cc2"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (
+       |  $centsSql),
+       |nrm AS (SELECT vec_id, sqrt(${dotSql("v", "v")}) AS nm FROM e),
+       |dists AS (SELECT e.vec_id, cents.j,
+       |    -2.0 * ${dotSql("e.v", "cents.c")} + cents.cc2 AS d
+       |  FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |fassign AS (SELECT a.vec_id, a.cluster FROM assign a
+       |  JOIN embeddings l ON a.vec_id = l.vec_id WHERE $predSql),
+       |probes AS (SELECT vec_id AS query_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM dists WHERE vec_id < 20) WHERE rn <= $nprobe),
+       |scored AS (SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    round(${dotSql("eq.v", "ec.v")} / (nq.nm * nc.nm), 6) AS cos
+       |  FROM probes p JOIN fassign a ON p.cluster = a.cluster
+       |    AND p.query_id <> a.vec_id
+       |  JOIN e eq ON p.query_id = eq.vec_id JOIN e ec ON a.vec_id = ec.vec_id
+       |  JOIN nrm nq ON p.query_id = nq.vec_id JOIN nrm nc ON a.vec_id = nc.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Oracle for d25 SemDeDup: the ivfFixedOracle assign chain
+    * (centroids inlined) + the within-cell lower-id-neighbor drop
+    * rule replayed as a cell-keyed self-join. */
+  private def semDedupOracle(dim: Int, nlist: Int, minCos: Double,
+      seed: Long): String = {
+    val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, seed)
+    val centsSql = cents.zipWithIndex.map { case (c, j) =>
+      val lst = c.map(f => java.lang.Double.toString(f.toDouble))
+        .mkString("[", ", ", "]")
+      val self = java.lang.Double.toString(c.map(x => x.toDouble * x).sum)
+      s"SELECT $j AS j, CAST($lst AS DOUBLE[]) AS c, CAST($self AS DOUBLE) AS cc2"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cents AS (
+       |  $centsSql),
+       |nrm AS (SELECT vec_id, sqrt(${dotSql("v", "v")}) AS nm FROM e),
+       |dists AS (SELECT e.vec_id, cents.j,
+       |    -2.0 * ${dotSql("e.v", "cents.c")} + cents.cc2 AS d
+       |  FROM e CROSS JOIN cents),
+       |assign AS (SELECT vec_id, j + 1 AS cluster FROM (
+       |    SELECT vec_id, j, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY d, j) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |dropped AS (SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b ON a.cluster = b.cluster
+       |    AND a.vec_id < b.vec_id
+       |  JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id
+       |  JOIN nrm na ON a.vec_id = na.vec_id JOIN nrm nb ON b.vec_id = nb.vec_id
+       |  WHERE round(${dotSql("ea.v", "eb.v")} / (na.nm * nb.nm), 6) >= $minCos)
+       |SELECT a.vec_id AS id, a.cluster FROM assign a
+       |WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY id""".stripMargin
+  }
+
+  /** Oracle for p17 AND its streaming twin sw12: full count-min cell
+    * replay (salted-md5 row hashes) + exact-top-20 probe audit. */
+  private[queries] def cmsOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                            x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |cells AS (SELECT r.i AS r,
+      |    CAST(CAST('0x' || substr(md5('cms' || r.i || '|' || tok), 1, 13)
+      |      AS BIGINT) % 256 AS INT) AS c
+      |  FROM toks, unnest(generate_series(0, 3)) AS r(i)),
+      |sketch AS (SELECT r, c, count(*) AS cell_cnt FROM cells GROUP BY r, c),
+      |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+      |top AS (SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT 20),
+      |probes AS (SELECT t.tok, t.cnt, r.i AS r,
+      |    CAST(CAST('0x' || substr(md5('cms' || r.i || '|' || t.tok), 1, 13)
+      |      AS BIGINT) % 256 AS INT) AS c
+      |  FROM top t, unnest(generate_series(0, 3)) AS r(i))
+      |SELECT p.tok, CAST(p.cnt AS BIGINT) AS true_cnt,
+      |  CAST(min(s.cell_cnt) AS BIGINT) AS cms_est
+      |FROM probes p JOIN sketch s ON p.r = s.r AND p.c = s.c
+      |GROUP BY p.tok, p.cnt
+      |ORDER BY true_cnt DESC, tok""".stripMargin
 
   /** Shared CTE chain for the COMPOSED IVF-PQ queries (s18/s19/s20):
     * the pqCodesCtes codebook/encode chain plus the ivfFixedOracle

@@ -340,6 +340,31 @@ object StreamingQueries {
       },
       Some(PipelineQueries.semanticAdmissionIvfOracle(dim = 64,
         nlist = PipelineQueries.IvfLists, nprobe = PipelineQueries.IvfProbes,
-        minCos = 0.4, seed = 7L)))
+        minCos = 0.4, seed = 7L))),
+
+    // ---- streaming COUNT-MIN sketch maintenance (ingest-time lift of
+    // p17): arriving docs explode to tokens and increment the d×w cell
+    // grid — the streaming groupBy keys onto ≤ 4·256 cells, so state
+    // is the SKETCH itself, constant-bounded regardless of corpus size
+    // (complete mode, no watermark needed). The batch exact-top-20
+    // audit then probes the STREAMED cells; p17's oracle is the exact
+    // expected output, proving the incrementally-maintained sketch ≡
+    // the batch-built one (count-min is mergeable by construction).
+    NamedQuery("sw12_stream_cms_hitters",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val cells = StreamRunner.runAvailableNow(s, docs,
+            "sw12_cms", "complete") { src =>
+          graft.text.Sketches.cmsCells(
+            src.select(explode(graft.text.TextOps.tokens(col("text")))
+              .as("tok")), "tok", d = 4, w = 256)
+        }
+        val toks = Tables.documents(s, dir)
+          .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+        graft.text.Sketches.cmsAudit(cells, toks, "tok", d = 4, w = 256,
+            topN = 20)
+          .orderBy(col("true_cnt").desc, col("tok"))
+      },
+      Some(PipelineQueries.cmsOracle))
   )
 }

@@ -286,6 +286,64 @@ object Similarity {
     ivfServe(queries, assignFixed(corpus, cents), cents, k, nprobe)
   }
 
+  /** Metadata-FILTERED IVF search (the vector-DB "filtered search"
+    * shape): top-k cosine neighbors among corpus rows satisfying
+    * `keep`, served from the SHARED unfiltered index — the filter is
+    * applied to the assignment rows of the probed lists BEFORE
+    * scoring, so one index build serves every predicate and the serve
+    * scan still reads only ~nprobe/nlist of the corpus. `corpus` is
+    * (id, vec, attr); `keep` is a predicate over the attr column named
+    * "attr". Same probe/rank mechanics as [[ivfFixedTopK]], so the
+    * oracle replays it with a WHERE on the assignment CTE.
+    *
+    * Scale shape: identical to ivfServe (broadcast probes × pruned
+    * lists) with one extra scan-stage filter on the assignment frame —
+    * Catalyst pushes it below the probe join, so selective predicates
+    * SHRINK the join, never grow it. */
+  def ivfFilteredTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      dim: Int, nlist: Int, nprobe: Int, seed: Long,
+      keep: Column): DataFrame = {
+    val cents = hyperplanes(dim, nlist, seed)
+    val a = corpus.toDF("neighbor_id", "cv", "attr")
+      .withColumn("cn", norm(col("cv")))
+      .withColumn("cluster",
+        array_position(distArr(col("cv"), cents),
+          array_min(distArr(col("cv"), cents))).cast("int"))
+    ivfServe(queries, a.filter(keep).drop("attr"), cents, k, nprobe)
+  }
+
+  /** SemDeDup-style CLUSTER-PARTITIONED embedding dedup (Abbas et al.
+    * 2023): assign every row to its nearest fixed centroid, compare
+    * pairs only WITHIN a cell, and drop any row that has a lower-id
+    * neighbor at cosine ≥ `minCos` in its cell. The candidate set is
+    * the k-means cell, not an LSH band — the other standard
+    * candidate-pruning geometry next to [[dropNearDupEmbeddingsLsh]]
+    * (banded) — and the deterministic keep rule (survive iff no
+    * lower-id in-cell neighbor ≥ τ) is exactly the paper's
+    * keep-one-per-neighborhood semantics made order-free.
+    *
+    * Scale shape: the self-join keys on `cluster`, so work is
+    * Σ|cell|² — at 100 TB nlist grows with the corpus to hold cell
+    * sizes constant (the paper runs 50k clusters), and each cell's
+    * pair block is one partition-local nested loop after ONE keyed
+    * shuffle; never an all-pairs join. Output: surviving (id, v,
+    * cluster) rows. */
+  def semDedupKept(df: DataFrame, minCos: Double, dim: Int, nlist: Int,
+      seed: Long): DataFrame = {
+    val cents = hyperplanes(dim, nlist, seed)
+    val a = graft.Caches.cached(assignFixed(df, cents))
+    val dropped = a.select(col("cluster"), col("neighbor_id").as("id_a"),
+        col("cv").as("va"), col("cn").as("na"))
+      .join(a.select(col("cluster"), col("neighbor_id").as("id_b"),
+        col("cv").as("vb"), col("cn").as("nb")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(safeCos(dotF(col("va"), col("vb")),
+        col("na"), col("nb")), 6) >= minCos)
+      .select(col("id_b").as("neighbor_id")).distinct()
+    a.join(dropped, Seq("neighbor_id"), "left_anti")
+      .select(col("neighbor_id").as("id"), col("cv").as("v"), col("cluster"))
+  }
+
   /** dist²(v, cent_j) up to the common ‖v‖² term (rank-invariant):
     * −2·v·cent_j + centᵀcent_j — cheapest scan-stage form. */
   private def distArr(vec: Column, cents: Seq[Array[Float]]): Column = {

@@ -82,24 +82,73 @@ object Sketches {
       topN: Int): DataFrame = {
     val toks = graft.Caches.cached(
       df.select(explode(TextOps.tokens(col(textCol))).as("tok")))
-    def cellOf(i: Int, tok: Column): Column =
+    cmsAudit(cmsCells(toks, "tok", d, w), toks, "tok", d, w, topN)
+  }
+
+  /** The d probe coordinates of a token under the salted-h52 row-hash
+    * family: array of (r, c) structs, c = h52("cms<r>|tok") mod w. */
+  private def cmsCoords(tok: Column, d: Int, w: Int): Column =
+    array((0 until d).map(i => struct(lit(i).as("r"),
       pmod(h52(concat(lit(s"cms$i|"), tok)), lit(w.toLong)).cast("int")
-    val sketch = toks
-      .select(explode(array((0 until d).map(i =>
-        struct(lit(i).as("r"), cellOf(i, col("tok")).as("c"))): _*)).as("rc"))
+        .as("c"))): _*)
+
+  /** Count-min sketch CELLS (r, c, cell_cnt) from a token frame. The
+    * groupBy keys onto ≤ d·w cells, so on a STREAMING frame this is a
+    * constant-bounded stateful aggregate (complete mode, no watermark
+    * needed): the state IS the sketch — the ingest-time frequency
+    * monitor shape (sw12). */
+  def cmsCells(toks: DataFrame, tokCol: String, d: Int, w: Int): DataFrame =
+    toks.select(explode(cmsCoords(col(tokCol), d, w)).as("rc"))
       .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("cell_cnt"))
-    val top = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  /** Audit the exact top-N tokens of `toks` against a prebuilt
+    * (r, c, cell_cnt) sketch (broadcast — ≤ d·w rows, constant).
+    * Output: (tok, true_cnt, cms_est), est ≥ true by construction. */
+  def cmsAudit(sketch: DataFrame, toks: DataFrame, tokCol: String,
+      d: Int, w: Int, topN: Int): DataFrame =
+    toks.groupBy(col(tokCol).as("tok")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("tok")).limit(topN)
-    top
-      .select(col("tok"), col("cnt"),
-        explode(array((0 until d).map(i =>
-          struct(lit(i).as("r"), cellOf(i, col("tok")).as("c"))): _*)).as("rc"))
+      .select(col("tok"), col("cnt"), explode(cmsCoords(col("tok"), d, w)).as("rc"))
       .select(col("tok"), col("cnt"), col("rc.r").as("r"), col("rc.c").as("c"))
       .join(broadcast(sketch), Seq("r", "c"))
       .groupBy("tok", "cnt")
       .agg(min("cell_cnt").as("cms_est"))
       .select(col("tok"), col("cnt").as("true_cnt"), col("cms_est"))
+
+  /** Mergeable fixed-width HISTOGRAM quantile sketch — the
+    * constant-memory way a 100 TB corpus reads its per-source
+    * length/score distributions (sequence-length planning, quality
+    * thresholds) without a full sort: bucket `value` into
+    * floor(v/width) cells, then answer each quantile q as the lower
+    * edge of the first bucket whose cumulative count reaches
+    * ceil(q·total). Deterministic given the data, so every cell and
+    * estimate replays exactly in SQL — no tolerance bands.
+    *
+    * Scale shape: the histogram build is ONE keyed shuffle into
+    * |groups|·|buckets| cells (mergeable across shards by cell-wise
+    * +, the same contract as the KMV/CMS sketches above); the
+    * cumulative window and quantile extraction run entirely in cell
+    * space, never on rows. Output: (group, q, n_rows, bucket_lo) long
+    * form, one row per (group, quantile). */
+  def histogramQuantiles(df: DataFrame, groupCol: String, value: Column,
+      width: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(groupCol).as("g"),
+        floor(value / width).cast("long").as("b"))
+      .groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+    val cum = cells
+      .withColumn("cum", sum("cnt").over(
+        Window.partitionBy("g").orderBy("b")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("g")))
+    cum.select(col("g"), col("b"), col("cum"), col("total"),
+        explode(array(qs.map(q => struct(lit(q).as("q"),
+          ceil(lit(q) * col("total")).cast("long").as("thr"))): _*)).as("qt"))
+      .filter(col("cum") >= col("qt.thr"))
+      .groupBy(col("g"), col("qt.q").as("q"))
+      .agg(max("total").as("n_rows"), min("b").as("bmin"))
+      .select(col("g").as(groupCol), col("q"), col("n_rows"),
+        (col("bmin") * width).as("bucket_lo"))
   }
 
   /** Pairwise Jaccard overlap between every two groups, estimated in

@@ -66,6 +66,26 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_._1 >= 100L) && !got.exists(_._1 == 101L))
   }
 
+  test("persisted hash index: ingest admits only novel content; grown index covers the corpus") {
+    val path = ScratchDirs.scratch("spec_hash_idx")
+    val even = base.toDF("doc_id", "text").filter($"doc_id" % 2 === 0) // ids 2, 4
+    val odd = base.toDF("doc_id", "text").filter($"doc_id" % 2 =!= 0) // ids 1, 3, 5
+    Dedup.writeHashIndex(even, "doc_id", "text", path)
+    val admitted = Dedup.ingestAgainstHashIndex(odd, "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().toSet
+    // 1 is an exact dup of the INDEXED 4 → rejected; 3 and 5 are novel
+    assert(admitted == Set(3L, 5L))
+    // the grown index holds exactly the corpus's distinct content
+    val grown = Dedup.readHashIndex(spark, path)
+      .select("text_hash").as[String].collect().toSet
+    val full = base.toDF("doc_id", "text")
+      .select(md5($"text").as("h")).distinct().as[String].collect().toSet
+    assert(grown == full)
+    // replaying the same batch against the grown index admits nothing
+    val replay = Dedup.ingestAgainstHashIndex(odd, "doc_id", "text", path)
+    assert(replay.isEmpty)
+  }
+
   test("dropNearDupsPortable collapses near-dup clusters to the min-id survivor") {
     // cluster {1, 2, 4} (near + exact dups) collapses to 1; 3 and 5 survive
     val kept = Dedup.dropNearDupsPortable(base, "doc_id", "text",

@@ -88,6 +88,55 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == Set(1L, 3L)) // {1,2,4} collapse to 1; 3 survives
   }
 
+  test("semDedupKept: in-cell duplicate dropped; drops are precision-exact") {
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 3).toFloat)
+    val far = Array.tabulate(64)(i => (math.cos(i * 2 + 1) * 5).toFloat)
+    // identical vectors share a cell by construction → 2 drops against 1
+    val vecs = Seq((1L, base), (2L, base), (3L, far)).toDF("id", "v")
+    val kept = Similarity.semDedupKept(vecs, minCos = 0.99, dim = 64,
+        nlist = 16, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+    // real data: cell pruning loses only RECALL, never precision —
+    // every dropped id must have a lower-id brute-force near-dup
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val keptReal = Similarity.semDedupKept(emb, minCos = 0.4, dim = 64,
+        nlist = 16, seed = 7L)
+      .select("id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val dropped = all diff keptReal
+    val bruteB = Similarity.cosineNearDupPairs(emb, 0.4)
+      .select("id_b").as[Long].collect().toSet
+    assert(dropped.subsetOf(bruteB),
+      s"cell-pruned drop without a brute near-dup: ${dropped diff bruteB}")
+  }
+
+  test("ivfFilteredTopK: neighbors satisfy the predicate; true-predicate run equals ivfFixedTopK") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.select("vec_id", "embedding").filter($"vec_id" < 10)
+    val corpus3 = emb.select("vec_id", "embedding", "label")
+    val filt = Similarity.ivfFilteredTopK(q, corpus3, k = 5, dim = 64,
+        nlist = 16, nprobe = 4, seed = 7L, keep = col("attr") % 3 === 0)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(filt.nonEmpty)
+    val labelOf = emb.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    assert(filt.forall { case (_, nb, _, _) => labelOf(nb) % 3 == 0 },
+      "filtered search returned a neighbor outside the predicate")
+    val noFilter = Similarity.ivfFilteredTopK(q, corpus3, k = 5, dim = 64,
+        nlist = 16, nprobe = 4, seed = 7L, keep = lit(true))
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val plain = Similarity.ivfFixedTopK(q,
+        emb.select("vec_id", "embedding"), k = 5, dim = 64,
+        nlist = 16, nprobe = 4, seed = 7L)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(noFilter == plain,
+      "always-true predicate must serve exactly the unfiltered index")
+  }
+
   test("cosineNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))

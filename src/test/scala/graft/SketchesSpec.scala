@@ -47,6 +47,26 @@ class SketchesSpec extends SparkSpec {
     assert(crowded.nonEmpty && crowded.forall { case (t, e) => e >= t })
   }
 
+  test("histogramQuantiles: planted uniform 1..100 hits the known bucket edges") {
+    // width 10 over values 1..100: bucket b holds [10b, 10b+9];
+    // cum(b=4)=49 < 50 ≤ cum(b=5) → p50 lower edge 50; p90 → 90; p99 → 90
+    val df = (1 to 100).map(i => ("a", i.toLong)).toDF("source", "n")
+    val got = Sketches.histogramQuantiles(df, "source", col("n"),
+        width = 10, qs = Seq(0.5, 0.9, 0.99))
+      .select("q", "n_rows", "bucket_lo").as[(Double, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(0.5 -> ((100L, 50L)), 0.9 -> ((100L, 90L)),
+      0.99 -> ((100L, 90L))))
+    // two groups stay independent; a constant group lands in one bucket
+    val two = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 40).map(_ => ("b", 7L))).toDF("source", "n")
+    val gotB = Sketches.histogramQuantiles(two, "source", col("n"),
+        width = 10, qs = Seq(0.5))
+      .select("source", "n_rows", "bucket_lo").as[(String, Long, Long)]
+      .collect().toSet
+    assert(gotB == Set(("a", 100L, 50L), ("b", 40L, 0L)))
+  }
+
   test("jaccardOverlap recovers a planted overlap fraction in sketch space") {
     // A = {1..1000}, B = {501..1500}: true J = 500/1500 = 1/3
     val rows = (1 to 1000).map(i => ("a", s"v $i")) ++
