@@ -1447,6 +1447,52 @@ object PipelineQueries {
              |  coalesce(sc.surprisal, 0.0) AS surprisal
              |FROM t LEFT JOIN sc USING (id) ORDER BY id""".stripMargin)),
 
+    // ---- TRAIN/APPLY LM surprisal (t22, the CCNet shape): the bigram
+    // LM is fit on the held-out curated slice (doc_id%10=0 — the same
+    // reference-slice convention as d14/d18) and scores the REST of
+    // the corpus — "how unlike the reference does this read". Unseen
+    // bigrams/unigrams score under add-one smoothing, so every doc
+    // gets a value; LEFT joins replace t18's inner joins.
+    NamedQuery("t22_crossent_surprisal",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextOps.bigramSurprisalFrom(
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+          .orderBy("id")
+      },
+      Some("""WITH rt AS (
+             |  SELECT doc_id AS id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS ts
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |rtoks AS (SELECT id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+             |  FROM rt),
+             |rbig AS (SELECT a.tok AS w1, b.tok AS w2
+             |  FROM rtoks a JOIN rtoks b ON a.id = b.id AND b.i = a.i + 1),
+             |uni AS (SELECT tok, count(*) AS c1 FROM rtoks GROUP BY tok),
+             |vv AS (SELECT count(*) AS v FROM uni),
+             |c2 AS (SELECT w1, w2, count(*) AS c12 FROM rbig GROUP BY 1, 2),
+             |at AS (
+             |  SELECT doc_id AS id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS ts
+             |  FROM documents WHERE doc_id % 10 != 0),
+             |atoks AS (SELECT id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i
+             |  FROM at),
+             |abig AS (SELECT a.id, a.tok AS w1, b.tok AS w2
+             |  FROM atoks a JOIN atoks b ON a.id = b.id AND b.i = a.i + 1),
+             |sc AS (
+             |  SELECT abig.id, count(*) AS n_bigrams,
+             |    round(-avg(ln((coalesce(c12, 0) + 1.0) /
+             |                  (coalesce(c1, 0) + v))), 4) AS surprisal
+             |  FROM abig LEFT JOIN c2 USING (w1, w2)
+             |    LEFT JOIN uni ON abig.w1 = uni.tok CROSS JOIN vv
+             |  GROUP BY abig.id)
+             |SELECT at.id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+             |  coalesce(sc.surprisal, 0.0) AS surprisal
+             |FROM at LEFT JOIN sc USING (id) ORDER BY id""".stripMargin)),
+
     // ---- sliding-window chunking with stride (RAG/embedding
     // pre-chunking; d09's fixed splitter is the dedup sibling):
     // 32-token windows every 16 tokens — consecutive chunks overlap by

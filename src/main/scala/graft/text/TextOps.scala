@@ -219,6 +219,56 @@ object TextOps {
         coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
   }
 
+  /** TRAIN/APPLY bigram-LM surprisal — the CCNet shape: the LM counts
+    * come from a REFERENCE slice (curated text), the scores from a
+    * DIFFERENT corpus, so the number reads "how unlike the reference
+    * does this doc sound" (CCNet buckets its CommonCrawl by exactly
+    * this statistic, with a Wikipedia-trained LM). Same add-one
+    * smoothing as [[bigramSurprisal]], extended to content the
+    * reference never saw: an unseen (w1,w2) scores (0+1)/(c1+V) and an
+    * unseen w1 scores 1/V — both well-defined, so every corpus doc
+    * gets a score (the in-corpus form can't produce these cases).
+    *
+    * Scale shape: reference counts are keyed tables — the bigram table
+    * joins on its (w1, w2) KEY and the unigram table on w1, both
+    * unhinted (vocabularies grow with the reference; AQE broadcasts
+    * only while provably small); only the 1-row V scalar keeps its
+    * broadcast hint. The corpus side is one scan-stage bigram explode
+    * + one keyed groupBy(id). Output: (id, n_bigrams, surprisal). */
+  def bigramSurprisalFrom(reference: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val bigExpr = expr(
+      """transform(sequence(1, size(__ts) - 1),
+        |  i -> struct(element_at(__ts, i) AS w1,
+        |              element_at(__ts, i + 1) AS w2))""".stripMargin)
+    val rts = reference.select(tokens(col(textCol)).as("__ts"))
+    val uni = rts.select(explode(col("__ts")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count(lit(1)).as("v"))
+    val c2 = rts.filter(size(col("__ts")) >= 2)
+      .select(explode(bigExpr).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ts = corpus.select(col(idCol).as("id"), tokens(col(textCol)).as("__ts"))
+    val scored = ts.filter(size(col("__ts")) >= 2)
+      .select(col("id"), explode(bigExpr).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(uni.withColumnRenamed("tok", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__logp",
+        log((coalesce(col("c12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v"))))
+      .groupBy("id")
+      .agg(round(-avg("__logp"), 4).as("surprisal"),
+        count(lit(1)).as("n_bigrams"))
+    ts.select("id").join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal"), lit(0.0)).as("surprisal"))
+  }
+
   /** Vocabulary coverage / OOV rate — per-document count of token
     * OCCURRENCES outside the corpus's top-`vocabSize` vocabulary (the
     * tokenizer-fit health check run before committing a vocab size:

@@ -153,6 +153,21 @@ class TextOpsSpec extends SparkSpec {
       (3L, 0L, 0.0), (4L, 0L, 0.0)))
   }
 
+  test("bigramSurprisalFrom: reference-trained LM scores unseen corpus content") {
+    import spark.implicits._
+    // reference "a b a b": uni a=2, b=2, V=2; c2 (a,b)=2, (b,a)=1
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    // doc 1 "a b c": (a,b) → ln(3/4); (b,c) unseen bigram → ln(1/4)
+    //   surprisal = -(ln .75 + ln .25)/2 = 0.837
+    // doc 2 "x y": both tokens unseen → ln(1/(0+2)) → 0.6931
+    // doc 3 "a": no bigrams → 0/0
+    val corpus = Seq((1L, "a b c"), (2L, "x y"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisalFrom(ref, corpus, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 0.837), (2L, 1L, 0.6931), (3L, 0L, 0.0)))
+  }
+
   test("bpePairCounts: word-frequency-weighted adjacent pair counts") {
     import spark.implicits._
     // tf: ab=3 ("ab ab. AB!"), abc=1 → pairs: ab: 3+1, bc: 1
