@@ -324,23 +324,42 @@ object Similarity {
     *
     * Scale shape: the self-join keys on `cluster`, so work is
     * Σ|cell|² — at 100 TB nlist grows with the corpus to hold cell
-    * sizes constant (the paper runs 50k clusters), and each cell's
-    * pair block is one partition-local nested loop after ONE keyed
-    * shuffle; never an all-pairs join. Output: surviving (id, v,
-    * cluster) rows. */
+    * sizes constant (the paper runs 50k clusters). Two load-bearing
+    * details, both measured at 30× (PERF.md round 9): (1) the cosine
+    * test rides INSIDE the join condition, so only dropped ids are
+    * ever emitted — putting it in a post-join filter materializes
+    * every within-cell pair WITH both float payloads (a 27-minute DNF
+    * at 60k rows × 16 cells vs seconds in-condition); (2) the a-side
+    * is salted into `saltBuckets` id-hash buckets (b-side replicated
+    * per bucket) and both sides are explicitly repartitioned on
+    * (cluster, bkt), so a cell's pair block parallelizes across
+    * saltBuckets tasks instead of being bounded by nlist — and the
+    * explicit partition count keeps AQE from coalescing the tiny
+    * INPUT (vectors are small; the work is the pair product) onto one
+    * task. Output: surviving (id, v, cluster) rows. */
   def semDedupKept(df: DataFrame, minCos: Double, dim: Int, nlist: Int,
-      seed: Long): DataFrame = {
+      seed: Long, saltBuckets: Int = 8): DataFrame = {
     val cents = hyperplanes(dim, nlist, seed)
-    val a = graft.Caches.cached(assignFixed(df, cents))
-    val dropped = a.select(col("cluster"), col("neighbor_id").as("id_a"),
+    val parts = df.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val a0 = graft.Caches.cached(assignFixed(df, cents))
+    val a = a0.select(col("cluster"), col("neighbor_id").as("id_a"),
         col("cv").as("va"), col("cn").as("na"))
-      .join(a.select(col("cluster"), col("neighbor_id").as("id_b"),
-        col("cv").as("vb"), col("cn").as("nb")), Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(safeCos(dotF(col("va"), col("vb")),
-        col("na"), col("nb")), 6) >= minCos)
+      .withColumn("bkt",
+        pmod(xxhash64(col("id_a")), lit(saltBuckets.toLong)).cast("int"))
+      .repartition(parts, col("cluster"), col("bkt"))
+    val b = a0.select(col("cluster"), col("neighbor_id").as("id_b"),
+        col("cv").as("vb"), col("cn").as("nb"))
+      .withColumn("bkt",
+        explode(array((0 until saltBuckets).map(i => lit(i)): _*)))
+      .repartition(parts, col("cluster"), col("bkt"))
+    val dropped = a.join(b,
+        a("cluster") === b("cluster") && a("bkt") === b("bkt") &&
+          col("id_a") < col("id_b") &&
+          round(safeCos(dotF(col("va"), col("vb")),
+            col("na"), col("nb")), 6) >= minCos)
       .select(col("id_b").as("neighbor_id")).distinct()
-    a.join(dropped, Seq("neighbor_id"), "left_anti")
+    a0.join(dropped, Seq("neighbor_id"), "left_anti")
       .select(col("neighbor_id").as("id"), col("cv").as("v"), col("cluster"))
   }
 
