@@ -120,6 +120,28 @@ class PlanSpec extends SparkSpec {
       s"the inherited duplicated-gram marking should still plan as a semi-join:\n$plan")
   }
 
+  test("SemDeDup pair stage is a salted equi-join with in-condition cosine (no all-pairs)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "d25_semdedup_kept")
+    // the cosine predicate is a join-condition EXTRA over the
+    // (cluster, bkt) equi keys — if a rewrite ever loses the equi
+    // part, this degrades to a nested-loop over the pair product
+    // (the 27-minute 30x DNF documented in PERF.md round 9)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"within-cell pairs must come from the salted (cluster, bkt) equi-join:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"survivors must be the anti-join of dropped ids:\n$plan")
+  }
+
+  test("filtered ANN keeps the s04 probe shape (broadcast probes, no all-pairs)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "s23_filtered_ann")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"filtered serve must still be the probe equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the probe side must broadcast onto the filtered lists:\n$plan")
+  }
+
   test("semantic decontam is a banded broadcast join (no all-pairs, no corpus shuffle)") {
     import graft.queries.PipelineQueries
     val plan = packPlan(PipelineQueries.all, "d18_semantic_decontam_kept")
