@@ -417,16 +417,28 @@ object PipelineQueries {
         val path = graft.ScratchDirs.scratch("hash_idx")
         Dedup.writeHashIndex(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", path)
-        Dedup.ingestAgainstHashIndex(docs.filter(col("doc_id") % 2 =!= 0),
-            "doc_id", "text", path)
+        // the corpus has no organic exact dups, so the batch PLANTS
+        // both rejection cases (the sw02/d16 convention): replays of
+        // indexed even docs (cross-batch gate) and replays of batch
+        // odd docs (within-batch gate — the lower original id wins)
+        val batch = docs.filter(col("doc_id") % 2 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+          .unionByName(docs.filter(col("doc_id") % 10 === 1)
+            .withColumn("doc_id", col("doc_id") + 2000000))
+        Dedup.ingestAgainstHashIndex(batch, "doc_id", "text", path)
           .select("doc_id").orderBy("doc_id")
       },
       Some("""WITH idx AS (SELECT DISTINCT md5(text) AS h FROM documents
              |  WHERE doc_id % 2 = 0),
-             |odd AS (SELECT doc_id, md5(text) AS h FROM documents
-             |  WHERE doc_id % 2 = 1),
+             |batch AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 10 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, md5(text) FROM documents WHERE doc_id % 10 = 1),
              |win AS (SELECT doc_id, h, row_number() OVER (
-             |    PARTITION BY h ORDER BY doc_id) AS rn FROM odd)
+             |    PARTITION BY h ORDER BY doc_id) AS rn FROM batch)
              |SELECT doc_id FROM win
              |WHERE rn = 1 AND h NOT IN (SELECT h FROM idx)
              |ORDER BY doc_id""".stripMargin)),
