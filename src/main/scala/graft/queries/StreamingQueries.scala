@@ -365,6 +365,42 @@ object StreamingQueries {
             topN = 20)
           .orderBy(col("true_cnt").desc, col("tok"))
       },
-      Some(PipelineQueries.cmsOracle))
+      Some(PipelineQueries.cmsOracle)),
+
+    // ---- streaming EXACT-dedup admission against the PERSISTED hash
+    // index (d26's streaming twin; the exact-content sibling of sw11):
+    // the index holds the even half's content hashes; arriving odd
+    // docs + planted replays of INDEXED docs probe it via a stateless
+    // stream-static anti-join. The feed has no within-stream dups, so
+    // the per-doc admitted set is deterministic (the within-stream
+    // dropDuplicatesWithinWatermark stage still runs; its multi-twin
+    // semantics are sw02's contract).
+    NamedQuery("sw13_stream_index_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("hash_idx_stream")
+        graft.dedup.Dedup.writeHashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        val feed = docs.filter(col("doc_id") % 2 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+          .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id)"))
+        val admitted = StreamRunner.runAvailableNow(s, feed,
+            "sw13_index_dedup", "append") { src =>
+          EventStreams.indexDedupAdmission(src, "doc_id", "text", "ts",
+            path, watermark = "30 days")
+        }
+        admitted.orderBy("id")
+      },
+      Some("""WITH idx AS (SELECT DISTINCT md5(text) AS h FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |batch AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5(text) FROM documents
+             |  WHERE doc_id % 10 = 0)
+             |SELECT doc_id AS id FROM batch
+             |WHERE h NOT IN (SELECT h FROM idx)
+             |ORDER BY id""".stripMargin))
   )
 }

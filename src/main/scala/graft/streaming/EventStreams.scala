@@ -480,6 +480,26 @@ object EventStreams {
       .select("id")
   }
 
+  /** Streaming EXACT-dedup admission against the PERSISTED
+    * content-hash index (graft.dedup.Dedup.writeHashIndex — d26's
+    * streaming twin, the exact-content sibling of
+    * [[semanticAdmission]]): arriving docs are deduped WITHIN the
+    * stream on their md5 content hash (dropDuplicatesWithinWatermark —
+    * state ∝ distinct content inside the watermark, then expired) and
+    * anti-joined against the static index (stateless stream-static
+    * left-anti, the sw11 mechanics). Indexed corpus text is never
+    * rescanned at ingest. Output: admitted (id) rows. */
+  def indexDedupAdmission(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, indexPath: String, watermark: String): DataFrame = {
+    val idx = graft.dedup.Dedup
+      .readHashIndex(docs.sparkSession, indexPath).select("text_hash")
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("text_hash", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("text_hash")
+      .join(idx, Seq("text_hash"), "left_anti")
+      .select(col(idCol).as("id"))
+  }
+
   /** One event on the wire (micros-precision event time `ts`). */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

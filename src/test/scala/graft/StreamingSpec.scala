@@ -389,6 +389,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("indexDedupAdmission rejects indexed content and cross-batch replays") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = ScratchDirs.scratch("spec_stream_hash_idx")
+    graft.dedup.Dedup.writeHashIndex(
+      Seq((10L, "indexed doc")).toDF("doc_id", "text"), "doc_id", "text", path)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.indexDedupAdmission(
+        in.toDF().toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", path, watermark = "30 days")
+      .writeStream.format("memory").queryName("idx_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "fresh one", ts("2024-01-01 00:00:01")),
+        (2L, "indexed doc", ts("2024-01-01 00:00:02")))
+      q.processAllAvailable()
+      // a SECOND micro-batch replaying batch-1 content: the
+      // within-stream state must reject it across the batch boundary
+      in.addData((3L, "fresh one", ts("2024-01-01 00:00:03")),
+        (4L, "another novel", ts("2024-01-01 00:00:04")))
+      q.processAllAvailable()
+      val got = spark.table("idx_dedup").as[Long].collect().toSet
+      assert(got == Set(1L, 4L),
+        s"expected index reject (2), cross-batch replay reject (3): $got")
+    } finally q.stop()
+  }
+
   test("cmsCells maintained across micro-batches equals the batch-built sketch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
