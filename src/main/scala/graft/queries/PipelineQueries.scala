@@ -1733,6 +1733,100 @@ object PipelineQueries {
              |  CAST(bmin * 16 AS BIGINT) AS bucket_lo
              |FROM sel ORDER BY source, q""".stripMargin)),
 
+    // ---- END-TO-END curation v2 (the p03 composition rebuilt from
+    // the round-8/9 operators): frozen MODEL-quality gate (t19) →
+    // exact dedup (min-id, exercised by planted replays) → n-gram
+    // DECONTAMINATION vs the benchmark slice (d14) → per-source token
+    // BUDGET (sw10's batch shape) — one Catalyst plan, per-stage
+    // verdict flags for observability, every stage replayed by the
+    // composed oracle. The budget stage is the keyed running-sum form
+    // (the semantics); p14's histogram-threshold variant is the
+    // 100 TB path when a global score order is wanted instead.
+    NamedQuery("p19_curation_v2",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val bench = docs.filter(col("doc_id") % 10 === 0)
+        val corpus0 = docs.filter(col("doc_id") % 10 =!= 0)
+        val corpus = corpus0.unionByName(
+          corpus0.filter(col("doc_id") % 7 === 1)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        val model = graft.ml.QualityModel.scoreFixed(corpus, "doc_id",
+            "text", TextOps.langMarkers.head._2)
+          .select(col("id").as("doc_id"), col("keep").as("keep_model"))
+        val dedup = corpus.withColumn("keep_dedup",
+          when(row_number().over(Window.partitionBy(md5(col("text")))
+            .orderBy(col("doc_id"))) === 1, 1L).otherwise(0L))
+        val contam = Dedup.contaminatedIds(corpus, bench, "doc_id", "text",
+            n = DecontamN)
+          .select(col("id").as("doc_id"), lit(1L).as("__flag"))
+        val staged = dedup.join(model, Seq("doc_id"))
+          .join(contam, Seq("doc_id"), "left")
+          .withColumn("keep_decontam",
+            when(col("__flag").isNull, 1L).otherwise(0L))
+          .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+          .withColumn("__sur",
+            col("keep_model") * col("keep_dedup") * col("keep_decontam"))
+        staged.withColumn("__cum",
+            sum(when(col("__sur") === 1, col("n_tokens")).otherwise(0L))
+              .over(Window.partitionBy("source").orderBy("doc_id")))
+          .withColumn("keep_budget",
+            when(col("__sur") === 1 && col("__cum") <= 2000, 1L).otherwise(0L))
+          .select("doc_id", "source", "n_tokens", "keep_model", "keep_dedup",
+            "keep_decontam", "keep_budget")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH corpus AS (
+             |  SELECT doc_id, source, text FROM documents WHERE doc_id % 10 != 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, source, text FROM documents
+             |  WHERE doc_id % 10 != 0 AND doc_id % 7 = 1),
+             |${qualityModelCtes("corpus")},
+             |model AS (SELECT id AS doc_id,
+             |    CASE WHEN round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
+             |      THEN 1 ELSE 0 END AS keep_model
+             |  FROM z),
+             |ded AS (SELECT doc_id, CASE WHEN row_number() OVER (
+             |      PARTITION BY md5(text) ORDER BY doc_id) = 1
+             |    THEN 1 ELSE 0 END AS keep_dedup
+             |  FROM corpus),
+             |ctoks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS ts FROM corpus),
+             |cex AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    generate_series(1, len(ts) - ${DecontamN - 1}),
+             |    i -> array_to_string(ts[i:i+${DecontamN - 1}], ' ')))) AS ng
+             |  FROM ctoks WHERE len(ts) >= $DecontamN),
+             |btoks AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS ts FROM documents WHERE doc_id % 10 = 0),
+             |bgr AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+             |    generate_series(1, len(ts) - ${DecontamN - 1}),
+             |    i -> array_to_string(ts[i:i+${DecontamN - 1}], ' ')))) AS ng
+             |  FROM btoks WHERE len(ts) >= $DecontamN),
+             |flagged AS (SELECT DISTINCT cex.doc_id FROM cex JOIN bgr USING (ng)),
+             |nt AS (SELECT doc_id, len(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0))::BIGINT AS n_tokens FROM corpus),
+             |staged AS (SELECT c.doc_id, c.source, nt.n_tokens,
+             |    m.keep_model, d.keep_dedup,
+             |    CASE WHEN fl.doc_id IS NULL THEN 1 ELSE 0 END AS keep_decontam
+             |  FROM corpus c JOIN model m USING (doc_id)
+             |    JOIN ded d USING (doc_id) JOIN nt USING (doc_id)
+             |    LEFT JOIN flagged fl USING (doc_id)),
+             |s2 AS (SELECT *, keep_model * keep_dedup * keep_decontam AS sur
+             |  FROM staged),
+             |b AS (SELECT *, sum(CASE WHEN sur = 1 THEN n_tokens ELSE 0 END)
+             |    OVER (PARTITION BY source ORDER BY doc_id) AS cum
+             |  FROM s2)
+             |SELECT doc_id, source, n_tokens,
+             |  CAST(keep_model AS BIGINT) AS keep_model,
+             |  CAST(keep_dedup AS BIGINT) AS keep_dedup,
+             |  CAST(keep_decontam AS BIGINT) AS keep_decontam,
+             |  CAST(CASE WHEN sur = 1 AND cum <= 2000 THEN 1 ELSE 0 END
+             |    AS BIGINT) AS keep_budget
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
     // ---- pairwise source overlap from the SAME sketches: Jaccard of
     // every two sources estimated in sketch space (|groups|²·k rows,
     // independent of corpus size) — the cross-corpus contamination /
@@ -2148,15 +2242,18 @@ object PipelineQueries {
     * SQL. Shared verbatim by sw09 (the streaming lift scores the same
     * documents through the same projection, so the batch oracle is the
     * exact expected per-document output). */
-  private[queries] lazy val qualityModelFixedOracle: String =
-    s"""WITH t AS (
+  /** The t19 frozen-scorer CTE chain (features → z), parameterized by
+    * the source relation so p19's composed oracle can run it over its
+    * planted corpus. Ends at `z` (id, z). */
+  private def qualityModelCtes(srcRel: String): String =
+    s"""t AS (
        |  SELECT doc_id, text,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                x -> len(x) > 0) AS ts,
        |    CASE WHEN len(text) = 0 THEN 0.0 ELSE
        |      (len(text) - len(regexp_replace(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')))::DOUBLE
        |      / len(text) END AS praw
-       |  FROM documents),
+       |  FROM $srcRel),
        |g AS (SELECT doc_id, ts, praw,
        |    list_transform(generate_series(2, len(ts)),
        |                   i -> array_to_string(ts[i-1:i], ' ')) AS g2
@@ -2176,7 +2273,10 @@ object PipelineQueries {
        |  FROM g),
        |z AS (SELECT id, -2.5 + 3.0 * f_len + 6.0 * f_stop
        |    - 8.0 * f_punct - 4.0 * f_dup2 + 2.0 * f_mtl AS z
-       |  FROM f)
+       |  FROM f)""".stripMargin
+
+  private[queries] lazy val qualityModelFixedOracle: String =
+    s"""WITH ${qualityModelCtes("documents")}
        |SELECT id, round(1.0 / (1.0 + exp(-z)), 4) AS prob,
        |  CAST(CASE WHEN round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
