@@ -158,4 +158,40 @@ class PropertySpec extends SparkSpec {
         (kept union flagged) == all && (kept intersect flagged).isEmpty
     }, cases = 10)
   }
+
+  test("histogramQuantiles brackets the exact order statistic within one bucket") {
+    import spark.implicits._
+    val valGen = Gen.choose(0L, 500L)
+    check(Prop.forAll(Gen.nonEmptyListOf(valGen), Gen.choose(1, 5)) {
+      (vals, w10) =>
+        val width = w10 * 10
+        val df = vals.map(("g", _)).toDF("source", "n")
+        val got = graft.text.Sketches.histogramQuantiles(df, "source",
+            col("n"), width, qs = Seq(0.5, 0.9))
+          .select("q", "bucket_lo").as[(Double, Long)].collect().toMap
+        val sorted = vals.sorted
+        Seq(0.5, 0.9).forall { q =>
+          // the estimate's bucket must CONTAIN the exact ceil(q·n)-th
+          // order statistic — the sketch's whole accuracy contract
+          val exact = sorted(math.ceil(q * vals.size).toInt - 1)
+          val lo = got(q)
+          lo <= exact && exact < lo + width
+        }
+    }, cases = 20)
+  }
+
+  test("cmsCells is mergeable: cells(A ++ B) == cellwise sum of cells(A), cells(B)") {
+    import spark.implicits._
+    val tok = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+    def cellsOf(toks: List[String]): Map[(Int, Int), Long] =
+      if (toks.isEmpty) Map.empty
+      else graft.text.Sketches.cmsCells(toks.toDF("tok"), "tok", d = 3, w = 8)
+        .select("r", "c", "cell_cnt").as[(Int, Int, Long)].collect()
+        .map { case (r, c, n) => (r, c) -> n }.toMap
+    check(Prop.forAll(Gen.listOf(tok), Gen.listOf(tok)) { (a, b) =>
+      val merged = (cellsOf(a).toSeq ++ cellsOf(b).toSeq)
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      cellsOf(a ++ b) == merged
+    }, cases = 15)
+  }
 }
