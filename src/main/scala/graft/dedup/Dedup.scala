@@ -332,6 +332,103 @@ object Dedup {
     admitted.drop("text_hash")
   }
 
+  /** PERSISTED MinHash NEAR-dup index, build side — the near-dup
+    * sibling of [[writeHashIndex]] and the batch artifact the
+    * incremental-ingest loop (d16's shape) probes instead of
+    * recomputing corpus signatures per batch. Two parquet tables:
+    *
+    *  - `signatures`: one (id, mh_0..mh_{H−1}) row per indexed doc
+    *    (the [[minhashSignaturesPortable]] output — docs with < n
+    *    tokens have no shingles and are not indexable);
+    *  - `bands`: the (id, band, bh) LSH bucket keys, PARTITIONED BY
+    *    `band` (a fixed, small dir count) and repartitioned on it
+    *    before the write so each band lands as whole files — an
+    *    ingest probe on (band, bh) prunes to its band's directory.
+    *
+    * At 100 TB the signature table is ~H longs per doc (128 B at
+    * H=16) and the band table `bands` rows per doc — both tiny next
+    * to the text they index, and the text itself is NEVER rescanned
+    * at ingest. */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, path: String): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val sig = graft.Caches.cached(
+      minhashSignaturesPortable(df, idCol, textCol, n, numHashes))
+    sig.write.mode("overwrite").parquet(s"$path/signatures")
+    bandedOf(sig, numHashes, bands)
+      .repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** Reload the persisted signature table: (id, mh_0..mh_{H−1}). */
+  def readMinhashSignatures(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/signatures")
+
+  /** Reload the persisted band table: (id, bh, band). */
+  def readMinhashBands(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/bands")
+
+  /** Ingest a batch against the persisted MinHash index — the
+    * production NEAR-dup loop (d26's exact-content mechanics lifted to
+    * LSH semantics): (a) the batch dedups WITHIN itself by the
+    * lower-id-neighbor rule (any doc with a verified lower-id batch
+    * near-dup at est ≥ `minJaccard` drops — the SemDeDup pruning rule
+    * d25 pins, one pass, no component chase); (b) survivors' band
+    * hashes probe the index's `bands` table on (band, bh) — batch ×
+    * index, never corpus × corpus — and candidates are verified
+    * against the index `signatures`; docs with any indexed neighbor
+    * at est ≥ `minJaccard` drop; (c) admitted docs APPEND their
+    * signatures and band rows so the next batch sees them. Returns
+    * the admitted batch rows (docs too short to sign are admitted —
+    * nothing to match or index — exactly as in the oracle).
+    *
+    * Scale: per-ingest cost is one batch-keyed signature groupBy, the
+    * batch-internal banded self-join, and one (band, bh)-keyed probe
+    * join against the band-partitioned parquet side; the append pays
+    * one keyed shuffle over admitted rows only. The drop-id set is
+    * eagerly localCheckpoint-ed before the append for the same reason
+    * as [[ingestAgainstHashIndex]]: the post-append refreshByPath
+    * would otherwise re-resolve the probe scan against the appended
+    * files and the admitted set would anti-join its own output. */
+  def ingestAgainstMinhashIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int, numHashes: Int, bands: Int,
+      minJaccard: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val sigB = graft.Caches.cached(
+      minhashSignaturesPortable(batch, idCol, textCol, n, numHashes))
+    // (a) within-batch lower-id-neighbor drop
+    val droppedWithin = minhashLshPairsFromSig(sigB, numHashes, bands, minJaccard)
+      .select(col("id_b").as("id"))
+    // (b) survivors probe the persisted band index, verify on signatures
+    val survivors = sigB.join(droppedWithin, Seq("id"), "left_anti")
+    val cand = bandedOf(survivors, numHashes, bands)
+      .toDF("new_id", "band", "bh")
+      .join(readMinhashBands(spark, path)
+        .select(col("band"), col("bh"), col("id").as("corpus_id")),
+        Seq("band", "bh"))
+      .select("new_id", "corpus_id").distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(col(s"a.mh_$i") === col(s"b.mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val matched = cand
+      .join(survivors.as("a"), col("new_id") === col("a.id"))
+      .join(readMinhashSignatures(spark, path).as("b"),
+        col("corpus_id") === col("b.id"))
+      .filter(round(agree.cast("double") / numHashes, 6) >= minJaccard)
+      .select(col("new_id").as("id"))
+    val dropIds = droppedWithin.unionByName(matched).distinct()
+      .localCheckpoint()
+    // (c) append admitted signatures + band rows
+    val admittedSig = sigB.join(dropIds, Seq("id"), "left_anti")
+    admittedSig.write.mode("append").parquet(s"$path/signatures")
+    bandedOf(admittedSig, numHashes, bands)
+      .repartition(col("band"))
+      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
+    batch.join(dropIds, batch(idCol) === dropIds("id"), "left_anti")
+  }
+
   /** Engine-portable SimHash: identical tf-weighted sign-bit
     * construction to [[simhash]], but the per-token bit source is the
     * first 16 hex nibbles of md5(token) (global bit g = bit g%4 of

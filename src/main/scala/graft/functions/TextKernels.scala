@@ -254,6 +254,38 @@ object TextKernels {
     }
     new GenericArrayData(bandHashes(mins, numHashes, bands))
   }
+
+  /** Fused text → portable MinHash SIGNATURE (the raw mins, not band
+    * hashes) — the per-row scan-stage form of
+    * graft.dedup.Dedup.minhashSignaturesPortable's groupBy output,
+    * bit-identical element for element (min over a row's shingle SET
+    * under the same md5 double-hashing family). Streaming admission
+    * (sw14) carries this on each arriving row so both the band probe
+    * AND the signature-agreement verify run without any shuffle.
+    * Fewer than n tokens → empty array (the shingle-less-doc
+    * contract: such docs sign nothing and match nothing). */
+  def minhashSigFromText(text: UTF8String, n: Int,
+      numHashes: Int): ArrayData = {
+    val tokens = tokenize(text)
+    val m = tokens.size
+    if (m < n) return new GenericArrayData(Array.empty[Long])
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j + n <= m) {
+      sb.setLength(0)
+      sb.append(tokens.get(j))
+      var k = 1
+      while (k < n) { sb.append(' ').append(tokens.get(j + k)); k += 1 }
+      val sh = sb.toString
+      if (seen.add(sh))
+        accumulateMinhash(sh.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          mins, numHashes)
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
 }
 
 /** The single authority for wiring [[TextKernels]] methods into
@@ -314,5 +346,14 @@ object TextKernelExprs {
       s"graft_minhash_bands_text: numHashes ($nh) must divide into bands ($b)")
     StaticInvoke(Kernels, StringArray, "minhashBandsFromText", args,
       returnNullable = false)
+  }
+
+  def minhashSigText(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.types.LongType
+    require(args.length == 3, "graft_minhash_sig_text(text, n, numHashes)")
+    literalInt(args(1), "n", "graft_minhash_sig_text")
+    literalInt(args(2), "numHashes", "graft_minhash_sig_text")
+    StaticInvoke(Kernels, ArrayType(LongType, containsNull = false),
+      "minhashSigFromText", args, returnNullable = false)
   }
 }

@@ -300,6 +300,83 @@ object IterativeGraph {
     labels
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014) — the published O(log n)-round CC algorithm, vs
+    * min-label propagation's O(diameter) supersteps: each round
+    * REWRITES the edge set toward stars rooted at the component
+    * minimum instead of propagating labels over a fixed topology.
+    * On a 100 TB graph this is the difference between ~log₂(n) and
+    * ~diameter shuffles — the reason the paper's shape is the
+    * production default for web-scale CC.
+    *
+    *  - large-star: every node connects its LARGER neighbors to the
+    *    minimum of its closed neighborhood — per canonical pair
+    *    (a < b), b re-attaches to m(a) = min(a, min N(a));
+    *  - small-star: every node connects its SMALLER neighbors (and
+    *    itself) to their minimum — per group of pairs sharing the
+    *    larger endpoint b, all smaller endpoints and b itself attach
+    *    to min(N<(b)).
+    *
+    * Each phase is ONE keyed aggregation + ONE keyed join on the
+    * current pair set (both map-side-combining; the pair set only
+    * ever references ids, never payloads), localCheckpoint-ed per
+    * round (the superstep pattern). Convergence = the canonical pair
+    * set is unchanged by a full round, detected by ONE 1-row agg per
+    * round (count + order-independent xxhash64 sum — no frame diff
+    * join). At the fixpoint the pair set IS the component star: every
+    * node's single neighbor is its component minimum. Output:
+    * (id, label) over ALL vertices (isolated vertices label
+    * themselves), exact converged components — deterministic, so the
+    * recursive-CTE oracle replays it (g22). */
+  def largeStarSmallStar(vertices: DataFrame, edges: DataFrame,
+      maxIters: Int = 32): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    def checksum(pairs: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent, overflow-free 64-bit set digest
+      val r = pairs.agg(count(lit(1)),
+        bit_xor(xxhash64(col("a"), col("b")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var pairs = canon(edges.select("src", "dst")).localCheckpoint()
+    var sig = checksum(pairs)
+    var converged = false
+    var step = 0
+    while (!converged && step < maxIters) {
+      // large-star: m(a) over the SYMMETRIC neighborhood of the
+      // smaller endpoint; each pair re-emits as (m(a), b)
+      val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(pairs.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = pairs
+        .join(mins.withColumnRenamed("u", "a"), "a")
+        .select(col("m").as("a"), col("b")).distinct()
+      // small-star: group by the larger endpoint; all smaller
+      // endpoints AND the larger endpoint attach to the group min
+      val smallMins = afterLarge.groupBy("b").agg(min("a").as("m"))
+      val next = afterLarge.join(smallMins, "b")
+        .filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+        .unionAll(smallMins.select(col("m").as("a"), col("b")))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = checksum(next)
+      converged = nextSig == sig
+      pairs = next
+      sig = nextSig
+      step += 1
+    }
+    vertices.select("id")
+      .join(pairs.select(col("b").as("id"), col("a").as("nb_min")), Seq("id"), "left")
+      .groupBy("id").agg(min("nb_min").as("nb_min"))
+      .select(col("id"), coalesce(col("nb_min"), col("id")).as("label"))
+  }
+
   /** k-core peeling, `rounds` synchronous rounds: repeatedly drop
     * every vertex whose (undirected) degree is below `k`, keeping an
     * edge only while BOTH endpoints survive. The classic "dense

@@ -363,7 +363,23 @@ object GraphQueries {
           .groupBy(col("label").as("component")).agg(count(lit(1)).as("size"))
           .orderBy(col("size").desc, col("component")).limit(50)
       },
-      Some(minLabelOracle(CcIters)))
+      Some(minLabelOracle(CcIters))),
+
+    // ---- large-star/small-star connected components (Kiveris et al.
+    // 2014 — the O(log n)-round MapReduce CC algorithm): unlike g11's
+    // fixed-superstep min-label propagation, this CONVERGES (the edge
+    // set is rewritten toward component-min stars until a full round
+    // changes nothing), so the oracle can be the EXACT components — a
+    // recursive label-reachability CTE, min label per vertex. The
+    // family's first exact-converged-CC gate query.
+    NamedQuery("g22_star_components",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.largeStarSmallStar(g.vertices, g.edges)
+          .groupBy(col("label").as("component")).agg(count(lit(1)).as("size"))
+          .orderBy(col("size").desc, col("component")).limit(50)
+      },
+      Some(starComponentsOracle))
   )
 
   // defs, not vals: `all` above evaluates at object init, BEFORE any
@@ -589,6 +605,26 @@ object GraphQueries {
   }
 
   /** Unrolled-CTE min-label propagation over symmetrized edges. */
+  /** g22's exact-components oracle: recursive label reachability — a
+    * label l spreads across an edge to a node x only while l < x (the
+    * component minimum satisfies this along every path, so it reaches
+    * every member; the restriction prunes the closure), then each
+    * vertex takes its minimum reachable label. Exact at any diameter,
+    * which is the point: the operator CONVERGES, so no unrolling. */
+  private def starComponentsOracle: String =
+    s"""${edgesCte.replace("WITH edges", "WITH RECURSIVE edges")},
+       |$vertexCte,
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |cc AS (
+       |  SELECT id, id AS lbl FROM v
+       |  UNION
+       |  SELECT sym.dst AS id, cc.lbl
+       |  FROM cc JOIN sym ON sym.src = cc.id
+       |  WHERE cc.lbl < sym.dst),
+       |lab AS (SELECT id, min(lbl) AS component FROM cc GROUP BY id)
+       |SELECT component, count(*) AS size FROM lab
+       |GROUP BY component ORDER BY size DESC, component LIMIT 50""".stripMargin
+
   private def minLabelOracle(iters: Int): String = {
     val steps = OracleFragments.minLabelSteps("sym", iters)
     s"""$edgesCte,

@@ -443,6 +443,31 @@ object PipelineQueries {
              |WHERE rn = 1 AND h NOT IN (SELECT h FROM idx)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- incremental NEAR-dup dedup against a PERSISTED MinHash band
+    // index (d26's LSH sibling — the production near-dup loop): the
+    // even half's signatures + band rows persist as the index; the
+    // batch (odd half + planted replays of indexed docs at +1000000
+    // and of batch docs at +2000000) dedups within itself by the
+    // lower-id-neighbor rule, probes the index bands, and appends its
+    // admitted signatures. Both gates must fire; indexed text is never
+    // rescanned. The oracle replays signatures, bands, both gates.
+    NamedQuery("d27_incremental_neardup_index",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("mh_idx")
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3, numHashes = MhHashes, bands = MhBands, path)
+        val batch = docs.filter(col("doc_id") % 2 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+          .unionByName(docs.filter(col("doc_id") % 10 === 1)
+            .withColumn("doc_id", col("doc_id") + 2000000))
+        Dedup.ingestAgainstMinhashIndex(batch, "doc_id", "text", path,
+            n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(minhashIndexIngestOracle(MhHashes, MhBands, 0.5))),
+
     // ---- brute-force exact ANN: top-5 cosine neighbors for the first
     // 20 vectors against the whole corpus.
     NamedQuery("s01_ann_brute_topk", (s, dir) => {
@@ -538,6 +563,41 @@ object PipelineQueries {
     },
       Some(ivfFilteredOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
         k = 5, seed = 7L, predSql = "l.label % 3 = 0"))),
+
+    // ---- SQ8 asymmetric-distance top-k (s24): the scalar-quantized
+    // sibling of s08's PQ-ADC — corpus and queries quantize to int8
+    // with per-vector max-abs scales (s06's exact scheme), similarity
+    // = the EXACT integer code dot rescaled by scale_q·scale_c, one
+    // byte/dim instead of four. Every step is integer arithmetic or a
+    // single double product, so scores and ranks replay bit-for-bit.
+    NamedQuery("s24_sq8_adc_topk", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      Similarity.sq8AdcTopK(emb.filter(col("vec_id") < 20), emb, k = 5)
+        .orderBy("query_id", "rank")
+    },
+      Some("""WITH e AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |  FROM embeddings),
+             |s AS (SELECT vec_id, v,
+             |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+             |  FROM e),
+             |q AS (SELECT vec_id, scale,
+             |    CASE WHEN scale > 0
+             |         THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+             |         ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv
+             |  FROM s),
+             |scored AS (
+             |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             |    round((a.scale * b.scale) * CAST(list_sum(
+             |      list_transform(generate_series(1, len(a.qv)),
+             |        i -> a.qv[i] * b.qv[i])) AS DOUBLE), 6) AS score
+             |  FROM q a JOIN q b ON a.vec_id < 20 AND a.vec_id <> b.vec_id),
+             |ranked AS (
+             |  SELECT query_id, neighbor_id, score, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
 
     // ---- PERSISTED-index IVF round trip: the s04 pipeline with a
     // parquet write/reload of the index (centroids + per-list
@@ -1714,24 +1774,7 @@ object PipelineQueries {
           size(TextOps.tokens(col("text"))).cast("long"),
           width = 16, qs = Seq(0.5, 0.9, 0.99))
         .orderBy("source", "q"),
-      Some("""WITH t AS (SELECT source,
-             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-             |                    x -> len(x) > 0))::BIGINT AS n
-             |  FROM documents),
-             |cells AS (SELECT source, n // 16 AS b, count(*) AS cnt
-             |  FROM t GROUP BY 1, 2),
-             |cum AS (SELECT source, b, cnt,
-             |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS cum,
-             |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
-             |  FROM cells),
-             |qt AS (SELECT * FROM cum
-             |  CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)),
-             |sel AS (SELECT source, q, max(total) AS n_rows, min(b) AS bmin
-             |  FROM qt WHERE cum >= CAST(ceil(q * total) AS BIGINT)
-             |  GROUP BY 1, 2)
-             |SELECT source, q, CAST(n_rows AS BIGINT) AS n_rows,
-             |  CAST(bmin * 16 AS BIGINT) AS bucket_lo
-             |FROM sel ORDER BY source, q""".stripMargin)),
+      Some(histQuantilesOracle)),
 
     // ---- END-TO-END curation v2 (the p03 composition rebuilt from
     // the round-8/9 operators): frozen MODEL-quality gate (t19) →
@@ -2332,6 +2375,154 @@ object PipelineQueries {
        |SELECT new_id, corpus_id, est_jaccard FROM ver
        |WHERE est_jaccard >= $minJaccard
        |ORDER BY new_id, corpus_id""".stripMargin
+  }
+
+  /** d27's full oracle — the persisted-MinHash-index ingest replayed:
+    * index = even docs' signatures; batch = odd docs + planted replays
+    * of indexed docs (+1000000, cross gate) and of batch docs
+    * (+2000000, within gate). Same signature/band CTEs as
+    * [[minhashIncrementalOracle]]; the two gates replay the operator's
+    * order exactly (within-batch lower-id-neighbor drop FIRST, then
+    * survivors vs index). Docs too short to sign appear in batch_ids
+    * but in neither drop set — admitted, as in the operator. */
+  private def minhashIndexIngestOracle(numHashes: Int, bands: Int,
+      minJaccard: Double): String = {
+    val rows = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(i => s"min((h1 + $i * h2 + ${i.toLong * i}) % 2147483647) AS mh_$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val cat = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 1),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                             x -> len(x) > 0) AS ts
+       |  FROM all_docs),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS arr
+       |  FROM toks WHERE len(ts) >= 3),
+       |ex AS (SELECT doc_id AS id, unnest(arr) AS sh FROM shs),
+       |hs AS (SELECT id,
+       |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+       |  FROM ex),
+       |sig AS (SELECT id,
+       |    $minCols
+       |  FROM hs GROUP BY id),
+       |banded AS (
+       |  $bandRows),
+       |batch_ids AS (SELECT doc_id AS id FROM all_docs
+       |  WHERE doc_id >= 1000000 OR doc_id % 2 = 1),
+       |dropped_within AS (
+       |  SELECT DISTINCT b.id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  JOIN sig sa ON a.id = sa.id JOIN sig sb ON b.id = sb.id
+       |  WHERE a.id < b.id
+       |    AND a.id IN (SELECT id FROM batch_ids)
+       |    AND b.id IN (SELECT id FROM batch_ids)
+       |    AND round(($agree) / ${numHashes.toDouble}, 6) >= $minJaccard),
+       |matched AS (
+       |  SELECT DISTINCT a.id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  JOIN sig sa ON a.id = sa.id JOIN sig sb ON b.id = sb.id
+       |  WHERE a.id IN (SELECT id FROM batch_ids)
+       |    AND a.id NOT IN (SELECT id FROM dropped_within)
+       |    AND b.id < 1000000 AND b.id % 2 = 0
+       |    AND round(($agree) / ${numHashes.toDouble}, 6) >= $minJaccard)
+       |SELECT id AS doc_id FROM batch_ids
+       |WHERE id NOT IN (SELECT id FROM dropped_within)
+       |  AND id NOT IN (SELECT id FROM matched)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** p18's full oracle — histogram cells, cumulative counts, and
+    * quantile picks replayed exactly. Shared verbatim by sw15 (the
+    * streamed cells are mergeable by construction, so the
+    * incrementally-maintained sketch must extract identically). */
+  private[queries] lazy val histQuantilesOracle: String =
+    """WITH t AS (SELECT source,
+      |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                    x -> len(x) > 0))::BIGINT AS n
+      |  FROM documents),
+      |cells AS (SELECT source, n // 16 AS b, count(*) AS cnt
+      |  FROM t GROUP BY 1, 2),
+      |cum AS (SELECT source, b, cnt,
+      |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY b) AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+      |  FROM cells),
+      |qt AS (SELECT * FROM cum
+      |  CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q)),
+      |sel AS (SELECT source, q, max(total) AS n_rows, min(b) AS bmin
+      |  FROM qt WHERE cum >= CAST(ceil(q * total) AS BIGINT)
+      |  GROUP BY 1, 2)
+      |SELECT source, q, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(bmin * 16 AS BIGINT) AS bucket_lo
+      |FROM sel ORDER BY source, q""".stripMargin
+
+  /** sw14's oracle — the streaming near-dup admission gate replayed in
+    * batch: index = even docs; feed = odd docs + planted replays of
+    * indexed docs (+1000000). A feed doc is admitted iff NO indexed doc
+    * shares a band hash (same band position) and agrees on ≥ minJaccard
+    * of the signature — the cross gate of
+    * [[minhashIndexIngestOracle]], alone (the stream stage is
+    * stateless; within-stream near-dup is sw04's candidate job). */
+  private[queries] def minhashStreamAdmissionOracle(numHashes: Int,
+      bands: Int, minJaccard: Double): String = {
+    val rows = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(i => s"min((h1 + $i * h2 + ${i.toLong * i}) % 2147483647) AS mh_$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val cat = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                             x -> len(x) > 0) AS ts
+       |  FROM all_docs),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS arr
+       |  FROM toks WHERE len(ts) >= 3),
+       |ex AS (SELECT doc_id AS id, unnest(arr) AS sh FROM shs),
+       |hs AS (SELECT id,
+       |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+       |  FROM ex),
+       |sig AS (SELECT id,
+       |    $minCols
+       |  FROM hs GROUP BY id),
+       |banded AS (
+       |  $bandRows),
+       |feed_ids AS (SELECT doc_id AS id FROM all_docs
+       |  WHERE doc_id >= 1000000 OR doc_id % 2 = 1),
+       |matched AS (
+       |  SELECT DISTINCT a.id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  JOIN sig sa ON a.id = sa.id JOIN sig sb ON b.id = sb.id
+       |  WHERE a.id IN (SELECT id FROM feed_ids)
+       |    AND b.id < 1000000 AND b.id % 2 = 0
+       |    AND round(($agree) / ${numHashes.toDouble}, 6) >= $minJaccard)
+       |SELECT id FROM feed_ids
+       |WHERE id NOT IN (SELECT id FROM matched)
+       |ORDER BY id""".stripMargin
   }
 
   /** Shared by p06 (the operator) and io03 (the partitioned-parquet

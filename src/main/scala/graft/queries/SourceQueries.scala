@@ -301,6 +301,43 @@ object SourceQueries {
            |FROM b GROUP BY zbucket ORDER BY zbucket""".stripMargin
       }),
 
+    // ---- RANGE-sharded sorted layout + data-skipping manifest (the
+    // 1D sibling of io09's z-order): shard boundaries = histogram-
+    // sketch quartiles of n_chars (deterministic, cell-space); rows
+    // land partitioned by shard and sorted within files. The manifest
+    // read BACK from the written files (counts + min/max/sum per
+    // shard) is the skipping index — the oracle replays boundaries,
+    // assignment, and every manifest number.
+    NamedQuery("io11_range_layout", (s, dir) => {
+      val stage = stageDir("range_layout", dir)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      Sources.rangeShardWrite(docs, "n_chars", stage,
+        width = 64, qs = Seq(0.25, 0.5, 0.75))
+      s.read.parquet(stage)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_rows"), min("n_chars").as("v_min"),
+          max("n_chars").as("v_max"), sum("n_chars").as("v_sum"))
+        .orderBy("shard")
+    },
+      Some("""WITH cells AS (SELECT n_chars // 64 AS b, count(*) AS cnt
+             |  FROM documents GROUP BY 1),
+             |cum AS (SELECT b, cnt,
+             |    CAST(sum(cnt) OVER (ORDER BY b) AS BIGINT) AS cum,
+             |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+             |  FROM cells),
+             |sel AS (SELECT q, min(b) AS bmin FROM cum
+             |  CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS q)
+             |  WHERE cum >= CAST(ceil(q * total) AS BIGINT)
+             |  GROUP BY q),
+             |bounds AS (SELECT DISTINCT bmin * 64 AS bv FROM sel),
+             |a AS (SELECT doc_id, n_chars,
+             |    (SELECT count(*) FROM bounds WHERE bv <= d.n_chars) AS shard
+             |  FROM documents d)
+             |SELECT CAST(shard AS INT) AS shard, count(*) AS n_rows,
+             |  min(n_chars) AS v_min, max(n_chars) AS v_max,
+             |  CAST(sum(n_chars) AS BIGINT) AS v_sum
+             |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
+
     // ---- parquet schema evolution: batch 1 written at schema v1
     // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality
     // added); the mergeSchema read must union the footers, null-fill

@@ -401,6 +401,61 @@ object StreamingQueries {
              |  WHERE doc_id % 10 = 0)
              |SELECT doc_id AS id FROM batch
              |WHERE h NOT IN (SELECT h FROM idx)
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // ---- streaming NEAR-dup admission against the PERSISTED MinHash
+    // band index (d27's streaming twin — the lexical sibling of sw11's
+    // semantic and sw13's exact-content gates, completing the
+    // admission family): the even half's signatures persist as the
+    // index; arriving odd docs + planted replays of indexed docs
+    // compute their signature scan-stage and are admitted iff no
+    // indexed doc shares a band hash at est_jaccard ≥ 0.5 — ONE
+    // stateless stream-static anti-join (append mode, zero state).
+    // The planted replays (est 1.0 vs their originals) must all drop.
+    NamedQuery("sw14_stream_neardup_admission",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("mh_idx_stream")
+        graft.dedup.Dedup.writeMinhashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          n = 3, numHashes = PipelineQueries.MhHashes,
+          bands = PipelineQueries.MhBands, path)
+        val feed = docs.filter(col("doc_id") % 2 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        val admitted = StreamRunner.runAvailableNow(s, feed,
+            "sw14_neardup_admission", "append") { src =>
+          EventStreams.nearDupIndexAdmission(src, "doc_id", "text", path,
+            n = 3, numHashes = PipelineQueries.MhHashes,
+            bands = PipelineQueries.MhBands, minJaccard = 0.5)
+        }
+        admitted.orderBy("id")
+      },
+      Some(PipelineQueries.minhashStreamAdmissionOracle(
+        PipelineQueries.MhHashes, PipelineQueries.MhBands, 0.5))),
+
+    // ---- streaming HISTOGRAM-quantile maintenance (ingest-time lift
+    // of p18, the distribution sibling of sw12's count-min): arriving
+    // docs bucket their token counts into (source, bucket) cells — the
+    // streaming groupBy keys onto |sources|·|buckets| cells, so state
+    // IS the histogram, bounded by the value range rather than the
+    // corpus (complete mode, no watermark). The batch extraction then
+    // reads the STREAMED cells; p18's oracle is the exact expected
+    // output — the incrementally-maintained sketch ≡ the batch-built
+    // one (fixed-width histograms are mergeable by construction).
+    NamedQuery("sw15_stream_hist_quantiles",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+        val cells = StreamRunner.runAvailableNow(s, docs,
+            "sw15_hist", "complete") { src =>
+          graft.text.Sketches.histCells(src, "source",
+            size(graft.text.TextOps.tokens(col("text"))).cast("long"),
+            width = 16)
+        }
+        graft.text.Sketches.histQuantilesFromCells(cells, "source",
+            width = 16, qs = Seq(0.5, 0.9, 0.99))
+          .orderBy("source", "q")
+      },
+      Some(PipelineQueries.histQuantilesOracle))
   )
 }

@@ -578,6 +578,44 @@ object Similarity {
       .withColumnRenamed("__v", "v")
   }
 
+  /** SQ8 asymmetric-distance top-k — serving straight from the
+    * [[quantizeInt8]] codes (the scalar-quantization sibling of
+    * [[pqAdcTopK]], and the other standard vector-index compression
+    * next to PQ: FAISS's SQ8): both sides quantize to int8 with a
+    * per-vector max-abs scale; the similarity is the EXACT integer
+    * dot of the codes rescaled by (scale_q · scale_c) — an
+    * inner-product search over 1 byte/dim instead of 4.
+    *
+    * Scale shape: the corpus quantizes ONCE (cached — at 100 TB this
+    * is the persisted int8 index, dim bytes + one float per row);
+    * queries broadcast; per-pair work is one integer dot; the
+    * map-side TopK combine ships ≤ k rows per query per partition.
+    * Every step is integer-exact or a single double product, so the
+    * oracle replays scores bit-for-bit. Output: (query_id,
+    * neighbor_id, score, rank), score descending, id tie-break. */
+  def sq8AdcTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopK
+    val c = graft.Caches.cached(
+      quantizeInt8(corpus, "vec_id", "embedding")
+        .select(col("vec_id").as("neighbor_id"), col("scale").as("sc"),
+          col("q").as("qc")))
+    val q = quantizeInt8(queries, "vec_id", "embedding")
+      .select(col("vec_id").as("query_id"), col("scale").as("sq"),
+        col("q").as("qq"))
+    val intDot = aggregate(
+      zip_with(col("qq"), col("qc"), (a, b) => a.cast("long") * b),
+      lit(0L), _ + _)
+    broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score",
+        round((col("sq") * col("sc")) * intDot.cast("double"), 6))
+      .groupBy("query_id")
+      .agg(TopK.topK(k)(col("neighbor_id"), col("score")).as("nn"))
+      .select(col("query_id"), posexplode(col("nn")).as(Seq("r0", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        col("nb.score").as("score"), (col("r0") + 1).cast("int").as("rank"))
+  }
+
   /** Fixed seeded PQ codebooks: `m` subspaces × `k` code vectors of
     * dim/m floats each (same generator family as [[hyperplanes]], one
     * seed offset per subspace). Exposed so the DuckDB oracle inlines

@@ -214,4 +214,40 @@ object Sources {
       .write.mode(SaveMode.Overwrite).partitionBy("zbucket").parquet(path)
     bucketed.drop("__z")
   }
+
+  /** RANGE-sharded sorted export — the 1D sorted-layout sibling of
+    * [[zOrderWrite]] and the lakehouse standard for a single-key
+    * access pattern: rows land in shard directories by VALUE RANGE
+    * and sorted within files, so both the directory manifest and the
+    * parquet min/max footers prune range predicates.
+    *
+    * Shard boundaries come from the mergeable HISTOGRAM sketch
+    * (graft.text.Sketches.histogramQuantiles, one global group) at
+    * the requested quantiles — deterministic at bucket-width
+    * granularity, unlike Spark's sample-based RangePartitioner, so
+    * the whole layout is oracle-replayable AND the boundary pass is
+    * one cell-space aggregation at any corpus size. The ≤ |qs|
+    * boundary values are the only driver fetch (the broadcast-
+    * threshold pattern); shard(v) = #boundaries ≤ v is then pure
+    * scan-stage. Duplicate quantile buckets collapse (a shard may be
+    * empty on skewed data — the manifest shows it). Returns the
+    * sharded frame (with `shard`); callers read the manifest back
+    * from the written files (io11 proves the on-disk layout). */
+  def rangeShardWrite(df: DataFrame, valueCol: String, path: String,
+      width: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val bounds = graft.text.Sketches.histogramQuantiles(
+        df.select(lit(1).as("g"), col(valueCol)), "g", col(valueCol),
+        width, qs)
+      .select("bucket_lo").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val shard = bounds.map(b => when(col(valueCol) >= b, 1).otherwise(0))
+      .reduceOption[org.apache.spark.sql.Column](_ + _)
+      .getOrElse(lit(0)).cast("int")
+    val sharded = df.withColumn("shard", shard)
+    sharded.repartition(col("shard"))
+      .sortWithinPartitions("shard", valueCol)
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+    sharded
+  }
 }

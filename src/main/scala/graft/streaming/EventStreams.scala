@@ -500,6 +500,71 @@ object EventStreams {
       .select(col(idCol).as("id"))
   }
 
+  /** Streaming NEAR-dup admission against the PERSISTED MinHash band
+    * index (graft.dedup.Dedup.writeMinhashIndex — d27's streaming
+    * twin, completing the admission-gate family: sw13 exact content,
+    * sw11 semantic embedding, and this one lexical near-dup). Each
+    * arriving doc computes its portable MinHash SIGNATURE scan-stage
+    * (one fused kernel pass per row — the sw04 family) plus its band
+    * hashes (md5 over signature slices, the oracle construction), and
+    * is ADMITTED iff no indexed doc shares a band hash AND agrees on
+    * ≥ minJaccard of the signature. ONE stateless stream-static
+    * LEFT-ANTI join — append mode, no state, no watermark; verdicts
+    * emit on arrival.
+    *
+    * Scale shape: the static side here is the signature table with
+    * its band hashes re-derived scan-stage (≤ H longs + `bands`
+    * hashes per indexed doc), consumed by a broadcast nested-loop
+    * anti-join — right for a benchmark/recent-window-sized index. A
+    * corpus-sized index would instead explode arrivals into the
+    * (band, bh) EQUI-join against the band-partitioned `bands` dirs
+    * and aggregate per-doc verdicts (the d27 batch mechanics) under a
+    * watermarked aggregate. Docs too short to sign have an empty
+    * signature, match nothing, and are admitted — the d27 contract.
+    * Output: admitted (id) rows. */
+  def nearDupIndexAdmission(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, n: Int, numHashes: Int, bands: Int,
+      minJaccard: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rows = numHashes / bands
+    def sigExpr(t: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.GraftExpressionBridge
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      GraftExpressionBridge.column(graft.functions.TextKernelExprs
+        .minhashSigText(Seq(GraftExpressionBridge.expression(t),
+          Literal(n), Literal(numHashes))))
+    }
+    def bandHash(mh: Int => org.apache.spark.sql.Column, b: Int) =
+      md5(concat_ws("|", (b * rows until (b + 1) * rows).map(mh): _*))
+    // static side: signatures + per-band bh columns, derived scan-stage
+    val idx = graft.dedup.Dedup
+      .readMinhashSignatures(docs.sparkSession, indexPath)
+      .select((0 until numHashes).map(i => col(s"mh_$i")) ++
+        (0 until bands).map(b => bandHash(i => col(s"mh_$i"), b).as(s"bh_$b")): _*)
+    // stream side: signature kernel once per row; band hashes from it.
+    // `get` (0-based, null on out-of-bounds) instead of ANSI
+    // element_at: a shingle-less doc's empty signature must compare
+    // as null (→ no match → admitted), not throw.
+    val stream = docs
+      .withColumn("__sig", sigExpr(col(textCol)))
+      .withColumn("__bhs", when(size(col("__sig")) === 0,
+          array().cast("array<string>"))
+        .otherwise(array((0 until bands).map(b =>
+          bandHash(i => get(col("__sig"), lit(i)), b)): _*)))
+    val bandMatch = (0 until bands)
+      .map(b => get(col("__bhs"), lit(b)) === col(s"bh_$b"))
+      .reduce(_ || _)
+    val agree = (0 until numHashes)
+      .map(i => when(get(col("__sig"), lit(i)) === col(s"mh_$i"), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    stream
+      .join(idx,
+        bandMatch && round(agree.cast("double") / numHashes, 6) >= minJaccard,
+        "left_anti")
+      .select(col(idCol).as("id"))
+  }
+
   /** One event on the wire (micros-precision event time `ts`). */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

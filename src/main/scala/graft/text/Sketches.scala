@@ -132,11 +132,28 @@ object Sketches {
     * space, never on rows. Output: (group, q, n_rows, bucket_lo) long
     * form, one row per (group, quantile). */
   def histogramQuantiles(df: DataFrame, groupCol: String, value: Column,
-      width: Int, qs: Seq[Double]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val cells = df.select(col(groupCol).as("g"),
+      width: Int, qs: Seq[Double]): DataFrame =
+    histQuantilesFromCells(
+      histCells(df, groupCol, value, width), groupCol, width, qs)
+
+  /** Histogram CELLS (g, b, cnt) — the mergeable half of
+    * [[histogramQuantiles]], split out so the cells can be MAINTAINED
+    * on a stream (sw15): the streaming groupBy keys onto
+    * |groups|·|buckets| cells, so state is the sketch itself —
+    * bounded by the value range / width, not the corpus (complete
+    * mode, no watermark; the cmsCells contract). */
+  def histCells(df: DataFrame, groupCol: String, value: Column,
+      width: Int): DataFrame =
+    df.select(col(groupCol).as("g"),
         floor(value / width).cast("long").as("b"))
       .groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile extraction over prebuilt (g, b, cnt) cells — runs
+    * entirely in CELL space (the windows order ≤ |buckets| rows per
+    * group), shared by the batch and streamed forms. */
+  def histQuantilesFromCells(cells: DataFrame, groupCol: String,
+      width: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = cells
       .withColumn("cum", sum("cnt").over(
         Window.partitionBy("g").orderBy("b")))

@@ -86,6 +86,42 @@ class DedupSpec extends SparkSpec {
     assert(replay.isEmpty)
   }
 
+  test("persisted minhash index: both gates fire; admitted docs grow the index; replay admits nothing") {
+    val path = ScratchDirs.scratch("spec_mh_idx")
+    val even = base.filter($"doc_id" % 2 === 0) // ids 2, 4
+    Dedup.writeMinhashIndex(even, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, path)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // near-dup of INDEXED 2, exact of 4 → cross gate
+      (3L, "completely different text about spark catalyst optimizer rules and codegen stages"),
+      (5L, "another unrelated document mentioning parquet scans and shuffle partitions only"),
+      (7L, "another unrelated document mentioning parquet scans and shuffle partitions only"), // exact dup of batch 5 → within gate
+      (9L, "too short") // < 3 tokens: no signature, admitted, not indexed
+    ).toDF("doc_id", "text")
+    val admitted = Dedup.ingestAgainstMinhashIndex(batch, "doc_id", "text",
+        path, n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted == Set(3L, 5L, 9L))
+    // the index grew by exactly the admitted SIGNED docs (9 signs nothing)
+    val idxIds = Dedup.readMinhashSignatures(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(idxIds == Set(2L, 4L, 3L, 5L))
+    // a second batch replaying an admitted doc is rejected by the GROWN index
+    val batch2 = Seq(
+      (11L, "completely different text about spark catalyst optimizer rules and codegen stages"), // replay of now-indexed 3
+      (13L, "genuinely fresh sentences with entirely new vocabulary for the second ingest wave")
+    ).toDF("doc_id", "text")
+    val admitted2 = Dedup.ingestAgainstMinhashIndex(batch2, "doc_id", "text",
+        path, n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(admitted2 == Set(13L))
+    // idempotent replay of batch2: 13 now indexed → nothing admitted
+    val replay = Dedup.ingestAgainstMinhashIndex(batch2, "doc_id", "text",
+        path, n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(replay.isEmpty)
+  }
+
   test("dropNearDupsPortable collapses near-dup clusters to the min-id survivor") {
     // cluster {1, 2, 4} (near + exact dups) collapses to 1; 3 and 5 survive
     val kept = Dedup.dropNearDupsPortable(base, "doc_id", "text",

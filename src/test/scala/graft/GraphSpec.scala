@@ -67,6 +67,27 @@ class GraphSpec extends SparkSpec {
     assert(cc(4L) != cc(1L) && cc(4L) != cc(3L))
   }
 
+  test("largeStarSmallStar: exact components on fixtures incl. a long chain; GraphX parity") {
+    import graft.graph.IterativeGraph
+    // the standard fixture: component {1,2,10,11}, {3,12}, isolate 4
+    val lbl = IterativeGraph.largeStarSmallStar(g.vertices, g.edges)
+      .as[(Long, Long)].collect().toMap
+    assert(lbl(1L) == 1L && lbl(2L) == 1L && lbl(10L) == 1L && lbl(11L) == 1L)
+    assert(lbl(3L) == 3L && lbl(12L) == 3L)
+    assert(lbl(4L) == 4L)
+    // a 40-node chain: diameter 39 ≫ the O(log n) star rounds — the
+    // converged output must still be exact (min-label at 6 supersteps
+    // would NOT be), plus a parity check against GraphX CC
+    val chainV = (1L to 40L).toDF("id")
+    val chainE = (1L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val star = IterativeGraph.largeStarSmallStar(chainV, chainE)
+      .as[(Long, Long)].collect().toMap
+    assert(star.values.toSet == Set(1L) && star.size == 40)
+    val gx = PropertyGraph(chainV.withColumn("type", lit("n")), chainE)
+      .connectedComponents().as[(Long, Long)].collect().toMap
+    assert(star.keySet == gx.keySet && gx.values.toSet.size == 1)
+  }
+
   test("bfs finds shortest path, GraphFrames-shaped (from, e0, v1, …, to)") {
     val sym = PropertyGraph(g.vertices,
       g.edges.select("src", "dst")

@@ -186,6 +186,51 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, s"mean top-10 recall after int8 quantization = $mean")
   }
 
+  test("sq8AdcTopK: exact int8-representable vectors rank by exact dot; scales compose") {
+    // components are integer multiples of max|v|/127, so quantization
+    // is lossless and the SQ8 score equals the true dot exactly
+    val vecs = Seq(
+      (0L, Array(127.0f, 0.0f, 0.0f, 0.0f)),   // query
+      (1L, Array(127.0f, 0.0f, 0.0f, 0.0f)),   // dot 16129
+      (2L, Array(64.0f, 127.0f, 0.0f, 0.0f)),  // dot 8128
+      (3L, Array(-127.0f, 0.0f, 0.0f, 0.0f)),  // dot -16129
+      (4L, Array(32.0f, 0.0f, 127.0f, 0.0f)))  // dot 4064
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sq8AdcTopK(vecs.filter(col("vec_id") === 0L), vecs, k = 4)
+      .select("neighbor_id", "score", "rank")
+      .as[(Long, Double, Int)].collect().sortBy(_._3)
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 3L))
+    assert(got.head._2 == 16129.0 && got.last._2 == -16129.0)
+    // a rescaled corpus vector (×0.5) keeps the same integer codes but
+    // half the scale: its score halves exactly
+    val scaled = Seq((0L, Array(127.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(63.5f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val s5 = Similarity.sq8AdcTopK(scaled.filter(col("vec_id") === 0L),
+        scaled, k = 1)
+      .select("score").as[Double].head()
+    assert(s5 == 16129.0 / 2)
+  }
+
+  test("sq8AdcTopK preserves exact top-10 dot ranking on real embeddings (recall ≥ 0.9)") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").limit(300)
+    // exact full-precision DOT top-10 (the metric SQ8 approximates),
+    // computed in the driver — 300 vectors, a test-only baseline
+    val all = emb.as[(Long, Seq[Float])].collect()
+    val exact = all.filter(_._1 < 20).map { case (q, qv) =>
+      q -> all.filter(_._1 != q)
+        .map { case (c, cv) =>
+          (c, qv.zip(cv).map { case (a, b) => a.toDouble * b }.sum) }
+        .sortBy { case (c, d) => (-d, c) }.take(10).map(_._1).toSet
+    }.toMap
+    val sq8 = Similarity.sq8AdcTopK(emb.filter(col("vec_id") < 20), emb, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.keys.map(q =>
+      (exact(q) intersect sq8.getOrElse(q, Set.empty)).size.toDouble / exact(q).size)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean top-10 recall of SQ8 vs exact dot = $mean")
+  }
+
   test("pqEncode: codes in range, zero quantization error on codebook vectors") {
     val dim = 8; val m = 2; val k = 4; val seed = 11L
     val books = Similarity.pqCodebooks(dim, m, k, seed)

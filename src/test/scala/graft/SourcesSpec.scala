@@ -112,6 +112,40 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("rangeShardWrite: disjoint ascending shard ranges, nothing lost, sorted files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 0..999 uniform → quartile boundaries at histogram granularity
+    val rows = (0L until 1000L).map(v => (v, v)).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("range_spec").toString
+    Sources.rangeShardWrite(rows, "v", dir, width = 10, qs = Seq(0.25, 0.5, 0.75))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000L) // bijection: nothing lost or duplicated
+    assert(back.select("id").distinct().count() == 1000L)
+    val ranges = back.groupBy("shard")
+      .agg(min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+      .orderBy("shard")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(ranges.map(_._1) == ranges.indices.map(identity))
+    // consecutive shards: strictly increasing, non-overlapping ranges
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hiA, _), (_, loB, _, _)) => assert(hiA < loB)
+      case _ =>
+    }
+    // ~quartile-sized shards (boundary granularity = bucket width 10)
+    ranges.foreach { case (s, _, _, n) =>
+      assert(n >= 200 && n <= 300, s"shard $s size $n") }
+    // within-file sort: each parquet file's v column is nondecreasing
+    val sortedOk = back
+      .select(col("shard"), col("v"),
+        input_file_name().as("f"))
+      .withColumn("prev", lag("v", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("f").orderBy(
+          monotonically_increasing_id())))
+      .filter(col("prev").isNotNull && col("prev") > col("v"))
+    assert(sortedOk.isEmpty, "rows out of order within a shard file")
+  }
+
   test("parquetMergeSchema unions evolved footers and null-fills both directions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve_spec").toString

@@ -416,6 +416,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDupIndexAdmission drops indexed near-dups across micro-batches; short docs pass") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = ScratchDirs.scratch("spec_stream_mh_idx")
+    graft.dedup.Dedup.writeMinhashIndex(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (11L, "completely different text about spark catalyst optimizer rules and codegen stages"))
+      .toDF("doc_id", "text"), "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, path)
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.nearDupIndexAdmission(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
+        n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .writeStream.format("memory").queryName("mh_admission")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact replay of indexed 10 → drop
+        (2L, "wholly original sentences mentioning parquet scans and shuffle partitions only"))
+      q.processAllAvailable()
+      in.addData(
+        (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of indexed 10 → drop
+        (4L, "too short"), // < 3 tokens: empty signature, matches nothing → admit
+        (5L, "genuinely fresh vocabulary in every position of this arriving document stream"))
+      q.processAllAvailable()
+      val got = spark.table("mh_admission").as[Long].collect().toSet
+      assert(got == Set(2L, 4L, 5L),
+        s"expected exact (1) and near (3) index rejects, short doc (4) admitted: $got")
+    } finally q.stop()
+  }
+
+  test("histCells maintained across micro-batches equals the batch-built histogram") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val q = graft.text.Sketches.histCells(
+        in.toDF().toDF("source", "n"), "source", col("n"), width = 10)
+      .writeStream.format("memory").queryName("hist_cells")
+      .outputMode("complete").start()
+    try {
+      in.addData(("a", 5L), ("a", 17L), ("b", 3L))
+      q.processAllAvailable()
+      in.addData(("a", 12L), ("b", 95L), ("a", 7L))
+      q.processAllAvailable()
+      val streamed = spark.table("hist_cells")
+        .select("g", "b", "cnt").as[(String, Long, Long)].collect().toSet
+      val batch = graft.text.Sketches.histCells(
+          Seq(("a", 5L), ("a", 17L), ("b", 3L), ("a", 12L), ("b", 95L), ("a", 7L))
+            .toDF("source", "n"), "source", col("n"), width = 10)
+        .select("g", "b", "cnt").as[(String, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed cells diverge from batch: ${streamed diff batch} / ${batch diff streamed}")
+      // extraction over the streamed cells matches the one-shot operator
+      val fromStream = graft.text.Sketches.histQuantilesFromCells(
+          spark.table("hist_cells"), "source", width = 10, qs = Seq(0.5, 0.9))
+        .orderBy("source", "q").collect().toSeq
+      val oneShot = graft.text.Sketches.histogramQuantiles(
+          Seq(("a", 5L), ("a", 17L), ("b", 3L), ("a", 12L), ("b", 95L), ("a", 7L))
+            .toDF("source", "n"), "source", col("n"), width = 10,
+          qs = Seq(0.5, 0.9))
+        .orderBy("source", "q").collect().toSeq
+      assert(fromStream == oneShot)
+    } finally q.stop()
+  }
+
   test("cmsCells maintained across micro-batches equals the batch-built sketch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
