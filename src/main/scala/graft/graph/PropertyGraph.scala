@@ -28,6 +28,42 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
     edges.select(col("src").as("id")).unionAll(edges.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
 
+  /** Pairwise IN-neighborhood Jaccard similarity between destination
+    * vertices — "items bought by the same people": two dst vertices
+    * are similar when their SOURCE sets overlap (the reference's
+    * book-similarity-by-common-readers use case, goodreads.py's
+    * user→book graph). Same plan shape as the n-gram Jaccard dedup
+    * (dedup.Dedup.ngramJaccardPairs — an inverted index on the
+    * shared source, the d02 shape on a graph): pair work is
+    * Σ_src C(outdeg, 2), bounded by `maxSrcOutDeg` which drops hub
+    * sources before pairing (both the candidate set AND the
+    * similarity definition are over the capped edge set, exactly
+    * like d02's df cap) — the knob that keeps the self-join from
+    * going quadratic under hub skew at any scale. Distinct edges
+    * assumed (graft-built graphs aggregate per (src, dst)). Output:
+    * (id_a, id_b, common, deg_a, deg_b, jaccard) with id_a < id_b
+    * and jaccard ≥ `minJaccard`, rounded for oracle portability. */
+  def inNeighborhoodJaccard(maxSrcOutDeg: Int, minJaccard: Double): DataFrame = {
+    val capped = graft.Caches.cached(
+      edges.select("src", "dst")
+        .join(edges.groupBy("src").agg(count(lit(1)).as("__od"))
+          .filter(col("__od") <= maxSrcOutDeg), Seq("src"))
+        .select("src", "dst"))
+    val sizes = capped.groupBy(col("dst").as("id"))
+      .agg(count(lit(1)).as("sz"))
+    capped.toDF("src", "id_a")
+      .join(capped.toDF("src", "id_b"),
+        Seq("src"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("common"))
+      .join(sizes.toDF("id_a", "deg_a"), "id_a")
+      .join(sizes.toDF("id_b", "deg_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("deg_a") + col("deg_b") - col("common")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "common", "deg_a", "deg_b", "jaccard")
+  }
+
   /** G3 (goodreads.py:569): keep vertices satisfying `cond`; edges are
     * restricted to those with BOTH endpoints surviving (two semi-joins —
     * each broadcastable when the surviving vertex set is small). */

@@ -379,13 +379,41 @@ object GraphQueries {
           .groupBy(col("label").as("component")).agg(count(lit(1)).as("size"))
           .orderBy(col("size").desc, col("component")).limit(50)
       },
-      Some(starComponentsOracle))
+      Some(starComponentsOracle)),
+
+    // ---- "customers also bought": pairwise part similarity by BUYER
+    // overlap (in-neighborhood Jaccard — the reference's
+    // book-similarity-by-common-readers question on the user→book
+    // graph, answered with the d02 inverted-index plan shape on the
+    // graph). Hub customers above the out-degree cap are dropped
+    // before pairing — the skew bound AND part of the similarity
+    // definition, replayed by the oracle.
+    NamedQuery("g23_part_buyer_jaccard",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        g.inNeighborhoodJaccard(maxSrcOutDeg = JaccardCap, minJaccard = 0.2)
+          .orderBy(col("jaccard").desc, col("id_a"), col("id_b")).limit(20)
+      },
+      Some(s"""$edgesCte,
+             |cap AS (SELECT src, dst FROM edges WHERE src IN (
+             |    SELECT src FROM edges GROUP BY src HAVING count(*) <= $JaccardCap)),
+             |sz AS (SELECT dst AS id, count(*) AS sz FROM cap GROUP BY dst),
+             |pr AS (SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS common
+             |  FROM cap a JOIN cap b ON a.src = b.src AND a.dst < b.dst
+             |  GROUP BY 1, 2),
+             |j AS (SELECT id_a, id_b, common, sa.sz AS deg_a, sb.sz AS deg_b,
+             |    round(common / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+             |  FROM pr JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id)
+             |SELECT id_a, id_b, common, deg_a, deg_b, jaccard FROM j
+             |WHERE jaccard >= 0.2
+             |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin))
   )
 
   // defs, not vals: `all` above evaluates at object init, BEFORE any
   // val declared below it would be assigned (null/0 otherwise)
   private def PrIters = 5
   private def CcIters = 6
+  private def JaccardCap = 40
   private def LpIters = 4
   private def BfsIters = 3
   private[queries] def PsIters = 4

@@ -2775,7 +2775,7 @@ object PipelineQueries {
     * assigned to the argmin list, queries probe their nprobe nearest
     * lists, candidates ranked by exact cosine — mirroring
     * Similarity.ivfFixedTopK stage by stage. */
-  private def ivfFixedOracle(dim: Int, nlist: Int, nprobe: Int, k: Int,
+  private[queries] def ivfFixedOracle(dim: Int, nlist: Int, nprobe: Int, k: Int,
       seed: Long): String = {
     val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, seed)
     val centsSql = cents.zipWithIndex.map { case (c, j) =>

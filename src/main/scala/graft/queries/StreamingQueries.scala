@@ -456,6 +456,39 @@ object StreamingQueries {
             width = 16, qs = Seq(0.5, 0.9, 0.99))
           .orderBy("source", "q")
       },
-      Some(PipelineQueries.histQuantilesOracle))
+      Some(PipelineQueries.histQuantilesOracle)),
+
+    // ---- streaming IVF index MAINTENANCE (the write-side counterpart
+    // of sw11's read-side admission, s17's incremental append driven
+    // by the real micro-batch engine): the even half builds the
+    // persisted index; the odd half STREAMS in via foreachBatch —
+    // each micro-batch assigns under the frozen centroids and appends
+    // to the list-partitioned artifacts (maxFilesPerTrigger forces
+    // several real appends). Serving from the stream-grown index must
+    // equal the full batch build — s04's oracle verbatim, because
+    // fixed-centroid assignment is per-row independent, so no
+    // micro-batch split can show through.
+    NamedQuery("sw16_stream_ivf_append",
+      (s, dir) => {
+        import graft.similarity.Similarity
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val path = graft.ScratchDirs.scratch("ivf_idx_stream_grow")
+        val cents = Similarity.hyperplanes(
+          dim = 64, nBits = PipelineQueries.IvfLists, seed = 7L)
+        graft.ml.VectorSearch.writeIvfIndex(
+          Similarity.assignFixed(emb.filter(col("vec_id") % 2 === 0), cents),
+          "cluster", cents.zipWithIndex.map(_.swap), path)
+        StreamRunner.runForeachBatch(s,
+            emb.filter(col("vec_id") % 2 =!= 0), "sw16_ivf_append") { b =>
+          graft.ml.VectorSearch.appendToIvfIndex(b, path)
+        }
+        val (loaded, loadedCents) = graft.ml.VectorSearch.readIvfIndex(s, path)
+        Similarity.ivfServe(emb.filter(col("vec_id") < 20), loaded,
+            loadedCents.map(_._2), k = 5, nprobe = PipelineQueries.IvfProbes)
+          .orderBy("query_id", "rank")
+      },
+      Some(PipelineQueries.ivfFixedOracle(dim = 64,
+        nlist = PipelineQueries.IvfLists, nprobe = PipelineQueries.IvfProbes,
+        k = 5, seed = 7L)))
   )
 }

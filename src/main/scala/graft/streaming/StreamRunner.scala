@@ -145,6 +145,48 @@ object StreamRunner {
     spark.table(sink)
   }
 
+  /** Generic `foreachBatch` driver for SIDE-EFFECTING sinks (index
+    * maintenance, external appends): stages the input, streams it
+    * back through the file source with `maxFilesPerTrigger` = 2 (so
+    * the effect really applies over SEVERAL micro-batches, not one
+    * rebuild), and calls `fn` once per micro-batch. The stream's
+    * output is whatever `fn` wrote — callers verify by reading their
+    * own artifact afterwards (sw16 serves from the index the stream
+    * grew). Staging/checkpoint dirs are reclaimed before returning. */
+  def runForeachBatch(spark: SparkSession, batch: DataFrame,
+      name: String)(fn: DataFrame => Unit): Unit = {
+    val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream/" +
+      s"${name}_p${ProcessHandle.current().pid()}_${runSeq.incrementAndGet()}"
+    val stage = s"$root/in"
+    batch.coalesce(8).write.mode("overwrite").parquet(stage)
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", 2).parquet(stage)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+      val q = src.writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) => fn(b.toDF())
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val r = Paths.get(root)
+      if (Files.exists(r)) {
+        val walk = Files.walk(r)
+        try walk.iterator().asScala.toSeq.reverseIterator
+          .foreach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+
   /** Streaming UPSERT ingest via `foreachBatch` — the
     * merge-into-a-table sink pattern (CDC apply / incremental
     * re-delivery): each micro-batch is merged with the current target

@@ -88,6 +88,27 @@ class GraphSpec extends SparkSpec {
     assert(star.keySet == gx.keySet && gx.values.toSet.size == 1)
   }
 
+  test("inNeighborhoodJaccard: hand overlaps exact; hub sources dropped by the cap") {
+    // buyers 1,2,3 → parts 10,11,12; buyer 4 is a hub buying everything
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 12L), (4L, 10L), (4L, 11L), (4L, 12L))
+      .toDF("src", "dst")
+    val gj = PropertyGraph(
+      Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L).toDF("id"), edges)
+    // cap 2 drops hub 4: N(10)={1,2,3}, N(11)={1,2}, N(12)={3}
+    val got = gj.inNeighborhoodJaccard(maxSrcOutDeg = 2, minJaccard = 0.01)
+      .select("id_a", "id_b", "common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got((10L, 11L)) == ((2L, 0.666667)))
+    assert(got((10L, 12L)) == ((1L, 0.333333)))
+    assert(!got.contains((11L, 12L))) // no shared buyer under the cap
+    // without the cap the hub links everything, incl. (11,12)
+    val uncapped = gj.inNeighborhoodJaccard(maxSrcOutDeg = 10, minJaccard = 0.01)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((11L, 12L)))
+  }
+
   test("bfs finds shortest path, GraphFrames-shaped (from, e0, v1, …, to)") {
     val sym = PropertyGraph(g.vertices,
       g.edges.select("src", "dst")
