@@ -168,11 +168,43 @@ object Dedup {
     * `mh_i` columns: ONE md5 per distinct shingle split into two
     * 32-bit halves, hash_i = (h1 + i·h2 + i²) mod (2³¹−1)
     * (Kirsch–Mitzenmacher double hashing). The shared kernel of the
-    * self-join pair finder ([[minhashLshPairsPortable]]) and the
-    * incremental ingest join ([[minhashLshJoinPortable]]); its only
-    * shuffle is the per-id groupBy, which partial-aggregates map-side. */
+    * self-join pair finder ([[minhashLshPairsPortable]]), the
+    * incremental ingest join ([[minhashLshJoinPortable]]), and the
+    * persisted index ([[writeMinhashIndex]]).
+    *
+    * Computed by the FUSED per-row kernel
+    * (graft.functions.TextKernels.minhashSigFromText — one tight
+    * tokenize→shingle→md5→FMA loop per document, ZERO shuffle),
+    * replacing the original explode + md5-expression + groupBy form
+    * (kept below as [[minhashSignaturesPortableExpr]], equivalence-
+    * pinned by DedupSpec): bit-identical output — same hash family,
+    * min over the shingle SET, docs with < n tokens emit no row —
+    * but a corpus-sized explode-shuffle cheaper. The unpack to mh_i
+    * columns sits in a separate projection; CollapseProject's
+    * duplication guard keeps the non-cheap kernel call
+    * single-evaluation rather than inlining it 16×. */
   def minhashSignaturesPortable(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame = {
+    val sigK = {
+      import org.apache.spark.sql.GraftExpressionBridge
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      GraftExpressionBridge.column(graft.functions.TextKernelExprs
+        .minhashSigText(Seq(GraftExpressionBridge.expression(col(textCol)),
+          Literal(n), Literal(numHashes))))
+    }
+    df.select(col(idCol).as("id"), sigK.as("__sig"))
+      .filter(size(col("__sig")) > 0)
+      .select(Seq(col("id")) ++
+        (0 until numHashes).map(i =>
+          element_at(col("__sig"), i + 1).as(s"mh_$i")): _*)
+  }
+
+  /** Pure-expression reference form of [[minhashSignaturesPortable]]
+    * (the original explode + groupBy implementation) — kept for the
+    * DedupSpec equivalence property and for engines without
+    * StaticInvoke. */
+  private[graft] def minhashSignaturesPortableExpr(df: DataFrame,
+      idCol: String, textCol: String, n: Int, numHashes: Int): DataFrame = {
     val P = 2147483647L // 2³¹−1, Mersenne prime; h1 + 63·h2 + 63² < 2³⁹ ≪ 2⁶³
     // not persisted: consumed exactly once (the signature groupBy)
     val ex = df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh"))

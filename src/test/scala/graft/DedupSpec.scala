@@ -86,6 +86,16 @@ class DedupSpec extends SparkSpec {
     assert(replay.isEmpty)
   }
 
+  test("kernel signatures equal the expression-form reference (incl. short-doc row drop)") {
+    val docs = base.unionByName(Seq((9L, "too short")).toDF("doc_id", "text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect().toSeq
+    val kernel = rows(Dedup.minhashSignaturesPortable(docs, "doc_id", "text", 3, 16))
+    val expr = rows(Dedup.minhashSignaturesPortableExpr(docs, "doc_id", "text", 3, 16))
+    assert(kernel == expr)
+    assert(!kernel.exists(_.getLong(0) == 9L)) // < n tokens: no signature row
+  }
+
   test("persisted minhash index: both gates fire; admitted docs grow the index; replay admits nothing") {
     val path = ScratchDirs.scratch("spec_mh_idx")
     val even = base.filter($"doc_id" % 2 === 0) // ids 2, 4
