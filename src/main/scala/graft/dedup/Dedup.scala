@@ -88,6 +88,36 @@ object Dedup {
       .select(col("id"), col("idx").cast("long").as("idx"), col("chunk"))
   }
 
+  /** CONTENT-DEFINED chunk-level dedup — [[chunkDedup]]'s
+    * insertion-robust sibling (the rsync/LBFS/storage-dedup boundary
+    * rule, and the reason corpus chunk dedup survives boilerplate
+    * edits): chunk boundaries fall where a polynomial rolling hash
+    * over the trailing `w` codepoints ≡ 0 mod `d`
+    * (graft.functions.TextKernels.cdcChunks — one O(n) kernel pass
+    * per row), so inserting a character shifts boundaries only within
+    * ~w characters instead of re-cutting every downstream chunk the
+    * way a fixed-width chunker does. Each DISTINCT chunk then keeps
+    * its first (id, idx) occurrence — the d09 mechanics on
+    * content-defined spans. Output: surviving (id, idx, chunk).
+    * Scale shape identical to [[chunkDedup]]: scan-stage chunking,
+    * one content-keyed window. */
+  def cdcChunkDedup(df: DataFrame, idCol: String, textCol: String,
+      w: Int, d: Int): DataFrame = {
+    val chunkArr = {
+      import org.apache.spark.sql.GraftExpressionBridge
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      GraftExpressionBridge.column(graft.functions.TextKernelExprs.cdcChunks(
+        Seq(GraftExpressionBridge.expression(col(textCol)),
+          Literal(w), Literal(d))))
+    }
+    val chunks = df.select(col(idCol).as("id"),
+      posexplode(chunkArr).as(Seq("idx", "chunk")))
+    chunks.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("id"), col("idx"))))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("idx").cast("long").as("idx"), col("chunk"))
+  }
+
   /** Exact n-gram Jaccard similarity pairs via inverted shingle index.
     *
     * `maxDf` drops shingles present in more than that many documents

@@ -255,6 +255,49 @@ object TextKernels {
     new GenericArrayData(bandHashes(mins, numHashes, bands))
   }
 
+  /** Content-defined chunking (CDC): split `text` at positions where
+    * a polynomial rolling hash over the trailing `w` CODEPOINTS
+    * satisfies h % d == 0 — the rsync/LBFS boundary rule that keeps
+    * chunk boundaries stable under insertions (a fixed-width chunker
+    * shifts every subsequent chunk; CDC re-synchronizes within ~w
+    * characters). h over window ending at i = Σ_{k=0}^{w−1}
+    * cp(i−k)·B^k mod P with B = 257, P = 1e9+7 — every term integer,
+    * so the oracle replays boundaries exactly with a per-position
+    * lambda (Σ cp·(B^k mod P) mod P). The final position is always a
+    * boundary; text shorter than w (or boundary-free) is one chunk;
+    * empty text → empty array. O(n) per row via the rolling update. */
+  def cdcChunks(text: UTF8String, w: Int, d: Int): ArrayData = {
+    val s = text.toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val P = 1000000007L
+    val B = 257L
+    var bw1 = 1L // B^(w-1) mod P
+    var k = 1
+    while (k < w) { bw1 = bw1 * B % P; k += 1 }
+    val ends = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = if (i < w) (h * B + cps(i)) % P
+          else (((h - cps(i - w) * bw1 % P) % P + P) % P * B + cps(i)) % P
+      if (i >= w - 1 && h % d == 0 && i < n - 1) ends += (i + 1) // 1-based
+      i += 1
+    }
+    ends += n
+    val out = new Array[Any](ends.length)
+    var prev = 0 // 0-based exclusive start
+    var j = 0
+    while (j < ends.length) {
+      val e = ends(j)
+      out(j) = UTF8String.fromString(new String(cps, prev, e - prev))
+      prev = e
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Fused text → portable MinHash SIGNATURE (the raw mins, not band
     * hashes) — the per-row scan-stage form of
     * graft.dedup.Dedup.minhashSignaturesPortable's groupBy output,
@@ -355,5 +398,13 @@ object TextKernelExprs {
     literalInt(args(2), "numHashes", "graft_minhash_sig_text")
     StaticInvoke(Kernels, ArrayType(LongType, containsNull = false),
       "minhashSigFromText", args, returnNullable = false)
+  }
+
+  def cdcChunks(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "graft_cdc_chunks(text, w, d)")
+    literalInt(args(1), "w", "graft_cdc_chunks")
+    literalInt(args(2), "d", "graft_cdc_chunks")
+    StaticInvoke(Kernels, StringArray, "cdcChunks", args,
+      returnNullable = false)
   }
 }

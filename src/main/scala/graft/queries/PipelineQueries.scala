@@ -1242,6 +1242,52 @@ object PipelineQueries {
              |SELECT id, idx, chunk FROM ranked WHERE rn = 1
              |ORDER BY id, idx""".stripMargin)),
 
+    // ---- CONTENT-DEFINED chunk dedup (d09's insertion-robust
+    // sibling — the rsync/LBFS boundary rule): every doc is replayed
+    // with a 2-char PREFIX INSERTION, the edit that re-cuts every
+    // fixed-width chunk; CDC boundaries re-synchronize within ~w
+    // chars, so the replay's chunks dedup against the originals. The
+    // oracle replays the polynomial rolling hash (B=257, P=1e9+7,
+    // powers inlined), every boundary, every chunk slice, and the
+    // first-occurrence rule.
+    NamedQuery("d28_cdc_chunk_dedup", (s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val planted = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(lit("Z "), col("text")).as("text"))
+      Dedup.cdcChunkDedup(docs.unionByName(planted), "doc_id", "text",
+          w = 16, d = 64)
+        .orderBy("id", "idx")
+    },
+      Some {
+        val pw = Iterator.iterate(1L)(p => p * 257 % 1000000007L)
+          .take(16).mkString("[", ", ", "]")
+        s"""WITH all_docs AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT doc_id + 1000000, 'Z ' || text FROM documents),
+           |c AS (SELECT doc_id, text, len(text) AS n FROM all_docs
+           |      WHERE len(text) > 0),
+           |b AS (SELECT doc_id, text, n,
+           |    list_sort(list_append(
+           |      list_filter(generate_series(16, n - 1), i ->
+           |        (list_sum(list_transform(generate_series(0, 15), k ->
+           |           CAST(unicode(text[i-k:i-k]) AS BIGINT) * ($pw)[k+1]))
+           |         % 1000000007) % 64 = 0),
+           |      n)) AS ends
+           |  FROM c),
+           |chunks AS (
+           |  SELECT doc_id AS id, e.k - 1 AS idx,
+           |    text[CASE WHEN e.k = 1 THEN 1 ELSE ends[e.k - 1] + 1 END
+           |         : ends[e.k]] AS chunk
+           |  FROM b CROSS JOIN LATERAL (SELECT unnest(generate_series(
+           |    1, len(ends))) AS k) e),
+           |ranked AS (
+           |  SELECT id, idx, chunk,
+           |    row_number() OVER (PARTITION BY chunk ORDER BY id, idx) AS rn
+           |  FROM chunks)
+           |SELECT id, idx, chunk FROM ranked WHERE rn = 1
+           |ORDER BY id, idx""".stripMargin
+      }),
+
     // ---- per-label centroids + nearest-centroid assignment: the
     // known-label sibling of KMeans assignment (centroid table is
     // labels × dim → broadcast; corpus scanned once).

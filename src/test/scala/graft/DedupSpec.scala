@@ -86,6 +86,30 @@ class DedupSpec extends SparkSpec {
     assert(replay.isEmpty)
   }
 
+  test("cdcChunks: lossless partition; boundaries resync after an insertion (fixed-width does not)") {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    def chunksOf(t: String): Seq[String] = {
+      val c = GraftExpressionBridge.column(
+        graft.functions.TextKernelExprs.cdcChunks(Seq(
+          GraftExpressionBridge.expression(lit(t)), Literal(16), Literal(64))))
+      Seq(1).toDF("x").select(c.as("ch")).as[Seq[String]].head()
+    }
+    val text = (1 to 60).map(i => s"sentence number $i with some filler words").mkString(". ")
+    // invariant: chunks concatenate back to the text, none empty
+    val ch = chunksOf(text)
+    assert(ch.mkString("") == text && ch.forall(_.nonEmpty) && ch.length > 3)
+    // insertion robustness: a 2-char prefix shifts only the FIRST
+    // chunk(s); the tail chunks re-synchronize and match exactly
+    val shifted = chunksOf("Z " + text)
+    val shared = shifted.toSet intersect ch.toSet
+    assert(shared.size >= ch.length - 2,
+      s"CDC resync: only ${shared.size}/${ch.length} chunks shared after insertion")
+    // short + empty edge cases
+    assert(chunksOf("tiny") == Seq("tiny"))
+    assert(chunksOf("").isEmpty)
+  }
+
   test("kernel signatures equal the expression-form reference (incl. short-doc row drop)") {
     val docs = base.unionByName(Seq((9L, "too short")).toDF("doc_id", "text"))
     def rows(df: org.apache.spark.sql.DataFrame) =
