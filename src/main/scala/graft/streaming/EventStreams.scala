@@ -508,20 +508,26 @@ object EventStreams {
     * (one fused kernel pass per row — the sw04 family) plus its band
     * hashes (md5 over signature slices, the oracle construction), and
     * is ADMITTED iff no indexed doc shares a band hash AND agrees on
-    * ≥ minJaccard of the signature. ONE stateless stream-static
-    * LEFT-ANTI join — append mode, no state, no watermark; verdicts
-    * emit on arrival.
+    * ≥ minJaccard of the signature. Stateless stream-static anti-join
+    * chain — append mode, no state, no watermark; verdicts emit on
+    * arrival.
     *
-    * Scale shape: the static side here is the signature table with
-    * its band hashes re-derived scan-stage (≤ H longs + `bands`
-    * hashes per indexed doc), consumed by a broadcast nested-loop
-    * anti-join — right for a benchmark/recent-window-sized index. A
-    * corpus-sized index would instead explode arrivals into the
-    * (band, bh) EQUI-join against the band-partitioned `bands` dirs
-    * and aggregate per-doc verdicts (the d27 batch mechanics) under a
-    * watermarked aggregate. Docs too short to sign have an empty
-    * signature, match nothing, and are admitted — the d27 contract.
-    * Output: admitted (id) rows. */
+    * Scale shape: "any of `bands` band hashes collides" is an OR of
+    * equi predicates, which a SINGLE anti-join can only execute as a
+    * nested loop — measured quadratic (stream × index condition
+    * evals; the 30× probe DNF'd on it). The admission therefore runs
+    * as `bands` CHAINED broadcast-HASH anti-joins, one per band
+    * position: each keys on that band's hash (the equi component)
+    * with the signature-agreement test as the residual condition,
+    * evaluated only on bucket collisions. Semantically identical — a
+    * doc survives the chain iff NO band yields a qualifying indexed
+    * neighbor — and each hop is stateless and linear in the stream.
+    * The static side (signatures + that band's hash, scan-stage) is
+    * broadcastable for any recent-window/benchmark-sized index; a
+    * truly corpus-sized index shards the same equi key as a shuffled
+    * hash join. Docs too short to sign have an empty signature,
+    * match nothing, and are admitted — the d27 contract. Output:
+    * admitted (id) rows. */
   def nearDupIndexAdmission(docs: DataFrame, idCol: String, textCol: String,
       indexPath: String, n: Int, numHashes: Int, bands: Int,
       minJaccard: Double): DataFrame = {
@@ -536,33 +542,32 @@ object EventStreams {
     }
     def bandHash(mh: Int => org.apache.spark.sql.Column, b: Int) =
       md5(concat_ws("|", (b * rows until (b + 1) * rows).map(mh): _*))
-    // static side: signatures + per-band bh columns, derived scan-stage
-    val idx = graft.dedup.Dedup
+    val sigs = graft.dedup.Dedup
       .readMinhashSignatures(docs.sparkSession, indexPath)
-      .select((0 until numHashes).map(i => col(s"mh_$i")) ++
-        (0 until bands).map(b => bandHash(i => col(s"mh_$i"), b).as(s"bh_$b")): _*)
-    // stream side: signature kernel once per row; band hashes from it.
-    // `get` (0-based, null on out-of-bounds) instead of ANSI
+    // stream side: signature kernel once per row; per-band hashes from
+    // it. `get` (0-based, null on out-of-bounds) instead of ANSI
     // element_at: a shingle-less doc's empty signature must compare
-    // as null (→ no match → admitted), not throw.
-    val stream = docs
+    // as null (→ no bucket hit → admitted), not throw.
+    var cur = docs
       .withColumn("__sig", sigExpr(col(textCol)))
       .withColumn("__bhs", when(size(col("__sig")) === 0,
           array().cast("array<string>"))
         .otherwise(array((0 until bands).map(b =>
           bandHash(i => get(col("__sig"), lit(i)), b)): _*)))
-    val bandMatch = (0 until bands)
-      .map(b => get(col("__bhs"), lit(b)) === col(s"bh_$b"))
-      .reduce(_ || _)
-    val agree = (0 until numHashes)
-      .map(i => when(get(col("__sig"), lit(i)) === col(s"mh_$i"), 1)
-        .otherwise(0))
-      .reduce(_ + _)
-    stream
-      .join(idx,
-        bandMatch && round(agree.cast("double") / numHashes, 6) >= minJaccard,
+    for (b <- 0 until bands) {
+      val st = sigs.select((0 until numHashes)
+          .map(i => col(s"mh_$i").as(s"__m$i")) :+
+        bandHash(i => col(s"mh_$i"), b).as("__sbh"): _*)
+      val agree = (0 until numHashes)
+        .map(i => when(get(col("__sig"), lit(i)) === col(s"__m$i"), 1)
+          .otherwise(0))
+        .reduce(_ + _)
+      cur = cur.join(broadcast(st),
+        get(col("__bhs"), lit(b)) === col("__sbh") &&
+          round(agree.cast("double") / numHashes, 6) >= minJaccard,
         "left_anti")
-      .select(col(idCol).as("id"))
+    }
+    cur.select(col(idCol).as("id"))
   }
 
   /** One event on the wire (micros-precision event time `ts`). */

@@ -93,6 +93,28 @@ class PlanSpec extends SparkSpec {
       s"near-dup candidates must come from the band equi-join, not all-pairs:\n$plan")
   }
 
+  test("persisted minhash-index ingest stays banded/keyed (no all-pairs)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "d27_incremental_neardup_index")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"both the within-batch pairing and the index probe must be (band, bh) equi-joins:\n$plan")
+  }
+
+  test("buyer-overlap jaccard is an inverted-index equi-join (no all-pairs)") {
+    import graft.queries.GraphQueries
+    val plan = packPlan(GraphQueries.all, "g23_part_buyer_jaccard")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"part pairs must come from the shared-buyer equi-join:\n$plan")
+  }
+
+  test("CDC chunk dedup is scan-stage chunking + one content-keyed window") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "d28_cdc_chunk_dedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    assert(plan.contains("Window") && plan.contains("chunk"),
+      s"first-occurrence rule should be one window partitioned by chunk content:\n$plan")
+  }
+
   test("repeated-substring spans use keyed gram joins (no all-pairs)") {
     import graft.queries.PipelineQueries
     val plan = packPlan(PipelineQueries.all, "d23_repeated_substrings")
