@@ -768,6 +768,31 @@ object Dedup {
       .withColumn("boiler_ratio", round(col("n_boiler") / col("n_grams"), 4))
   }
 
+  /** Per-document n-gram NOVELTY — the cross-document repetition /
+    * memorization-risk signal corpus curation ranks on (a doc whose
+    * content is mostly n-grams other docs already carry adds little
+    * and over-weights whatever it repeats): fraction of a doc's
+    * DISTINCT n-grams that appear in NO other document. Same
+    * gram-df machinery as [[boilerplateNgrams]], but per-document
+    * and set-based ([[shingles]] dedups per doc, so each (id, gram)
+    * row is unique and the df count needs no distinct). One
+    * gram-keyed shuffle + one id-keyed aggregate — scan-stage
+    * otherwise. Docs with < n tokens have no grams and are absent.
+    * Output: (id, n_grams, n_repeated, novelty_frac). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val ex = graft.Caches.cached(
+      df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), n)).as("ng")))
+    val dfc = ex.groupBy("ng").agg(count(lit(1)).as("ndocs"))
+    ex.join(dfc, "ng")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_repeated"))
+      .withColumn("novelty_frac",
+        round(lit(1.0) - col("n_repeated") / col("n_grams"), 6))
+  }
+
   /** Substring-level exact dedup — the suffix-array-style hygiene
     * pass that catches long repeated substrings at UNALIGNED
     * positions, which chunk-boundary dedup ([[chunkDedup]]) misses.

@@ -359,12 +359,17 @@ object IterativeGraph {
       // small-star: group by the larger endpoint; all smaller
       // endpoints AND the larger endpoint attach to the group min
       val smallMins = afterLarge.groupBy("b").agg(min("a").as("m"))
+      // LAZY checkpoint: the round's ONE action is the checksum agg,
+      // which materializes the checkpoint blocks in the same job (the
+      // g21 stats-fusion lesson — an eager checkpoint would pay a
+      // second job per round just to warm the cache the digest then
+      // reads)
       val next = afterLarge.join(smallMins, "b")
         .filter(col("a") =!= col("m"))
         .select(col("m").as("a"), col("a").as("b"))
         .unionAll(smallMins.select(col("m").as("a"), col("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSig = checksum(next)
       converged = nextSig == sig
       pairs = next

@@ -189,6 +189,24 @@ object VectorSearch {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
+  /** INCREMENTAL append to a persisted IVF-PQ index —
+    * [[appendToIvfIndex]]'s coded sibling and the ingest path of the
+    * composed index: the batch is ENCODED under the artifact's OWN
+    * codebooks and assigned under its centroids (the whole decode
+    * rule is frozen in the index, not with the caller), then its
+    * codes-only rows append to the list-partitioned layout. Indexed
+    * rows are never touched; per-row work is the same one-scan
+    * encode+assign as the build. */
+  def appendToIvfPqIndex(newVecs: DataFrame, path: String, dim: Int): Unit = {
+    val spark = newVecs.sparkSession
+    Similarity.ivfPqEncodeAssignWith(newVecs,
+        readIvfIndexCentroids(spark, path).map(_._2), dim,
+        readPqCodebooks(spark, path))
+      .repartition(col("cluster"))
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/assignments")
+  }
+
   /** Codebooks of a persisted IVF-PQ index (m·k-row driver fetch —
     * vocabulary-sized by contract, like the centroid fetch). */
   def readPqCodebooks(spark: org.apache.spark.sql.SparkSession,

@@ -676,6 +676,36 @@ object PipelineQueries {
       Some(ivfPqOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
         topK = 5, ivfSeed = 7L))),
 
+    // ---- INCREMENTAL IVF-PQ index growth (s25 — s17's coded
+    // sibling, completing the {IVF, IVF-PQ} × {persist, append}
+    // matrix): build the persisted composed index on the even half,
+    // APPEND the odd half encoded under the ARTIFACT's own frozen
+    // centroids + codebooks (reloaded from disk — the decode rule
+    // travels with the index), serve from the combined layout.
+    // Per-row encode+assign is input-independent, so incremental
+    // build ≡ full build and s18's oracle is the exact expected
+    // output.
+    NamedQuery("s25_ivf_pq_incremental_append", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val path = graft.ScratchDirs.scratch("ivfpq_idx_incr")
+      val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
+      val books = Similarity.pqCodebooks(64, PqM, PqK, PqSeed)
+      graft.ml.VectorSearch.writeIvfPqIndex(
+        Similarity.ivfPqEncodeAssign(emb.filter(col("vec_id") % 2 === 0),
+          cents, 64, PqM, PqK, PqSeed),
+        cents.zipWithIndex.map(_.swap), books, path)
+      graft.ml.VectorSearch.appendToIvfPqIndex(
+        emb.filter(col("vec_id") % 2 =!= 0), path, dim = 64)
+      Similarity.ivfPqServe(emb.filter(col("vec_id") < 20),
+          s.read.parquet(s"$path/assignments"),
+          graft.ml.VectorSearch.readIvfIndexCentroids(s, path).map(_._2),
+          graft.ml.VectorSearch.readPqCodebooks(s, path),
+          topK = 5, nprobe = IvfProbes, dim = 64, m = PqM)
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfPqOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+        topK = 5, ivfSeed = 7L))),
+
     // ---- IVF-PQ recall audit (s20): recall@5 of the composed index
     // against the EXACT Euclidean top-k (s03's metric — ADC
     // approximates squared Euclidean), per query. The monitoring
@@ -2286,6 +2316,39 @@ object PipelineQueries {
              |  round(sum(CASE WHEN g IN (SELECT g FROM b) THEN 1 ELSE 0 END)
              |    / count(*), 4) AS boiler_ratio
              |FROM ex GROUP BY id ORDER BY id""".stripMargin)),
+
+    // ---- per-document n-gram NOVELTY (cross-document repetition /
+    // memorization-risk ranking signal): fraction of each doc's
+    // distinct 3-grams that no other document carries. Every 5th doc
+    // is replayed (+1000000) so the gate always has planted
+    // zero-novelty rows (a replayed doc's every gram is repeated by
+    // its original) next to the corpus's organic distribution.
+    NamedQuery("t23_ngram_novelty",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = docs.filter(col("doc_id") % 5 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+        Dedup.ngramNovelty(docs.unionByName(planted), "doc_id", "text", n = 3)
+          .orderBy("id")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, text FROM documents
+             |  WHERE doc_id % 5 = 0),
+             |t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                                 x -> len(x) > 0) AS ts FROM all_docs),
+             |shs AS (SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS arr
+             |  FROM t WHERE len(ts) >= 3),
+             |ex AS (SELECT doc_id AS id, unnest(arr) AS ng FROM shs),
+             |dfc AS (SELECT ng, count(*) AS ndocs FROM ex GROUP BY ng)
+             |SELECT id, count(*) AS n_grams,
+             |  CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_repeated,
+             |  round(1.0 - CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / count(*), 6) AS novelty_frac
+             |FROM ex JOIN dfc USING (ng)
+             |GROUP BY id ORDER BY id""".stripMargin)),
 
     // ---- embedding-norm outlier report (Tukey fences per label):
     // every 97th vector is scaled ×4 (a power of two — float×4 is

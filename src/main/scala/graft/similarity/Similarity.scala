@@ -741,9 +741,19 @@ object Similarity {
   private[graft] def ivfPqEncodeAssign(corpus: DataFrame,
       cents: Seq[Array[Float]], dim: Int, m: Int, kCodes: Int,
       pqSeed: Long): DataFrame =
+    ivfPqEncodeAssignWith(corpus, cents, dim,
+      pqCodebooks(dim, m, kCodes, pqSeed))
+
+  /** [[ivfPqEncodeAssign]] against EXPLICIT codebooks — the entry
+    * point for appends that must encode under the ARTIFACT's frozen
+    * books (graft.ml.VectorSearch.appendToIvfPqIndex) and for trained
+    * books. */
+  private[graft] def ivfPqEncodeAssignWith(corpus: DataFrame,
+      cents: Seq[Array[Float]], dim: Int,
+      books: Seq[Seq[Array[Float]]]): DataFrame =
     graft.Caches.cached(
-      pqEncode(corpus.toDF("neighbor_id", "cv"), "neighbor_id", "cv",
-          dim, m, kCodes, pqSeed)
+      pqEncodeWith(corpus.toDF("neighbor_id", "cv"), "neighbor_id", "cv",
+          dim, books)
         .withColumn("cluster",
           array_position(distArr(col("v"), cents),
             array_min(distArr(col("v"), cents))).cast("int"))

@@ -86,6 +86,20 @@ class DedupSpec extends SparkSpec {
     assert(replay.isEmpty)
   }
 
+  test("ngramNovelty: replayed doc scores 0, unique doc scores 1, short docs absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // replay of 1 → novelty 0 (both)
+      (3L, "totally unique content nothing shares these words"),
+      (4L, "hi")) // < 3 tokens: absent
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .select("id", "novelty_frac").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(2L) == 0.0)
+    assert(got(3L) == 1.0)
+    assert(!got.contains(4L))
+  }
+
   test("cdcChunks: lossless partition; boundaries resync after an insertion (fixed-width does not)") {
     import org.apache.spark.sql.GraftExpressionBridge
     import org.apache.spark.sql.catalyst.expressions.Literal

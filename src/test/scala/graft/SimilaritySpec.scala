@@ -338,6 +338,27 @@ class SimilaritySpec extends SparkSpec {
     assert(books.length == 4 && books.forall(_.length == 16))
   }
 
+  test("appendToIvfPqIndex: append-grown coded index equals the full build row-for-row") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select("vec_id", "embedding")
+    val cents = Similarity.hyperplanes(dim = 64, nBits = 8, seed = 7L)
+    val books = Similarity.pqCodebooks(64, 4, 16, 11L)
+    val path = graft.ScratchDirs.scratch("ivfpq_append_spec")
+    graft.ml.VectorSearch.writeIvfPqIndex(
+      Similarity.ivfPqEncodeAssign(emb.filter(col("vec_id") % 2 === 0),
+        cents, 64, 4, 16, 11L),
+      cents.zipWithIndex.map(_.swap), books, path)
+    graft.ml.VectorSearch.appendToIvfPqIndex(
+      emb.filter(col("vec_id") % 2 =!= 0), path, dim = 64)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("codes"), col("cluster").cast("int"))
+      .as[(Long, Seq[Int], Int)].collect().sortBy(_._1).toSeq
+    val grown = rows(spark.read.parquet(s"$path/assignments"))
+    val full = rows(Similarity.ivfPqEncodeAssign(emb, cents, 64, 4, 16, 11L))
+    assert(grown.nonEmpty && grown == full,
+      s"append-grown index must equal the full build (${grown.length} vs ${full.length})")
+  }
+
   test("mmrTopK trades relevance for diversity (picks from both clusters)") {
     // two tight clusters near the query; plain top-2 would take both
     // rows of cluster A (higher cos), MMR's diversity term pulls the
