@@ -1177,6 +1177,46 @@ object PipelineQueries {
              |WHERE CAST('0x' || substr(md5(d.text), 1, 8) AS BIGINT) % 1000000 < t.thr
              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
 
+    // ---- TARGET-SHARE mixture construction (p07's successor: the
+    // data-mix SPEC realized): four sources get explicit token
+    // shares against a 20k-token budget — src0's allocation exceeds
+    // its size (rate caps at 1, keeps everything), src1/src2/src3
+    // downsample to their shares, every other source drops. Realized
+    // per-source doc/token totals are the gate; the oracle replays
+    // the integer target math, the one IEEE division, and the hash
+    // filter exactly.
+    NamedQuery("p20_target_mix",
+      (s, dir) => Sampling.targetMix(Tables.documents(s, dir),
+          "source", TextOps.tokenCount(col("text")).cast("long"),
+          col("text"),
+          targetSharePct = Map("src0" -> 50, "src1" -> 5, "src2" -> 2,
+            "src3" -> 1),
+          budgetTokens = 20000L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("tok_kept"),
+          min("doc_id").as("min_kept_id"))
+        .orderBy("source"),
+      Some("""WITH tk AS (SELECT doc_id, source, text,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                    x -> len(x) > 0))::BIGINT AS ntok
+             |  FROM documents),
+             |c AS (SELECT source, sum(ntok) AS n FROM tk GROUP BY source),
+             |sp AS (SELECT * FROM (VALUES ('src0', 10000), ('src1', 1000),
+             |                             ('src2', 400), ('src3', 200))
+             |       AS v(source, t)),
+             |thr AS (SELECT c.source,
+             |    CAST(floor(round(least(1.0, CAST(t AS DOUBLE) / n), 6)
+             |      * 1000000) AS BIGINT) AS thr
+             |  FROM c JOIN sp ON c.source = sp.source)
+             |SELECT tk.source AS source, count(*) AS n_kept,
+             |  CAST(sum(ntok) AS BIGINT) AS tok_kept,
+             |  min(doc_id) AS min_kept_id
+             |FROM tk JOIN thr ON tk.source = thr.source
+             |WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000000
+             |      < thr.thr
+             |GROUP BY tk.source ORDER BY tk.source""".stripMargin)),
+
     // ---- Unicode NFC text normalization (the cleaning pass before
     // any hash-based dedup): every doc gets a planted DECOMPOSED
     // suffix (e + U+0301, mixed whitespace), so composition and
@@ -2766,9 +2806,9 @@ object PipelineQueries {
   private def NdBands = 15
   private[queries] def IvfLists = 16
   private[queries] def IvfProbes = 4
-  private def PqM = 4
-  private def PqK = 16
-  private def PqSeed = 11L
+  private[queries] def PqM = 4
+  private[queries] def PqK = 16
+  private[queries] def PqSeed = 11L
   private def KmvK = 64
 
   /** Shared CTE chain for the PQ queries (s07/s08): codebooks inlined
@@ -3230,7 +3270,7 @@ object PipelineQueries {
   }
 
   /** Oracle for s18/s19: the ivfPqCtes chain cut at top-k. */
-  private def ivfPqOracle(dim: Int, nlist: Int, nprobe: Int, topK: Int,
+  private[queries] def ivfPqOracle(dim: Int, nlist: Int, nprobe: Int, topK: Int,
       ivfSeed: Long): String =
     s"""WITH ${ivfPqCtes(dim, nlist, nprobe, ivfSeed)}
        |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank

@@ -489,6 +489,44 @@ object StreamingQueries {
       },
       Some(PipelineQueries.ivfFixedOracle(dim = 64,
         nlist = PipelineQueries.IvfLists, nprobe = PipelineQueries.IvfProbes,
-        k = 5, seed = 7L)))
+        k = 5, seed = 7L))),
+
+    // ---- streaming IVF-PQ index maintenance (sw16's coded sibling,
+    // s25 driven by the real micro-batch engine — closes the
+    // {IVF, IVF-PQ} × {batch append, stream append} matrix): arriving
+    // embeddings are ENCODED under the artifact's own reloaded
+    // codebooks, assigned under its centroids, and appended codes-only
+    // to the list dirs per micro-batch. Serving the stream-grown
+    // composed index must equal the full batch build — s18's oracle
+    // verbatim (per-row encode+assign is split-invariant).
+    NamedQuery("sw17_stream_ivfpq_append",
+      (s, dir) => {
+        import graft.similarity.Similarity
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val path = graft.ScratchDirs.scratch("ivfpq_idx_stream_grow")
+        val cents = Similarity.hyperplanes(
+          dim = 64, nBits = PipelineQueries.IvfLists, seed = 7L)
+        graft.ml.VectorSearch.writeIvfPqIndex(
+          Similarity.ivfPqEncodeAssign(emb.filter(col("vec_id") % 2 === 0),
+            cents, 64, PipelineQueries.PqM, PipelineQueries.PqK,
+            PipelineQueries.PqSeed),
+          cents.zipWithIndex.map(_.swap),
+          Similarity.pqCodebooks(64, PipelineQueries.PqM,
+            PipelineQueries.PqK, PipelineQueries.PqSeed), path)
+        StreamRunner.runForeachBatch(s,
+            emb.filter(col("vec_id") % 2 =!= 0), "sw17_ivfpq_append") { b =>
+          graft.ml.VectorSearch.appendToIvfPqIndex(b, path, dim = 64)
+        }
+        Similarity.ivfPqServe(emb.filter(col("vec_id") < 20),
+            s.read.parquet(s"$path/assignments"),
+            graft.ml.VectorSearch.readIvfIndexCentroids(s, path).map(_._2),
+            graft.ml.VectorSearch.readPqCodebooks(s, path),
+            topK = 5, nprobe = PipelineQueries.IvfProbes, dim = 64,
+            m = PipelineQueries.PqM)
+          .orderBy("query_id", "rank")
+      },
+      Some(PipelineQueries.ivfPqOracle(dim = 64,
+        nlist = PipelineQueries.IvfLists, nprobe = PipelineQueries.IvfProbes,
+        topK = 5, ivfSeed = 7L)))
   )
 }

@@ -86,6 +86,44 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** TARGET-SHARE mixture construction — the step past
+    * [[temperatureMix]]: a curation spec ships desired TOKEN shares
+    * per source plus a total token budget (the data-mix contract a
+    * DoReMi-style optimization or a product decision produces), and
+    * the engine realizes it: per-source keep-rate
+    * r_s = min(1, share_s·budget / tokens_s), rows kept by
+    * deterministic content hash. Sources absent from the spec drop
+    * entirely; a source smaller than its allocation keeps everything
+    * (rate capped at 1 — the realized mixture under-fills that share,
+    * visible in the output).
+    *
+    * Determinism (temperatureMix's recipe): per-source target tokens
+    * are computed as EXACT integers driver-side (budget·pct/100);
+    * tokens_s is an exact integer sum; r_s is ONE correctly-rounded
+    * IEEE long/long division, rounded to 6 dp and floored to an
+    * integer bucket threshold — the keep decision is an exact integer
+    * compare in any engine. Scale shape: one per-source token
+    * aggregate, a spec-sized broadcast join, a scan-stage hash
+    * filter — the corpus never shuffles. */
+  def targetMix(df: DataFrame, strataCol: String, tokens: Column,
+      key: Column, targetSharePct: Map[String, Int], budgetTokens: Long,
+      nBuckets: Int = 1000000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = targetSharePct.toSeq
+      .map { case (s, pct) => (s, budgetTokens * pct / 100) }
+      .toDF(strataCol, "__t")
+    val counts = df.groupBy(col(strataCol))
+      .agg(sum(tokens).as("__n"))
+    val thresholds = counts.join(targets, strataCol)
+      .withColumn("__q", least(lit(1.0), col("__t") / col("__n")))
+      .withColumn("__thr", floor(round(col("__q"), 6) * nBuckets).cast("long"))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(thresholds), Seq(strataCol), "left")
+      .filter(col("__thr").isNotNull && hashBucket(key, nBuckets) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Deterministic global shuffle + shard assignment — the training-
     * data EXPORT primitive: a corpus must be written as N shards in a
     * reproducible pseudo-random order (so every epoch/re-run/engine

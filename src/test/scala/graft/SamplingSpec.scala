@@ -50,6 +50,31 @@ class SamplingSpec extends SparkSpec {
     assert(again === kept.select("id").as[Long].collect().toSet)
   }
 
+  test("targetMix realizes token shares: cap at 1, partial rate, unlisted source dropped") {
+    import spark.implicits._
+    // each doc = 10 tokens; sources a/b/c have 1000/4000/1000 docs
+    def doc(i: Long, src: String) =
+      (i, src, s"tok$i a b c d e f g h i")
+    val df = ((1L to 1000L).map(doc(_, "a")) ++
+      (2001L to 6000L).map(doc(_, "b")) ++
+      (9001L to 10000L).map(doc(_, "c")))
+      .toDF("id", "src", "text")
+    val toks = graft.text.TextOps.tokenCount(col("text")).cast("long")
+    // budget 100k tokens: a→30% (30k > its 10k → rate 1, keep all);
+    // b→10% (10k of 40k → rate 0.25); c unlisted → dropped
+    val kept = Sampling.targetMix(df, "src", toks, col("text"),
+      Map("a" -> 30, "b" -> 10), budgetTokens = 100000L)
+    val bySrc = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("a") == 1000L)
+    assert(math.abs(bySrc("b") - 1000L) < 150, s"b=${bySrc("b")}")
+    assert(!bySrc.contains("c"))
+    // deterministic: identical keep set on re-run
+    val again = Sampling.targetMix(df, "src", toks, col("text"),
+      Map("a" -> 30, "b" -> 10), budgetTokens = 100000L)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.select("id").as[Long].collect().toSet)
+  }
+
   test("temperatureMix keeps small strata whole, downsamples large toward sqrt ratio") {
     import spark.implicits._
     val df = ((1 to 4000).map(i => (i.toLong, "big", s"text $i")) ++
