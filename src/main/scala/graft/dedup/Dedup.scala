@@ -394,6 +394,161 @@ object Dedup {
     admitted.drop("text_hash")
   }
 
+  // ---- Bloom-gated exact dedup (d29/sw18) --------------------------
+  //
+  // The hash index (d26) answers "seen before?" with a keyed join
+  // against a corpus-sized table. At 100 TB ingest that join is the
+  // whole cost, yet on a mostly-fresh feed almost every probe misses.
+  // The production fix is a BLOOM FILTER companion artifact: a
+  // constant-size bit array (~1.2 GB per billion docs at 1% fpp) that
+  // answers "definitely new" scan-stage, so only the ~fpp sliver of
+  // maybe-dups ever reaches the verification join. No false negatives
+  // → the admitted set is EXACTLY the anti-join's (full DuckDB oracle).
+  // This is the same expression machinery Catalyst's own runtime-filter
+  // injection uses (BloomFilterMightContain over xxhash64), driven here
+  // as a persisted, incrementally-merged index artifact.
+
+  private def bloomBinPath(path: String) = s"$path/bloom/filter.bin"
+  private def bloomMetaPath(path: String) = s"$path/bloom/filter.meta"
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeBloomArtifact(spark: org.apache.spark.sql.SparkSession,
+      path: String, bf: org.apache.spark.util.sketch.BloomFilter,
+      expectedItems: Long, numBits: Long): Unit = {
+    val bin = new org.apache.hadoop.fs.Path(bloomBinPath(path))
+    val out = hadoopFs(spark, bin).create(bin, true)
+    try bf.writeTo(out) finally out.close()
+    val meta = new org.apache.hadoop.fs.Path(bloomMetaPath(path))
+    val mo = hadoopFs(spark, meta).create(meta, true)
+    try mo.write(s"$expectedItems $numBits".getBytes("UTF-8"))
+    finally mo.close()
+  }
+
+  private def readBloomMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Long, Long) = {
+    val meta = new org.apache.hadoop.fs.Path(bloomMetaPath(path))
+    val in = hadoopFs(spark, meta).open(meta)
+    val parts =
+      try new String(in.readAllBytes(), "UTF-8").split(" ")
+      finally in.close()
+    (parts(0).toLong, parts(1).toLong)
+  }
+
+  /** Reload the serialized filter bytes (the gate's plan-side operand). */
+  def readBloomBytes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Byte] = {
+    val bin = new org.apache.hadoop.fs.Path(bloomBinPath(path))
+    val in = hadoopFs(spark, bin).open(bin)
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  /** Build + persist the Bloom companion of an existing hash index
+    * ([[writeHashIndex]]): a distributed treeAggregate over
+    * xxhash64(text_hash) longs (`stat.bloomFilter` — the executors
+    * build partial filters, the driver ORs them; the index never
+    * collects). `expectedItems` sizes the filter; it is persisted in
+    * the meta file because INCREMENTAL merges ([[bloomGatedIngest]])
+    * must rebuild batch filters with the identical (items, bits) pair
+    * to stay merge-compatible (same bit count + hash count). */
+  def writeBloomIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      fpp: Double = 0.01): Unit = {
+    val hashed = readHashIndex(spark, path)
+      .select(xxhash64(col("text_hash")).as("h"))
+    val expected = math.max(1L, hashed.count())
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .create(expected, fpp).bitSize()
+    val bf = hashed.stat.bloomFilter("h", expected, numBits)
+    writeBloomArtifact(spark, path, bf, expected, numBits)
+  }
+
+  /** Scan-stage membership gate: Spark's own `BloomFilterMightContain`
+    * (the runtime-filter expression — codegen'd, deserialized once per
+    * plan, never per row) with the persisted filter inlined as its
+    * foldable binary operand and `xxhash64(hashCol)` as the probe —
+    * exactly the (putLong ↔ mightContainLong) pairing the build side
+    * uses. True = maybe-indexed (verify by join); false = DEFINITELY
+    * new (bloom filters have no false negatives). */
+  def bloomMightContain(filterBytes: Array[Byte], hashCol: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    GraftExpressionBridge.column(BloomFilterMightContain(
+      Literal(filterBytes, BinaryType),
+      GraftExpressionBridge.expression(xxhash64(hashCol))))
+  }
+
+  /** Ingest a batch against the hash index THROUGH its Bloom gate — the
+    * d26 production loop with the join input culled to the maybe-dup
+    * sliver:
+    *
+    *  (a) dedup WITHIN the batch (min-id per content hash);
+    *  (b) route on the gate: gate=false rows are admitted WITHOUT
+    *      touching the index (no false negatives); gate=true rows —
+    *      true dups plus ~fpp of the fresh — verify via the keyed
+    *      anti-join against the index;
+    *  (c) append admitted hashes to the index AND merge an
+    *      admitted-rows filter (built distributed, with the artifact's
+    *      own (items, bits) pair so the merge is compatible) into the
+    *      persisted filter — the next batch's gate sees this one.
+    *
+    * Admitted set ≡ [[ingestAgainstHashIndex]]'s exactly; the gate only
+    * changes HOW MUCH of the batch the join reads. Saturation note: the
+    * filter is sized at build time; a corpus that grows far past
+    * `expectedItems` degrades fpp (gate passes more, correctness
+    * unaffected) — production rebuilds the filter when the routed
+    * fraction drifts, which [[bloomRoutingStats]] measures. */
+  def bloomGatedIngest(batch: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val spark = batch.sparkSession
+    val bytes = readBloomBytes(spark, path)
+    val gate = bloomMightContain(bytes, col("text_hash"))
+    // Both gate branches read `within`; persist it so the window runs
+    // once (the union's materialization below populates + reuses it).
+    // The ADMITTED union then eager-checkpoints before the append for
+    // the same reason as ingestAgainstHashIndex: the append writes to
+    // the path the verification branch scans.
+    val within = graft.Caches.cached(
+      dropExactDups(batch, idCol, textCol)
+        .withColumn("text_hash", md5(col(textCol))))
+    val admitted = within.filter(!gate)
+      .unionByName(within.filter(gate)
+        .join(readHashIndex(spark, path).select("text_hash"),
+          Seq("text_hash"), "left_anti"))
+      .localCheckpoint()
+    // A fully-duplicate batch admits nothing: the index and filter are
+    // already complete, and stat.bloomFilter over an empty frame has
+    // no buffer to return — skip maintenance entirely.
+    if (!admitted.isEmpty) {
+      admitted
+        .groupBy("text_hash").agg(min(col(idCol)).as("first_id"))
+        .withColumn("hp", substring(col("text_hash"), 1, 1))
+        .repartition(col("hp"))
+        .write.mode("append").partitionBy("hp")
+        .parquet(s"$path/hashes")
+      val (expected, numBits) = readBloomMeta(spark, path)
+      val batchBf = admitted.select(xxhash64(col("text_hash")).as("h"))
+        .stat.bloomFilter("h", expected, numBits)
+      val merged = org.apache.spark.util.sketch.BloomFilter.readFrom(bytes)
+        .mergeInPlace(batchBf)
+      writeBloomArtifact(spark, path, merged, expected, numBits)
+    }
+    admitted.drop("text_hash")
+  }
+
+  /** Routing telemetry for the gate (the saturation monitor): how many
+    * batch rows the filter sent to the verification join vs admitted
+    * scan-stage. One pass over the batch; no join. */
+  def bloomRoutingStats(batch: DataFrame, textCol: String,
+      path: String): DataFrame = {
+    val bytes = readBloomBytes(batch.sparkSession, path)
+    batch.select(bloomMightContain(bytes, md5(col(textCol))).as("routed"))
+      .groupBy("routed").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** PERSISTED MinHash NEAR-dup index, build side — the near-dup
     * sibling of [[writeHashIndex]] and the batch artifact the
     * incremental-ingest loop (d16's shape) probes instead of

@@ -468,6 +468,62 @@ object PipelineQueries {
       },
       Some(minhashIndexIngestOracle(MhHashes, MhBands, 0.5))),
 
+    // ---- BLOOM-gated exact-dedup ingest (d26 with the join input
+    // culled by the persisted constant-size filter — the 100 TB
+    // admission shape): TWO sequential batches through the gate. The
+    // two-phase design makes the ORACLE pin the filter MAINTENANCE:
+    // batch 2 replays batch-1 admissions, and those replays are only
+    // rejected if the merged filter routes them into the verification
+    // join — a broken merge would admit them scan-stage (no join ever
+    // sees them), which the oracle's `a1` gate would catch. Both d26
+    // gates (cross-batch vs index, within-batch min-id) fire in each
+    // phase via the planted replays.
+    NamedQuery("d29_bloom_gated_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("bloom_idx")
+        Dedup.writeHashIndex(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", path)
+        Dedup.writeBloomIndex(s, path, fpp = 0.01)
+        val batch1 = docs.filter(col("doc_id") % 3 === 1)
+          .unionByName(docs.filter(col("doc_id") % 9 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        val a1 = Dedup.bloomGatedIngest(batch1, "doc_id", "text", path)
+          .select(lit(1).as("phase"), col("doc_id"))
+        val batch2 = docs.filter(col("doc_id") % 3 === 2)
+          .unionByName(docs.filter(col("doc_id") % 9 === 1)
+            .withColumn("doc_id", col("doc_id") + 2000000))
+          .unionByName(docs.filter(col("doc_id") % 9 === 3)
+            .withColumn("doc_id", col("doc_id") + 3000000))
+        val a2 = Dedup.bloomGatedIngest(batch2, "doc_id", "text", path)
+          .select(lit(2).as("phase"), col("doc_id"))
+        a1.unionByName(a2).orderBy("phase", "doc_id")
+      },
+      Some("""WITH idx AS (SELECT DISTINCT md5(text) AS h FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |b1 AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 9 = 0),
+             |w1 AS (SELECT doc_id, h, row_number() OVER (
+             |    PARTITION BY h ORDER BY doc_id) AS rn FROM b1),
+             |a1 AS (SELECT doc_id, h FROM w1
+             |  WHERE rn = 1 AND h NOT IN (SELECT h FROM idx)),
+             |b2 AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2
+             |  UNION ALL
+             |  SELECT doc_id + 2000000, md5(text) FROM documents WHERE doc_id % 9 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 3000000, md5(text) FROM documents WHERE doc_id % 9 = 3),
+             |w2 AS (SELECT doc_id, h, row_number() OVER (
+             |    PARTITION BY h ORDER BY doc_id) AS rn FROM b2),
+             |a2 AS (SELECT doc_id, h FROM w2
+             |  WHERE rn = 1 AND h NOT IN (SELECT h FROM idx)
+             |    AND h NOT IN (SELECT h FROM a1))
+             |SELECT 1 AS phase, doc_id FROM a1
+             |UNION ALL SELECT 2 AS phase, doc_id FROM a2
+             |ORDER BY phase, doc_id""".stripMargin)),
+
     // ---- brute-force exact ANN: top-5 cosine neighbors for the first
     // 20 vectors against the whole corpus.
     NamedQuery("s01_ann_brute_topk", (s, dir) => {
@@ -1216,6 +1272,73 @@ object PipelineQueries {
              |WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000000
              |      < thr.thr
              |GROUP BY tk.source ORDER BY tk.source""".stripMargin)),
+
+    // ---- CURRICULUM-staged training order (p21): every document gets
+    // one deterministic global position — stages by the frozen t19
+    // quality prob (ascending: low-score docs first; negate the score
+    // for quality-first), pseudo-shuffled within each stage by the p06
+    // content-hash order. The corpus only pays (stage, shard)-keyed
+    // windows; the global offsets come from the tiny per-cell count
+    // frame (the io11 construction applied to training order). The
+    // oracle replays the scorer arithmetic AND the full offset
+    // construction as one global row_number.
+    NamedQuery("p21_curriculum_order",
+      (s, dir) => {
+        val scored = graft.ml.QualityModel.scoreFixed(
+          Tables.documents(s, dir), "doc_id", "text", enStop)
+        Sampling.curriculumOrder(scored.select("id", "prob"), "id",
+            col("prob"), boundaries = Seq(0.3, 0.6, 0.85), nShards = 8,
+            salt = "cur1")
+          .orderBy("seq")
+      },
+      Some(s"""WITH ${qualityModelCtes("documents")},
+             |p AS (SELECT id, round(1.0 / (1.0 + exp(-z)), 4) AS prob FROM z),
+             |r AS (SELECT id,
+             |    (CASE WHEN prob >= 0.3 THEN 1 ELSE 0 END
+             |     + CASE WHEN prob >= 0.6 THEN 1 ELSE 0 END
+             |     + CASE WHEN prob >= 0.85 THEN 1 ELSE 0 END) AS stage,
+             |    md5('cur1|' || CAST(id AS VARCHAR)) AS hx
+             |  FROM p),
+             |sh AS (SELECT id, stage, hx,
+             |    CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 8 AS INT) AS shard
+             |  FROM r)
+             |SELECT id, stage, shard, row_number() OVER (
+             |    ORDER BY stage, shard, hx, id) AS seq
+             |FROM sh ORDER BY seq""".stripMargin)),
+
+    // ---- LENGTH-bucketed batch assembly with padding accounting
+    // (p22): docs bucket by token count (width 64), hash-shard within
+    // the bucket, and cut into 32-doc batches per (bucket, shard)
+    // cell — batching needs length-homogeneity, not bucket-global
+    // contiguity, so the keyed window runs over bucket·shard cells and
+    // reducers stay bounded at any corpus size. padding_waste =
+    // n_docs·max_len − sum_len is the KPI this operator exists for
+    // (what a batch pads to its own max costs vs useful tokens).
+    NamedQuery("p22_length_bucket_batches",
+      (s, dir) => Sampling.lengthBucketBatches(
+          Tables.documents(s, dir), "doc_id",
+          TextOps.tokenCount(col("text")), bucketWidth = 64,
+          batchSize = 32, nShards = 4, salt = "lb1")
+        .orderBy("bucket", "shard", "batch_idx"),
+      Some("""WITH tk AS (SELECT doc_id,
+             |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                    x -> len(x) > 0))::BIGINT AS ln,
+             |    md5('lb1|' || CAST(doc_id AS VARCHAR)) AS hx
+             |  FROM documents),
+             |b AS (SELECT doc_id, ln, hx,
+             |    CAST(floor(ln / 64) AS INT) AS bucket,
+             |    CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 4 AS INT) AS shard
+             |  FROM tk),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY bucket, shard ORDER BY hx, doc_id) AS rn FROM b),
+             |g AS (SELECT bucket, shard,
+             |    CAST(floor((rn - 1) / 32) AS INT) AS batch_idx,
+             |    count(*) AS n_docs, max(ln) AS max_len,
+             |    CAST(sum(ln) AS BIGINT) AS sum_len
+             |  FROM r GROUP BY bucket, shard, batch_idx)
+             |SELECT bucket, shard, batch_idx, n_docs, max_len, sum_len,
+             |  n_docs * max_len - sum_len AS padding_waste
+             |FROM g ORDER BY bucket, shard, batch_idx""".stripMargin)),
 
     // ---- Unicode NFC text normalization (the cleaning pass before
     // any hash-based dedup): every doc gets a planted DECOMPOSED

@@ -434,6 +434,44 @@ object StreamingQueries {
       Some(PipelineQueries.minhashStreamAdmissionOracle(
         PipelineQueries.MhHashes, PipelineQueries.MhBands, 0.5))),
 
+    // ---- streaming exact-dedup admission through the persisted BLOOM
+    // gate (d29's streaming twin; sw13 with the stream-static join
+    // culled to the maybe-dup sliver): the even half's hashes persist
+    // as index + constant-size filter; arriving odd docs + planted
+    // replays of INDEXED docs (%10==2, +1000000) route on the
+    // scan-stage BloomFilterMightContain gate — definitely-new rows
+    // admit without touching the index, maybe-dups (every replay +
+    // ~fpp of the fresh) verify via the stateless anti-join. Admitted
+    // set ≡ sw13's exact semantics; the oracle is the plain anti-join.
+    NamedQuery("sw18_stream_bloom_admission",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("bloom_idx_stream")
+        graft.dedup.Dedup.writeHashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        graft.dedup.Dedup.writeBloomIndex(s, path, fpp = 0.01)
+        val feed = docs.filter(col("doc_id") % 2 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 10 === 2)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+          .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id)"))
+        val admitted = StreamRunner.runAvailableNow(s, feed,
+            "sw18_bloom_admission", "append") { src =>
+          EventStreams.bloomIndexAdmission(src, "doc_id", "text", "ts",
+            path, watermark = "30 days")
+        }
+        admitted.orderBy("id")
+      },
+      Some("""WITH idx AS (SELECT DISTINCT md5(text) AS h FROM documents
+             |  WHERE doc_id % 2 = 0),
+             |feed AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, md5(text) FROM documents
+             |  WHERE doc_id % 10 = 2)
+             |SELECT doc_id AS id FROM feed
+             |WHERE h NOT IN (SELECT h FROM idx)
+             |ORDER BY id""".stripMargin)),
+
     // ---- streaming HISTOGRAM-quantile maintenance (ingest-time lift
     // of p18, the distribution sibling of sw12's count-min): arriving
     // docs bucket their token counts into (source, bucket) cells — the

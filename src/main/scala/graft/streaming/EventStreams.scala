@@ -500,6 +500,41 @@ object EventStreams {
       .select(col(idCol).as("id"))
   }
 
+  /** Streaming exact-dedup admission through the persisted BLOOM gate
+    * (graft.dedup.Dedup.writeBloomIndex — d29's streaming twin, the
+    * culled form of [[indexDedupAdmission]]): arriving docs dedup
+    * within the stream on their content hash, then ROUTE on the
+    * scan-stage BloomFilterMightContain gate — gate=false rows are
+    * admitted without touching the index (bloom filters have no false
+    * negatives), gate=true rows (true dups + ~fpp of the fresh) verify
+    * via the stateless stream-static anti-join. Admitted set ≡
+    * [[indexDedupAdmission]]'s exactly; at 100 TB ingest on a
+    * mostly-fresh feed the per-batch join input shrinks to the ~fpp
+    * sliver, which is the difference between a corpus-sized join per
+    * micro-batch and a bit-array probe per row. */
+  def bloomIndexAdmission(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, indexPath: String, watermark: String): DataFrame = {
+    val spark = docs.sparkSession
+    val bytes = graft.dedup.Dedup.readBloomBytes(spark, indexPath)
+    val idx = graft.dedup.Dedup
+      .readHashIndex(spark, indexPath).select("text_hash")
+    val gate = graft.dedup.Dedup.bloomMightContain(bytes, col("text_hash"))
+    val hashed = docs.withWatermark(tsCol, watermark)
+      .withColumn("text_hash", md5(col(textCol)))
+    // Route BEFORE the within-stream dedup: the gate is a pure function
+    // of the content hash, so the branches partition the hash space and
+    // per-branch dropDuplicatesWithinWatermark ≡ the global one — each
+    // branch's state store holds only its own sliver (the verify
+    // branch's state is ~fpp of the feed on mostly-fresh ingest).
+    hashed.filter(!gate)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .select(col(idCol).as("id"))
+      .unionByName(hashed.filter(gate)
+        .dropDuplicatesWithinWatermark("text_hash")
+        .join(idx, Seq("text_hash"), "left_anti")
+        .select(col(idCol).as("id")))
+  }
+
   /** Streaming NEAR-dup admission against the PERSISTED MinHash band
     * index (graft.dedup.Dedup.writeMinhashIndex — d27's streaming
     * twin, completing the admission-gate family: sw13 exact content,

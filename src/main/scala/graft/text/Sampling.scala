@@ -231,6 +231,103 @@ object Sampling {
     full.unionByName(boundary).select("id", "score", "w")
   }
 
+  /** Curriculum-staged global training order (p21): the composition a
+    * staged training run actually consumes — every document gets ONE
+    * deterministic position `seq` in a total order that visits stages
+    * in sequence and pseudo-shuffles within each stage.
+    *
+    *  - stage: count of `boundaries` ≤ score (fixed thresholds —
+    *    production derives them from the p18 quantile sketch, then
+    *    freezes them as artifacts like the t19 weights). Ascending
+    *    stages train first; callers wanting high-quality-first pass a
+    *    negated score.
+    *  - within a stage: the p06 shuffle-shard order — shard by
+    *    md5(salt|id), then md5-order within the shard — so the
+    *    within-stage stream is content-keyed-reproducible, not
+    *    RNG-shuffled.
+    *  - seq: 1-based global position = the stage/shard offset plus the
+    *    within-(stage, shard) rank.
+    *
+    * Scale shape: the corpus only ever pays KEYED windows — row_number
+    * partitioned by (stage, shard), ~stages·shards reducers — and the
+    * offsets come from a window over the (stage, shard) COUNT frame
+    * (tiny, broadcast back). The naive form is a global total-order
+    * sort of the corpus; this is the io11 offset construction applied
+    * to training order. Output: (id, stage, shard, seq). */
+  def curriculumOrder(df: DataFrame, idCol: String, scoreCol: Column,
+      boundaries: Seq[Double], nShards: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      "boundaries must be ascending")
+    val stage = boundaries.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(scoreCol >= b, 1).otherwise(0)
+    }
+    val hx = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    val rows = df
+      .withColumn("stage", stage)
+      .withColumn("__hx", hx)
+      .withColumn("shard",
+        (conv(substring(col("__hx"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("stage"), col("shard"))
+          .orderBy(col("__hx"), col(idCol))))
+    // (stage, shard) counts — stages·shards rows; the exclusive prefix
+    // sum over this tiny frame is each cell's global offset
+    val wOff = Window.orderBy(col("stage"), col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy("stage", "shard")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .drop("__n")
+    rows.join(broadcast(offsets), Seq("stage", "shard"))
+      .select(col(idCol), col("stage"), col("shard"),
+        (col("__off") + col("__rn")).as("seq"))
+  }
+
+  /** Length-bucketed batch assembly (p22): group documents into
+    * fixed-width token-count buckets, order each bucket by content
+    * hash, and cut it into `batchSize`-document batches — the standard
+    * inference/training batching move that bounds padding waste (a
+    * batch pads every member to its own max length; mixing a 10-token
+    * and a 4000-token doc in one batch wastes ~8× the useful tokens).
+    * Emits one row PER BATCH with its padding accounting:
+    * (bucket, batch_idx, n_docs, max_len, sum_len, padding_waste)
+    * where padding_waste = n_docs·max_len − sum_len.
+    *
+    * Deterministic: bucket = floor(len/bucketWidth); batches cut from
+    * the (md5(salt|id), id) order WITHIN (bucket, shard) — batching
+    * needs length-homogeneity, not bucket-global contiguity, so each
+    * bucket hash-shards into `nShards` independently-cut cells and the
+    * keyed window runs over bucket·shard cells (bounded reducers at any
+    * corpus size — a bare per-bucket window would concentrate the
+    * corpus onto ~dozens of reducers). At most one ragged
+    * (< batchSize) batch per cell. Output:
+    * (bucket, shard, batch_idx, n_docs, max_len, sum_len,
+    * padding_waste). */
+  def lengthBucketBatches(df: DataFrame, idCol: String, lenCol: Column,
+      bucketWidth: Int, batchSize: Int, nShards: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketWidth > 0 && batchSize > 0 && nShards > 0,
+      "bucketWidth, batchSize, and nShards must be positive")
+    val hx = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    df.select(col(idCol), lenCol.cast("long").as("__len"), hx.as("__hx"))
+      .withColumn("bucket", floor(col("__len") / bucketWidth).cast("int"))
+      .withColumn("shard",
+        (conv(substring(col("__hx"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("bucket"), col("shard"))
+          .orderBy(col("__hx"), col(idCol))))
+      .withColumn("batch_idx", floor((col("__rn") - 1) / batchSize).cast("int"))
+      .groupBy("bucket", "shard", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"), max("__len").as("max_len"),
+        sum("__len").as("sum_len"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("max_len") - col("sum_len"))
+  }
+
   def upsample(df: DataFrame, weightCol: Column): DataFrame =
     df.withColumn("copy_no", explode(
       when(weightCol >= 1, sequence(lit(1), weightCol))

@@ -435,4 +435,80 @@ class DedupSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(docSplit(4L) != docSplit(1000004L))
   }
+
+  // ---- Bloom-gated exact dedup (d29/sw18) --------------------------
+
+  private def syntheticDocs(n: Int, tag: String) =
+    spark.range(n).selectExpr("id AS doc_id",
+      s"concat('synthetic $tag document number ', id, " +
+        "' with distinct filler content alpha beta gamma delta ', id * 31) AS text")
+
+  test("bloom index has no false negatives: every indexed hash gates true") {
+    val path = ScratchDirs.scratch("t_bloom_fn")
+    val docs = syntheticDocs(200, "bloomfn")
+    Dedup.writeHashIndex(docs, "doc_id", "text", path)
+    Dedup.writeBloomIndex(spark, path, fpp = 0.01)
+    val bytes = Dedup.readBloomBytes(spark, path)
+    val misses = docs
+      .filter(!Dedup.bloomMightContain(bytes, md5($"text")))
+      .count()
+    assert(misses == 0)
+  }
+
+  test("bloomGatedIngest admits exactly what the ungated index ingest admits") {
+    val corpus = syntheticDocs(300, "bloomeq")
+    val indexed = corpus.filter($"doc_id" < 150)
+    // batch: 150 fresh + replays of indexed docs (+10000, cross-batch
+    // gate) + replays of batch docs (+20000, within-batch min-id gate)
+    val batch = corpus.filter($"doc_id" >= 150)
+      .unionByName(indexed.filter($"doc_id" % 10 === 0)
+        .withColumn("doc_id", $"doc_id" + 10000))
+      .unionByName(corpus.filter($"doc_id" >= 150 && $"doc_id" % 10 === 1)
+        .withColumn("doc_id", $"doc_id" + 20000))
+    val pGated = ScratchDirs.scratch("t_bloom_eq_g")
+    val pPlain = ScratchDirs.scratch("t_bloom_eq_p")
+    Seq(pGated, pPlain).foreach { p =>
+      Dedup.writeHashIndex(indexed, "doc_id", "text", p)
+    }
+    Dedup.writeBloomIndex(spark, pGated, fpp = 0.01)
+    val gated = Dedup.bloomGatedIngest(batch, "doc_id", "text", pGated)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val plain = Dedup.ingestAgainstHashIndex(batch, "doc_id", "text", pPlain)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gated == plain)
+    assert(gated.nonEmpty && !gated.exists(_ >= 10000)) // every replay dropped
+  }
+
+  test("merged filter closes the loop: re-ingesting an admitted batch admits nothing scan-stage") {
+    val path = ScratchDirs.scratch("t_bloom_merge")
+    val corpus = syntheticDocs(200, "bloommerge")
+    Dedup.writeHashIndex(corpus.filter($"doc_id" < 100), "doc_id", "text", path)
+    Dedup.writeBloomIndex(spark, path, fpp = 0.01)
+    val batch = corpus.filter($"doc_id" >= 100)
+    assert(Dedup.bloomGatedIngest(batch, "doc_id", "text", path).count() == 100)
+    // the replay must be rejected, and the MERGED filter must ROUTE all
+    // of it into the verification join (a broken merge would admit the
+    // replay without any join seeing it)
+    val replay = batch.withColumn("doc_id", $"doc_id" + 50000)
+    val bytes = Dedup.readBloomBytes(spark, path)
+    assert(replay.filter(!Dedup.bloomMightContain(bytes, md5($"text"))).count() == 0)
+    assert(Dedup.bloomGatedIngest(replay, "doc_id", "text", path).count() == 0)
+  }
+
+  test("bloom gate is scan-stage (might_contain in the plan, no join) and routes ~fpp of fresh") {
+    val path = ScratchDirs.scratch("t_bloom_route")
+    Dedup.writeHashIndex(syntheticDocs(500, "bloomidx"), "doc_id", "text", path)
+    Dedup.writeBloomIndex(spark, path, fpp = 0.01)
+    val bytes = Dedup.readBloomBytes(spark, path)
+    val fresh = syntheticDocs(500, "bloomfresh")
+    val gatedPlan = fresh.filter(!Dedup.bloomMightContain(bytes, md5($"text")))
+      .queryExecution.executedPlan.toString
+    assert(gatedPlan.contains("might_contain"))
+    assert(!gatedPlan.toLowerCase.contains("join"))
+    // routing stats: fresh rows routed to the verify join ≤ 10× fpp
+    val routed = Dedup.bloomRoutingStats(fresh, "text", path)
+      .as[(Boolean, Long)].collect().toMap
+    assert(routed.getOrElse(true, 0L) <= 50) // 10% of 500 vs fpp=1%
+    assert(routed.getOrElse(false, 0L) >= 450)
+  }
 }

@@ -202,4 +202,55 @@ class SamplingSpec extends SparkSpec {
     // budget 5: only the first row of the best group
     assert(sel(5L) == Set(1L))
   }
+
+  test("curriculumOrder: seq is a stage-monotone permutation; offsets match cell counts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 100L).map(i => (i, (i % 10) / 10.0)).toDF("id", "score")
+    val got = Sampling.curriculumOrder(docs, "id", col("score"),
+        boundaries = Seq(0.3, 0.7), nShards = 4, salt = "t")
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._4)
+    // a permutation 1..N
+    assert(got.map(_._4).toSeq == (1L to 100L))
+    // stage assignment from the fixed thresholds
+    val stageOf = got.map(r => r._1 -> r._2).toMap
+    assert(stageOf(10L) == 0 && stageOf(3L) == 1 && stageOf(7L) == 2)
+    // the global order visits (stage, shard) blocks in order
+    val cells = got.map(r => (r._2, r._3)).toSeq
+    assert(cells == cells.sorted)
+    // deterministic across runs
+    val again = Sampling.curriculumOrder(docs, "id", col("score"),
+        boundaries = Seq(0.3, 0.7), nShards = 4, salt = "t")
+      .as[(Long, Int, Int, Long)].collect().sortBy(_._4)
+    assert(got.toSeq == again.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.curriculumOrder(docs, "id", col("score"),
+        boundaries = Seq(0.7, 0.3), nShards = 4, salt = "t")
+    }
+  }
+
+  test("lengthBucketBatches: homogeneous buckets, bounded batches, exact padding math") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 40 docs of length ~bucket0 (0..63) and 10 of bucket2 (128..191)
+    val docs = ((1L to 40L).map(i => (i, 30L + i % 20)) ++
+      (41L to 50L).map(i => (i, 150L))).toDF("id", "len")
+    val got = Sampling.lengthBucketBatches(docs, "id", col("len"),
+        bucketWidth = 64, batchSize = 8, nShards = 2, salt = "t")
+      .as[(Int, Int, Int, Long, Long, Long, Long)].collect()
+    assert(got.map(_._1).toSet == Set(0, 2))
+    // every batch ≤ batchSize; counts conserve the corpus
+    assert(got.forall(_._4 <= 8) && got.map(_._4).sum == 50)
+    // padding arithmetic holds on every row; homogeneity: max_len in bucket
+    got.foreach { case (b, _, _, n, mx, sm, waste) =>
+      assert(waste == n * mx - sm)
+      assert(mx / 64 == b)
+    }
+    // bucket 2 is constant-length → zero waste
+    assert(got.filter(_._1 == 2).forall(_._7 == 0L))
+    // batch indexes are dense from 0 within each cell
+    got.groupBy(r => (r._1, r._2)).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0 until rs.length).toSeq)
+    }
+  }
 }
