@@ -83,6 +83,50 @@ object IterativeGraph {
     labels
   }
 
+  /** HITS (hubs & authorities), `iters` synchronous supersteps with L2
+    * normalization after each half-step — Kleinberg's algorithm in its
+    * standard normalized form:
+    *   auth₊(v) = Σ_{u→v} hub(u)   / ‖·‖₂
+    *   hub₊(u)  = Σ_{u→v} auth₊(v) / ‖·‖₂
+    * On the bipartite customer→part graph authorities live on parts
+    * (what well-connected buyers co-purchase) and hubs on customers —
+    * the "influential reviewers / canonical books" question HITS was
+    * built for. Neither GraphX nor GraphFrames ships it.
+    *
+    * Deterministic fixed iterations → DuckDB-oracle-checkable (g24,
+    * unrolled CTEs, the g10 pattern). Scale shape per superstep: one
+    * dst-keyed join+agg (auth), one src-keyed join+agg (hub) — the
+    * aggregateMessages shuffle both ways — plus two 1-ROW norm
+    * aggregates broadcast back; `localCheckpoint` cuts lineage.
+    * Output: (id, hub, auth). */
+  def hitsFixed(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val v = vertices.select("id")
+    val e = graft.Caches.cached(edges.select("src", "dst"))
+    def l2normalize(df: DataFrame, c: String): DataFrame = {
+      val n = df.agg(sqrt(sum(col(c) * col(c))).as("__n"))
+      df.crossJoin(broadcast(n))
+        .select(col("id"),
+          when(col("__n") > 0, col(c) / col("__n")).otherwise(0.0).as(c))
+    }
+    var scores = v.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val authRaw = e.join(scores.select(col("id").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("id")).agg(sum("hub").as("a"))
+      val auth = l2normalize(
+        v.join(authRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("a"), lit(0.0)).as("a")), "a")
+      val hubRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("h"))
+      val hub = l2normalize(
+        v.join(hubRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("h"), lit(0.0)).as("h")), "h")
+      scores = hub.join(auth, "id")
+        .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+        .localCheckpoint()
+    }
+    scores
+  }
+
   /** Single-source unweighted shortest distances by `iters` rounds of
     * frontier relaxation over symmetrized edges: dist₀(src)=0;
     * dist₊(v) = min(dist(v), min over neighbours + 1). Deterministic

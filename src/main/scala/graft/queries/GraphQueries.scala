@@ -190,6 +190,23 @@ object GraphQueries {
       },
       Some(labelPropOracle(LpIters))),
 
+    // ---- fixed-iteration HITS hubs & authorities (Kleinberg) — the
+    // link-analysis sibling of g10 neither GraphX nor GraphFrames
+    // ships: on the bipartite customer→part graph, authority parts are
+    // what well-connected buyers co-purchase, hub customers are the
+    // broad buyers. L2-normalized per half-step; deterministic fixed
+    // supersteps → unrolled-CTE oracle. round(4) like g10/g15: the two
+    // engines sum doubles in different orders.
+    NamedQuery("g24_hits_fixed",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.hitsFixed(g.vertices, g.edges, iters = HitsIters)
+          .select(col("id"), round(col("auth"), 4).as("authority"),
+            round(col("hub"), 4).as("hub"))
+          .orderBy(col("authority").desc, col("id")).limit(20)
+      },
+      Some(hitsFixedOracle(HitsIters))),
+
     // ---- BFS distances from customer 1 (3 hops, symmetrized):
     // distance histogram — integer math, unrolled-CTE oracle. The
     // path-materializing variant is g08 (GraphFrames-shaped output).
@@ -416,6 +433,7 @@ object GraphQueries {
   private def JaccardCap = 40
   private def LpIters = 4
   private def BfsIters = 3
+  private def HitsIters = 3
   private[queries] def PsIters = 4
   private def SpIters = 3
 
@@ -568,6 +586,41 @@ object GraphQueries {
        |$steps
        |SELECT id, round(rank, 4) AS pagerank FROM r$iters
        |ORDER BY pagerank DESC, id LIMIT 20""".stripMargin
+  }
+
+  /** Unrolled-CTE HITS: per superstep an auth half-step (dst-keyed sum
+    * of hubs, L2-normalized via a scalar subquery) then a hub half-step
+    * (src-keyed sum of auths, normalized) — the portable-SQL rendering
+    * of IterativeGraph.hitsFixed. */
+  private def hitsFixedOracle(iters: Int): String = {
+    // norms via `sum(..) OVER ()` — one pass per CTE reference. A
+    // scalar subquery here re-evaluates the whole upstream chain PER
+    // ROW in DuckDB (CTEs are not materialized); measured as a hang.
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS id, sum(h${i - 1}.hub) AS a
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.id GROUP BY e.dst),
+         |af$i AS (SELECT v.id, COALESCE(ar.a, 0) AS a
+         |  FROM v LEFT JOIN ar$i ar ON v.id = ar.id),
+         |an$i AS (SELECT id, CASE WHEN sqrt(sum(a*a) OVER ()) > 0
+         |    THEN a / sqrt(sum(a*a) OVER ()) ELSE 0 END AS a
+         |  FROM af$i),
+         |hr$i AS (SELECT e.src AS id, sum(an.a) AS h
+         |  FROM e JOIN an$i an ON e.dst = an.id GROUP BY e.src),
+         |hf$i AS (SELECT v.id, COALESCE(hr.h, 0) AS h
+         |  FROM v LEFT JOIN hr$i hr ON v.id = hr.id),
+         |h$i AS (SELECT hf.id, CASE WHEN sqrt(sum(hf.h*hf.h) OVER ()) > 0
+         |    THEN hf.h / sqrt(sum(hf.h*hf.h) OVER ()) ELSE 0 END AS hub,
+         |    an.a AS auth
+         |  FROM hf$i hf JOIN an$i an ON hf.id = an.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |$vertexCte,
+       |e AS (SELECT src, dst FROM edges),
+       |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub,
+       |       CAST(1.0 AS DOUBLE) AS auth FROM v),
+       |$steps
+       |SELECT id, round(auth, 4) AS authority, round(hub, 4) AS hub
+       |FROM h$iters ORDER BY authority DESC, id LIMIT 20""".stripMargin
   }
 
   /** Unrolled-CTE deterministic label propagation: per superstep, each

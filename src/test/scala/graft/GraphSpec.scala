@@ -330,4 +330,22 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 4L, 4L), (2L, 3L, 3L), (3L, 3L, 3L)))
   }
+
+  test("hitsFixed: unit-norm scores, the popular sink is the authority, the broad source the hub") {
+    import graft.graph.IterativeGraph
+    // 1,2,3 → 10; 3 → 11: node 10 is the clear authority, node 3 (the
+    // only 2-out-edge hub) the top hub; pure sources get auth 0, pure
+    // sinks hub 0
+    val vs = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    val es = Seq((1L, 10L), (2L, 10L), (3L, 10L), (3L, 11L)).toDF("src", "dst")
+    val got = IterativeGraph.hitsFixed(vs, es, iters = 3)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap // id -> (hub, auth)
+    def l2(xs: Iterable[Double]) = math.sqrt(xs.map(x => x * x).sum)
+    assert(math.abs(l2(got.values.map(_._1)) - 1.0) < 1e-9)
+    assert(math.abs(l2(got.values.map(_._2)) - 1.0) < 1e-9)
+    assert(got(10L)._2 > got(11L)._2 && got(11L)._2 > 0)
+    assert(got(3L)._1 > got(1L)._1 && got(1L)._1 == got(2L)._1)
+    assert(got(1L)._2 == 0.0 && got(10L)._1 == 0.0)
+  }
 }
