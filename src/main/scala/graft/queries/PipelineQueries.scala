@@ -620,6 +620,26 @@ object PipelineQueries {
       Some(ivfFilteredOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
         k = 5, seed = 7L, predSql = "l.label % 3 = 0"))),
 
+    // ---- metadata-FILTERED composed IVF-PQ (s26): s23's filtered
+    // search on the production compressed index — one unfiltered
+    // IVF-PQ build serves the predicate; the filter prunes the coded
+    // assignment rows of the probed lists BEFORE ADC scoring. Same
+    // probe/ADC replay as s18's oracle with the candidate predicate as
+    // an IN-subquery.
+    NamedQuery("s26_filtered_ivf_pq", (s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqFilteredTopK(
+          emb.select("vec_id", "embedding").filter(col("vec_id") < 20),
+          emb.select("vec_id", "embedding", "label"), topK = 5,
+          dim = 64, nlist = IvfLists, nprobe = IvfProbes, m = 4,
+          kCodes = 16, ivfSeed = 7L, pqSeed = 11L,
+          keep = col("attr") % 3 === 0)
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfPqFilteredOracle(dim = 64, nlist = IvfLists,
+        nprobe = IvfProbes, topK = 5, ivfSeed = 7L,
+        predSql = "label % 3 = 0"))),
+
     // ---- SQ8 asymmetric-distance top-k (s24): the scalar-quantized
     // sibling of s08's PQ-ADC — corpus and queries quantize to int8
     // with per-vector max-abs scales (s06's exact scheme), similarity
@@ -3193,7 +3213,7 @@ object PipelineQueries {
     * scored by the ADC term against the joined selected-code rows.
     * Ends at `ranked` (query_id, neighbor_id, adc_dist, rank). */
   private def ivfPqCtes(dim: Int, nlist: Int, nprobe: Int,
-      ivfSeed: Long): String = {
+      ivfSeed: Long, candWhere: String = "TRUE"): String = {
     val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, ivfSeed)
     val centsSql = cents.zipWithIndex.map { case (c, j) =>
       val lst = c.map(f => java.lang.Double.toString(f.toDouble))
@@ -3225,12 +3245,25 @@ object PipelineQueries {
        |  JOIN pq ON pq.vec_id = a.vec_id
        |  JOIN q ON q.query_id = p.query_id
        |  JOIN cb ON cb.ci = pq.codes[cb.j + 1]
+       |  WHERE $candWhere
        |  GROUP BY p.query_id, a.vec_id),
        |ranked AS (SELECT query_id, neighbor_id, adc_dist,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc_dist, neighbor_id) AS rank
        |  FROM adists)""".stripMargin
   }
+
+  /** s26 oracle: [[ivfPqOracle]] with the candidate-side metadata
+    * predicate applied before ADC scoring (an IN-subquery over the
+    * base table — one hash semi-join in DuckDB, mirroring the engine's
+    * pushed-down filter on the coded frame). */
+  private def ivfPqFilteredOracle(dim: Int, nlist: Int, nprobe: Int,
+      topK: Int, ivfSeed: Long, predSql: String): String =
+    s"""WITH ${ivfPqCtes(dim, nlist, nprobe, ivfSeed,
+         s"a.vec_id IN (SELECT vec_id FROM embeddings WHERE $predSql)")}
+       |SELECT query_id, neighbor_id, adc_dist, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $topK
+       |ORDER BY query_id, rank""".stripMargin
 
   /** Sweep oracle for s21: the ivfPqCtes machinery with probe ranks
     * NOT cut (ipranks), an exact-Euclidean baseline CTE, and a

@@ -825,6 +825,33 @@ object Similarity {
       cents, books, topK, nprobe, dim, m)
   }
 
+  /** Metadata-FILTERED composed IVF-PQ (s26): [[ivfPqTopK]]'s probe +
+    * ADC serve restricted to corpus rows satisfying `keep` — the
+    * vector-DB "filtered search" shape ([[ivfFilteredTopK]]) on the
+    * production compressed index. ONE unfiltered index serves every
+    * predicate: the corpus encodes/assigns once, the attribute column
+    * joins INTO the coded frame at build (production stores attrs in
+    * the index rows), and the serve applies `keep` to the coded
+    * assignment rows BEFORE ADC scoring — Catalyst pushes the
+    * deterministic filter below the probe join, so a selective
+    * predicate SHRINKS the candidate scan, which still touches only
+    * ~nprobe/nlist of the corpus at m-bytes-ish per candidate.
+    * `corpus` is (id, vec, attr); `keep` is a predicate over "attr".
+    * Output: (query_id, neighbor_id, adc_dist, rank). */
+  def ivfPqFilteredTopK(queries: DataFrame, corpus: DataFrame, topK: Int,
+      dim: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 4,
+      kCodes: Int = 16, ivfSeed: Long = 7L, pqSeed: Long = 11L,
+      keep: Column): DataFrame = {
+    val cents = hyperplanes(dim, nlist, ivfSeed)
+    val books = pqCodebooks(dim, m, kCodes, pqSeed)
+    val c3 = corpus.toDF("neighbor_id", "cv", "attr")
+    val coded = ivfPqEncodeAssign(
+        c3.select("neighbor_id", "cv"), cents, dim, m, kCodes, pqSeed)
+      .join(c3.select("neighbor_id", "attr"), "neighbor_id")
+    ivfPqServe(queries, coded.filter(keep).drop("attr"),
+      cents, books, topK, nprobe, dim, m)
+  }
+
   /** PQ code assignment of vector column `v` (1-based, first-minimum
     * argmin per subspace) — the [[pqEncodeWith]] codes expression over
     * an arbitrary column, shared by the raw and RESIDUAL builds. */

@@ -137,6 +137,31 @@ class SimilaritySpec extends SparkSpec {
       "always-true predicate must serve exactly the unfiltered index")
   }
 
+  test("ivfPqFilteredTopK: predicate holds on the compressed index; true predicate equals ivfPqTopK") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = emb.select("vec_id", "embedding").filter($"vec_id" < 10)
+    val corpus3 = emb.select("vec_id", "embedding", "label")
+    val filt = Similarity.ivfPqFilteredTopK(q, corpus3, topK = 5, dim = 64,
+        keep = col("attr") % 3 === 0)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(filt.nonEmpty)
+    val labelOf = emb.select("vec_id", "label").as[(Long, Int)]
+      .collect().toMap
+    assert(filt.forall { case (_, nb, _, _) => labelOf(nb) % 3 == 0 },
+      "filtered PQ search returned a neighbor outside the predicate")
+    val noFilter = Similarity.ivfPqFilteredTopK(q, corpus3, topK = 5,
+        dim = 64, keep = lit(true))
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val plain = Similarity.ivfPqTopK(q, emb.select("vec_id", "embedding"),
+        topK = 5, dim = 64)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(noFilter == plain,
+      "always-true predicate must serve exactly the unfiltered PQ index")
+  }
+
   test("cosineNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
