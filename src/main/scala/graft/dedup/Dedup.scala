@@ -150,6 +150,40 @@ object Dedup {
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Exact n-gram CONTAINMENT pairs (d30) — the asymmetric sibling of
+    * [[ngramJaccardPairs]]: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|.
+    * Jaccard misses the quote/subset case a corpus pipeline cares
+    * about — a short document wholly embedded in a long one scores
+    * near-zero Jaccard (union is dominated by the long side) but
+    * containment 1.0 from the short side. Emits (id_a < id_b) pairs
+    * where EITHER direction reaches `minContain`, with both directed
+    * scores.
+    *
+    * Same inverted-index shape and df-cap as the Jaccard form (the
+    * honest pair-linear baseline; the shuffle keys on the shingle,
+    * never all-pairs), sharing its per-doc df-capped sizes. */
+  def ngramContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minContain: Double, maxDf: Int): DataFrame = {
+    val ex = graft.Caches.cached(
+      df.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("sh")))
+    val rare = graft.Caches.cached(ex.join(
+        ex.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf), Seq("sh"))
+      .select("sh", "id"))
+    val sizes = rare.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = rare.toDF("sh", "id_a")
+    val b = rare.toDF("sh", "id_b")
+    a.join(b, a("sh") === b("sh") && col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("id_a", "sz_a"), "id_a")
+      .join(sizes.toDF("id_b", "sz_b"), "id_b")
+      .withColumn("contain_ab", round(col("inter") / col("sz_a"), 6))
+      .withColumn("contain_ba", round(col("inter") / col("sz_b"), 6))
+      .filter(col("contain_ab") >= minContain ||
+        col("contain_ba") >= minContain)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b",
+        "contain_ab", "contain_ba")
+  }
+
   /** MinHash signature: `numHashes` independent min-hashes of the
     * document's shingle set (hash family = xxhash64 seeded by index). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,

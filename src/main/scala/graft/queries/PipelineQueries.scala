@@ -75,6 +75,50 @@ object PipelineQueries {
              |WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.05
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- exact n-gram CONTAINMENT pairs (d02's asymmetric sibling):
+    // planted QUOTES — each %10==4 doc truncated to its first 15
+    // tokens, id +1000000 — sit wholly inside their originals, so the
+    // short side's containment reads ~1.0 where Jaccard reads near
+    // zero (union dominated by the long side). Every planted quote
+    // must surface from the directed score.
+    NamedQuery("d30_ngram_containment_pairs",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val quotes = docs.filter(col("doc_id") % 10 === 4)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            array_join(slice(TextOps.tokens(col("text")), 1, 15), " ")
+              .as("text"))
+        Dedup.ngramContainmentPairs(docs.unionByName(quotes),
+            "doc_id", "text", n = 3, minContain = 0.9, maxDf = 100)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |alltoks AS (
+             |  SELECT doc_id, ts FROM toks0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, ts[1:15] FROM toks0 WHERE doc_id % 10 = 4),
+             |sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(
+             |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS shs
+             |  FROM alltoks WHERE len(ts) >= 3),
+             |ex AS (SELECT doc_id, unnest(shs) AS sh FROM sh),
+             |rare AS (SELECT ex.doc_id, ex.sh FROM ex
+             |         JOIN (SELECT sh, count(*) AS df FROM ex GROUP BY sh) d ON ex.sh = d.sh
+             |         WHERE d.df <= 100),
+             |sizes AS (SELECT doc_id, count(*) AS sz FROM rare GROUP BY doc_id),
+             |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |          FROM rare a JOIN rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             |          GROUP BY 1, 2)
+             |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             |       round(inter / sa.sz, 6) AS contain_ab,
+             |       round(inter / sb.sz, 6) AS contain_ba
+             |FROM pairs JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+             |WHERE round(inter / sa.sz, 6) >= 0.9 OR round(inter / sb.sz, 6) >= 0.9
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // ---- MinHash+LSH on documents ∪ planted copies: every planted
     // duplicate must surface as a candidate pair with est_jaccard 1.0.
     // xxhash64 signatures aren't SQL-expressible → rows-only check.
@@ -2366,6 +2410,39 @@ object PipelineQueries {
           Tables.documents(s, dir), "doc_id", "text", enStop)
         .orderBy("id"),
       Some(qualityModelFixedOracle)),
+
+    // ---- per-source score CALIBRATION (t24): the frozen t19 prob
+    // mapped to its within-source histogram-CDF percentile — the
+    // normalization that makes one keep threshold mean "top X% of
+    // EACH source" when score distributions differ by source. Cell
+    // aggregate + broadcast-back join; the corpus never windows.
+    NamedQuery("t24_score_calibration",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = graft.ml.QualityModel.scoreFixed(docs, "doc_id",
+            "text", enStop)
+          .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+          .select(col("id"), col("source"), col("prob"))
+        Sketches.histPercentileCalibration(scored, width = 20)
+          .select(col("id"), col("g").as("source"),
+            col("score").as("prob"), col("pct"))
+          .orderBy("id")
+      },
+      Some(s"""WITH ${qualityModelCtes("documents")},
+             |p AS (SELECT id, round(1.0 / (1.0 + exp(-z)), 4) AS prob FROM z),
+             |r AS (SELECT p.id, d.source, prob,
+             |    least(CAST(floor(prob * 20) AS INT), 19) AS b
+             |  FROM p JOIN documents d ON d.doc_id = p.id),
+             |cdf AS (SELECT source, b, count(*) AS cnt FROM r GROUP BY source, b),
+             |cdf2 AS (SELECT source, b, cnt,
+             |    coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY b
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             |    sum(cnt) OVER (PARTITION BY source) AS total
+             |  FROM cdf)
+             |SELECT r.id, r.source, r.prob,
+             |  round((below + 0.5 * cnt) / total, 6) AS pct
+             |FROM r JOIN cdf2 ON r.source = cdf2.source AND r.b = cdf2.b
+             |ORDER BY r.id""".stripMargin)),
 
     // ---- quality-model EVALUATION: confusion of the frozen-weight
     // scorer's keep verdicts against the t14 Gopher-rule labels — the

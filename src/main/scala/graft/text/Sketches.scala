@@ -168,6 +168,37 @@ object Sketches {
         (col("bmin") * width).as("bucket_lo"))
   }
 
+  /** Per-group score CALIBRATION via the histogram CDF (t24): map each
+    * row's score in [0, 1) to its within-group percentile,
+    * pct = (Σ counts of lower buckets + ½·own bucket) / group total —
+    * the per-source normalization a curation pipeline applies before
+    * using one global threshold ("keep the top 30% OF EACH source",
+    * not "above 0.7 absolute", because score distributions differ by
+    * source). `scored` is (id, group, score).
+    *
+    * Scale shape: one (group, bucket) cell aggregate (tiny —
+    * |groups|·width rows; the [[histCells]] family), CDF windows in
+    * CELL space only, then the cells broadcast back onto a scan-stage
+    * join — the corpus never sorts or windows. Deterministic: bucket
+    * edges are exact integer floors of score·width; the percentile is
+    * one double divide replayed identically in SQL. Output:
+    * (id, group, score, pct). */
+  def histPercentileCalibration(scored: DataFrame, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = scored.toDF("id", "g", "score")
+      .withColumn("b",
+        least(floor(col("score") * width).cast("int"), lit(width - 1)))
+    val wCdf = Window.partitionBy("g").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cdf = rows.groupBy("g", "b").agg(count(lit(1)).as("cnt"))
+      .withColumn("below", coalesce(sum("cnt").over(wCdf), lit(0L)))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("g")))
+    rows.join(broadcast(cdf), Seq("g", "b"))
+      .withColumn("pct",
+        round((col("below") + lit(0.5) * col("cnt")) / col("total"), 6))
+      .select(col("id"), col("g"), col("score"), col("pct"))
+  }
+
   /** Pairwise Jaccard overlap between every two groups, estimated in
     * sketch space: for each group pair (a < b), take the bottom-k of
     * the UNION of their sketches and count how many of those hashes

@@ -436,6 +436,27 @@ class DedupSpec extends SparkSpec {
     assert(docSplit(4L) != docSplit(1000004L))
   }
 
+  test("ngramContainmentPairs: embedded quote reads ~1.0 directed where jaccard reads low") {
+    // doc 2 = the first 6 tokens of doc 1 (a quote); doc 3 unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different content about shuffle partitions and broadcast joins here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+        n = 3, minContain = 0.9, maxDf = 100)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+    val (_, _, inter, szA, szB, cab, cba) = got.head
+    assert(cba == 1.0)                   // quote wholly inside the original
+    assert(cab < 0.5)                    // original NOT inside the quote
+    assert(inter == szB && szA > szB)
+    // the jaccard form misses this pair at any near-dup threshold
+    val jac = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5, maxDf = 100).count()
+    assert(jac == 0)
+  }
+
   // ---- Bloom-gated exact dedup (d29/sw18) --------------------------
 
   private def syntheticDocs(n: Int, tag: String) =

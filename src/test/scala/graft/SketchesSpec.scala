@@ -86,4 +86,29 @@ class SketchesSpec extends SparkSpec {
       "source", "text", k = 64).select("jaccard_est").as[Double].head()
     assert(j0 == 0.0)
   }
+
+  test("histPercentileCalibration: one pct threshold keeps the same share of differently-scaled groups") {
+    import org.apache.spark.sql.functions.col
+    // group a scores cluster low (0.0..0.2), group b high (0.7..0.9):
+    // an absolute threshold keeps none of a / all of b; the calibrated
+    // percentile keeps the top half of EACH
+    val rows = (0 until 100).map(i => (i.toLong, "a", 0.002 * i)) ++
+      (100 until 200).map(i => (i.toLong, "b", 0.7 + 0.002 * (i - 100)))
+    val got = Sketches.histPercentileCalibration(
+        rows.toDF("id", "source", "score"), width = 20)
+      .as[(Long, String, Double, Double)].collect()
+    val keep = got.filter(_._4 >= 0.5)
+    // ±1: double bucket edges (0.7 + 0.05 lands at 0.749999…) may move
+    // one edge row — the calibration property, not exact bucketing, is
+    // under test here
+    assert(math.abs(keep.count(_._2 == "a") - 50) <= 1 &&
+      math.abs(keep.count(_._2 == "b") - 50) <= 1)
+    // percentile is monotone in the score within each group's buckets
+    val aSorted = got.filter(_._2 == "a").sortBy(_._3).map(_._4)
+    assert(aSorted.zip(aSorted.tail).forall { case (x, y) => x <= y })
+    // exact CDF arithmetic: bucket 0 of group a holds scores < 0.05
+    // (25 rows) → pct = (0 + 12.5) / 100
+    assert(got.filter(r => r._2 == "a" && r._3 < 0.05)
+      .forall(_._4 == 0.125))
+  }
 }
