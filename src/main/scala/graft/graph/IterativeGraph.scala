@@ -102,29 +102,36 @@ object IterativeGraph {
   def hitsFixed(vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val v = vertices.select("id")
     val e = graft.Caches.cached(edges.select("src", "dst"))
-    def l2normalize(df: DataFrame, c: String): DataFrame = {
-      val n = df.agg(sqrt(sum(col(c) * col(c))).as("__n"))
-      df.crossJoin(broadcast(n))
+    // Each half-step CHECKPOINTS its unnormalized sums, then divides by
+    // the 1-row norm of the checkpointed frame scan-stage: the norm agg
+    // and every downstream reference read the materialized blocks, so
+    // nothing in the chain evaluates twice and lineage resets per
+    // half-step. (The naive form — normalize inline, join hub⋈auth per
+    // superstep — re-evaluated the chain per reference: 16 s vs ~4 s
+    // at sf0.1.)
+    def normalized(df: DataFrame, c: String): DataFrame = {
+      val m = df.localCheckpoint()
+      m.crossJoin(broadcast(m.agg(sqrt(sum(col(c) * col(c))).as("__n"))))
         .select(col("id"),
           when(col("__n") > 0, col(c) / col("__n")).otherwise(0.0).as(c))
     }
-    var scores = v.select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
+    var hub = v.select(col("id"), lit(1.0).as("hub"))
+    var auth = v.select(col("id"), lit(1.0).as("a"))
     for (_ <- 1 to iters) {
-      val authRaw = e.join(scores.select(col("id").as("src"), col("hub")), "src")
-        .groupBy(col("dst").as("id")).agg(sum("hub").as("a"))
-      val auth = l2normalize(
-        v.join(authRaw, Seq("id"), "left")
+      auth = normalized(
+        v.join(e.join(hub.select(col("id").as("src"), col("hub")), "src")
+            .groupBy(col("dst").as("id")).agg(sum("hub").as("a")),
+          Seq("id"), "left")
           .select(col("id"), coalesce(col("a"), lit(0.0)).as("a")), "a")
-      val hubRaw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
-        .groupBy(col("src").as("id")).agg(sum("a").as("h"))
-      val hub = l2normalize(
-        v.join(hubRaw, Seq("id"), "left")
+      hub = normalized(
+        v.join(e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+            .groupBy(col("src").as("id")).agg(sum("a").as("h")),
+          Seq("id"), "left")
           .select(col("id"), coalesce(col("h"), lit(0.0)).as("h")), "h")
-      scores = hub.join(auth, "id")
-        .select(col("id"), col("h").as("hub"), col("a").as("auth"))
-        .localCheckpoint()
+        .withColumnRenamed("h", "hub")
     }
-    scores
+    hub.join(auth, "id")
+      .select(col("id"), col("hub"), col("a").as("auth"))
   }
 
   /** Single-source unweighted shortest distances by `iters` rounds of
