@@ -466,6 +466,23 @@ class PlanSpec extends SparkSpec {
       s"expected the position window partitioned by shard in:\n$plan")
   }
 
+  test("p21/p22: cell offsets broadcast back; corpus windows stay keyed") {
+    for (name <- Seq("p21_curriculum_order", "p22_length_bucket_batches")) {
+      val plan = packPlan(graft.queries.PipelineQueries.all, name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: no unkeyed join belongs in a sampler plan:\n$plan")
+      if (name.startsWith("p21"))
+        assert(plan.contains("BroadcastHashJoin"),
+          s"$name: the (stage, shard) offset frame must broadcast back:\n$plan")
+    }
+  }
+
+  test("s26 filtered IVF-PQ: probe join stays keyed (no cartesian/BNLJ)") {
+    val plan = packPlan(graft.queries.PipelineQueries.all, "s26_filtered_ivf_pq")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"filtered ADC serve must stay a cluster-keyed probe join:\n$plan")
+  }
+
   test("incremental near-dup joins batch bands to corpus bands (keyed equi-join, no cartesian)") {
     val plan = packPlan(graft.queries.PipelineQueries.all, "d16_incremental_neardup")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
