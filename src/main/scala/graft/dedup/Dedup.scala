@@ -886,6 +886,43 @@ object Dedup {
     corpus.join(bad, corpus(idCol) === col("__contam_id"), "left_anti")
   }
 
+  /** PERSISTED benchmark gram index, build side (d31/sw19) — the
+    * decontamination artifact that completes the persisted-gate family
+    * (d26 exact content, d27 lexical near-dup, s16 semantic embedding,
+    * THIS benchmark leakage): the eval suite's distinct n-gram set is
+    * computed ONCE and written gram-prefix-partitioned; every later
+    * corpus batch / ingest micro-batch probes the reloaded artifact
+    * instead of re-shingling the benchmark. Eval suites are small by
+    * nature, so the reloaded set broadcasts at serve exactly like
+    * [[contaminatedIds]]'s in-memory build. */
+  def writeGramIndex(benchmark: DataFrame, textCol: String, n: Int,
+      path: String): Unit =
+    benchmark.select(explode(shingles(col(textCol), n)).as("ng")).distinct()
+      .withColumn("gp", substring(md5(col("ng")), 1, 1))
+      .repartition(col("gp"))
+      .write.mode("overwrite").partitionBy("gp")
+      .parquet(s"$path/grams")
+
+  /** Reload the persisted benchmark gram set: (ng) rows. */
+  def readGramIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(s"$path/grams").select("ng")
+
+  /** Decontaminate a batch against the PERSISTED gram index — the d15
+    * semantics served from the artifact ([[writeGramIndex]]): corpus
+    * grams explode scan-stage, the reloaded benchmark set broadcasts,
+    * flagged ids (overlap-sized) anti-join back. Benchmark text is
+    * never rescanned at serve. */
+  def decontaminateAgainstGramIndex(batch: DataFrame, idCol: String,
+      textCol: String, n: Int, path: String): DataFrame = {
+    val grams = readGramIndex(batch.sparkSession, path)
+    val bad = batch
+      .select(col(idCol).as("__cid"), explode(shingles(col(textCol), n)).as("ng"))
+      .join(broadcast(grams), "ng")
+      .select("__cid").distinct()
+    batch.join(bad, batch(idCol) === col("__cid"), "left_anti")
+  }
+
   /** 64-bit SimHash over the document's term-frequency vector: bit i of
     * the sketch is the sign of Σ_tokens tf·(±1 by bit i of xxhash64(tok)).
     *

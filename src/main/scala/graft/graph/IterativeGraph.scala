@@ -83,6 +83,39 @@ object IterativeGraph {
     labels
   }
 
+  /** WEIGHTED PageRank, `iters` synchronous supersteps — the mass a
+    * vertex passes along an edge is proportional to the edge's weight
+    * share of its total out-weight:
+    *   r₊(v) = resetProb + (1−resetProb)·Σ_{u→v} r(u)·w(u,v)/W(u),
+    *   W(u) = Σ_out w(u,·).
+    * The GraphFrames/GraphX convention carried over from
+    * [[pageRankFixed]] (unnormalized, dangling mass dropped); on the
+    * customer→part graph the weight is the average order quantity, so
+    * rank flows toward heavily-bought parts rather than merely
+    * often-bought ones. Same superstep shuffle shape as the unweighted
+    * form; output rounds at the caller (the g15 weighted-sum
+    * precedent: iterated double sums order-differ in the last ulp
+    * across engines). Output: (id, rank). */
+  def pageRankWeightedFixed(vertices: DataFrame, edges: DataFrame,
+      iters: Int, resetProb: Double = 0.15): DataFrame = {
+    val v = vertices.select("id")
+    val outW = edges.groupBy("src").agg(sum("weight").as("outw"))
+    val e = graft.Caches.cached(
+      edges.select("src", "dst", "weight").join(outW, "src"))
+    var ranks = v.select(col("id"), lit(1.0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") * col("weight") / col("outw")).as("in_sum"))
+      ranks = v.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(resetProb) + lit(1 - resetProb) * coalesce(col("in_sum"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** HITS (hubs & authorities), `iters` synchronous supersteps with L2
     * normalization after each half-step — Kleinberg's algorithm in its
     * standard normalized form:

@@ -190,6 +190,21 @@ object GraphQueries {
       },
       Some(labelPropOracle(LpIters))),
 
+    // ---- WEIGHTED fixed-iteration PageRank: mass flows by each
+    // edge's share of its source's total out-weight (weight = avg
+    // order quantity), so rank rewards heavily-bought parts over
+    // merely often-bought ones — g10's mechanics with w/W(u) in the
+    // contribution. round(4) like g10/g15.
+    NamedQuery("g25_pagerank_weighted",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        IterativeGraph.pageRankWeightedFixed(g.vertices, g.edges,
+            iters = PrIters)
+          .select(col("id"), round(col("rank"), 4).as("pagerank"))
+          .orderBy(col("pagerank").desc, col("id")).limit(20)
+      },
+      Some(pageRankWeightedOracle(PrIters))),
+
     // ---- fixed-iteration HITS hubs & authorities (Kleinberg) — the
     // link-analysis sibling of g10 neither GraphX nor GraphFrames
     // ships: on the bipartite customer→part graph, authority parts are
@@ -582,6 +597,27 @@ object GraphQueries {
        |outd AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
        |e AS (SELECT edges.src, edges.dst, outd.outdeg
        |      FROM edges JOIN outd ON edges.src = outd.src),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v),
+       |$steps
+       |SELECT id, round(rank, 4) AS pagerank FROM r$iters
+       |ORDER BY pagerank DESC, id LIMIT 20""".stripMargin
+  }
+
+  /** Unrolled-CTE weighted PageRank: [[pageRankFixedOracle]] with each
+    * contribution scaled by weight/out-weight. */
+  private def pageRankWeightedOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (SELECT v.id, 0.15 + 0.85 * COALESCE(s.x, 0) AS rank
+         |  FROM v LEFT JOIN (
+         |    SELECT e.dst AS id, sum(r${i - 1}.rank * e.weight / e.outw) AS x
+         |    FROM e JOIN r${i - 1} ON e.src = r${i - 1}.id GROUP BY e.dst) s
+         |  ON v.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |$vertexCte,
+       |outw AS (SELECT src, sum(weight) AS outw FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, edges.weight, outw.outw
+       |      FROM edges JOIN outw ON edges.src = outw.src),
        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM v),
        |$steps
        |SELECT id, round(rank, 4) AS pagerank FROM r$iters

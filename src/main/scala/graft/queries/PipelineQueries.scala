@@ -329,6 +329,29 @@ object PipelineQueries {
              |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- decontamination served from the PERSISTED gram index (d31):
+    // d15's semantics with the benchmark gram set written once
+    // (gram-prefix-partitioned parquet) and RELOADED at serve —
+    // benchmark text never rescanned. Same oracle as d15: passing it
+    // IS the round-trip proof (the s16 pattern applied to the
+    // decontamination gate, completing the persisted-gate family).
+    NamedQuery("d31_decontam_persisted",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val path = graft.ScratchDirs.scratch("gram_idx")
+        Dedup.writeGramIndex(docs.filter(col("doc_id") % 10 === 0),
+          "text", n = DecontamN, path)
+        Dedup.decontaminateAgainstGramIndex(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text",
+            n = DecontamN, path)
+          .select("doc_id", "source").orderBy("doc_id")
+      },
+      Some(s"""WITH ${decontamCtes(DecontamN)}
+             |SELECT doc_id, source FROM documents d
+             |WHERE d.doc_id % 10 != 0
+             |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- GRADED decontamination: per-doc n-gram overlap FRACTION vs
     // the benchmark slice — the thresholded form (≥50% of a doc's
     // distinct 4-grams in the eval set → contaminated) that replaces

@@ -565,6 +565,39 @@ object StreamingQueries {
       },
       Some(PipelineQueries.ivfPqOracle(dim = 64,
         nlist = PipelineQueries.IvfLists, nprobe = PipelineQueries.IvfProbes,
-        topK = 5, ivfSeed = 7L)))
+        topK = 5, ivfSeed = 7L))),
+
+    // ---- streaming decontamination ADMISSION against the PERSISTED
+    // gram index (d31's streaming twin; completes the persisted-gate
+    // streaming family next to sw13/sw14/sw11/sw18): the benchmark's
+    // gram set persists once; arriving corpus docs decontaminate per
+    // micro-batch via foreachBatch (several real batches forced by
+    // maxFilesPerTrigger) and admitted rows append to the sink.
+    // Decontamination is per-doc independent, so no micro-batch split
+    // can show through — d15's oracle verbatim.
+    NamedQuery("sw19_stream_decontam_admission",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val path = graft.ScratchDirs.scratch("gram_idx_stream")
+        val sink = graft.ScratchDirs.scratch("sw19_admitted")
+        graft.dedup.Dedup.writeGramIndex(
+          docs.filter(col("doc_id") % 10 === 0), "text",
+          n = PipelineQueries.DecontamN, path)
+        val feed = docs.filter(col("doc_id") % 10 =!= 0)
+          .select("doc_id", "text", "source")
+        feed.limit(0).write.mode("overwrite").parquet(sink) // truncate re-runs
+        StreamRunner.runForeachBatch(s, feed, "sw19_decontam") { b =>
+          graft.dedup.Dedup.decontaminateAgainstGramIndex(b, "doc_id",
+              "text", n = PipelineQueries.DecontamN, path)
+            .select("doc_id", "source")
+            .write.mode("append").parquet(sink)
+        }
+        s.read.parquet(sink).orderBy("doc_id")
+      },
+      Some(s"""WITH ${PipelineQueries.decontamCtes(PipelineQueries.DecontamN)}
+             |SELECT doc_id, source FROM documents d
+             |WHERE d.doc_id % 10 != 0
+             |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -457,6 +457,26 @@ class DedupSpec extends SparkSpec {
     assert(jac == 0)
   }
 
+  test("persisted gram index serves d15's semantics; benchmark text never rescanned") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "completely unrelated text about catalyst optimizer rules today"),
+      (3L, "jumps over the lazy dog is a leaked benchmark phrase here")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the fox that jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val path = ScratchDirs.scratch("t_gram_idx")
+    Dedup.writeGramIndex(bench, "text", n = 4, path)
+    val fromIndex = Dedup.decontaminateAgainstGramIndex(corpus, "doc_id",
+      "text", n = 4, path).select("doc_id").as[Long].collect().sorted.toSeq
+    val inMemory = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(fromIndex == inMemory && fromIndex == Seq(2L))
+    // the artifact holds the benchmark's distinct grams, partitioned
+    val grams = Dedup.readGramIndex(spark, path)
+    assert(grams.count() == grams.distinct().count() && grams.count() > 0)
+  }
+
   // ---- Bloom-gated exact dedup (d29/sw18) --------------------------
 
   private def syntheticDocs(n: Int, tag: String) =

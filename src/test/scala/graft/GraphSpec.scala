@@ -331,6 +331,27 @@ class GraphSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 4L), (2L, 3L, 3L), (3L, 3L, 3L)))
   }
 
+  test("pageRankWeightedFixed: heavy edge outranks many light ones; uniform weights match unweighted") {
+    import graft.graph.IterativeGraph
+    val vs = Seq(1L, 2L, 3L, 10L, 11L).toDF("id")
+    // 1 splits mass 9:1 toward 10; 2 and 3 send everything to 11 — but
+    // 1's heavy edge makes 10 beat a single light full edge
+    val es = Seq((1L, 10L, 9.0), (1L, 11L, 1.0), (2L, 10L, 5.0), (3L, 11L, 5.0))
+      .toDF("src", "dst", "weight")
+    val r = IterativeGraph.pageRankWeightedFixed(vs, es, iters = 3)
+      .as[(Long, Double)].collect().toMap
+    // 10 receives 0.9 of 1's mass + all of 2's; 11 gets 0.1 + all of 3's
+    assert(r(10L) > r(11L))
+    // uniform weights ≡ unweighted pagerank
+    val uni = IterativeGraph.pageRankWeightedFixed(vs,
+        es.withColumn("weight", lit(2.5)), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    val plain = IterativeGraph.pageRankFixed(vs,
+        es.select("src", "dst"), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    uni.foreach { case (id, v) => assert(math.abs(v - plain(id)) < 1e-12) }
+  }
+
   test("hitsFixed: unit-norm scores, the popular sink is the authority, the broad source the hub") {
     import graft.graph.IterativeGraph
     // 1,2,3 → 10; 3 → 11: node 10 is the clear authority, node 3 (the
