@@ -88,6 +88,34 @@ object Dedup {
       .select(col("id"), col("idx").cast("long").as("idx"), col("chunk"))
   }
 
+  /** Per-document CROSS-corpus duplicate-chunk fraction (t25) — the
+    * "duplicate paragraph fraction" quality rule the Gopher/CCNet
+    * recipes threshold at the DOCUMENT level: a doc whose chunks
+    * mostly appear earlier elsewhere in the corpus is boilerplate or
+    * syndication even when its full text is unique, which document
+    * hashes (d01) and within-doc repetition (t08) both miss. Chunks
+    * are [[chunkDedup]]'s fixed `chunkTokens` cuts; a chunk is a
+    * duplicate iff an earlier (id, idx) holds identical content.
+    * Output, one row per doc with ≥1 chunk:
+    * (id, n_chunks, n_dup, dup_frac 4dp). Scale shape: scan-stage
+    * chunking, ONE content-keyed window, one id-keyed agg. */
+  def dupChunkFraction(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    val chunkArr = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        c => concat_ws(" ", slice(toks, c * chunkTokens + 1, lit(chunkTokens)))))
+    df.select(col(idCol).as("id"), posexplode(chunkArr).as(Seq("idx", "chunk")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("chunk")).orderBy(col("id"), col("idx"))))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__rn") > 1, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_chunks"), 4))
+  }
+
   /** CONTENT-DEFINED chunk-level dedup — [[chunkDedup]]'s
     * insertion-robust sibling (the rsync/LBFS/storage-dedup boundary
     * rule, and the reason corpus chunk dedup survives boilerplate

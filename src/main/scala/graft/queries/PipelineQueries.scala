@@ -1427,6 +1427,83 @@ object PipelineQueries {
              |  n_docs * max_len - sum_len AS padding_waste
              |FROM g ORDER BY bucket, shard, batch_idx""".stripMargin)),
 
+    // ---- per-document duplicate-CHUNK fraction (t25, the
+    // Gopher/CCNet "duplicate paragraph fraction" rule at corpus
+    // scope): planted FRANKENSTEIN docs stitched from two existing
+    // docs' token prefixes (%10==6, id+1000000) must score dup_frac
+    // near 1.0 — their full text is unique (d01 misses them) and their
+    // within-doc repetition is low (t08 misses them); only the
+    // cross-corpus chunk pass catches syndication/boilerplate stitching.
+    NamedQuery("t25_dup_chunk_fraction",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val franken = docs.filter(col("doc_id") % 10 === 6)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat_ws(" ",
+              array_join(slice(TextOps.tokens(col("text")), 1, 32), " "),
+              array_join(slice(TextOps.tokens(col("text")), 33, 32), " "))
+              .as("text"))
+        Dedup.dupChunkFraction(docs.unionByName(franken),
+            "doc_id", "text", chunkTokens = 32)
+          .orderBy("id")
+      },
+      Some("""WITH toks0 AS (
+             |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                             x -> len(x) > 0) AS ts
+             |  FROM documents),
+             |alltoks AS (
+             |  SELECT doc_id, ts FROM toks0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, ts[1:64] FROM toks0 WHERE doc_id % 10 = 6),
+             |ch AS (
+             |  SELECT doc_id, i AS idx,
+             |    array_to_string(ts[(i * 32 + 1):(i * 32 + 32)], ' ') AS chunk
+             |  FROM alltoks, unnest(generate_series(0,
+             |    CAST(ceil(len(ts) / 32.0) AS INT) - 1)) AS t(i)
+             |  WHERE len(ts) > 0),
+             |r AS (SELECT doc_id, idx, chunk, row_number() OVER (
+             |    PARTITION BY chunk ORDER BY doc_id, idx) AS rn FROM ch)
+             |SELECT doc_id AS id, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             |  round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+             |    AS dup_frac
+             |FROM r GROUP BY doc_id ORDER BY id""".stripMargin)),
+
+    // ---- proportional source-INTERLEAVE schedule (p23): stride
+    // scheduling for the training stream — pos = (rank_s − ½)/n_s in
+    // (0,1); consuming in pos order holds every prefix to each
+    // source's share within one row (the mixing guarantee p21's
+    // staging deliberately does not give). Within-source rank via the
+    // p21 offset construction — reducers stay bounded. The aggregate
+    // gate checks the whole schedule: per source, count, the mean pos
+    // (≈ 0.5 for every source iff striding is even), and the first
+    // scheduled doc.
+    NamedQuery("p23_source_interleave",
+      (s, dir) => Sampling.interleaveBySource(Tables.documents(s, dir),
+          "doc_id", "source", nShards = 4, salt = "mix1")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("pos"), 6).as("mean_pos"),
+          min(when(col("rank_in_source") === 1, col("doc_id"))).as("first_doc"))
+        .orderBy("source"),
+      Some("""WITH h AS (SELECT doc_id, source,
+             |    md5('mix1|' || CAST(doc_id AS VARCHAR)) AS hx
+             |  FROM documents),
+             |sh AS (SELECT doc_id, source, hx,
+             |    CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 4 AS INT) AS shard
+             |  FROM h),
+             |r AS (SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source ORDER BY shard, hx, doc_id) AS rank_in_source
+             |  FROM sh),
+             |n AS (SELECT source, count(*) AS total FROM r GROUP BY source),
+             |p AS (SELECT r.doc_id, r.source, r.rank_in_source,
+             |    round((r.rank_in_source - 0.5) / n.total, 9) AS pos
+             |  FROM r JOIN n ON r.source = n.source)
+             |SELECT source, count(*) AS n_docs,
+             |  round(avg(pos), 6) AS mean_pos,
+             |  min(CASE WHEN rank_in_source = 1 THEN doc_id END) AS first_doc
+             |FROM p GROUP BY source ORDER BY source""".stripMargin)),
+
     // ---- Unicode NFC text normalization (the cleaning pass before
     // any hash-based dedup): every doc gets a planted DECOMPOSED
     // suffix (e + U+0301, mixed whitespace), so composition and

@@ -328,6 +328,47 @@ object Sampling {
         col("n_docs") * col("max_len") - col("sum_len"))
   }
 
+  /** Proportional source-INTERLEAVE schedule (p23) — stride
+    * scheduling applied to the training stream: every row gets a
+    * fractional position pos = (rank_within_source − ½) / n_source in
+    * (0, 1); consuming rows in pos order interleaves sources
+    * proportionally (any prefix holds each source's share to within
+    * one row), which is the "don't train on all of wiki then all of
+    * crawl" guarantee [[curriculumOrder]] deliberately does NOT give
+    * (it stages; this mixes). Within a source the order is the p06
+    * content-hash shuffle.
+    *
+    * Scale shape: the within-source rank uses the p21/io11 offset
+    * construction — a (source, shard)-keyed window plus cell-space
+    * offsets — so reducers stay bounded even for a source that is 30%
+    * of the corpus; pos itself is scan-stage arithmetic. Materializing
+    * the schedule in pos order is a range-shard export (io11), not a
+    * global sort here. Output: (id, source, rank_in_source, pos). */
+  def interleaveBySource(df: DataFrame, idCol: String, strataCol: String,
+      nShards: Int, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hx = md5(concat_ws("|", lit(salt), col(idCol).cast("string")))
+    val rows = df.select(col(idCol), col(strataCol).as("source"), hx.as("__hx"))
+      .withColumn("shard",
+        (conv(substring(col("__hx"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source"), col("shard"))
+          .orderBy(col("__hx"), col(idCol))))
+    val wOff = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy("source", "shard")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum("__n").over(wOff), lit(0L)))
+      .withColumn("__total", sum("__n").over(Window.partitionBy("source")))
+      .drop("__n")
+    rows.join(broadcast(offsets), Seq("source", "shard"))
+      .withColumn("rank_in_source", col("__off") + col("__rn"))
+      .withColumn("pos",
+        round((col("rank_in_source") - lit(0.5)) / col("__total"), 9))
+      .select(col(idCol), col("source"), col("rank_in_source"), col("pos"))
+  }
+
   def upsample(df: DataFrame, weightCol: Column): DataFrame =
     df.withColumn("copy_no", explode(
       when(weightCol >= 1, sequence(lit(1), weightCol))

@@ -457,6 +457,24 @@ class DedupSpec extends SparkSpec {
     assert(jac == 0)
   }
 
+  test("dupChunkFraction: stitched doc reads ~1.0 where doc hash and within-doc repetition read clean") {
+    // doc 3 = chunk of doc 1 + chunk of doc 2 (a franken/syndication
+    // doc): full text unique, no within-doc repetition, but every
+    // 4-token chunk duplicates an earlier doc's chunk
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight"),
+      (3L, "alpha beta gamma delta one two three four")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupChunkFraction(docs, "doc_id", "text", chunkTokens = 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._4 == 0.0 && got(2L)._4 == 0.0)
+    assert(got(3L)._3 == 2L && got(3L)._4 == 1.0)
+    // exact dedup sees three distinct docs — the rule d01 misses
+    assert(Dedup.exactGroups(docs, "doc_id", "text").count() == 3)
+  }
+
   test("persisted gram index serves d15's semantics; benchmark text never rescanned") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river"),

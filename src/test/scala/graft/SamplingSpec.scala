@@ -229,6 +229,34 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("interleaveBySource: every prefix of the pos order holds each source's share within one row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 80 docs of source a, 20 of b → a 4:1 stride
+    val docs = ((1L to 80L).map(i => (i, "a")) ++ (81L to 100L).map(i => (i, "b")))
+      .toDF("id", "source")
+    val sched = Sampling.interleaveBySource(docs, "id", "source",
+        nShards = 4, salt = "t")
+      .orderBy("pos", "source", "rank_in_source")
+      .as[(Long, String, Long, Double)].collect()
+    assert(sched.length == 100)
+    // rank_in_source is a permutation per source
+    assert(sched.filter(_._2 == "a").map(_._3).sorted.toSeq == (1L to 80L))
+    // prefix-share property: at any cut, #b seen is within 1 of 20% of it
+    var nB = 0
+    sched.zipWithIndex.foreach { case ((_, src, _, _), i) =>
+      if (src == "b") nB += 1
+      assert(math.abs(nB - 0.2 * (i + 1)) <= 1.0,
+        s"prefix ${i + 1}: $nB docs of b breaks the stride bound")
+    }
+    // deterministic across runs
+    val again = Sampling.interleaveBySource(docs, "id", "source",
+        nShards = 4, salt = "t")
+      .orderBy("pos", "source", "rank_in_source")
+      .as[(Long, String, Long, Double)].collect()
+    assert(sched.toSeq == again.toSeq)
+  }
+
   test("lengthBucketBatches: homogeneous buckets, bounded batches, exact padding math") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
