@@ -456,6 +456,91 @@ object Dedup {
     admitted.drop("text_hash")
   }
 
+  // ---- index deletes: tombstones + compaction (d32) ----------------
+  //
+  // Production corpora DELETE: opt-outs, takedowns, license
+  // revocations. Rewriting a 100 TB index per delete batch is not an
+  // option, so deletes land as a TOMBSTONE side-table (append-only,
+  // tiny) that the serve path anti-joins; a periodic COMPACTION folds
+  // the tombstones into the index files and clears them. The contract
+  // the d32 gate pins: serve-with-tombstones ≡ serve-after-compaction
+  // ≡ an index rebuilt from the retained corpus — and a re-ingest of
+  // deleted CONTENT is admitted again (the opt-out actually forgets).
+
+  /** Append delete requests (the indexed rows' `first_id`s) to the
+    * index's tombstone side-table. O(|deletes|) — never touches the
+    * index files. */
+  def tombstoneHashIndex(deleteIds: DataFrame, idCol: String,
+      path: String): Unit =
+    deleteIds.select(col(idCol).cast("long").as("first_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** The index minus its tombstones — what the serve path consults.
+    * The tombstone side is a tiny broadcast anti-join on `first_id`;
+    * the index files are untouched. */
+  def liveHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val idx = readHashIndex(spark, path)
+    tombstonesOf(spark, path) match {
+      case Some(ts) =>
+        idx.join(broadcast(ts.select("first_id").distinct()),
+          Seq("first_id"), "left_anti")
+      case None => idx
+    }
+  }
+
+  /** [[ingestAgainstHashIndex]] with the anti-join taken against the
+    * LIVE index (tombstones honored): a re-submission of deleted
+    * content is admitted — and appended, so the content is indexed
+    * again under its new id. Same plan shape otherwise: batch-keyed
+    * window + hash-keyed anti-join + append of admitted hashes. */
+  def ingestAgainstLiveHashIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String): DataFrame = {
+    val admitted =
+      dropExactDups(batch, idCol, textCol)
+        .withColumn("text_hash", md5(col(textCol)))
+        .join(liveHashIndex(batch.sparkSession, path)
+          .select("text_hash"), Seq("text_hash"), "left_anti")
+        .localCheckpoint()
+    admitted
+      .groupBy("text_hash").agg(min(col(idCol)).as("first_id"))
+      .withColumn("hp", substring(col("text_hash"), 1, 1))
+      .repartition(col("hp"))
+      .write.mode("append").partitionBy("hp")
+      .parquet(s"$path/hashes")
+    admitted.drop("text_hash")
+  }
+
+  /** Fold tombstones into the index files and clear them: rewrite
+    * `hashes` as the live set (localCheckpoint first — the rewrite
+    * overwrites the very files the live plan scans), then drop the
+    * tombstone side-table. After compaction [[liveHashIndex]] and
+    * [[readHashIndex]] agree. At scale this is the standard
+    * read-merge-rewrite maintenance pass, amortized across delete
+    * batches; with the index hash-partitioned on `hp` a selective
+    * compaction could rewrite only partitions containing tombstoned
+    * rows. */
+  def compactHashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    if (tombstonesOf(spark, path).isEmpty) return
+    val live = liveHashIndex(spark, path).localCheckpoint()
+    live.withColumn("hp", substring(col("text_hash"), 1, 1))
+      .repartition(col("hp"))
+      .write.mode("overwrite").partitionBy("hp")
+      .parquet(s"$path/hashes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
   // ---- Bloom-gated exact dedup (d29/sw18) --------------------------
   //
   // The hash index (d26) answers "seen before?" with a keyed join

@@ -142,6 +142,65 @@ object VectorSearch {
       .parquet(s"$path/assignments")
   }
 
+  // ---- index deletes: tombstones + compaction (s29) ---------------
+  //
+  // The embedding-side twin of the dedup index's delete path
+  // (Dedup.tombstoneHashIndex): opt-outs/takedowns land as an
+  // append-only tombstone side-table of vector ids; the serve path
+  // anti-joins it (index files untouched — no rewrite per delete
+  // batch); compaction folds tombstones into the per-list parquet
+  // layout and clears them. The s29 gate pins tombstoned serve ≡
+  // post-compaction serve ≡ an index built without the deleted rows.
+
+  /** Append vector delete requests to the index's tombstone
+    * side-table. O(|deletes|) — never touches the list files. */
+  def tombstoneIvfIndex(deleteIds: DataFrame, idCol: String,
+      path: String): Unit =
+    deleteIds.select(col(idCol).cast("long").as("neighbor_id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** The assignment frame minus tombstoned vectors — what the serve
+    * path scores. The tombstone side is delete-batch-sized and
+    * broadcast; list-directory pruning is untouched (the anti-join
+    * sits above the partitioned scan). */
+  def readLiveIvfAssignments(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val assigned = spark.read.parquet(s"$path/assignments")
+    ivfTombstones(spark, path) match {
+      case Some(ts) =>
+        assigned.join(broadcast(ts.select("neighbor_id").distinct()),
+          Seq("neighbor_id"), "left_anti")
+      case None => assigned
+    }
+  }
+
+  /** Fold tombstones into the list files and clear them: rewrite
+    * `assignments` as the live rows (localCheckpoint first — the
+    * rewrite overwrites the files the live plan scans), re-partitioned
+    * by list id so the pruned-serve layout is preserved. With the
+    * layout partitioned BY LIST a production compaction would rewrite
+    * only the lists that contain tombstoned rows; here the full
+    * rewrite keeps the proof simple. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, listCol: String = "cluster"): Unit = {
+    if (ivfTombstones(spark, path).isEmpty) return
+    val live = readLiveIvfAssignments(spark, path).localCheckpoint()
+    live.repartition(col(listCol))
+      .write.mode("overwrite").partitionBy(listCol)
+      .parquet(s"$path/assignments")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
   /** Centroids of a persisted index alone (nlist-row driver fetch). */
   def readIvfIndexCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(Int, Array[Float])] = {

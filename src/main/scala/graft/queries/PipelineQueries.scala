@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import graft.text.{Sampling, Sketches, TextOps}
+import graft.text.{Retrieval, Sampling, Sketches, TextOps}
 
 /** Training-data pipeline queries over documents/embeddings: dedup
   * (exact, n-gram Jaccard, MinHash LSH, SimHash), similarity search
@@ -2747,7 +2747,249 @@ object PipelineQueries {
              |  CAST(sum(CASE WHEN nrm < lo OR nrm > hi THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_outliers,
              |  min(CASE WHEN nrm < lo OR nrm > hi THEN vec_id END) AS min_outlier_id
-             |FROM j GROUP BY label ORDER BY label""".stripMargin))
+             |FROM j GROUP BY label ORDER BY label""".stripMargin)),
+
+    // ---- BM25 lexical retrieval (s27): top-10 per query under the
+    // standard (k1=1.2, b=0.75) scorer — the lexical half of hybrid
+    // search and the "mine topical subsets" curation query. Queries
+    // are the first 8 tokens of every 125th doc (self excluded), so
+    // the gate needs no external query set. The corpus reduces ONCE
+    // to a (doc, term, tf) posting table; the query side broadcasts —
+    // no corpus×corpus work. Scores round to 6 BEFORE ranking so
+    // equal-score ties break on doc_id identically in both engines.
+    NamedQuery("s27_bm25_topk",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val qs = docs.filter(col("doc_id") % 125 === 7)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+        Retrieval.bm25TopK(docs, "doc_id", "text", qs, "query_id", "qtext",
+            k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS ts FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |q AS (SELECT doc_id AS query_id, unnest(list_distinct(ts[1:8])) AS tok
+             |  FROM t WHERE doc_id % 125 = 7),
+             |dfq AS (SELECT tok, count(*) AS df FROM tf
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1),
+             |co AS (SELECT q.query_id, tf.doc_id,
+             |    ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             |      (tf.tf * (1.2 + 1.0)) /
+             |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS w
+             |  FROM q JOIN tf USING (tok) JOIN dfq USING (tok)
+             |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+             |  WHERE tf.doc_id <> q.query_id),
+             |sc AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+             |  FROM co GROUP BY 1, 2),
+             |rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+             |SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- hybrid retrieval via reciprocal-rank fusion (s28): BM25
+    // top-20 fused with exact-cosine top-20 at RRF c=60 over the
+    // common corpus (documents ⋈ embeddings on doc_id = vec_id) — the
+    // production hybrid-search shape (lexical catches exact terms the
+    // embedding smooths over; dense catches paraphrase the lexicon
+    // misses). Both rank lists replay in SQL; the fused score is ONE
+    // binary double add (fold-order-proof), rounded before the fused
+    // rank.
+    NamedQuery("s28_hybrid_rrf",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val corpus = docs.join(emb, col("doc_id") === col("vec_id"))
+          .select("doc_id", "text", "embedding")
+        val qs = corpus.filter(col("doc_id") % 125 === 7)
+        val lex = Retrieval.bm25TopK(corpus.select("doc_id", "text"),
+          "doc_id", "text",
+          qs.select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext")),
+          "query_id", "qtext", k = 20)
+        val dense = Similarity.bruteForceTopK(
+            qs.select("doc_id", "embedding"),
+            corpus.select("doc_id", "embedding"), k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(lex.select("query_id", "doc_id", "rank"), dense,
+            k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH c AS (SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+             |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+             |t AS (SELECT doc_id, list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0) AS ts FROM c),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+             |q AS (SELECT doc_id AS query_id, unnest(list_distinct(ts[1:8])) AS tok
+             |  FROM t WHERE doc_id % 125 = 7),
+             |dfq AS (SELECT tok, count(*) AS df FROM tf
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1),
+             |co AS (SELECT q.query_id, tf.doc_id,
+             |    ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             |      (tf.tf * (1.2 + 1.0)) /
+             |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS w
+             |  FROM q JOIN tf USING (tok) JOIN dfq USING (tok)
+             |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+             |  WHERE tf.doc_id <> q.query_id),
+             |lsc AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+             |  FROM co GROUP BY 1, 2),
+             |lrk AS (SELECT query_id, doc_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM lsc),
+             |lex AS (SELECT query_id, doc_id, rank FROM lrk WHERE rank <= 20),
+             |dsc AS (SELECT qc.doc_id AS query_id, cc.doc_id,
+             |    round(
+             |      list_sum(list_transform(generate_series(1, len(qc.v)), i -> qc.v[i] * cc.v[i])) /
+             |      (sqrt(list_sum(list_transform(generate_series(1, len(qc.v)), i -> qc.v[i] * qc.v[i]))) *
+             |       sqrt(list_sum(list_transform(generate_series(1, len(cc.v)), i -> cc.v[i] * cc.v[i])))),
+             |      6) AS cos
+             |  FROM c qc JOIN c cc ON qc.doc_id % 125 = 7 AND qc.doc_id <> cc.doc_id),
+             |drk AS (SELECT query_id, doc_id, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank FROM dsc),
+             |den AS (SELECT query_id, doc_id, rank FROM drk WHERE rank <= 20),
+             |f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+             |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+             |    round(coalesce(1.0 / (60 + l.rank), 0) +
+             |          coalesce(1.0 / (60 + d.rank), 0), 6) AS rrf
+             |  FROM lex l FULL OUTER JOIN den d
+             |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+             |rk AS (SELECT query_id, doc_id, rrf, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f)
+             |SELECT query_id, doc_id, rrf, rank FROM rk WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // ---- weighted reservoir sample (p24): k=5 docs per source,
+    // selection probability ∝ n_chars, WITHOUT replacement —
+    // Efraimidis–Spirakis A-ES on a content-hash-derived u, so the
+    // draw is reproducible across engines/runs/partitionings (no
+    // RNG). Runs in the TopK aggregator: map-side combine ships k
+    // candidates per source per partition — no window, no sort.
+    NamedQuery("p24_weighted_reservoir",
+      (s, dir) => Sampling.weightedReservoir(
+          Tables.documents(s, dir), "source", "doc_id",
+          col("n_chars"), k = 5)
+        .orderBy("source", "sample_rank"),
+      Some("""WITH k AS (SELECT source, doc_id,
+             |    -ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+             |         + 1.0) / 4503599627370497.0)
+             |      / CAST(n_chars AS DOUBLE) AS key
+             |  FROM documents),
+             |r AS (SELECT source, doc_id, key, row_number() OVER (
+             |    PARTITION BY source ORDER BY key, doc_id) AS sample_rank FROM k)
+             |SELECT source, doc_id, round(key, 9) AS res_key,
+             |  CAST(sample_rank AS INT) AS sample_rank
+             |FROM r WHERE sample_rank <= 5
+             |ORDER BY source, sample_rank""".stripMargin)),
+
+    // ---- persisted-index DELETES: tombstones + compaction (d32) —
+    // the opt-out/takedown shape no 100 TB index escapes. Deletes
+    // land as an append-only tombstone side-table the serve path
+    // anti-joins (index files untouched); compaction folds them in
+    // and clears the side-table. TWO serve phases make the oracle pin
+    // every contract at once: phase 1 (tombstoned serve) must ADMIT
+    // re-submissions of deleted content (+1e6 — the opt-out forgets),
+    // must still REJECT retained-content replays (+2e6 — no
+    // over-delete); phase 2 (post-compaction serve) must REJECT
+    // replays of phase-1 admissions (+3e6 — appended rows survive the
+    // rewrite) and of the re-admitted deleted content (+4e6).
+    NamedQuery("d32_index_tombstone_compaction",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("hash_idx_ts")
+        Dedup.writeHashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", path)
+        Dedup.tombstoneHashIndex(
+          docs.filter(col("doc_id") % 6 === 0).select("doc_id"),
+          "doc_id", path)
+        val b1 = docs.filter(col("doc_id") % 4 === 1)
+          .unionByName(docs.filter(col("doc_id") % 6 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+          .unionByName(docs.filter(col("doc_id") % 4 === 2 && col("doc_id") % 6 =!= 0)
+            .withColumn("doc_id", col("doc_id") + 2000000))
+        val a1 = Dedup.ingestAgainstLiveHashIndex(b1, "doc_id", "text", path)
+          .select(lit(1).as("phase"), col("doc_id"))
+        Dedup.compactHashIndex(s, path)
+        val b2 = docs.filter(col("doc_id") % 4 === 3)
+          .unionByName(docs.filter(col("doc_id") % 4 === 1)
+            .withColumn("doc_id", col("doc_id") + 3000000))
+          .unionByName(docs.filter(col("doc_id") % 6 === 0)
+            .withColumn("doc_id", col("doc_id") + 4000000))
+        val a2 = Dedup.ingestAgainstLiveHashIndex(b2, "doc_id", "text", path)
+          .select(lit(2).as("phase"), col("doc_id"))
+        a1.unionByName(a2).orderBy("phase", "doc_id")
+      },
+      Some("""WITH idx0 AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+             |del AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 6 = 0),
+             |live0 AS (SELECT h FROM idx0 WHERE h NOT IN (SELECT h FROM del)),
+             |b1 AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 1
+             |  UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents
+             |    WHERE doc_id % 6 = 0
+             |  UNION ALL SELECT doc_id + 2000000, md5(text) FROM documents
+             |    WHERE doc_id % 4 = 2 AND doc_id % 6 <> 0),
+             |a1 AS (SELECT doc_id, h FROM (SELECT doc_id, h, row_number() OVER (
+             |    PARTITION BY h ORDER BY doc_id) AS rn FROM b1)
+             |  WHERE rn = 1 AND h NOT IN (SELECT h FROM live0)),
+             |live1 AS (SELECT h FROM live0 UNION SELECT h FROM a1),
+             |b2 AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 4 = 3
+             |  UNION ALL SELECT doc_id + 3000000, md5(text) FROM documents
+             |    WHERE doc_id % 4 = 1
+             |  UNION ALL SELECT doc_id + 4000000, md5(text) FROM documents
+             |    WHERE doc_id % 6 = 0),
+             |a2 AS (SELECT doc_id, h FROM (SELECT doc_id, h, row_number() OVER (
+             |    PARTITION BY h ORDER BY doc_id) AS rn FROM b2)
+             |  WHERE rn = 1 AND h NOT IN (SELECT h FROM live1))
+             |SELECT 1 AS phase, doc_id FROM a1
+             |UNION ALL SELECT 2, doc_id FROM a2
+             |ORDER BY phase, doc_id""".stripMargin)),
+
+    // ---- vector-index DELETES: tombstones + compaction (s29) — the
+    // embedding-side twin of d32 (no 100 TB index escapes opt-outs).
+    // Deletes land as an append-only tombstone side-table the serve
+    // path anti-joins above the pruned list scan (index files
+    // untouched); compaction folds them into the per-list layout and
+    // clears the side-table. Phase 1 serves with tombstones live,
+    // phase 2 after compaction; BOTH must equal an index built
+    // without the deleted rows — s23's filtered oracle chain with
+    // predicate "not deleted", emitted under both phase tags.
+    NamedQuery("s29_ivf_tombstone_compaction",
+      (s, dir) => {
+        import graft.ml.VectorSearch
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val path = graft.ScratchDirs.scratch("ivf_idx_ts")
+        val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
+        VectorSearch.writeIvfIndex(Similarity.assignFixed(emb, cents),
+          "cluster", cents.zipWithIndex.map(_.swap), path)
+        VectorSearch.tombstoneIvfIndex(
+          emb.filter(col("vec_id") % 5 === 0).select("vec_id"), "vec_id", path)
+        val q = emb.filter(col("vec_id") < 20)
+        val centsV = VectorSearch.readIvfIndexCentroids(s, path).map(_._2)
+        def tag(df: org.apache.spark.sql.DataFrame, p: Int) =
+          df.select(lit(p).as("phase"), col("query_id"),
+            col("neighbor_id"), col("cos"), col("rank"))
+        // phase 1 pins BEFORE compaction rewrites the scanned files
+        val p1 = tag(Similarity.ivfServe(q,
+          VectorSearch.readLiveIvfAssignments(s, path), centsV,
+          k = 5, nprobe = IvfProbes), 1).localCheckpoint()
+        VectorSearch.compactIvfIndex(s, path, "cluster")
+        val (loaded, _) = VectorSearch.readIvfIndex(s, path)
+        val p2 = tag(Similarity.ivfServe(q, loaded, centsV,
+          k = 5, nprobe = IvfProbes), 2)
+        p1.unionByName(p2).orderBy("phase", "query_id", "rank")
+      },
+      Some(ivfTombstoneOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+        k = 5, seed = 7L, predSql = "l.vec_id % 5 <> 0")))
   )
 
   /** t19's full oracle — the frozen-weight quality scorer replayed in
@@ -3286,6 +3528,24 @@ object PipelineQueries {
     * to the assignment CTE before scoring — exactly where
     * Similarity.ivfFilteredTopK applies it. */
   private def ivfFilteredOracle(dim: Int, nlist: Int, nprobe: Int, k: Int,
+      seed: Long, predSql: String): String =
+    s"""${ivfFilteredCtes(dim, nlist, nprobe, seed, predSql)}
+       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for s29 index deletes: the filtered chain (predicate = the
+    * non-deleted rows) emitted under BOTH phase tags — tombstoned
+    * serve and post-compaction serve must each equal the
+    * built-without-deletes index's results. */
+  private def ivfTombstoneOracle(dim: Int, nlist: Int, nprobe: Int, k: Int,
+      seed: Long, predSql: String): String =
+    s"""${ivfFilteredCtes(dim, nlist, nprobe, seed, predSql)}
+       |SELECT ph.phase, r.query_id, r.neighbor_id, r.cos, r.rank
+       |FROM ranked r CROSS JOIN (SELECT 1 AS phase UNION ALL SELECT 2 AS phase) ph
+       |WHERE r.rank <= $k
+       |ORDER BY ph.phase, r.query_id, r.rank""".stripMargin
+
+  private def ivfFilteredCtes(dim: Int, nlist: Int, nprobe: Int,
       seed: Long, predSql: String): String = {
     val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, seed)
     val centsSql = cents.zipWithIndex.map { case (c, j) =>
@@ -3319,9 +3579,7 @@ object PipelineQueries {
        |  JOIN nrm nq ON p.query_id = nq.vec_id JOIN nrm nc ON a.vec_id = nc.vec_id),
        |ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM scored)
-       |SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |  FROM scored)""".stripMargin
   }
 
   /** Oracle for d25 SemDeDup: the ivfFixedOracle assign chain

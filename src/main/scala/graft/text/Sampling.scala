@@ -188,6 +188,38 @@ object Sampling {
         (col("__r") + 1).cast("int").as("sample_rank"))
   }
 
+  /** WEIGHTED sample-without-replacement of k rows per stratum —
+    * Efraimidis–Spirakis A-ES (IPL 2006): each row draws
+    * u ∈ (0, 1] and competes on key = −ln(u)/w; the k SMALLEST keys
+    * win, which is exactly a weighted reservoir (selection probability
+    * ∝ w, without replacement). "Sample 5 docs per source, biased
+    * toward longer/higher-quality ones, reproducibly" is the curation
+    * spot-check / eval-set-draw shape.
+    *
+    * Deterministic and engine-portable: u is derived from the first
+    * 52 bits of md5(id) (the [[sampleKPerGroup]] hash family), so the
+    * SAME rows win in any engine, run, or partitioning — no RNG. The
+    * k-smallest selection runs in the TopK aggregator (map-side
+    * combine, no window, no global sort): at 100 TB each partition
+    * ships k candidates per stratum. Weights must be > 0.
+    * Output: (stratum, id, key rounded to 9, sample_rank). */
+  def weightedReservoir(df: DataFrame, strataCol: String, idCol: String,
+      weightCol: Column, k: Int): DataFrame = {
+    import graft.functions.TopK
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(4503599627370497.0) // (0,1]
+    df.select(col(strataCol), col(idCol).cast("long").as("__id"),
+        (-log(u) / weightCol.cast("double")).as("__key"))
+      .filter(col("__key").isNotNull && col("__id").isNotNull)
+      .groupBy(strataCol)
+      .agg(TopK.topK(k)(col("__id"), -col("__key")).as("__nn"))
+      .select(col(strataCol), posexplode(col("__nn")).as(Seq("__r", "__s")))
+      .select(col(strataCol), col("__s.id").as(idCol),
+        round(-col("__s.score"), 9).as("res_key"),
+        (col("__r") + 1).cast("int").as("sample_rank"))
+  }
+
   /** Token-budget corpus selection — greedy "best score first until
     * the budget is spent", the final assembly step of a curation
     * pipeline ("give me the top-quality ~20M tokens for this mix").

@@ -502,6 +502,37 @@ class DedupSpec extends SparkSpec {
       s"concat('synthetic $tag document number ', id, " +
         "' with distinct filler content alpha beta gamma delta ', id * 31) AS text")
 
+  test("tombstones: deleted content re-admits, retained still rejects; compaction preserves both") {
+    val path = ScratchDirs.scratch("t_tombstone")
+    val docs = syntheticDocs(60, "tomb")
+    Dedup.writeHashIndex(docs, "doc_id", "text", path)
+    // delete every 3rd doc; serve a batch replaying deleted + retained
+    Dedup.tombstoneHashIndex(
+      docs.filter($"doc_id" % 3 === 0).select("doc_id"), "doc_id", path)
+    val batch = docs.filter($"doc_id" % 3 === 0)
+      .withColumn("doc_id", $"doc_id" + 1000)
+      .unionByName(docs.filter($"doc_id" % 3 === 1)
+        .withColumn("doc_id", $"doc_id" + 2000))
+    val a1 = Dedup.ingestAgainstLiveHashIndex(batch, "doc_id", "text", path)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a1.forall(id => id >= 1000 && id < 2000),
+      s"retained-content replays must stay rejected: ${a1.toSeq}")
+    assert(a1.length == docs.filter($"doc_id" % 3 === 0).count())
+    // compact: tombstone table folds in and disappears; live ≡ raw read
+    Dedup.compactHashIndex(spark, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+    assert(Dedup.liveHashIndex(spark, path).count() ==
+      Dedup.readHashIndex(spark, path).count())
+    // post-compaction: phase-1 admissions survived the rewrite (their
+    // replays reject); deleted-then-readmitted content rejects too
+    val batch2 = docs.filter($"doc_id" % 3 === 0)
+      .withColumn("doc_id", $"doc_id" + 3000)
+    val a2 = Dedup.ingestAgainstLiveHashIndex(batch2, "doc_id", "text", path)
+    assert(a2.isEmpty)
+  }
+
   test("bloom index has no false negatives: every indexed hash gates true") {
     val path = ScratchDirs.scratch("t_bloom_fn")
     val docs = syntheticDocs(200, "bloomfn")

@@ -122,6 +122,33 @@ class MlSpec extends SparkSpec {
       s"expected per-list partition directories, got ${listDirs.mkString(",")}")
   }
 
+  test("IVF tombstones: deleted vectors vanish from serves; compaction preserves results and clears the side-table") {
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+    val path = graft.ScratchDirs.scratch("ivf_idx_ts_spec")
+    val cents = Similarity.hyperplanes(dim = 64, nBits = 8, seed = 1L)
+    VectorSearch.writeIvfIndex(Similarity.assignFixed(emb, cents),
+      "cluster", cents.zipWithIndex.map(_.swap), path)
+    VectorSearch.tombstoneIvfIndex(
+      emb.filter(col("vec_id") % 3 === 0).select("vec_id"), "vec_id", path)
+    val centsV = VectorSearch.readIvfIndexCentroids(spark, path).map(_._2)
+    def serve(assigned: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfServe(queries, assigned, centsV, k = 5, nprobe = 3)
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    val tombstoned =
+      serve(VectorSearch.readLiveIvfAssignments(spark, path))
+    assert(tombstoned.nonEmpty && tombstoned.forall(_._2 % 3 != 0),
+      "deleted vectors must never surface as neighbors")
+    VectorSearch.compactIvfIndex(spark, path, "cluster")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+    // live view ≡ raw read after compaction; serves agree exactly
+    val compacted = serve(spark.read.parquet(s"$path/assignments"))
+    assert(compacted == tombstoned)
+  }
+
   test("pqTrainCodebooks: deterministic, right shape, and rerank recall beats fixed codebooks") {
     val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
     val q = emb.filter(col("vec_id") < 10)

@@ -489,6 +489,17 @@ class PlanSpec extends SparkSpec {
       s"candidate generation must stay a (band, bh)-keyed equi-join:\n$plan")
   }
 
+  test("s27 BM25: query side broadcasts onto the posting table (no cartesian, no all-pairs)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "s27_bm25_topk")
+    // the (query_id, tok, df, stats) side is query-sized and must
+    // broadcast; the corpus postings are the only shuffled table
+    assert(plan.contains("BroadcastHashJoin"),
+      s"s27: expected the query-term side to broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"s27: corpus must never cross-join the queries:\n$plan")
+  }
+
   test("surprisal/tf-idf joins broadcast their vocabulary-sized sides") {
     import graft.queries.PipelineQueries
     // t06: freq + 1-row total joined back to the corpus token stream;

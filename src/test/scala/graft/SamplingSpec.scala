@@ -161,6 +161,46 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("weightedReservoir: k per stratum, matches the declarative A-ES selection") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val corpus = (1 to 120)
+      .map(i => (s"src${i % 3}", i.toLong, (i % 7 + 1) * 100L))
+      .toDF("source", "doc_id", "n_chars")
+    val k = 5
+    val got = Sampling.weightedReservoir(corpus, "source", "doc_id",
+        col("n_chars"), k)
+      .select("source", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    // declarative recomputation of the same keys via a window —
+    // pins the TopK-aggregator path against the textbook formulation
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(4503599627370497.0)
+    val expected = corpus
+      .withColumn("__key", -log(u) / col("n_chars").cast("double"))
+      .withColumn("sample_rank", row_number().over(
+        Window.partitionBy("source").orderBy(col("__key"), col("doc_id"))))
+      .filter(col("sample_rank") <= k)
+      .select("source", "doc_id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(got === expected)
+    assert(got.groupBy(_._1).forall(_._2.size == k))
+  }
+
+  test("weightedReservoir: a vastly heavier row always wins rank 1") {
+    import spark.implicits._
+    // same u-pool, one row with weight 10^9 vs peers at 1 — its key
+    // is ~9 orders of magnitude smaller than any peer's
+    val corpus = (1 to 50)
+      .map(i => ("s", i.toLong, if (i == 37) 1000000000L else 1L))
+      .toDF("source", "doc_id", "w")
+    val top = Sampling.weightedReservoir(corpus, "source", "doc_id",
+        col("w"), k = 1)
+      .select("doc_id").as[Long].head()
+    assert(top === 37L)
+  }
+
   test("packSequences: spans split at boundaries, every non-final sequence full") {
     import spark.implicits._
     // stream A: docs of 3,4,5 tokens, seqLen 4 →
