@@ -2954,6 +2954,32 @@ object PipelineQueries {
              |UNION ALL SELECT 2, doc_id FROM a2
              |ORDER BY phase, doc_id""".stripMargin)),
 
+    // ---- per-epoch deterministic reshuffle (p25): the training-loop
+    // contract that each epoch visits every doc exactly once in a
+    // fresh order, as a pure function of (epoch, id) — resume-safe,
+    // engine-portable, no RNG. ONE scan emits all epochs (the epoch
+    // list explodes scan-stage); the shard hash covers (epoch, id) so
+    // shard MEMBERSHIP reshuffles too; the only shuffle is the
+    // (epoch, shard)-keyed window. SamplingSpec pins the permutation
+    // properties; the gate pins the exact orders.
+    NamedQuery("p25_epoch_reshuffle",
+      (s, dir) => Sampling.epochShuffle(Tables.documents(s, dir),
+          "doc_id", nShards = 4, epochs = 2)
+        .orderBy("epoch", "shard", "pos"),
+      Some("""WITH x AS (SELECT doc_id, e.epoch FROM documents
+             |  CROSS JOIN (SELECT 0 AS epoch UNION ALL SELECT 1 AS epoch) e),
+             |h AS (SELECT epoch, doc_id,
+             |    md5(CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)) AS hx
+             |  FROM x),
+             |sh AS (SELECT epoch, doc_id, hx,
+             |    CAST(CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 4 AS INT) AS shard
+             |  FROM h)
+             |SELECT epoch, shard,
+             |  CAST(row_number() OVER (
+             |    PARTITION BY epoch, shard ORDER BY hx, doc_id) AS INT) AS pos,
+             |  doc_id
+             |FROM sh ORDER BY epoch, shard, pos""".stripMargin)),
+
     // ---- vector-index DELETES: tombstones + compaction (s29) — the
     // embedding-side twin of d32 (no 100 TB index escapes opt-outs).
     // Deletes land as an append-only tombstone side-table the serve

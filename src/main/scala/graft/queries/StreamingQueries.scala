@@ -598,6 +598,54 @@ object StreamingQueries {
              |SELECT doc_id, source FROM documents d
              |WHERE d.doc_id % 10 != 0
              |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- streaming admission against the TOMBSTONED index (sw20):
+    // d32's streaming serve — the persisted-gate family's delete
+    // story, completing opt-out coverage on the ingest path. The
+    // static side is the LIVE index (hash index anti-joined with its
+    // tombstone side-table), so the stream ADMITS re-submissions of
+    // deleted content (+1e6 — the opt-out forgets mid-stream), still
+    // REJECTS retained-content replays (+2e6), and admits fresh odds.
+    // The same feed runs again AFTER compaction (phase 2) and must
+    // admit identically — compaction is transparent to the serve.
+    NamedQuery("sw20_stream_tombstone_admission",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("hash_idx_ts_stream")
+        graft.dedup.Dedup.writeHashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        graft.dedup.Dedup.tombstoneHashIndex(
+          docs.filter(col("doc_id") % 6 === 0).select("doc_id"),
+          "doc_id", path)
+        val feed = docs.filter(col("doc_id") % 2 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 6 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+          .unionByName(docs.filter(col("doc_id") % 4 === 2 && col("doc_id") % 6 =!= 0)
+            .withColumn("doc_id", col("doc_id") + 2000000))
+          .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id)"))
+        def serve(tag: Int, name: String) =
+          StreamRunner.runAvailableNow(s, feed, name, "append") { src =>
+            EventStreams.liveIndexDedupAdmission(src, "doc_id", "text",
+              "ts", path, watermark = "30 days")
+          }.select(lit(tag).as("phase"), col("id"))
+        val p1 = serve(1, "sw20_tombstone_p1").localCheckpoint()
+        graft.dedup.Dedup.compactHashIndex(s, path)
+        val p2 = serve(2, "sw20_tombstone_p2")
+        p1.unionByName(p2).orderBy("phase", "id")
+      },
+      Some("""WITH live AS (SELECT md5(text) AS h FROM documents
+             |  WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0),
+             |feed AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+             |  UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents
+             |    WHERE doc_id % 6 = 0
+             |  UNION ALL SELECT doc_id + 2000000, md5(text) FROM documents
+             |    WHERE doc_id % 4 = 2 AND doc_id % 6 <> 0),
+             |adm AS (SELECT doc_id AS id FROM feed
+             |  WHERE h NOT IN (SELECT h FROM live))
+             |SELECT ph.phase, a.id
+             |FROM adm a CROSS JOIN (SELECT 1 AS phase UNION ALL SELECT 2 AS phase) ph
+             |ORDER BY ph.phase, a.id""".stripMargin))
   )
 }

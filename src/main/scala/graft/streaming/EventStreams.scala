@@ -500,6 +500,28 @@ object EventStreams {
       .select(col(idCol).as("id"))
   }
 
+  /** [[indexDedupAdmission]] against the LIVE index — tombstones
+    * (Dedup.tombstoneHashIndex, the opt-out/takedown path) honored at
+    * serve time without rewriting the index files: the static side is
+    * the index anti-joined with its delete side-table, so a
+    * re-submission of deleted content is ADMITTED mid-stream while
+    * retained content keeps rejecting. Same stream-static shape (the
+    * stream side never shuffles onto the index); compaction
+    * (Dedup.compactHashIndex) is transparent to this serve — the sw20
+    * gate runs one feed before and one after and pins both admissions
+    * equal. */
+  def liveIndexDedupAdmission(docs: DataFrame, idCol: String,
+      textCol: String, tsCol: String, indexPath: String,
+      watermark: String): DataFrame = {
+    val idx = graft.dedup.Dedup
+      .liveHashIndex(docs.sparkSession, indexPath).select("text_hash")
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("text_hash", md5(col(textCol)))
+      .dropDuplicatesWithinWatermark("text_hash")
+      .join(idx, Seq("text_hash"), "left_anti")
+      .select(col(idCol).as("id"))
+  }
+
   /** Streaming exact-dedup admission through the persisted BLOOM gate
     * (graft.dedup.Dedup.writeBloomIndex — d29's streaming twin, the
     * culled form of [[indexDedupAdmission]]): arriving docs dedup

@@ -188,6 +188,34 @@ object Sampling {
         (col("__r") + 1).cast("int").as("sample_rank"))
   }
 
+  /** Per-EPOCH deterministic reshuffle — the training-loop contract
+    * that each epoch visits every document exactly once in a fresh
+    * order, reproducibly (resume-safe, engine-portable: the order is
+    * a pure function of (epoch, id), never of RNG state or
+    * partitioning). One scan generates ALL epochs: the epoch list
+    * explodes scan-stage (×E rows), the shard is hashed from
+    * (epoch, id) — so shard membership ALSO reshuffles per epoch, not
+    * just within-shard order — and the one keyed window runs per
+    * (epoch, shard) cell. At 100 TB: E× one shuffle keyed by
+    * (epoch, shard), each cell window-sorted independently; no global
+    * sort. Output: (epoch, shard, pos, id). */
+  def epochShuffle(df: DataFrame, idCol: String, nShards: Int,
+      epochs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withEpoch = df.select(col(idCol))
+      .withColumn("epoch", explode(lit((0 until epochs).toArray)))
+    val hx = md5(concat_ws("|", col("epoch").cast("string"),
+      col(idCol).cast("string")))
+    withEpoch.withColumn("__hx", hx)
+      .withColumn("shard",
+        (conv(substring(col("__hx"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("__hx"), col(idCol))))
+      .select(col("epoch"), col("shard"), col("pos"), col(idCol))
+  }
+
   /** WEIGHTED sample-without-replacement of k rows per stratum —
     * Efraimidis–Spirakis A-ES (IPL 2006): each row draws
     * u ∈ (0, 1] and competes on key = −ln(u)/w; the k SMALLEST keys

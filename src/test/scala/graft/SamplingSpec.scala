@@ -188,6 +188,32 @@ class SamplingSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall(_._2.size == k))
   }
 
+  test("epochShuffle: every epoch is a complete permutation with a fresh order") {
+    import spark.implicits._
+    val corpus = (1L to 200L).toDF("doc_id")
+    val got = Sampling.epochShuffle(corpus, "doc_id", nShards = 4, epochs = 3)
+      .as[(Int, Int, Int, Long)].collect()
+    // each epoch covers every doc exactly once
+    (0 until 3).foreach { e =>
+      val rows = got.filter(_._1 == e)
+      assert(rows.map(_._4).toSet === (1L to 200L).toSet)
+      // positions dense 1..n within each (epoch, shard) cell
+      rows.groupBy(_._2).foreach { case (_, cell) =>
+        assert(cell.map(_._3).sorted.toSeq === (1 to cell.length))
+      }
+    }
+    // epochs produce genuinely different global orders AND different
+    // shard membership (the hash covers the epoch)
+    def order(e: Int) = got.filter(_._1 == e).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order(0) !== order(1))
+    def shardOf(e: Int) = got.filter(_._1 == e).map(r => r._4 -> r._2).toMap
+    assert(shardOf(0) !== shardOf(1))
+    // re-running yields the identical assignment (pure function, no RNG)
+    val again = Sampling.epochShuffle(corpus, "doc_id", nShards = 4, epochs = 3)
+      .as[(Int, Int, Int, Long)].collect()
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("weightedReservoir: a vastly heavier row always wins rank 1") {
     import spark.implicits._
     // same u-pool, one row with weight 10^9 vs peers at 1 — its key

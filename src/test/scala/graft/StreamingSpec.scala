@@ -416,6 +416,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("liveIndexDedupAdmission: tombstoned content re-admits mid-stream, retained rejects") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = ScratchDirs.scratch("spec_stream_live_idx")
+    graft.dedup.Dedup.writeHashIndex(
+      Seq((10L, "deleted doc"), (11L, "retained doc"))
+        .toDF("doc_id", "text"), "doc_id", "text", path)
+    graft.dedup.Dedup.tombstoneHashIndex(
+      Seq(10L).toDF("doc_id"), "doc_id", path)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStreams.liveIndexDedupAdmission(
+        in.toDF().toDF("doc_id", "text", "ts"),
+        "doc_id", "text", "ts", path, watermark = "30 days")
+      .writeStream.format("memory").queryName("live_idx_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "deleted doc", ts("2024-01-01 00:00:01")),
+        (2L, "retained doc", ts("2024-01-01 00:00:02")),
+        (3L, "fresh doc", ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val got = spark.table("live_idx_dedup").as[Long].collect().toSet
+      assert(got == Set(1L, 3L),
+        s"expected tombstoned re-admit (1) + fresh (3), retained reject (2): $got")
+    } finally q.stop()
+  }
+
   test("nearDupIndexAdmission drops indexed near-dups across micro-batches; short docs pass") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
