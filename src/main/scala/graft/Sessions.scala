@@ -11,13 +11,20 @@ import org.apache.spark.sql.SparkSession
   *    otherwise rejects ([PARQUET_TYPE_ILLEGAL]); Tables.events
   *    normalizes the raw nanos to TimestampType micros.
   *  - shuffle partitions sized to the core count (local mode), not the
-  *    200 default meant for clusters.
+  *    200 default meant for clusters. SPARK_GRAFT_SHUFFLE_PARTITIONS
+  *    overrides for scale probes: at N× replicas a shuffle partition
+  *    holds N× the rows, and past ~30× the sort/agg spill turns keyed
+  *    shuffles super-linear — exactly the knob a cluster deployment
+  *    sizes by input bytes (spark.sql.files.maxPartitionBytes + AQE
+  *    target size do it automatically there).
   */
 object Sessions {
   def local(cpus: String): SparkSession = {
+    val shuffleParts =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

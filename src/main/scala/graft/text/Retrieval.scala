@@ -36,11 +36,14 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // posting table: one tokenize pass, one (doc, term) keyed agg
     // (map-side combine); dl/avgdl derive from the postings, not a
-    // second text scan.
-    val tf = corpus
+    // second text scan. CACHED: three consumers (dl, dfq, contrib)
+    // would otherwise re-run the tokenize+agg per consumer — measured
+    // 11.1 → 4.4 s at 30× sf0.1. In a serving deployment this table
+    // is the persisted index artifact, built once.
+    val tf = graft.Caches.cached(corpus
       .select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // avgdl as exact-integer sum ÷ count (ONE double division) so both
     // engines compute the identical double, independent of fold order
@@ -68,9 +71,16 @@ object Retrieval {
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
     val scored = contrib.groupBy("query_id", "doc_id")
       .agg(round(sum("w"), 6).as("score"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // top-k in the TopK aggregator (map-side combine — each partition
+    // ships k candidates per query) instead of a global per-query
+    // window sort of every scored (query, doc) pair; ties break
+    // (score desc, doc_id asc), matching the oracle's row_number.
+    import graft.functions.TopK
+    scored.groupBy("query_id")
+      .agg(TopK.topK(k)(col("doc_id"), col("score")).as("__nn"))
+      .select(col("query_id"), posexplode(col("__nn")).as(Seq("__r", "__s")))
+      .select(col("query_id"), col("__s.id").as("doc_id"),
+        col("__s.score").as("score"), (col("__r") + 1).cast("int").as("rank"))
   }
 
   /** Reciprocal-rank fusion of two ranked lists, each (query_id,

@@ -19,13 +19,27 @@ import org.apache.spark.sql.functions._
   * Rotation keeps per-copy token statistics (lengths, frequencies)
   * while making cross-copy shingle sets disjoint.
   *
-  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies>
+  * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies> [tables]
+  *
+  * Optional 4th arg: comma-separated table names to replicate; every
+  * other table is copied 1× (the dir stays loadable). Above 30 copies
+  * the filter is REQUIRED and must be ⊆ {documents, embeddings}: the
+  * TPC-H key strides (custkey 20k wide) cross the +1,000,000 vertex-id
+  * shifts past ~50 copies and would silently merge graph vertices —
+  * the doc stride (3e6) and vec stride (1e6) stay collision-free to
+  * 100 copies (doc plants land mid-stride: base + shift ± k·3e6 never
+  * re-enters the < 100k base window).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (src, out, copies) = (args(0), args(1), args(2).toInt)
-    require(copies >= 1 && copies <= 30,
-      s"copies must be in [1, 30] (got $copies)")
+    val only: Set[String] =
+      args.lift(3).map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
+    require(copies >= 1 && copies <= 100,
+      s"copies must be in [1, 100] (got $copies)")
+    require(copies <= 30 || (only.nonEmpty && only.subsetOf(Set("documents", "embeddings"))),
+      "above 30 copies pass a table filter ⊆ {documents,embeddings} — " +
+        "TPC-H key strides collide with the +1e6 vertex shifts there")
     val spark = graft.Sessions.local(
       Runtime.getRuntime.availableProcessors.toString)
 
@@ -50,6 +64,7 @@ object ScaleUp {
     val KU = 100000L   // user_id stride
 
     def rep(name: String, shift: (DataFrame, Int) => DataFrame): Unit = {
+      if (only.nonEmpty && !only(name)) { copy(name); return }
       val base = spark.read.parquet(s"$src/$name.parquet")
       val copiesDf = (0 until copies).map(i => shift(base, i))
         .reduce(_ unionByName _)
