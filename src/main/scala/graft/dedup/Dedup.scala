@@ -758,8 +758,16 @@ object Dedup {
     * files and the admitted set would anti-join its own output. */
   def ingestAgainstMinhashIndex(batch: DataFrame, idCol: String,
       textCol: String, path: String, n: Int, numHashes: Int, bands: Int,
-      minJaccard: Double): DataFrame = {
-    val spark = batch.sparkSession
+      minJaccard: Double): DataFrame =
+    ingestAgainstMinhashFrames(batch, idCol, textCol, path, n, numHashes,
+      bands, minJaccard,
+      readMinhashBands(batch.sparkSession, path),
+      readMinhashSignatures(batch.sparkSession, path))
+
+  private def ingestAgainstMinhashFrames(batch: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int, numHashes: Int, bands: Int,
+      minJaccard: Double, corpusBands: DataFrame,
+      corpusSigs: DataFrame): DataFrame = {
     val sigB = graft.Caches.cached(
       minhashSignaturesPortable(batch, idCol, textCol, n, numHashes))
     // (a) within-batch lower-id-neighbor drop
@@ -769,7 +777,7 @@ object Dedup {
     val survivors = sigB.join(droppedWithin, Seq("id"), "left_anti")
     val cand = bandedOf(survivors, numHashes, bands)
       .toDF("new_id", "band", "bh")
-      .join(readMinhashBands(spark, path)
+      .join(corpusBands
         .select(col("band"), col("bh"), col("id").as("corpus_id")),
         Seq("band", "bh"))
       .select("new_id", "corpus_id").distinct()
@@ -778,7 +786,7 @@ object Dedup {
       .reduce(_ + _)
     val matched = cand
       .join(survivors.as("a"), col("new_id") === col("a.id"))
-      .join(readMinhashSignatures(spark, path).as("b"),
+      .join(corpusSigs.as("b"),
         col("corpus_id") === col("b.id"))
       .filter(round(agree.cast("double") / numHashes, 6) >= minJaccard)
       .select(col("new_id").as("id"))
@@ -791,6 +799,68 @@ object Dedup {
       .repartition(col("band"))
       .write.mode("append").partitionBy("band").parquet(s"$path/bands")
     batch.join(dropIds, batch(idCol) === dropIds("id"), "left_anti")
+  }
+
+  // ---- near-dup index deletes: tombstones + compaction (d33) -------
+  //
+  // The MinHash sibling of [[tombstoneHashIndex]]/[[compactHashIndex]]
+  // — with this, every persisted admission gate (exact hash, lexical
+  // near-dup, semantic IVF) has the full lifecycle: build, append,
+  // batch serve, stream serve, DELETE, compaction. A tombstoned doc
+  // stops vetoing near-duplicates of itself: its band rows (candidate
+  // generation) and signature row (verification) are both anti-joined
+  // out of the serve.
+
+  /** Append near-dup-index delete requests (indexed doc ids). */
+  def tombstoneMinhashIndex(deleteIds: DataFrame, idCol: String,
+      path: String): Unit =
+    deleteIds.select(col(idCol).cast("long").as("id"))
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def minhashTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  private def minusTombstones(df: DataFrame, ts: Option[DataFrame]): DataFrame =
+    ts match {
+      case Some(t) => df.join(broadcast(t.select("id").distinct()),
+        Seq("id"), "left_anti")
+      case None => df
+    }
+
+  /** [[ingestAgainstMinhashIndex]] with both index artifacts taken
+    * LIVE (tombstones honored): near-duplicates of deleted docs admit
+    * again; everything else behaves identically. */
+  def ingestAgainstLiveMinhashIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String, n: Int, numHashes: Int, bands: Int,
+      minJaccard: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val ts = minhashTombstones(spark, path)
+    ingestAgainstMinhashFrames(batch, idCol, textCol, path, n, numHashes,
+      bands, minJaccard,
+      minusTombstones(readMinhashBands(spark, path), ts),
+      minusTombstones(readMinhashSignatures(spark, path), ts))
+  }
+
+  /** Fold tombstones into both artifacts and clear them. */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val ts = minhashTombstones(spark, path)
+    if (ts.isEmpty) return
+    val sigs = minusTombstones(readMinhashSignatures(spark, path), ts)
+      .localCheckpoint()
+    val bnds = minusTombstones(readMinhashBands(spark, path), ts)
+      .localCheckpoint()
+    sigs.write.mode("overwrite").parquet(s"$path/signatures")
+    bnds.repartition(col("band"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 
   /** Engine-portable SimHash: identical tf-weighted sign-bit

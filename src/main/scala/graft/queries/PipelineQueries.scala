@@ -2954,6 +2954,43 @@ object PipelineQueries {
              |UNION ALL SELECT 2, doc_id FROM a2
              |ORDER BY phase, doc_id""".stripMargin)),
 
+    // ---- NEAR-DUP index deletes: tombstones + compaction (d33) —
+    // d32's MinHash sibling; with it every persisted admission gate
+    // (exact hash, lexical near-dup, semantic IVF) has the full
+    // lifecycle incl. DELETE. A tombstoned doc stops vetoing its
+    // near-duplicates: band rows AND signature rows anti-join the
+    // delete side-table. Phase 1 (tombstoned serve) must ADMIT
+    // replays of deleted contents (+1e6), REJECT retained-content
+    // replays (+2e6), and pass fresh odds through both gates; phase 2
+    // re-ingests the IDENTICAL feed after compaction and must admit
+    // NOTHING (phase-1 appends survived the rewrite; re-admitted
+    // deleted content is indexed again) — idempotent re-ingest, the
+    // exactly-once guarantee a production delete pipeline needs.
+    NamedQuery("d33_neardup_tombstone_compaction",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("mh_idx_ts")
+        Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", n = 3, numHashes = MhHashes, bands = MhBands, path)
+        Dedup.tombstoneMinhashIndex(
+          docs.filter(col("doc_id") % 6 === 0).select("doc_id"),
+          "doc_id", path)
+        val feed = docs.filter(col("doc_id") % 4 === 1)
+          .unionByName(docs.filter(col("doc_id") % 6 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+          .unionByName(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 =!= 0)
+            .withColumn("doc_id", col("doc_id") + 2000000))
+        def serve(tag: Int) =
+          Dedup.ingestAgainstLiveMinhashIndex(feed, "doc_id", "text", path,
+              n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5)
+            .select(lit(tag).as("phase"), col("doc_id"))
+        val p1 = serve(1).localCheckpoint()
+        Dedup.compactMinhashIndex(s, path)
+        val p2 = serve(2)
+        p1.unionByName(p2).orderBy("phase", "doc_id")
+      },
+      Some(minhashTombstoneOracle(MhHashes, MhBands, 0.5))),
+
     // ---- per-epoch deterministic reshuffle (p25): the training-loop
     // contract that each epoch visits every doc exactly once in a
     // fresh order, as a pure function of (epoch, id) — resume-safe,
@@ -3122,6 +3159,77 @@ object PipelineQueries {
     * order exactly (within-batch lower-id-neighbor drop FIRST, then
     * survivors vs index). Docs too short to sign appear in batch_ids
     * but in neither drop set — admitted, as in the operator. */
+  /** Oracle for d33 near-dup index deletes: the d27 ingest chain with
+    * the index side restricted to LIVE rows (evens minus the %6
+    * tombstones) and the batch = fresh odds + replays of deleted
+    * (+1e6, must ADMIT) and retained (+2e6, must REJECT) contents.
+    * Phase 2 re-ingests the same feed after compaction and must admit
+    * NOTHING (phase-1 admissions were appended and survived the
+    * rewrite; re-admitted deleted content is indexed again) — so the
+    * oracle emits the phase-1 set under phase 1 and no phase-2 rows. */
+  private def minhashTombstoneOracle(numHashes: Int, bands: Int,
+      minJaccard: Double): String = {
+    val rows = numHashes / bands
+    val minCols = (0 until numHashes)
+      .map(i => s"min((h1 + $i * h2 + ${i.toLong * i}) % 2147483647) AS mh_$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val cat = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(mh_$i AS VARCHAR)").mkString(" || '|' || ")
+      s"SELECT id, $b AS band, md5($cat) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    val agree = (0 until numHashes)
+      .map(i => s"CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+       |    WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                             x -> len(x) > 0) AS ts
+       |  FROM all_docs),
+       |shs AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(ts) - 2), i -> array_to_string(ts[i:i+2], ' '))) AS arr
+       |  FROM toks WHERE len(ts) >= 3),
+       |ex AS (SELECT doc_id AS id, unnest(arr) AS sh FROM shs),
+       |hs AS (SELECT id,
+       |    CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT) AS h1,
+       |    CAST('0x' || substr(md5(sh), 9, 8) AS BIGINT) AS h2
+       |  FROM ex),
+       |sig AS (SELECT id,
+       |    $minCols
+       |  FROM hs GROUP BY id),
+       |banded AS (
+       |  $bandRows),
+       |batch_ids AS (SELECT doc_id AS id FROM all_docs
+       |  WHERE doc_id >= 1000000 OR doc_id % 4 = 1),
+       |live_ids AS (SELECT doc_id AS id FROM documents
+       |  WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0),
+       |dropped_within AS (
+       |  SELECT DISTINCT b.id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  JOIN sig sa ON a.id = sa.id JOIN sig sb ON b.id = sb.id
+       |  WHERE a.id < b.id
+       |    AND a.id IN (SELECT id FROM batch_ids)
+       |    AND b.id IN (SELECT id FROM batch_ids)
+       |    AND round(($agree) / ${numHashes.toDouble}, 6) >= $minJaccard),
+       |matched AS (
+       |  SELECT DISTINCT a.id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  JOIN sig sa ON a.id = sa.id JOIN sig sb ON b.id = sb.id
+       |  WHERE a.id IN (SELECT id FROM batch_ids)
+       |    AND a.id NOT IN (SELECT id FROM dropped_within)
+       |    AND b.id IN (SELECT id FROM live_ids)
+       |    AND round(($agree) / ${numHashes.toDouble}, 6) >= $minJaccard)
+       |SELECT 1 AS phase, id AS doc_id FROM batch_ids
+       |WHERE id NOT IN (SELECT id FROM dropped_within)
+       |  AND id NOT IN (SELECT id FROM matched)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   private def minhashIndexIngestOracle(numHashes: Int, bands: Int,
       minJaccard: Double): String = {
     val rows = numHashes / bands

@@ -533,6 +533,35 @@ class DedupSpec extends SparkSpec {
     assert(a2.isEmpty)
   }
 
+  test("minhash tombstones: near-dups of deleted docs re-admit; re-ingest after compaction is idempotent") {
+    val path = ScratchDirs.scratch("t_mh_tombstone")
+    // every token embeds the id → cross-doc shingle sets are DISJOINT,
+    // so the only near-dup pairs are the planted exact replays
+    val docs = spark.range(40).selectExpr("id AS doc_id",
+      "concat('w', id, 'a w', id, 'b w', id, 'c w', id, 'd w', id, " +
+        "'e w', id, 'f w', id, 'g w', id, 'h') AS text")
+    Dedup.writeMinhashIndex(docs, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, path)
+    Dedup.tombstoneMinhashIndex(
+      docs.filter($"doc_id" % 2 === 0).select("doc_id"), "doc_id", path)
+    // replays of deleted docs (near-dup of themselves at jaccard 1.0)
+    // must ADMIT; replays of retained docs must REJECT
+    val feed = docs.withColumn("doc_id", $"doc_id" + 1000)
+    val a1 = Dedup.ingestAgainstLiveMinhashIndex(feed, "doc_id", "text",
+        path, n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a1.forall(id => (id - 1000) % 2 == 0), s"retained leaked: ${a1.toSeq}")
+    assert(a1.length == docs.filter($"doc_id" % 2 === 0).count())
+    Dedup.compactMinhashIndex(spark, path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+    // idempotent re-ingest: the same feed admits nothing post-compaction
+    val a2 = Dedup.ingestAgainstLiveMinhashIndex(feed, "doc_id", "text",
+      path, n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+    assert(a2.isEmpty)
+  }
+
   test("bloom index has no false negatives: every indexed hash gates true") {
     val path = ScratchDirs.scratch("t_bloom_fn")
     val docs = syntheticDocs(200, "bloomfn")
