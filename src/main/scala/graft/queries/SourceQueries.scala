@@ -338,6 +338,37 @@ object SourceQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS v_sum
              |FROM a GROUP BY shard ORDER BY shard""".stripMargin)),
 
+    // ---- snapshot-versioned table (io12): manifest time travel on
+    // plain parquet — the lakehouse snapshot contract from first
+    // principles. v1 appends the %3=0 docs, v2 appends the %3=1 docs
+    // (sees both), v3 OVERWRITES with the %3=2 docs (a compaction /
+    // GDPR-rewrite commit that replaces the visible set). All three
+    // snapshots are then read AS OF — reading v1 AFTER v3 exists must
+    // still return exactly v1's contents (immutability), v2 must see
+    // both appends, v3 only its own rows. The oracle replays the
+    // visible sets.
+    NamedQuery("io12_snapshot_time_travel", (s, dir) => {
+      val stage = stageDir("snapshot_tt", dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val v1 = Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 0), stage)
+      val v2 = Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 1), stage)
+      val v3 = Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 2),
+        stage, overwrite = true)
+      Seq(v1, v2, v3).map { v =>
+        Sources.snapshotRead(s, stage, v)
+          .select(lit(v).as("version"), col("doc_id"))
+      }.reduce(_ unionByName _).orderBy("version", "doc_id")
+    },
+      Some("""SELECT 1 AS version, doc_id FROM documents WHERE doc_id % 3 = 0
+             |UNION ALL
+             |SELECT 2, doc_id FROM documents WHERE doc_id % 3 IN (0, 1)
+             |UNION ALL
+             |SELECT 3, doc_id FROM documents WHERE doc_id % 3 = 2
+             |ORDER BY version, doc_id""".stripMargin)),
+
     // ---- parquet schema evolution: batch 1 written at schema v1
     // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality
     // added); the mergeSchema read must union the footers, null-fill

@@ -250,4 +250,69 @@ object Sources {
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
     sharded
   }
+
+  // ---- snapshot-versioned table: manifest time travel (io12) -------
+  //
+  // The lakehouse snapshot contract (what Delta/Iceberg provide)
+  // built from first principles on plain parquet: every commit writes
+  // IMMUTABLE files into its own `data/c<v>` dir and appends manifest
+  // rows (version, commit) enumerating the EXACT commit set visible
+  // at that version. A reader picks a version and unions only its
+  // manifest's dirs — so old snapshots stay readable after later
+  // appends AND after an overwrite (compaction / GDPR rewrite)
+  // replaces the visible set; nothing is ever mutated in place.
+  // At 100 TB the manifest is a version-count-sized parquet and the
+  // snapshot read is an ordinary multi-dir parquet scan with all
+  // pushdown intact.
+
+  private def manifestOf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Latest committed version (0 when the table doesn't exist yet). */
+  def snapshotLatestVersion(spark: SparkSession, path: String): Int =
+    manifestOf(spark, path)
+      .map(_.agg(org.apache.spark.sql.functions.max("version"))
+        .head.getInt(0))
+      .getOrElse(0)
+
+  /** Commit `df` as the next version. `overwrite = false` appends (the
+    * new version sees every prior commit plus this one); `overwrite =
+    * true` REPLACES the visible set (the new version sees only this
+    * commit — prior versions keep reading their own snapshots).
+    * Returns the committed version number. */
+  def snapshotCommit(df: DataFrame, path: String,
+      overwrite: Boolean = false): Int = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = snapshotLatestVersion(spark, path) + 1
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/data/c$v")
+    val prior: Seq[String] =
+      if (overwrite || v == 1) Seq.empty
+      else manifestOf(spark, path).get.filter(col("version") === v - 1)
+        .select("commit").as[String].collect().toSeq
+    (prior :+ s"c$v").map(c => (v, c)).toDF("version", "commit")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/manifest")
+    v
+  }
+
+  /** Read the table AS OF `version`: union exactly the commit dirs
+    * that version's manifest lists. The commit list is a
+    * version-sized driver fetch (the broadcast-threshold pattern);
+    * the read is a plain parquet scan — pushdown/pruning intact. */
+  def snapshotRead(spark: SparkSession, path: String,
+      version: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val commits = manifestOf(spark, path)
+      .getOrElse(sys.error(s"no snapshot table at $path"))
+      .filter(col("version") === version)
+      .select("commit").as[String].collect()
+    require(commits.nonEmpty, s"unknown snapshot version $version at $path")
+    spark.read.parquet(commits.map(c => s"$path/data/$c").toIndexedSeq: _*)
+  }
 }

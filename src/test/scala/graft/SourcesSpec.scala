@@ -59,6 +59,27 @@ class SourcesSpec extends SparkSpec {
     assert(quarantined.contains("not json at all"))
   }
 
+  test("snapshot table: appends accumulate, overwrite replaces, old versions stay readable") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot")
+    val v1 = Sources.snapshotCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    val v2 = Sources.snapshotCommit(Seq((3L, "c")).toDF("id", "s"), path)
+    val v3 = Sources.snapshotCommit(Seq((9L, "z")).toDF("id", "s"), path,
+      overwrite = true)
+    assert((v1, v2, v3) == ((1, 2, 3)))
+    assert(Sources.snapshotLatestVersion(spark, path) == 3)
+    def ids(v: Int) = Sources.snapshotRead(spark, path, v)
+      .select("id").as[Long].collect().sorted.toSeq
+    // snapshot isolation: v1/v2 unchanged by the later overwrite
+    assert(ids(1) == Seq(1L, 2L))
+    assert(ids(2) == Seq(1L, 2L, 3L))
+    assert(ids(3) == Seq(9L))
+    // a fourth append builds on the overwritten set, not the old one
+    val v4 = Sources.snapshotCommit(Seq((10L, "y")).toDF("id", "s"), path)
+    assert(ids(v4) == Seq(9L, 10L))
+    intercept[IllegalArgumentException](Sources.snapshotRead(spark, path, 99))
+  }
+
   test("partitioned parquet sink roundtrips and prunes by partition column") {
     import spark.implicits._
     val df = Seq((1, "a", 2001), (2, "b", 2001), (3, "c", 2002))
