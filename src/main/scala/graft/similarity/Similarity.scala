@@ -111,6 +111,41 @@ object Similarity {
     * rank arithmetic is exact too). Keyed windows per label, never a
     * global sort; the per-label quartile table broadcasts back.
     * Output: (label, n_vecs, q1, q3, n_outliers, min_outlier_id). */
+  /** Embedding DRIFT monitor (m18): per label, compare the mean
+    * vector of an OLD corpus slice against a NEW one — the
+    * data-quality check a recurring ingest runs to catch an upstream
+    * embedding-model swap, feature-scaling change, or topic shift
+    * before it poisons dedup thresholds and ANN recall. Output per
+    * label: cosine between the two centroids (1.0 = no directional
+    * drift), the norm ratio new/old (≠1 = scaling drift), and both
+    * slice sizes.
+    *
+    * Scale shape: one posexplode scan per side → (label, dim)-keyed
+    * mean (64·|labels| cells — tiny), centroid join and the final
+    * per-label aggregate run in cell space. No vector ever crosses
+    * the shuffle; at 100 TB the cost is the two scans. */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame,
+      labelCol: String, vecCol: String): DataFrame = {
+    def means(df: DataFrame, half: String) = df
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("p", "v")))
+      .groupBy("label", "p")
+      .agg((sum(col("v")) / count(lit(1))).as(s"m_$half"))
+    def sizes(df: DataFrame, name: String) = df
+      .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as(name))
+    means(oldDf, "old").join(means(newDf, "new"), Seq("label", "p"))
+      .groupBy("label")
+      .agg(sum(col("m_old") * col("m_new")).as("dot"),
+        sum(col("m_old") * col("m_old")).as("no2"),
+        sum(col("m_new") * col("m_new")).as("nn2"))
+      .select(col("label"),
+        round(col("dot") / (sqrt(col("no2")) * sqrt(col("nn2"))), 6)
+          .as("drift_cos"),
+        round(sqrt(col("nn2")) / sqrt(col("no2")), 6).as("norm_ratio"))
+      .join(sizes(oldDf, "n_old"), Seq("label"))
+      .join(sizes(newDf, "n_new"), Seq("label"))
+  }
+
   def normOutliers(df: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
     val byNorm = Window.partitionBy("label").orderBy(col("nrm"), col("id"))
