@@ -467,32 +467,48 @@ object Dedup {
   // ≡ an index rebuilt from the retained corpus — and a re-ingest of
   // deleted CONTENT is admitted again (the opt-out actually forgets).
 
-  /** Append delete requests (the indexed rows' `first_id`s) to the
-    * index's tombstone side-table. O(|deletes|) — never touches the
-    * index files. */
-  def tombstoneHashIndex(deleteIds: DataFrame, idCol: String,
+  /** Append delete requests to the index's tombstone side-table.
+    * Requests are RESOLVED BY CONTENT (`md5(textCol)`) against the
+    * index at delete time: the index stores one row per text_hash
+    * with `first_id = min(id)`, so an id-keyed tombstone would
+    * silently no-op whenever the takedown names a duplicate copy
+    * whose id is not the stored minimum — the content would keep
+    * being served. Resolution by hash hits the stored row no matter
+    * which copy the request names; a request for content that was
+    * never indexed resolves to nothing (correctly — there is nothing
+    * to take down). The tombstone keeps BOTH (text_hash, first_id) so
+    * it pins only the row present at delete time: content re-ingested
+    * AFTER the opt-out is a new submission (new first_id) and must be
+    * served, not ghost-deleted by a stale content tombstone (which
+    * would also make every subsequent re-ingest re-admit the same
+    * text — duplicate admissions until compaction). One broadcast
+    * join against the index; index files untouched. */
+  def tombstoneHashIndex(deletes: DataFrame, textCol: String,
       path: String): Unit =
-    deleteIds.select(col(idCol).cast("long").as("first_id"))
+    readHashIndex(deletes.sparkSession, path)
+      .join(broadcast(deletes.select(md5(col(textCol)).as("text_hash"))
+        .distinct()), Seq("text_hash"))
+      .select("text_hash", "first_id")
       .write.mode("append").parquet(s"$path/tombstones")
 
   private def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val p = s"$path/tombstones"
+    if (graft.Fs.exists(spark, p)) Some(spark.read.parquet(p)) else None
   }
 
   /** The index minus its tombstones — what the serve path consults.
-    * The tombstone side is a tiny broadcast anti-join on `first_id`;
-    * the index files are untouched. */
+    * The tombstone side is a tiny broadcast anti-join on the full
+    * (text_hash, first_id) key [[tombstoneHashIndex]] resolved, so a
+    * post-delete re-admission of the same content (same hash, new
+    * first_id) stays live; the index files are untouched. */
   def liveHashIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val idx = readHashIndex(spark, path)
     tombstonesOf(spark, path) match {
       case Some(ts) =>
-        idx.join(broadcast(ts.select("first_id").distinct()),
-          Seq("first_id"), "left_anti")
+        idx.join(broadcast(ts.select("text_hash", "first_id").distinct()),
+          Seq("text_hash", "first_id"), "left_anti")
       case None => idx
     }
   }
@@ -536,9 +552,7 @@ object Dedup {
       .repartition(col("hp"))
       .write.mode("overwrite").partitionBy("hp")
       .parquet(s"$path/hashes")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    graft.Fs.deleteRecursive(spark, s"$path/tombstones")
   }
 
   // ---- Bloom-gated exact dedup (d29/sw18) --------------------------
@@ -819,10 +833,8 @@ object Dedup {
 
   private def minhashTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val p = s"$path/tombstones"
+    if (graft.Fs.exists(spark, p)) Some(spark.read.parquet(p)) else None
   }
 
   private def minusTombstones(df: DataFrame, ts: Option[DataFrame]): DataFrame =
@@ -858,9 +870,7 @@ object Dedup {
     sigs.write.mode("overwrite").parquet(s"$path/signatures")
     bnds.repartition(col("band"))
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    graft.Fs.deleteRecursive(spark, s"$path/tombstones")
   }
 
   /** Engine-portable SimHash: identical tf-weighted sign-bit

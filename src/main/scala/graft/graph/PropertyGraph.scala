@@ -604,6 +604,16 @@ final case class PropertyGraph(vertices: DataFrame, edges: DataFrame) {
 }
 
 object PropertyGraph {
+  /** Part vertex-id shift out of the customer id space (the
+    * reference's book_id + 100000, goodreads.py:105, widened). 1e8 —
+    * not the literal 1e6 rounds 1–9 used — so ScaleUp's 100× replica
+    * dirs stay collision-free: at 100 copies customer ids reach ~2e6
+    * and part keys ~1e7, and a 1e6 shift would silently merge
+    * customers into the part-vertex range past ~50 copies (the r9
+    * graph-scale ceiling). With 1e8 both families clear each other to
+    * ≫100 copies. The graph oracles inline the same literal. */
+  val PartIdShift = 100000000L
+
   /** Bipartite customer→part graph from the star schema (the testdata
     * analog of the reference's user→book ratings graph,
     * goodreads.py:473–489): one edge per (customer, part) with
@@ -618,14 +628,14 @@ object PropertyGraph {
       val edges = graft.Memo.df(spark, s"customerPartEdges|$dir") {
         li.join(orders, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey").as("src"),
-            (col("l_partkey") + 1000000L).as("dst"))
+            (col("l_partkey") + PartIdShift).as("dst"))
           .agg(round(avg("l_quantity"), 6).as("weight"), count(lit(1)).as("n_lines"))
       }
       val customers = Tables.customer(spark, dir)
         .select(col("c_custkey").cast("long").as("id"), col("c_name").as("name"),
           lit("Customer").as("type"), col("c_acctbal").as("balance"))
       val parts = Tables.part(spark, dir)
-        .select((col("p_partkey") + 1000000L).as("id"), col("p_name").as("name"),
+        .select((col("p_partkey") + PartIdShift).as("id"), col("p_name").as("name"),
           lit("Part").as("type"), col("p_retailprice").as("balance"))
       PropertyGraph(customers.unionByName(parts), edges)
     }

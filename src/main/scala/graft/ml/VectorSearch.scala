@@ -161,10 +161,8 @@ object VectorSearch {
 
   private def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
       path: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val p = s"$path/tombstones"
+    if (graft.Fs.exists(spark, p)) Some(spark.read.parquet(p)) else None
   }
 
   /** The assignment frame minus tombstoned vectors — what the serve
@@ -196,9 +194,7 @@ object VectorSearch {
     live.repartition(col(listCol))
       .write.mode("overwrite").partitionBy(listCol)
       .parquet(s"$path/assignments")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    graft.Fs.deleteRecursive(spark, s"$path/tombstones")
   }
 
   /** Centroids of a persisted index alone (nlist-row driver fetch). */

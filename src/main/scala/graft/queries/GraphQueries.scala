@@ -19,7 +19,7 @@ object GraphQueries {
   /** Shared oracle CTE mirroring PropertyGraph.customerPartGraph. */
   private val edgesCte =
     """WITH edges AS (
-      |  SELECT o_custkey AS src, l_partkey + 1000000 AS dst,
+      |  SELECT o_custkey AS src, l_partkey + 100000000 AS dst,
       |         round(avg(l_quantity), 6) AS weight, count(*) AS n_lines
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  GROUP BY 1, 2)""".stripMargin
@@ -118,7 +118,8 @@ object GraphQueries {
     NamedQuery("g08_bfs_customer_to_part", (s, dir) => {
       val g = PropertyGraph.customerPartGraph(s, dir)
       val sym = PropertyGraph(g.vertices, IterativeGraph.symmetrize(g.edges))
-      val res = sym.bfs(col("id") === 1L, col("id") === 1000007L, maxPathLength = 4)
+      val res = sym.bfs(col("id") === 1L,
+        col("id") === PropertyGraph.PartIdShift + 7L, maxPathLength = 4)
       // vertex-position columns in path order (from, v1, …, to)
       val vPos = res.columns.filter(c => !c.startsWith("e"))
       res.select(vPos.map(c => col(s"$c.id").as(s"${c}_id")): _*)
@@ -298,7 +299,7 @@ object GraphQueries {
       },
       Some(s"""$edgesCte, m AS (
              |  SELECT e.src AS id, p.p_retailprice * e.n_lines AS x, e.n_lines AS w
-             |  FROM edges e JOIN part p ON e.dst = p.p_partkey + 1000000
+             |  FROM edges e JOIN part p ON e.dst = p.p_partkey + 100000000
              |  UNION ALL
              |  SELECT e.dst, c.c_acctbal * e.n_lines, e.n_lines
              |  FROM edges e JOIN customer c ON e.src = c.c_custkey)
@@ -366,7 +367,7 @@ object GraphQueries {
              |      AS pos
              |  FROM deg),
              |vt AS (SELECT c_custkey AS id, 'Customer' AS type FROM customer
-             |       UNION ALL SELECT p_partkey + 1000000, 'Part' FROM part)
+             |       UNION ALL SELECT p_partkey + 100000000, 'Part' FROM part)
              |SELECT p.id AS id, vt.type AS type, p.degree AS degree,
              |  p.pos % w.w AS x, p.pos // w.w AS y
              |FROM p CROSS JOIN w JOIN vt ON p.id = vt.id
@@ -463,7 +464,7 @@ object GraphQueries {
       IterativeGraph.powerSmoothingFixed(g.edges, "weight", iters = PsIters)
     }
   private def PprIters = 4
-  private def Landmarks = Seq(1L, 42L, 1000007L)
+  private def Landmarks = Seq(1L, 42L, PropertyGraph.PartIdShift + 7L)
 
   /** Unrolled-CTE parallel personalized PageRank (g19) — frontier-
     * sparse: each step is the contribution aggregate FULL OUTER JOINed
@@ -580,7 +581,7 @@ object GraphQueries {
     * vertices included). */
   private def vertexCte =
     """v AS (SELECT c_custkey AS id FROM customer
-      |      UNION ALL SELECT p_partkey + 1000000 FROM part)""".stripMargin
+      |      UNION ALL SELECT p_partkey + 100000000 FROM part)""".stripMargin
 
   /** Unrolled-CTE PageRank: r0..rN chained CTEs, one per superstep —
     * the portable-SQL rendering of IterativeGraph.pageRankFixed. */

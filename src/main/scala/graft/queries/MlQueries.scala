@@ -310,6 +310,50 @@ object MlQueries {
             .edges.select("src", "dst", "weight"),
           k = 10, maxIter = 5)
         .groupBy("cluster").agg(count(lit(1)).as("size"))
-        .orderBy(col("size").desc, col("cluster")))
+        .orderBy(col("size").desc, col("cluster"))),
+
+    // ---- embedding DRIFT monitor (m18): per-label centroid cosine +
+    // norm ratio between an "old" slice (even vec_ids) and a "new"
+    // one (odds) — the recurring-ingest check that catches an
+    // embedding-model swap or feature-rescale before it poisons dedup
+    // thresholds and ANN recall. Label 0's new side is planted ×2
+    // (float ×2 is exact): its norm_ratio reads ~2× the unplanted
+    // labels' (the slices hold different vectors, so not exactly 2.0
+    // — the ORACLE replays the same arithmetic either way). Cell-space
+    // math: one posexplode scan per side → (label, dim)-keyed means,
+    // dot/norms over 64 cells; no vector crosses a shuffle.
+    NamedQuery("m18_embedding_drift", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select(col("vec_id"),
+        col("label"),
+        when(col("label") === 0 && col("vec_id") % 2 === 1,
+          transform(col("embedding"), x => x * lit(2.0f)))
+        .otherwise(col("embedding")).as("embedding"))
+      graft.similarity.Similarity.embeddingDrift(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), "label", "embedding")
+        .orderBy("label")
+    },
+      Some("""WITH e AS (SELECT vec_id, label,
+             |    CASE WHEN label = 0 AND vec_id % 2 = 1
+             |         THEN list_transform(CAST(embedding AS DOUBLE[]), x -> x * 2.0)
+             |         ELSE CAST(embedding AS DOUBLE[]) END AS v
+             |  FROM embeddings),
+             |ex AS (SELECT vec_id, label,
+             |    unnest(generate_series(1, len(v))) AS p, unnest(v) AS x
+             |  FROM e),
+             |mo AS (SELECT label, p, sum(x) / count(*) AS m_old
+             |  FROM ex WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+             |mn AS (SELECT label, p, sum(x) / count(*) AS m_new
+             |  FROM ex WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+             |j AS (SELECT label, sum(m_old * m_new) AS dot,
+             |    sum(m_old * m_old) AS no2, sum(m_new * m_new) AS nn2
+             |  FROM mo JOIN mn USING (label, p) GROUP BY 1),
+             |sz AS (SELECT label,
+             |    count(*) FILTER (WHERE vec_id % 2 = 0) AS n_old,
+             |    count(*) FILTER (WHERE vec_id % 2 = 1) AS n_new
+             |  FROM e GROUP BY 1)
+             |SELECT label, round(dot / (sqrt(no2) * sqrt(nn2)), 6) AS drift_cos,
+             |  round(sqrt(nn2) / sqrt(no2), 6) AS norm_ratio, n_old, n_new
+             |FROM j JOIN sz USING (label) ORDER BY label""".stripMargin))
   )
 }

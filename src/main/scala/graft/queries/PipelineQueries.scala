@@ -21,6 +21,149 @@ object PipelineQueries {
 
   private val enStop = TextOps.langMarkers.head._2
 
+  /** The standard BM25-gate query set: first 8 tokens of every 125th
+    * doc (s27's construction — the gate needs no external queries). */
+  private[queries] def bm25Queries(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("doc_id") % 125 === 7)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext"))
+
+  /** s27's BM25 oracle, parameterized for the persisted-index gates:
+    * `corpusFilter` restricts the SCORED corpus (tombstone gates —
+    * query texts still derive from all documents), `phases` > 1 wraps
+    * the top-k list in identical phase tags (serve-equality gates).
+    * With no filter and one phase this is exactly s27's scoring. */
+  /** The BM25 CTE chain (s27's scoring), name-prefixed so it can be
+    * chained next to the IVF-PQ CTEs in one oracle without CTE-name
+    * collisions: the query CTE is `${qn}` and the final ranked list
+    * `${qn}rk`. `corpusFilter` restricts the SCORED corpus; query
+    * texts always derive from all documents. */
+  private[queries] def bm25Ctes(corpusFilter: String = "",
+      qn: String = "q"): String = {
+    val where = if (corpusFilter.isEmpty) "" else s" WHERE $corpusFilter"
+    s"""tall AS (SELECT doc_id, list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'),
+       |    x -> len(x) > 0) AS ts FROM documents),
+       |t AS (SELECT * FROM tall$where),
+       |tf AS (SELECT doc_id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS tok FROM t) GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |$qn AS (SELECT doc_id AS query_id, unnest(list_distinct(ts[1:8])) AS tok
+       |  FROM tall WHERE doc_id % 125 = 7),
+       |dfq AS (SELECT tok, count(*) AS df FROM tf
+       |  WHERE tok IN (SELECT DISTINCT tok FROM $qn) GROUP BY 1),
+       |co AS (SELECT $qn.query_id, tf.doc_id,
+       |    ln(1 + (st.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) *
+       |      (tf.tf * (1.2 + 1.0)) /
+       |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS w
+       |  FROM $qn JOIN tf USING (tok) JOIN dfq USING (tok)
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+       |  WHERE tf.doc_id <> $qn.query_id),
+       |sc AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+       |  FROM co GROUP BY 1, 2),
+       |${qn}rk AS (SELECT query_id, doc_id, score, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)""".stripMargin
+  }
+
+  /** The persisted dense half of the hybrid pair (s33/s34): queries
+    * are the common (documents ⋈ embeddings) ids at %125==7, served
+    * from the IVF-PQ artifact at `path` with candidates
+    * metadata-filtered to ids that have a documents row — ONE shared
+    * index, filtered at serve time (s26's shape). Output
+    * (query_id, doc_id, rank), ready for [[Retrieval.rrfFuse]]. */
+  private def hybridDenseServe(s: org.apache.spark.sql.SparkSession,
+      dir: String, path: String): org.apache.spark.sql.DataFrame = {
+    val docIds = Tables.documents(s, dir).select("doc_id")
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val codedLive = s.read.parquet(s"$path/assignments")
+      .join(broadcast(docIds.select(col("doc_id").as("neighbor_id"))),
+        Seq("neighbor_id"), "left_semi")
+    val q = emb.filter(col("vec_id") % 125 === 7)
+      .join(broadcast(docIds.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "left_semi")
+    Similarity.ivfPqServe(q.select("vec_id", "embedding"), codedLive,
+        graft.ml.VectorSearch.readIvfIndexCentroids(s, path).map(_._2),
+        graft.ml.VectorSearch.readPqCodebooks(s, path),
+        topK = 20, nprobe = IvfProbes, dim = 64, m = PqM)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+  }
+
+  /** Oracle for the persisted hybrid pair: bm25 CTEs (prefix `lq`) +
+    * s18's probe/ADC CTEs (candidates restricted to documents ids,
+    * queries the common %125==7 set) + the RRF fold. `fused = true`
+    * emits the fused top-10 (s33); `fused = false` additionally
+    * replays the EXACT-dense fusion and emits the per-query top-10
+    * rank overlap between the two (s34). */
+  private def hybridPersistedOracle(fused: Boolean): String = {
+    val shared =
+      s"""${bm25Ctes(qn = "lq")},
+         |${ivfPqCtes(64, IvfLists, IvfProbes, 7L,
+             candWhere = "a.vec_id IN (SELECT doc_id FROM documents)",
+             queryWhere =
+               "vec_id % 125 = 7 AND vec_id IN (SELECT doc_id FROM documents)")},
+         |lex AS (SELECT query_id, doc_id, rank FROM lqrk WHERE rank <= 20),
+         |den AS (SELECT query_id, neighbor_id AS doc_id, rank FROM ranked
+         |  WHERE rank <= 20),
+         |f AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + l.rank), 0) +
+         |          coalesce(1.0 / (60 + d.rank), 0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN den d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+         |frk AS (SELECT query_id, doc_id, rrf, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f)""".stripMargin
+    if (fused)
+      s"""WITH $shared
+         |SELECT query_id, doc_id, rrf, rank FROM frk WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    else
+      s"""WITH $shared,
+         |ce AS (SELECT * FROM e WHERE vec_id IN (SELECT doc_id FROM documents)),
+         |edsc AS (SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+         |    round(${dotSql("a.v", "b.v")} /
+         |      (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})), 6) AS cos
+         |  FROM ce a JOIN ce b ON a.vec_id % 125 = 7 AND a.vec_id <> b.vec_id),
+         |edrk AS (SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank FROM edsc),
+         |dene AS (SELECT query_id, doc_id, rank FROM edrk WHERE rank <= 20),
+         |fe AS (SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |    coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |    round(coalesce(1.0 / (60 + l.rank), 0) +
+         |          coalesce(1.0 / (60 + d.rank), 0), 6) AS rrf
+         |  FROM lex l FULL OUTER JOIN dene d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+         |ferk AS (SELECT query_id, doc_id, rrf, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM fe),
+         |ov AS (SELECT a.query_id, count(*) AS n_overlap
+         |  FROM frk a JOIN ferk b
+         |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+         |  WHERE a.rank <= 10 AND b.rank <= 10 GROUP BY 1),
+         |qs AS (SELECT DISTINCT vec_id AS query_id FROM ce WHERE vec_id % 125 = 7)
+         |SELECT qs.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  round(coalesce(ov.n_overlap, 0) / 10.0, 2) AS overlap_frac
+         |FROM qs LEFT JOIN ov USING (query_id) ORDER BY qs.query_id""".stripMargin
+  }
+
+  private[queries] def bm25IndexOracle(corpusFilter: String = "",
+      phases: Int = 1): String = {
+    val base = bm25Ctes(corpusFilter)
+    if (phases == 1)
+      s"""WITH $base
+         |SELECT query_id, doc_id, score, rank FROM qrk WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    else {
+      val tags = (1 to phases)
+        .map(p => s"SELECT $p AS phase").mkString(" UNION ALL ")
+      s"""WITH $base
+         |SELECT ph.phase, query_id, doc_id, score, rank
+         |FROM qrk CROSS JOIN ($tags) ph WHERE rank <= 10
+         |ORDER BY ph.phase, query_id, rank""".stripMargin
+    }
+  }
+
   /** Shared MinHash signature table of documents ∪ planted copies —
     * session-lifetime Memo (not per-call Caches): d08 and d12 run the
     * SAME signature build (same input, same n/numHashes), and the
@@ -2868,6 +3011,149 @@ object PipelineQueries {
              |SELECT query_id, doc_id, rrf, rank FROM rk WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- PERSISTED BM25 postings index, round-trip serve (s30):
+    // the lexical family joins the persisted-index lifecycle — the
+    // postings/doclens build is the one corpus-sized keyed shuffle,
+    // paid ONCE; every query batch after it is a broadcast probe.
+    // Serving s27's query set from the artifact must equal s27's
+    // direct form exactly (same scoring plan, postings swapped for
+    // the parquet scan) — s27's oracle verbatim.
+    NamedQuery("s30_bm25_persisted_serve",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("bm25_idx")
+        Retrieval.writePostingsIndex(docs, "doc_id", "text", path)
+        Retrieval.bm25TopKFromIndex(s, path, bm25Queries(docs),
+            "query_id", "qtext", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25IndexOracle())),
+
+    // ---- BM25 index incremental APPEND (s31): build on the even
+    // half, append the odd half (posting rows are per-doc independent
+    // — two plain parquet appends, no rewrite, no read of the
+    // existing artifact), then serve: must equal the full one-shot
+    // build — s27's oracle verbatim. The production ingest loop for
+    // the lexical index.
+    NamedQuery("s31_bm25_index_append",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("bm25_idx_grow")
+        Retrieval.writePostingsIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        Retrieval.appendToPostingsIndex(
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", path)
+        Retrieval.bm25TopKFromIndex(s, path, bm25Queries(docs),
+            "query_id", "qtext", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(bm25IndexOracle())),
+
+    // ---- BM25 index DELETES: tombstones + compaction (s32) — the
+    // lexical sibling of d32/s29, completing opt-out coverage on the
+    // last index family. Deletes (every 5th doc) land doc_id-keyed in
+    // the tombstone side-table; the serve anti-joins BOTH artifacts
+    // AND derives df/n_docs/avgdl from the live view, so phase 1
+    // (tombstoned) and phase 2 (post-compaction) must both equal a
+    // rebuild from the retained corpus — the oracle scores the
+    // filtered corpus and emits it under both phase tags. Query texts
+    // still derive from the FULL corpus (a deleted doc's text remains
+    // a perfectly good external query).
+    NamedQuery("s32_bm25_tombstone_compaction",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("bm25_idx_ts")
+        Retrieval.writePostingsIndex(docs, "doc_id", "text", path)
+        Retrieval.tombstonePostingsIndex(
+          docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
+          "doc_id", path)
+        def serve(tag: Int) =
+          Retrieval.bm25TopKFromIndex(s, path, bm25Queries(docs),
+              "query_id", "qtext", k = 10)
+            .select(lit(tag).as("phase"), col("query_id"), col("doc_id"),
+              col("score"), col("rank"))
+        val p1 = serve(1).localCheckpoint()
+        Retrieval.compactPostingsIndex(s, path)
+        val p2 = serve(2)
+        p1.unionByName(p2).orderBy("phase", "query_id", "rank")
+      },
+      Some(bm25IndexOracle(corpusFilter = "doc_id % 5 <> 0",
+        phases = 2))),
+
+    // ---- hybrid RRF over the PERSISTED serving pair (s33): the
+    // deployed hybrid-search shape — BM25 from the postings artifact
+    // (s30) fused with the persisted IVF-PQ serve (s19 mechanics),
+    // dense side metadata-filtered to ids with a documents row (s26's
+    // filtered-candidate serve over ONE shared index). s28 keeps the
+    // exact-cosine fusion as the audit baseline; THIS is what
+    // production serves, and the oracle chains the bm25 CTEs + s18's
+    // probe/ADC CTEs + the RRF arithmetic, so the fused list
+    // hash-matches end to end.
+    NamedQuery("s33_hybrid_rrf_persisted",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val lexPath = graft.ScratchDirs.scratch("bm25_idx_hyb")
+        Retrieval.writePostingsIndex(docs, "doc_id", "text", lexPath)
+        val lex = Retrieval.bm25TopKFromIndex(s, lexPath, bm25Queries(docs),
+            "query_id", "qtext", k = 20)
+          .select("query_id", "doc_id", "rank")
+        val denPath = graft.ScratchDirs.scratch("ivfpq_idx_hyb")
+        val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
+        graft.ml.VectorSearch.writeIvfPqIndex(
+          Similarity.ivfPqEncodeAssign(emb, cents, 64, PqM, PqK, PqSeed),
+          cents.zipWithIndex.map(_.swap),
+          Similarity.pqCodebooks(64, PqM, PqK, PqSeed), denPath)
+        Retrieval.rrfFuse(lex, hybridDenseServe(s, dir, denPath), k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(hybridPersistedOracle(fused = true))),
+
+    // ---- hybrid rank-overlap AUDIT (s34): per query, how much of
+    // s33's persisted-fused top-10 survives in the EXACT-fused top-10
+    // (same postings lex side; dense side exact cosine over the
+    // common corpus — s28's audit shape)? The monitoring query a
+    // deployment runs continuously: a drop says the compressed dense
+    // side is drifting from exact before users notice. Both fused
+    // lists and the overlap replay in the oracle, so the audit
+    // numbers themselves hash-match (the m16 recall-audit pattern).
+    NamedQuery("s34_hybrid_overlap_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val lexPath = graft.ScratchDirs.scratch("bm25_idx_hyb_aud")
+        Retrieval.writePostingsIndex(docs, "doc_id", "text", lexPath)
+        val lex = Retrieval.bm25TopKFromIndex(s, lexPath, bm25Queries(docs),
+            "query_id", "qtext", k = 20)
+          .select("query_id", "doc_id", "rank")
+        val denPath = graft.ScratchDirs.scratch("ivfpq_idx_hyb_aud")
+        val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
+        graft.ml.VectorSearch.writeIvfPqIndex(
+          Similarity.ivfPqEncodeAssign(emb, cents, 64, PqM, PqK, PqSeed),
+          cents.zipWithIndex.map(_.swap),
+          Similarity.pqCodebooks(64, PqM, PqK, PqSeed), denPath)
+        val common = emb.join(
+          broadcast(docs.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
+        val qemb = common.filter(col("vec_id") % 125 === 7)
+        val denseExact = Similarity.bruteForceTopK(
+            qemb.select("vec_id", "embedding"),
+            common.select("vec_id", "embedding"), k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        val fusedP = Retrieval.rrfFuse(lex,
+          hybridDenseServe(s, dir, denPath), k = 10)
+        val fusedE = Retrieval.rrfFuse(lex, denseExact, k = 10)
+        val overlap = fusedP.select("query_id", "doc_id")
+          .join(fusedE.select("query_id", "doc_id"), Seq("query_id", "doc_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+        qemb.select(col("vec_id").as("query_id")).distinct()
+          .join(overlap, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+          .withColumn("overlap_frac", round(col("n_overlap") / 10.0, 2))
+          .orderBy("query_id")
+      },
+      Some(hybridPersistedOracle(fused = false))),
+
     // ---- weighted reservoir sample (p24): k=5 docs per source,
     // selection probability ∝ n_chars, WITHOUT replacement —
     // Efraimidis–Spirakis A-ES on a content-hash-derived u, so the
@@ -2909,8 +3195,7 @@ object PipelineQueries {
         Dedup.writeHashIndex(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", path)
         Dedup.tombstoneHashIndex(
-          docs.filter(col("doc_id") % 6 === 0).select("doc_id"),
-          "doc_id", path)
+          docs.filter(col("doc_id") % 6 === 0), "text", path)
         val b1 = docs.filter(col("doc_id") % 4 === 1)
           .unionByName(docs.filter(col("doc_id") % 6 === 0)
             .withColumn("doc_id", col("doc_id") + 1000000))
@@ -2963,9 +3248,11 @@ object PipelineQueries {
     // replays of deleted contents (+1e6), REJECT retained-content
     // replays (+2e6), and pass fresh odds through both gates; phase 2
     // re-ingests the IDENTICAL feed after compaction and must admit
-    // NOTHING (phase-1 appends survived the rewrite; re-admitted
-    // deleted content is indexed again) — idempotent re-ingest, the
-    // exactly-once guarantee a production delete pipeline needs.
+    // no SIGNABLE doc (phase-1 appends survived the rewrite;
+    // re-admitted deleted content is indexed again) — idempotent
+    // re-ingest, the exactly-once guarantee a production delete
+    // pipeline needs. Unsignable (< n token) docs re-admit every
+    // phase by contract; the oracle emits them under phase 2 too.
     NamedQuery("d33_neardup_tombstone_compaction",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "text")
@@ -2975,11 +3262,16 @@ object PipelineQueries {
         Dedup.tombstoneMinhashIndex(
           docs.filter(col("doc_id") % 6 === 0).select("doc_id"),
           "doc_id", path)
-        val feed = docs.filter(col("doc_id") % 4 === 1)
-          .unionByName(docs.filter(col("doc_id") % 6 === 0)
-            .withColumn("doc_id", col("doc_id") + 1000000))
-          .unionByName(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 =!= 0)
-            .withColumn("doc_id", col("doc_id") + 2000000))
+        // both phases ingest the IDENTICAL feed — materialize it once
+        // so phase 2 pays the serve, not a second parse+union (the
+        // signature rebuild stays: it IS part of the serve under
+        // proof). The remaining two-phase cost is the proof itself.
+        val feed = graft.Caches.cached(
+          docs.filter(col("doc_id") % 4 === 1)
+            .unionByName(docs.filter(col("doc_id") % 6 === 0)
+              .withColumn("doc_id", col("doc_id") + 1000000))
+            .unionByName(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 =!= 0)
+              .withColumn("doc_id", col("doc_id") + 2000000)))
         def serve(tag: Int) =
           Dedup.ingestAgainstLiveMinhashIndex(feed, "doc_id", "text", path,
               n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5)
@@ -3163,10 +3455,15 @@ object PipelineQueries {
     * the index side restricted to LIVE rows (evens minus the %6
     * tombstones) and the batch = fresh odds + replays of deleted
     * (+1e6, must ADMIT) and retained (+2e6, must REJECT) contents.
-    * Phase 2 re-ingests the same feed after compaction and must admit
-    * NOTHING (phase-1 admissions were appended and survived the
-    * rewrite; re-admitted deleted content is indexed again) — so the
-    * oracle emits the phase-1 set under phase 1 and no phase-2 rows. */
+    * Phase 2 re-ingests the same feed after compaction: every
+    * SIGNABLE doc is rejected (phase-1 admissions were appended and
+    * survived the rewrite; re-admitted deleted content is indexed
+    * again), while docs too short to sign (< n tokens — no shingles,
+    * never indexed) re-admit in EVERY phase, exactly as the operator
+    * does. The oracle emits the phase-1 set under phase 1 and the
+    * unsignable batch ids under phase 2 — an empty phase-2 set only
+    * when the corpus happens to have no sub-n-token docs (the sf
+    * corpora), not by construction. */
   private def minhashTombstoneOracle(numHashes: Int, bands: Int,
       minJaccard: Double): String = {
     val rows = numHashes / bands
@@ -3227,7 +3524,10 @@ object PipelineQueries {
        |SELECT 1 AS phase, id AS doc_id FROM batch_ids
        |WHERE id NOT IN (SELECT id FROM dropped_within)
        |  AND id NOT IN (SELECT id FROM matched)
-       |ORDER BY doc_id""".stripMargin
+       |UNION ALL
+       |SELECT 2 AS phase, id AS doc_id FROM batch_ids
+       |WHERE id NOT IN (SELECT id FROM sig)
+       |ORDER BY phase, doc_id""".stripMargin
   }
 
   private def minhashIndexIngestOracle(numHashes: Int, bands: Int,
@@ -3782,7 +4082,8 @@ object PipelineQueries {
     * scored by the ADC term against the joined selected-code rows.
     * Ends at `ranked` (query_id, neighbor_id, adc_dist, rank). */
   private def ivfPqCtes(dim: Int, nlist: Int, nprobe: Int,
-      ivfSeed: Long, candWhere: String = "TRUE"): String = {
+      ivfSeed: Long, candWhere: String = "TRUE",
+      queryWhere: String = "vec_id < 20"): String = {
     val cents = graft.similarity.Similarity.hyperplanes(dim, nlist, ivfSeed)
     val centsSql = cents.zipWithIndex.map { case (c, j) =>
       val lst = c.map(f => java.lang.Double.toString(f.toDouble))
@@ -3803,8 +4104,8 @@ object PipelineQueries {
        |iprobes AS (SELECT vec_id AS query_id, j + 1 AS cluster FROM (
        |    SELECT vec_id, j, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY d, j) AS rn
-       |    FROM idists WHERE vec_id < 20) WHERE rn <= $nprobe),
-       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+       |    FROM idists WHERE $queryWhere) WHERE rn <= $nprobe),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE $queryWhere),
        |adists AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |    round(list_sum(list(

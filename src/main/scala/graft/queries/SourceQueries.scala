@@ -349,9 +349,7 @@ object SourceQueries {
     // visible sets.
     NamedQuery("io12_snapshot_time_travel", (s, dir) => {
       val stage = stageDir("snapshot_tt", dir)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+      graft.Fs.deleteRecursive(s, stage)
       val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
       val v1 = Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 0), stage)
       val v2 = Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 1), stage)
@@ -368,6 +366,64 @@ object SourceQueries {
              |UNION ALL
              |SELECT 3, doc_id FROM documents WHERE doc_id % 3 = 2
              |ORDER BY version, doc_id""".stripMargin)),
+
+    // ---- snapshot-versioned INDEX compaction (io13): io12's time
+    // travel composed with the d32 index lifecycle — a dedup index
+    // whose compactions are COMMITS, so a corpus release can PIN the
+    // index version it was curated against. v1 commits the built
+    // index (even docs' content hashes); a takedown (every 6th doc's
+    // content) then compacts into v2 via an OVERWRITE commit. One
+    // admission feed (fresh odds → admit, deleted-content replays →
+    // admit, retained-content replays → reject) is served against
+    // BOTH pinned versions — v1 read ⊖ the delete side-table ≡ v2
+    // read, so both versions admit the identical set (compaction
+    // transparency, now across snapshot reads) while v1 alone still
+    // returns the pre-compaction rows (io12's immutability, pinned by
+    // SourcesSpec). Manifest reads are version-count-sized; at 100 TB
+    // each serve is one broadcast anti-join over its snapshot's dirs.
+    NamedQuery("io13_snapshot_index_versions", (s, dir) => {
+      val stage = stageDir("snapshot_idx", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val idx1 = docs.filter(col("doc_id") % 2 === 0)
+        .withColumn("text_hash", md5(col("text")))
+        .groupBy("text_hash").agg(min("doc_id").as("first_id"))
+      val v1 = Sources.snapshotCommit(idx1, stage)
+      val dels = docs.filter(col("doc_id") % 6 === 0)
+        .select(md5(col("text")).as("text_hash")).distinct()
+      // the compacted snapshot reads v1 THROUGH the table root it
+      // commits back under — pin the rows first
+      val live = Sources.snapshotRead(s, stage, v1)
+        .join(broadcast(dels), Seq("text_hash"), "left_anti")
+        .localCheckpoint()
+      val v2 = Sources.snapshotCommit(live, stage, overwrite = true)
+      val feed = docs.filter(col("doc_id") % 2 === 1)
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+        .unionByName(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 =!= 0)
+          .withColumn("doc_id", col("doc_id") + 2000000))
+      def admit(idx: org.apache.spark.sql.DataFrame, v: Int) = feed
+        .withColumn("text_hash", md5(col("text")))
+        .join(idx.select("text_hash"), Seq("text_hash"), "left_anti")
+        .select(lit(v).as("version"), col("doc_id"))
+      val a1 = admit(Sources.snapshotRead(s, stage, v1)
+        .join(broadcast(dels), Seq("text_hash"), "left_anti"), v1)
+      val a2 = admit(Sources.snapshotRead(s, stage, v2), v2)
+      a1.unionByName(a2).orderBy("version", "doc_id")
+    },
+      Some("""WITH live AS (SELECT DISTINCT md5(text) AS h FROM documents
+             |  WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0),
+             |feed AS (
+             |  SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+             |  UNION ALL SELECT doc_id + 1000000, md5(text) FROM documents
+             |    WHERE doc_id % 6 = 0
+             |  UNION ALL SELECT doc_id + 2000000, md5(text) FROM documents
+             |    WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0),
+             |adm AS (SELECT doc_id FROM feed
+             |  WHERE h NOT IN (SELECT h FROM live))
+             |SELECT v.version, a.doc_id FROM adm a
+             |CROSS JOIN (SELECT 1 AS version UNION ALL SELECT 2 AS version) v
+             |ORDER BY v.version, a.doc_id""".stripMargin)),
 
     // ---- parquet schema evolution: batch 1 written at schema v1
     // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality

@@ -585,14 +585,18 @@ object StreamingQueries {
           n = PipelineQueries.DecontamN, path)
         val feed = docs.filter(col("doc_id") % 10 =!= 0)
           .select("doc_id", "text", "source")
-        feed.limit(0).write.mode("overwrite").parquet(sink) // truncate re-runs
+        // truncate re-runs with the PROJECTED (appended) schema — a
+        // 3-column seed under 2-column appends left the read-back
+        // schema to footer-sampling luck (the r9 gate flake)
+        StreamRunner.seedSink(feed.select("doc_id", "source"), sink)
         StreamRunner.runForeachBatch(s, feed, "sw19_decontam") { b =>
           graft.dedup.Dedup.decontaminateAgainstGramIndex(b, "doc_id",
               "text", n = PipelineQueries.DecontamN, path)
             .select("doc_id", "source")
             .write.mode("append").parquet(sink)
         }
-        s.read.parquet(sink).orderBy("doc_id")
+        StreamRunner.readSink(s, sink, Seq("doc_id", "source"))
+          .orderBy("doc_id")
       },
       Some(s"""WITH ${PipelineQueries.decontamCtes(PipelineQueries.DecontamN)}
              |SELECT doc_id, source FROM documents d
@@ -616,8 +620,7 @@ object StreamingQueries {
         graft.dedup.Dedup.writeHashIndex(
           docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
         graft.dedup.Dedup.tombstoneHashIndex(
-          docs.filter(col("doc_id") % 6 === 0).select("doc_id"),
-          "doc_id", path)
+          docs.filter(col("doc_id") % 6 === 0), "text", path)
         val feed = docs.filter(col("doc_id") % 2 =!= 0)
           .unionByName(docs.filter(col("doc_id") % 6 === 0)
             .withColumn("doc_id", col("doc_id") + 1000000))
@@ -646,6 +649,32 @@ object StreamingQueries {
              |  WHERE h NOT IN (SELECT h FROM live))
              |SELECT ph.phase, a.id
              |FROM adm a CROSS JOIN (SELECT 1 AS phase UNION ALL SELECT 2 AS phase) ph
-             |ORDER BY ph.phase, a.id""".stripMargin))
+             |ORDER BY ph.phase, a.id""".stripMargin)),
+
+    // ---- streaming BM25 postings-index MAINTENANCE (sw21): s31's
+    // append loop driven by the real micro-batch engine — the even
+    // half builds the persisted postings/doclens, the odd half
+    // STREAMS in via foreachBatch (several real appends forced by
+    // maxFilesPerTrigger), and serving from the stream-grown index
+    // must equal the full batch build. Posting rows are per-doc
+    // independent, so no micro-batch split can show through — s27's
+    // oracle verbatim. Completes {build, append, serve, delete,
+    // compact} × {batch, stream} for the LEXICAL index family.
+    NamedQuery("sw21_stream_postings_append",
+      (s, dir) => {
+        import graft.text.Retrieval
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("bm25_idx_stream")
+        Retrieval.writePostingsIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        StreamRunner.runForeachBatch(s,
+            docs.filter(col("doc_id") % 2 =!= 0), "sw21_postings_append") { b =>
+          Retrieval.appendToPostingsIndex(b, "doc_id", "text", path)
+        }
+        Retrieval.bm25TopKFromIndex(s, path,
+            PipelineQueries.bm25Queries(docs), "query_id", "qtext", k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(PipelineQueries.bm25IndexOracle()))
   )
 }

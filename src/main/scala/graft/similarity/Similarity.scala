@@ -111,6 +111,27 @@ object Similarity {
     * rank arithmetic is exact too). Keyed windows per label, never a
     * global sort; the per-label quartile table broadcasts back.
     * Output: (label, n_vecs, q1, q3, n_outliers, min_outlier_id). */
+  def normOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val byNorm = Window.partitionBy("label").orderBy(col("nrm"), col("id"))
+    val byLabel = Window.partitionBy("label")
+    val t = graft.Caches.cached(
+      df.select(col(idCol).as("id"), col(labelCol).as("label"),
+          round(norm(col(vecCol)), 6).as("nrm"))
+        .withColumn("rk", row_number().over(byNorm))
+        .withColumn("n", count(lit(1)).over(byLabel)))
+    val q = t.groupBy("label").agg(
+      max(when(col("rk") === ceil(col("n") * 0.25), col("nrm"))).as("q1"),
+      max(when(col("rk") === ceil(col("n") * 0.75), col("nrm"))).as("q3"))
+    val out = col("nrm") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
+      col("nrm") > col("q3") + (col("q3") - col("q1")) * 1.5
+    t.join(broadcast(q), "label")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), max("q1").as("q1"), max("q3").as("q3"),
+        sum(when(out, lit(1L)).otherwise(lit(0L))).as("n_outliers"),
+        min(when(out, col("id"))).as("min_outlier_id"))
+  }
+
   /** Embedding DRIFT monitor (m18): per label, compare the mean
     * vector of an OLD corpus slice against a NEW one — the
     * data-quality check a recurring ingest runs to catch an upstream
@@ -144,27 +165,6 @@ object Similarity {
         round(sqrt(col("nn2")) / sqrt(col("no2")), 6).as("norm_ratio"))
       .join(sizes(oldDf, "n_old"), Seq("label"))
       .join(sizes(newDf, "n_new"), Seq("label"))
-  }
-
-  def normOutliers(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String): DataFrame = {
-    val byNorm = Window.partitionBy("label").orderBy(col("nrm"), col("id"))
-    val byLabel = Window.partitionBy("label")
-    val t = graft.Caches.cached(
-      df.select(col(idCol).as("id"), col(labelCol).as("label"),
-          round(norm(col(vecCol)), 6).as("nrm"))
-        .withColumn("rk", row_number().over(byNorm))
-        .withColumn("n", count(lit(1)).over(byLabel)))
-    val q = t.groupBy("label").agg(
-      max(when(col("rk") === ceil(col("n") * 0.25), col("nrm"))).as("q1"),
-      max(when(col("rk") === ceil(col("n") * 0.75), col("nrm"))).as("q3"))
-    val out = col("nrm") < col("q1") - (col("q3") - col("q1")) * 1.5 ||
-      col("nrm") > col("q3") + (col("q3") - col("q1")) * 1.5
-    t.join(broadcast(q), "label")
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_vecs"), max("q1").as("q1"), max("q3").as("q3"),
-        sum(when(out, lit(1L)).otherwise(lit(0L))).as("n_outliers"),
-        min(when(out, col("id"))).as("min_outlier_id"))
   }
 
   /** Cosine from precomputed norms, ZERO-NORM SAFE: a degenerate

@@ -266,10 +266,8 @@ object Sources {
   // pushdown intact.
 
   private def manifestOf(spark: SparkSession, path: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(s"$path/manifest")
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val p = s"$path/manifest"
+    if (graft.Fs.exists(spark, p)) Some(spark.read.parquet(p)) else None
   }
 
   /** Latest committed version (0 when the table doesn't exist yet). */
@@ -283,14 +281,24 @@ object Sources {
     * new version sees every prior commit plus this one); `overwrite =
     * true` REPLACES the visible set (the new version sees only this
     * commit — prior versions keep reading their own snapshots).
-    * Returns the committed version number. */
+    * Returns the committed version number.
+    *
+    * The COMMIT POINT is the manifest append, not the data write: the
+    * data dir is written with Overwrite so a commit that failed
+    * between the two (orphaning `data/c<v>` with no manifest row)
+    * recovers on retry — the next commit recomputes the same v from
+    * the manifest and clobbers the orphan instead of wedging on an
+    * ErrorIfExists throw. No reader ever sees the orphan (readers
+    * union only manifest-listed dirs). Single writer per table, the
+    * same contract Delta's log store requires; concurrent committers
+    * would need an atomic rename/CAS on the manifest. */
   def snapshotCommit(df: DataFrame, path: String,
       overwrite: Boolean = false): Int = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
     val v = snapshotLatestVersion(spark, path) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$path/data/c$v")
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/data/c$v")
     val prior: Seq[String] =
       if (overwrite || v == 1) Seq.empty
       else manifestOf(spark, path).get.filter(col("version") === v - 1)

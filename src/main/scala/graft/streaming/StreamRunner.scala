@@ -65,6 +65,27 @@ object StreamRunner {
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     stagedInputs.synchronized { stagedInputs.values.foreach(deleteDir) }))
 
+  /** Seed a foreachBatch parquet sink empty (truncating prior runs'
+    * rows) with EXACTLY the schema the stream will append. Mixed
+    * schemas in one sink dir are the trap this guards: a seed with
+    * extra columns makes the read-back schema depend on which footer
+    * parquet samples — green locally, red at the gate. */
+  def seedSink(appendSchema: DataFrame, path: String): Unit =
+    appendSchema.limit(0).write.mode("overwrite").parquet(path)
+
+  /** Read back a foreachBatch parquet sink, failing LOUDLY if the dir
+    * holds any schema beyond `cols` (mergeSchema surfaces every
+    * column any footer carries, so a mixed-schema sink can't hide
+    * behind footer-sampling luck). */
+  def readSink(spark: SparkSession, path: String,
+      cols: Seq[String]): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(path)
+    require(df.columns.sorted.toSeq == cols.sorted,
+      s"sink $path read-back schema (${df.columns.sorted.mkString(",")}) != " +
+        s"appended schema (${cols.sorted.mkString(",")}) — mixed-schema sink")
+    df.select(cols.map(org.apache.spark.sql.functions.col): _*)
+  }
+
   def runAvailableNow(spark: SparkSession, batch: DataFrame, name: String,
       outputMode: String, extraConfs: Map[String, String] = Map.empty)
       (transform: DataFrame => DataFrame): DataFrame = {

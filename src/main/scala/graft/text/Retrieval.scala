@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,15 +38,30 @@ object Retrieval {
     // (map-side combine); dl/avgdl derive from the postings, not a
     // second text scan. CACHED: three consumers (dl, dfq, contrib)
     // would otherwise re-run the tokenize+agg per consumer — measured
-    // 11.1 → 4.4 s at 30× sf0.1. In a serving deployment this table
-    // is the persisted index artifact, built once.
-    val tf = graft.Caches.cached(corpus
-      .select(col(idCol).as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")))
+    // 11.1 → 4.4 s at 30× sf0.1. [[writePostingsIndex]] persists this
+    // very table — the serving deployment builds it once.
+    val tf = graft.Caches.cached(postingsOf(corpus, idCol, textCol))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    // avgdl as exact-integer sum ÷ count (ONE double division) so both
-    // engines compute the identical double, independent of fold order
+    scoreBm25(tf, dl, queries, qidCol, qtextCol, k, k1, b)
+  }
+
+  /** The (doc_id, tok, tf) posting table of a corpus: one tokenize
+    * scan, one (doc, term)-keyed count (map-side combine). */
+  private def postingsOf(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = corpus
+    .select(col(idCol).as("doc_id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+    .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  /** BM25 scoring over a posting table + doc-length table — the
+    * shared back half of [[bm25TopK]] (in-memory postings) and
+    * [[bm25TopKFromIndex]] (persisted postings). Corpus stats
+    * (n_docs, avgdl) derive from `dl` as an exact-integer sum ÷ count
+    * (ONE double division) so both engines compute the identical
+    * double, independent of fold order. */
+  private def scoreBm25(tf: DataFrame, dl: DataFrame, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int, k1: Double,
+      b: Double): DataFrame = {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("__sdl"))
       .withColumn("avgdl", col("__sdl").cast("double") / col("n_docs"))
       .drop("__sdl")
@@ -81,6 +96,125 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("__nn")).as(Seq("__r", "__s")))
       .select(col("query_id"), col("__s.id").as("doc_id"),
         col("__s.score").as("score"), (col("__r") + 1).cast("int").as("rank"))
+  }
+
+  // ---- PERSISTED postings index: the lexical family's lifecycle ----
+  //
+  // Every other retrieval family here (exact-hash, MinHash, gram,
+  // IVF/IVF-PQ) persists its index artifact; this closes the gap for
+  // BM25 — at 100 TB the postings build is the one corpus-sized keyed
+  // shuffle, and production pays it ONCE, not per query batch. Two
+  // parquet tables under `path`:
+  //
+  //  - `postings`: (doc_id, tok, tf), partitioned by `tp` (first md5
+  //    nibble of the token — 16 stable dirs) so a selective
+  //    compaction can rewrite only affected slices and a token-probe
+  //    layout exists for engines that prune on it;
+  //  - `doclens`: (doc_id, dl). Corpus stats (n_docs, avgdl) DERIVE
+  //    from doclens at serve time (one tiny agg over a doc-count-sized
+  //    table) — deriving instead of freezing keeps every serve
+  //    (tombstoned, appended, compacted) exactly equal to an index
+  //    rebuilt from the corresponding corpus, which is what the gates
+  //    pin.
+  //
+  // Deletes are doc_id-keyed (every indexed doc keeps its own posting
+  // rows — no min-id collapsing, so ids resolve exactly); the serve
+  // path anti-joins the tombstone side-table on both artifacts and
+  // compaction folds it in.
+
+  private def tokPart(c: Column): Column = substring(md5(c), 1, 1)
+
+  /** Build the persisted postings index from a corpus: ONE tokenize
+    * scan + (doc, term) agg, then the two artifact writes. A rebuild
+    * also clears any stale tombstone side-table — delete requests
+    * against the replaced index don't apply to the new one. */
+  def writePostingsIndex(corpus: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    graft.Fs.deleteRecursive(corpus.sparkSession, s"$path/tombstones")
+    val tf = graft.Caches.cached(postingsOf(corpus, idCol, textCol))
+    tf.withColumn("tp", tokPart(col("tok")))
+      .repartition(col("tp"))
+      .write.mode("overwrite").partitionBy("tp").parquet(s"$path/postings")
+    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  /** Append a batch of NEW docs to the index. Posting rows are
+    * per-doc independent, so appending is two plain parquet appends —
+    * no index rewrite, no read of existing artifacts. Caller contract:
+    * batch doc_ids are not already indexed (route the batch through
+    * the exact-hash admission gate first, as the d26 loop does);
+    * re-appending an id would double its postings. */
+  def appendToPostingsIndex(batch: DataFrame, idCol: String,
+      textCol: String, path: String): Unit = {
+    val tf = graft.Caches.cached(postingsOf(batch, idCol, textCol))
+    tf.withColumn("tp", tokPart(col("tok")))
+      .repartition(col("tp"))
+      .write.mode("append").partitionBy("tp").parquet(s"$path/postings")
+    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+  }
+
+  /** Append delete requests (indexed doc ids) to the tombstone
+    * side-table. O(|deletes|) — index files untouched. */
+  def tombstonePostingsIndex(deleteIds: DataFrame, idCol: String,
+      path: String): Unit =
+    deleteIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+
+  private def postingsTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = s"$path/tombstones"
+    if (graft.Fs.exists(spark, p)) Some(spark.read.parquet(p)) else None
+  }
+
+  private def minusDocTombstones(df: DataFrame,
+      ts: Option[DataFrame]): DataFrame = ts match {
+    case Some(t) => df.join(broadcast(t.select("doc_id").distinct()),
+      Seq("doc_id"), "left_anti")
+    case None => df
+  }
+
+  /** The live postings / doclens — what the serve path scans: the
+    * artifacts minus the tombstoned docs (tiny broadcast anti-join;
+    * files untouched). */
+  def livePostings(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    minusDocTombstones(
+      spark.read.parquet(s"$path/postings").drop("tp"),
+      postingsTombstones(spark, path))
+
+  def liveDoclens(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    minusDocTombstones(spark.read.parquet(s"$path/doclens"),
+      postingsTombstones(spark, path))
+
+  /** BM25 top-k served FROM the persisted index: identical scoring
+    * plan to [[bm25TopK]] with the corpus-sized tokenize+agg replaced
+    * by the artifact scan — the per-batch cost drops to the broadcast
+    * query probe. df and corpus stats come from the LIVE view, so the
+    * serve equals a rebuild from the retained corpus exactly. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoreBm25(graft.Caches.cached(livePostings(spark, path)),
+      liveDoclens(spark, path), queries, qidCol, qtextCol, k, k1, b)
+
+  /** Fold tombstones into both artifacts and clear them: rewrite as
+    * the live rows (localCheckpoint first — the rewrite overwrites
+    * the files the live plan scans). With postings partitioned by
+    * `tp` a production compaction would rewrite only slices holding
+    * tombstoned rows; the full rewrite keeps the proof simple. */
+  def compactPostingsIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    if (postingsTombstones(spark, path).isEmpty) return
+    val post = livePostings(spark, path).localCheckpoint()
+    val dls = liveDoclens(spark, path).localCheckpoint()
+    post.withColumn("tp", tokPart(col("tok")))
+      .repartition(col("tp"))
+      .write.mode("overwrite").partitionBy("tp").parquet(s"$path/postings")
+    dls.write.mode("overwrite").parquet(s"$path/doclens")
+    graft.Fs.deleteRecursive(spark, s"$path/tombstones")
   }
 
   /** Reciprocal-rank fusion of two ranked lists, each (query_id,

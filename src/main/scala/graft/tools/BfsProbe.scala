@@ -27,7 +27,7 @@ object BfsProbe {
       val g0 = PropertyGraph.customerPartGraph(spark, sfDir)
       val sym0 = PropertyGraph(g0.vertices, IterativeGraph.symmetrize(g0.edges))
       t("bfs() end-to-end") {
-        sym0.bfs(col("id") === 1L, col("id") === 1000007L, 4).count()
+        sym0.bfs(col("id") === 1L, col("id") === graft.graph.PropertyGraph.PartIdShift + 7L, 4).count()
       }
     }
 
@@ -40,7 +40,7 @@ object BfsProbe {
         sym.edges.select(col("src"), col("dst")).localCheckpoint()
       }
       println(s"BFSPROBE edges rows=${e.count()}")
-      val targets = sym.vertices.filter(col("id") === 1000007L)
+      val targets = sym.vertices.filter(col("id") === graft.graph.PropertyGraph.PartIdShift + 7L)
         .select(col("id").as("__end"))
       var frontier = t("frontier init") {
         sym.vertices.filter(col("id") === 1L)

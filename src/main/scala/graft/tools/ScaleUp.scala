@@ -22,13 +22,14 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.tools.ScaleUp <srcDir> <outDir> <copies> [tables]
   *
   * Optional 4th arg: comma-separated table names to replicate; every
-  * other table is copied 1× (the dir stays loadable). Above 30 copies
-  * the filter is REQUIRED and must be ⊆ {documents, embeddings}: the
-  * TPC-H key strides (custkey 20k wide) cross the +1,000,000 vertex-id
-  * shifts past ~50 copies and would silently merge graph vertices —
-  * the doc stride (3e6) and vec stride (1e6) stay collision-free to
-  * 100 copies (doc plants land mid-stride: base + shift ± k·3e6 never
-  * re-enters the < 100k base window).
+  * other table is copied 1× (the dir stays loadable). ALL families
+  * are collision-free to 100 copies: graph vertex shifts use
+  * PropertyGraph.PartIdShift = 1e8 (customers reach ~2e6 at 100×,
+  * partkeys ~1e7 — both clear of each other and of the shift; the
+  * r1–r9 1e6 shift merged customers into part vertices past ~50
+  * copies, capping graph scale probes at 30×), and the doc stride
+  * (3e6) keeps replica ids out of every copy's planted +1e6 window
+  * (base docs < 100k).
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
@@ -37,19 +38,16 @@ object ScaleUp {
       args.lift(3).map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty)
     require(copies >= 1 && copies <= 100,
       s"copies must be in [1, 100] (got $copies)")
-    require(copies <= 30 || (only.nonEmpty && only.subsetOf(Set("documents", "embeddings"))),
-      "above 30 copies pass a table filter ⊆ {documents,embeddings} — " +
-        "TPC-H key strides collide with the +1e6 vertex shifts there")
     val spark = graft.Sessions.local(
       Runtime.getRuntime.availableProcessors.toString)
 
     val KO = 10000000L // orderkey stride (sf0.1 max ~6e6)
     // above 10 copies the 100k custkey/doc_id strides would cross the
-    // +1,000,000 shifts queries apply (part vertex ids = p_partkey+1e6;
-    // planted-duplicate ids = doc_id+1e6) and silently merge unrelated
-    // keys. Wide mode keeps every replica family clear of them:
-    //  - custkey stride 20k (max id 15000) → customers < 600k < 1e6,
-    //    below every shifted part vertex id;
+    // +1e6 shifts the DOC queries apply (planted-duplicate ids =
+    // doc_id+1e6) and, before PartIdShift widened to 1e8, the part
+    // vertex shift too. Wide mode keeps every replica family clear:
+    //  - custkey stride 20k (max id 15000) → customers < 2e6 ≪ 1e8,
+    //    below every shifted part vertex id at any copy count;
     //  - doc_id stride 3e6 → replica ids never land in ANY copy's
     //    planted +1e6 window (base docs < 100k).
     // 10-copy dirs built by earlier rounds keep their old key layout

@@ -508,7 +508,7 @@ class DedupSpec extends SparkSpec {
     Dedup.writeHashIndex(docs, "doc_id", "text", path)
     // delete every 3rd doc; serve a batch replaying deleted + retained
     Dedup.tombstoneHashIndex(
-      docs.filter($"doc_id" % 3 === 0).select("doc_id"), "doc_id", path)
+      docs.filter($"doc_id" % 3 === 0), "text", path)
     val batch = docs.filter($"doc_id" % 3 === 0)
       .withColumn("doc_id", $"doc_id" + 1000)
       .unionByName(docs.filter($"doc_id" % 3 === 1)
@@ -531,6 +531,28 @@ class DedupSpec extends SparkSpec {
       .withColumn("doc_id", $"doc_id" + 3000)
     val a2 = Dedup.ingestAgainstLiveHashIndex(batch2, "doc_id", "text", path)
     assert(a2.isEmpty)
+  }
+
+  test("tombstones are content-keyed: deleting via a duplicate copy hits the index row") {
+    // the index stores ONE row per text_hash with first_id = min(id);
+    // the takedown below names the LATER duplicate (id 100), whose id
+    // is NOT the stored first_id — an id-keyed tombstone would
+    // silently no-op and keep serving the content (the ADVICE r9
+    // hazard); content keying must hit regardless of which copy the
+    // request names
+    val path = ScratchDirs.scratch("t_tomb_content")
+    val base = syntheticDocs(10, "cdup")
+    val dupCopies = base.filter($"doc_id" === 3)
+      .withColumn("doc_id", $"doc_id" + 97) // id 100, same text as id 3
+    Dedup.writeHashIndex(base.unionByName(dupCopies), "doc_id", "text", path)
+    Dedup.tombstoneHashIndex(dupCopies, "text", path) // delete names id 100's copy
+    val replay = base.filter($"doc_id" === 3)
+      .withColumn("doc_id", $"doc_id" + 5000)
+    val admitted = Dedup.ingestAgainstLiveHashIndex(
+        replay, "doc_id", "text", path)
+      .select("doc_id").as[Long].collect()
+    assert(admitted.sameElements(Array(5003L)),
+      s"content delete via the duplicate copy must re-admit the text: ${admitted.toSeq}")
   }
 
   test("minhash tombstones: near-dups of deleted docs re-admit; re-ingest after compaction is idempotent") {

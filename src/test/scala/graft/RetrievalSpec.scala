@@ -63,4 +63,58 @@ class RetrievalSpec extends SparkSpec {
     assert(got(2)._2 === r6(1.0 / 62))
     assert(got.map(_._3).toSeq === Seq(1, 2, 3))
   }
+
+  private def liftCorpus(n: Int) = {
+    import spark.implicits._
+    // shared vocabulary with per-doc variation so df/tf/dl all differ
+    (0 until n).map(i => (i.toLong,
+      s"common shared term${i % 7} word${i % 3} filler${i} tail " +
+        ("pad " * (i % 5))))
+      .toDF("doc_id", "text")
+  }
+
+  private def serveAll(path: String, qs: org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    Retrieval.bm25TopKFromIndex(spark, path, qs, "query_id", "qtext", k = 5)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+  }
+
+  test("postings index: build+serve == direct bm25; append == full build") {
+    import spark.implicits._
+    val docs = liftCorpus(40)
+    val qs = Seq((100L, "common term1 word2"), (101L, "shared filler7"))
+      .toDF("query_id", "qtext")
+    val full = ScratchDirs.scratch("t_bm25_full")
+    Retrieval.writePostingsIndex(docs, "doc_id", "text", full)
+    val direct = Retrieval.bm25TopK(docs, "doc_id", "text", qs,
+        "query_id", "qtext", k = 5)
+      .select("query_id", "doc_id", "score", "rank")
+      .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    assert(serveAll(full, qs) === direct)
+    val grown = ScratchDirs.scratch("t_bm25_grow")
+    Retrieval.writePostingsIndex(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", grown)
+    Retrieval.appendToPostingsIndex(docs.filter($"doc_id" % 2 =!= 0),
+      "doc_id", "text", grown)
+    assert(serveAll(grown, qs) === direct)
+  }
+
+  test("postings tombstones: serve == rebuild on retained; compaction transparent") {
+    import spark.implicits._
+    val docs = liftCorpus(40)
+    val qs = Seq((100L, "common term1 word2")).toDF("query_id", "qtext")
+    val path = ScratchDirs.scratch("t_bm25_ts")
+    Retrieval.writePostingsIndex(docs, "doc_id", "text", path)
+    Retrieval.tombstonePostingsIndex(
+      docs.filter($"doc_id" % 3 === 0).select("doc_id"), "doc_id", path)
+    val retained = ScratchDirs.scratch("t_bm25_retained")
+    Retrieval.writePostingsIndex(docs.filter($"doc_id" % 3 =!= 0),
+      "doc_id", "text", retained)
+    val want = serveAll(retained, qs)
+    assert(serveAll(path, qs) === want, "tombstoned serve != rebuild")
+    Retrieval.compactPostingsIndex(spark, path)
+    assert(!graft.Fs.exists(spark, s"$path/tombstones"))
+    assert(serveAll(path, qs) === want, "post-compaction serve changed")
+  }
 }

@@ -167,6 +167,24 @@ class SourcesSpec extends SparkSpec {
     assert(sortedOk.isEmpty, "rows out of order within a shard file")
   }
 
+  test("snapshotCommit: an orphaned data dir (crash before manifest append) recovers on retry") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_orphan")
+    val v1 = Sources.snapshotCommit(Seq((1L, "a")).toDF("id", "s"), path)
+    // simulate a commit that died between data write and manifest
+    // append: data/c2 exists, manifest still ends at v1
+    Seq((99L, "junk")).toDF("id", "s")
+      .write.parquet(s"$path/data/c${v1 + 1}")
+    assert(Sources.snapshotLatestVersion(spark, path) == v1)
+    // the retried commit must reuse version v1+1, clobber the orphan,
+    // and commit cleanly (the r9 ErrorIfExists wedge)
+    val v2 = Sources.snapshotCommit(Seq((2L, "b")).toDF("id", "s"), path)
+    assert(v2 == v1 + 1)
+    val got = Sources.snapshotRead(spark, path, v2)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 2L), s"orphan rows leaked into v2: $got")
+  }
+
   test("parquetMergeSchema unions evolved footers and null-fills both directions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evolve_spec").toString

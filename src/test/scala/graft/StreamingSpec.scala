@@ -424,7 +424,7 @@ class StreamingSpec extends SparkSpec {
       Seq((10L, "deleted doc"), (11L, "retained doc"))
         .toDF("doc_id", "text"), "doc_id", "text", path)
     graft.dedup.Dedup.tombstoneHashIndex(
-      Seq(10L).toDF("doc_id"), "doc_id", path)
+      Seq("deleted doc").toDF("text"), "text", path)
     val in = MemoryStream[(Long, String, Timestamp)]
     val q = EventStreams.liveIndexDedupAdmission(
         in.toDF().toDF("doc_id", "text", "ts"),
