@@ -502,8 +502,35 @@ object IterativeGraph {
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    def degreesOf(sym: DataFrame): DataFrame = graft.Caches.cached(
-      sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    // ALIVE-SET formulation (r10, measured at 100× edges): the r1–r9
+    // form re-materialized the SHRINKING EDGE LIST every round
+    // (anti-join + localCheckpoint), which is fine at sf0.1 but at
+    // 110 M edges each round block-stored a fresh ~full-size edge
+    // copy — 398 s at 100×, the one super-linear reading in the r10
+    // scale table (an explicit-broadcast variant of the anti-joins
+    // measured the same 346–478 s: the cost was the materialization,
+    // not the join strategy). The peel's alive sets are NESTED, so an
+    // original edge has survived to round r iff BOTH endpoints are in
+    // the CURRENT alive set — the per-round state that actually needs
+    // persisting is the VERTEX-sized alive table, and the edge list
+    // can stay ONE cached symmetrized table semi-joined against it
+    // (broadcast: vertices ≪ edges; ~28 MB at 100×). Per round: one
+    // scan of the cached edges + a keyed degree agg — no edge
+    // checkpoint, no edge copy. Measured 398 → 61 s at 100× (10.3×
+    // time at 100× data — sublinear, in family with the other
+    // supersteps); sf0.1 unchanged at ~5.9 s. The r9-prescribed
+    // incremental-degree lever stays rejected (PERF.md item 6).
+    val sym0 = graft.Caches.cached(symmetrize(edges))
+    def degreesOf(alive: Option[DataFrame]): DataFrame = {
+      val filtered = alive match {
+        case None => sym0
+        case Some(a) => sym0
+          .join(broadcast(a.withColumnRenamed("id", "src")), Seq("src"), "left_semi")
+          .join(broadcast(a.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
+      }
+      graft.Caches.cached(
+        filtered.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg")))
+    }
     // (survivors entering next round, undirected edges of THIS table)
     def statsOf(deg: DataFrame): (Long, Long) = {
       val row = deg.agg(
@@ -511,28 +538,16 @@ object IterativeGraph {
         coalesce(sum("deg"), lit(0L)).as("sd")).first()
       (row.getLong(0), row.getLong(1) / 2)
     }
-    var sym = symmetrize(edges).localCheckpoint()
-    var deg = degreesOf(sym)
+    var deg = degreesOf(None)
     var nvNext = statsOf(deg)._1
     val out = Seq.newBuilder[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       val nVerts = nvNext
-      // dropping every vertex in `dying` ≡ keeping every vertex with
-      // deg ≥ k: the degree table's id set IS the edge endpoint set
-      val dying = deg.filter(col("deg") < k).select("id")
-      // LAZY per-round checkpoint (r9, KcoreProbe-measured): the stats
-      // action below then materializes the round's edge checkpoint,
-      // the degree cache, and the 1-row agg in ONE job — halving the
-      // per-round job count that dominates locally (7.2→4.1 s at
-      // sf0.1). Lineage still cuts at materialization, so this is NOT
-      // the rejected fully-lazy form (each round remains materialized
-      // before the next builds on it). The r9-prescribed incremental-
-      // degree lever measured WORSE (10.3–11.5 s — PERF.md item 6).
-      sym = sym
-        .join(dying.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
-        .join(dying.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
-        .localCheckpoint(false)
-      deg = degreesOf(sym)
+      // keeping every vertex with deg ≥ k ≡ dropping the dying set:
+      // the degree table's id set IS the current edge endpoint set,
+      // and vertices that lost their last edge left it already
+      val alive = deg.filter(col("deg") >= k).select("id").localCheckpoint()
+      deg = degreesOf(Some(alive))
       val (nv, nEdges) = statsOf(deg)
       nvNext = nv
       out += ((r.toLong, nVerts, nEdges))

@@ -73,7 +73,10 @@ object PipelineQueries {
     * from the IVF-PQ artifact at `path` with candidates
     * metadata-filtered to ids that have a documents row — ONE shared
     * index, filtered at serve time (s26's shape). Output
-    * (query_id, doc_id, rank), ready for [[Retrieval.rrfFuse]]. */
+    * (query_id, doc_id, rank), ready for [[Retrieval.rrfFuse]].
+    * Shared by s33 (fused list), s34 (overlap audit), s35 (context
+    * pack) — each query builds its own scratch artifacts so the
+    * driver can run any subset independently. */
   private def hybridDenseServe(s: org.apache.spark.sql.SparkSession,
       dir: String, path: String): org.apache.spark.sql.DataFrame = {
     val docIds = Tables.documents(s, dir).select("doc_id")
@@ -96,10 +99,10 @@ object PipelineQueries {
     * queries the common %125==7 set) + the RRF fold. `fused = true`
     * emits the fused top-10 (s33); `fused = false` additionally
     * replays the EXACT-dense fusion and emits the per-query top-10
-    * rank overlap between the two (s34). */
-  private def hybridPersistedOracle(fused: Boolean): String = {
-    val shared =
-      s"""${bm25Ctes(qn = "lq")},
+    * rank overlap between the two (s34). [[ragPackOracle]] chains the
+    * same CTEs into the budgeted context walk (s35). */
+  private def hybridSharedCtes: String =
+    s"""${bm25Ctes(qn = "lq")},
          |${ivfPqCtes(64, IvfLists, IvfProbes, 7L,
              candWhere = "a.vec_id IN (SELECT doc_id FROM documents)",
              queryWhere =
@@ -115,6 +118,9 @@ object PipelineQueries {
          |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
          |frk AS (SELECT query_id, doc_id, rrf, row_number() OVER (
          |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rank FROM f)""".stripMargin
+
+  private def hybridPersistedOracle(fused: Boolean): String = {
+    val shared = hybridSharedCtes
     if (fused)
       s"""WITH $shared
          |SELECT query_id, doc_id, rrf, rank FROM frk WHERE rank <= 10
@@ -146,6 +152,21 @@ object PipelineQueries {
          |  round(coalesce(ov.n_overlap, 0) / 10.0, 2) AS overlap_frac
          |FROM qs LEFT JOIN ov USING (query_id) ORDER BY qs.query_id""".stripMargin
   }
+
+  /** s35 oracle: the persisted-hybrid CTEs + the budgeted context
+    * walk — fused docs join their doclens, a per-query running token
+    * sum in rank order, keep while cum ≤ budget (greedy prefix). */
+  private def ragPackOracle(budget: Int): String =
+    s"""WITH $hybridSharedCtes
+       |SELECT query_id, doc_id, CAST(rank AS INT) AS rank,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+       |FROM (
+       |  SELECT f.query_id, f.doc_id, f.rank, dl.dl AS n_tokens,
+       |    sum(dl.dl) OVER (PARTITION BY f.query_id ORDER BY f.rank) AS cum_tokens
+       |  FROM frk f JOIN dl ON f.doc_id = dl.doc_id WHERE f.rank <= 10)
+       |WHERE cum_tokens <= $budget
+       |ORDER BY query_id, rank""".stripMargin
 
   private[queries] def bm25IndexOracle(corpusFilter: String = "",
       phases: Int = 1): String = {
@@ -3154,6 +3175,43 @@ object PipelineQueries {
       },
       Some(hybridPersistedOracle(fused = false))),
 
+    // ---- RAG context packing over the persisted hybrid pair (s35):
+    // the serving step AFTER retrieval — walk each query's fused
+    // ranked list in order and admit documents while the running
+    // token total stays within the context budget (greedy prefix, the
+    // standard context-assembly rule). Token counts come from the
+    // postings artifact's own doclens — the serving stack reuses its
+    // index metadata instead of re-tokenizing, so packing is a
+    // broadcast-sized join + per-query window over ≤10 rows. Oracle
+    // chains the s33 CTE stack + the running-sum walk.
+    NamedQuery("s35_rag_context_pack",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        val lexPath = graft.ScratchDirs.scratch("bm25_idx_rag")
+        Retrieval.writePostingsIndex(docs, "doc_id", "text", lexPath)
+        val lex = Retrieval.bm25TopKFromIndex(s, lexPath, bm25Queries(docs),
+            "query_id", "qtext", k = 20)
+          .select("query_id", "doc_id", "rank")
+        val denPath = graft.ScratchDirs.scratch("ivfpq_idx_rag")
+        val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
+        graft.ml.VectorSearch.writeIvfPqIndex(
+          Similarity.ivfPqEncodeAssign(emb, cents, 64, PqM, PqK, PqSeed),
+          cents.zipWithIndex.map(_.swap),
+          Similarity.pqCodebooks(64, PqM, PqK, PqSeed), denPath)
+        val fused = Retrieval.rrfFuse(lex,
+          hybridDenseServe(s, dir, denPath), k = 10)
+        val w = Window.partitionBy("query_id").orderBy("rank")
+        fused.join(Retrieval.liveDoclens(s, lexPath), Seq("doc_id"))
+          .withColumn("cum_tokens", sum("dl").over(w))
+          .filter(col("cum_tokens") <= RagBudget)
+          .select(col("query_id"), col("doc_id"), col("rank"),
+            col("dl").as("n_tokens"), col("cum_tokens"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ragPackOracle(RagBudget))),
+
     // ---- weighted reservoir sample (p24): k=5 docs per source,
     // selection probability ∝ n_chars, WITHOUT replacement —
     // Efraimidis–Spirakis A-ES on a content-hash-derived u, so the
@@ -3689,6 +3747,11 @@ object PipelineQueries {
       |FROM r GROUP BY shard ORDER BY shard""".stripMargin
 
   private[queries] def DecontamN = 4
+
+  /** s35 context-window token budget: small enough that the fused
+    * top-10 truncates (sf docs average ~54 tokens, so a full top-10
+    * runs ~480 — at 300 every query's walk actually cuts). */
+  private def RagBudget = 300
 
   /** CTE chain `toksd → shd → exd → bench → flagged`: corpus docs
     * (doc_id%10≠0) sharing any n-gram with the benchmark slice
