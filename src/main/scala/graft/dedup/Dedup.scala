@@ -984,6 +984,33 @@ object Dedup {
       .minLabelComponents(vertices, edges, iters)
   }
 
+  /** SOFT dedup — downweight instead of drop: every document gets
+    * weight 1/|its near-dup cluster|, so a near-dup family contributes
+    * ONE document's worth of effective mass to the training mix while
+    * every variant stays available (published as soft deduplication /
+    * duplicate-aware reweighting; the hard-drop d12 rule is the
+    * weight-threshold special case). Composition: the d12 cluster
+    * labels ([[nearDupClusterLabels]]) + one label-keyed count. The
+    * weights feed the sampling stage directly (p02 upsample / p24
+    * reservoir take a weight column).
+    *
+    * Scale shape: everything downstream of the banded pair stage is
+    * label-keyed — the size agg and the weight join shuffle on the
+    * cluster label, never all-pairs, and cluster cardinality ≈ corpus
+    * cardinality (most docs are singletons), so the join is an
+    * ordinary corpus-keyed hash join at any scale.
+    * Output: (id, label, cluster_size, weight). */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, minJaccard: Double,
+      iters: Int = -1, sig: Option[DataFrame] = None): DataFrame = {
+    val labels = nearDupClusterLabels(df, idCol, textCol, n, numHashes,
+      bands, minJaccard, iters, sig)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("id"), col("label"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
+
   /** Near-dup KEEP-BEST — [[dropNearDupsPortable]]'s survivor rule
     * generalized from "minimum id" to "best by `keepByCol`" (ties →
     * smallest id): production dedup keeps the highest-quality or most

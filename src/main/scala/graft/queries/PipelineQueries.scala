@@ -75,8 +75,8 @@ object PipelineQueries {
     * index, filtered at serve time (s26's shape). Output
     * (query_id, doc_id, rank), ready for [[Retrieval.rrfFuse]].
     * Shared by s33 (fused list), s34 (overlap audit), s35 (context
-    * pack) — each query builds its own scratch artifacts so the
-    * driver can run any subset independently. */
+    * pack) — artifact builds are memoized per (session, dir) below,
+    * so any subset of queries builds what it needs exactly once. */
   private def hybridDenseServe(s: org.apache.spark.sql.SparkSession,
       dir: String, path: String): org.apache.spark.sql.DataFrame = {
     val docIds = Tables.documents(s, dir).select("doc_id")
@@ -93,6 +93,55 @@ object PipelineQueries {
         topK = 20, nprobe = IvfProbes, dim = 64, m = PqM)
       .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
   }
+
+  /** ONE full-corpus postings artifact per (session, dir), shared by
+    * every read-only hybrid serve (s33/s34/s35) — the production
+    * shape: an index is built once and served by many queries. The
+    * lifecycle gates (s30 build round-trip, s31 append, s32
+    * tombstone/compaction) keep PRIVATE artifacts, because mutating
+    * the artifact is exactly what they prove. writePostingsIndex is
+    * mode=overwrite, so a post-release rebuild at the same scratch
+    * path is safe. */
+  private def sharedBm25Path(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.Memo.obj(s, s"bm25-idx-path|$dir") {
+      val path = graft.ScratchDirs.scratch("bm25_idx_shared")
+      Retrieval.writePostingsIndex(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        "doc_id", "text", path)
+      path
+    }
+
+  /** ONE IVF-PQ artifact per (session, dir) — the dense sibling of
+    * [[sharedBm25Path]], serving s33/s34/s35's persisted dense half. */
+  private def sharedIvfPqPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.Memo.obj(s, s"ivfpq-idx-path|$dir") {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val path = graft.ScratchDirs.scratch("ivfpq_idx_shared")
+      val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
+      graft.ml.VectorSearch.writeIvfPqIndex(
+        Similarity.ivfPqEncodeAssign(emb, cents, 64, PqM, PqK, PqSeed),
+        cents.zipWithIndex.map(_.swap),
+        Similarity.pqCodebooks(64, PqM, PqK, PqSeed), path)
+      path
+    }
+
+  /** The persisted-pair fused top-10 (BM25-from-artifact lex top-20 ⊕
+    * IVF-PQ dense top-20 under RRF), memoized per (session, dir): the
+    * SAME fused list is s33's answer, s34's audited side, and s35's
+    * packing input, so the sweep computes it once — the materialized
+    * view a serving deployment would keep hot. */
+  private def sharedHybridFused(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.Memo.df(s, s"hybrid-fused|$dir") {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val lex = Retrieval.bm25TopKFromIndex(s, sharedBm25Path(s, dir),
+          bm25Queries(docs), "query_id", "qtext", k = 20)
+        .select("query_id", "doc_id", "rank")
+      Retrieval.rrfFuse(lex, hybridDenseServe(s, dir, sharedIvfPqPath(s, dir)),
+        k = 10)
+    }
 
   /** Oracle for the persisted hybrid pair: bm25 CTEs (prefix `lq`) +
     * s18's probe/ADC CTEs (candidates restricted to documents ids,
@@ -3111,23 +3160,7 @@ object PipelineQueries {
     // probe/ADC CTEs + the RRF arithmetic, so the fused list
     // hash-matches end to end.
     NamedQuery("s33_hybrid_rrf_persisted",
-      (s, dir) => {
-        val docs = Tables.documents(s, dir).select("doc_id", "text")
-        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val lexPath = graft.ScratchDirs.scratch("bm25_idx_hyb")
-        Retrieval.writePostingsIndex(docs, "doc_id", "text", lexPath)
-        val lex = Retrieval.bm25TopKFromIndex(s, lexPath, bm25Queries(docs),
-            "query_id", "qtext", k = 20)
-          .select("query_id", "doc_id", "rank")
-        val denPath = graft.ScratchDirs.scratch("ivfpq_idx_hyb")
-        val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
-        graft.ml.VectorSearch.writeIvfPqIndex(
-          Similarity.ivfPqEncodeAssign(emb, cents, 64, PqM, PqK, PqSeed),
-          cents.zipWithIndex.map(_.swap),
-          Similarity.pqCodebooks(64, PqM, PqK, PqSeed), denPath)
-        Retrieval.rrfFuse(lex, hybridDenseServe(s, dir, denPath), k = 10)
-          .orderBy("query_id", "rank")
-      },
+      (s, dir) => sharedHybridFused(s, dir).orderBy("query_id", "rank"),
       Some(hybridPersistedOracle(fused = true))),
 
     // ---- hybrid rank-overlap AUDIT (s34): per query, how much of
@@ -3142,17 +3175,9 @@ object PipelineQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir).select("doc_id", "text")
         val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val lexPath = graft.ScratchDirs.scratch("bm25_idx_hyb_aud")
-        Retrieval.writePostingsIndex(docs, "doc_id", "text", lexPath)
-        val lex = Retrieval.bm25TopKFromIndex(s, lexPath, bm25Queries(docs),
-            "query_id", "qtext", k = 20)
+        val lex = Retrieval.bm25TopKFromIndex(s, sharedBm25Path(s, dir),
+            bm25Queries(docs), "query_id", "qtext", k = 20)
           .select("query_id", "doc_id", "rank")
-        val denPath = graft.ScratchDirs.scratch("ivfpq_idx_hyb_aud")
-        val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
-        graft.ml.VectorSearch.writeIvfPqIndex(
-          Similarity.ivfPqEncodeAssign(emb, cents, 64, PqM, PqK, PqSeed),
-          cents.zipWithIndex.map(_.swap),
-          Similarity.pqCodebooks(64, PqM, PqK, PqSeed), denPath)
         val common = emb.join(
           broadcast(docs.select(col("doc_id").as("vec_id"))), Seq("vec_id"))
         val qemb = common.filter(col("vec_id") % 125 === 7)
@@ -3160,8 +3185,7 @@ object PipelineQueries {
             qemb.select("vec_id", "embedding"),
             common.select("vec_id", "embedding"), k = 20)
           .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
-        val fusedP = Retrieval.rrfFuse(lex,
-          hybridDenseServe(s, dir, denPath), k = 10)
+        val fusedP = sharedHybridFused(s, dir)
         val fusedE = Retrieval.rrfFuse(lex, denseExact, k = 10)
         val overlap = fusedP.select("query_id", "doc_id")
           .join(fusedE.select("query_id", "doc_id"), Seq("query_id", "doc_id"))
@@ -3187,23 +3211,10 @@ object PipelineQueries {
     NamedQuery("s35_rag_context_pack",
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, dir).select("doc_id", "text")
-        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
-        val lexPath = graft.ScratchDirs.scratch("bm25_idx_rag")
-        Retrieval.writePostingsIndex(docs, "doc_id", "text", lexPath)
-        val lex = Retrieval.bm25TopKFromIndex(s, lexPath, bm25Queries(docs),
-            "query_id", "qtext", k = 20)
-          .select("query_id", "doc_id", "rank")
-        val denPath = graft.ScratchDirs.scratch("ivfpq_idx_rag")
-        val cents = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
-        graft.ml.VectorSearch.writeIvfPqIndex(
-          Similarity.ivfPqEncodeAssign(emb, cents, 64, PqM, PqK, PqSeed),
-          cents.zipWithIndex.map(_.swap),
-          Similarity.pqCodebooks(64, PqM, PqK, PqSeed), denPath)
-        val fused = Retrieval.rrfFuse(lex,
-          hybridDenseServe(s, dir, denPath), k = 10)
+        val fused = sharedHybridFused(s, dir)
         val w = Window.partitionBy("query_id").orderBy("rank")
-        fused.join(Retrieval.liveDoclens(s, lexPath), Seq("doc_id"))
+        fused.join(Retrieval.liveDoclens(s, sharedBm25Path(s, dir)),
+            Seq("doc_id"))
           .withColumn("cum_tokens", sum("dl").over(w))
           .filter(col("cum_tokens") <= RagBudget)
           .select(col("query_id"), col("doc_id"), col("rank"),
@@ -3366,6 +3377,95 @@ object PipelineQueries {
              |    PARTITION BY epoch, shard ORDER BY hx, doc_id) AS INT) AS pos,
              |  doc_id
              |FROM sh ORDER BY epoch, shard, pos""".stripMargin)),
+
+    // ---- per-user behavioral training sequences (p26): each user's
+    // event log ordered by (ts, event_id), cut into sliding windows of
+    // 8 events every 4 — the sequence-model training-example feed
+    // (next-event prediction). Only full windows emit; the oracle
+    // replays the rank → window-membership fan-out and the ordered
+    // string_agg, so the exact example strings hash-match.
+    NamedQuery("p26_user_history_sequences",
+      (s, dir) => Sampling.historySequences(Tables.events(s, dir),
+          "user_id", "ts", "event_id", "event_type", seqLen = 8, stride = 4)
+        .orderBy("user_id", "seq_idx"),
+      Some("""WITH r AS (SELECT user_id, event_type, row_number() OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events),
+             |e AS (SELECT user_id, event_type, rn,
+             |    unnest(generate_series(
+             |      CAST(greatest(0, ceil((rn - 8) / 4.0)) AS BIGINT),
+             |      CAST(floor((rn - 1) / 4.0) AS BIGINT))) AS seq_idx
+             |  FROM r),
+             |g AS (SELECT user_id, seq_idx, count(*) AS n,
+             |    string_agg(event_type, ' ' ORDER BY rn) AS seq
+             |  FROM e GROUP BY 1, 2)
+             |SELECT user_id, CAST(seq_idx AS INT) AS seq_idx, seq
+             |FROM g WHERE n = 8 ORDER BY user_id, seq_idx""".stripMargin)),
+
+    // ---- DSIR importance selection (p27): pick the 100 non-English
+    // docs whose hashed-unigram distribution is most English-like —
+    // the published importance-resampling recipe (target LM / raw LM
+    // log-ratio over B=1024 md5-hashed buckets, add-one smoothing,
+    // Gumbel-top-k draw keyed by the content hash so the "randomness"
+    // is reproducible). The oracle replays bucket stats, both
+    // smoothed LMs, the per-doc log-weight sum, and the Gumbel keys.
+    NamedQuery("p27_dsir_importance_select",
+      (s, dir) => Sampling.dsirSelect(Tables.documents(s, dir),
+          "doc_id", "text", col("lang") === "en", nBuckets = 1024, k = 100)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("sel_rank"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id AS id, lang = 'en' AS t, unnest(list_filter(
+             |    string_split_regex(lower(text), '[^a-z0-9]+'),
+             |    x -> len(x) > 0)) AS tok
+             |  FROM documents),
+             |tb AS (SELECT id, t,
+             |    CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 1024 AS b
+             |  FROM toks),
+             |cnt AS (SELECT b,
+             |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+             |    sum(CASE WHEN t THEN 0 ELSE 1 END) AS rc
+             |  FROM tb GROUP BY b),
+             |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt),
+             |lw AS (SELECT b,
+             |    ln((tc + 1.0) / (tt + 1024)) - ln((rc + 1.0) / (rt + 1024))
+             |      AS lw
+             |  FROM cnt CROSS JOIN tot),
+             |sc AS (SELECT id, sum(lw) AS logw
+             |  FROM tb JOIN lw USING (b) WHERE NOT t GROUP BY id),
+             |g AS (SELECT id, logw, logw - ln(-ln(
+             |    (CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 13) AS BIGINT)
+             |     + 1.0) / 4503599627370497.0)) AS key
+             |  FROM sc),
+             |rk AS (SELECT id, logw, key, row_number() OVER (
+             |    ORDER BY key DESC, id) AS sel_rank FROM g)
+             |SELECT id AS doc_id, round(logw, 6) AS logw,
+             |  round(key, 6) AS gumbel_key, CAST(sel_rank AS INT) AS sel_rank
+             |FROM rk WHERE sel_rank <= 100 ORDER BY sel_rank""".stripMargin)),
+
+    // ---- SOFT dedup weights (d34): downweight near-dup docs by
+    // 1/|cluster| instead of dropping them — the reweighting
+    // alternative to d12's hard drop, feeding the sampling stage a
+    // weight column (effective token mass counts each near-dup family
+    // once). Same planted mirror corpus and memoized signatures as
+    // d12; the oracle chains d12's component CTEs + the size/weight
+    // arithmetic + the effective-token product.
+    NamedQuery("d34_soft_dedup_weights",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        val all = docs.unionByName(planted)
+        Dedup.softDedupWeights(all, "doc_id", "text",
+            n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5,
+            iters = 4, sig = Some(plantedMinhashSig(s, dir)))
+          .withColumnRenamed("id", "doc_id")
+          .join(all.select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("__nt")), "doc_id")
+          .withColumn("eff_tokens", round(col("__nt") / col("cluster_size"), 4))
+          .select("doc_id", "label", "cluster_size", "weight", "eff_tokens")
+          .orderBy("doc_id")
+      },
+      Some(softDedupOracle(MhHashes, MhBands, 0.5, iters = 4))),
 
     // ---- vector-index DELETES: tombstones + compaction (s29) — the
     // embedding-side twin of d32 (no 100 TB index escapes opt-outs).
@@ -4800,6 +4900,33 @@ object PipelineQueries {
        |l0 AS (SELECT id, id AS label FROM v),
        |$steps
        |SELECT id AS doc_id FROM l$iters WHERE id = label ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for d34: the d12 cluster-label CTEs, then per-label sizes
+    * → 1/size weights → effective token mass. */
+  private def softDedupOracle(numHashes: Int, bands: Int,
+      minJaccard: Double, iters: Int): String = {
+    val base = minhashPortableOracle(numHashes, bands, minJaccard)
+    val ctes = base.substring(0, base.indexOf("\nSELECT id_a"))
+    val steps = OracleFragments.minLabelSteps("symp", iters)
+    s"""$ctes,
+       |pairs AS (SELECT id_a, id_b FROM ver WHERE est_jaccard >= $minJaccard),
+       |v AS (SELECT doc_id AS id FROM all_docs),
+       |symp AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps,
+       |cs AS (SELECT label, count(*) AS cluster_size
+       |  FROM l$iters GROUP BY label),
+       |tk AS (SELECT doc_id AS id, len(list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'),
+       |    x -> len(x) > 0)) AS n_tokens
+       |  FROM all_docs)
+       |SELECT l.id AS doc_id, l.label, cs.cluster_size,
+       |  round(1.0 / cs.cluster_size, 6) AS weight,
+       |  round(tk.n_tokens * 1.0 / cs.cluster_size, 4) AS eff_tokens
+       |FROM l$iters l JOIN cs USING (label) JOIN tk ON tk.id = l.id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Oracle for p16: the d12 cluster-label CTEs, then the p01 hash-

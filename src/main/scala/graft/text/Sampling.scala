@@ -470,4 +470,94 @@ object Sampling {
         (least((col("seq_id") + 1) * seqLen, col("__cum") + col("__n")) -
           greatest(col("seq_id") * seqLen, col("__cum"))).as("n_toks"))
   }
+
+  /** DSIR-style importance selection (data selection via importance
+    * resampling, Xie et al. 2023): score every NON-target document by
+    * how target-like its hashed-unigram distribution is — the sum over
+    * its tokens of log p_target(b)/p_raw(b), where b is the token's
+    * hashed bucket in [0, nBuckets) and both class distributions carry
+    * add-one smoothing — then draw k docs WITHOUT replacement with
+    * probability ∝ exp(score) via the Gumbel-top-k trick. The Gumbel
+    * noise derives from the content hash (the p24 A-ES u), so the draw
+    * is reproducible across engines, runs, and partitionings — no RNG.
+    *
+    * Scale shape: class/bucket stats are ONE (bucket)-keyed agg
+    * BOUNDED BY nBuckets (not vocab, not corpus) and broadcast back;
+    * per-doc scores are a scan-stage explode + broadcast join + one
+    * doc-keyed agg; selection is the TopK aggregator (map-side
+    * combine, no global sort, no window). At 100 TB the bucket table
+    * stays KBs and the only corpus-sized shuffle is the doc-keyed
+    * score agg. Buckets hash via md5 (engine-portable), the hashed-
+    * feature trick the method itself prescribes to bound the LM.
+    * Output: (id, logw, gumbel_key, sel_rank), the k selected rows. */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int, k: Int): DataFrame = {
+    import graft.functions.TopK
+    val toks = df
+      .select(col(idCol).cast("long").as("id"), isTarget.as("__t"),
+        explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b",
+        conv(substring(md5(col("__tok")), 1, 4), 16, 10).cast("long")
+          % nBuckets)
+    val tokC = graft.Caches.cached(toks.select("id", "__t", "__b"))
+    val cnt = tokC.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("__rc"))
+    val tot = cnt.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt"))
+    val lw = cnt.crossJoin(broadcast(tot)).select(col("__b"),
+      (log((col("__tc") + 1).cast("double") / (col("__tt") + nBuckets)) -
+       log((col("__rc") + 1).cast("double") / (col("__rt") + nBuckets)))
+        .as("__lw"))
+    val scores = tokC.filter(!col("__t"))
+      .join(broadcast(lw), Seq("__b"))
+      .groupBy("id").agg(sum("__lw").as("__logw"))
+    val h = conv(substring(md5(col("id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(4503599627370497.0) // (0,1]
+    val keyed = scores.withColumn("__key", col("__logw") - log(-log(u)))
+    keyed
+      .groupBy().agg(TopK.topK(k)(col("id"), col("__key")).as("__nn"))
+      .select(posexplode(col("__nn")).as(Seq("__r", "__s")))
+      .select(col("__s.id").as("id"), (col("__r") + 1).cast("int")
+        .as("sel_rank"))
+      .join(keyed, Seq("id"))
+      .select(col("id"), round(col("__logw"), 6).as("logw"),
+        round(col("__key"), 6).as("gumbel_key"), col("sel_rank"))
+  }
+
+  /** Per-user behavioral training sequences (p26): order each user's
+    * events by (time, id), then cut sliding windows of `seqLen` events
+    * every `stride` — the sequence-model training-example construction
+    * (session2vec / SASRec-style next-event prediction feeds). Only
+    * FULL windows emit, so the example set is a deterministic function
+    * of the log. Window j covers ranks [j·stride+1, j·stride+seqLen];
+    * the sequence string is the ordered concatenation of `tokenCol`.
+    *
+    * Scale shape: the per-user rank is a USER-keyed window (never
+    * global); each event then fans out to the ≤⌈seqLen/stride⌉ windows
+    * containing it (a bounded explode, no self-join), and assembly is
+    * one (user, window)-keyed agg whose groups are exactly seqLen
+    * rows. Output: (user, seq_idx, seq). */
+  def historySequences(events: DataFrame, userCol: String,
+      orderCol: String, idCol: String, tokenCol: String,
+      seqLen: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen > 0 && stride > 0, "seqLen and stride must be positive")
+    val w = Window.partitionBy(userCol).orderBy(col(orderCol), col(idCol))
+    events
+      .select(col(userCol), col(tokenCol).as("__tok"),
+        row_number().over(w).as("__rn"))
+      .withColumn("seq_idx", explode(sequence(
+        greatest(lit(0L),
+          ceil((col("__rn") - seqLen) / lit(stride.toDouble))).cast("long"),
+        floor((col("__rn") - 1) / lit(stride.toDouble)).cast("long"))))
+      .groupBy(col(userCol), col("seq_idx"))
+      .agg(count(lit(1)).as("__n"),
+        expr("array_join(transform(array_sort(" +
+          "collect_list(struct(__rn, __tok))), x -> x.__tok), ' ')")
+          .as("seq"))
+      .filter(col("__n") === seqLen)
+      .select(col(userCol), col("seq_idx").cast("int").as("seq_idx"),
+        col("seq"))
+  }
 }

@@ -652,4 +652,34 @@ class DedupSpec extends SparkSpec {
     assert(routed.getOrElse(true, 0L) <= 50) // 10% of 500 vs fpp=1%
     assert(routed.getOrElse(false, 0L) >= 450)
   }
+
+  test("softDedupWeights: cluster mass sums to one; singletons weigh 1.0; labels match the keep rule") {
+    // two exact-duplicate families (ids 1-3 share text A, 4-5 share B)
+    // plus two singletons
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "pack my box with five dozen liquor jugs for the long trip"),
+      (5L, "pack my box with five dozen liquor jugs for the long trip"),
+      (6L, "a completely unrelated document about spark catalyst planning"),
+      (7L, "another standalone text mentioning parquet column pruning rules"))
+      .toDF("doc_id", "text")
+    val got = Dedup.softDedupWeights(docs, "doc_id", "text",
+        n = 3, numHashes = 8, bands = 4, minJaccard = 0.5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1L to 7L).toSeq) // every doc kept
+    assert(got.filter(r => r._1 <= 3).forall(r => r._2 == 1L && r._3 == 3L))
+    assert(got.filter(r => r._1 == 4 || r._1 == 5)
+      .forall(r => r._2 == 4L && r._3 == 2L))
+    assert(got.filter(_._1 >= 6).forall(r => r._2 == r._1 && r._4 == 1.0))
+    // per-cluster weight mass ≈ 1 → corpus effective mass = #clusters
+    val byLabel = got.groupBy(_._2).view.mapValues(_.map(_._4).sum)
+    byLabel.foreach { case (_, m) => assert(math.abs(m - 1.0) < 1e-4) }
+    // consistency with the hard-drop rule: d12's survivors = the labels
+    val kept = Dedup.dropNearDupsPortable(docs, "doc_id", "text",
+        n = 3, numHashes = 8, bands = 4, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == got.map(_._2).toSet)
+  }
 }

@@ -347,4 +347,50 @@ class SamplingSpec extends SparkSpec {
       assert(rs.map(_._3).sorted.toSeq == (0 until rs.length).toSeq)
     }
   }
+
+  test("dsirSelect: target-like raw docs outscore off-target ones; draw is deterministic") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // target distribution: "alpha beta" docs; raw pool: some target-like,
+    // some from a disjoint vocabulary
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta alpha beta gamma", "t")) ++
+      (21L to 25L).map(i => (i, "alpha beta gamma alpha beta", "r")) ++
+      (26L to 30L).map(i => (i, "zq xv wk zq xv wk zq xv", "r"))).toDF("id", "text", "cls")
+    val got = Sampling.dsirSelect(docs, "id", "text", col("cls") === "t",
+        nBuckets = 64, k = 10)
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._4)
+    // only raw docs are candidates; all 10 raw docs selected at k=10
+    assert(got.length == 10 && got.forall(_._1 > 20L))
+    // every target-like raw doc has a higher logw than every off-target one
+    val (like, off) = got.partition(_._1 <= 25L)
+    assert(like.map(_._2).min > off.map(_._2).max)
+    // selection rank follows gumbel_key desc
+    assert(got.map(-_._3).toSeq == got.map(-_._3).sorted.toSeq)
+    // deterministic re-run
+    val again = Sampling.dsirSelect(docs, "id", "text", col("cls") === "t",
+        nBuckets = 64, k = 10)
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._4)
+    assert(got.toSeq == again.toSeq)
+  }
+
+  test("historySequences: full sliding windows in event order, stride offsets, partial tails dropped") {
+    import spark.implicits._
+    // one user, 10 events with shuffled input order; L=4, stride=2 →
+    // full windows at ranks 1-4, 3-6, 5-8, 7-10
+    val ev = (1L to 10L).map(i => (7L, i * 100L, i, s"e$i"))
+      .sortBy(_._3 % 3) // scrambled input order
+      .toDF("user_id", "ts", "event_id", "tok")
+    val got = Sampling.historySequences(ev, "user_id", "ts", "event_id",
+        "tok", seqLen = 4, stride = 2)
+      .as[(Long, Int, String)].collect().sortBy(_._2)
+    assert(got.map(_._2).toSeq == Seq(0, 1, 2, 3))
+    assert(got.map(_._3).toSeq == Seq(
+      "e1 e2 e3 e4", "e3 e4 e5 e6", "e5 e6 e7 e8", "e7 e8 e9 e10"))
+    // a user with fewer than seqLen events emits nothing
+    val short = (1L to 3L).map(i => (9L, i, i, s"x$i"))
+      .toDF("user_id", "ts", "event_id", "tok")
+    assert(Sampling.historySequences(short, "user_id", "ts", "event_id",
+      "tok", seqLen = 4, stride = 2).count() == 0L)
+  }
 }
