@@ -3443,6 +3443,28 @@ object PipelineQueries {
              |  round(key, 6) AS gumbel_key, CAST(sel_rank AS INT) AS sel_rank
              |FROM rk WHERE sel_rank <= 100 ORDER BY sel_rank""".stripMargin)),
 
+    // ---- DSIR LM as a persisted serving artifact (p28): train the
+    // bucket log-ratio LM once (writeDsirLm — observed buckets + a
+    // self-contained unseen-bucket default), then score the WHOLE
+    // corpus from the frozen file through ONE constant-folded LUT
+    // expression — no explode, no join, no aggregation; the t19
+    // frozen-scorer lifecycle applied to the data-selection LM. The
+    // oracle recomputes the LM and every per-doc sum from scratch, so
+    // the artifact round-trip must equal a from-raw rebuild exactly.
+    NamedQuery("p28_dsir_lm_serve",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val path = graft.ScratchDirs.scratch("dsir_lm")
+        Sampling.writeDsirLm(docs, "doc_id", "text",
+          col("lang") === "en", nBuckets = 1024, path)
+        val (lut, n) = Sampling.readDsirLut(s, path)
+        docs.select(col("doc_id"),
+            round(Sampling.dsirScore(lut, n, col("text")), 6).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(dsirScoreOracle(
+        "SELECT doc_id, score FROM scored ORDER BY doc_id"))),
+
     // ---- SOFT dedup weights (d34): downweight near-dup docs by
     // 1/|cluster| instead of dropping them — the reweighting
     // alternative to d12's hard drop, feeding the sampling stage a
@@ -4901,6 +4923,33 @@ object PipelineQueries {
        |$steps
        |SELECT id AS doc_id FROM l$iters WHERE id = label ORDER BY doc_id""".stripMargin
   }
+
+  /** Oracle CTE stack for the frozen DSIR LM scores (p28/sw22):
+    * hashed-unigram bucket counts over the lang='en' target split,
+    * both add-one-smoothed LMs, per-doc summed log-ratio, zero for
+    * token-less docs — `footer` selects from the final `scored`
+    * (doc_id, score) CTE. */
+  private[queries] def dsirScoreOracle(footer: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS id, lang = 'en' AS t, unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'),
+       |    x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |tb AS (SELECT id, t,
+       |    CAST('0x' || substr(md5(tok), 1, 4) AS BIGINT) % 1024 AS b
+       |  FROM toks),
+       |cnt AS (SELECT b,
+       |    sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+       |    sum(CASE WHEN t THEN 0 ELSE 1 END) AS rc
+       |  FROM tb GROUP BY b),
+       |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM cnt),
+       |lw AS (SELECT b,
+       |    ln((tc + 1.0) / (tt + 1024)) - ln((rc + 1.0) / (rt + 1024)) AS lw
+       |  FROM cnt CROSS JOIN tot),
+       |sc AS (SELECT id, sum(lw) AS s FROM tb JOIN lw USING (b) GROUP BY id),
+       |scored AS (SELECT d.doc_id, round(coalesce(sc.s, 0), 6) AS score
+       |  FROM documents d LEFT JOIN sc ON sc.id = d.doc_id)
+       |$footer""".stripMargin
 
   /** Oracle for d34: the d12 cluster-label CTEs, then per-label sizes
     * → 1/size weights → effective token mass. */

@@ -627,14 +627,20 @@ object StreamingQueries {
           .unionByName(docs.filter(col("doc_id") % 4 === 2 && col("doc_id") % 6 =!= 0)
             .withColumn("doc_id", col("doc_id") + 2000000))
           .withColumn("ts", expr("timestamp_seconds(1704067200 + doc_id)"))
-        def serve(tag: Int, name: String) =
-          StreamRunner.runAvailableNow(s, feed, name, "append") { src =>
+        // both phases stream the IDENTICAL feed under ONE stream name:
+        // StreamRunner keys its staged-parquet input by (name, plan),
+        // so phase 2 re-reads phase 1's staging instead of re-writing
+        // it (sink names stay distinct via the runner's run counter —
+        // phase 1 is checkpointed before phase 2 runs). The remaining
+        // two-phase cost is the double micro-batch serve: the proof.
+        def serve(tag: Int) =
+          StreamRunner.runAvailableNow(s, feed, "sw20_tombstone", "append") { src =>
             EventStreams.liveIndexDedupAdmission(src, "doc_id", "text",
               "ts", path, watermark = "30 days")
           }.select(lit(tag).as("phase"), col("id"))
-        val p1 = serve(1, "sw20_tombstone_p1").localCheckpoint()
+        val p1 = serve(1).localCheckpoint()
         graft.dedup.Dedup.compactHashIndex(s, path)
-        val p2 = serve(2, "sw20_tombstone_p2")
+        val p2 = serve(2)
         p1.unionByName(p2).orderBy("phase", "id")
       },
       Some("""WITH live AS (SELECT md5(text) AS h FROM documents
@@ -675,6 +681,33 @@ object StreamingQueries {
             PipelineQueries.bm25Queries(docs), "query_id", "qtext", k = 10)
           .orderBy("query_id", "rank")
       },
-      Some(PipelineQueries.bm25IndexOracle()))
+      Some(PipelineQueries.bm25IndexOracle())),
+
+    // ---- streaming DSIR importance admission (sw22): the ingest
+    // stream scored against the FROZEN bucket-LM artifact (p28's
+    // writeDsirLm) — admit docs more target-like than raw (rounded
+    // log-ratio sum > 0). The gate is ONE constant-folded scan
+    // expression (no explode/join/state), so the stream plan is a
+    // stateless projection+filter; the oracle recomputes the LM and
+    // every score from raw, pinning the artifact round-trip AND the
+    // admission set. Completes the train-offline / gate-the-stream
+    // pair for the data-selection LM (the sw09 frozen-scorer shape).
+    NamedQuery("sw22_stream_dsir_admission",
+      (s, dir) => {
+        import graft.text.Sampling
+        val docs = Tables.documents(s, dir)
+        val path = graft.ScratchDirs.scratch("dsir_lm_stream")
+        Sampling.writeDsirLm(docs, "doc_id", "text",
+          col("lang") === "en", nBuckets = 1024, path)
+        val (lut, n) = Sampling.readDsirLut(s, path)
+        StreamRunner.runAvailableNow(s, docs.select("doc_id", "text"),
+            "sw22_dsir_admission", "append") { src =>
+          EventStreams.dsirAdmission(src, "doc_id", "text", lut, n,
+            minScore = 0.0)
+        }.orderBy("id")
+      },
+      Some(PipelineQueries.dsirScoreOracle(
+        """SELECT doc_id AS id, score FROM scored WHERE score > 0
+          |ORDER BY id""".stripMargin)))
   )
 }

@@ -489,6 +489,21 @@ object EventStreams {
     * anti-joined against the static index (stateless stream-static
     * left-anti, the sw11 mechanics). Indexed corpus text is never
     * rescanned at ingest. Output: admitted (id) rows. */
+  /** DSIR importance-admission gate (sw22): score every incoming doc
+    * against the FROZEN bucket-LM artifact (Sampling.writeDsirLm) and
+    * admit docs more target-like than raw (rounded score > minScore).
+    * The whole gate is one constant-folded scan expression
+    * (Sampling.dsirScore) — stateless, no join, no watermark, no
+    * state store — so it drops into an append-mode stream unchanged
+    * and costs one codegen'd pass per row at any scale. */
+  def dsirAdmission(docs: DataFrame, idCol: String, textCol: String,
+      lut: Array[Double], nBuckets: Int, minScore: Double): DataFrame =
+    docs
+      .withColumn("score",
+        round(graft.text.Sampling.dsirScore(lut, nBuckets, col(textCol)), 6))
+      .filter(col("score") > minScore)
+      .select(col(idCol).cast("long").as("id"), col("score"))
+
   def indexDedupAdmission(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String, indexPath: String, watermark: String): DataFrame = {
     val idx = graft.dedup.Dedup

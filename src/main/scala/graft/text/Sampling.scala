@@ -496,18 +496,9 @@ object Sampling {
     val toks = df
       .select(col(idCol).cast("long").as("id"), isTarget.as("__t"),
         explode(TextOps.tokens(col(textCol))).as("__tok"))
-      .withColumn("__b",
-        conv(substring(md5(col("__tok")), 1, 4), 16, 10).cast("long")
-          % nBuckets)
+      .withColumn("__b", dsirBucket(col("__tok"), nBuckets))
     val tokC = graft.Caches.cached(toks.select("id", "__t", "__b"))
-    val cnt = tokC.groupBy("__b").agg(
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
-      sum(when(col("__t"), 0L).otherwise(1L)).as("__rc"))
-    val tot = cnt.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt"))
-    val lw = cnt.crossJoin(broadcast(tot)).select(col("__b"),
-      (log((col("__tc") + 1).cast("double") / (col("__tt") + nBuckets)) -
-       log((col("__rc") + 1).cast("double") / (col("__rt") + nBuckets)))
-        .as("__lw"))
+    val lw = dsirBucketLm(tokC, nBuckets)
     val scores = tokC.filter(!col("__t"))
       .join(broadcast(lw), Seq("__b"))
       .groupBy("id").agg(sum("__lw").as("__logw"))
@@ -523,6 +514,74 @@ object Sampling {
       .join(keyed, Seq("id"))
       .select(col("id"), round(col("__logw"), 6).as("logw"),
         round(col("__key"), 6).as("gumbel_key"), col("sel_rank"))
+  }
+
+  /** The token's DSIR feature bucket: first 16 md5 bits mod nBuckets —
+    * engine-portable (`CAST('0x'||substr(md5(tok),1,4) AS BIGINT) % B`). */
+  private def dsirBucket(tok: Column, nBuckets: Int): Column =
+    conv(substring(md5(tok), 1, 4), 16, 10).cast("long") % nBuckets
+
+  /** The DSIR bucket log-ratio LM over a (__t, __b) token table:
+    * (__b, __lw) for every OBSERVED bucket, add-one smoothed. Shared
+    * by [[dsirSelect]] (in-memory) and [[writeDsirLm]] (artifact). */
+  private def dsirBucketLm(tokC: DataFrame, nBuckets: Int): DataFrame = {
+    val cnt = tokC.groupBy("__b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__tc"),
+      sum(when(col("__t"), 0L).otherwise(1L)).as("__rc"))
+    val tot = cnt.agg(sum("__tc").as("__tt"), sum("__rc").as("__rt"))
+    cnt.crossJoin(broadcast(tot)).select(col("__b"),
+      (log((col("__tc") + 1).cast("double") / (col("__tt") + nBuckets)) -
+       log((col("__rc") + 1).cast("double") / (col("__rt") + nBuckets)))
+        .as("__lw"),
+      col("__tt"), col("__rt"))
+  }
+
+  /** Persist the DSIR LM as a serving artifact: one `buckets` parquet
+    * of (bucket, lw) for observed buckets plus a 1-row `meta` with
+    * (n_buckets, lw0) — lw0 the smoothed log-ratio an UNSEEN bucket
+    * gets, derivable only from the training totals, so the artifact is
+    * self-contained. Train once offline on (target, raw); every later
+    * batch or stream scores against the frozen file (the t19
+    * frozen-scorer shape applied to the data-selection LM). */
+  def writeDsirLm(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, nBuckets: Int, path: String): Unit = {
+    val toks = df
+      .select(isTarget.as("__t"),
+        explode(TextOps.tokens(col(textCol))).as("__tok"))
+      .withColumn("__b", dsirBucket(col("__tok"), nBuckets))
+    val lm = graft.Caches.cached(dsirBucketLm(toks, nBuckets))
+    lm.select(col("__b").as("bucket"), col("__lw").as("lw"))
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    lm.limit(1).select(lit(nBuckets).as("n_buckets"),
+        (log(lit(1.0) / (col("__tt") + nBuckets)) -
+         log(lit(1.0) / (col("__rt") + nBuckets))).as("lw0"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load the LM artifact as a DENSE in-memory LUT (size = n_buckets,
+    * unseen buckets filled with lw0). Bounded by nBuckets — a k×dim-
+    * style artifact load, never corpus-sized. */
+  def readDsirLut(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Double], Int) = {
+    val meta = spark.read.parquet(s"$path/meta").collect()(0)
+    val n = meta.getAs[Int]("n_buckets")
+    val lut = Array.fill(n)(meta.getAs[Double]("lw0"))
+    spark.read.parquet(s"$path/buckets").collect()
+      .foreach(r => lut(r.getAs[Long]("bucket").toInt) =
+        r.getAs[Double]("lw"))
+    (lut, n)
+  }
+
+  /** Per-document DSIR score from the frozen LUT as ONE scan-stage
+    * expression: fold the token array through a constant-folded
+    * nBuckets-element array literal — no explode, no join, no
+    * aggregation, so it runs identically in a batch projection and a
+    * stateless streaming micro-batch. This is the serving half of the
+    * artifact: at 100 TB the gate costs one codegen'd pass per row. */
+  def dsirScore(lut: Array[Double], nBuckets: Int, text: Column): Column = {
+    val lutCol = array(lut.map(lit(_)): _*)
+    aggregate(TextOps.tokens(text), lit(0.0d), (acc, t) =>
+      acc + element_at(lutCol, (dsirBucket(t, nBuckets) + 1).cast("int")))
   }
 
   /** Per-user behavioral training sequences (p26): order each user's

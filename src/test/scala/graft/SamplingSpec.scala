@@ -374,6 +374,37 @@ class SamplingSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq)
   }
 
+  test("dsirScore from the persisted LM: artifact round-trip equals in-memory ratio; unseen buckets get lw0; plan is join-free") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta alpha beta gamma", "t")) ++
+      (21L to 25L).map(i => (i, "alpha beta gamma alpha beta", "r")) ++
+      (26L to 30L).map(i => (i, "zq xv wk zq xv wk zq xv", "r"))).toDF("id", "text", "cls")
+    val path = ScratchDirs.scratch("t_dsir_lm")
+    Sampling.writeDsirLm(docs, "id", "text", col("cls") === "t",
+      nBuckets = 64, path)
+    val (lut, n) = Sampling.readDsirLut(spark, path)
+    assert(n == 64 && lut.length == 64)
+    val scored = docs.select(col("id"),
+        Sampling.dsirScore(lut, n, col("text")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    // target-vocab docs score positive, disjoint-vocab docs negative
+    assert((1L to 25L).forall(scored(_) > 0) &&
+      (26L to 30L).forall(scored(_) < 0))
+    // unseen token = unseen bucket → the lw0 default, not a crash/skip
+    val lw0 = spark.read.parquet(s"$path/meta").collect()(0)
+      .getAs[Double]("lw0")
+    val unseen = Seq((99L, "qqqqzzzz")).toDF("id", "text")
+      .select(Sampling.dsirScore(lut, n, col("text")).as("s"))
+      .as[Double].collect()(0)
+    assert(math.abs(unseen - lw0) < 1e-12)
+    // the serve is scan-stage: no join, no explode-generate in the plan
+    val plan = docs.select(Sampling.dsirScore(lut, n, col("text")))
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("join") && !plan.contains("generate"))
+  }
+
   test("historySequences: full sliding windows in event order, stride offsets, partial tails dropped") {
     import spark.implicits._
     // one user, 10 events with shuffled input order; L=4, stride=2 →
