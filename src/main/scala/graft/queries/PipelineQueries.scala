@@ -3455,8 +3455,31 @@ object PipelineQueries {
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val path = graft.ScratchDirs.scratch("dsir_lm")
-        Sampling.writeDsirLm(docs, "doc_id", "text",
+        Sampling.writeDsirLm(docs, "text",
           col("lang") === "en", nBuckets = 1024, path)
+        val (lut, n) = Sampling.readDsirLut(s, path)
+        docs.select(col("doc_id"),
+            round(Sampling.dsirScore(lut, n, col("text")), 6).as("score"))
+          .orderBy("doc_id")
+      },
+      Some(dsirScoreOracle(
+        "SELECT doc_id, score FROM scored ORDER BY doc_id"))),
+
+    // ---- DSIR LM incremental APPEND (p29): train on the even half,
+    // append the odd half (bucket counts are additive — one
+    // ≤nBuckets-row parquet append, no rewrite, no read of the
+    // existing artifact), then serve the whole corpus: must equal the
+    // full one-shot train — p28's oracle verbatim. The production
+    // "refresh the selection LM as corpora grow" loop, completing
+    // {build, append, serve} × {batch, stream} for the LM family.
+    NamedQuery("p29_dsir_lm_append",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val path = graft.ScratchDirs.scratch("dsir_lm_grow")
+        Sampling.writeDsirLm(docs.filter(col("doc_id") % 2 === 0), "text",
+          col("lang") === "en", nBuckets = 1024, path)
+        Sampling.appendDsirLm(docs.filter(col("doc_id") % 2 =!= 0), "text",
+          col("lang") === "en", path)
         val (lut, n) = Sampling.readDsirLut(s, path)
         docs.select(col("doc_id"),
             round(Sampling.dsirScore(lut, n, col("text")), 6).as("score"))

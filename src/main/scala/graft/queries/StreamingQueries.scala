@@ -697,7 +697,7 @@ object StreamingQueries {
         import graft.text.Sampling
         val docs = Tables.documents(s, dir)
         val path = graft.ScratchDirs.scratch("dsir_lm_stream")
-        Sampling.writeDsirLm(docs, "doc_id", "text",
+        Sampling.writeDsirLm(docs, "text",
           col("lang") === "en", nBuckets = 1024, path)
         val (lut, n) = Sampling.readDsirLut(s, path)
         StreamRunner.runAvailableNow(s, docs.select("doc_id", "text"),

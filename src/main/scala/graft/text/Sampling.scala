@@ -536,39 +536,65 @@ object Sampling {
       col("__tt"), col("__rt"))
   }
 
-  /** Persist the DSIR LM as a serving artifact: one `buckets` parquet
-    * of (bucket, lw) for observed buckets plus a 1-row `meta` with
-    * (n_buckets, lw0) — lw0 the smoothed log-ratio an UNSEEN bucket
-    * gets, derivable only from the training totals, so the artifact is
-    * self-contained. Train once offline on (target, raw); every later
-    * batch or stream scores against the frozen file (the t19
-    * frozen-scorer shape applied to the data-selection LM). */
-  def writeDsirLm(df: DataFrame, idCol: String, textCol: String,
-      isTarget: Column, nBuckets: Int, path: String): Unit = {
-    val toks = df
-      .select(isTarget.as("__t"),
+  /** The (bucket, tc, rc) count rows for one batch — the unit the LM
+    * artifact stores and appends. */
+  private def dsirBucketCounts(df: DataFrame, textCol: String,
+      isTarget: Column, nBuckets: Int): DataFrame =
+    df.select(isTarget.as("__t"),
         explode(TextOps.tokens(col(textCol))).as("__tok"))
       .withColumn("__b", dsirBucket(col("__tok"), nBuckets))
-    val lm = graft.Caches.cached(dsirBucketLm(toks, nBuckets))
-    lm.select(col("__b").as("bucket"), col("__lw").as("lw"))
+      .groupBy(col("__b").as("bucket")).agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("tc"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("rc"))
+
+  /** Persist the DSIR LM as a serving artifact: a `buckets` parquet of
+    * RAW (bucket, tc, rc) counts plus a 1-row `meta` with n_buckets.
+    * Counts — not log-ratios — are the stored form because counts are
+    * additive: [[appendDsirLm]] grows the LM with a plain parquet
+    * append (no rewrite, no read of the existing artifact, the s31
+    * posting-append shape), and the read side folds rows per bucket.
+    * Smoothed ratios and the unseen-bucket default derive from the
+    * counts at read, so the artifact stays self-contained. Train once
+    * offline on (target, raw); every later batch or stream scores
+    * against the frozen file (the t19 frozen-scorer shape applied to
+    * the data-selection LM). */
+  def writeDsirLm(df: DataFrame, textCol: String,
+      isTarget: Column, nBuckets: Int, path: String): Unit = {
+    dsirBucketCounts(df, textCol, isTarget, nBuckets)
       .write.mode("overwrite").parquet(s"$path/buckets")
-    lm.limit(1).select(lit(nBuckets).as("n_buckets"),
-        (log(lit(1.0) / (col("__tt") + nBuckets)) -
-         log(lit(1.0) / (col("__rt") + nBuckets))).as("lw0"))
+    df.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Load the LM artifact as a DENSE in-memory LUT (size = n_buckets,
-    * unseen buckets filled with lw0). Bounded by nBuckets — a k×dim-
-    * style artifact load, never corpus-sized. */
+  /** Grow the LM with a new training batch: counts are additive, so
+    * the append is one ≤nBuckets-row parquet append — the production
+    * "refresh the selection LM as target/raw corpora grow" path. */
+  def appendDsirLm(df: DataFrame, textCol: String, isTarget: Column,
+      path: String): Unit = {
+    val n = df.sparkSession.read.parquet(s"$path/meta")
+      .collect()(0).getAs[Int]("n_buckets")
+    dsirBucketCounts(df, textCol, isTarget, n)
+      .write.mode("append").parquet(s"$path/buckets")
+  }
+
+  /** Load the LM artifact as a DENSE in-memory LUT (size = n_buckets):
+    * fold count rows per bucket, derive the smoothed log-ratios, fill
+    * unseen buckets with the zero-count default. Bounded by nBuckets —
+    * a k×dim-style artifact load, never corpus-sized. */
   def readDsirLut(spark: org.apache.spark.sql.SparkSession,
       path: String): (Array[Double], Int) = {
-    val meta = spark.read.parquet(s"$path/meta").collect()(0)
-    val n = meta.getAs[Int]("n_buckets")
-    val lut = Array.fill(n)(meta.getAs[Double]("lw0"))
-    spark.read.parquet(s"$path/buckets").collect()
-      .foreach(r => lut(r.getAs[Long]("bucket").toInt) =
-        r.getAs[Double]("lw"))
+    val n = spark.read.parquet(s"$path/meta").collect()(0)
+      .getAs[Int]("n_buckets")
+    val rows = spark.read.parquet(s"$path/buckets")
+      .groupBy("bucket").agg(sum("tc").as("tc"), sum("rc").as("rc"))
+      .collect()
+    val tt = rows.map(_.getAs[Long]("tc")).sum
+    val rt = rows.map(_.getAs[Long]("rc")).sum
+    def lw(tc: Long, rc: Long): Double =
+      math.log((tc + 1.0) / (tt + n)) - math.log((rc + 1.0) / (rt + n))
+    val lut = Array.fill(n)(lw(0L, 0L))
+    rows.foreach(r => lut(r.getAs[Long]("bucket").toInt) =
+      lw(r.getAs[Long]("tc"), r.getAs[Long]("rc")))
     (lut, n)
   }
 

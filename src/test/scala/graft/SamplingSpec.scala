@@ -382,7 +382,7 @@ class SamplingSpec extends SparkSpec {
       (21L to 25L).map(i => (i, "alpha beta gamma alpha beta", "r")) ++
       (26L to 30L).map(i => (i, "zq xv wk zq xv wk zq xv", "r"))).toDF("id", "text", "cls")
     val path = ScratchDirs.scratch("t_dsir_lm")
-    Sampling.writeDsirLm(docs, "id", "text", col("cls") === "t",
+    Sampling.writeDsirLm(docs, "text", col("cls") === "t",
       nBuckets = 64, path)
     val (lut, n) = Sampling.readDsirLut(spark, path)
     assert(n == 64 && lut.length == 64)
@@ -392,9 +392,11 @@ class SamplingSpec extends SparkSpec {
     // target-vocab docs score positive, disjoint-vocab docs negative
     assert((1L to 25L).forall(scored(_) > 0) &&
       (26L to 30L).forall(scored(_) < 0))
-    // unseen token = unseen bucket → the lw0 default, not a crash/skip
-    val lw0 = spark.read.parquet(s"$path/meta").collect()(0)
-      .getAs[Double]("lw0")
+    // unseen token = unseen bucket → the zero-count default, not a
+    // crash/skip — recomputed here from the stored counts
+    val (tt, rt) = spark.read.parquet(s"$path/buckets")
+      .agg(sum("tc"), sum("rc")).as[(Long, Long)].collect()(0)
+    val lw0 = math.log(1.0 / (tt + 64)) - math.log(1.0 / (rt + 64))
     val unseen = Seq((99L, "qqqqzzzz")).toDF("id", "text")
       .select(Sampling.dsirScore(lut, n, col("text")).as("s"))
       .as[Double].collect()(0)
@@ -403,6 +405,15 @@ class SamplingSpec extends SparkSpec {
     val plan = docs.select(Sampling.dsirScore(lut, n, col("text")))
       .queryExecution.executedPlan.toString.toLowerCase
     assert(!plan.contains("join") && !plan.contains("generate"))
+    // incremental append: half-train + append(other half) ≡ full train
+    // (counts are additive — the artifact grows by parquet append)
+    val path2 = ScratchDirs.scratch("t_dsir_lm_grow")
+    Sampling.writeDsirLm(docs.filter(col("id") % 2 === 0), "text",
+      col("cls") === "t", nBuckets = 64, path2)
+    Sampling.appendDsirLm(docs.filter(col("id") % 2 =!= 0), "text",
+      col("cls") === "t", path2)
+    val (lut2, n2) = Sampling.readDsirLut(spark, path2)
+    assert(n2 == 64 && lut2.toSeq == lut.toSeq)
   }
 
   test("historySequences: full sliding windows in event order, stride offsets, partial tails dropped") {
