@@ -3223,6 +3223,50 @@ object PipelineQueries {
       },
       Some(ragPackOracle(RagBudget))),
 
+    // ---- hard-negative mining (s36): the retrieval-model training-
+    // data op — for every query, the top BM25 hits from the persisted
+    // postings artifact that are NOT positives become the training
+    // negatives ("hard" because the retriever itself ranked them
+    // high). Positives here are same-SOURCE docs (the leakage-safe
+    // rule: a near-positive mined as a negative poisons the loss), so
+    // the top-20 candidate list is re-ranked after dropping them and
+    // the top-5 emit per query. Scale shape: the candidate list is
+    // queries×k rows; BOTH source lookups broadcast it against the
+    // documents scan (the corpus never shuffles), and the re-rank
+    // window sees ≤20 rows per query.
+    NamedQuery("s36_hard_negative_mining",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val cand = Retrieval.bm25TopKFromIndex(s, sharedBm25Path(s, dir),
+          bm25Queries(docs.select("doc_id", "text")), "query_id", "qtext",
+          k = 20)
+        val withQ = docs
+          .select(col("doc_id").as("query_id"), col("source").as("__qs"))
+          .join(broadcast(cand), Seq("query_id"))
+        val neg = docs.select(col("doc_id"), col("source").as("__ds"))
+          .join(broadcast(withQ), Seq("doc_id"))
+          .filter(col("__qs") =!= col("__ds"))
+        val w = Window.partitionBy("query_id").orderBy("rank")
+        neg.withColumn("neg_rank", row_number().over(w).cast("int"))
+          .filter(col("neg_rank") <= 5)
+          .select("query_id", "neg_rank", "doc_id", "score")
+          .orderBy("query_id", "neg_rank")
+      },
+      Some(s"""WITH ${bm25Ctes(qn = "q")},
+         |cand AS (SELECT query_id, doc_id, score, rank FROM qrk
+         |  WHERE rank <= 20),
+         |neg AS (SELECT c.query_id, c.doc_id, c.score, c.rank
+         |  FROM cand c
+         |  JOIN documents qd ON qd.doc_id = c.query_id
+         |  JOIN documents dd ON dd.doc_id = c.doc_id
+         |  WHERE qd.source <> dd.source),
+         |rr AS (SELECT query_id, doc_id, score, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rank) AS neg_rank FROM neg)
+         |SELECT query_id, CAST(neg_rank AS INT) AS neg_rank, doc_id, score
+         |FROM rr WHERE neg_rank <= 5
+         |ORDER BY query_id, neg_rank""".stripMargin)),
+
     // ---- weighted reservoir sample (p24): k=5 docs per source,
     // selection probability ∝ n_chars, WITHOUT replacement —
     // Efraimidis–Spirakis A-ES on a content-hash-derived u, so the
