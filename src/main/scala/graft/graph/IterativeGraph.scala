@@ -554,4 +554,49 @@ object IterativeGraph {
     }
     out.result().toDF("round", "n_vertices", "n_edges")
   }
+
+  /** Deterministic random-WALK corpus (g26) — the data-generation step
+    * of DeepWalk/node2vec: fixed-length walks over the symmetrized
+    * graph, emitted as node-id sequences for sequence-model training.
+    * The "random" next hop is a content-hashed index into the
+    * neighbor list RANKED by dst — md5(salt|walk_id|step) mod degree —
+    * so the corpus is a pure function of (graph, starts, salt): no
+    * RNG, reproducible across engines/runs/partitionings, and a fresh
+    * salt yields a fresh epoch of walks (the epochShuffle convention).
+    *
+    * Scale shape: the ranked adjacency + degree tables build once
+    * (one vertex-keyed window over the edge list, cached); each of the
+    * `steps` supersteps is ONE keyed join of the |starts|-sized
+    * frontier against them — the frontier never grows, and the edge
+    * list never re-materializes (the g21 lesson). Starts with no
+    * edges emit nothing (a walk needs a first hop).
+    * Output: (walk_id, seq) — seq the space-joined node-id path of
+    * `steps`+1 nodes. */
+  def walkCorpus(edges: DataFrame, starts: DataFrame, steps: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps > 0, "steps must be positive")
+    val sym = symmetrize(edges).distinct()
+    val adj = graft.Caches.cached(sym.withColumn("rnk",
+      row_number().over(Window.partitionBy("src").orderBy("dst"))))
+    val deg = graft.Caches.cached(
+      adj.groupBy("src").agg(count(lit(1)).as("deg")))
+    var state = starts.select(col("id").cast("long").as("walk_id"))
+      .join(deg.select(col("src").as("walk_id")), Seq("walk_id"), "left_semi")
+      .select(col("walk_id"), col("walk_id").as("cur"),
+        col("walk_id").cast("string").as("seq"))
+    for (i <- 1 to steps) {
+      val pick = (conv(substring(md5(concat_ws("|", lit(salt),
+          col("walk_id"), lit(i))), 1, 8), 16, 10).cast("long")
+        % col("deg")) + 1
+      state = state
+        .join(deg.withColumnRenamed("src", "cur"), Seq("cur"))
+        .withColumn("__pick", pick)
+        .join(adj.select(col("src").as("cur"), col("dst"),
+          col("rnk").as("__pick")), Seq("cur", "__pick"))
+        .select(col("walk_id"), col("dst").as("cur"),
+          concat_ws(" ", col("seq"), col("dst").cast("string")).as("seq"))
+    }
+    state.select("walk_id", "seq")
+  }
 }

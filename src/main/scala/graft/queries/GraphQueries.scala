@@ -196,6 +196,27 @@ object GraphQueries {
     // order quantity), so rank rewards heavily-bought parts over
     // merely often-bought ones — g10's mechanics with w/W(u) in the
     // contribution. round(4) like g10/g15.
+    // ---- deterministic random-walk corpus (g26): DeepWalk/node2vec's
+    // DATA step — fixed-length walks over the symmetrized co-purchase
+    // graph emitted as node-id sequences (the training corpus a graph-
+    // embedding run consumes). Next hop = md5(salt|walk_id|step) mod
+    // degree into the dst-ranked neighbor list, so the walks are a
+    // pure function of (graph, starts, salt) and the oracle unrolls
+    // the same four hops with identical hash arithmetic. Starts: every
+    // 50th customer (with edges). Each superstep joins only the
+    // |starts|-sized frontier against the cached ranked adjacency.
+    NamedQuery("g26_walk_corpus",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val starts = g.vertices
+          .filter(col("type") === "Customer" && col("id") % 50 === 7)
+          .select("id")
+        IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
+            salt = "walk")
+          .orderBy("walk_id")
+      },
+      Some(walkCorpusOracle(WalkSteps))),
+
     NamedQuery("g25_pagerank_weighted",
       (s, dir) => {
         val g = PropertyGraph.customerPartGraph(s, dir)
@@ -752,5 +773,37 @@ object GraphQueries {
        |$steps
        |SELECT label AS component, count(*) AS size FROM l$iters
        |GROUP BY label ORDER BY size DESC, component LIMIT 50""".stripMargin
+  }
+
+  private def WalkSteps = 4
+
+  /** Oracle for g26: the symmetrized dst-ranked adjacency, then
+    * `steps` unrolled hops, each picking rnk =
+    * md5('walk|'+walk_id+'|'+step) mod degree + 1 — identical hash
+    * arithmetic to IterativeGraph.walkCorpus. */
+  private def walkCorpusOracle(steps: Int): String = {
+    val hops = (1 to steps).map { i =>
+      s"""w$i AS (SELECT w.walk_id, a.dst AS cur,
+         |    w.seq || ' ' || CAST(a.dst AS VARCHAR) AS seq
+         |  FROM w${i - 1} w
+         |  JOIN deg d ON d.src = w.cur
+         |  JOIN adj a ON a.src = w.cur AND a.rnk =
+         |    (CAST('0x' || substr(md5('walk|' ||
+         |       CAST(w.walk_id AS VARCHAR) || '|$i'), 1, 8) AS BIGINT)
+         |     % d.deg) + 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |sym AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+       |adj AS (SELECT src, dst, row_number() OVER (
+       |    PARTITION BY src ORDER BY dst) AS rnk FROM sym),
+       |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+       |w0 AS (SELECT CAST(c_custkey AS BIGINT) AS walk_id,
+       |    CAST(c_custkey AS BIGINT) AS cur,
+       |    CAST(c_custkey AS VARCHAR) AS seq
+       |  FROM customer WHERE c_custkey % 50 = 7
+       |    AND c_custkey IN (SELECT src FROM deg)),
+       |$hops
+       |SELECT walk_id, seq FROM w$steps ORDER BY walk_id""".stripMargin
   }
 }

@@ -369,4 +369,30 @@ class GraphSpec extends SparkSpec {
     assert(got(3L)._1 > got(1L)._1 && got(1L)._1 == got(2L)._1)
     assert(got(1L)._2 == 0.0 && got(10L)._1 == 0.0)
   }
+
+  test("walkCorpus: valid neighbor hops, exact length, deterministic, salt reshuffles, edgeless starts dropped") {
+    import graft.graph.IterativeGraph
+    // path 1-2-3-4-5 plus a star at 10; vertex 99 has no edges
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 2L), (10L, 3L), (10L, 4L)).toDF("src", "dst")
+    val starts = Seq(1L, 3L, 10L, 99L).toDF("id")
+    val walks = IterativeGraph.walkCorpus(es, starts, steps = 6, salt = "e0")
+      .as[(Long, String)].collect().toMap
+    // edgeless start emits nothing; the rest emit one walk each
+    assert(walks.keySet == Set(1L, 3L, 10L))
+    val sym = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 2L),
+      (10L, 3L), (10L, 4L)).flatMap { case (a, b) => Seq(a -> b, b -> a) }).toSet
+    walks.foreach { case (wid, seq) =>
+      val ns = seq.split(" ").map(_.toLong)
+      assert(ns.length == 7 && ns.head == wid)
+      ns.sliding(2).foreach { case Array(a, b) => assert(sym(a -> b)) }
+    }
+    // deterministic across runs; a new salt gives a different epoch
+    val again = IterativeGraph.walkCorpus(es, starts, steps = 6, salt = "e0")
+      .as[(Long, String)].collect().toMap
+    assert(again == walks)
+    val fresh = IterativeGraph.walkCorpus(es, starts, steps = 6, salt = "e1")
+      .as[(Long, String)].collect().toMap
+    assert(fresh != walks)
+  }
 }
