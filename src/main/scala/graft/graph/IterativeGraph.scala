@@ -599,4 +599,26 @@ object IterativeGraph {
     }
     state.select("walk_id", "seq")
   }
+
+  /** Skip-gram (center, context) pair counts from a walk corpus
+    * ([[walkCorpus]] output) — the step that turns walks into the
+    * word2vec-style training set DeepWalk actually optimizes on.
+    * JOIN-FREE: each walk position explodes over the ≤2·window
+    * context OFFSETS and indexes back into its own node array, so the
+    * whole extraction is scan-stage (bounded fan-out, no per-walk
+    * self-join); the only shuffle is the final (center, context)
+    * count agg. Output: (center, context, cnt). */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val offsets = ((-window to window).filter(_ != 0)).map(lit(_))
+    walks
+      .select(split(col("seq"), " ").as("__ns"))
+      .select(col("__ns"), posexplode(col("__ns")).as(Seq("__pos", "__node")))
+      .withColumn("__d", explode(array(offsets: _*)))
+      .withColumn("__cpos", col("__pos") + col("__d"))
+      .filter(col("__cpos") >= 0 && col("__cpos") < size(col("__ns")))
+      .select(col("__node").cast("long").as("center"),
+        element_at(col("__ns"), col("__cpos") + 1).cast("long").as("context"))
+      .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -217,6 +217,24 @@ object GraphQueries {
       },
       Some(walkCorpusOracle(WalkSteps))),
 
+    // ---- skip-gram pairs from the walk corpus (g27): the step that
+    // turns g26's walks into the word2vec-style (center, context)
+    // training set DeepWalk optimizes on — window ±2, pair counts.
+    // Join-free on the engine side (offset explode + array index);
+    // the oracle replays the walks and the windowed pairing.
+    NamedQuery("g27_skipgram_pairs",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val starts = g.vertices
+          .filter(col("type") === "Customer" && col("id") % 50 === 7)
+          .select("id")
+        IterativeGraph.skipGramPairs(
+            IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
+              salt = "walk"), window = 2)
+          .orderBy("center", "context")
+      },
+      Some(skipGramOracle(WalkSteps, window = 2))),
+
     NamedQuery("g25_pagerank_weighted",
       (s, dir) => {
         val g = PropertyGraph.customerPartGraph(s, dir)
@@ -777,11 +795,12 @@ object GraphQueries {
 
   private def WalkSteps = 4
 
-  /** Oracle for g26: the symmetrized dst-ranked adjacency, then
-    * `steps` unrolled hops, each picking rnk =
+  /** CTE stack shared by g26/g27: symmetrized dst-ranked adjacency,
+    * then `steps` unrolled hops, each picking rnk =
     * md5('walk|'+walk_id+'|'+step) mod degree + 1 — identical hash
-    * arithmetic to IterativeGraph.walkCorpus. */
-  private def walkCorpusOracle(steps: Int): String = {
+    * arithmetic to IterativeGraph.walkCorpus. Ends at `w$steps`
+    * (walk_id, cur, seq). */
+  private def walkCtes(steps: Int): String = {
     val hops = (1 to steps).map { i =>
       s"""w$i AS (SELECT w.walk_id, a.dst AS cur,
          |    w.seq || ' ' || CAST(a.dst AS VARCHAR) AS seq
@@ -803,7 +822,27 @@ object GraphQueries {
        |    CAST(c_custkey AS VARCHAR) AS seq
        |  FROM customer WHERE c_custkey % 50 = 7
        |    AND c_custkey IN (SELECT src FROM deg)),
-       |$hops
-       |SELECT walk_id, seq FROM w$steps ORDER BY walk_id""".stripMargin
+       |$hops""".stripMargin
   }
+
+  private def walkCorpusOracle(steps: Int): String =
+    s"""${walkCtes(steps)}
+       |SELECT walk_id, seq FROM w$steps ORDER BY walk_id""".stripMargin
+
+  /** Oracle for g27: replay the walks, index every position, pair
+    * each with in-window neighbors, count. */
+  private def skipGramOracle(steps: Int, window: Int): String =
+    s"""${walkCtes(steps)},
+       |pp AS (SELECT walk_id, unnest(list_transform(
+       |    generate_series(1, len(ns)),
+       |    i -> {'pos': i, 'node': ns[i]})) AS pn
+       |  FROM (SELECT walk_id, string_split(seq, ' ') AS ns
+       |        FROM w$steps)),
+       |q AS (SELECT walk_id, (pn).pos AS pos, (pn).node AS node FROM pp),
+       |pr AS (SELECT CAST(a.node AS BIGINT) AS center,
+       |    CAST(b.node AS BIGINT) AS context
+       |  FROM q a JOIN q b ON a.walk_id = b.walk_id
+       |    AND a.pos <> b.pos AND abs(a.pos - b.pos) <= $window)
+       |SELECT center, context, count(*) AS cnt FROM pr
+       |GROUP BY 1, 2 ORDER BY center, context""".stripMargin
 }

@@ -395,4 +395,24 @@ class GraphSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(fresh != walks)
   }
+
+  test("skipGramPairs: windowed pair counts match a hand-rolled reference") {
+    import graft.graph.IterativeGraph
+    // two fixed walks; window 2 pairs each position with offsets ±1, ±2
+    val walks = Seq((1L, "1 2 3 4"), (9L, "9 2 9")).toDF("walk_id", "seq")
+    val got = IterativeGraph.skipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def ref(seqs: Seq[Array[Long]], w: Int) = {
+      val pairs = for {
+        ns <- seqs; i <- ns.indices; d <- -w to w if d != 0
+        j = i + d if j >= 0 && j < ns.length
+      } yield (ns(i), ns(j))
+      pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    val want = ref(Seq(Array(1L, 2L, 3L, 4L), Array(9L, 2L, 9L)), 2)
+    assert(got == want)
+    // sanity: symmetric counts for the within-walk pair (2,3)/(3,2)
+    assert(got((2L, 3L)) == got((3L, 2L)))
+  }
 }
