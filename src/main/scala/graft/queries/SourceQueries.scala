@@ -425,6 +425,44 @@ object SourceQueries {
              |CROSS JOIN (SELECT 1 AS version UNION ALL SELECT 2 AS version) v
              |ORDER BY v.version, a.doc_id""".stripMargin)),
 
+    // ---- snapshot CHANGE FEED (io14): the CDC half of the io12
+    // lakehouse contract — what changed between two pinned versions,
+    // as the keyed insert/update/delete row diff downstream consumers
+    // (index maintainers, replicas, audit logs) subscribe to. v1
+    // commits the %3∈{0,1} docs; v2 OVERWRITES with %3∈{1,2} where
+    // the surviving %3=1 rows carry a bumped n_chars (an update). The
+    // feed v1→v2 must emit exactly: inserts %3=2 (post-image),
+    // updates %3=1 (post-image), deletes %3=0 (pre-image) — one
+    // full-outer key join of the two snapshot scans, never a
+    // log replay. The oracle rebuilds both visible sets and diffs.
+    NamedQuery("io14_snapshot_change_feed", (s, dir) => {
+      val stage = stageDir("snapshot_cdc", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val v1 = Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 < 2), stage)
+      val v2 = Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("n_chars", col("n_chars") + 1)
+          .unionByName(docs.filter(col("doc_id") % 3 === 2)),
+        stage, overwrite = true)
+      Sources.snapshotChanges(s, stage, "doc_id", v1, v2)
+        .orderBy("change", "doc_id")
+    },
+      Some("""WITH f AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 < 2),
+             |t AS (SELECT doc_id, n_chars + 1 AS n_chars FROM documents
+             |    WHERE doc_id % 3 = 1
+             |  UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 2)
+             |SELECT 'insert' AS change, doc_id, n_chars FROM t
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM f)
+             |UNION ALL
+             |SELECT 'update', t.doc_id, t.n_chars FROM t JOIN f USING (doc_id)
+             |  WHERE t.n_chars <> f.n_chars
+             |UNION ALL
+             |SELECT 'delete', doc_id, n_chars FROM f
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM t)
+             |ORDER BY change, doc_id""".stripMargin)),
+
     // ---- parquet schema evolution: batch 1 written at schema v1
     // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality
     // added); the mergeSchema read must union the footers, null-fill

@@ -80,6 +80,27 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sources.snapshotRead(spark, path, 99))
   }
 
+  test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_cdc")
+    val v1 = Sources.snapshotCommit(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "s", "n"), path)
+    val v2 = Sources.snapshotCommit(
+      Seq((2L, "b", 20), (3L, "C", 30), (4L, "d", 40)).toDF("id", "s", "n"), path,
+      overwrite = true)
+    val got = Sources.snapshotChanges(spark, path, "id", v1, v2)
+      .as[(String, Long, String, Int)].collect().sortBy(_._2)
+    // 1 deleted (pre-image), 2 unchanged (silent), 3 updated (post-image), 4 inserted
+    assert(got.toSeq == Seq(
+      ("delete", 1L, "a", 10), ("update", 3L, "C", 30), ("insert", 4L, "d", 40)))
+    // self-diff is empty; reversed diff swaps insert/delete and keeps update
+    assert(Sources.snapshotChanges(spark, path, "id", v1, v1).count() == 0)
+    val rev = Sources.snapshotChanges(spark, path, "id", v2, v1)
+      .as[(String, Long, String, Int)].collect().sortBy(_._2)
+    assert(rev.toSeq == Seq(
+      ("insert", 1L, "a", 10), ("update", 3L, "c", 30), ("delete", 4L, "d", 40)))
+  }
+
   test("partitioned parquet sink roundtrips and prunes by partition column") {
     import spark.implicits._
     val df = Seq((1, "a", 2001), (2, "b", 2001), (3, "c", 2002))
