@@ -1682,6 +1682,28 @@ object PipelineQueries {
              |    AS dup_frac
              |FROM r GROUP BY doc_id ORDER BY id""".stripMargin)),
 
+    // ---- persisted BPE tokenizer ARTIFACT (t26): the tokenizer the
+    // corpus pipeline actually SHIPS — train the merge table on a
+    // sub-corpus (%10=0), persist it (the merges file, the exact
+    // artifact production tokenizers distribute), then encode the
+    // FULL corpus from the artifact by replaying the merges over the
+    // serve corpus's own distinct tokens. This is the serving path
+    // t17's join-back encode can't give: 90% of the serve docs were
+    // never seen in training, and their OOV tokens must still
+    // segment under the frozen merges. Replay is a fold of k literal
+    // replaces over the vocabulary-sized token table (one codegen'd
+    // projection); the oracle unrolls the same replay per round.
+    NamedQuery("t26_bpe_artifact_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("bpe_artifact")
+        TextOps.writeBpeArtifact(docs.filter(col("doc_id") % 10 === 0),
+          "text", merges = 6, path)
+        TextOps.bpeEncodeFromArtifact(docs, "doc_id", "text", path)
+          .orderBy("id")
+      },
+      Some(bpeArtifactEncodeOracle(6, trainWhere = "doc_id % 10 = 0"))),
+
     // ---- proportional source-INTERLEAVE schedule (p23): stride
     // scheduling for the training stream — pos = (rank_s − ½)/n_s in
     // (0,1); consuming in pos order holds every prefix to each
@@ -3970,12 +3992,13 @@ object PipelineQueries {
     * empty b_i; the LEFT-JOIN-ON-TRUE carry then keeps s_{i+1} = s_i
     * (frozen, like the Scala loop's early stop) while every later b
     * stays empty. */
-  private def bpeCtes(k: Int): String = {
+  private def bpeCtes(k: Int, trainWhere: String = ""): String = {
+    val tw = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val sb = new StringBuilder(
-      """toks AS (
+      s"""toks AS (
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
         |                            x -> len(x) > 0)) AS tok
-        |  FROM documents),
+        |  FROM documents$tw),
         |tf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
         |s0 AS (SELECT tok, ' ' || array_to_string(
         |    list_transform(generate_series(1, len(tok)), i -> substr(tok, i, 1)),
@@ -4047,6 +4070,44 @@ object PipelineQueries {
         |       THEN 1 ELSE 0 END AS BIGINT) AS round_trip_ok
         |FROM nrm LEFT JOIN enc ON nrm.id = enc.id
         |ORDER BY nrm.id""".stripMargin
+
+  /** Artifact-encode oracle (t26/sw23): train the merges on the
+    * `trainWhere` sub-corpus (bpeCtes' b-CTEs), then REPLAY them over
+    * the serve corpus's own distinct tokens (e-CTEs — the same
+    * left-to-right literal replace, unrolled per merge round) and
+    * count pieces per serve document. Mirrors
+    * TextOps.bpeEncodeFromArtifact stage by stage, including the OOV
+    * contract: serve tokens the trainer never saw still segment under
+    * the replayed merges. */
+  private[queries] def bpeArtifactEncodeOracle(k: Int, trainWhere: String,
+      serveWhere: String = ""): String = {
+    val sw = if (serveWhere.isEmpty) "" else s" WHERE $serveWhere"
+    val replay = (0 until k).map { i =>
+      s"""e${i + 1} AS (SELECT e.tok,
+        |    CASE WHEN b.pair IS NULL THEN e.seg
+        |         ELSE replace(e.seg, ' ' || b.pair || ' ',
+        |              ' ' || replace(b.pair, ' ', '') || ' ') END AS seg
+        |  FROM e$i e LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    "WITH " + bpeCtes(k, trainWhere) +
+      s""",
+        |dtoks AS (SELECT doc_id AS id,
+        |    unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                       x -> len(x) > 0)) AS tok
+        |  FROM documents$sw),
+        |e0 AS (SELECT tok, ' ' || array_to_string(
+        |    list_transform(generate_series(1, len(tok)), i -> substr(tok, i, 1)),
+        |    ' ') || ' ' AS seg FROM (SELECT DISTINCT tok FROM dtoks)),
+        |$replay,
+        |enc AS (SELECT d.id, count(*) AS n_tokens,
+        |    CAST(sum(len(string_split(trim(s.seg), ' '))) AS BIGINT) AS n_pieces
+        |  FROM dtoks d JOIN e$k s USING (tok) GROUP BY d.id)
+        |SELECT doc_id AS id,
+        |  CAST(coalesce(enc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(enc.n_pieces, 0) AS BIGINT) AS n_pieces
+        |FROM documents LEFT JOIN enc ON documents.doc_id = enc.id$sw
+        |ORDER BY id""".stripMargin
+  }
 
   private[queries] def MhHashes = 16
   private[queries] def MhBands = 4

@@ -708,6 +708,36 @@ object StreamingQueries {
       },
       Some(PipelineQueries.dsirScoreOracle(
         """SELECT doc_id AS id, score FROM scored WHERE score > 0
-          |ORDER BY id""".stripMargin)))
+          |ORDER BY id""".stripMargin))),
+
+    // ---- streaming BPE encode from the persisted tokenizer (sw23):
+    // t26's serving twin on the ingest path — the merge artifact
+    // trains and persists OFFLINE (%10=0 docs); the remaining docs
+    // STREAM in and every micro-batch encodes from the frozen
+    // artifact via foreachBatch (the token-count stamp each arriving
+    // doc gets before budget/packing decisions). Encoding is per-doc
+    // independent — replayed merges + a batch-local vocab join — so
+    // no micro-batch split can show through: t26's oracle on the
+    // feed half verbatim.
+    NamedQuery("sw23_stream_bpe_encode",
+      (s, dir) => {
+        import graft.text.TextOps
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("bpe_artifact_stream")
+        TextOps.writeBpeArtifact(docs.filter(col("doc_id") % 10 === 0),
+          "text", merges = 6, path)
+        val feed = docs.filter(col("doc_id") % 10 =!= 0)
+        val sink = graft.ScratchDirs.scratch("sw23_encoded")
+        StreamRunner.seedSink(feed.select(col("doc_id").as("id"),
+          lit(0L).as("n_tokens"), lit(0L).as("n_pieces")), sink)
+        StreamRunner.runForeachBatch(s, feed, "sw23_bpe_encode") { b =>
+          TextOps.bpeEncodeFromArtifact(b, "doc_id", "text", path)
+            .write.mode("append").parquet(sink)
+        }
+        StreamRunner.readSink(s, sink, Seq("id", "n_tokens", "n_pieces"))
+          .orderBy("id")
+      },
+      Some(PipelineQueries.bpeArtifactEncodeOracle(6,
+        trainWhere = "doc_id % 10 = 0", serveWhere = "doc_id % 10 <> 0")))
   )
 }

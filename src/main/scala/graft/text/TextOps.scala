@@ -471,6 +471,67 @@ object TextOps {
           .as("round_trip_ok"))
   }
 
+  /** Persist a trained BPE tokenizer as a SERVING ARTIFACT (t26) —
+    * the ordered merge table `(step, pair, cnt)` under
+    * `path/merges`: exactly what production tokenizers ship (the
+    * merges file), never the training segmentations. Downstream
+    * encodes replay the merges on their OWN corpus, so text the
+    * trainer never saw still segments correctly — the property the
+    * t17 join-back encode (correct only for in-training vocab) can't
+    * give a serving deployment. */
+  def writeBpeArtifact(df: org.apache.spark.sql.DataFrame, textCol: String,
+      merges: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeLoop(df, textCol, merges)._1.toDF("step", "pair", "cnt")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/merges")
+  }
+
+  /** The artifact's ordered merge list — a k-bounded driver fetch
+    * (k = merge rounds, the tokenizer's vocab budget; the
+    * centroid/codebook-load pattern). */
+  def readBpeMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/merges")
+      .orderBy("step").select("pair").as[String].collect().toIndexedSeq
+  }
+
+  /** BPE encode FROM the persisted artifact — the tokenizer-serving
+    * path: segment the serve corpus's distinct tokens by replaying
+    * the artifact's merges in training order, then count pieces per
+    * document. Replay is a FOLD of k literal replaces over the
+    * vocabulary-sized distinct-token table — one codegen'd
+    * projection, no per-round shuffle, no training recount — so the
+    * serve pays one corpus pass (tokenize + explode), one
+    * vocabulary-sized projection, and one join back. Tokens absent
+    * from training segment under the same merges (possibly fully
+    * un-merged) instead of dropping — the OOV contract a serving
+    * tokenizer must hold. Output: (id, n_tokens, n_pieces). */
+  def bpeEncodeFromArtifact(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val merges = readBpeMerges(df.sparkSession, path)
+    val vocab = df.select(explode(tokens(col(textCol))).as("tok")).distinct()
+    val seg0 = concat(lit(" "), concat_ws(" ", expr(
+      "transform(sequence(1, length(tok)), i -> substr(tok, i, 1))")),
+      lit(" "))
+    val segK = merges.foldLeft(seg0)((seg, pair) =>
+      org.apache.spark.sql.functions.replace(seg,
+        lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")))
+    val pieces = vocab.select(col("tok"),
+      size(split(trim(segK), " ")).cast("long").as("__np"))
+    val counts = df
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .join(pieces, "tok")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("__np").as("n_pieces"))
+    df.select(col(idCol).as("id")).join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
+
   /** Sliding-window chunking with stride — the RAG/embedding-pipeline
     * pre-chunking move ([[graft.dedup.Dedup.chunkDedup]]'s fixed,
     * non-overlapping splitter is the dedup sibling): windows of

@@ -204,6 +204,23 @@ class TextOpsSpec extends SparkSpec {
     assert(got2 == Set((1L, 3L, 5L), (2L, 0L, 0L)))
   }
 
+  test("bpeEncodeFromArtifact: replayed merges match training segmentation; OOV tokens still segment") {
+    import spark.implicits._
+    val train = Seq("aaab aaab ab").toDF("text")
+    val path = ScratchDirs.scratch("t_bpe_artifact")
+    TextOps.writeBpeArtifact(train, "text", merges = 3, path)
+    assert(TextOps.readBpeMerges(spark, path) == Seq("a a", "a b", "aa ab"))
+    // in-vocab tokens segment exactly as training did (see
+    // bpeEncodedCounts: aaab→1 piece, ab→1 piece); OOV tokens replay
+    // the same merges: "aab"→[a,a,b]→[aa,b]→"a b" no (" a b " gone
+    // after round 0 consumed " a a ") → [aa, b] = 2 pieces; "xy"
+    // matches no merge → 2 single-char pieces
+    val serve = Seq((1L, "aaab ab"), (2L, "aab xy"), (3L, "")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncodeFromArtifact(serve, "doc_id", "text", path)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (2L, 2L, 4L), (3L, 0L, 0L)))
+  }
+
   test("bpeDecodeRoundTrip: decode(encode(x)) equals normalized x on every sf0.001 doc") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
