@@ -3289,6 +3289,68 @@ object PipelineQueries {
          |FROM rr WHERE neg_rank <= 5
          |ORDER BY query_id, neg_rank""".stripMargin)),
 
+    // ---- contrastive TRIPLETS (s37): the complete
+    // (anchor, positive, negative) example constructor for
+    // triplet/InfoNCE retriever training, composed from the same
+    // persisted-postings candidate list as s36 — positive = the
+    // best-ranked SAME-source candidate (the leakage-safe positive
+    // rule: relevance by provenance, never by the score being
+    // learned), negatives = s36's top-5 different-source hits.
+    // Queries missing either side emit nothing (a triplet needs
+    // both). Scale shape: the candidate list is queries×k rows,
+    // broadcast against the corpus scan for both source lookups; the
+    // pos/neg windows see ≤20 rows per query and the final pos×neg
+    // join is query-keyed — the corpus never shuffles.
+    NamedQuery("s37_contrastive_triplets",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val cand = Retrieval.bm25TopKFromIndex(s, sharedBm25Path(s, dir),
+          bm25Queries(docs.select("doc_id", "text")), "query_id", "qtext",
+          k = 20)
+        val withQ = docs
+          .select(col("doc_id").as("query_id"), col("source").as("__qs"))
+          .join(broadcast(cand), Seq("query_id"))
+        val lab = docs.select(col("doc_id"), col("source").as("__ds"))
+          .join(broadcast(withQ), Seq("doc_id"))
+        val w = Window.partitionBy("query_id").orderBy("rank")
+        val pos = lab.filter(col("__qs") === col("__ds"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("query_id"), col("doc_id").as("pos_doc_id"),
+            col("score").as("pos_score"))
+        val neg = lab.filter(col("__qs") =!= col("__ds"))
+          .withColumn("neg_rank", row_number().over(w).cast("int"))
+          .filter(col("neg_rank") <= 5)
+          .select(col("query_id"), col("neg_rank"),
+            col("doc_id").as("neg_doc_id"), col("score").as("neg_score"))
+        pos.join(neg, Seq("query_id"))
+          .select("query_id", "pos_doc_id", "pos_score", "neg_rank",
+            "neg_doc_id", "neg_score")
+          .orderBy("query_id", "neg_rank")
+      },
+      Some(s"""WITH ${bm25Ctes(qn = "q")},
+         |cand AS (SELECT query_id, doc_id, score, rank FROM qrk
+         |  WHERE rank <= 20),
+         |lab AS (SELECT c.query_id, c.doc_id, c.score, c.rank,
+         |    qd.source AS qs, dd.source AS ds
+         |  FROM cand c
+         |  JOIN documents qd ON qd.doc_id = c.query_id
+         |  JOIN documents dd ON dd.doc_id = c.doc_id),
+         |pos AS (SELECT query_id, doc_id AS pos_doc_id,
+         |    score AS pos_score
+         |  FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rank) AS rn
+         |    FROM lab WHERE qs = ds) WHERE rn = 1),
+         |neg AS (SELECT query_id, doc_id AS neg_doc_id,
+         |    score AS neg_score, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rank) AS neg_rank
+         |  FROM lab WHERE qs <> ds)
+         |SELECT p.query_id, p.pos_doc_id, p.pos_score,
+         |  CAST(n.neg_rank AS INT) AS neg_rank, n.neg_doc_id, n.neg_score
+         |FROM pos p JOIN neg n USING (query_id)
+         |WHERE n.neg_rank <= 5
+         |ORDER BY p.query_id, n.neg_rank""".stripMargin)),
+
     // ---- weighted reservoir sample (p24): k=5 docs per source,
     // selection probability ∝ n_chars, WITHOUT replacement —
     // Efraimidis–Spirakis A-ES on a content-hash-derived u, so the
