@@ -600,6 +600,78 @@ object IterativeGraph {
     state.select("walk_id", "seq")
   }
 
+  /** node2vec-BIASED deterministic walk corpus (g28) — the
+    * second-order extension of [[walkCorpus]] (Grover & Leskovec
+    * 2016): at each hop after the first, a neighbor x of `cur` is
+    * weighted `returnWeight` (= 1/p) when x is the PREVIOUS node,
+    * 1 when x also neighbors the previous node (distance 1), and
+    * `outWeight` (= 1/q) otherwise (distance 2); the hop picks the
+    * first dst-ranked neighbor whose cumulative weight exceeds
+    * u·total, with u = md5(salt|walk_id|step)/2³² — so like g26 the
+    * corpus is a pure function of (graph, starts, p, q, salt), no
+    * RNG. The first hop is uniform (no previous node) and shares
+    * walkCorpus's exact pick arithmetic.
+    *
+    * ORACLE-EXACTNESS BOUND: keep returnWeight/outWeight dyadic
+    * (0.5, 0.25, …) — then u, every cumulative sum, and u·total are
+    * exact in both engines' doubles (u has ≤32 significand bits;
+    * weights are multiples of 2⁻ᵏ), and the > comparison can never
+    * split across engines while 32 + log₂(2ᵏ·deg) < 53.
+    *
+    * Scale shape: same superstep frontier joins as walkCorpus plus,
+    * per hop, one (prev, dst)-keyed join against the cached adjacency
+    * for the distance-1 test and a walk-local window over ≤deg(cur)
+    * candidate rows — linear in frontier×degree, and the edge list
+    * never re-materializes. */
+  def node2vecWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+      returnWeight: Double, outWeight: Double, salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(steps > 0, "steps must be positive")
+    require(returnWeight > 0 && outWeight > 0, "weights must be positive")
+    val sym = symmetrize(edges).distinct()
+    val adj = graft.Caches.cached(sym.withColumn("rnk",
+      row_number().over(Window.partitionBy("src").orderBy("dst"))))
+    val deg = graft.Caches.cached(
+      adj.groupBy("src").agg(count(lit(1)).as("deg")))
+    def hashBits(step: Int) =
+      conv(substring(md5(concat_ws("|", lit(salt), col("walk_id"),
+        lit(step))), 1, 8), 16, 10).cast("long")
+    // hop 1: uniform over cur's neighbors — walkCorpus's arithmetic
+    var state = starts.select(col("id").cast("long").as("walk_id"))
+      .join(deg.select(col("src").as("walk_id")), Seq("walk_id"), "left_semi")
+      .select(col("walk_id"), col("walk_id").as("cur"),
+        col("walk_id").cast("string").as("seq"))
+      .join(deg.withColumnRenamed("src", "cur"), Seq("cur"))
+      .withColumn("__pick", (hashBits(1) % col("deg")) + 1)
+      .join(adj.select(col("src").as("cur"), col("dst"),
+        col("rnk").as("__pick")), Seq("cur", "__pick"))
+      .select(col("walk_id"), col("cur").as("prev"), col("dst").as("cur"),
+        concat_ws(" ", col("seq"), col("dst").cast("string")).as("seq"))
+    val isNbr = adj.select(col("src").as("prev"), col("dst"),
+      lit(1).as("__nb"))
+    for (i <- 2 to steps) {
+      val cand = state
+        .join(adj.withColumnRenamed("src", "cur"), Seq("cur"))
+        .join(isNbr, Seq("prev", "dst"), "left")
+        .withColumn("__w",
+          when(col("dst") === col("prev"), lit(returnWeight))
+            .when(col("__nb").isNotNull, lit(1.0))
+            .otherwise(lit(outWeight)))
+      val byWalk = Window.partitionBy("walk_id")
+      val byRnk = byWalk.orderBy("rnk")
+      state = cand
+        .withColumn("__cum", sum("__w").over(byRnk))
+        .withColumn("__tot", sum("__w").over(byWalk))
+        .withColumn("__u", hashBits(i).cast("double") / lit(4294967296.0))
+        .filter(col("__cum") > col("__u") * col("__tot"))
+        .withColumn("__rn", row_number().over(byRnk))
+        .filter(col("__rn") === 1)
+        .select(col("walk_id"), col("cur").as("prev"), col("dst").as("cur"),
+          concat_ws(" ", col("seq"), col("dst").cast("string")).as("seq"))
+    }
+    state.select("walk_id", "seq")
+  }
+
   /** Skip-gram (center, context) pair counts from a walk corpus
     * ([[walkCorpus]] output) — the step that turns walks into the
     * word2vec-style training set DeepWalk actually optimizes on.

@@ -235,6 +235,26 @@ object GraphQueries {
       },
       Some(skipGramOracle(WalkSteps, window = 2))),
 
+    // ---- node2vec-biased walk corpus (g28): g26's second-order
+    // sibling — hops after the first re-weight each neighbor by its
+    // distance to the PREVIOUS node (1/p return, 1 common-neighbor,
+    // 1/q outward; p=2, q=4 here, dyadic so both engines' double
+    // arithmetic is exact), picked by cumulative-weight inversion of
+    // the same md5 u. The oracle replays every hop: candidate
+    // weights via an EXISTS distance-1 test, running/total weight
+    // windows, and the first rank past u*total.
+    NamedQuery("g28_node2vec_walks",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val starts = g.vertices
+          .filter(col("type") === "Customer" && col("id") % 50 === 7)
+          .select("id")
+        IterativeGraph.node2vecWalks(g.edges, starts, steps = WalkSteps,
+            returnWeight = 0.5, outWeight = 0.25, salt = "walk")
+          .orderBy("walk_id")
+      },
+      Some(node2vecOracle(WalkSteps, returnW = "0.5", outW = "0.25"))),
+
     NamedQuery("g25_pagerank_weighted",
       (s, dir) => {
         val g = PropertyGraph.customerPartGraph(s, dir)
@@ -828,6 +848,54 @@ object GraphQueries {
   private def walkCorpusOracle(steps: Int): String =
     s"""${walkCtes(steps)}
        |SELECT walk_id, seq FROM w$steps ORDER BY walk_id""".stripMargin
+
+  /** Oracle for g28: hop 1 is walkCtes' uniform pick; each later hop
+    * weights cur's neighbors by distance to prev (returnW / 1 /
+    * outW), then picks the first dst-ranked candidate whose running
+    * weight exceeds u·total with u = md5('walk|'+walk_id+'|'+step)
+    * / 2³² — identical arithmetic to IterativeGraph.node2vecWalks. */
+  private def node2vecOracle(steps: Int, returnW: String,
+      outW: String): String = {
+    val hops = (2 to steps).map { i =>
+      s"""c$i AS (SELECT w.walk_id, w.prev, w.cur, w.seq, a.dst, a.rnk,
+         |    CASE WHEN a.dst = w.prev THEN $returnW
+         |         WHEN EXISTS (SELECT 1 FROM adj x
+         |                      WHERE x.src = w.prev AND x.dst = a.dst)
+         |           THEN 1.0
+         |         ELSE $outW END AS wt
+         |  FROM n${i - 1} w JOIN adj a ON a.src = w.cur),
+         |s$i AS (SELECT *,
+         |    sum(wt) OVER (PARTITION BY walk_id ORDER BY rnk) AS cum,
+         |    sum(wt) OVER (PARTITION BY walk_id) AS tot,
+         |    CAST('0x' || substr(md5('walk|' ||
+         |      CAST(walk_id AS VARCHAR) || '|$i'), 1, 8) AS BIGINT)
+         |      / 4294967296.0 AS u
+         |  FROM c$i),
+         |n$i AS (SELECT walk_id, cur AS prev, dst AS cur,
+         |    seq || ' ' || CAST(dst AS VARCHAR) AS seq
+         |  FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY walk_id ORDER BY rnk) AS rn
+         |    FROM s$i WHERE cum > u * tot) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |sym AS (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+       |adj AS (SELECT src, dst, row_number() OVER (
+       |    PARTITION BY src ORDER BY dst) AS rnk FROM sym),
+       |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+       |n1 AS (SELECT w.walk_id, w.walk_id AS prev, a.dst AS cur,
+       |    CAST(w.walk_id AS VARCHAR) || ' ' || CAST(a.dst AS VARCHAR) AS seq
+       |  FROM (SELECT CAST(c_custkey AS BIGINT) AS walk_id
+       |      FROM customer WHERE c_custkey % 50 = 7
+       |        AND c_custkey IN (SELECT src FROM deg)) w
+       |  JOIN deg d ON d.src = w.walk_id
+       |  JOIN adj a ON a.src = w.walk_id AND a.rnk =
+       |    (CAST('0x' || substr(md5('walk|' ||
+       |       CAST(w.walk_id AS VARCHAR) || '|1'), 1, 8) AS BIGINT)
+       |     % d.deg) + 1),
+       |$hops
+       |SELECT walk_id, seq FROM n$steps ORDER BY walk_id""".stripMargin
+  }
 
   /** Oracle for g27: replay the walks, index every position, pair
     * each with in-window neighbors, count. */

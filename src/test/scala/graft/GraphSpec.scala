@@ -396,6 +396,31 @@ class GraphSpec extends SparkSpec {
     assert(fresh != walks)
   }
 
+  test("node2vecWalks: valid hops, forward bias under tiny return weight, forced endpoint backtrack") {
+    import graft.graph.IterativeGraph
+    // path 1-2-3-4-5; forward-bias params: returning to prev weighs
+    // 2^-10 against 1024 for the distance-2 hop, so an interior node
+    // always advances (picking prev needs u < ~1e-9) and only the
+    // degree-1 endpoint forces a backtrack
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val starts = Seq(1L).toDF("id")
+    val got = IterativeGraph.node2vecWalks(es, starts, steps = 6,
+        returnWeight = 0.0009765625, outWeight = 1024.0, salt = "walk")
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "1 2 3 4 5 4 3")
+    // deterministic across runs
+    val again = IterativeGraph.node2vecWalks(es, starts, steps = 6,
+        returnWeight = 0.0009765625, outWeight = 1024.0, salt = "walk")
+      .as[(Long, String)].collect().toMap
+    assert(again == got)
+    // return-bias flips it: after the first hop the walk oscillates
+    // home (1 2 1 2 ... modulo the ~1e-9 u tail)
+    val home = IterativeGraph.node2vecWalks(es, starts, steps = 6,
+        returnWeight = 1024.0, outWeight = 0.0009765625, salt = "walk")
+      .as[(Long, String)].collect().toMap
+    assert(home(1L) == "1 2 1 2 1 2 1")
+  }
+
   test("skipGramPairs: windowed pair counts match a hand-rolled reference") {
     import graft.graph.IterativeGraph
     // two fixed walks; window 2 pairs each position with offsets ±1, ±2
