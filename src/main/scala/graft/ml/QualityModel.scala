@@ -106,4 +106,46 @@ object QualityModel {
         round(element_at(vector_to_array(col("probability")), 2), 4).as("prob"))
       .withColumn("keep", when(col("prob") >= threshold, 1L).otherwise(0L))
   }
+
+  /** Persist a logistic quality scorer as a SERVING ARTIFACT (m19):
+    * one (feature, weight) row per [[featureCols]] entry plus a
+    * `__bias` row — the deployable form of ANY scorer in this
+    * family, whether the frozen published weights or coefficients a
+    * [[fitScore]]-style training run produced. The artifact is what
+    * a corpus pipeline promotes between environments; scoring stays
+    * the scan-stage σ(b + w·f) projection either way. */
+  def writeModel(spark: org.apache.spark.sql.SparkSession,
+      weights: Seq[Double], bias: Double, path: String): Unit = {
+    require(weights.size == featureCols.size,
+      s"need ${featureCols.size} weights, got ${weights.size}")
+    import spark.implicits._
+    (featureCols.zip(weights) :+ ("__bias" -> bias))
+      .toDF("feature", "weight")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/model")
+  }
+
+  /** Load the artifact back in [[featureCols]] order — a
+    * (|features|+1)-row driver fetch. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Double], Double) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/model")
+      .as[(String, Double)].collect().toMap
+    val missing = (featureCols :+ "__bias").filterNot(rows.contains)
+    require(missing.isEmpty, s"quality-model artifact at $path lacks " +
+      missing.mkString(", "))
+    (featureCols.map(rows), rows("__bias"))
+  }
+
+  /** Score from the persisted artifact — byte-identical to
+    * [[scoreFixed]] under the artifact's weights (the round-trip the
+    * m19 gate pins against t19's oracle). */
+  def scoreFromArtifact(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], path: String,
+      threshold: Double = 0.5): DataFrame = {
+    val (w, b) = readModel(df.sparkSession, path)
+    scoreFixed(df, idCol, textCol, stopwords, weights = w, bias = b,
+      threshold = threshold)
+  }
 }

@@ -354,6 +354,27 @@ object MlQueries {
              |  FROM e GROUP BY 1)
              |SELECT label, round(dot / (sqrt(no2) * sqrt(nn2)), 6) AS drift_cos,
              |  round(sqrt(nn2) / sqrt(no2), 6) AS norm_ratio, n_old, n_new
-             |FROM j JOIN sz USING (label) ORDER BY label""".stripMargin))
+             |FROM j JOIN sz USING (label) ORDER BY label""".stripMargin)),
+
+    // ---- persisted quality-model ARTIFACT (m19): the scorer the
+    // corpus pipeline actually promotes between environments —
+    // weights + bias land in a (feature, weight) parquet artifact and
+    // scoring serves FROM it, byte-identical to the in-session frozen
+    // scorer (t19's oracle verbatim pins the round-trip). Trained
+    // fitScore coefficients pass through the same table (spec-pinned
+    // in MlSpec); the gate uses the published weights so the replayed
+    // σ(b + w·f) arithmetic stays DuckDB-expressible. Serving is the
+    // same scan-stage projection — the artifact load is a 6-row
+    // driver fetch.
+    NamedQuery("m19_quality_model_artifact", (s, dir) => {
+      val path = graft.ScratchDirs.scratch("quality_model")
+      graft.ml.QualityModel.writeModel(s,
+        weights = Seq(3.0, 6.0, -8.0, -4.0, 2.0), bias = -2.5, path)
+      graft.ml.QualityModel.scoreFromArtifact(
+          Tables.documents(s, dir), "doc_id", "text",
+          graft.text.TextOps.langMarkers.head._2, path)
+        .orderBy("id")
+    },
+      Some(PipelineQueries.qualityModelFixedOracle))
   )
 }

@@ -202,6 +202,29 @@ class MlSpec extends SparkSpec {
     assert(got(2L)._3 == 0L && got(2L)._2 < 0.5)
   }
 
+  test("quality model artifact: weights round-trip and artifact serve equals in-session scoring") {
+    import graft.ml.QualityModel
+    val stop = graft.text.TextOps.langMarkers.head._2
+    val docs = Seq(
+      (1L, "the cat and the dog walk to the park and it is a fine day for all of them"),
+      (2L, "zzz !!! ??? ### $$$ %%% ^^^ &&& *** ((( ))) zzz zzz zzz zzz")
+    ).toDF("doc_id", "text")
+    // non-default weights, as a trained model would hand over
+    val w = Seq(1.5, 4.25, -6.0, -2.5, 0.75)
+    val path = ScratchDirs.scratch("t_quality_model")
+    QualityModel.writeModel(spark, w, bias = -1.25, path)
+    assert(QualityModel.readModel(spark, path) == ((w, -1.25)))
+    val fromArtifact = QualityModel
+      .scoreFromArtifact(docs, "doc_id", "text", stop, path)
+      .as[(Long, Double, Long)].collect().toSet
+    val inSession = QualityModel
+      .scoreFixed(docs, "doc_id", "text", stop, weights = w, bias = -1.25)
+      .as[(Long, Double, Long)].collect().toSet
+    assert(fromArtifact == inSession)
+    intercept[IllegalArgumentException](
+      QualityModel.writeModel(spark, Seq(1.0), 0.0, path))
+  }
+
   test("CrossValidator grid actually fits (unlike the reference's dead code)") {
     val als = Recommend.als("user", "item", "rating", rank = 2, maxIter = 2)
     val cv = Recommend.crossValidator(als, "rating",
