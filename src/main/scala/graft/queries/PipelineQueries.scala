@@ -1704,6 +1704,28 @@ object PipelineQueries {
       },
       Some(bpeArtifactEncodeOracle(6, trainWhere = "doc_id % 10 = 0"))),
 
+    // ---- tokenizer vocab EXTENSION (t27): continued BPE training on
+    // the persisted artifact — 4 merges train on the original
+    // sub-corpus (%10=0), then the corpus GROWS (%10∈{0,5}) and 2
+    // more rounds train on it with the first 4 FROZEN (old-vocab
+    // encodings stay reproducible — how production tokenizers version
+    // vocab growth). The grown corpus's frequency table is segmented
+    // by replaying the frozen merges before the new rounds count
+    // pairs; the appended artifact reads back as the full 6-row merge
+    // table, which the oracle re-derives end to end.
+    NamedQuery("t27_bpe_vocab_extend",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("bpe_artifact_ext")
+        TextOps.writeBpeArtifact(docs.filter(col("doc_id") % 10 === 0),
+          "text", merges = 4, path)
+        TextOps.extendBpeArtifact(
+          docs.filter(col("doc_id") % 10 === 0 || col("doc_id") % 10 === 5),
+          "text", moreMerges = 2, path)
+      },
+      Some(bpeExtendOracle(4, 2, trainWhere = "doc_id % 10 = 0",
+        extWhere = "doc_id % 10 = 0 OR doc_id % 10 = 5"))),
+
     // ---- proportional source-INTERLEAVE schedule (p23): stride
     // scheduling for the training stream — pos = (rank_s − ½)/n_s in
     // (0,1); consuming in pos order holds every prefix to each
@@ -4169,6 +4191,52 @@ object PipelineQueries {
         |  CAST(coalesce(enc.n_pieces, 0) AS BIGINT) AS n_pieces
         |FROM documents LEFT JOIN enc ON documents.doc_id = enc.id$sw
         |ORDER BY id""".stripMargin
+  }
+
+  /** Vocab-extension oracle (t27): k rounds train on `trainWhere`
+    * (bpeCtes' b-CTEs), then the extension corpus's frequency table
+    * (`extWhere`) is segmented by replaying those frozen merges
+    * (x-CTEs) and `k2` continued rounds train on it (b_k..b_{k+k2-1})
+    * — mirrors TextOps.extendBpeArtifact round for round. Emits the
+    * full extended merge table. */
+  private def bpeExtendOracle(k: Int, k2: Int, trainWhere: String,
+      extWhere: String): String = {
+    val replay = (0 until k).map { i =>
+      s"""x${i + 1} AS (SELECT x.tok,
+        |    CASE WHEN b.pair IS NULL THEN x.seg
+        |         ELSE replace(x.seg, ' ' || b.pair || ' ',
+        |              ' ' || replace(b.pair, ' ', '') || ' ') END AS seg, x.c
+        |  FROM x$i x LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    val cont = (0 until k2).map { j =>
+      val i = k + j
+      s"""xp$i AS (SELECT y.syms[u.i] || ' ' || y.syms[u.i + 1] AS pair, y.c
+        |  FROM (SELECT string_split(trim(seg), ' ') AS syms, c FROM x$i) y,
+        |       unnest(generate_series(1, len(y.syms) - 1)) AS u(i)),
+        |b$i AS (SELECT CAST($i AS BIGINT) AS step, pair,
+        |    CAST(sum(c) AS BIGINT) AS cnt
+        |  FROM xp$i GROUP BY pair ORDER BY sum(c) DESC, pair LIMIT 1),
+        |x${i + 1} AS (SELECT x.tok,
+        |    CASE WHEN b.pair IS NULL THEN x.seg
+        |         ELSE replace(x.seg, ' ' || b.pair || ' ',
+        |              ' ' || replace(b.pair, ' ', '') || ' ') END AS seg, x.c
+        |  FROM x$i x LEFT JOIN b$i b ON TRUE)""".stripMargin
+    }.mkString(",\n")
+    "WITH " + bpeCtes(k, trainWhere) +
+      s""",
+        |toks2 AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+        |                            x -> len(x) > 0)) AS tok
+        |  FROM documents WHERE $extWhere),
+        |tf2 AS (SELECT tok, count(*) AS c FROM toks2 GROUP BY tok),
+        |x0 AS (SELECT tok, ' ' || array_to_string(
+        |    list_transform(generate_series(1, len(tok)), i -> substr(tok, i, 1)),
+        |    ' ') || ' ' AS seg, c FROM tf2),
+        |$replay,
+        |$cont
+        |SELECT step, pair, cnt FROM (""".stripMargin +
+      (0 until k + k2).map(i => s"SELECT * FROM b$i").mkString(" UNION ALL ") +
+      ") ORDER BY step"
   }
 
   private[queries] def MhHashes = 16

@@ -372,15 +372,26 @@ object TextOps {
       : (Seq[(Long, String, Long)], org.apache.spark.sql.DataFrame) = {
     val tf = df.select(explode(tokens(col(textCol))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    var segs = tf.select(col("tok"),
+    val segs = tf.select(col("tok"),
       concat(lit(" "), concat_ws(" ", expr(
         "transform(sequence(1, length(tok)), i -> substr(tok, i, 1))")),
         lit(" ")).as("seg"), col("c"))
       .localCheckpoint() // vocabulary-sized; cut per-round lineage
+    bpeTrainRounds(segs, startStep = 0, rounds = merges)
+  }
+
+  /** The Sennrich merge loop over an already-segmented frequency
+    * table (tok, seg, c): `rounds` rounds of count-best-merge,
+    * numbering merges from `startStep` — shared by fresh training
+    * ([[bpeLoop]]) and artifact extension ([[extendBpeArtifact]]). */
+  private def bpeTrainRounds(initial: org.apache.spark.sql.DataFrame,
+      startStep: Int, rounds: Int)
+      : (Seq[(Long, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var segs = initial
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     var step = 0
     var exhausted = false
-    while (step < merges && !exhausted) {
+    while (step < rounds && !exhausted) {
       val best = segs
         .withColumn("syms", split(trim(col("seg")), " "))
         // guard single-symbol rows: sequence(1, 0) counts DOWN
@@ -392,7 +403,7 @@ object TextOps {
       if (best.isEmpty) exhausted = true
       else {
         val pair = best(0).getString(0)
-        merged += ((step.toLong, pair, best(0).getLong(1)))
+        merged += (((startStep + step).toLong, pair, best(0).getLong(1)))
         segs = segs.select(col("tok"),
           org.apache.spark.sql.functions.replace(col("seg"),
             lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")).as("seg"),
@@ -496,6 +507,39 @@ object TextOps {
     import spark.implicits._
     spark.read.parquet(s"$path/merges")
       .orderBy("step").select("pair").as[String].collect().toIndexedSeq
+  }
+
+  /** EXTEND the persisted tokenizer's vocabulary (t27) — continued
+    * BPE training: `moreMerges` fresh rounds trained on `df` (the
+    * grown/domain-added corpus), with the artifact's existing merges
+    * FROZEN — ranks 0..k−1 never change, so every shipped encoding
+    * under the old vocab stays reproducible, exactly how production
+    * tokenizers version vocab growth. The new rounds count pairs
+    * over df's token-frequency table segmented by REPLAYING the
+    * frozen merges (the [[bpeEncodeFromArtifact]] fold), then append
+    * to `path/merges`. Returns the full extended merge table read
+    * back from the artifact. */
+  def extendBpeArtifact(df: org.apache.spark.sql.DataFrame,
+      textCol: String, moreMerges: Int, path: String)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frozen = readBpeMerges(spark, path)
+    val tf = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val seg0 = concat(lit(" "), concat_ws(" ", expr(
+      "transform(sequence(1, length(tok)), i -> substr(tok, i, 1))")),
+      lit(" "))
+    val segK = frozen.foldLeft(seg0)((seg, pair) =>
+      org.apache.spark.sql.functions.replace(seg,
+        lit(s" $pair "), lit(" " + pair.replace(" ", "") + " ")))
+    val initial = tf.select(col("tok"), segK.as("seg"), col("c"))
+      .localCheckpoint()
+    val (newMerges, _) = bpeTrainRounds(initial, frozen.size, moreMerges)
+    newMerges.toDF("step", "pair", "cnt")
+      .coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$path/merges")
+    spark.read.parquet(s"$path/merges").orderBy("step")
   }
 
   /** BPE encode FROM the persisted artifact — the tokenizer-serving

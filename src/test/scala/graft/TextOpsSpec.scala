@@ -221,6 +221,21 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 2L), (2L, 2L, 4L), (3L, 0L, 0L)))
   }
 
+  test("extendBpeArtifact: frozen ranks unchanged, new rounds train on the replayed grown corpus") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_bpe_extend")
+    TextOps.writeBpeArtifact(Seq("aaab aaab ab").toDF("text"), "text",
+      merges = 2, path)
+    // grown corpus: replay gives aaab→[aa,ab] (c=2, pair (aa,ab)×2),
+    // ab→[ab] (no pair), cd→[c,d] (c=3, pair (c,d)×3) → best "c d"
+    val got = TextOps.extendBpeArtifact(
+        Seq("aaab aaab ab cd cd cd").toDF("text"), "text",
+        moreMerges = 1, path)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, "a a", 4L), (1L, "a b", 3L), (2L, "c d", 3L)))
+    assert(TextOps.readBpeMerges(spark, path) == Seq("a a", "a b", "c d"))
+  }
+
   test("bpeDecodeRoundTrip: decode(encode(x)) equals normalized x on every sf0.001 doc") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
