@@ -693,4 +693,50 @@ object IterativeGraph {
         element_at(col("__ns"), col("__cpos") + 1).cast("long").as("context"))
       .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
   }
+
+  /** SGNS NEGATIVE sampling (g29) — the last data step of the
+    * word2vec/DeepWalk recipe: `negPerPair` negatives per distinct
+    * [[skipGramPairs]] (center, context) pair, drawn from the walk
+    * corpus's unigram occurrence mass (Mikolov et al.'s U(w)^α noise
+    * family at α = 1, which keeps every weight integral so the
+    * inverse-CDF pick is EXACT integer arithmetic in both engines —
+    * α = 0.75 would need scaled-integer weights). The draw is
+    * md5(salt|center|context|j) mod total occurrences, mapped through
+    * the node-ordered cumulative mass — no RNG, reproducible across
+    * engines/runs/partitionings.
+    *
+    * Scale shape: the noise distribution is VOCABULARY-sized (its
+    * global-order cumsum window and the broadcast range join are the
+    * centroid-table pattern); pairs never shuffle — each picks its
+    * interval against the broadcast table. At billion-pair scale the
+    * interval probe becomes an equi-join on floor(idx/bucketWidth)
+    * with interval rows exploded per bucket; the broadcast
+    * nested-loop form here is the vocab-bounded baseline.
+    * Output: (center, context, neg_rank, negative). */
+  def sgnsNegatives(walks: DataFrame, window: Int, negPerPair: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(negPerPair > 0, "negPerPair must be positive")
+    val counts = walks
+      .select(explode(split(col("seq"), " ")).as("__n"))
+      .select(col("__n").cast("long").as("node"))
+      .groupBy("node").agg(count(lit(1)).as("c"))
+    val dist = counts.withColumn("cum",
+      sum("c").over(Window.orderBy("node")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = counts.agg(sum("c")).head.getLong(0)
+    val pairs = skipGramPairs(walks, window).select("center", "context")
+    pairs
+      .withColumn("neg_rank",
+        explode(array((1 to negPerPair).map(lit(_)): _*)))
+      .withColumn("__idx",
+        conv(substring(md5(concat_ws("|", lit(salt), col("center"),
+          col("context"), col("neg_rank"))), 1, 8), 16, 10).cast("long")
+          % lit(total))
+      .join(broadcast(dist),
+        col("__idx") >= col("cum") - col("c") && col("__idx") < col("cum"))
+      .select(col("center"), col("context"),
+        col("neg_rank").cast("int").as("neg_rank"),
+        col("node").as("negative"))
+  }
 }

@@ -235,6 +235,26 @@ object GraphQueries {
       },
       Some(skipGramOracle(WalkSteps, window = 2))),
 
+    // ---- SGNS negative samples (g29): completes the word2vec feed
+    // g26/g27 opened — 2 deterministic negatives per distinct
+    // skip-gram pair, drawn from the walk corpus's unigram mass by
+    // md5-mod inverse-CDF (integral weights ⇒ exact in both
+    // engines). The noise distribution is vocabulary-sized and
+    // broadcast; pairs never shuffle. The oracle replays walks,
+    // pairing, the cumulative mass, and every modular draw.
+    NamedQuery("g29_sgns_negatives",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val starts = g.vertices
+          .filter(col("type") === "Customer" && col("id") % 50 === 7)
+          .select("id")
+        IterativeGraph.sgnsNegatives(
+            IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
+              salt = "walk"), window = 2, negPerPair = 2, salt = "neg")
+          .orderBy("center", "context", "neg_rank")
+      },
+      Some(sgnsOracle(WalkSteps, window = 2, negPerPair = 2))),
+
     // ---- node2vec-biased walk corpus (g28): g26's second-order
     // sibling — hops after the first re-weight each neighbor by its
     // distance to the PREVIOUS node (1/p return, 1 common-neighbor,
@@ -848,6 +868,38 @@ object GraphQueries {
   private def walkCorpusOracle(steps: Int): String =
     s"""${walkCtes(steps)}
        |SELECT walk_id, seq FROM w$steps ORDER BY walk_id""".stripMargin
+
+  /** Oracle for g29: replay the walks and the windowed pairing (g27's
+    * CTEs), build the node-ordered cumulative occurrence mass, then
+    * map each md5('neg|center|context|j) mod total draw through it —
+    * identical integer arithmetic to IterativeGraph.sgnsNegatives. */
+  private def sgnsOracle(steps: Int, window: Int, negPerPair: Int): String =
+    s"""${walkCtes(steps)},
+       |nodes AS (SELECT CAST(unnest(string_split(seq, ' ')) AS BIGINT) AS node
+       |  FROM w$steps),
+       |d AS (SELECT node, count(*) AS c FROM nodes GROUP BY node),
+       |dc AS (SELECT node, c, sum(c) OVER (ORDER BY node) AS cum FROM d),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM d),
+       |pp AS (SELECT walk_id, unnest(list_transform(
+       |    generate_series(1, len(ns)),
+       |    i -> {'pos': i, 'node': ns[i]})) AS pn
+       |  FROM (SELECT walk_id, string_split(seq, ' ') AS ns
+       |        FROM w$steps)),
+       |q AS (SELECT walk_id, (pn).pos AS pos, (pn).node AS node FROM pp),
+       |pr AS (SELECT DISTINCT CAST(a.node AS BIGINT) AS center,
+       |    CAST(b.node AS BIGINT) AS context
+       |  FROM q a JOIN q b ON a.walk_id = b.walk_id
+       |    AND a.pos <> b.pos AND abs(a.pos - b.pos) <= $window),
+       |ix AS (SELECT center, context, j,
+       |    CAST('0x' || substr(md5('neg|' || CAST(center AS VARCHAR) ||
+       |      '|' || CAST(context AS VARCHAR) || '|' ||
+       |      CAST(j AS VARCHAR)), 1, 8) AS BIGINT) % total AS idx
+       |  FROM pr, unnest(generate_series(1, $negPerPair)) AS t(j)
+       |  CROSS JOIN tot)
+       |SELECT ix.center, ix.context, CAST(ix.j AS INT) AS neg_rank,
+       |  dc.node AS negative
+       |FROM ix JOIN dc ON ix.idx >= dc.cum - dc.c AND ix.idx < dc.cum
+       |ORDER BY center, context, neg_rank""".stripMargin
 
   /** Oracle for g28: hop 1 is walkCtes' uniform pick; each later hop
     * weights cur's neighbors by distance to prev (returnW / 1 /

@@ -396,6 +396,27 @@ class GraphSpec extends SparkSpec {
     assert(fresh != walks)
   }
 
+  test("sgnsNegatives: draws follow the unigram mass via an independent md5 replay") {
+    import graft.graph.IterativeGraph
+    val walks = Seq((1L, "1 2 3"), (9L, "9 2 9")).toDF("walk_id", "seq")
+    // mass: node1 c=1 cum=1, node2 c=2 cum=3, node3 c=1 cum=4, node9 c=2 cum=6
+    val dist = Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 1L, 4L), (9L, 2L, 6L))
+    def expected(center: Long, context: Long, j: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"neg|$center|$context|$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val idx = java.lang.Long.parseLong(hex, 16) % 6
+      dist.find { case (_, c, cum) => idx >= cum - c && idx < cum }.get._1
+    }
+    val got = IterativeGraph.sgnsNegatives(walks, window = 2, negPerPair = 2,
+        salt = "neg")
+      .as[(Long, Long, Int, Long)].collect()
+    val pairs = got.map(r => (r._1, r._2)).distinct
+    // window-2 pairs over both walks, each with exactly 2 draws
+    assert(got.length == pairs.length * 2)
+    got.foreach { case (c, x, j, neg) => assert(neg == expected(c, x, j)) }
+  }
+
   test("node2vecWalks: valid hops, forward bias under tiny return weight, forced endpoint backtrack") {
     import graft.graph.IterativeGraph
     // path 1-2-3-4-5; forward-bias params: returning to prev weighs
