@@ -3744,6 +3744,14 @@ object PipelineQueries {
        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
        |FROM z ORDER BY id""".stripMargin
 
+  /** sw24: the frozen-scorer arithmetic, admitted rows only. */
+  private[queries] lazy val qualityModelAdmittedOracle: String =
+    s"""WITH ${qualityModelCtes("documents")}
+       |SELECT id, round(1.0 / (1.0 + exp(-z)), 4) AS prob,
+       |  CAST(1 AS BIGINT) AS keep
+       |FROM z WHERE round(1.0 / (1.0 + exp(-z)), 4) >= 0.5
+       |ORDER BY id""".stripMargin
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 

@@ -738,6 +738,36 @@ object StreamingQueries {
           .orderBy("id")
       },
       Some(PipelineQueries.bpeArtifactEncodeOracle(6,
-        trainWhere = "doc_id % 10 = 0", serveWhere = "doc_id % 10 <> 0")))
+        trainWhere = "doc_id % 10 = 0", serveWhere = "doc_id % 10 <> 0"))),
+
+    // ---- streaming quality admission from the PERSISTED model
+    // (sw24): m19's ingest twin, completing offline-train / persist /
+    // stream-serve for the quality family (sw09 scores with
+    // in-session weights; production promotes the ARTIFACT and the
+    // ingest gate loads it). Each micro-batch scores from the frozen
+    // artifact — a 6-row driver fetch then the scan-stage σ(b + w·f)
+    // projection — and only keep=1 rows append. Per-doc independent,
+    // so the batch oracle (admitted rows of t19's arithmetic) holds
+    // under any micro-batch split.
+    NamedQuery("sw24_stream_quality_admission",
+      (s, dir) => {
+        import graft.ml.QualityModel
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("quality_model_stream")
+        QualityModel.writeModel(s,
+          weights = Seq(3.0, 6.0, -8.0, -4.0, 2.0), bias = -2.5, path)
+        val sink = graft.ScratchDirs.scratch("sw24_admitted")
+        StreamRunner.seedSink(docs.select(col("doc_id").as("id"),
+          lit(0.0).as("prob"), lit(0L).as("keep")), sink)
+        StreamRunner.runForeachBatch(s, docs, "sw24_quality_admission") { b =>
+          QualityModel.scoreFromArtifact(b, "doc_id", "text",
+              graft.text.TextOps.langMarkers.head._2, path)
+            .filter(col("keep") === 1L)
+            .write.mode("append").parquet(sink)
+        }
+        StreamRunner.readSink(s, sink, Seq("id", "prob", "keep"))
+          .orderBy("id")
+      },
+      Some(PipelineQueries.qualityModelAdmittedOracle))
   )
 }
