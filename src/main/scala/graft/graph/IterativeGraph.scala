@@ -694,6 +694,31 @@ object IterativeGraph {
       .groupBy("center", "context").agg(count(lit(1)).as("cnt"))
   }
 
+  /** PPMI co-occurrence matrix from the walk corpus (g30) — the
+    * closed-form alternative to SGNS training (Levy & Goldberg 2014:
+    * SGNS implicitly factorizes the shifted PMI matrix): for every
+    * [[skipGramPairs]] (center, context) pair,
+    * ppmi = max(0, ln(cnt·total / (c_center · c_context))), the
+    * positive part of pointwise mutual information over the windowed
+    * co-occurrence counts. Rows with ppmi = 0 drop (the sparsity
+    * that makes the matrix factorizable at scale).
+    *
+    * Scale shape: the pair table shuffles twice more (center- and
+    * context-keyed marginal joins) and the total is a 1-row fetch —
+    * all counts integral; only the final ln is floating (rounded
+    * 6 dp, the house oracle convention). */
+  def ppmiPairs(walks: DataFrame, window: Int): DataFrame = {
+    val pairs = graft.Caches.cached(skipGramPairs(walks, window))
+    val total = pairs.agg(sum("cnt")).head.getLong(0)
+    val cc = pairs.groupBy("center").agg(sum("cnt").as("__cc"))
+    val cx = pairs.groupBy("context").agg(sum("cnt").as("__cx"))
+    pairs.join(cc, "center").join(cx, "context")
+      .withColumn("ppmi", round(log(col("cnt") * lit(total) /
+        (col("__cc") * col("__cx"))), 6))
+      .filter(col("ppmi") > 0)
+      .select("center", "context", "ppmi")
+  }
+
   /** SGNS NEGATIVE sampling (g29) — the last data step of the
     * word2vec/DeepWalk recipe: `negPerPair` negatives per distinct
     * [[skipGramPairs]] (center, context) pair, drawn from the walk

@@ -235,6 +235,24 @@ object GraphQueries {
       },
       Some(skipGramOracle(WalkSteps, window = 2))),
 
+    // ---- PPMI co-occurrence matrix (g30): the closed-form twin of
+    // the g27→g29 SGNS feed — Levy & Goldberg 2014's result that
+    // SGNS implicitly factorizes shifted PMI makes this the matrix a
+    // count-based embedding pipeline materializes instead. All
+    // counts integral; the single ln rounds to 6 dp both sides.
+    NamedQuery("g30_ppmi_pairs",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val starts = g.vertices
+          .filter(col("type") === "Customer" && col("id") % 50 === 7)
+          .select("id")
+        IterativeGraph.ppmiPairs(
+            IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
+              salt = "walk"), window = 2)
+          .orderBy("center", "context")
+      },
+      Some(ppmiOracle(WalkSteps, window = 2))),
+
     // ---- SGNS negative samples (g29): completes the word2vec feed
     // g26/g27 opened — 2 deterministic negatives per distinct
     // skip-gram pair, drawn from the walk corpus's unigram mass by
@@ -868,6 +886,32 @@ object GraphQueries {
   private def walkCorpusOracle(steps: Int): String =
     s"""${walkCtes(steps)}
        |SELECT walk_id, seq FROM w$steps ORDER BY walk_id""".stripMargin
+
+  /** Oracle for g30: g27's pair counts + center/context marginals +
+    * the clipped ln ratio — identical arithmetic to
+    * IterativeGraph.ppmiPairs. */
+  private def ppmiOracle(steps: Int, window: Int): String =
+    s"""${walkCtes(steps)},
+       |pp AS (SELECT walk_id, unnest(list_transform(
+       |    generate_series(1, len(ns)),
+       |    i -> {'pos': i, 'node': ns[i]})) AS pn
+       |  FROM (SELECT walk_id, string_split(seq, ' ') AS ns
+       |        FROM w$steps)),
+       |q AS (SELECT walk_id, (pn).pos AS pos, (pn).node AS node FROM pp),
+       |pr AS (SELECT CAST(a.node AS BIGINT) AS center,
+       |    CAST(b.node AS BIGINT) AS context
+       |  FROM q a JOIN q b ON a.walk_id = b.walk_id
+       |    AND a.pos <> b.pos AND abs(a.pos - b.pos) <= $window),
+       |pc AS (SELECT center, context, count(*) AS cnt FROM pr GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM pc),
+       |cc AS (SELECT center, sum(cnt) AS cc FROM pc GROUP BY center),
+       |cx AS (SELECT context, sum(cnt) AS cx FROM pc GROUP BY context),
+       |pm AS (SELECT p.center, p.context,
+       |    round(ln(p.cnt * tot.total / (cc.cc * cx.cx)), 6) AS ppmi
+       |  FROM pc p JOIN cc USING (center) JOIN cx USING (context)
+       |  CROSS JOIN tot)
+       |SELECT center, context, ppmi FROM pm WHERE ppmi > 0
+       |ORDER BY center, context""".stripMargin
 
   /** Oracle for g29: replay the walks and the windowed pairing (g27's
     * CTEs), build the node-ordered cumulative occurrence mass, then

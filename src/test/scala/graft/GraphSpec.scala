@@ -396,6 +396,20 @@ class GraphSpec extends SparkSpec {
     assert(fresh != walks)
   }
 
+  test("ppmiPairs: hand-computed PMI, negative-PMI rows dropped") {
+    import graft.graph.IterativeGraph
+    // (1,2)/(3,4) co-occur 3x each, (1,4) once: total 14, marginals
+    // 1->4, 2->3, 3->3, 4->4. ppmi(1,4) = ln(14/16) < 0 -> dropped;
+    // all four frequent pairs read ln(3*14/12) = ln 3.5
+    val walks = Seq((1L, "1 2"), (2L, "1 2"), (3L, "1 2"),
+      (4L, "3 4"), (5L, "3 4"), (6L, "3 4"), (7L, "1 4"))
+      .toDF("walk_id", "seq")
+    val got = IterativeGraph.ppmiPairs(walks, window = 1)
+      .as[(Long, Long, Double)].collect().toSet
+    val p = math.rint(math.log(3.5) * 1e6) / 1e6
+    assert(got == Set((1L, 2L, p), (2L, 1L, p), (3L, 4L, p), (4L, 3L, p)))
+  }
+
   test("sgnsNegatives: draws follow the unigram mass via an independent md5 replay") {
     import graft.graph.IterativeGraph
     val walks = Seq((1L, "1 2 3"), (9L, "9 2 9")).toDF("walk_id", "seq")
