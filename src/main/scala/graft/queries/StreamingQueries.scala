@@ -768,6 +768,53 @@ object StreamingQueries {
         StreamRunner.readSink(s, sink, Seq("id", "prob", "keep"))
           .orderBy("id")
       },
-      Some(PipelineQueries.qualityModelAdmittedOracle))
+      Some(PipelineQueries.qualityModelAdmittedOracle)),
+
+    // ---- streaming CDC APPLY (sw25): the CONSUMER half of the io14
+    // change feed — a downstream replica subscribes to the
+    // insert/update/delete stream and applies each micro-batch as a
+    // keyed MERGE, maintaining itself AS an io12 snapshot table
+    // (every batch = one overwrite commit: read latest → anti-join
+    // the batch's keys → union the batch's post-images → commit).
+    // Composes io12 + io14 + the real micro-batch engine; feed keys
+    // are unique per key, so any batch split applies cleanly. The
+    // replayed replica must equal the source's v2 exactly — inserts
+    // present, updates post-imaged, deletes gone.
+    NamedQuery("sw25_stream_cdc_apply",
+      (s, dir) => {
+        import graft.sources.Sources
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+        val src = graft.ScratchDirs.scratch("cdc_src_table")
+        val v1 = Sources.snapshotCommit(
+          docs.filter(col("doc_id") % 3 < 2), src)
+        val v2 = Sources.snapshotCommit(
+          docs.filter(col("doc_id") % 3 === 1)
+            .withColumn("n_chars", col("n_chars") + 1)
+            .unionByName(docs.filter(col("doc_id") % 3 === 2)),
+          src, overwrite = true)
+        val feed = Sources.snapshotChanges(s, src, "doc_id", v1, v2)
+        val replica = graft.ScratchDirs.scratch("cdc_replica")
+        Sources.snapshotCommit(Sources.snapshotRead(s, src, v1), replica)
+        StreamRunner.runForeachBatch(s, feed, "sw25_cdc_apply") { b =>
+          val cur = Sources.snapshotRead(s, replica,
+            Sources.snapshotLatestVersion(s, replica))
+          val next = cur
+            .join(b.select("doc_id"), Seq("doc_id"), "left_anti")
+            .unionByName(b.filter(col("change") =!= "delete")
+              .select("doc_id", "n_chars"))
+          // pin before committing back under the table root being read
+          Sources.snapshotCommit(next.localCheckpoint(), replica,
+            overwrite = true)
+          ()
+        }
+        Sources.snapshotRead(s, replica,
+            Sources.snapshotLatestVersion(s, replica))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars + 1 AS n_chars FROM documents
+             |  WHERE doc_id % 3 = 1
+             |UNION ALL
+             |SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 2
+             |ORDER BY doc_id""".stripMargin))
   )
 }
