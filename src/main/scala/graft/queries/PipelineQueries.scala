@@ -3638,6 +3638,52 @@ object PipelineQueries {
       Some(dsirScoreOracle(
         "SELECT doc_id, score FROM scored ORDER BY doc_id"))),
 
+    // ---- repeat-capped budget water-filling (p30): the
+    // data-constrained scaling allocation — a char budget splits
+    // across sources proportionally to integer mixture weights
+    // (derived here from the source id, 1/11/21/31/41), but no
+    // source may supply more than 4 epochs of its unique mass.
+    // Saturation is decided by exact integer cross-multiplication in
+    // cap/weight-rate order (a running-min window encodes the
+    // water-filling prefix property); only the sort rate and the two
+    // outputs are floating. Every window runs in source space.
+    NamedQuery("p30_epoch_budget_allocation",
+      (s, dir) => Sampling.epochBudgetAllocation(
+          Tables.documents(s, dir), "source", col("n_chars"),
+          lit(1) + lit(10) *
+            (expr("CAST(substring(source, 4, 10) AS INT)") % 5),
+          budget = 300000L, maxEpochs = 4)
+        .orderBy("source"),
+      Some("""WITH per AS (SELECT source,
+             |    CAST(sum(n_chars) AS BIGINT) AS uniq,
+             |    CAST(1 + 10 * (CAST(substr(source, 4) AS INT) % 5) AS BIGINT)
+             |      AS weight,
+             |    CAST(4 * sum(n_chars) AS BIGINT) AS cap
+             |  FROM documents GROUP BY source),
+             |o AS (SELECT *, cap::DOUBLE / weight AS r FROM per),
+             |t AS (SELECT *,
+             |    coalesce(sum(cap) OVER (ORDER BY r, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS cap_pre,
+             |    sum(weight) OVER (ORDER BY r, source
+             |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_suf
+             |  FROM o),
+             |f AS (SELECT *, CASE WHEN cap * w_suf <=
+             |      (300000 - cap_pre) * weight THEN 1 ELSE 0 END AS flag
+             |  FROM t),
+             |g AS (SELECT *, min(flag) OVER (ORDER BY r, source
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS saturated FROM f),
+             |h AS (SELECT *, sum(cap * saturated) OVER () AS sat_cap,
+             |    sum(weight * (1 - saturated)) OVER () AS unsat_w FROM g),
+             |i AS (SELECT *, round(CASE WHEN saturated = 1 THEN cap::DOUBLE
+             |    ELSE ((300000 - sat_cap) * weight)::DOUBLE / unsat_w END, 2)
+             |    AS allocated FROM h)
+             |SELECT source, uniq, weight, cap,
+             |  CAST(saturated AS BIGINT) AS saturated, allocated,
+             |  round(allocated / uniq, 4) AS epochs
+             |FROM i ORDER BY source""".stripMargin)),
+
     // ---- SOFT dedup weights (d34): downweight near-dup docs by
     // 1/|cluster| instead of dropping them — the reweighting
     // alternative to d12's hard drop, feeding the sampling stage a

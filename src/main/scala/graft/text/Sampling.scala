@@ -645,4 +645,59 @@ object Sampling {
       .select(col(userCol), col("seq_idx").cast("int").as("seq_idx"),
         col("seq"))
   }
+
+  /** Repeat-capped budget WATER-FILLING (p30) — the data-constrained
+    * scaling allocation (Muennighoff et al. 2023: repeating data
+    * beyond ~4 epochs stops paying): split a token `budget` across
+    * sources proportionally to integer mixture `weight`s, but no
+    * source may supply more than `maxEpochs` × its unique mass. The
+    * classic water-filling solution, computed deterministically:
+    * sort sources by cap/weight (the rate at which each hits its
+    * cap), a source is SATURATED iff every source up to and
+    * including it passes the integer cross-multiplication test
+    * cap·W_suffix ≤ (budget − cap_prefix)·w (exact — no float
+    * thresholds; the running `min` window encodes the water-filling
+    * prefix property), saturated sources take their cap, and the
+    * rest split the remainder proportionally. The only floating
+    * arithmetic is the sort rate (one IEEE division, bit-identical
+    * across engines) and the final allocated/epochs outputs.
+    *
+    * Scale shape: one source-keyed aggregation over the corpus, then
+    * every window runs in SOURCE space (tens of rows) — the corpus
+    * never sorts. Output: (source, uniq, weight, cap, saturated,
+    * allocated 2dp, epochs 4dp). */
+  def epochBudgetAllocation(df: DataFrame, sourceCol: String,
+      mass: Column, weight: Column, budget: Long, maxEpochs: Int)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs positive")
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(mass).cast("long").as("uniq"))
+      .withColumn("weight", weight.cast("long"))
+      .withColumn("cap", col("uniq") * maxEpochs)
+      .withColumn("__r", col("cap").cast("double") / col("weight"))
+    val byR = Window.orderBy("__r", "source")
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("__capPre", coalesce(sum("cap").over(
+        byR.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__wSuf", sum("weight").over(
+        byR.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__flag",
+        when(col("cap") * col("__wSuf") <=
+          (lit(budget) - col("__capPre")) * col("weight"), 1L).otherwise(0L))
+      .withColumn("saturated", min("__flag").over(
+        byR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__satCap", sum(col("cap") * col("saturated")).over(full))
+      .withColumn("__unsatW",
+        sum(col("weight") * (lit(1L) - col("saturated"))).over(full))
+      .withColumn("allocated",
+        round(when(col("saturated") === 1L, col("cap").cast("double"))
+          .otherwise(((lit(budget) - col("__satCap")) * col("weight"))
+            .cast("double") / col("__unsatW")), 2))
+      .withColumn("epochs", round(col("allocated") / col("uniq"), 4))
+      .select("source", "uniq", "weight", "cap", "saturated",
+        "allocated", "epochs")
+  }
 }

@@ -435,4 +435,25 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.historySequences(short, "user_id", "ts", "event_id",
       "tok", seqLen = 4, stride = 2).count() == 0L)
   }
+
+  test("epochBudgetAllocation: hand-computed water-filling — binding cap, proportional rest, full saturation") {
+    import spark.implicits._
+    // A: uniq 10, w 10 → cap 40, rate 4; B: uniq 100, w 1 → cap 400,
+    // rate 400. Budget 150: A saturates (4 epochs), B takes the
+    // remaining 110 at 1.1 epochs
+    val docs = (1 to 10).map(i => ("A", 1L)) ++ (1 to 10).map(i => ("B", 10L))
+    val df = docs.toDF("source", "n")
+    val w = when(col("source") === "A", 10L).otherwise(1L)
+    val got = Sampling.epochBudgetAllocation(df, "source", col("n"), w,
+        budget = 150L, maxEpochs = 4)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 10L, 10L, 40L, 1L, 40.0, 4.0)))
+    assert(got("B") == (("B", 100L, 1L, 400L, 0L, 110.0, 1.1)))
+    // budget above total capacity: everything saturates at maxEpochs
+    val all = Sampling.epochBudgetAllocation(df, "source", col("n"), w,
+        budget = 2000L, maxEpochs = 4)
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect()
+    assert(all.forall(r => r._5 == 1L && r._7 == 4.0))
+  }
 }
