@@ -463,6 +463,32 @@ object SourceQueries {
              |  WHERE doc_id NOT IN (SELECT doc_id FROM t)
              |ORDER BY change, doc_id""".stripMargin)),
 
+    // ---- snapshot VACUUM retention (io15): the storage-reclaim half
+    // of the io12 contract — after two appends and an overwrite
+    // release, expiring everything below v3 must delete exactly the
+    // two commit dirs only v1/v2 referenced while v3 keeps reading
+    // byte-identically (the oracle pins its contents; the spec pins
+    // that expired versions fail loudly, the dirs are gone, and the
+    // table still accepts commits after the vacuum).
+    NamedQuery("io15_snapshot_vacuum", (s, dir) => {
+      val stage = stageDir("snapshot_vacuum", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 0), stage)
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 1), stage)
+      val v3 = Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 2),
+        stage, overwrite = true)
+      val (kept, dropped) = Sources.snapshotVacuum(s, stage, keepFrom = v3)
+      Sources.snapshotRead(s, stage, v3)
+        .select(lit(kept).as("kept_commits"),
+          lit(dropped).as("dropped_commits"), col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+      Some("""SELECT CAST(1 AS INT) AS kept_commits,
+             |  CAST(2 AS INT) AS dropped_commits, doc_id, n_chars
+             |FROM documents WHERE doc_id % 3 = 2
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- parquet schema evolution: batch 1 written at schema v1
     // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality
     // added); the mergeSchema read must union the footers, null-fill

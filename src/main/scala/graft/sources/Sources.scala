@@ -324,6 +324,32 @@ object Sources {
     spark.read.parquet(commits.map(c => s"$path/data/$c").toIndexedSeq: _*)
   }
 
+  /** VACUUM retention (io15) — the storage-reclaim half of the io12
+    * contract (Delta VACUUM / Iceberg expire_snapshots): drop every
+    * version below `keepFrom` and physically delete the commit dirs
+    * no surviving version references. Versions ≥ keepFrom keep
+    * reading byte-identically (their commit sets are untouched);
+    * reads of expired versions fail loudly at the manifest lookup.
+    * The manifest rewrite runs under the same single-writer contract
+    * as [[snapshotCommit]]. Driver work is version-count-sized.
+    * Returns (kept commit dirs, deleted commit dirs). */
+  def snapshotVacuum(spark: SparkSession, path: String,
+      keepFrom: Int): (Int, Int) = {
+    import spark.implicits._
+    val rows = manifestOf(spark, path)
+      .getOrElse(sys.error(s"no snapshot table at $path"))
+      .as[(Int, String)].collect()
+    require(rows.exists(_._1 >= keepFrom),
+      s"vacuum would drop every version of $path (keepFrom=$keepFrom)")
+    val keep = rows.filter(_._1 >= keepFrom)
+    val keepSet = keep.map(_._2).toSet
+    val drop = rows.map(_._2).toSet -- keepSet
+    drop.foreach(c => graft.Fs.deleteRecursive(spark, s"$path/data/$c"))
+    keep.toSeq.toDF("version", "commit")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+    (keepSet.size, drop.size)
+  }
+
   /** CHANGE FEED between two committed versions (io14) — the CDC
     * contract lakehouse formats expose (Delta CDF / Iceberg
     * changelog), derived here from the io12 snapshots themselves:

@@ -80,6 +80,32 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sources.snapshotRead(spark, path, 99))
   }
 
+  test("snapshot vacuum: expired versions fail, surviving reads intact, commits continue") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_vacuum")
+    val v1 = Sources.snapshotCommit(Seq((1L, "a")).toDF("id", "s"), path)
+    val v2 = Sources.snapshotCommit(Seq((2L, "b")).toDF("id", "s"), path)
+    val v3 = Sources.snapshotCommit(Seq((9L, "z")).toDF("id", "s"), path,
+      overwrite = true)
+    assert(Sources.snapshotVacuum(spark, path, keepFrom = v3) == ((1, 2)))
+    // v3 reads byte-identically; expired versions fail loudly
+    assert(Sources.snapshotRead(spark, path, v3)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    intercept[IllegalArgumentException](Sources.snapshotRead(spark, path, v1))
+    intercept[IllegalArgumentException](Sources.snapshotRead(spark, path, v2))
+    // the unreferenced commit dirs are physically gone, c3 remains
+    assert(!Files.exists(Paths.get(s"$path/data/c1")))
+    assert(!Files.exists(Paths.get(s"$path/data/c2")))
+    assert(Files.exists(Paths.get(s"$path/data/c3")))
+    // the table stays writable: a post-vacuum append builds on v3
+    val v4 = Sources.snapshotCommit(Seq((10L, "y")).toDF("id", "s"), path)
+    assert(Sources.snapshotRead(spark, path, v4)
+      .as[(Long, String)].collect().toSeq.sorted == Seq((9L, "z"), (10L, "y")))
+    // vacuuming away every version is refused
+    intercept[IllegalArgumentException](
+      Sources.snapshotVacuum(spark, path, keepFrom = v4 + 1))
+  }
+
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_cdc")
