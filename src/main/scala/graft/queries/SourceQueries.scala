@@ -489,6 +489,48 @@ object SourceQueries {
              |FROM documents WHERE doc_id % 3 = 2
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- zone-map DATA SKIPPING on the snapshot table (io16): each
+    // commit records per-column min/max stats beside the manifest
+    // (the commit-dir grain of Delta data skipping / Iceberg min-max
+    // pruning / parquet row-group zone maps); a range read then
+    // scans ONLY the commits whose zone overlaps the predicate.
+    // Four year-clustered commits of orders; the 1999 probe must
+    // scan exactly 1 of 4 dirs and still return precisely the
+    // filtered rows — the oracle pins both the pruning arithmetic
+    // (scanned/total are data-independent here: the commit ranges
+    // are fixed year bands) and the content. At 100 TB this is THE
+    // scan lever: stats are version-count-sized driver work, and a
+    // range predicate over range-clustered ingest (io11 layout)
+    // touches only matching commits. SourcesSpec pins the
+    // can't-prune fallbacks (stats-less commit, all-null column,
+    // every-dir-pruned empty read) and stats cleanup under vacuum.
+    NamedQuery("io16_snapshot_stats_pruning", (s, dir) => {
+      val stage = stageDir("snapshot_prune", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      Seq((1995, 1996), (1997, 1998), (1999, 1999), (2000, 2001)).foreach {
+        case (a, b) => Sources.snapshotCommit(
+          o.filter(col("o_year").between(a, b)), stage,
+          statsCols = Seq("o_year"))
+      }
+      val v = Sources.snapshotLatestVersion(s, stage)
+      val (rows, scanned, total) = Sources.snapshotReadPruned(
+        s, stage, v, "o_year", 1999d, 1999d)
+      rows.agg(count(lit(1)).as("n_orders"),
+          sum("o_orderkey").as("sum_keys"),
+          min("o_orderkey").as("min_key"),
+          max("o_orderkey").as("max_key"))
+        .select(lit(scanned).as("scanned_commits"),
+          lit(total).as("total_commits"), col("n_orders"),
+          col("sum_keys"), col("min_key"), col("max_key"))
+    },
+      Some("""SELECT CAST(1 AS INT) AS scanned_commits,
+             |  CAST(4 AS INT) AS total_commits, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys,
+             |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+             |FROM orders WHERE year(o_orderdate) = 1999""".stripMargin)),
+
     // ---- parquet schema evolution: batch 1 written at schema v1
     // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality
     // added); the mergeSchema read must union the footers, null-fill

@@ -293,12 +293,28 @@ object Sources {
     * same contract Delta's log store requires; concurrent committers
     * would need an atomic rename/CAS on the manifest. */
   def snapshotCommit(df: DataFrame, path: String,
-      overwrite: Boolean = false): Int = {
+      overwrite: Boolean = false, statsCols: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
     val v = snapshotLatestVersion(spark, path) + 1
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/data/c$v")
+    if (statsCols.nonEmpty) {
+      // zone-map stats describe the FILES, so they are computed from
+      // the written dir (one column-pruned scan), not from `df` — a
+      // nondeterministic input can't desynchronize stats from data
+      val written = spark.read.parquet(s"$path/data/c$v")
+      val aggs = statsCols.flatMap(c => Seq(
+        org.apache.spark.sql.functions.min(col(c).cast("double")).as(s"__mn_$c"),
+        org.apache.spark.sql.functions.max(col(c).cast("double")).as(s"__mx_$c")))
+      val row = written.agg(aggs.head, aggs.tail: _*).head
+      statsCols.zipWithIndex.map { case (c, i) =>
+        (s"c$v", c,
+          if (row.isNullAt(2 * i)) None else Some(row.getDouble(2 * i)),
+          if (row.isNullAt(2 * i + 1)) None else Some(row.getDouble(2 * i + 1)))
+      }.toDF("commit", "column", "smin", "smax")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/stats")
+    }
     val prior: Seq[String] =
       if (overwrite || v == 1) Seq.empty
       else manifestOf(spark, path).get.filter(col("version") === v - 1)
@@ -306,6 +322,60 @@ object Sources {
     (prior :+ s"c$v").map(c => (v, c)).toDF("version", "commit")
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/manifest")
     v
+  }
+
+  private def statsOf(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = s"$path/stats"
+    if (graft.Fs.exists(spark, p)) Some(spark.read.parquet(p)) else None
+  }
+
+  /** ZONE-MAP pruned snapshot read (io16) — the data-skipping half of
+    * the lakehouse contract (Delta data skipping / Iceberg min-max
+    * pruning / parquet row-group zone maps, lifted to the commit-dir
+    * grain): read version `asOf` keeping only the commit dirs whose
+    * [smin, smax] for `column` overlaps [lo, hi], then apply the
+    * range predicate to the surviving scan (pushdown intact). Commits
+    * with no stats row for `column` (committed without `statsCols`,
+    * or an all-null column) can't be pruned and are always scanned —
+    * skipping is an optimization, never a filter.
+    *
+    * At 100 TB this is THE scan lever: the manifest+stats fetch is
+    * version-count-sized driver work, and a range predicate over a
+    * range-clustered table (io11 layout / date-partitioned ingest)
+    * reads only the matching commits instead of the whole table.
+    * Returns (rows, scanned commit dirs, total commit dirs). */
+  def snapshotReadPruned(spark: SparkSession, path: String, asOf: Int,
+      column: String, lo: Double, hi: Double): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val commits = manifestOf(spark, path)
+      .getOrElse(sys.error(s"no snapshot table at $path"))
+      .filter(col("version") === asOf)
+      .select("commit").as[String].collect().toIndexedSeq
+    require(commits.nonEmpty, s"unknown snapshot version $asOf at $path")
+    val ranges: Map[String, (Option[Double], Option[Double])] =
+      statsOf(spark, path).map(_.filter(col("column") === column)
+        .select("commit", "smin", "smax")
+        .collect()
+        .map(r => (r.getString(0),
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+        .toMap).getOrElse(Map.empty)
+    val kept = commits.filter { c =>
+      ranges.get(c) match {
+        case Some((Some(mn), Some(mx))) => mx >= lo && mn <= hi
+        case _ => true // no stats / all-null column: can't prune
+      }
+    }
+    val pred = col(column).cast("double") >= lo &&
+      col(column).cast("double") <= hi
+    val df =
+      if (kept.isEmpty)
+        // every dir pruned: preserve the schema, scan nothing
+        spark.read.parquet(s"$path/data/${commits.head}")
+          .filter(org.apache.spark.sql.functions.lit(false))
+      else spark.read.parquet(kept.map(c => s"$path/data/$c"): _*).filter(pred)
+    (df, kept.size, commits.size)
   }
 
   /** Read the table AS OF `version`: union exactly the commit dirs
@@ -347,6 +417,14 @@ object Sources {
     drop.foreach(c => graft.Fs.deleteRecursive(spark, s"$path/data/$c"))
     keep.toSeq.toDF("version", "commit")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
+    // zone-map stats rows of deleted dirs go with them, so a later
+    // pruned read never consults stats for a commit that no longer
+    // exists (pin the surviving rows before overwriting the dir)
+    statsOf(spark, path).foreach { st =>
+      val live = st.filter(!org.apache.spark.sql.functions.col("commit")
+        .isin(drop.toSeq: _*)).localCheckpoint()
+      live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    }
     (keepSet.size, drop.size)
   }
 

@@ -106,6 +106,42 @@ class SourcesSpec extends SparkSpec {
       Sources.snapshotVacuum(spark, path, keepFrom = v4 + 1))
   }
 
+  test("snapshot zone maps: range reads prune commits, fallbacks never filter") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_stats")
+    Fs.deleteRecursive(spark, path)
+    // three range-clustered commits with stats + one stats-less commit
+    Sources.snapshotCommit(Seq((1L, 10L), (2L, 19L)).toDF("id", "v"), path,
+      statsCols = Seq("v"))
+    Sources.snapshotCommit(Seq((3L, 20L), (4L, 29L)).toDF("id", "v"), path,
+      statsCols = Seq("v"))
+    Sources.snapshotCommit(Seq((5L, 30L), (6L, 39L)).toDF("id", "v"), path,
+      statsCols = Seq("v"))
+    val v4 = Sources.snapshotCommit(Seq((7L, 5L)).toDF("id", "v"), path)
+    // probe inside c2's zone: scans c2 plus the stats-less c4
+    val (df, scanned, total) =
+      Sources.snapshotReadPruned(spark, path, v4, "v", 20, 29)
+    assert((scanned, total) == ((2, 4)))
+    assert(df.select("id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // probe matching no zone: only the unprunable c4 is scanned, and
+    // the predicate still applies (skipping is never a filter)
+    val (e, s2, _) = Sources.snapshotReadPruned(spark, path, v4, "v", 1000, 2000)
+    assert(s2 == 1 && e.count() == 0)
+    // pinned old version: pruning respects the asOf commit set
+    val (o, s3, t3) = Sources.snapshotReadPruned(spark, path, 1, "v", 0, 100)
+    assert((s3, t3) == ((1, 1)) && o.count() == 2)
+    // vacuum deletes the dropped commits' stats rows with the dirs
+    val v5 = Sources.snapshotCommit(Seq((8L, 50L)).toDF("id", "v"), path,
+      overwrite = true, statsCols = Seq("v"))
+    Sources.snapshotVacuum(spark, path, keepFrom = v5)
+    assert(spark.read.parquet(s"$path/stats")
+      .select("commit").as[String].collect().toSeq == Seq("c5"))
+    // every dir pruned: empty result, schema preserved
+    val (p5, s5, t5) = Sources.snapshotReadPruned(spark, path, v5, "v", 0, 10)
+    assert((s5, t5) == ((0, 1)) && p5.count() == 0)
+    assert(p5.columns.toSeq == Seq("id", "v"))
+  }
+
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_cdc")
