@@ -719,6 +719,53 @@ object IterativeGraph {
       .select("center", "context", "ppmi")
   }
 
+  /** PPMI TOP-K NODE SIMILARITY (g31) — serving Levy & Goldberg's
+    * EXPLICIT representation: each node's sparse PPMI context vector
+    * (clipped to its top-`sparsify` contexts, the standard
+    * sparsification) IS its embedding, and cosine over shared
+    * contexts gives distributional node similarity with no trained
+    * model at all — the count-based serving twin of the g26→g29 SGNS
+    * feed. Output: (center, neighbor, sim, rnk) for each center's
+    * top-`k` most-similar nodes (ties broken by neighbor id).
+    *
+    * Scale shape: the cosine is a CONTEXT-KEYED sparse self-join —
+    * never all-pairs in the node space. Per-context fan-out is
+    * bounded by how many centers keep that context in their top-m
+    * vector; a production corpus additionally caps hub contexts
+    * (drop contexts kept by > C centers — the stopword cut), the
+    * same bound SemDeDup puts on cell sizes. Norms and the top-k
+    * ranking are center-keyed aggs/windows. The 6-dp PPMI inputs
+    * are identical in both engines; only the final sim (an
+    * order-sensitive double sum) rounds, to 4 dp like g10/g24. */
+  def ppmiTopSimilar(walks: DataFrame, window: Int, sparsify: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCenter = Window.partitionBy("center")
+      .orderBy(col("ppmi").desc, col("context"))
+    val top = graft.Caches.cached(ppmiPairs(walks, window)
+      .withColumn("__r", row_number().over(byCenter))
+      .filter(col("__r") <= sparsify).drop("__r"))
+    val norms = top.groupBy("center")
+      .agg(sqrt(sum(col("ppmi") * col("ppmi"))).as("__nrm"))
+    val a = top.select(col("context"), col("center").as("__ca"),
+      col("ppmi").as("__pa"))
+    val b = top.select(col("context"), col("center").as("__cb"),
+      col("ppmi").as("__pb"))
+    val dots = a.join(b, "context").filter(col("__ca") =!= col("__cb"))
+      .groupBy("__ca", "__cb").agg(sum(col("__pa") * col("__pb")).as("__dot"))
+    val sims = dots
+      .join(norms.select(col("center").as("__ca"), col("__nrm").as("__na")),
+        "__ca")
+      .join(norms.select(col("center").as("__cb"), col("__nrm").as("__nb")),
+        "__cb")
+      .withColumn("sim", round(col("__dot") / (col("__na") * col("__nb")), 4))
+    val rankW = Window.partitionBy("__ca").orderBy(col("sim").desc, col("__cb"))
+    sims.withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("__ca").as("center"), col("__cb").as("neighbor"),
+        col("sim"), col("rnk").cast("int").as("rnk"))
+  }
+
   /** SGNS NEGATIVE sampling (g29) — the last data step of the
     * word2vec/DeepWalk recipe: `negPerPair` negatives per distinct
     * [[skipGramPairs]] (center, context) pair, drawn from the walk

@@ -253,6 +253,26 @@ object GraphQueries {
       },
       Some(ppmiOracle(WalkSteps, window = 2))),
 
+    // ---- PPMI top-k similar nodes (g31): SERVE the g30 matrix —
+    // each node's top-8 PPMI contexts form its sparse embedding,
+    // cosine over shared contexts ranks its 3 nearest nodes. The
+    // count-based answer to "which parts/customers behave alike"
+    // that SGNS training would approximate; context-keyed sparse
+    // self-join, never all-pairs. Oracle chains g30's CTEs through
+    // the sparsify/norm/dot/rank stages.
+    NamedQuery("g31_ppmi_similar_nodes",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val starts = g.vertices
+          .filter(col("type") === "Customer" && col("id") % 50 === 7)
+          .select("id")
+        IterativeGraph.ppmiTopSimilar(
+            IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
+              salt = "walk"), window = 2, sparsify = 8, k = 3)
+          .orderBy("center", "rnk")
+      },
+      Some(ppmiSimilarOracle(WalkSteps, window = 2, sparsify = 8, k = 3))),
+
     // ---- SGNS negative samples (g29): completes the word2vec feed
     // g26/g27 opened — 2 deterministic negatives per distinct
     // skip-gram pair, drawn from the walk corpus's unigram mass by
@@ -890,7 +910,7 @@ object GraphQueries {
   /** Oracle for g30: g27's pair counts + center/context marginals +
     * the clipped ln ratio — identical arithmetic to
     * IterativeGraph.ppmiPairs. */
-  private def ppmiOracle(steps: Int, window: Int): String =
+  private def ppmiCtes(steps: Int, window: Int): String =
     s"""${walkCtes(steps)},
        |pp AS (SELECT walk_id, unnest(list_transform(
        |    generate_series(1, len(ns)),
@@ -909,9 +929,40 @@ object GraphQueries {
        |pm AS (SELECT p.center, p.context,
        |    round(ln(p.cnt * tot.total / (cc.cc * cx.cx)), 6) AS ppmi
        |  FROM pc p JOIN cc USING (center) JOIN cx USING (context)
-       |  CROSS JOIN tot)
+       |  CROSS JOIN tot)""".stripMargin
+
+  private def ppmiOracle(steps: Int, window: Int): String =
+    s"""${ppmiCtes(steps, window)}
        |SELECT center, context, ppmi FROM pm WHERE ppmi > 0
        |ORDER BY center, context""".stripMargin
+
+  /** Oracle for g31: chain the g30 PPMI CTEs, sparsify each center's
+    * vector to its top-`sparsify` contexts, then replay the cosine
+    * self-join, the per-center norms, and the top-k ranking —
+    * identical arithmetic to IterativeGraph.ppmiTopSimilar (the 6-dp
+    * PPMI inputs are byte-identical both sides; only the final sim
+    * rounds, like every double-summing query). */
+  private def ppmiSimilarOracle(steps: Int, window: Int, sparsify: Int,
+      k: Int): String =
+    s"""${ppmiCtes(steps, window)},
+       |pos AS (SELECT center, context, ppmi FROM pm WHERE ppmi > 0),
+       |top AS (SELECT center, context, ppmi FROM (
+       |    SELECT center, context, ppmi, row_number() OVER (
+       |      PARTITION BY center ORDER BY ppmi DESC, context) AS r
+       |    FROM pos) WHERE r <= $sparsify),
+       |nrm AS (SELECT center, sqrt(sum(ppmi * ppmi)) AS nrm
+       |  FROM top GROUP BY center),
+       |dots AS (SELECT a.center AS ca, b.center AS cb,
+       |    sum(a.ppmi * b.ppmi) AS dot
+       |  FROM top a JOIN top b USING (context)
+       |  WHERE a.center <> b.center GROUP BY 1, 2),
+       |sims AS (SELECT ca, cb, round(dot / (na.nrm * nb.nrm), 4) AS sim
+       |  FROM dots JOIN nrm na ON na.center = dots.ca
+       |  JOIN nrm nb ON nb.center = dots.cb),
+       |rk AS (SELECT ca, cb, sim, row_number() OVER (
+       |    PARTITION BY ca ORDER BY sim DESC, cb) AS rnk FROM sims)
+       |SELECT ca AS center, cb AS neighbor, sim, CAST(rnk AS INT) AS rnk
+       |FROM rk WHERE rnk <= $k ORDER BY center, rnk""".stripMargin
 
   /** Oracle for g29: replay the walks and the windowed pairing (g27's
     * CTEs), build the node-ordered cumulative occurrence mass, then

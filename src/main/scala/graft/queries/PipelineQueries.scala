@@ -3684,6 +3684,46 @@ object PipelineQueries {
              |  round(allocated / uniq, 4) AS epochs
              |FROM i ORDER BY source""".stripMargin)),
 
+    // ---- DoReMi-style domain reweighting (p31): the iterative
+    // mixture-weight solve over a REAL per-domain loss — each
+    // source's mean unigram surprisal (t06's arithmetic per source)
+    // — with a Muennighoff repetition penalty halving a domain's
+    // pull per epoch its current weight would force. Four
+    // multiplicative-weight rounds, 6-dp re-rounding per round keeps
+    // both engines in lockstep; all iteration runs in source space
+    // (the corpus pays one tokenize + frequency join).
+    NamedQuery("p31_domain_reweight",
+      (s, dir) => Sampling.domainReweight(
+          Tables.documents(s, dir), "source", "text",
+          eta = 0.1, rounds = 4)
+        .orderBy("source"),
+      Some(domainReweightOracle("0.1", 4))),
+
+    // ---- mixture MATERIALIZATION (p32): the apply step after the
+    // p31 solve — w_final becomes per-source keep rates
+    // min(1, budget·w/tokens_s), decided by the p04/p20 content-hash
+    // rule, so the solved mixture turns into an actual training set
+    // with no corpus shuffle (broadcast thresholds + scan-stage hash
+    // filter). Realized per-source doc/token totals are the gate;
+    // the oracle chains the full p31 CTE stack into the p20
+    // threshold/keep arithmetic.
+    NamedQuery("p32_mix_materialize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val w = Sampling.domainReweight(docs, "source", "text",
+            eta = 0.1, rounds = 4)
+          .select(col("source"), col("w_final").as("w"))
+        Sampling.mixFromWeights(docs, "source",
+            TextOps.tokenCount(col("text")).cast("long"), col("text"),
+            w, budgetTokens = 15000L)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(TextOps.tokenCount(col("text")).cast("long")).as("tok_kept"),
+            min("doc_id").as("min_kept_id"))
+          .orderBy("source")
+      },
+      Some(mixMaterializeOracle("0.1", 4, 15000L))),
+
     // ---- SOFT dedup weights (d34): downweight near-dup docs by
     // 1/|cluster| instead of dropping them — the reweighting
     // alternative to d12's hard drop, feeding the sampling stage a
@@ -5262,6 +5302,65 @@ object PipelineQueries {
        |scored AS (SELECT d.doc_id, round(coalesce(sc.s, 0), 6) AS score
        |  FROM documents d LEFT JOIN sc ON sc.id = d.doc_id)
        |$footer""".stripMargin
+
+  /** CTE stack for p31/p32: the t06 surprisal CTEs aggregated per
+    * source, then `rounds` unrolled multiplicative-weight CTEs —
+    * each round re-rounds w to 6 dp, so both engines enter every
+    * round with identical inputs (Sampling.domainReweight's
+    * contract). Ends at `r<rounds>` (source, n_tok, loss, w). */
+  private def domainReweightCtes(eta: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { i =>
+      s"""r$i AS (SELECT source, n_tok, loss,
+         |    round(raw / sum(raw) OVER (), 6) AS w
+         |  FROM (SELECT source, n_tok, loss,
+         |      w * exp($eta * loss * pow(2.0,
+         |        -greatest(N * w / n_tok - 1, 0.0))) AS raw
+         |    FROM r${i - 1} CROSS JOIN nn))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH toks AS (
+       |  SELECT source, unnest(list_filter(
+       |    string_split_regex(lower(text), '[^a-z0-9]+'),
+       |    x -> len(x) > 0)) AS tok
+       |  FROM documents),
+       |freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+       |n AS (SELECT count(*) AS n_total FROM toks),
+       |base AS (SELECT source, count(*) AS n_tok,
+       |    round(-avg(ln(cnt::DOUBLE / n_total)), 6) AS loss
+       |  FROM toks JOIN freq USING (tok) CROSS JOIN n GROUP BY source),
+       |nn AS (SELECT CAST(sum(n_tok) AS BIGINT) AS N FROM base),
+       |r0 AS (SELECT source, n_tok, loss,
+       |    round(n_tok::DOUBLE / N, 6) AS w FROM base CROSS JOIN nn),
+       |$steps""".stripMargin
+  }
+
+  private def domainReweightOracle(eta: String, rounds: Int): String =
+    s"""${domainReweightCtes(eta, rounds)}
+       |SELECT b.source, b.n_tok, b.loss, r0.w AS w_init,
+       |  rf.w AS w_final, round(nn.N * rf.w / b.n_tok, 4) AS epochs
+       |FROM base b JOIN r0 USING (source) JOIN r$rounds rf USING (source)
+       |CROSS JOIN nn ORDER BY source""".stripMargin
+
+  /** Oracle for p32: the p31 weight solve chained into the p20
+    * threshold/hash-keep arithmetic — one 6-dp rounded rate per
+    * source, floored to an integer bucket threshold, then the exact
+    * md5-bucket compare. */
+  private def mixMaterializeOracle(eta: String, rounds: Int,
+      budget: Long): String =
+    s"""${domainReweightCtes(eta, rounds)},
+       |thr AS (SELECT source, CAST(floor(round(
+       |      least(1.0, $budget * w / n_tok), 6) * 1000000) AS BIGINT) AS thr
+       |  FROM r$rounds),
+       |tk AS (SELECT doc_id, source, text,
+       |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                    x -> len(x) > 0))::BIGINT AS ntok
+       |  FROM documents)
+       |SELECT tk.source AS source, count(*) AS n_kept,
+       |  CAST(sum(ntok) AS BIGINT) AS tok_kept,
+       |  min(doc_id) AS min_kept_id
+       |FROM tk JOIN thr ON tk.source = thr.source
+       |WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000000
+       |      < thr.thr
+       |GROUP BY tk.source ORDER BY tk.source""".stripMargin
 
   /** Oracle for d34: the d12 cluster-label CTEs, then per-label sizes
     * → 1/size weights → effective token mass. */

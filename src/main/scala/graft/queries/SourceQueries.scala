@@ -531,6 +531,49 @@ object SourceQueries {
              |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
              |FROM orders WHERE year(o_orderdate) = 1999""".stripMargin)),
 
+    // ---- snapshot OPTIMIZE (io17): Delta OPTIMIZE / Iceberg
+    // rewrite_data_files at the commit grain — after the io16 append
+    // chain, rewrite the live set as ONE compacted overwrite commit
+    // (content-identical; stats re-recorded for the wide zone). The
+    // same 1999 probe then reads both worlds: the PRE-optimize
+    // version still skips 3 of 4 commits (io12 immutability keeps
+    // the old manifest + dirs), the POST-optimize version scans its
+    // single compacted dir — and both return byte-identical rows.
+    // The oracle pins the pruning arithmetic of both phases and the
+    // content once.
+    NamedQuery("io17_snapshot_optimize", (s, dir) => {
+      val stage = stageDir("snapshot_opt", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      Seq((1995, 1996), (1997, 1998), (1999, 1999), (2000, 2001)).foreach {
+        case (a, b) => Sources.snapshotCommit(
+          o.filter(col("o_year").between(a, b)), stage,
+          statsCols = Seq("o_year"))
+      }
+      val v4 = Sources.snapshotLatestVersion(s, stage)
+      val v5 = Sources.snapshotOptimize(s, stage, targetFiles = 2,
+        statsCols = Seq("o_year"))
+      def probe(v: Int, tag: String) = {
+        val (rows, scanned, total) = Sources.snapshotReadPruned(
+          s, stage, v, "o_year", 1999d, 1999d)
+        rows.agg(count(lit(1)).as("n_orders"),
+            sum("o_orderkey").as("sum_keys"))
+          .select(lit(tag).as("phase"), lit(scanned).as("scanned_commits"),
+            lit(total).as("total_commits"), col("n_orders"), col("sum_keys"))
+      }
+      probe(v4, "pre").unionByName(probe(v5, "post")).orderBy("phase")
+    },
+      Some("""SELECT 'post' AS phase, CAST(1 AS INT) AS scanned_commits,
+             |  CAST(1 AS INT) AS total_commits, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+             |FROM orders WHERE year(o_orderdate) = 1999
+             |UNION ALL
+             |SELECT 'pre', CAST(1 AS INT), CAST(4 AS INT), count(*),
+             |  CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders WHERE year(o_orderdate) = 1999
+             |ORDER BY phase""".stripMargin)),
+
     // ---- parquet schema evolution: batch 1 written at schema v1
     // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality
     // added); the mergeSchema read must union the footers, null-fill

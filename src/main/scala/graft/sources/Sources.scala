@@ -324,6 +324,32 @@ object Sources {
     v
   }
 
+  /** OPTIMIZE the current snapshot (io17) — Delta OPTIMIZE / Iceberg
+    * rewrite_data_files at the commit grain: rewrite the LATEST
+    * version's visible set as ONE compacted commit (an overwrite
+    * commit, content-identical), folding a long append chain's
+    * small files into `targetFiles` and recomputing zone-map stats
+    * for the compacted dir when `statsCols` is given. Older versions
+    * keep reading their own snapshots (io12's immutability); vacuum
+    * (io15) reclaims the superseded dirs afterwards.
+    *
+    * At 100 TB the compaction read/write is one pass over the live
+    * set with full pushdown; a production variant compacts per
+    * range-cluster (io11 layout) so post-optimize commits keep
+    * tight zones — a single global rewrite collapses the commit
+    * grain to one dir, trading skipping granularity for file count,
+    * which is why `statsCols` re-records the (now wide) zone
+    * honestly. Returns the new version. */
+  def snapshotOptimize(spark: SparkSession, path: String,
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Int = {
+    val latest = snapshotLatestVersion(spark, path)
+    require(latest > 0, s"no snapshot table at $path")
+    // pin rows before committing back under the table root being read
+    val cur = snapshotRead(spark, path, latest)
+      .coalesce(targetFiles).localCheckpoint()
+    snapshotCommit(cur, path, overwrite = true, statsCols = statsCols)
+  }
+
   private def statsOf(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = s"$path/stats"
     if (graft.Fs.exists(spark, p)) Some(spark.read.parquet(p)) else None

@@ -700,4 +700,87 @@ object Sampling {
       .select("source", "uniq", "weight", "cap", "saturated",
         "allocated", "epochs")
   }
+
+  /** DoReMi-style DOMAIN REWEIGHTING with repetition decay (p31) —
+    * the iterative mixture-weight solve (Xie et al. 2023's
+    * multiplicative-weights shape) over a REAL per-domain loss: each
+    * source's excess-loss proxy is its mean unigram surprisal under
+    * the corpus's own empirical distribution (the t06 arithmetic,
+    * aggregated per source), and `rounds` multiplicative updates
+    * w ← w·exp(η·g) tilt the mixture toward lossy domains while a
+    * Muennighoff-flavored repetition penalty g = loss·2^−max(e−1,0)
+    * (e = epochs the CURRENT weights imply at budget = corpus size)
+    * halves a domain's pull per epoch of repetition it would force —
+    * so the fixpoint balances "learn from hard domains" against
+    * "don't reread small ones". Deterministic in lockstep with the
+    * oracle: every round's weights round to 6 dp, so both engines
+    * enter each round with identical inputs (the only cross-engine
+    * float risk is a 1-ulp ln/exp/pow boundary landing exactly on a
+    * rounding edge).
+    *
+    * Scale shape: ONE corpus tokenize + token-keyed frequency join
+    * (the t06 plan) feeds a source-keyed agg; all `rounds` iterations
+    * then run in SOURCE space (tens of rows — the window-over-()
+    * frames never see the corpus). Output: (source, n_tok, loss,
+    * w_init, w_final, epochs) — epochs under the final mixture. */
+  def domainReweight(df: DataFrame, sourceCol: String, textCol: String,
+      eta: Double, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && eta > 0, "rounds >= 1 and eta > 0")
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val toks = graft.Caches.cached(df.select(col(sourceCol).as("source"),
+      explode(graft.text.TextOps.tokens(col(textCol))).as("tok")))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("__cnt"))
+    val nTot = toks.select(count(lit(1)).as("__n_total"))
+    val base = toks.join(freq, "tok").crossJoin(broadcast(nTot))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tok"),
+        round(-avg(log(col("__cnt").cast("double") / col("__n_total"))), 6)
+          .as("loss"))
+      .withColumn("__N", sum("n_tok").over(full))
+    var cur = base.withColumn("w",
+      round(col("n_tok").cast("double") / col("__N"), 6))
+    (1 to rounds).foreach { _ =>
+      cur = cur
+        .withColumn("__g", col("loss") * pow(lit(2.0),
+          -greatest(col("__N") * col("w") / col("n_tok") - 1, lit(0.0))))
+        .withColumn("__raw", col("w") * exp(lit(eta) * col("__g")))
+        .withColumn("w", round(col("__raw") / sum("__raw").over(full), 6))
+        .drop("__g", "__raw")
+    }
+    cur
+      .withColumn("w_init", round(col("n_tok").cast("double") / col("__N"), 6))
+      .withColumn("epochs", round(col("__N") * col("w") / col("n_tok"), 4))
+      .select(col("source"), col("n_tok"), col("loss"), col("w_init"),
+        col("w").as("w_final"), col("epochs"))
+  }
+
+  /** Materialize a SOLVED mixture (p32) — the APPLY step after a
+    * domain-reweighting solve: `weights` is a source-count-sized
+    * (source, w) table (e.g. [[domainReweight]]'s w_final, Σw = 1);
+    * each source keeps documents at rate min(1, budget·w / tokens_s)
+    * decided by the p04/p20 content-hash bucket rule, so the
+    * realized mix approaches the solved shares deterministically.
+    * The two IEEE ops (budget·w, then /tokens_s) round to 6 dp and
+    * floor to an integer bucket threshold — the keep decision is an
+    * exact integer compare in any engine.
+    *
+    * Scale shape: one per-source token agg, a source-count-sized
+    * broadcast threshold join, a scan-stage hash filter — the corpus
+    * never shuffles, and the weight solve it consumes already ran in
+    * source space. */
+  def mixFromWeights(df: DataFrame, strataCol: String, tokens: Column,
+      key: Column, weights: DataFrame, budgetTokens: Long,
+      nBuckets: Int = 1000000): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(sum(tokens).as("__n"))
+    val thresholds = counts.join(weights, strataCol)
+      .withColumn("__q",
+        least(lit(1.0), lit(budgetTokens) * col("w") / col("__n")))
+      .withColumn("__thr", floor(round(col("__q"), 6) * nBuckets).cast("long"))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(thresholds), Seq(strataCol), "left")
+      .filter(col("__thr").isNotNull && hashBucket(key, nBuckets) < col("__thr"))
+      .drop("__thr")
+  }
 }

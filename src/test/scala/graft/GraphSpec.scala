@@ -410,6 +410,18 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((1L, 2L, p), (2L, 1L, p), (3L, 4L, p), (4L, 3L, p)))
   }
 
+  test("ppmiTopSimilar: cosine over shared contexts, disjoint vectors silent") {
+    import graft.graph.IterativeGraph
+    // centers 1 and 2 share their only context (3) -> cosine 1.0 both
+    // ways; center 3's vector {1, 2} overlaps neither -> no row
+    val walks = Seq((1L, "1 3"), (2L, "1 3"), (3L, "2 3"), (4L, "2 3"))
+      .toDF("walk_id", "seq")
+    val got = IterativeGraph.ppmiTopSimilar(walks, window = 1,
+        sparsify = 8, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0, 1), (2L, 1L, 1.0, 1)))
+  }
+
   test("sgnsNegatives: draws follow the unigram mass via an independent md5 replay") {
     import graft.graph.IterativeGraph
     val walks = Seq((1L, "1 2 3"), (9L, "9 2 9")).toDF("walk_id", "seq")

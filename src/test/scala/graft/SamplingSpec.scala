@@ -456,4 +456,58 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Double, Double)].collect()
     assert(all.forall(r => r._5 == 1L && r._7 == 4.0))
   }
+
+  test("mixFromWeights: budget binds per source, rate caps at 1, hash-keep matches hand thresholds") {
+    import spark.implicits._
+    // source a: 4 docs x 4 tokens = 16; source b: 2 docs x 4 tokens = 8
+    val docs = Seq(("a", 1L, "w x y z"), ("a", 2L, "p q r s"),
+      ("a", 3L, "k l m n"), ("a", 4L, "e f g h"),
+      ("b", 5L, "t u v w"), ("b", 6L, "c d i j"))
+      .toDF("source", "doc_id", "text")
+    val w = Seq(("a", 0.25), ("b", 0.75)).toDF("source", "w")
+    // budget 8: a's rate = min(1, 8*.25/16) = 0.125; b's = min(1, 6/8) = 0.75
+    val kept = Sampling.mixFromWeights(docs, "source",
+        lit(4L), col("text"), w, budgetTokens = 8L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    val handKept = docs.select(col("source"), col("doc_id"),
+        Sampling.hashBucket(col("text"), 1000000).as("b"))
+      .as[(String, Long, Int)].collect()
+      .filter { case (s, _, b) => b < (if (s == "a") 125000L else 750000L) }
+      .map(t => (t._1, t._2)).toSet
+    assert(kept == handKept)
+    // budget >= corpus: every rate caps at 1.0, everything kept
+    val all = Sampling.mixFromWeights(docs, "source",
+        lit(4L), col("text"), w, budgetTokens = 1000L)
+    assert(all.count() == 6)
+    // a source absent from the weights table is dropped, not kept
+    val wOnlyB = Seq(("b", 1.0)).toDF("source", "w")
+    val onlyB = Sampling.mixFromWeights(docs, "source",
+        lit(4L), col("text"), wOnlyB, budgetTokens = 1000L)
+      .select("source").distinct().as[String].collect().toSeq
+    assert(onlyB == Seq("b"))
+  }
+
+  test("domainReweight: normalized weights tilt toward the lossy domain, deterministic") {
+    import spark.implicits._
+    // equal-size sources: a repeats one token (surprisal ln 2), b's
+    // are all unique (ln 16) — the multiplicative updates must move
+    // mass to b while the weights keep summing to 1
+    val docs = Seq(("a", "x x x x"), ("a", "x x x x"),
+      ("b", "p q r s"), ("b", "t u v w")).toDF("source", "text")
+    val r = Sampling.domainReweight(docs, "source", "text",
+        eta = 0.5, rounds = 3)
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(r.map(_._1).toSeq == Seq("a", "b"))
+    assert(r.forall(_._2 == 8L))
+    assert(r.map(_._4).toSeq == Seq(0.5, 0.5))          // w_init ∝ size
+    assert(math.abs(r.map(_._5).sum - 1.0) < 1e-5)      // normalized
+    assert(r(1)._5 > r(0)._5)                           // b gains mass
+    assert(math.abs(r(0)._3 - math.rint(math.log(2) * 1e6) / 1e6) < 1e-9)
+    val again = Sampling.domainReweight(docs, "source", "text",
+        eta = 0.5, rounds = 3)
+      .orderBy("source")
+      .as[(String, Long, Double, Double, Double, Double)].collect()
+    assert(again.toSeq == r.toSeq)
+  }
 }

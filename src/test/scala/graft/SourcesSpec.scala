@@ -142,6 +142,37 @@ class SourcesSpec extends SparkSpec {
     assert(p5.columns.toSeq == Seq("id", "v"))
   }
 
+  test("snapshot optimize: one compacted commit, content identical, history intact") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_opt")
+    Fs.deleteRecursive(spark, path)
+    val v1 = Sources.snapshotCommit(
+      Seq((1L, 10L)).toDF("id", "v").repartition(4), path,
+      statsCols = Seq("v"))
+    Sources.snapshotCommit(
+      Seq((2L, 20L)).toDF("id", "v").repartition(4), path,
+      statsCols = Seq("v"))
+    val v3 = Sources.snapshotOptimize(spark, path, targetFiles = 1,
+      statsCols = Seq("v"))
+    assert(v3 == 3)
+    // content identical, one commit dir, one data file
+    assert(Sources.snapshotRead(spark, path, v3)
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 10L), (2L, 20L)))
+    val commits = spark.read.parquet(s"$path/manifest")
+      .filter(col("version") === v3).count()
+    assert(commits == 1)
+    val files = new java.io.File(s"$path/data/c3").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(files == 1)
+    // old versions untouched; compacted stats span the merged zone
+    assert(Sources.snapshotRead(spark, path, v1)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    val (pruned, s1, t1) = Sources.snapshotReadPruned(spark, path, v3,
+      "v", 15, 25)
+    assert((s1, t1) == ((1, 1)))
+    assert(pruned.as[(Long, Long)].collect().toSeq == Seq((2L, 20L)))
+  }
+
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_cdc")
