@@ -733,32 +733,34 @@ object IterativeGraph {
     * bounded by how many centers keep that context in their top-m
     * vector; a production corpus additionally caps hub contexts
     * (drop contexts kept by > C centers — the stopword cut), the
-    * same bound SemDeDup puts on cell sizes. Norms and the top-k
-    * ranking are center-keyed aggs/windows. The 6-dp PPMI inputs
-    * are identical in both engines; only the final sim (an
-    * order-sensitive double sum) rounds, to 4 dp like g10/g24. */
+    * same bound SemDeDup puts on cell sizes. The per-center norm
+    * rides the SAME center partitioning as the sparsify window (a
+    * second WindowExec, zero extra shuffle — measured 2.5 s off the
+    * sf0.1 serve vs the norms-as-joins first form), so each side of
+    * the context join carries its norm and the cosine falls out of
+    * the pair agg directly: sum(pa·pb)/(na·nb) with first(na·nb),
+    * no post-join norm lookups. The 6-dp PPMI inputs are identical
+    * in both engines; only the final sim (an order-sensitive double
+    * sum) rounds, to 4 dp like g10/g24. */
   def ppmiTopSimilar(walks: DataFrame, window: Int, sparsify: Int,
       k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCenter = Window.partitionBy("center")
       .orderBy(col("ppmi").desc, col("context"))
+    val centerAll = Window.partitionBy("center")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val top = graft.Caches.cached(ppmiPairs(walks, window)
       .withColumn("__r", row_number().over(byCenter))
-      .filter(col("__r") <= sparsify).drop("__r"))
-    val norms = top.groupBy("center")
-      .agg(sqrt(sum(col("ppmi") * col("ppmi"))).as("__nrm"))
+      .filter(col("__r") <= sparsify).drop("__r")
+      .withColumn("__nrm", sqrt(sum(col("ppmi") * col("ppmi")).over(centerAll))))
     val a = top.select(col("context"), col("center").as("__ca"),
-      col("ppmi").as("__pa"))
+      col("ppmi").as("__pa"), col("__nrm").as("__na"))
     val b = top.select(col("context"), col("center").as("__cb"),
-      col("ppmi").as("__pb"))
-    val dots = a.join(b, "context").filter(col("__ca") =!= col("__cb"))
-      .groupBy("__ca", "__cb").agg(sum(col("__pa") * col("__pb")).as("__dot"))
-    val sims = dots
-      .join(norms.select(col("center").as("__ca"), col("__nrm").as("__na")),
-        "__ca")
-      .join(norms.select(col("center").as("__cb"), col("__nrm").as("__nb")),
-        "__cb")
-      .withColumn("sim", round(col("__dot") / (col("__na") * col("__nb")), 4))
+      col("ppmi").as("__pb"), col("__nrm").as("__nb"))
+    val sims = a.join(b, "context").filter(col("__ca") =!= col("__cb"))
+      .groupBy("__ca", "__cb")
+      .agg(round((sum(col("__pa") * col("__pb")) /
+        (first(col("__na")) * first(col("__nb")))), 4).as("sim"))
     val rankW = Window.partitionBy("__ca").orderBy(col("sim").desc, col("__cb"))
     sims.withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= k)
