@@ -28,4 +28,14 @@ object Fs {
     val (fs, p) = resolve(spark, path)
     fs.delete(p, true)
   }
+
+  /** Names of the immediate subdirectories of `path` (empty when the
+    * path doesn't exist). Used by the clustered-optimize commit to
+    * enumerate which cluster dirs the partitioned write produced —
+    * a clusters-bounded driver fetch. */
+  def listDirNames(spark: SparkSession, path: String): Seq[String] = {
+    val (fs, p) = resolve(spark, path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toSeq
+  }
 }

@@ -3724,6 +3724,24 @@ object PipelineQueries {
       },
       Some(mixMaterializeOracle("0.1", 4, 15000L))),
 
+    // ---- phase-interpolated mixture SCHEDULE (p33): curriculum
+    // anneal over the p31 endpoints —
+    // the multi-phase data schedule a production run executes:
+    // 5 phases interpolate from the natural mixture (w_init) to the
+    // DoReMi-solved one (w_final) at dyadic α, each phase getting its
+    // integer token allocation under a fixed per-phase budget. All
+    // arithmetic in source space; the oracle chains the full p31 CTE
+    // stack into the interpolation and floor.
+    NamedQuery("p33_mixture_schedule",
+      (s, dir) => {
+        val w = Sampling.domainReweight(Tables.documents(s, dir),
+            "source", "text", eta = 0.1, rounds = 4)
+          .select("source", "w_init", "w_final")
+        Sampling.mixtureSchedule(w, phases = 5, phaseBudget = 10000L)
+          .orderBy("phase", "source")
+      },
+      Some(mixtureScheduleOracle("0.1", 4, 5, 10000L))),
+
     // ---- SOFT dedup weights (d34): downweight near-dup docs by
     // 1/|cluster| instead of dropping them — the reweighting
     // alternative to d12's hard drop, feeding the sampling stage a
@@ -5361,6 +5379,25 @@ object PipelineQueries {
        |WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000000
        |      < thr.thr
        |GROUP BY tk.source ORDER BY tk.source""".stripMargin
+
+  /** Oracle for p33: the p31 endpoint CTEs, a dyadic-α phase table,
+    * the 6-dp interpolation and the integer floor — identical
+    * arithmetic to Sampling.mixtureSchedule. */
+  private def mixtureScheduleOracle(eta: String, rounds: Int, phases: Int,
+      phaseBudget: Long): String = {
+    val alphaRows = (0 until phases).map(t =>
+      s"($t, ${t.toDouble / (phases - 1)})").mkString(", ")
+    s"""${domainReweightCtes(eta, rounds)},
+       |w2 AS (SELECT r0.source, r0.w AS w_init, rf.w AS w_final
+       |  FROM r0 JOIN r$rounds rf USING (source)),
+       |ph AS (SELECT * FROM (VALUES $alphaRows) AS t(phase, alpha)),
+       |sched AS (SELECT ph.phase, w2.source,
+       |    round((1 - ph.alpha) * w_init + ph.alpha * w_final, 6) AS w
+       |  FROM w2 CROSS JOIN ph)
+       |SELECT CAST(phase AS INT) AS phase, source, w,
+       |  CAST(floor($phaseBudget * w) AS BIGINT) AS phase_tokens
+       |FROM sched ORDER BY phase, source""".stripMargin
+  }
 
   /** Oracle for d34: the d12 cluster-label CTEs, then per-label sizes
     * → 1/size weights → effective token mass. */

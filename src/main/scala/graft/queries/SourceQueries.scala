@@ -574,6 +574,48 @@ object SourceQueries {
              |FROM orders WHERE year(o_orderdate) = 1999
              |ORDER BY phase""".stripMargin)),
 
+    // ---- CLUSTERED snapshot optimize (io18): io17 proved compaction
+    // transparency but collapsed the commit grain to one wide zone
+    // (post-optimize scans 1 of 1 — no skipping left). The clustered
+    // form rewrites the SAME live set into range-cluster commit dirs
+    // under one version (bounds 1997/1999 → three year bands), each
+    // with tight stats — so the 1999 probe still skips: pre-optimize
+    // 1 of 4 append commits, post-optimize 1 of 3 cluster dirs, and
+    // the rows are byte-identical in both worlds. Delta OPTIMIZE
+    // ZORDER / Iceberg rewrite-with-sort-order at the commit grain.
+    NamedQuery("io18_snapshot_optimize_clustered", (s, dir) => {
+      val stage = stageDir("snapshot_opt_cl", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      Seq((1995, 1996), (1997, 1998), (1999, 1999), (2000, 2001)).foreach {
+        case (a, b) => Sources.snapshotCommit(
+          o.filter(col("o_year").between(a, b)), stage,
+          statsCols = Seq("o_year"))
+      }
+      val v4 = Sources.snapshotLatestVersion(s, stage)
+      val v5 = Sources.snapshotOptimizeClustered(s, stage, "o_year",
+        bounds = Seq(1997d, 1999d), statsCols = Seq("o_year"))
+      def probe(v: Int, tag: String) = {
+        val (rows, scanned, total) = Sources.snapshotReadPruned(
+          s, stage, v, "o_year", 1999d, 1999d)
+        rows.agg(count(lit(1)).as("n_orders"),
+            sum("o_orderkey").as("sum_keys"))
+          .select(lit(tag).as("phase"), lit(scanned).as("scanned_commits"),
+            lit(total).as("total_commits"), col("n_orders"), col("sum_keys"))
+      }
+      probe(v4, "pre").unionByName(probe(v5, "post")).orderBy("phase")
+    },
+      Some("""SELECT 'post' AS phase, CAST(1 AS INT) AS scanned_commits,
+             |  CAST(3 AS INT) AS total_commits, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+             |FROM orders WHERE year(o_orderdate) = 1999
+             |UNION ALL
+             |SELECT 'pre', CAST(1 AS INT), CAST(4 AS INT), count(*),
+             |  CAST(sum(o_orderkey) AS BIGINT)
+             |FROM orders WHERE year(o_orderdate) = 1999
+             |ORDER BY phase""".stripMargin)),
+
     // ---- parquet schema evolution: batch 1 written at schema v1
     // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality
     // added); the mergeSchema read must union the footers, null-fill

@@ -856,6 +856,38 @@ object StreamingQueries {
       },
       Some("""SELECT doc_id, n_chars FROM documents
              |WHERE n_chars BETWEEN 200 AND 400
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- streaming AUTO-COMPACTION (sw27): the background
+    // maintenance loop every streaming lakehouse ingest runs (Delta
+    // auto compaction / Iceberg maintenance jobs) — each micro-batch
+    // appends a snapshot commit, and whenever the live version
+    // accumulates >= 4 small commit dirs the ingester folds them into
+    // ONE optimize commit (io17) before continuing. Appends and
+    // compactions interleave mid-stream, so the gate proves ingest
+    // correctness THROUGH repeated compaction: the final read must
+    // equal the full feed no matter how many commits were folded or
+    // at which batch boundaries (the file source's batch split is
+    // not reproducible — content, not commit counts, is the oracle;
+    // SourcesSpec pins the trigger arithmetic on controlled commits).
+    NamedQuery("sw27_stream_auto_compact",
+      (s, dir) => {
+        import graft.sources.Sources
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+        val table = graft.ScratchDirs.scratch("auto_compact_table")
+        graft.Fs.deleteRecursive(s, table)
+        StreamRunner.runForeachBatch(s, docs, "sw27_auto_compact") { b =>
+          Sources.snapshotCommit(b, table)
+          val v = Sources.snapshotLatestVersion(s, table)
+          if (Sources.snapshotCommitDirs(s, table, v) >= 4)
+            Sources.snapshotOptimize(s, table)
+          ()
+        }
+        Sources.snapshotRead(s, table,
+            Sources.snapshotLatestVersion(s, table))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -277,6 +277,16 @@ object Sources {
         .head.getInt(0))
       .getOrElse(0)
 
+  /** Number of commit dirs version `v` unions — the small-file count
+    * an auto-compaction trigger (sw27) watches. Version-count-sized
+    * driver work, like every manifest fetch. */
+  def snapshotCommitDirs(spark: SparkSession, path: String, v: Int): Int = {
+    import org.apache.spark.sql.functions.col
+    manifestOf(spark, path)
+      .map(_.filter(col("version") === v).count().toInt)
+      .getOrElse(0)
+  }
+
   /** Commit `df` as the next version. `overwrite = false` appends (the
     * new version sees every prior commit plus this one); `overwrite =
     * true` REPLACES the visible set (the new version sees only this
@@ -348,6 +358,69 @@ object Sources {
     val cur = snapshotRead(spark, path, latest)
       .coalesce(targetFiles).localCheckpoint()
     snapshotCommit(cur, path, overwrite = true, statsCols = statsCols)
+  }
+
+  /** CLUSTERED optimize (io18) — io17's compaction without its
+    * skipping-granularity loss: the latest live set is rewritten as
+    * ONE new version whose data lands in per-cluster commit dirs
+    * (cluster i = the `clusterCol` range between explicit
+    * `bounds(i-1)` and `bounds(i)`, the io11 range-layout rule), each
+    * dir with its own tight zone-map stats. A later range read prunes
+    * at the cluster grain — where io17's single wide commit scans
+    * 1 of 1, the clustered form scans only the overlapping clusters.
+    * This is Delta OPTIMIZE ZORDER / Iceberg rewrite with a sort
+    * order, at the commit-dir grain.
+    *
+    * One shuffle write (repartition by cluster + partitionBy), then
+    * clusters-bounded driver work: enumerate the written cluster
+    * dirs, one column-pruned stats scan per dir, k manifest rows
+    * under a single version. Empty clusters write no dir and get no
+    * manifest row. Older versions keep reading their own snapshots;
+    * vacuum reclaims superseded dirs (a reclaimed cluster dir leaves
+    * its empty `c<v>` parent behind — harmless, listed nowhere).
+    * Returns the new version. */
+  def snapshotOptimizeClustered(spark: SparkSession, path: String,
+      clusterCol: String, bounds: Seq[Double],
+      statsCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    import spark.implicits._
+    val latest = snapshotLatestVersion(spark, path)
+    require(latest > 0, s"no snapshot table at $path")
+    require(bounds.nonEmpty && bounds == bounds.sorted,
+      "bounds must be non-empty and ascending")
+    val shard = bounds.map(b => when(col(clusterCol).cast("double") >= b, 1)
+        .otherwise(0))
+      .reduce[org.apache.spark.sql.Column](_ + _).cast("int")
+    val v = latest + 1
+    // pin rows before writing back under the table root being read
+    val cur = snapshotRead(spark, path, latest).localCheckpoint()
+    cur.withColumn("__cluster", shard)
+      .repartition(col("__cluster"))
+      .sortWithinPartitions(col("__cluster"), col(clusterCol))
+      .write.mode(SaveMode.Overwrite).partitionBy("__cluster")
+      .parquet(s"$path/data/c$v")
+    val dirs = graft.Fs.listDirNames(spark, s"$path/data/c$v")
+      .filter(_.startsWith("__cluster=")).sorted
+    require(dirs.nonEmpty, "optimize of an empty table")
+    if (statsCols.nonEmpty) {
+      val rows = dirs.flatMap { d =>
+        val written = spark.read.parquet(s"$path/data/c$v/$d")
+        val aggs = statsCols.flatMap(c => Seq(
+          org.apache.spark.sql.functions.min(col(c).cast("double")).as(s"__mn_$c"),
+          org.apache.spark.sql.functions.max(col(c).cast("double")).as(s"__mx_$c")))
+        val row = written.agg(aggs.head, aggs.tail: _*).head
+        statsCols.zipWithIndex.map { case (c, i) =>
+          (s"c$v/$d", c,
+            if (row.isNullAt(2 * i)) None else Some(row.getDouble(2 * i)),
+            if (row.isNullAt(2 * i + 1)) None else Some(row.getDouble(2 * i + 1)))
+        }
+      }
+      rows.toDF("commit", "column", "smin", "smax")
+        .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/stats")
+    }
+    dirs.map(d => (v, s"c$v/$d")).toDF("version", "commit")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/manifest")
+    v
   }
 
   private def statsOf(spark: SparkSession, path: String): Option[DataFrame] = {

@@ -756,6 +756,37 @@ object Sampling {
         col("w").as("w_final"), col("epochs"))
   }
 
+  /** Phase-interpolated MIXTURE SCHEDULE (p33) — the multi-phase data
+    * schedule production training runs actually execute (anneal from
+    * the natural mixture toward a solved one across curriculum
+    * phases, the Llama-3 / MiniCPM two-phase shape generalized):
+    * `weights` carries (source, w_init, w_final) — e.g.
+    * [[domainReweight]]'s endpoints — and phase t of `phases` gets
+    * w_t = round₆((1−α)·w_init + α·w_final) at α = t/(phases−1),
+    * plus its integer token allocation floor(phaseBudget · w_t).
+    * Endpoints sum to 1, so every interpolated phase does too (to
+    * 6-dp rounding). Keep `phases` such that every α is dyadic
+    * (5 → 0, ¼, ½, ¾, 1) and the arithmetic is engine-exact up to
+    * the documented 1-ulp rounding-edge risk every 6-dp query
+    * carries. Output: (phase, source, w, phase_tokens).
+    *
+    * Scale shape: pure source-space arithmetic — the corpus is never
+    * touched; the output is phases × sources rows that [[mixFromWeights]]
+    * turns into per-phase training sets. */
+  def mixtureSchedule(weights: DataFrame, phases: Int,
+      phaseBudget: Long): DataFrame = {
+    require(phases >= 2, "phases >= 2")
+    val ph = explode(array((0 until phases).map { t =>
+      struct(lit(t).as("phase"),
+        lit(t.toDouble / (phases - 1)).as("alpha"))
+    }: _*))
+    weights.withColumn("__p", ph)
+      .withColumn("w", round((lit(1.0) - col("__p.alpha")) * col("w_init") +
+        col("__p.alpha") * col("w_final"), 6))
+      .select(col("__p.phase").as("phase"), col("source"), col("w"),
+        floor(lit(phaseBudget) * col("w")).cast("long").as("phase_tokens"))
+  }
+
   /** Materialize a SOLVED mixture (p32) — the APPLY step after a
     * domain-reweighting solve: `weights` is a source-count-sized
     * (source, w) table (e.g. [[domainReweight]]'s w_final, Σw = 1);

@@ -457,6 +457,25 @@ class SamplingSpec extends SparkSpec {
     assert(all.forall(r => r._5 == 1L && r._7 == 4.0))
   }
 
+  test("mixtureSchedule: dyadic interpolation hits both endpoints, phases sum to 1, floors exact") {
+    import spark.implicits._
+    val w = Seq(("a", 0.75, 0.25), ("b", 0.25, 0.75))
+      .toDF("source", "w_init", "w_final")
+    val r = Sampling.mixtureSchedule(w, phases = 5, phaseBudget = 1000L)
+      .orderBy("phase", "source")
+      .as[(Int, String, Double, Long)].collect()
+    assert(r.length == 10)
+    // phase 0 = w_init, last phase = w_final, midpoint = the mean
+    assert(r.filter(_._1 == 0).map(_._3).toSeq == Seq(0.75, 0.25))
+    assert(r.filter(_._1 == 4).map(_._3).toSeq == Seq(0.25, 0.75))
+    assert(r.filter(_._1 == 2).map(_._3).toSeq == Seq(0.5, 0.5))
+    // every phase's weights sum to 1; allocations are exact floors
+    (0 to 4).foreach { p =>
+      assert(math.abs(r.filter(_._1 == p).map(_._3).sum - 1.0) < 1e-9)
+    }
+    assert(r.find(t => t._1 == 1 && t._2 == "a").get._4 == 625L)
+  }
+
   test("mixFromWeights: budget binds per source, rate caps at 1, hash-keep matches hand thresholds") {
     import spark.implicits._
     // source a: 4 docs x 4 tokens = 16; source b: 2 docs x 4 tokens = 8

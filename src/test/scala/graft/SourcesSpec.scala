@@ -173,6 +173,67 @@ class SourcesSpec extends SparkSpec {
     assert(pruned.as[(Long, Long)].collect().toSeq == Seq((2L, 20L)))
   }
 
+  test("clustered optimize: per-cluster commits prune, content identical, empty clusters absent") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_opt_cl")
+    Fs.deleteRecursive(spark, path)
+    Sources.snapshotCommit(Seq((1L, 10L)).toDF("id", "v"), path,
+      statsCols = Seq("v"))
+    Sources.snapshotCommit(Seq((2L, 20L), (3L, 30L)).toDF("id", "v"), path,
+      statsCols = Seq("v"))
+    val v3 = Sources.snapshotOptimizeClustered(spark, path, "v",
+      bounds = Seq(15d, 25d), statsCols = Seq("v"))
+    assert(v3 == 3)
+    // one version, three cluster dirs (one row each band)
+    assert(Sources.snapshotCommitDirs(spark, path, v3) == 3)
+    assert(Sources.snapshotRead(spark, path, v3)
+      .as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    // the probe overlapping one band scans 1 of 3; two bands scan 2
+    val (r1, s1, t1) = Sources.snapshotReadPruned(spark, path, v3, "v", 15, 25)
+    assert((s1, t1) == ((1, 3)))
+    assert(r1.as[(Long, Long)].collect().toSeq == Seq((2L, 20L)))
+    val (r2, s2, _) = Sources.snapshotReadPruned(spark, path, v3, "v", 5, 22)
+    assert(s2 == 2)
+    assert(r2.as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 10L), (2L, 20L)))
+    // an empty band writes no dir and gets no manifest row
+    val v4 = Sources.snapshotOptimizeClustered(spark, path, "v",
+      bounds = Seq(15d, 1000d), statsCols = Seq("v"))
+    assert(Sources.snapshotCommitDirs(spark, path, v4) == 2)
+    assert(Sources.snapshotRead(spark, path, v4).count() == 3)
+    // pre-optimize versions still read their own snapshots
+    assert(Sources.snapshotRead(spark, path, 1)
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 10L)))
+    // vacuum to the clustered version reclaims the superseded dirs
+    // and the pruned read still works against the surviving stats
+    Sources.snapshotVacuum(spark, path, keepFrom = v4)
+    val (r3, s3, t3) = Sources.snapshotReadPruned(spark, path, v4, "v", 15, 25)
+    assert((s3, t3) == ((1, 2)))
+    // the scanned cluster holds (2,20) and (3,30); the predicate
+    // still applies after pruning, so only (2,20) survives
+    assert(r3.as[(Long, Long)].collect().toSeq == Seq((2L, 20L)))
+  }
+
+  test("auto-compaction trigger: commit-dir count drives optimize, content survives") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_auto_compact")
+    Fs.deleteRecursive(spark, path)
+    (1 to 5).foreach { i =>
+      Sources.snapshotCommit(Seq((i.toLong, i * 10L)).toDF("id", "v"), path)
+      val v = Sources.snapshotLatestVersion(spark, path)
+      if (Sources.snapshotCommitDirs(spark, path, v) >= 4)
+        Sources.snapshotOptimize(spark, path)
+    }
+    val v = Sources.snapshotLatestVersion(spark, path)
+    // 4 appends -> dirs hit 4 -> optimize (v5, 1 dir) -> append 5 (2 dirs)
+    assert(v == 6)
+    assert(Sources.snapshotCommitDirs(spark, path, v) == 2)
+    assert(Sources.snapshotRead(spark, path, v)
+      .as[(Long, Long)].collect().toSeq.sorted ==
+      (1 to 5).map(i => (i.toLong, i * 10L)))
+  }
+
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_cdc")
