@@ -616,6 +616,96 @@ object SourceQueries {
              |FROM orders WHERE year(o_orderdate) = 1999
              |ORDER BY phase""".stripMargin)),
 
+    // ---- batch MERGE INTO (io19): the Delta MERGE upsert as one
+    // snapshot commit — one change set carrying updates (doc_id%5=1,
+    // n_chars+100), deletes (doc_id%5=2), and inserts (shifted ids
+    // for doc_id%5=3) applies in a single keyed anti-join + union,
+    // committed as an overwrite version. The gate reads the merged
+    // snapshot AND the pre-merge version (io12 time travel is what
+    // makes the merge auditable): post = the merged arithmetic,
+    // pre = the untouched original — both pinned by one oracle.
+    NamedQuery("io19_snapshot_merge", (s, dir) => {
+      val stage = stageDir("snapshot_merge", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val v1 = Sources.snapshotCommit(docs, stage)
+      val changes =
+        docs.filter(col("doc_id") % 5 === 1)
+          .withColumn("n_chars", col("n_chars") + 100)
+          .withColumn("is_delete", lit(false))
+        .unionByName(docs.filter(col("doc_id") % 5 === 2)
+          .withColumn("is_delete", lit(true)))
+        .unionByName(docs.filter(col("doc_id") % 5 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("is_delete", lit(false)))
+      val v2 = Sources.snapshotMerge(s, stage, changes, "doc_id", "is_delete")
+      def summarize(v: Int, tag: String) =
+        Sources.snapshotRead(s, stage, v)
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+            max("doc_id").as("max_id"))
+          .select(lit(tag).as("phase"), col("n_docs"), col("sum_chars"),
+            col("max_id"))
+      summarize(v1, "pre").unionByName(summarize(v2, "post")).orderBy("phase")
+    },
+      Some("""WITH merged AS (
+             |  SELECT doc_id, n_chars + 100 AS n_chars FROM documents
+             |    WHERE doc_id % 5 = 1
+             |  UNION ALL
+             |  SELECT doc_id, n_chars FROM documents
+             |    WHERE doc_id % 5 NOT IN (1, 2, 3)
+             |  UNION ALL
+             |  SELECT doc_id, n_chars FROM documents WHERE doc_id % 5 = 3
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, n_chars FROM documents
+             |    WHERE doc_id % 5 = 3)
+             |SELECT 'post' AS phase, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(max(doc_id) AS BIGINT) AS max_id
+             |FROM merged
+             |UNION ALL
+             |SELECT 'pre', count(*), CAST(sum(n_chars) AS BIGINT),
+             |  CAST(max(doc_id) AS BIGINT)
+             |FROM documents
+             |ORDER BY phase""".stripMargin)),
+
+    // ---- snapshot SCHEMA EVOLUTION (io20): a later commit adds a
+    // column the earlier commits don't have (and drops one) — the
+    // mergeSchema snapshot read unions the evolved footers and
+    // null-fills both directions, per commit dir, the Delta
+    // schema-evolution contract on the io12 table. Same summary
+    // shape as io10 (the plain-parquet twin), but the batches here
+    // are COMMITS of one versioned table.
+    NamedQuery("io20_snapshot_schema_evolution", (s, dir) => {
+      val stage = stageDir("snapshot_evolve", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val docs = Tables.documents(s, dir)
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_chars"), col("lang")), stage)
+      val v2 = Sources.snapshotCommit(docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars") % 7).as("quality")), stage)
+      Sources.snapshotRead(s, stage, v2, mergeSchema = true)
+        .groupBy((col("doc_id") % 2).cast("long").as("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_lang_null"),
+          sum(when(col("quality").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("n_quality_null"),
+          sum("n_chars").as("sum_chars"),
+          sum("quality").as("sum_quality"))
+        .orderBy("batch")
+    },
+      Some("""SELECT CAST(0 AS BIGINT) AS batch, count(*) AS n_docs,
+             |  CAST(0 AS BIGINT) AS n_lang_null, count(*) AS n_quality_null,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  CAST(NULL AS BIGINT) AS sum_quality
+             |FROM documents WHERE doc_id % 2 = 0
+             |UNION ALL
+             |SELECT 1, count(*), count(*), CAST(0 AS BIGINT),
+             |  CAST(sum(n_chars) AS BIGINT), CAST(sum(n_chars % 7) AS BIGINT)
+             |FROM documents WHERE doc_id % 2 != 0
+             |ORDER BY batch""".stripMargin)),
+
     // ---- parquet schema evolution: batch 1 written at schema v1
     // (doc_id, n_chars, lang), batch 2 at v2 (lang dropped, quality
     // added); the mergeSchema read must union the footers, null-fill

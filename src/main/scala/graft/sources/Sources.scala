@@ -360,6 +360,37 @@ object Sources {
     snapshotCommit(cur, path, overwrite = true, statsCols = statsCols)
   }
 
+  /** Batch MERGE INTO (io19) — the Delta MERGE / Iceberg merge-on-read
+    * upsert as one snapshot commit: `changes` rows whose `deleteCol`
+    * is true delete their key, every other change row REPLACES its
+    * key's current row (update) or lands new (insert), and untouched
+    * current rows carry over. Commits the merged set as an OVERWRITE
+    * version — prior versions keep reading their own snapshots, so
+    * the merge is also a time-travelable audit point (the GDPR/
+    * takedown shape: the pre-merge version proves what was removed).
+    *
+    * Scale shape: ONE keyed left-anti join of the current snapshot
+    * against the change keys plus a union — the same plan the sw25
+    * streaming CDC apply runs per micro-batch; the snapshot scan
+    * keeps full pushdown, nothing is collected. Change rows must
+    * carry the table schema plus `deleteCol`; the key must be unique
+    * in `changes` (one verdict per key per merge). Returns the new
+    * version. */
+  def snapshotMerge(spark: SparkSession, path: String, changes: DataFrame,
+      keyCol: String, deleteCol: String,
+      statsCols: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.col
+    val latest = snapshotLatestVersion(spark, path)
+    require(latest > 0, s"no snapshot table at $path")
+    val cur = snapshotRead(spark, path, latest)
+    val next = cur
+      .join(changes.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(changes.filter(!col(deleteCol)).drop(deleteCol))
+    // pin rows before committing back under the table root being read
+    snapshotCommit(next.localCheckpoint(), path, overwrite = true,
+      statsCols = statsCols)
+  }
+
   /** CLUSTERED optimize (io18) — io17's compaction without its
     * skipping-granularity loss: the latest live set is rewritten as
     * ONE new version whose data lands in per-cluster commit dirs
@@ -480,9 +511,14 @@ object Sources {
   /** Read the table AS OF `version`: union exactly the commit dirs
     * that version's manifest lists. The commit list is a
     * version-sized driver fetch (the broadcast-threshold pattern);
-    * the read is a plain parquet scan — pushdown/pruning intact. */
+    * the read is a plain parquet scan — pushdown/pruning intact.
+    * `mergeSchema = true` unions EVOLVED commit schemas (io20 — the
+    * Delta schema-evolution read: a column added by a later commit
+    * null-fills in earlier commits' rows and vice versa) at the cost
+    * of a footer read per commit dir; the default single-footer
+    * inference is right for tables whose commits share a schema. */
   def snapshotRead(spark: SparkSession, path: String,
-      version: Int): DataFrame = {
+      version: Int, mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val commits = manifestOf(spark, path)
@@ -490,7 +526,10 @@ object Sources {
       .filter(col("version") === version)
       .select("commit").as[String].collect()
     require(commits.nonEmpty, s"unknown snapshot version $version at $path")
-    spark.read.parquet(commits.map(c => s"$path/data/$c").toIndexedSeq: _*)
+    val reader =
+      if (mergeSchema) spark.read.option("mergeSchema", "true")
+      else spark.read
+    reader.parquet(commits.map(c => s"$path/data/$c").toIndexedSeq: _*)
   }
 
   /** VACUUM retention (io15) — the storage-reclaim half of the io12

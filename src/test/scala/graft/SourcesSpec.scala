@@ -234,6 +234,38 @@ class SourcesSpec extends SparkSpec {
       (1 to 5).map(i => (i.toLong, i * 10L)))
   }
 
+  test("snapshot merge: update/insert/delete in one commit, pre-merge version intact") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_merge")
+    Fs.deleteRecursive(spark, path)
+    val v1 = Sources.snapshotCommit(
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v"), path)
+    val changes = Seq((2L, 99L, false), (3L, 0L, true), (4L, 40L, false))
+      .toDF("id", "v", "del")
+    val v2 = Sources.snapshotMerge(spark, path, changes, "id", "del")
+    assert(v2 == 2)
+    assert(Sources.snapshotRead(spark, path, v2)
+      .as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 10L), (2L, 99L), (4L, 40L)))
+    // the pre-merge snapshot still reads the original rows
+    assert(Sources.snapshotRead(spark, path, v1)
+      .as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("snapshot mergeSchema read: evolved commits null-fill both directions") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_evolve")
+    Fs.deleteRecursive(spark, path)
+    Sources.snapshotCommit(Seq((1L, 10L)).toDF("id", "a"), path)
+    val v2 = Sources.snapshotCommit(Seq((2L, 7L)).toDF("id", "b"), path)
+    val r = Sources.snapshotRead(spark, path, v2, mergeSchema = true)
+    assert(r.columns.toSet == Set("id", "a", "b"))
+    val rows = r.select("id", "a", "b")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq.sortBy(_._1)
+    assert(rows == Seq((1L, Some(10L), None), (2L, None, Some(7L))))
+  }
+
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_cdc")
