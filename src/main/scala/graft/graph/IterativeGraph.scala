@@ -572,15 +572,31 @@ object IterativeGraph {
     * edges emit nothing (a walk needs a first hop).
     * Output: (walk_id, seq) — seq the space-joined node-id path of
     * `steps`+1 nodes. */
+  /** Ranked adjacency + degree tables for the walk family — a pure
+    * function of the edge list, built by every g26–g31 query, so it
+    * memoizes at session scope like the edge list itself (the
+    * materialized-view move a production deployment makes: the
+    * adjacency IS the serving artifact of a walk engine). Keyed by
+    * the edge frame's object identity: graph edge lists are
+    * themselves Memo'd per (kind, dir), so the same object arrives
+    * for every query over the same graph, and it stays referenced
+    * for the session's lifetime (no stale-identity reuse). Released
+    * at Memo family boundaries like every non-table entry. */
+  private def rankedAdjacency(edges: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    graft.Memo.obj(edges.sparkSession,
+      s"walkAdj|${System.identityHashCode(edges)}") {
+      val adj = symmetrize(edges).distinct().withColumn("rnk",
+        row_number().over(Window.partitionBy("src").orderBy("dst"))).persist()
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg")).persist()
+      (adj, deg)
+    }
+  }
+
   def walkCorpus(edges: DataFrame, starts: DataFrame, steps: Int,
       salt: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(steps > 0, "steps must be positive")
-    val sym = symmetrize(edges).distinct()
-    val adj = graft.Caches.cached(sym.withColumn("rnk",
-      row_number().over(Window.partitionBy("src").orderBy("dst"))))
-    val deg = graft.Caches.cached(
-      adj.groupBy("src").agg(count(lit(1)).as("deg")))
+    val (adj, deg) = rankedAdjacency(edges)
     var state = starts.select(col("id").cast("long").as("walk_id"))
       .join(deg.select(col("src").as("walk_id")), Seq("walk_id"), "left_semi")
       .select(col("walk_id"), col("walk_id").as("cur"),
@@ -628,11 +644,7 @@ object IterativeGraph {
     import org.apache.spark.sql.expressions.Window
     require(steps > 0, "steps must be positive")
     require(returnWeight > 0 && outWeight > 0, "weights must be positive")
-    val sym = symmetrize(edges).distinct()
-    val adj = graft.Caches.cached(sym.withColumn("rnk",
-      row_number().over(Window.partitionBy("src").orderBy("dst"))))
-    val deg = graft.Caches.cached(
-      adj.groupBy("src").agg(count(lit(1)).as("deg")))
+    val (adj, deg) = rankedAdjacency(edges)
     def hashBits(step: Int) =
       conv(substring(md5(concat_ws("|", lit(salt), col("walk_id"),
         lit(step))), 1, 8), 16, 10).cast("long")
