@@ -756,19 +756,40 @@ object IterativeGraph {
     * sum) rounds, to 4 dp like g10/g24. */
   def ppmiTopSimilar(walks: DataFrame, window: Int, sparsify: Int,
       k: Int): DataFrame = {
+    val top = graft.Caches.cached(ppmiVectors(walks, window, sparsify))
+    cosineTopK(top, top, k)
+  }
+
+  /** Sparse PPMI node vectors: each center's top-`sparsify` PPMI
+    * contexts with the center's L2 norm attached — (center, context,
+    * ppmi, nrm). The norm rides the sparsify window's own center
+    * partitioning (second WindowExec, zero extra shuffle). This IS
+    * the explicit-representation embedding table; [[writeNodeVectors]]
+    * persists it as the serving artifact. */
+  private def ppmiVectors(walks: DataFrame, window: Int,
+      sparsify: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byCenter = Window.partitionBy("center")
       .orderBy(col("ppmi").desc, col("context"))
     val centerAll = Window.partitionBy("center")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val top = graft.Caches.cached(ppmiPairs(walks, window)
+    ppmiPairs(walks, window)
       .withColumn("__r", row_number().over(byCenter))
       .filter(col("__r") <= sparsify).drop("__r")
-      .withColumn("__nrm", sqrt(sum(col("ppmi") * col("ppmi")).over(centerAll))))
-    val a = top.select(col("context"), col("center").as("__ca"),
-      col("ppmi").as("__pa"), col("__nrm").as("__na"))
-    val b = top.select(col("context"), col("center").as("__cb"),
-      col("ppmi").as("__pb"), col("__nrm").as("__nb"))
+      .withColumn("nrm", sqrt(sum(col("ppmi") * col("ppmi")).over(centerAll)))
+  }
+
+  /** Context-keyed sparse cosine top-k: each `query` center against
+    * every `index` center sharing a context — never all-pairs. Both
+    * sides carry their norms, so the cosine falls out of the (ca,cb)
+    * agg directly. */
+  private def cosineTopK(query: DataFrame, index: DataFrame,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = query.select(col("context"), col("center").as("__ca"),
+      col("ppmi").as("__pa"), col("nrm").as("__na"))
+    val b = index.select(col("context"), col("center").as("__cb"),
+      col("ppmi").as("__pb"), col("nrm").as("__nb"))
     val sims = a.join(b, "context").filter(col("__ca") =!= col("__cb"))
       .groupBy("__ca", "__cb")
       .agg(round((sum(col("__pa") * col("__pb")) /
@@ -778,6 +799,33 @@ object IterativeGraph {
       .filter(col("rnk") <= k)
       .select(col("__ca").as("center"), col("__cb").as("neighbor"),
         col("sim"), col("rnk").cast("int").as("rnk"))
+  }
+
+  /** PERSIST the PPMI node-vector table (g32) — the build half of the
+    * graph-embedding serving lifecycle: the [[ppmiVectors]] output
+    * written as a plain parquet artifact, exactly how the postings
+    * (s30) and IVF (s16) families persist their indexes. PPMI is a
+    * GLOBAL statistic (marginals couple every pair), so unlike the
+    * hash/gram indexes this artifact is batch-rebuilt per corpus
+    * release, not incrementally appended — the same contract as the
+    * trained PQ codebooks (m16). */
+  def writeNodeVectors(walks: DataFrame, window: Int, sparsify: Int,
+      path: String): Unit =
+    ppmiVectors(walks, window, sparsify)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** SERVE top-k similar nodes from a persisted vector artifact (g32):
+    * the query side restricts the artifact to `queryNodes` ids (a
+    * broadcast semi-side — query batches are small), the index side
+    * is the full artifact, and the cosine/rank plan is byte-identical
+    * to [[ppmiTopSimilar]]'s. A query id with no vector (never walked)
+    * serves nothing, by construction. */
+  def similarFromArtifact(spark: org.apache.spark.sql.SparkSession,
+      path: String, queryNodes: DataFrame, k: Int): DataFrame = {
+    val idx = graft.Caches.cached(spark.read.parquet(path))
+    val q = idx.join(broadcast(queryNodes.select(col("id").as("center"))),
+      Seq("center"))
+    cosineTopK(q, idx, k)
   }
 
   /** SGNS NEGATIVE sampling (g29) — the last data step of the

@@ -273,6 +273,36 @@ object GraphQueries {
       },
       Some(ppmiSimilarOracle(WalkSteps, window = 2, sparsify = 8, k = 3))),
 
+    // ---- PERSISTED node-vector serve (g32): the graph-embedding
+    // family's index lifecycle — g31's sparse PPMI vectors written
+    // once as a parquet artifact (build), then a small query batch
+    // (customers id%200=7) served against it: broadcast-restrict the
+    // query side, the same context-keyed cosine/rank plan as g31.
+    // PPMI marginals are global, so the artifact batch-rebuilds per
+    // corpus release (the m16 codebook contract), not via append.
+    // Oracle = g31's CTE chain with the final select filtered to the
+    // query ids (bounded below PartIdShift so shifted part vertices
+    // can't alias the modulus).
+    NamedQuery("g32_ppmi_vectors_persisted",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val starts = g.vertices
+          .filter(col("type") === "Customer" && col("id") % 50 === 7)
+          .select("id")
+        val path = graft.ScratchDirs.scratch("ppmi_vectors")
+        graft.Fs.deleteRecursive(s, path)
+        IterativeGraph.writeNodeVectors(
+          IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
+            salt = "walk"), window = 2, sparsify = 8, path)
+        val queryNodes = g.vertices
+          .filter(col("type") === "Customer" && col("id") % 200 === 7)
+          .select("id")
+        IterativeGraph.similarFromArtifact(s, path, queryNodes, k = 3)
+          .orderBy("center", "rnk")
+      },
+      Some(ppmiServeOracle(WalkSteps, window = 2, sparsify = 8, k = 3,
+        queryMod = 200, queryRem = 7))),
+
     // ---- SGNS negative samples (g29): completes the word2vec feed
     // g26/g27 opened — 2 deterministic negatives per distinct
     // skip-gram pair, drawn from the walk corpus's unigram mass by
@@ -942,8 +972,7 @@ object GraphQueries {
     * identical arithmetic to IterativeGraph.ppmiTopSimilar (the 6-dp
     * PPMI inputs are byte-identical both sides; only the final sim
     * rounds, like every double-summing query). */
-  private def ppmiSimilarOracle(steps: Int, window: Int, sparsify: Int,
-      k: Int): String =
+  private def ppmiSimCtes(steps: Int, window: Int, sparsify: Int): String =
     s"""${ppmiCtes(steps, window)},
        |pos AS (SELECT center, context, ppmi FROM pm WHERE ppmi > 0),
        |top AS (SELECT center, context, ppmi FROM (
@@ -960,9 +989,26 @@ object GraphQueries {
        |  FROM dots JOIN nrm na ON na.center = dots.ca
        |  JOIN nrm nb ON nb.center = dots.cb),
        |rk AS (SELECT ca, cb, sim, row_number() OVER (
-       |    PARTITION BY ca ORDER BY sim DESC, cb) AS rnk FROM sims)
+       |    PARTITION BY ca ORDER BY sim DESC, cb) AS rnk FROM sims)""".stripMargin
+
+  private def ppmiSimilarOracle(steps: Int, window: Int, sparsify: Int,
+      k: Int): String =
+    s"""${ppmiSimCtes(steps, window, sparsify)}
        |SELECT ca AS center, cb AS neighbor, sim, CAST(rnk AS INT) AS rnk
        |FROM rk WHERE rnk <= $k ORDER BY center, rnk""".stripMargin
+
+  /** Oracle for g32: g31's CTE chain with the final select filtered
+    * to the query batch — per-center ranks are unaffected by which
+    * centers get served, so the serve must equal the filtered full
+    * answer. The PartIdShift bound keeps shifted part vertices from
+    * aliasing the customer-id modulus. */
+  private def ppmiServeOracle(steps: Int, window: Int, sparsify: Int,
+      k: Int, queryMod: Int, queryRem: Int): String =
+    s"""${ppmiSimCtes(steps, window, sparsify)}
+       |SELECT ca AS center, cb AS neighbor, sim, CAST(rnk AS INT) AS rnk
+       |FROM rk WHERE rnk <= $k AND ca % $queryMod = $queryRem
+       |  AND ca < ${PropertyGraph.PartIdShift}
+       |ORDER BY center, rnk""".stripMargin
 
   /** Oracle for g29: replay the walks and the windowed pairing (g27's
     * CTEs), build the node-ordered cumulative occurrence mass, then

@@ -422,6 +422,25 @@ class GraphSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0, 1), (2L, 1L, 1.0, 1)))
   }
 
+  test("node-vector artifact: serve from parquet equals the in-session answer, unknown ids silent") {
+    import graft.graph.IterativeGraph
+    val walks = Seq((1L, "1 3"), (2L, "1 3"), (3L, "2 3"), (4L, "2 3"))
+      .toDF("walk_id", "seq")
+    val path = ScratchDirs.scratch("t_ppmi_vectors")
+    Fs.deleteRecursive(spark, path)
+    IterativeGraph.writeNodeVectors(walks, window = 1, sparsify = 8, path)
+    val full = IterativeGraph.ppmiTopSimilar(walks, window = 1,
+        sparsify = 8, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // query {1, 99}: 1 has a vector (serve = the full answer's rows
+    // for center 1), 99 was never walked (serves nothing)
+    val served = IterativeGraph.similarFromArtifact(spark, path,
+        Seq(1L, 99L).toDF("id"), k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served == full.filter(_._1 == 1L))
+    assert(served.nonEmpty)
+  }
+
   test("sgnsNegatives: draws follow the unigram mass via an independent md5 replay") {
     import graft.graph.IterativeGraph
     val walks = Seq((1L, "1 2 3"), (9L, "9 2 9")).toDF("walk_id", "seq")
