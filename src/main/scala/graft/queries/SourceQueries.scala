@@ -668,6 +668,32 @@ object SourceQueries {
              |FROM documents
              |ORDER BY phase""".stripMargin)),
 
+    // ---- IDEMPOTENT txn commits (io21): Delta's txn appId/version
+    // on the io12 table — the marker lands in the manifest row
+    // itself, so a commit and its dedup record are one append, and a
+    // RETRIED (appId, batchId) is a no-op returning the current
+    // version. The gate retries batch 1 between two real commits and
+    // summarizes (version count, content) — the duplicate must leave
+    // both untouched.
+    NamedQuery("io21_snapshot_txn_idempotent", (s, dir) => {
+      val stage = stageDir("snapshot_txn", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val b1 = docs.filter(col("doc_id") % 2 === 0)
+      val b2 = docs.filter(col("doc_id") % 2 === 1)
+      val v1 = Sources.snapshotCommit(b1, stage, txn = Some(("ingest", 1L)))
+      val vDup = Sources.snapshotCommit(b1, stage, txn = Some(("ingest", 1L)))
+      val v2 = Sources.snapshotCommit(b2, stage, txn = Some(("ingest", 2L)))
+      Sources.snapshotRead(s, stage, v2)
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(lit(v1).as("v1"), lit(vDup).as("v_dup"), lit(v2).as("v2"),
+          col("n_docs"), col("sum_chars"))
+    },
+      Some("""SELECT CAST(1 AS INT) AS v1, CAST(1 AS INT) AS v_dup,
+             |  CAST(2 AS INT) AS v2, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents""".stripMargin)),
+
     // ---- snapshot SCHEMA EVOLUTION (io20): a later commit adds a
     // column the earlier commits don't have (and drops one) — the
     // mergeSchema snapshot read unions the evolved footers and

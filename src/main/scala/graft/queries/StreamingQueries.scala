@@ -888,6 +888,33 @@ object StreamingQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, n_chars FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- EXACTLY-ONCE streaming ingest (sw28): the foreachBatch
+    // retry problem solved the way Delta sinks solve it — every
+    // micro-batch commits with txn = (query, batchId), and the
+    // handler COMMITS TWICE per batch (a deliberate in-line retry,
+    // the failure mode Structured Streaming actually replays). The
+    // duplicates must all no-op: the final table equals the feed
+    // exactly once under any batch split. Content is the oracle;
+    // SourcesSpec pins the marker arithmetic on controlled commits.
+    NamedQuery("sw28_stream_exactly_once",
+      (s, dir) => {
+        import graft.sources.Sources
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+        val table = graft.ScratchDirs.scratch("txn_ingest_table")
+        graft.Fs.deleteRecursive(s, table)
+        StreamRunner.runForeachBatchWithId(s, docs, "sw28_txn_ingest") {
+          (b, id) =>
+            Sources.snapshotCommit(b, table, txn = Some(("sw28", id)))
+            Sources.snapshotCommit(b, table, txn = Some(("sw28", id)))
+            ()
+        }
+        Sources.snapshotRead(s, table,
+            Sources.snapshotLatestVersion(s, table))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars FROM documents
              |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -301,12 +301,30 @@ object Sources {
     * ErrorIfExists throw. No reader ever sees the orphan (readers
     * union only manifest-listed dirs). Single writer per table, the
     * same contract Delta's log store requires; concurrent committers
-    * would need an atomic rename/CAS on the manifest. */
+    * would need an atomic rename/CAS on the manifest.
+    *
+    * `txn = Some((appId, batchId))` makes the commit IDEMPOTENT
+    * (io21/sw28 — Delta's txn appId/version): the marker lands in
+    * the manifest row itself, so the commit and its dedup record are
+    * one append, and a RETRY of an already-committed (appId, batchId)
+    * is a no-op returning the current version — the exactly-once
+    * contract a foreachBatch sink needs, because the streaming
+    * engine replays batches after failures. Markers live as long as
+    * some retained version's manifest rows carry them; vacuum
+    * preserves the columns, so the idempotence window is the vacuum
+    * retention window (Delta's is the log retention, same shape). */
   def snapshotCommit(df: DataFrame, path: String,
-      overwrite: Boolean = false, statsCols: Seq[String] = Nil): Int = {
+      overwrite: Boolean = false, statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Int = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
+    val alreadyCommitted = txn.exists { case (app, batch) =>
+      manifestOf(spark, path).exists(
+        _.filter(col("app") === app && col("batch") === batch)
+          .limit(1).count() > 0)
+    }
+    if (alreadyCommitted) return snapshotLatestVersion(spark, path)
     val v = snapshotLatestVersion(spark, path) + 1
     df.write.mode(SaveMode.Overwrite).parquet(s"$path/data/c$v")
     if (statsCols.nonEmpty) {
@@ -329,7 +347,12 @@ object Sources {
       if (overwrite || v == 1) Seq.empty
       else manifestOf(spark, path).get.filter(col("version") === v - 1)
         .select("commit").as[String].collect().toSeq
-    (prior :+ s"c$v").map(c => (v, c)).toDF("version", "commit")
+    // carried-over rows get no txn marker: the marker belongs to the
+    // commit it deduplicates, and it stays on that commit's own rows
+    val rows = prior.map(c => (v, c, None: Option[String],
+        None: Option[Long])) :+
+      (v, s"c$v", txn.map(_._1), txn.map(_._2))
+    rows.toDF("version", "commit", "app", "batch")
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/manifest")
     v
   }
@@ -449,7 +472,8 @@ object Sources {
       rows.toDF("commit", "column", "smin", "smax")
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/stats")
     }
-    dirs.map(d => (v, s"c$v/$d")).toDF("version", "commit")
+    dirs.map(d => (v, s"c$v/$d", None: Option[String], None: Option[Long]))
+      .toDF("version", "commit", "app", "batch")
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/manifest")
     v
   }
@@ -546,14 +570,17 @@ object Sources {
     import spark.implicits._
     val rows = manifestOf(spark, path)
       .getOrElse(sys.error(s"no snapshot table at $path"))
-      .as[(Int, String)].collect()
+      .select("version", "commit", "app", "batch")
+      .as[(Int, String, Option[String], Option[Long])].collect()
     require(rows.exists(_._1 >= keepFrom),
       s"vacuum would drop every version of $path (keepFrom=$keepFrom)")
     val keep = rows.filter(_._1 >= keepFrom)
     val keepSet = keep.map(_._2).toSet
     val drop = rows.map(_._2).toSet -- keepSet
     drop.foreach(c => graft.Fs.deleteRecursive(spark, s"$path/data/$c"))
-    keep.toSeq.toDF("version", "commit")
+    // txn markers (app, batch) survive the rewrite: the idempotence
+    // window is exactly the vacuum retention window
+    keep.toSeq.toDF("version", "commit", "app", "batch")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/manifest")
     // zone-map stats rows of deleted dirs go with them, so a later
     // pruned read never consults stats for a commit that no longer

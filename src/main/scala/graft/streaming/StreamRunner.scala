@@ -175,7 +175,15 @@ object StreamRunner {
     * own artifact afterwards (sw16 serves from the index the stream
     * grew). Staging/checkpoint dirs are reclaimed before returning. */
   def runForeachBatch(spark: SparkSession, batch: DataFrame,
-      name: String)(fn: DataFrame => Unit): Unit = {
+      name: String)(fn: DataFrame => Unit): Unit =
+    runForeachBatchWithId(spark, batch, name)((b, _) => fn(b))
+
+  /** [[runForeachBatch]] passing the engine's micro-batch id through
+    * to `fn` — the id a transactional sink keys its idempotence on
+    * (sw28: a retried batch re-arrives with the SAME id, which is
+    * what lets `snapshotCommit(txn = …)` no-op the duplicate). */
+  def runForeachBatchWithId(spark: SparkSession, batch: DataFrame,
+      name: String)(fn: (DataFrame, Long) => Unit): Unit = {
     val root = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream/" +
       s"${name}_p${ProcessHandle.current().pid()}_${runSeq.incrementAndGet()}"
     val stage = s"$root/in"
@@ -188,7 +196,7 @@ object StreamRunner {
         sys.env.getOrElse("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
       val q = src.writeStream
         .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            _: Long) => fn(b.toDF())
+            id: Long) => fn(b.toDF(), id)
         }
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(Trigger.AvailableNow())

@@ -266,6 +266,33 @@ class SourcesSpec extends SparkSpec {
     assert(rows == Seq((1L, Some(10L), None), (2L, None, Some(7L))))
   }
 
+  test("txn commits: retries no-op per (app, batch), apps are independent, markers survive vacuum") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_txn")
+    Fs.deleteRecursive(spark, path)
+    val b1 = Seq((1L, 10L)).toDF("id", "v")
+    val v1 = Sources.snapshotCommit(b1, path, txn = Some(("a", 1L)))
+    assert(v1 == 1)
+    // same (app, batch) retries: no new version, content unchanged
+    assert(Sources.snapshotCommit(b1, path, txn = Some(("a", 1L))) == 1)
+    assert(Sources.snapshotLatestVersion(spark, path) == 1)
+    assert(Sources.snapshotRead(spark, path, 1).count() == 1)
+    // a different app may reuse the batch id
+    val v2 = Sources.snapshotCommit(Seq((2L, 20L)).toDF("id", "v"), path,
+      txn = Some(("b", 1L)))
+    assert(v2 == 2)
+    val v3 = Sources.snapshotCommit(Seq((3L, 30L)).toDF("id", "v"), path,
+      txn = Some(("a", 2L)))
+    assert(v3 == 3)
+    // markers ride the manifest through vacuum: (a,2) still no-ops
+    Sources.snapshotVacuum(spark, path, keepFrom = 2)
+    assert(Sources.snapshotCommit(Seq((9L, 90L)).toDF("id", "v"), path,
+      txn = Some(("a", 2L))) == 3)
+    assert(Sources.snapshotRead(spark, path, 3)
+      .as[(Long, Long)].collect().toSeq.sorted ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_cdc")
