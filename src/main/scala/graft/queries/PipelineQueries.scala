@@ -3742,6 +3742,37 @@ object PipelineQueries {
       },
       Some(mixtureScheduleOracle("0.1", 4, 5, 10000L))),
 
+    // ---- PER-PHASE materialization (p34): the full phased-curation
+    // chain executed end to end — p31 solves the mixture, p33
+    // schedules 5 interpolated phases, and EACH phase's weights
+    // materialize through the p32 content-hash rule into its own
+    // training subset (per-phase budget 5000 tokens). One Catalyst
+    // plan: the corpus pays one tokenize for the solve and one
+    // hash-filter scan per phase, never shuffling; the gate pins the
+    // realized per-(phase, source) doc/token totals, and the oracle
+    // replays solve → schedule → thresholds → keeps in one CTE stack.
+    NamedQuery("p34_phased_materialize",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sched = Sampling.mixtureSchedule(
+          Sampling.domainReweight(docs, "source", "text",
+              eta = 0.1, rounds = 4)
+            .select("source", "w_init", "w_final"),
+          phases = 5, phaseBudget = 5000L)
+        val perPhase = (0 until 5).map { p =>
+          Sampling.mixFromWeights(docs, "source",
+              TextOps.tokenCount(col("text")).cast("long"), col("text"),
+              sched.filter(col("phase") === p).select("source", "w"),
+              budgetTokens = 5000L)
+            .withColumn("phase", lit(p))
+        }.reduce(_ unionByName _)
+        perPhase.groupBy("phase", "source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum(TextOps.tokenCount(col("text")).cast("long")).as("tok_kept"))
+          .orderBy("phase", "source")
+      },
+      Some(phasedMaterializeOracle("0.1", 4, 5, 5000L))),
+
     // ---- SOFT dedup weights (d34): downweight near-dup docs by
     // 1/|cluster| instead of dropping them — the reweighting
     // alternative to d12's hard drop, feeding the sampling stage a
@@ -5397,6 +5428,36 @@ object PipelineQueries {
        |SELECT CAST(phase AS INT) AS phase, source, w,
        |  CAST(floor($phaseBudget * w) AS BIGINT) AS phase_tokens
        |FROM sched ORDER BY phase, source""".stripMargin
+  }
+
+  /** Oracle for p34: the full phased-curation replay — p31's solve
+    * CTEs, p33's dyadic interpolation, then p32's threshold/hash-keep
+    * arithmetic per (phase, source). */
+  private def phasedMaterializeOracle(eta: String, rounds: Int, phases: Int,
+      phaseBudget: Long): String = {
+    val alphaRows = (0 until phases).map(t =>
+      s"($t, ${t.toDouble / (phases - 1)})").mkString(", ")
+    s"""${domainReweightCtes(eta, rounds)},
+       |w2 AS (SELECT r0.source, r0.w AS w_init, rf.w AS w_final, r0.n_tok
+       |  FROM r0 JOIN r$rounds rf USING (source)),
+       |ph AS (SELECT * FROM (VALUES $alphaRows) AS t(phase, alpha)),
+       |sched AS (SELECT ph.phase, w2.source, w2.n_tok,
+       |    round((1 - ph.alpha) * w_init + ph.alpha * w_final, 6) AS w
+       |  FROM w2 CROSS JOIN ph),
+       |thr AS (SELECT phase, source, CAST(floor(round(
+       |      least(1.0, $phaseBudget * w / n_tok), 6) * 1000000) AS BIGINT)
+       |    AS thr
+       |  FROM sched),
+       |tk AS (SELECT doc_id, source, text,
+       |    len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                    x -> len(x) > 0))::BIGINT AS ntok
+       |  FROM documents)
+       |SELECT CAST(thr.phase AS INT) AS phase, tk.source AS source,
+       |  count(*) AS n_kept, CAST(sum(ntok) AS BIGINT) AS tok_kept
+       |FROM tk JOIN thr ON tk.source = thr.source
+       |WHERE CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000000
+       |      < thr.thr
+       |GROUP BY 1, 2 ORDER BY phase, source""".stripMargin
   }
 
   /** Oracle for d34: the d12 cluster-label CTEs, then per-label sizes
