@@ -3747,10 +3747,11 @@ object PipelineQueries {
     // schedules 5 interpolated phases, and EACH phase's weights
     // materialize through the p32 content-hash rule into its own
     // training subset (per-phase budget 5000 tokens). One Catalyst
-    // plan: the corpus pays one tokenize for the solve and one
-    // hash-filter scan per phase, never shuffling; the gate pins the
-    // realized per-(phase, source) doc/token totals, and the oracle
-    // replays solve → schedule → thresholds → keeps in one CTE stack.
+    // plan, ONE corpus scan: the tokenize feeds the solve, and a
+    // single phase-aware broadcast threshold join (5 rows per doc)
+    // replaces a filter pass per phase; the gate pins the realized
+    // per-(phase, source) doc/token totals, and the oracle replays
+    // solve → schedule → thresholds → keeps in one CTE stack.
     NamedQuery("p34_phased_materialize",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
@@ -3759,14 +3760,10 @@ object PipelineQueries {
               eta = 0.1, rounds = 4)
             .select("source", "w_init", "w_final"),
           phases = 5, phaseBudget = 5000L)
-        val perPhase = (0 until 5).map { p =>
-          Sampling.mixFromWeights(docs, "source",
-              TextOps.tokenCount(col("text")).cast("long"), col("text"),
-              sched.filter(col("phase") === p).select("source", "w"),
-              budgetTokens = 5000L)
-            .withColumn("phase", lit(p))
-        }.reduce(_ unionByName _)
-        perPhase.groupBy("phase", "source")
+        Sampling.mixFromSchedule(docs, "source",
+            TextOps.tokenCount(col("text")).cast("long"), col("text"),
+            sched.select("phase", "source", "w"), budgetTokens = 5000L)
+          .groupBy("phase", "source")
           .agg(count(lit(1)).as("n_kept"),
             sum(TextOps.tokenCount(col("text")).cast("long")).as("tok_kept"))
           .orderBy("phase", "source")

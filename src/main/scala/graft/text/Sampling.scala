@@ -787,6 +787,31 @@ object Sampling {
         floor(lit(phaseBudget) * col("w")).cast("long").as("phase_tokens"))
   }
 
+  /** Materialize a whole mixture SCHEDULE in one corpus pass (p34) —
+    * [[mixFromWeights]] generalized over the phase axis: `schedule`
+    * is a (phase, source, w) table ([[mixtureSchedule]]'s output) and
+    * every document joins its source's phases-sized threshold slice
+    * (a broadcast fan-out of exactly `phases` rows per doc), keeping
+    * the (doc, phase) pairs whose content-hash bucket clears that
+    * phase's rate. ONE scan + ONE phase-aware broadcast join replaces
+    * a scan per phase — at 100 TB the difference between reading the
+    * corpus once and reading it `phases` times. Same integer
+    * threshold arithmetic as [[mixFromWeights]], so the per-phase
+    * slices are identical to running it per phase. */
+  def mixFromSchedule(df: DataFrame, strataCol: String, tokens: Column,
+      key: Column, schedule: DataFrame, budgetTokens: Long,
+      nBuckets: Int = 1000000): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(sum(tokens).as("__n"))
+    val thresholds = counts.join(schedule, strataCol)
+      .withColumn("__q",
+        least(lit(1.0), lit(budgetTokens) * col("w") / col("__n")))
+      .withColumn("__thr", floor(round(col("__q"), 6) * nBuckets).cast("long"))
+      .select(col("phase"), col(strataCol), col("__thr"))
+    df.join(broadcast(thresholds), Seq(strataCol))
+      .filter(hashBucket(key, nBuckets) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Materialize a SOLVED mixture (p32) — the APPLY step after a
     * domain-reweighting solve: `weights` is a source-count-sized
     * (source, w) table (e.g. [[domainReweight]]'s w_final, Σw = 1);

@@ -476,6 +476,27 @@ class SamplingSpec extends SparkSpec {
     assert(r.find(t => t._1 == 1 && t._2 == "a").get._4 == 625L)
   }
 
+  test("mixFromSchedule: one-pass phase fan-out equals mixFromWeights run per phase") {
+    import spark.implicits._
+    val docs = Seq(("a", 1L, "w x y z"), ("a", 2L, "p q r s"),
+      ("a", 3L, "k l m n"), ("b", 4L, "t u v w"), ("b", 5L, "c d i j"))
+      .toDF("source", "doc_id", "text")
+    val sched = Seq((0, "a", 0.3), (0, "b", 0.7), (1, "a", 0.9),
+      (1, "b", 0.1)).toDF("phase", "source", "w")
+    val onePass = Sampling.mixFromSchedule(docs, "source", lit(4L),
+        col("text"), sched, budgetTokens = 10L)
+      .select("phase", "source", "doc_id")
+      .as[(Int, String, Long)].collect().toSet
+    val perPhase = (0 to 1).flatMap { p =>
+      Sampling.mixFromWeights(docs, "source", lit(4L), col("text"),
+          sched.filter(col("phase") === p).select("source", "w"),
+          budgetTokens = 10L)
+        .select("source", "doc_id").as[(String, Long)].collect()
+        .map(t => (p, t._1, t._2))
+    }.toSet
+    assert(onePass == perPhase)
+  }
+
   test("mixFromWeights: budget binds per source, rate caps at 1, hash-keep matches hand thresholds") {
     import spark.implicits._
     // source a: 4 docs x 4 tokens = 16; source b: 2 docs x 4 tokens = 8
