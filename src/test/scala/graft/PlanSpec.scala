@@ -500,6 +500,27 @@ class PlanSpec extends SparkSpec {
       s"s27: corpus must never cross-join the queries:\n$plan")
   }
 
+  test("p34 phased materialization: thresholds broadcast onto ONE corpus scan (no cartesian)") {
+    import graft.queries.PipelineQueries
+    val plan = packPlan(PipelineQueries.all, "p34_phased_materialize")
+    // the (phase, source, thr) table is phases×sources rows and must
+    // broadcast; the corpus is scanned once, never cross-joined
+    assert(plan.contains("BroadcastHashJoin"),
+      s"p34: expected the threshold fan-out to broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"p34: corpus must never cross-join the schedule:\n$plan")
+  }
+
+  test("g31/g32 PPMI similarity: context-keyed sparse join, no cartesian, query side broadcast on the serve") {
+    import graft.queries.GraphQueries
+    for (name <- Seq("g31_ppmi_similar_nodes", "g32_ppmi_vectors_persisted")) {
+      val plan = packPlan(GraphQueries.all, name)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: the cosine must stay a context-keyed equi-join:\n$plan")
+    }
+  }
+
   test("surprisal/tf-idf joins broadcast their vocabulary-sized sides") {
     import graft.queries.PipelineQueries
     // t06: freq + 1-row total joined back to the corpus token stream;
