@@ -929,6 +929,43 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** PERSIST the portable SimHash sketch table as an index artifact
+    * (d35) — the missing lifecycle member of the sketch-index family
+    * (exact-hash d26, MinHash d27, gram d31 all have one): the
+    * [[simhashPortable]] (id, band0..band3) table written as plain
+    * parquet, built once per corpus release. */
+  def writeSimhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String): Unit =
+    simhashPortable(df, idCol, textCol)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** ADMISSION against the persisted SimHash index (d35): a batch doc
+    * is rejected when ANY indexed sketch shares a band bucket with it
+    * AND verifies at total hamming ≤ `maxHamming` (a re-submitted
+    * indexed doc self-matches at hamming 0 — re-ingest is a
+    * duplicate). Band-keyed equi-join batch-bands × index-bands,
+    * never all-pairs; the verify reads both sides' four band longs
+    * carried through the join. Returns the admitted batch rows. */
+  def simhashAdmit(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val bandNames = (0 until 4).map(b => s"band$b")
+    def banded(sk: DataFrame, idAs: String, pre: String) =
+      sk.select(col("id").as(idAs) +:
+        (0 until 4).map(i => col(s"band$i").as(s"$pre$i")) :+
+        posexplode(array(bandNames.map(col): _*)).as(Seq("band", "bh")): _*)
+    val idx = banded(spark.read.parquet(path), "id_i", "i")
+    val bsk = banded(graft.Caches.cached(
+      simhashPortable(batch, idCol, textCol)), "id_b", "b")
+    val hamming = (0 until 4)
+      .map(i => bit_count(col(s"b$i").bitwiseXOR(col(s"i$i"))))
+      .reduce(_ + _)
+    val rejected = bsk.join(idx, Seq("band", "bh"))
+      .filter(hamming <= maxHamming)
+      .select(col("id_b")).distinct()
+    batch.join(rejected, batch(idCol) === rejected("id_b"), "left_anti")
+  }
+
   /** Near-dup KEEP operator — the canonical LLM-corpus dedup move:
     * collapse every near-duplicate CLUSTER (not just pairwise matches)
     * to its minimum-id representative. Pipeline: banded-MinHash pairs

@@ -422,6 +422,26 @@ object PipelineQueries {
       },
       Some(simhashPortablePairsOracle(maxHamming = 3))),
 
+    // ---- PERSISTED SimHash index admission (d35): the sketch-index
+    // lifecycle for the SimHash family (exact-hash d26, MinHash d27,
+    // gram d31 each have theirs) — the corpus slice doc_id%3≠0 builds
+    // the index once, then the FULL corpus re-ingests against it:
+    // indexed docs self-match at hamming 0 and are rejected, fresh
+    // docs are rejected only when a banded candidate verifies at
+    // hamming ≤ 3. Band-keyed join, never all-pairs; the oracle
+    // replays sketch → band join → hamming verify → anti-join.
+    NamedQuery("d35_simhash_index_admission",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("simhash_index")
+        graft.Fs.deleteRecursive(s, path)
+        Dedup.writeSimhashIndex(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", path)
+        Dedup.simhashAdmit(s, path, docs, "doc_id", "text", maxHamming = 3)
+          .select("doc_id").orderBy("doc_id")
+      },
+      Some(simhashAdmitOracle(maxHamming = 3))),
+
     // ---- exact-dedup KEEP operator over planted copies: the survivors
     // must be exactly the minimum-id row per distinct text.
     NamedQuery("d07_dedup_kept_docs",
@@ -5143,6 +5163,28 @@ object PipelineQueries {
        |  FROM cand JOIN sk a ON id_a = a.id JOIN sk b ON id_b = b.id)
        |SELECT id_a, id_b, hamming FROM ver WHERE hamming <= $maxHamming
        |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Generated oracle for the d35 index admission: the d10 sketch CTEs
+    * once over the full corpus, a band-bucket join of every doc (batch
+    * side) against the doc_id%3≠0 slice (index side), per-pair hamming
+    * verify, then the anti-join — identical arithmetic to
+    * Dedup.writeSimhashIndex + simhashAdmit. */
+  private def simhashAdmitOracle(maxHamming: Int): String = {
+    val ham = (0 until 4)
+      .map(b => s"bit_count(xor(sa.band$b, sb.band$b))").mkString(" + ")
+    s"""WITH all_docs AS (SELECT doc_id AS id, text FROM documents),
+       |${simhashCtes("all_docs")},
+       |banded AS (SELECT sk.id, b.band,
+       |    CASE b.band WHEN 0 THEN band0 WHEN 1 THEN band1
+       |                WHEN 2 THEN band2 ELSE band3 END AS bh
+       |  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+       |rej AS (SELECT DISTINCT a.id
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  JOIN sk sa ON sa.id = a.id JOIN sk sb ON sb.id = b.id
+       |  WHERE b.id % 3 <> 0 AND ($ham) <= $maxHamming)
+       |SELECT id AS doc_id FROM sk WHERE id NOT IN (SELECT id FROM rej)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Generated oracle for the embedding near-dup KEEP (d13): the d06

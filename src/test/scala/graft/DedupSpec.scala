@@ -23,6 +23,30 @@ class DedupSpec extends SparkSpec {
     assert(got(2L).isEmpty)
   }
 
+  test("simhash index admission: re-ingested and copied docs rejected, fresh text admitted") {
+    import graft.dedup.Dedup
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "entirely different words about spark and parquet tables"))
+      .toDF("doc_id", "text")
+    val path = ScratchDirs.scratch("t_simhash_idx")
+    Fs.deleteRecursive(spark, path)
+    Dedup.writeSimhashIndex(corpus, "doc_id", "text", path)
+    val batch = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),   // re-ingest
+      (9L, "the quick brown fox jumps over the lazy dog"),   // copy, new id
+      (10L, "completely unrelated zebra volcano umbrella quartz melody"))
+      .toDF("doc_id", "text")
+    val admitted = Dedup.simhashAdmit(spark, path, batch, "doc_id", "text",
+        maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(admitted == Seq(10L))
+    // maxHamming = 0 still rejects exact sketch matches
+    val strict = Dedup.simhashAdmit(spark, path, batch, "doc_id", "text",
+        maxHamming = 0)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(strict == Seq(10L))
+  }
+
   test("exactGroups finds the duplicate text group with min keep_id") {
     val groups = Dedup.exactGroups(base, "doc_id", "text")
     assert(groups.count() == 4) // 5 docs, one pair collapses
