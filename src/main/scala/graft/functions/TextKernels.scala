@@ -329,6 +329,45 @@ object TextKernels {
     }
     new GenericArrayData(mins)
   }
+
+  /** Fused text → portable SimHash BAND LONGS — the per-row scan-stage
+    * form of graft.dedup.Dedup.simhashPortable's groupBy output,
+    * bit-identical band for band: per token OCCURRENCE (Σ ±1 per
+    * occurrence ≡ the tf-weighted sum), global bit g reads bit g%4 of
+    * md5 hex nibble g/4, and band b packs the signs of bits
+    * 16b..16b+15 (> 0 rule, the SimHashAgg contract). Streaming
+    * admission (sw29) carries this on each arriving row so the band
+    * probe AND the hamming verify run without any stream-side
+    * aggregation. Token-less text → EMPTY array (the batch sketch
+    * drops such docs before the agg; they must sign nothing and match
+    * nothing, not sketch to zeros). */
+  def simhashBandsFromText(text: UTF8String): ArrayData = {
+    val tokens = tokenize(text)
+    if (tokens.isEmpty) return new GenericArrayData(Array.empty[Long])
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < tokens.size) {
+      val hx = md5Hex(tokens.get(i)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var g = 0
+      while (g < 64) {
+        val nib = Character.digit(hx.charAt(g / 4), 16)
+        if (((nib >> (g % 4)) & 1) == 1) counts(g) += 1 else counts(g) -= 1
+        g += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](4)
+    var b = 0
+    while (b < 4) {
+      var v = 0L
+      var k = 0
+      while (k < 16) { if (counts(b * 16 + k) > 0) v |= (1L << k); k += 1 }
+      out(b) = v
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** The single authority for wiring [[TextKernels]] methods into
@@ -398,6 +437,13 @@ object TextKernelExprs {
     literalInt(args(2), "numHashes", "graft_minhash_sig_text")
     StaticInvoke(Kernels, ArrayType(LongType, containsNull = false),
       "minhashSigFromText", args, returnNullable = false)
+  }
+
+  def simhashBandsText(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.types.LongType
+    require(args.length == 1, "graft_simhash_bands_text(text)")
+    StaticInvoke(Kernels, ArrayType(LongType, containsNull = false),
+      "simhashBandsFromText", args, returnNullable = false)
   }
 
   def cdcChunks(args: Seq[Expression]): Expression = {

@@ -5187,6 +5187,33 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Generated oracle for sw29: the d35 CTEs over the full corpus, a
+    * feed of odd docs + planted replays (ids +1e6 mapping back to
+    * their source sketch), band join against the even-half index,
+    * hamming verify, anti-join. */
+  private[queries] def simhashStreamAdmissionOracle(maxHamming: Int): String = {
+    val ham = (0 until 4)
+      .map(b => s"bit_count(xor(sa.band$b, sb.band$b))").mkString(" + ")
+    s"""WITH all_docs AS (SELECT doc_id AS id, text FROM documents),
+       |${simhashCtes("all_docs")},
+       |banded AS (SELECT sk.id, b.band,
+       |    CASE b.band WHEN 0 THEN band0 WHEN 1 THEN band1
+       |                WHEN 2 THEN band2 ELSE band3 END AS bh
+       |  FROM sk CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b),
+       |feed AS (SELECT doc_id AS id FROM documents WHERE doc_id % 2 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 0),
+       |rej AS (SELECT DISTINCT f.id
+       |  FROM feed f
+       |  JOIN banded a ON a.id =
+       |    CASE WHEN f.id >= 1000000 THEN f.id - 1000000 ELSE f.id END
+       |  JOIN banded b ON a.band = b.band AND a.bh = b.bh
+       |  JOIN sk sa ON sa.id = a.id JOIN sk sb ON sb.id = b.id
+       |  WHERE b.id % 2 = 0 AND ($ham) <= $maxHamming)
+       |SELECT id FROM feed WHERE id NOT IN (SELECT id FROM rej)
+       |ORDER BY id""".stripMargin
+  }
+
   /** Generated oracle for the embedding near-dup KEEP (d13): the d06
     * LSH-pair CTEs + unrolled min-label component steps + min-id
     * survivors — mirroring Similarity.dropNearDupEmbeddingsLsh. */

@@ -890,6 +890,34 @@ object StreamingQueries {
       Some("""SELECT doc_id, n_chars FROM documents
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- streaming SimHash admission (sw29): d35's executed-
+    // streaming twin — the even half's sketches persist as the index,
+    // then odd docs + planted replays of INDEXED docs (%10==0,
+    // +1000000) arrive as a stream; each row sketches via the fused
+    // per-row band kernel (bit-identical to the batch agg) and four
+    // stream-static anti-joins drop rows any index sketch matches at
+    // hamming ≤ 3. Replays reject at hamming 0; odd docs admit unless
+    // near-dup of an even one. The oracle replays sketch → band join
+    // → verify → anti-join over the same feed.
+    NamedQuery("sw29_stream_simhash_admission",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val path = graft.ScratchDirs.scratch("simhash_idx_stream")
+        graft.Fs.deleteRecursive(s, path)
+        graft.dedup.Dedup.writeSimhashIndex(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        val feed = docs.filter(col("doc_id") % 2 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 10 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+        val admitted = StreamRunner.runAvailableNow(s, feed,
+            "sw29_simhash_admission", "append") { src =>
+          EventStreams.simhashIndexAdmission(src, "doc_id", "text", path,
+            maxHamming = 3)
+        }
+        admitted.orderBy("id")
+      },
+      Some(PipelineQueries.simhashStreamAdmissionOracle(maxHamming = 3))),
+
     // ---- EXACTLY-ONCE streaming ingest (sw28): the foreachBatch
     // retry problem solved the way Delta sinks solve it — every
     // micro-batch commits with txn = (query, batchId), and the

@@ -642,6 +642,34 @@ object EventStreams {
     cur.select(col(idCol).as("id"))
   }
 
+  /** Streaming ADMISSION against the persisted SimHash index (sw29 —
+    * d35's executed-streaming twin): each arriving row computes its
+    * four band longs via the fused per-row kernel (no stream-side
+    * aggregation), then four chained stream-static LEFT ANTI
+    * broadcast joins drop it when any index sketch shares band b AND
+    * verifies at total hamming ≤ `maxHamming`. Token-less rows sign
+    * an empty array — `get` yields null, no band ever matches, they
+    * admit (the batch simhashAdmit contract). */
+  def simhashIndexAdmission(docs: DataFrame, idCol: String, textCol: String,
+      indexPath: String, maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    val bandsExpr = GraftExpressionBridge.column(
+      graft.functions.TextKernelExprs.simhashBandsText(
+        Seq(GraftExpressionBridge.expression(col(textCol)))))
+    val idx = docs.sparkSession.read.parquet(indexPath)
+      .select((0 until 4).map(i => col(s"band$i").as(s"__i$i")): _*)
+    var cur = docs.withColumn("__sb", bandsExpr)
+    val ham = (0 until 4)
+      .map(i => bit_count(get(col("__sb"), lit(i)).bitwiseXOR(col(s"__i$i"))))
+      .reduce(_ + _)
+    for (b <- 0 until 4) {
+      cur = cur.join(broadcast(idx),
+        get(col("__sb"), lit(b)) === col(s"__i$b") && ham <= maxHamming,
+        "left_anti")
+    }
+    cur.select(col(idCol).as("id"))
+  }
+
   /** One event on the wire (micros-precision event time `ts`). */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

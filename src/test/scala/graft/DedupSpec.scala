@@ -47,6 +47,27 @@ class DedupSpec extends SparkSpec {
     assert(strict == Seq(10L))
   }
 
+  test("per-row simhash band kernel is bit-identical to the batch sketch; empty text signs nothing") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.GraftExpressionBridge
+    val docs = Seq((1L, "the quick brown fox the fox"),
+      (2L, "entirely different words"), (3L, "singletoken"))
+      .toDF("doc_id", "text")
+    val kernel = GraftExpressionBridge.column(
+      graft.functions.TextKernelExprs.simhashBandsText(
+        Seq(GraftExpressionBridge.expression(col("text")))))
+    val viaKernel = docs.select(col("doc_id").as("id"),
+        kernel.getItem(0).as("band0"), kernel.getItem(1).as("band1"),
+        kernel.getItem(2).as("band2"), kernel.getItem(3).as("band3"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val viaBatch = Dedup.simhashPortable(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaKernel == viaBatch)
+    val empty = Seq((9L, "!!! ???")).toDF("doc_id", "text")
+      .select(size(kernel).as("n")).as[Int].head()
+    assert(empty == 0)
+  }
+
   test("exactGroups finds the duplicate text group with min keep_id") {
     val groups = Dedup.exactGroups(base, "doc_id", "text")
     assert(groups.count() == 4) // 5 docs, one pair collapses
