@@ -694,6 +694,44 @@ object SourceQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents""".stripMargin)),
 
+    // ---- commit-time CHECK constraints (io22): Delta's ALTER TABLE
+    // ADD CONSTRAINT — two declared checks guard the table; a valid
+    // batch commits, a batch with planted violations (negative
+    // n_chars) is rejected all-or-nothing with the table untouched,
+    // and a second valid batch then commits cleanly. The gate output
+    // pins the version arithmetic (rejected commit consumed NO
+    // version) and the surviving content; the throw itself is
+    // SourcesSpec-pinned.
+    NamedQuery("io22_snapshot_check_constraints", (s, dir) => {
+      val stage = stageDir("snapshot_check", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      Sources.snapshotAddConstraint(s, stage, "chars_positive", "n_chars > 0")
+      Sources.snapshotAddConstraint(s, stage, "id_not_null",
+        "doc_id IS NOT NULL")
+      val v1 = Sources.snapshotCommitChecked(
+        docs.filter(col("doc_id") % 2 === 0), stage)
+      val rejected =
+        try {
+          Sources.snapshotCommitChecked(
+            docs.filter(col("doc_id") % 2 === 1)
+              .withColumn("n_chars", when(col("doc_id") % 5 === 1,
+                -col("n_chars")).otherwise(col("n_chars"))), stage)
+          0
+        } catch { case e: IllegalArgumentException
+            if e.getMessage.contains("chars_positive") => 1 }
+      val v2 = Sources.snapshotCommitChecked(
+        docs.filter(col("doc_id") % 2 === 1), stage)
+      Sources.snapshotRead(s, stage, v2)
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .select(lit(v1).as("v1"), lit(rejected).as("n_rejected"),
+          lit(v2).as("v2"), col("n_docs"), col("sum_chars"))
+    },
+      Some("""SELECT CAST(1 AS INT) AS v1, CAST(1 AS INT) AS n_rejected,
+             |  CAST(2 AS INT) AS v2, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents""".stripMargin)),
+
     // ---- snapshot SCHEMA EVOLUTION (io20): a later commit adds a
     // column the earlier commits don't have (and drops one) — the
     // mergeSchema snapshot read unions the evolved footers and

@@ -383,6 +383,59 @@ object Sources {
     snapshotCommit(cur, path, overwrite = true, statsCols = statsCols)
   }
 
+  /** Declare a CHECK constraint on a snapshot table (io22 — Delta's
+    * ALTER TABLE ADD CONSTRAINT): `checkSql` is a boolean SQL
+    * expression every FUTURE checked commit must satisfy on every
+    * row. Stored as (name, expr) beside the manifest; engine-neutral
+    * (the expression is SQL text, not a serialized plan). */
+  def snapshotAddConstraint(spark: SparkSession, path: String,
+      name: String, checkSql: String): Unit = {
+    import spark.implicits._
+    require(name.nonEmpty && checkSql.nonEmpty, "name and check required")
+    Seq((name, checkSql)).toDF("name", "check_sql")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/constraints")
+  }
+
+  /** The table's declared constraints (empty when none). */
+  def snapshotConstraintsOf(spark: SparkSession,
+      path: String): Seq[(String, String)] = {
+    import spark.implicits._
+    val p = s"$path/constraints"
+    if (!graft.Fs.exists(spark, p)) Seq.empty
+    else spark.read.parquet(p).as[(String, String)].collect().toSeq.sorted
+  }
+
+  /** Commit with CHECK enforcement (io22): ONE aggregation pass counts
+    * each declared constraint's violating rows in `df`; any violation
+    * fails the whole commit LOUDLY (names + counts) and the table is
+    * untouched — enforcement is all-or-nothing at the commit boundary,
+    * the Delta constraint contract. A null check result counts as a
+    * violation (unknown is not proof of validity). Clean batches
+    * delegate to [[snapshotCommit]] unchanged. Costs one validation
+    * pass over the batch before the write pass (all constraints fold
+    * into a single agg); Delta folds validation into the write
+    * itself — the two-pass form keeps the reject path table-neutral
+    * without write-side hooks. */
+  def snapshotCommitChecked(df: DataFrame, path: String,
+      overwrite: Boolean = false, statsCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Int = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, sum, when}
+    val spark = df.sparkSession
+    val cs = snapshotConstraintsOf(spark, path)
+    if (cs.nonEmpty) {
+      val aggs = cs.map { case (n, c) =>
+        sum(when(!coalesce(expr(c), lit(false)), 1L).otherwise(0L)).as(n)
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head
+      val bad = cs.zipWithIndex
+        .map { case ((n, c), i) => (n, c, row.getLong(i)) }
+        .filter(_._3 > 0)
+      require(bad.isEmpty, "constraint violation(s), commit rejected: " +
+        bad.map { case (n, c, k) => s"$n [$c]: $k row(s)" }.mkString("; "))
+    }
+    snapshotCommit(df, path, overwrite, statsCols, txn)
+  }
+
   /** Batch MERGE INTO (io19) — the Delta MERGE / Iceberg merge-on-read
     * upsert as one snapshot commit: `changes` rows whose `deleteCol`
     * is true delete their key, every other change row REPLACES its

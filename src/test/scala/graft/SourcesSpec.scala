@@ -293,6 +293,32 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, 10L), (2L, 20L), (3L, 30L)))
   }
 
+  test("check constraints: violations reject the whole commit loudly, table untouched, nulls violate") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_check")
+    Fs.deleteRecursive(spark, path)
+    Sources.snapshotAddConstraint(spark, path, "v_positive", "v > 0")
+    assert(Sources.snapshotCommitChecked(
+      Seq((1L, 10L)).toDF("id", "v"), path) == 1)
+    val e = intercept[IllegalArgumentException] {
+      Sources.snapshotCommitChecked(
+        Seq((2L, 20L), (3L, -5L), (4L, -6L)).toDF("id", "v"), path)
+    }
+    assert(e.getMessage.contains("v_positive") && e.getMessage.contains("2 row(s)"))
+    // all-or-nothing: nothing from the bad batch landed, no version burned
+    assert(Sources.snapshotLatestVersion(spark, path) == 1)
+    assert(Sources.snapshotRead(spark, path, 1).count() == 1)
+    // a NULL check result is a violation, not a pass
+    val n = intercept[IllegalArgumentException] {
+      Sources.snapshotCommitChecked(
+        Seq((5L, Option.empty[Long])).toDF("id", "v"), path)
+    }
+    assert(n.getMessage.contains("v_positive"))
+    // clean batch commits fine afterwards
+    assert(Sources.snapshotCommitChecked(
+      Seq((6L, 60L)).toDF("id", "v"), path) == 2)
+  }
+
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_cdc")
