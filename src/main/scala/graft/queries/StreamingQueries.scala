@@ -918,6 +918,56 @@ object StreamingQueries {
       },
       Some(PipelineQueries.simhashStreamAdmissionOracle(maxHamming = 3))),
 
+    // ---- streaming CHECKED ingest with quarantine (sw30): the io22
+    // constraints enforced row-level in the ingest loop — the shape
+    // production pipelines actually run (Delta rejects the batch;
+    // pipelines SPLIT it): each micro-batch's rows that satisfy every
+    // declared check commit to the table, violators append to a
+    // quarantine sink with the violated constraint named. The feed
+    // plants negative n_chars on doc_id%7==0; the gate pins BOTH
+    // sides — admitted content AND the quarantine ledger — under one
+    // oracle, batch-split-independent because the split is row-pure.
+    NamedQuery("sw30_stream_checked_ingest",
+      (s, dir) => {
+        import graft.sources.Sources
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+        val feed = docs.withColumn("n_chars",
+          when(col("doc_id") % 7 === 0, -col("n_chars"))
+            .otherwise(col("n_chars")))
+        val table = graft.ScratchDirs.scratch("checked_ingest_table")
+        val quar = graft.ScratchDirs.scratch("checked_ingest_quarantine")
+        graft.Fs.deleteRecursive(s, table)
+        graft.Fs.deleteRecursive(s, quar)
+        Sources.snapshotAddConstraint(s, table, "chars_positive",
+          "n_chars > 0")
+        val checks = Sources.snapshotConstraintsOf(s, table)
+        StreamRunner.runForeachBatch(s, feed, "sw30_checked_ingest") { b =>
+          val viol = checks.map { case (n, c) =>
+            when(!coalesce(expr(c), lit(false)), lit(n)) }
+          val flagged = b.withColumn("__viol",
+            coalesce(viol :+ lit(null).cast("string"): _*))
+          flagged.filter(col("__viol").isNotNull)
+            .withColumn("violated", col("__viol")).drop("__viol")
+            .write.mode("append").parquet(quar)
+          Sources.snapshotCommitChecked(
+            flagged.filter(col("__viol").isNull).drop("__viol"), table)
+          ()
+        }
+        val kept = Sources.snapshotRead(s, table,
+            Sources.snapshotLatestVersion(s, table))
+          .select(col("doc_id"), col("n_chars"),
+            lit(null).cast("string").as("violated"))
+        val quarantined = s.read.parquet(quar)
+          .select("doc_id", "n_chars", "violated")
+        kept.unionByName(quarantined).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_chars, CAST(NULL AS VARCHAR) AS violated
+             |FROM documents WHERE doc_id % 7 <> 0
+             |UNION ALL
+             |SELECT doc_id, -n_chars, 'chars_positive' FROM documents
+             |WHERE doc_id % 7 = 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // ---- EXACTLY-ONCE streaming ingest (sw28): the foreachBatch
     // retry problem solved the way Delta sinks solve it — every
     // micro-batch commits with txn = (query, batchId), and the
