@@ -76,11 +76,29 @@ object Memo {
     * positionally, so true semantic twins — and only those — share a
     * key). The 32-bit `semanticHash()` previously used here could
     * collide two same-schema plans differing only in filters/params
-    * and silently serve one query's memoized result to the other. */
+    * and silently serve one query's memoized result to the other.
+    *
+    * LocalRelation leaves canonicalize WITHOUT their rows (the plan
+    * string is just the schema), so the digest also folds in each
+    * local leaf's row data — two in-memory frames with one schema but
+    * different literals must not share a key. Scan-based plans carry
+    * their paths in the plan string and pay nothing extra; local
+    * relations are driver-sized by construction, so hashing their
+    * rows is cheap. */
   def planKey(df: DataFrame): String = {
-    val canon = df.queryExecution.analyzed.canonicalized.toString
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val analyzed = df.queryExecution.analyzed
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    md.update(analyzed.canonicalized.toString.getBytes(utf8))
+    analyzed.collectLeaves().foreach {
+      // InternalRow.toString renders content (field values or the
+      // UnsafeRow hex bytes) — content-based either way, unlike
+      // GenericInternalRow.hashCode which is identity-based
+      case lr: LocalRelation =>
+        lr.data.foreach(r => md.update(r.toString.getBytes(utf8)))
+      case _ => ()
+    }
+    md.digest().map("%02x".format(_)).mkString
   }
 }

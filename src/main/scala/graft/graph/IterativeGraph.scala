@@ -577,15 +577,18 @@ object IterativeGraph {
     * memoizes at session scope like the edge list itself (the
     * materialized-view move a production deployment makes: the
     * adjacency IS the serving artifact of a walk engine). Keyed by
-    * the edge frame's object identity: graph edge lists are
-    * themselves Memo'd per (kind, dir), so the same object arrives
-    * for every query over the same graph, and it stays referenced
-    * for the session's lifetime (no stale-identity reuse). Released
-    * at Memo family boundaries like every non-table entry. */
+    * the edge frame's canonicalized-plan MD5 ([[graft.Memo.planKey]]):
+    * semantic twins — and only those — share the entry, so a
+    * non-Memo'd caller with an equivalent edge frame reuses the
+    * cached pair instead of leaking a fresh persisted one, and two
+    * different live edge frames can never collide (identity hash
+    * codes, used here before r11, are not unique and can be reused
+    * after GC). Released at Memo family boundaries like every
+    * non-table entry. */
   private def rankedAdjacency(edges: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     graft.Memo.obj(edges.sparkSession,
-      s"walkAdj|${System.identityHashCode(edges)}") {
+      s"walkAdj|${graft.Memo.planKey(edges)}") {
       val adj = symmetrize(edges).distinct().withColumn("rnk",
         row_number().over(Window.partitionBy("src").orderBy("dst"))).persist()
       val deg = adj.groupBy("src").agg(count(lit(1)).as("deg")).persist()

@@ -267,7 +267,12 @@ object Sources {
 
   private def manifestOf(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = s"$path/manifest"
-    if (graft.Fs.exists(spark, p)) Some(spark.read.parquet(p)) else None
+    // mergeSchema: a manifest appended to across engine upgrades mixes
+    // the pre-txn 2-column footers with the 4-column (app, batch) ones;
+    // footer-sampling a random file would resolve columns by luck
+    if (graft.Fs.exists(spark, p))
+      Some(spark.read.option("mergeSchema", "true").parquet(p))
+    else None
   }
 
   /** Latest committed version (0 when the table doesn't exist yet). */
@@ -319,10 +324,14 @@ object Sources {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     import spark.implicits._
+    // guard on column presence: a table whose manifest predates the
+    // txn columns entirely (all 2-column footers) simply has no
+    // markers — the idempotence check degrades to "not committed"
     val alreadyCommitted = txn.exists { case (app, batch) =>
-      manifestOf(spark, path).exists(
-        _.filter(col("app") === app && col("batch") === batch)
-          .limit(1).count() > 0)
+      manifestOf(spark, path).exists(m =>
+        m.columns.contains("app") && m.columns.contains("batch") &&
+          m.filter(col("app") === app && col("batch") === batch)
+            .limit(1).count() > 0)
     }
     if (alreadyCommitted) return snapshotLatestVersion(spark, path)
     val v = snapshotLatestVersion(spark, path) + 1
@@ -423,8 +432,12 @@ object Sources {
     val spark = df.sparkSession
     val cs = snapshotConstraintsOf(spark, path)
     if (cs.nonEmpty) {
+      // outer coalesce: sum() over an EMPTY batch is null, and an
+      // empty micro-batch must commit as a no-op, not NPE on getLong
       val aggs = cs.map { case (n, c) =>
-        sum(when(!coalesce(expr(c), lit(false)), 1L).otherwise(0L)).as(n)
+        coalesce(
+          sum(when(!coalesce(expr(c), lit(false)), 1L).otherwise(0L)),
+          lit(0L)).as(n)
       }
       val row = df.agg(aggs.head, aggs.tail: _*).head
       val bad = cs.zipWithIndex

@@ -571,4 +571,21 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"d21: the self-join must stay keyed by md5(text):\n$plan")
   }
+
+  test("Memo.planKey: semantic twins share, different local data must not") {
+    import spark.implicits._
+    // two in-memory frames, one schema, different rows: LocalRelation
+    // canonicalizes without its data, so the key must fold the rows in
+    val a = Seq((1L, 2L)).toDF("src", "dst")
+    val b = Seq((1L, 3L)).toDF("src", "dst")
+    assert(Memo.planKey(a) != Memo.planKey(b))
+    // true semantic twins (same data, fresh attribute ids) DO share
+    assert(Memo.planKey(a) == Memo.planKey(Seq((1L, 2L)).toDF("src", "dst")))
+    // scan-based twins share; a different filter splits the key
+    val s1 = spark.read.parquet(s"$sf/nation.parquet").filter(col("n_regionkey") === 1)
+    val s2 = spark.read.parquet(s"$sf/nation.parquet").filter(col("n_regionkey") === 1)
+    val s3 = spark.read.parquet(s"$sf/nation.parquet").filter(col("n_regionkey") === 2)
+    assert(Memo.planKey(s1) == Memo.planKey(s2))
+    assert(Memo.planKey(s1) != Memo.planKey(s3))
+  }
 }

@@ -317,6 +317,39 @@ class SourcesSpec extends SparkSpec {
     // clean batch commits fine afterwards
     assert(Sources.snapshotCommitChecked(
       Seq((6L, 60L)).toDF("id", "v"), path) == 2)
+    // an EMPTY micro-batch passes the check (sum over zero rows is
+    // null, coalesced to 0) and commits as a no-op version, not an NPE
+    assert(Sources.snapshotCommitChecked(
+      Seq.empty[(Long, Long)].toDF("id", "v"), path) == 3)
+    // the no-op version carries the prior rows forward, adds none
+    assert(Sources.snapshotRead(spark, path, 3)
+      .as[(Long, Long)].collect().toSeq.sorted ==
+      Sources.snapshotRead(spark, path, 2)
+        .as[(Long, Long)].collect().toSeq.sorted)
+  }
+
+  test("pre-txn 2-column manifests stay readable: txn commit degrades to not-committed, mixed footers merge") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_legacy_manifest")
+    Fs.deleteRecursive(spark, path)
+    // hand-build the legacy layout: data/c1 + a manifest whose only
+    // columns are (version, commit) — the pre-io21 on-disk format
+    Seq((1L, 10L)).toDF("id", "v")
+      .write.parquet(s"$path/data/c1")
+    Seq((1, "c1")).toDF("version", "commit")
+      .coalesce(1).write.parquet(s"$path/manifest")
+    assert(Sources.snapshotLatestVersion(spark, path) == 1)
+    // a txn commit on the upgraded engine: the app/batch filter is
+    // guarded on column presence, so it degrades to "not committed"
+    val v2 = Sources.snapshotCommit(
+      Seq((2L, 20L)).toDF("id", "v"), path, txn = Some(("app", 7L)))
+    assert(v2 == 2)
+    // manifest now mixes 2-col and 4-col footers; mergeSchema keeps
+    // every read working, and the retry no-ops off the new marker
+    assert(Sources.snapshotCommit(
+      Seq((2L, 20L)).toDF("id", "v"), path, txn = Some(("app", 7L))) == 2)
+    assert(Sources.snapshotRead(spark, path, 2)
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 10L), (2L, 20L)))
   }
 
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
