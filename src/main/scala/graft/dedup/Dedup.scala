@@ -212,6 +212,53 @@ object Dedup {
         "contain_ab", "contain_ba")
   }
 
+  /** Blocked ENTITY RESOLUTION (d36) — record linkage over structured
+    * name columns, the classic four-stage pipeline: (1) BLOCKING —
+    * candidate pairs form only inside a cheap deterministic block key
+    * (`blockOf` over the name), which is what makes ER feasible at
+    * 100 TB: pair work is Σ|block|², never |corpus|²; (2) pairwise
+    * scoring — char-trigram Jaccard over the DISTINCT name table, so
+    * similarity work scales with the name vocabulary, not the record
+    * count (records collapse to names first; a billion rows of 64
+    * distinct names score 64 names); (3) transitive closure — min-label
+    * components over the match graph (`iters` ≥ cluster diameter);
+    * (4) assignment back to every record by one name-keyed join.
+    *
+    * Returns one row per input record: (idCol, entity_id, nameCol),
+    * entity_id = the min record id of the resolved entity (its
+    * canonical representative). Names shorter than 3 chars gram to
+    * themselves (never an empty/descending sequence). Reference scope:
+    * the reference dedups by exact work_id only (goodreads.py:81–86);
+    * fuzzy record linkage is the production extension of that step. */
+  def blockedEntityClusters(records: DataFrame, idCol: String,
+      nameCol: String, blockOf: Column => Column, minJaccard: Double,
+      iters: Int): DataFrame = {
+    val names = graft.Caches.cached(records
+      .groupBy(col(nameCol))
+      .agg(min(col(idCol)).as("id")))
+    val grams = graft.Caches.cached(names.select(col("id"),
+      blockOf(col(nameCol)).as("blk"),
+      explode(array_distinct(transform(
+        sequence(lit(1), greatest(length(col(nameCol)) - 2, lit(1))),
+        i => col(nameCol).substr(i, lit(3))))).as("g")))
+    val sz = grams.groupBy("id").agg(count(lit(1)).as("sz"))
+    val matches = grams.toDF("id_a", "blk", "g")
+      .join(grams.toDF("id_b", "blk", "g"), Seq("blk", "g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      .join(sz.toDF("id_a", "sz_a"), "id_a")
+      .join(sz.toDF("id_b", "sz_b"), "id_b")
+      .filter(round(col("inter") /
+        (col("sz_a") + col("sz_b") - col("inter")), 6) >= minJaccard)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val labels = graft.graph.IterativeGraph.minLabelComponents(
+      names.select("id"), matches, iters)
+    records.select(col(idCol), col(nameCol))
+      .join(names, Seq(nameCol))
+      .join(labels, Seq("id"))
+      .select(col(idCol), col("label").as("entity_id"), col(nameCol))
+  }
+
   /** MinHash signature: `numHashes` independent min-hashes of the
     * document's shingle set (hash family = xxhash64 seeded by index). */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,

@@ -249,6 +249,67 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Second deterministic payload family (mm06): byte(x,y) =
+    * ((x+1)·(y+2)·(seed+1)) mod 251 — MULTIPLICATIVE in the seed, so
+    * distinct seeds change the pattern, not just its brightness. The
+    * additive gradient [[syntheticPayload]] is aHash-degenerate by
+    * construction (mean-threshold bits are translation-invariant, so
+    * every seed hashes alike) — exactly what mm05's near-dup mining
+    * wants, and exactly what an admission gate must not be tested on. */
+  def syntheticPayloadMixed(width: Int, height: Int, seed: Int): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(12 + width * height)
+    buf.put(MagicBytes).putInt(width).putInt(height)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        buf.put((((x + 1) * (y + 2) * (seed + 1)) % 251).toByte)
+        x += 1
+      }
+      y += 1
+    }
+    buf.array()
+  }
+
+  /** Persist an aHash fingerprint index (mm06) — the serving artifact
+    * of a media dedup/admission gate: (id, ahash) rows only, payload
+    * bytes never leave the build job. Undecodable media (null hash)
+    * are not indexable and are dropped here. */
+  def writeHashIndex(hashes: DataFrame, path: String): Unit =
+    hashes.toDF("id", "ahash").filter(col("ahash").isNotNull)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** ADMISSION against the persisted perceptual-hash index (mm06) —
+    * the media twin of the text-side SimHash gate (dedup.Dedup
+    * .simhashAdmit): a batch fingerprint is rejected when ANY indexed
+    * fingerprint shares a bit-band with it AND verifies at Hamming ≤
+    * `maxHamming` (a re-ingested indexed media self-matches at 0 —
+    * re-ingest is a duplicate). Band-keyed equi-join batch×index,
+    * never all-pairs; at 100 TB the index side is bucketed by (band,
+    * bits) so admission probes touch one bucket per band. Undecodable
+    * batch media (null hash) are REJECTED — unverifiable content does
+    * not pass a dedup gate. Returns the admitted (id, ahash) rows. */
+  def hashAdmit(spark: org.apache.spark.sql.SparkSession, path: String,
+      batchHashes: DataFrame, totalBits: Int, bands: Int,
+      maxHamming: Int): DataFrame = {
+    require(totalBits % bands == 0)
+    val rows = totalBits / bands
+    val mask = (1L << rows) - 1
+    def banded(df: DataFrame, idAs: String, hAs: String) =
+      df.select(col("id").as(idAs), col("ahash").as(hAs),
+        posexplode(array((0 until bands).map(b =>
+          shiftrightunsigned(col("ahash"), b * rows).bitwiseAND(mask)): _*))
+          .as(Seq("band", "bh")))
+    val batch = graft.Caches.cached(
+      batchHashes.toDF("id", "ahash").filter(col("ahash").isNotNull))
+    val idx = banded(spark.read.parquet(path), "id_i", "h_i")
+    val rejected = banded(batch, "id_b", "h_b")
+      .join(idx, Seq("band", "bh"))
+      .filter(bit_count(col("h_b").bitwiseXOR(col("h_i"))) <= maxHamming)
+      .select(col("id_b")).distinct()
+    batch.join(rejected, col("id") === col("id_b"), "left_anti")
+  }
+
   /** Frame sampling plumbing: every `stride`-th body row, emitted as
     * (media_id, frame_no, frame bytes) — the video-to-frames exploder.
     * A real decoder swaps in at the marked line. */

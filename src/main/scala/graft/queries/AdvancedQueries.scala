@@ -588,6 +588,144 @@ object AdvancedQueries {
         .orderBy("stage_no")
     },
 
+    // ---- calendar gap-fill + LOCF forward-fill (q46): per-nation
+    // daily revenue with missing days materialized and filled from the
+    // last observed day — the time-series repair every feature/metric
+    // pipeline runs before a rolling computation. Scale shape: the
+    // calendar explode is per-key bounded by that key's own date span
+    // (never a global calendar cross-join), and the fill is ONE keyed
+    // window pass (running last-non-null) — no self-join, no sort
+    // beyond the per-nation window. is_gap keeps filled rows auditable.
+    q("q46_gapfill_locf",
+      """WITH daily AS (
+        |  SELECT n_name AS nation, CAST(o_orderdate AS DATE) AS d,
+        |         round(sum(o_totalprice), 2) AS rev
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |span AS (SELECT nation, min(d) AS d0, max(d) AS d1
+        |         FROM daily GROUP BY nation),
+        |cal AS (SELECT nation,
+        |          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |        FROM span),
+        |j AS (SELECT c.nation, c.d, daily.rev
+        |      FROM cal c LEFT JOIN daily ON daily.nation = c.nation
+        |                                AND daily.d = c.d)
+        |SELECT nation, strftime(d, '%Y-%m-%d') AS day,
+        |  last_value(rev IGNORE NULLS) OVER (PARTITION BY nation ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_rev,
+        |  rev IS NULL AS is_gap
+        |FROM j ORDER BY nation, day""".stripMargin) { (s, dir) =>
+      val daily = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          to_date(col("o_orderdate")).as("d"))
+        .agg(round(sum("o_totalprice"), 2).as("rev"))
+      val cal = daily.groupBy("nation")
+        .agg(min("d").as("d0"), max("d").as("d1"))
+        .select(col("nation"),
+          explode(sequence(col("d0"), col("d1"),
+            expr("interval 1 day"))).as("d"))
+      val w = Window.partitionBy("nation").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("nation", "d"), "left")
+        .select(col("nation"), date_format(col("d"), "yyyy-MM-dd").as("day"),
+          last(col("rev"), ignoreNulls = true).over(w).as("filled_rev"),
+          col("rev").isNull.as("is_gap"))
+        .orderBy("nation", "day")
+    },
+
+    // ---- trailing time-RANGE window features (q47): per customer, the
+    // count/revenue of their orders in the 90 days STRICTLY BEFORE each
+    // order (frame [-90, -1] on the day number — same-day peers and the
+    // row itself excluded, so the feature is leakage-free at day
+    // grain). ONE keyed range-window pass: partitions sort per customer
+    // only; at 100 TB this is the shape that replaces the classic
+    // self-join-on-inequality, which would re-pair every hot customer's
+    // orders quadratically.
+    q("q47_rolling_features",
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS dayn,
+        |    o_totalprice FROM orders)
+        |SELECT o_custkey, o_orderkey, strftime(d, '%Y-%m-%d') AS day,
+        |  count(o_totalprice) OVER w AS n_prev90,
+        |  round(coalesce(sum(o_totalprice) OVER w, 0), 2) AS rev_prev90
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY dayn
+        |             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+        .withColumn("dayn", datediff(col("d"), lit("1970-01-01").cast("date")))
+      val w = Window.partitionBy("o_custkey").orderBy("dayn")
+        .rangeBetween(-90, -1)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          count(col("o_totalprice")).over(w).as("n_prev90"),
+          round(coalesce(sum(col("o_totalprice")).over(w), lit(0.0)), 2)
+            .as("rev_prev90"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- point-in-time training-set assembly (q48): the feature-store
+    // correctness op. Labels = orders from 1999 on; features = the
+    // customer's running (order count, lifetime value) versioned by
+    // order date; each label joins the feature row AS OF the day BEFORE
+    // the label (strictly-prior history — the label order itself and
+    // same-day activity can never leak into its own features). Built on
+    // the engine's union+window asofJoin: each input row shuffles ONCE
+    // on the customer key, no inequality join, no per-label re-scan of
+    // history. Labels whose customer has no prior history drop (inner
+    // as-of): a feature vector of "nothing yet" is not a training row.
+    q("q48_pit_training_features",
+      """WITH feat AS (
+        |  SELECT o_custkey AS k, o_orderkey AS fkey,
+        |    CAST(o_orderdate AS DATE) AS fday,
+        |    count(*) OVER w AS n_prev_orders,
+        |    round(sum(o_totalprice) OVER w, 2) AS prev_ltv
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |lab AS (SELECT o_orderkey AS label_key, o_custkey AS k,
+        |    CAST(o_orderdate AS DATE) AS lday, o_totalprice AS label_price
+        |  FROM orders WHERE year(o_orderdate) >= 1999),
+        |j AS (SELECT l.label_key, l.k, l.lday, l.label_price,
+        |    f.n_prev_orders, f.prev_ltv,
+        |    row_number() OVER (PARTITION BY l.label_key
+        |      ORDER BY f.fday DESC, f.fkey DESC) AS rn
+        |  FROM lab l JOIN feat f
+        |    ON f.k = l.k AND f.fday <= l.lday - INTERVAL 1 DAY)
+        |SELECT label_key, k AS o_custkey, strftime(lday, '%Y-%m-%d') AS day,
+        |  label_price, n_prev_orders, prev_ltv
+        |FROM j WHERE rn = 1 ORDER BY label_key""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val histW = Window.partitionBy("o_custkey")
+        .orderBy(col("fday"), col("fkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val feat = o.select(col("o_custkey"), col("o_orderkey").as("fkey"),
+          to_date(col("o_orderdate")).as("fday"), col("o_totalprice"))
+        .select(col("o_custkey"), col("fkey"), col("fday"),
+          count(lit(1)).over(histW).as("n_prev_orders"),
+          round(sum(col("o_totalprice")).over(histW), 2).as("prev_ltv"))
+      val labels = o.filter(year(col("o_orderdate")) >= 1999)
+        .select(col("o_orderkey").as("label_key"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("lday"),
+          col("o_totalprice").as("label_price"))
+        .withColumn("asof_day", date_sub(col("lday"), 1))
+      graft.operators.Relational.asofJoin(labels, feat,
+          keys = Seq("o_custkey"), leftTs = "asof_day", rightTs = "fday",
+          rightTieBreak = Seq("fkey"))
+        .select(col("label_key"), col("o_custkey"),
+          date_format(col("lday"), "yyyy-MM-dd").as("day"),
+          col("label_price"), col("n_prev_orders"), col("prev_ltv"))
+        .orderBy("label_key")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995

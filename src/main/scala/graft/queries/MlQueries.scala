@@ -375,6 +375,79 @@ object MlQueries {
           graft.text.TextOps.langMarkers.head._2, path)
         .orderBy("id")
     },
-      Some(PipelineQueries.qualityModelFixedOracle))
+      Some(PipelineQueries.qualityModelFixedOracle)),
+
+    // ---- persisted feature-scaler lifecycle, fit half (m20): fit
+    // per-feature standardization moments on the TRAIN slice only
+    // (l_orderkey%5≠0 — never the serve corpus: test rows leaking into
+    // the scaler is train/test contamination at the feature level),
+    // freeze to parquet, z-score the FULL corpus from the artifact.
+    // One partial-agg fit pass + one constant-folded projection pass;
+    // the oracle recomputes the moments from the train slice in exact
+    // integer space and must hash-match every served z — proving the
+    // artifact round-trip changes nothing.
+    NamedQuery("m20_scaler_artifact_serve", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val path = graft.ScratchDirs.scratch("feature_scaler")
+      graft.Fs.deleteRecursive(s, path)
+      graft.ml.FeatureScaler.writeScaler(
+        li.filter(col("l_orderkey") % 5 =!= 0), scalerFeatures, path)
+      graft.ml.FeatureScaler.zscore(li, scalerFeatures, path,
+          keep = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber", "z_qty", "z_price", "z_disc")
+    }, Some(scalerOracle)),
+
+    // ---- scaler INCREMENTAL append (m21): the artifact stores exact
+    // integer (n, Σx, Σx²), so refreshing on new data is one tiny
+    // parquet append and serve-time merge is integer addition —
+    // half-fit + appended-half is BIT-identical to m20's single fit
+    // (same oracle VERBATIM), with no refit scan over the old corpus.
+    NamedQuery("m21_scaler_append", (s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val train = li.filter(col("l_orderkey") % 5 =!= 0)
+      val path = graft.ScratchDirs.scratch("feature_scaler_append")
+      graft.Fs.deleteRecursive(s, path)
+      graft.ml.FeatureScaler.writeScaler(
+        train.filter(col("l_orderkey") % 2 === 0), scalerFeatures, path)
+      graft.ml.FeatureScaler.appendScaler(
+        train.filter(col("l_orderkey") % 2 =!= 0), scalerFeatures, path)
+      graft.ml.FeatureScaler.zscore(li, scalerFeatures, path,
+          keep = Seq("l_orderkey", "l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber", "z_qty", "z_price", "z_disc")
+    }, Some(scalerOracle))
   )
+
+  /** m20/m21/sw31 features in EXACT scaled-integer units (quantity as
+    * is, money in cents) — see FeatureScaler's exactness design. ONE
+    * definition so the queries and their shared oracle cannot drift. */
+  private[queries] def scalerFeatures
+      : Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "qty" -> round(col("l_quantity"), 0),
+    "price" -> round(col("l_extendedprice") * 100, 0),
+    "disc" -> round(col("l_discount") * 100, 0))
+
+  /** Shared oracle for every scaler-lifecycle query: moments from the
+    * train slice in exact integer space, z-scores over the full
+    * corpus — append/stream variants must serve identically. */
+  private[queries] def scalerOracle: String =
+    """WITH t AS (SELECT l_orderkey, l_linenumber,
+      |    CAST(round(l_quantity, 0) AS BIGINT) AS q,
+      |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p,
+      |    CAST(round(l_discount * 100, 0) AS BIGINT) AS dc
+      |  FROM lineitem),
+      |m AS (SELECT count(*) AS n, sum(q) AS sq, sum(q*q) AS sqq,
+      |    sum(p) AS sp, sum(p*p) AS spp, sum(dc) AS sd, sum(dc*dc) AS sdd
+      |  FROM t WHERE l_orderkey % 5 <> 0)
+      |SELECT l_orderkey, l_linenumber,
+      |  round((q - CAST(sq AS DOUBLE)/n)
+      |    / sqrt(CAST(sqq AS DOUBLE)/n
+      |           - (CAST(sq AS DOUBLE)/n)*(CAST(sq AS DOUBLE)/n)), 4) + 0.0 AS z_qty,
+      |  round((p - CAST(sp AS DOUBLE)/n)
+      |    / sqrt(CAST(spp AS DOUBLE)/n
+      |           - (CAST(sp AS DOUBLE)/n)*(CAST(sp AS DOUBLE)/n)), 4) + 0.0 AS z_price,
+      |  round((dc - CAST(sd AS DOUBLE)/n)
+      |    / sqrt(CAST(sdd AS DOUBLE)/n
+      |           - (CAST(sd AS DOUBLE)/n)*(CAST(sd AS DOUBLE)/n)), 4) + 0.0 AS z_disc
+      |FROM t, m
+      |ORDER BY l_orderkey, l_linenumber, z_qty, z_price, z_disc""".stripMargin
 }

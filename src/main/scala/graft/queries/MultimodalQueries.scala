@@ -155,7 +155,115 @@ object MultimodalQueries {
              |SELECT id_a, count(*) AS n_matches,
              |  min(hamming * 10000000 + id_b) // 10000000 AS best_hamming,
              |  min(hamming * 10000000 + id_b) % 10000000 AS best_match
-             |FROM ver GROUP BY id_a ORDER BY id_a""".stripMargin))
+             |FROM ver GROUP BY id_a ORDER BY id_a""".stripMargin)),
+
+    // ---- persisted perceptual-hash index ADMISSION (mm06): the media
+    // ingest gate — an aHash fingerprint index is frozen from the
+    // already-ingested corpus (media_id%3≠0), then the full feed is
+    // admitted against it: re-ingested media self-match at Hamming 0,
+    // perceptual near-dups of indexed media verify at ≤1, everything
+    // else is new. Banded equi-join probe, never all-pairs. Runs on the
+    // MULTIPLICATIVE payload family (syntheticPayloadMixed): the mm05
+    // gradient family is aHash-degenerate (every seed hashes alike), so
+    // an admission gate over it would reject everything and prove
+    // nothing. The oracle replays payload→hash→bands→verify→anti-join
+    // from the generator's closed form.
+    NamedQuery("mm06_phash_index_admission", (s, dir) => {
+      val media = syntheticMediaMixed(s, dir)
+      val hashes = Multimodal.avgHash(media, "media_id", "content",
+          gw = 8, gh = 4)
+        .select(col("media_id").as("id"), col("ahash"))
+      val path = graft.ScratchDirs.scratch("phash_index")
+      graft.Fs.deleteRecursive(s, path)
+      Multimodal.writeHashIndex(hashes.filter(col("id") % 3 =!= 0), path)
+      Multimodal.hashAdmit(s, path, hashes,
+          totalBits = 32, bands = 4, maxHamming = 1)
+        .select(col("id").as("media_id")).orderBy("media_id")
+    },
+      Some("""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
+             |           (doc_id * 131 + n_chars) % 9973 AS seed FROM documents),
+             |cells AS (SELECT doc_id, y.i * 8 + x.i AS bit,
+             |    (((x.i * w) // 8 + 1) * ((y.i * h) // 4 + 2) * (seed + 1)) % 251 AS v
+             |  FROM p
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 7)) AS i) x
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 3)) AS i) y),
+             |m AS (SELECT doc_id, bit, v,
+             |    CAST(sum(v) OVER (PARTITION BY doc_id) AS DOUBLE) / 32 AS avgv
+             |  FROM cells),
+             |hs AS (SELECT doc_id, CAST(sum(CASE WHEN v > avgv
+             |      THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS ahash
+             |  FROM m GROUP BY doc_id),
+             |bi AS (SELECT doc_id, ahash, b.i AS band,
+             |    (ahash >> (b.i * 8)) & 255 AS bh
+             |  FROM hs CROSS JOIN LATERAL (
+             |    SELECT unnest(generate_series(0, 3)) AS i) b),
+             |rej AS (SELECT DISTINCT b.doc_id
+             |  FROM bi b JOIN bi i ON b.band = i.band AND b.bh = i.bh
+             |                     AND i.doc_id % 3 <> 0
+             |  WHERE bit_count(xor(b.ahash, i.ahash)) <= 1)
+             |SELECT doc_id AS media_id FROM hs
+             |WHERE doc_id NOT IN (SELECT doc_id FROM rej)
+             |ORDER BY media_id""".stripMargin)),
+
+    // ---- caption↔media ALIGNMENT gate (mm07): the CLIP-score filter
+    // shape every image-text corpus runs before training — cosine
+    // between the media's decoded feature vector and its caption's
+    // embedding prefix, thresholded into an aligned flag (mismatched
+    // pairs are curation rejects). The decode half is the mm02 stub
+    // codec; at scale both sides are precomputed embedding columns and
+    // this is ONE keyed equi-join + a fixed-arity codegen'd fold (no
+    // UDF, no explode). The oracle replays the media stats from the
+    // generator's closed form and the fold in the same IEEE order.
+    NamedQuery("mm07_caption_alignment", (s, dir) => {
+      val feats = Multimodal.decodeFeatures(
+        syntheticMedia(s, dir), "media_id", "content")
+      val e = Tables.embeddings(s, dir).select(
+        col("vec_id").as("media_id"),
+        element_at(col("embedding"), 1).cast("double").as("c1"),
+        element_at(col("embedding"), 2).cast("double").as("c2"),
+        element_at(col("embedding"), 3).cast("double").as("c3"),
+        element_at(col("embedding"), 4).cast("double").as("c4"))
+      val m1 = col("width").cast("double")
+      val m2 = col("height").cast("double")
+      val m3 = col("mean_byte")
+      val m4 = col("max_byte").cast("double")
+      val dot = m1 * col("c1") + m2 * col("c2") + m3 * col("c3") +
+        m4 * col("c4")
+      val nm = m1 * m1 + m2 * m2 + m3 * m3 + m4 * m4
+      val nc = col("c1") * col("c1") + col("c2") * col("c2") +
+        col("c3") * col("c3") + col("c4") * col("c4")
+      val cosr = round(dot / (sqrt(nm) * sqrt(nc)), 4)
+      feats.join(e, "media_id")
+        .select(col("media_id"), cosr.as("cos_align"),
+          (cosr >= 0.1).as("aligned"))
+        .orderBy("media_id")
+    },
+      Some("""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
+             |                  doc_id % 97 AS seed FROM documents),
+             |cells AS (SELECT doc_id, w, h, (x.i + y.i + seed) % 251 AS v
+             |          FROM p
+             |          CROSS JOIN LATERAL (
+             |            SELECT unnest(generate_series(0, w - 1)) AS i) x
+             |          CROSS JOIN LATERAL (
+             |            SELECT unnest(generate_series(0, 5)) AS i) y),
+             |f AS (SELECT doc_id, w, h,
+             |    round_even(CAST(sum(v) AS DOUBLE) / (w * h) * 10000, 0) / 10000
+             |      AS mean_b,
+             |    max(v) AS max_b
+             |  FROM cells GROUP BY doc_id, w, h),
+             |e AS (SELECT vec_id,
+             |    CAST(embedding[1] AS DOUBLE) AS c1,
+             |    CAST(embedding[2] AS DOUBLE) AS c2,
+             |    CAST(embedding[3] AS DOUBLE) AS c3,
+             |    CAST(embedding[4] AS DOUBLE) AS c4 FROM embeddings),
+             |j AS (SELECT doc_id AS media_id,
+             |    w * c1 + h * c2 + mean_b * c3 + max_b * c4 AS dot,
+             |    w * w + h * h + mean_b * mean_b + max_b * max_b AS nm,
+             |    c1*c1 + c2*c2 + c3*c3 + c4*c4 AS nc
+             |  FROM f JOIN e ON vec_id = doc_id)
+             |SELECT media_id, round(dot / (sqrt(nm) * sqrt(nc)), 4) AS cos_align,
+             |  round(dot / (sqrt(nm) * sqrt(nc)), 4) >= 0.1 AS aligned
+             |FROM j ORDER BY media_id""".stripMargin))
   )
 
   /** Shared fixture for mm02/mm03/mm04: doc-keyed synthetic payloads
@@ -171,6 +279,24 @@ object MultimodalQueries {
       .map { case (id, nChars) =>
         (id, Multimodal.syntheticPayload(
           width = 8 + (nChars % 24).toInt, height = 6, seed = (id % 97).toInt))
+      }
+      .toDF("media_id", "content")
+  }
+
+  /** mm06's fixture: the MULTIPLICATIVE payload family, seed mixed
+    * from (doc_id, n_chars) so fingerprints are diverse (see
+    * [[Multimodal.syntheticPayloadMixed]]'s degeneracy note). The
+    * mm06 oracle mirrors this closed form. */
+  private def syntheticMediaMixed(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)]
+      .map { case (id, nChars) =>
+        (id, Multimodal.syntheticPayloadMixed(
+          width = 8 + (nChars % 24).toInt, height = 6,
+          seed = ((id * 131 + nChars) % 9973).toInt))
       }
       .toDF("media_id", "content")
   }

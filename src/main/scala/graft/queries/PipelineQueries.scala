@@ -3849,8 +3849,148 @@ object PipelineQueries {
         p1.unionByName(p2).orderBy("phase", "query_id", "rank")
       },
       Some(ivfTombstoneOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
-        k = 5, seed = 7L, predSql = "l.vec_id % 5 <> 0")))
+        k = 5, seed = 7L, predSql = "l.vec_id % 5 <> 0"))),
+
+    // ---- temporal split with an EMBARGO gap (p35): train < t0−gap,
+    // test ≥ t0, and the gap rows between them DROPPED — the
+    // time-series counterpart of p16's group-leakage split (features
+    // built from trailing windows, q47-style, would otherwise let
+    // train rows within `gap` of the boundary read test-period
+    // activity). Pure partition-parallel row tagging (one scan, no
+    // shuffle before the audit agg); the audit emits per-split
+    // bounds so the gap is PROVABLE, not assumed.
+    NamedQuery("p35_temporal_embargo_split",
+      (s, dir) => {
+        val t0 = lit("2024-01-22").cast("date")
+        val gap = 2
+        Tables.events(s, dir)
+          .withColumn("d", to_date(col("ts")))
+          .withColumn("split",
+            when(col("d") < date_sub(t0, gap), "train")
+              .when(col("d") >= t0, "test")
+              .otherwise("embargo"))
+          .filter(col("split") =!= "embargo")
+          .groupBy("split", "event_type")
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            date_format(min(col("d")), "yyyy-MM-dd").as("d_min"),
+            date_format(max(col("d")), "yyyy-MM-dd").as("d_max"))
+          .orderBy("split", "event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, user_id, CAST(ts AS DATE) AS d,
+             |    CASE WHEN CAST(ts AS DATE) < DATE '2024-01-22' - INTERVAL 2 DAY
+             |           THEN 'train'
+             |         WHEN CAST(ts AS DATE) >= DATE '2024-01-22' THEN 'test'
+             |         ELSE 'embargo' END AS split
+             |  FROM events)
+             |SELECT split, event_type, count(*) AS n_events,
+             |  count(DISTINCT user_id) AS n_users,
+             |  strftime(min(d), '%Y-%m-%d') AS d_min,
+             |  strftime(max(d), '%Y-%m-%d') AS d_max
+             |FROM e WHERE split <> 'embargo'
+             |GROUP BY split, event_type
+             |ORDER BY split, event_type""".stripMargin)),
+
+    // ---- near-dup-AWARE budget selection (p36): p14's quality-ordered
+    // token-budget pick re-costed in EFFECTIVE tokens — each doc's
+    // weight is n_tokens/|near-dup cluster| (d34's soft-dedup mass), so
+    // a family of near-copies spends its token mass ONCE against the
+    // budget instead of once per copy (the data-constrained selection
+    // move: budget buys unique content, not bytes). Weights land as
+    // exact micro-token integers so the running sum stays cross-engine
+    // exact; selection reuses budgetSelect's per-score histogram (only
+    // the straddling score group pays a window — never a global sort).
+    NamedQuery("p36_neardup_aware_budget",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val planted = docs.withColumn("doc_id", col("doc_id") + 1000000)
+        val all = docs.unionByName(planted)
+        val sizes = Dedup.softDedupWeights(all, "doc_id", "text",
+            n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5,
+            iters = 4, sig = Some(plantedMinhashSig(s, dir)))
+          .withColumnRenamed("id", "doc_id")
+          .select("doc_id", "cluster_size")
+        val scored = all
+          .select(col("doc_id"),
+            size(array_intersect(array_distinct(TextOps.tokens(col("text"))),
+              typedLit(TextOps.langMarkers.head._2))).as("score"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .join(sizes, "doc_id")
+          .withColumn("eff_u",
+            round(col("n_tokens") * 1000000.0 / col("cluster_size"), 0)
+              .cast("long"))
+        Sampling.budgetSelect(scored, "doc_id", col("score"), col("eff_u"),
+            budget = 20000L * 1000000L)
+          .select(col("id").as("doc_id"), col("score"),
+            col("w").as("eff_micro_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""${softDedupCtes(MhHashes, MhBands, 0.5, 4)},
+             |sc AS (SELECT doc_id,
+             |    CAST(len(list_intersect(list_distinct(
+             |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+             |                  x -> len(x) > 0)),
+             |      ['the', 'a', 'of', 'and', 'to', 'in', 'is', 'that', 'it', 'for']))
+             |      AS BIGINT) AS score
+             |  FROM all_docs),
+             |eff AS (SELECT l.id AS doc_id,
+             |    CAST(round(tk.n_tokens * 1000000.0 / cs.cluster_size, 0)
+             |      AS BIGINT) AS eff_u
+             |  FROM l4 l JOIN cs USING (label) JOIN tk ON tk.id = l.id),
+             |c AS (SELECT sc.doc_id, sc.score, eff.eff_u,
+             |    coalesce(sum(eff_u) OVER (ORDER BY score DESC, sc.doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+             |  FROM sc JOIN eff USING (doc_id))
+             |SELECT doc_id, score, eff_u AS eff_micro_tokens FROM c
+             |WHERE cum < 20000000000 ORDER BY doc_id""".stripMargin)),
+
+    // ---- blocked ENTITY RESOLUTION (d36): fuzzy record linkage over
+    // the part-name vocabulary — blocking on the name's noun token,
+    // char-trigram Jaccard ≥ 0.4 inside each block, min-label
+    // transitive closure, every record assigned its entity's min-id
+    // representative. Pair work is Σ|block|² over DISTINCT names
+    // (records collapse to names first), so a billion rows of a 64-name
+    // vocabulary score 64 names — the property that makes ER feasible
+    // at 100 TB. The oracle replays gramming, blocking, Jaccard, and
+    // four unrolled min-label supersteps.
+    NamedQuery("d36_blocked_entity_clusters",
+      (s, dir) =>
+        Dedup.blockedEntityClusters(Tables.part(s, dir),
+            idCol = "p_partkey", nameCol = "p_name",
+            blockOf = c => get(split(c, " "), lit(1)),
+            minJaccard = 0.4, iters = 4)
+          .orderBy("p_partkey"),
+      Some(entityClustersOracle))
   )
+
+  /** Oracle for d36: distinct-name gramming → noun-block candidate
+    * pairs → trigram Jaccard → unrolled min-label closure →
+    * record-level assignment. */
+  private def entityClustersOracle: String = {
+    val steps = OracleFragments.minLabelSteps("symp", 4)
+    s"""WITH names AS (SELECT p_name, min(p_partkey) AS id
+       |  FROM part GROUP BY p_name),
+       |gr AS (SELECT DISTINCT id, split_part(p_name, ' ', 2) AS blk,
+       |    substr(p_name, t.i, 3) AS g
+       |  FROM names CROSS JOIN LATERAL (
+       |    SELECT unnest(generate_series(1, greatest(len(p_name) - 2, 1))) AS i) t),
+       |sz AS (SELECT id, count(*) AS sz FROM gr GROUP BY id),
+       |pr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+       |  FROM gr a JOIN gr b ON a.blk = b.blk AND a.g = b.g AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |pairs AS (SELECT id_a, id_b
+       |  FROM pr JOIN sz sa ON sa.id = pr.id_a JOIN sz sb ON sb.id = pr.id_b
+       |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.4),
+       |v AS (SELECT id FROM names),
+       |symp AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |         UNION ALL SELECT id_b, id_a FROM pairs),
+       |l0 AS (SELECT id, id AS label FROM v),
+       |$steps
+       |SELECT p.p_partkey, l.label AS entity_id, p.p_name
+       |FROM part p JOIN names n ON p.p_name = n.p_name
+       |JOIN l4 l ON l.id = n.id
+       |ORDER BY p_partkey""".stripMargin
+  }
 
   /** t19's full oracle — the frozen-weight quality scorer replayed in
     * SQL. Shared verbatim by sw09 (the streaming lift scores the same
@@ -5526,9 +5666,10 @@ object PipelineQueries {
        |GROUP BY 1, 2 ORDER BY phase, source""".stripMargin
   }
 
-  /** Oracle for d34: the d12 cluster-label CTEs, then per-label sizes
-    * → 1/size weights → effective token mass. */
-  private def softDedupOracle(numHashes: Int, bands: Int,
+  /** Shared CTE prefix for d34/p36: the d12 cluster-label chain
+    * through per-label sizes (`cs`) + per-doc token counts (`tk`),
+    * labels in `l<iters>`. */
+  private def softDedupCtes(numHashes: Int, bands: Int,
       minJaccard: Double, iters: Int): String = {
     val base = minhashPortableOracle(numHashes, bands, minJaccard)
     val ctes = base.substring(0, base.indexOf("\nSELECT id_a"))
@@ -5545,13 +5686,19 @@ object PipelineQueries {
        |tk AS (SELECT doc_id AS id, len(list_filter(
        |    string_split_regex(lower(text), '[^a-z0-9]+'),
        |    x -> len(x) > 0)) AS n_tokens
-       |  FROM all_docs)
+       |  FROM all_docs)""".stripMargin
+  }
+
+  /** Oracle for d34: the d12 cluster-label CTEs, then per-label sizes
+    * → 1/size weights → effective token mass. */
+  private def softDedupOracle(numHashes: Int, bands: Int,
+      minJaccard: Double, iters: Int): String =
+    s"""${softDedupCtes(numHashes, bands, minJaccard, iters)}
        |SELECT l.id AS doc_id, l.label, cs.cluster_size,
        |  round(1.0 / cs.cluster_size, 6) AS weight,
        |  round(tk.n_tokens * 1.0 / cs.cluster_size, 4) AS eff_tokens
        |FROM l$iters l JOIN cs USING (label) JOIN tk ON tk.id = l.id
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Oracle for p16: the d12 cluster-label CTEs, then the p01 hash-
     * split convention applied to the LABEL instead of the document. */

@@ -367,6 +367,45 @@ object SourceQueries {
              |SELECT 3, doc_id FROM documents WHERE doc_id % 3 = 2
              |ORDER BY version, doc_id""".stripMargin)),
 
+    // ---- snapshot RESTORE (io23): Delta RESTORE / Iceberg rollback
+    // in the AUDITED form — rolling back to v1 re-commits v1's
+    // content as a NEW version rather than rewriting history, so the
+    // bad v2 stays readable for forensics and CDC subscribers see the
+    // restore as an ordinary diff. The gate reads all three versions
+    // PLUS the io14 change feed across the restore: v3 ≡ v1 content,
+    // v2 intact, and the feed reports exactly the v2 rows leaving and
+    // the v1 rows returning.
+    NamedQuery("io23_snapshot_restore", (s, dir) => {
+      val stage = stageDir("snapshot_restore", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val v1 = Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 0), stage)
+      val v2 = Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 === 1), stage, overwrite = true)
+      val v3 = Sources.snapshotRestore(s, stage, v1)
+      val reads = Seq(v1, v2, v3).map { v =>
+        Sources.snapshotRead(s, stage, v)
+          .select(lit(v).as("version"), col("doc_id"),
+            lit("row").as("kind"), lit(null).cast("string").as("change"))
+      }.reduce(_ unionByName _)
+      val feed = Sources.snapshotChanges(s, stage, "doc_id", v2, v3)
+        .select(lit(v3).as("version"), col("doc_id"),
+          lit("cdc").as("kind"), col("change"))
+      reads.unionByName(feed).orderBy("version", "kind", "doc_id")
+    },
+      Some("""SELECT 1 AS version, doc_id, 'row' AS kind,
+             |  CAST(NULL AS VARCHAR) AS change
+             |FROM documents WHERE doc_id % 3 = 0
+             |UNION ALL
+             |SELECT 2, doc_id, 'row', NULL FROM documents WHERE doc_id % 3 = 1
+             |UNION ALL
+             |SELECT 3, doc_id, 'row', NULL FROM documents WHERE doc_id % 3 = 0
+             |UNION ALL
+             |SELECT 3, doc_id, 'cdc', 'delete' FROM documents WHERE doc_id % 3 = 1
+             |UNION ALL
+             |SELECT 3, doc_id, 'cdc', 'insert' FROM documents WHERE doc_id % 3 = 0
+             |ORDER BY version, kind, doc_id""".stripMargin)),
+
     // ---- snapshot-versioned INDEX compaction (io13): io12's time
     // travel composed with the d32 index lifecycle — a dedup index
     // whose compactions are COMMITS, so a corpus release can PIN the

@@ -968,6 +968,32 @@ object StreamingQueries {
              |WHERE doc_id % 7 = 0
              |ORDER BY doc_id""".stripMargin)),
 
+    // ---- streaming feature-scaler maintenance (sw31): the online
+    // half of m20/m21 — the TRAIN slice arrives as a stream and every
+    // micro-batch appends its exact integer (n, Σx, Σx²) moment rows
+    // to the scaler artifact (FeatureScaler's design: moments are
+    // associative, so ANY batch split merges to the identical scaler).
+    // After the stream, the FULL corpus is z-scored from the artifact
+    // and must hash-match m20's single-fit oracle VERBATIM — streamed
+    // fit ≡ batch fit, the property that lets a deployment keep its
+    // scaler fresh without refit scans.
+    NamedQuery("sw31_stream_scaler",
+      (s, dir) => {
+        import graft.ml.FeatureScaler
+        val li = Tables.lineitem(s, dir)
+        val path = graft.ScratchDirs.scratch("stream_scaler")
+        graft.Fs.deleteRecursive(s, path)
+        val feed = li.filter(col("l_orderkey") % 5 =!= 0)
+        StreamRunner.runForeachBatch(s, feed, "sw31_scaler") { b =>
+          FeatureScaler.appendScaler(b, MlQueries.scalerFeatures, path)
+          ()
+        }
+        FeatureScaler.zscore(li, MlQueries.scalerFeatures, path,
+            keep = Seq("l_orderkey", "l_linenumber"))
+          .orderBy("l_orderkey", "l_linenumber", "z_qty", "z_price", "z_disc")
+      },
+      Some(MlQueries.scalerOracle)),
+
     // ---- EXACTLY-ONCE streaming ingest (sw28): the foreachBatch
     // retry problem solved the way Delta sinks solve it — every
     // micro-batch commits with txn = (query, batchId), and the

@@ -392,6 +392,23 @@ object Sources {
     snapshotCommit(cur, path, overwrite = true, statsCols = statsCols)
   }
 
+  /** RESTORE the table to an earlier version (io23 — Delta RESTORE /
+    * Iceberg rollback, in the audited form): re-commit version `v`'s
+    * content as a NEW overwrite commit, so the rollback is itself a
+    * history event — every prior version (including the bad one being
+    * rolled back) stays readable for forensics, and downstream CDC
+    * subscribers (io14) see the restore as an ordinary diff instead
+    * of history rewriting itself under them. One pass over v's live
+    * set with full pushdown; manifest work is version-count-sized.
+    * Returns the new version. */
+  def snapshotRestore(spark: SparkSession, path: String, v: Int): Int = {
+    val latest = snapshotLatestVersion(spark, path)
+    require(v >= 1 && v <= latest, s"version $v not in [1, $latest]")
+    // pin rows before committing back under the table root being read
+    val cur = snapshotRead(spark, path, v).localCheckpoint()
+    snapshotCommit(cur, path, overwrite = true)
+  }
+
   /** Declare a CHECK constraint on a snapshot table (io22 — Delta's
     * ALTER TABLE ADD CONSTRAINT): `checkSql` is a boolean SQL
     * expression every FUTURE checked commit must satisfy on every

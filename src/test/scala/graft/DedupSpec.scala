@@ -727,4 +727,27 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == got.map(_._2).toSet)
   }
+
+  test("blockedEntityClusters: blocking bounds pairs, trigram matches close transitively, records map") {
+    val records = Seq(
+      (1L, "red bolt"), (2L, "red bolt"), // exact dup records
+      (3L, "old bolt"),                   // trigram-similar to red bolt
+      (4L, "blue gear"),                  // other block entirely
+      (5L, "big gear"),                   // same block, low similarity
+      (6L, "ox")                          // shorter than a trigram
+    ).toDF("rid", "name")
+    val got = Dedup.blockedEntityClusters(records, "rid", "name",
+        blockOf = c => get(split(c, " "), lit(1)), minJaccard = 0.4, iters = 3)
+      .as[(Long, Long, String)].collect().sortBy(_._1)
+    val byId = got.map(r => r._1 -> r._2).toMap
+    // exact dups share their entity; the trigram neighbor joins it
+    assert(byId(1L) == byId(2L) && byId(2L) == byId(3L) && byId(1L) == 1L)
+    // same block but below threshold: separate entities
+    assert(byId(4L) != byId(5L))
+    // different blocks can never pair, whatever the similarity
+    assert(byId(4L) == 4L && byId(5L) == 5L)
+    // short names gram to themselves and survive
+    assert(byId(6L) == 6L)
+    assert(got.length == 6)
+  }
 }

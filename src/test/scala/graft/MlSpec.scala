@@ -233,4 +233,46 @@ class MlSpec extends SparkSpec {
     assert(model.avgMetrics.length == 2)
     assert(model.avgMetrics.forall(m => !m.isNaN))
   }
+
+  test("FeatureScaler: append-fit is BIT-identical to full fit; constants survive the artifact") {
+    import graft.ml.FeatureScaler
+    val feats = Seq[(String, org.apache.spark.sql.Column)](
+      "v" -> round(col("v") * 100, 0),
+      "w" -> round(col("w"), 0))
+    val data = (1 to 200).map(i => (i.toLong, i * 0.01 + 0.005, (i % 7).toDouble))
+      .toDF("id", "v", "w")
+    val full = ScratchDirs.scratch("t_scaler_full")
+    val inc = ScratchDirs.scratch("t_scaler_inc")
+    Fs.deleteRecursive(spark, full); Fs.deleteRecursive(spark, inc)
+    FeatureScaler.writeScaler(data, feats, full)
+    FeatureScaler.writeScaler(data.filter(col("id") % 2 === 0), feats, inc)
+    FeatureScaler.appendScaler(data.filter(col("id") % 2 =!= 0), feats, inc)
+    // exact integer moments: merged params are bit-identical doubles
+    assert(FeatureScaler.readParams(spark, full) ==
+      FeatureScaler.readParams(spark, inc))
+    val zf = FeatureScaler.zscore(data, feats, full, keep = Seq("id"))
+      .as[(Long, Double, Double)].collect().toSet
+    val zi = FeatureScaler.zscore(data, feats, inc, keep = Seq("id"))
+      .as[(Long, Double, Double)].collect().toSet
+    assert(zf == zi)
+    // z of the mean row is ~0; population std never NaN
+    assert(zf.forall { case (_, a, b) => !a.isNaN && !b.isNaN })
+  }
+
+  test("FeatureScaler: zero-variance feature serves z=0, missing feature fails loudly") {
+    import graft.ml.FeatureScaler
+    val feats = Seq[(String, org.apache.spark.sql.Column)](
+      "c" -> round(col("c"), 0))
+    val data = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0)).toDF("id", "c")
+    val path = ScratchDirs.scratch("t_scaler_const")
+    Fs.deleteRecursive(spark, path)
+    FeatureScaler.writeScaler(data, feats, path)
+    val z = FeatureScaler.zscore(data, feats, path, keep = Seq("id"))
+      .as[(Long, Double)].collect()
+    assert(z.forall(_._2 == 0.0), "constant feature must z-score to 0, not NaN")
+    intercept[IllegalArgumentException](
+      FeatureScaler.zscore(data.withColumnRenamed("c", "d"),
+        Seq[(String, org.apache.spark.sql.Column)]("d" -> round(col("d"), 0)),
+        path, keep = Seq("id")))
+  }
 }

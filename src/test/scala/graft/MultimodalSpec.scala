@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.multimodal.Multimodal
 
 /** Multimodal binary-column plumbing: header parse, stub decode,
@@ -106,5 +108,42 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.forall { case (a, b, h) => h == 0 && a < b && a != 4L && b != 4L })
     intercept[IllegalArgumentException](
       Multimodal.avgHash(rows, "media_id", "content", gw = 9, gh = 8))
+  }
+
+  test("hashAdmit: re-ingest rejected, near-dup rejected, new admitted, undecodable rejected") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_phash_admit")
+    Fs.deleteRecursive(spark, path)
+    val corpus = Seq(
+      (1L, Multimodal.syntheticPayloadMixed(10, 6, seed = 3)),
+      (2L, Multimodal.syntheticPayloadMixed(12, 6, seed = 40))
+    ).toDF("media_id", "content")
+    val idxHashes = Multimodal.avgHash(corpus, "media_id", "content",
+      gw = 8, gh = 4).select(col("media_id").as("id"), col("ahash"))
+    Multimodal.writeHashIndex(idxHashes, path)
+    val batch = Seq(
+      (10L, Multimodal.syntheticPayloadMixed(10, 6, seed = 3)), // dup of 1
+      (11L, Multimodal.syntheticPayloadMixed(16, 6, seed = 500)), // new
+      (12L, "junk".getBytes("UTF-8")) // undecodable
+    ).toDF("media_id", "content")
+    val bh = Multimodal.avgHash(batch, "media_id", "content", gw = 8, gh = 4)
+      .select(col("media_id").as("id"), col("ahash"))
+    val admitted = Multimodal.hashAdmit(spark, path, bh,
+      totalBits = 32, bands = 4, maxHamming = 1)
+      .select("id").as[Long].collect().toSet
+    assert(!admitted.contains(10L), "exact re-ingest must self-match and reject")
+    assert(admitted.contains(11L), "a fresh pattern must be admitted")
+    assert(!admitted.contains(12L), "undecodable (null hash) must not pass the gate")
+  }
+
+  test("syntheticPayloadMixed: seed changes the pattern, not just the offset") {
+    // the additive family is aHash-degenerate; the mixed family must not be
+    import spark.implicits._
+    val rows = (0 until 8).map(s =>
+      (s.toLong, Multimodal.syntheticPayloadMixed(10, 6, seed = s * 37 + 1)))
+      .toDF("media_id", "content")
+    val hs = Multimodal.avgHash(rows, "media_id", "content", gw = 8, gh = 4)
+      .as[(Long, Option[Long])].collect().flatMap(_._2).toSet
+    assert(hs.size >= 6, s"mixed payload hashes must be diverse, got $hs")
   }
 }

@@ -572,6 +572,28 @@ class PlanSpec extends SparkSpec {
       s"d21: the self-join must stay keyed by md5(text):\n$plan")
   }
 
+  test("q48 point-in-time assembly keeps the union+window as-of shape (no join node at all)") {
+    val plan = packPlan(AdvancedQueries.all, "q48_pit_training_features")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastHashJoin") && !plan.contains("ShuffledHashJoin"),
+      s"q48: asof must stay a union + keyed window, never a join:\n$plan")
+  }
+
+  test("m20 scaler serve is one constant-folded projection over the scan (no join)") {
+    import graft.queries.MlQueries
+    val plan = packPlan(MlQueries.all, "m20_scaler_artifact_serve")
+    assert(!plan.contains("Join"),
+      s"m20: the frozen constants must fold into the projection:\n$plan")
+  }
+
+  test("mm06 admission probes band buckets — equi-join, never all-pairs") {
+    import graft.queries.MultimodalQueries
+    val plan = packPlan(MultimodalQueries.all, "mm06_phash_index_admission")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"mm06: the batch×index probe must stay (band, bits)-keyed:\n$plan")
+  }
+
   test("Memo.planKey: semantic twins share, different local data must not") {
     import spark.implicits._
     // two in-memory frames, one schema, different rows: LocalRelation

@@ -352,6 +352,25 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 10L), (2L, 20L)))
   }
 
+  test("snapshotRestore: rollback is a NEW audited commit; the bad version stays readable") {
+    import spark.implicits._
+    val path = ScratchDirs.scratch("t_snapshot_restore")
+    Fs.deleteRecursive(spark, path)
+    val v1 = Sources.snapshotCommit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), path)
+    val v2 = Sources.snapshotCommit(Seq((9L, 90L)).toDF("id", "v"), path,
+      overwrite = true)
+    val v3 = Sources.snapshotRestore(spark, path, v1)
+    assert(v3 == 3)
+    // restored content ≡ v1, as a new version (history grew, not rewrote)
+    assert(Sources.snapshotRead(spark, path, v3)
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 10L), (2L, 20L)))
+    // the rolled-back version is still readable for forensics
+    assert(Sources.snapshotRead(spark, path, v2)
+      .as[(Long, Long)].collect().toSeq == Seq((9L, 90L)))
+    intercept[IllegalArgumentException](
+      Sources.snapshotRestore(spark, path, 99))
+  }
+
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_cdc")
