@@ -681,28 +681,7 @@ object AdvancedQueries {
     // on the customer key, no inequality join, no per-label re-scan of
     // history. Labels whose customer has no prior history drop (inner
     // as-of): a feature vector of "nothing yet" is not a training row.
-    q("q48_pit_training_features",
-      """WITH feat AS (
-        |  SELECT o_custkey AS k, o_orderkey AS fkey,
-        |    CAST(o_orderdate AS DATE) AS fday,
-        |    count(*) OVER w AS n_prev_orders,
-        |    round(sum(o_totalprice) OVER w, 2) AS prev_ltv
-        |  FROM orders
-        |  WINDOW w AS (PARTITION BY o_custkey
-        |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |lab AS (SELECT o_orderkey AS label_key, o_custkey AS k,
-        |    CAST(o_orderdate AS DATE) AS lday, o_totalprice AS label_price
-        |  FROM orders WHERE year(o_orderdate) >= 1999),
-        |j AS (SELECT l.label_key, l.k, l.lday, l.label_price,
-        |    f.n_prev_orders, f.prev_ltv,
-        |    row_number() OVER (PARTITION BY l.label_key
-        |      ORDER BY f.fday DESC, f.fkey DESC) AS rn
-        |  FROM lab l JOIN feat f
-        |    ON f.k = l.k AND f.fday <= l.lday - INTERVAL 1 DAY)
-        |SELECT label_key, k AS o_custkey, strftime(lday, '%Y-%m-%d') AS day,
-        |  label_price, n_prev_orders, prev_ltv
-        |FROM j WHERE rn = 1 ORDER BY label_key""".stripMargin) { (s, dir) =>
+    q("q48_pit_training_features", pitFeaturesOracle) { (s, dir) =>
       val o = Tables.orders(s, dir)
       val histW = Window.partitionBy("o_custkey")
         .orderBy(col("fday"), col("fkey"))
@@ -738,4 +717,30 @@ object AdvancedQueries {
         .orderBy("o_custkey")
     }
   )
+
+  /** Shared oracle for the point-in-time feature assembly: q48 (batch
+    * union+window asof) and sw32 (streaming broadcast array lookup)
+    * must produce the identical training set. */
+  private[queries] def pitFeaturesOracle: String =
+    """WITH feat AS (
+      |  SELECT o_custkey AS k, o_orderkey AS fkey,
+      |    CAST(o_orderdate AS DATE) AS fday,
+      |    count(*) OVER w AS n_prev_orders,
+      |    round(sum(o_totalprice) OVER w, 2) AS prev_ltv
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |lab AS (SELECT o_orderkey AS label_key, o_custkey AS k,
+      |    CAST(o_orderdate AS DATE) AS lday, o_totalprice AS label_price
+      |  FROM orders WHERE year(o_orderdate) >= 1999),
+      |j AS (SELECT l.label_key, l.k, l.lday, l.label_price,
+      |    f.n_prev_orders, f.prev_ltv,
+      |    row_number() OVER (PARTITION BY l.label_key
+      |      ORDER BY f.fday DESC, f.fkey DESC) AS rn
+      |  FROM lab l JOIN feat f
+      |    ON f.k = l.k AND f.fday <= l.lday - INTERVAL 1 DAY)
+      |SELECT label_key, k AS o_custkey, strftime(lday, '%Y-%m-%d') AS day,
+      |  label_price, n_prev_orders, prev_ltv
+      |FROM j WHERE rn = 1 ORDER BY label_key""".stripMargin
 }

@@ -3944,6 +3944,75 @@ object PipelineQueries {
              |SELECT doc_id, score, eff_u AS eff_micro_tokens FROM c
              |WHERE cum < 20000000000 ORDER BY doc_id""".stripMargin)),
 
+    // ---- RM3-style pseudo-relevance feedback (s38): the two-pass
+    // retrieval loop (Rocchio/RM3): pass 1 retrieves BM25 top-3
+    // feedback docs per query, the feedback docs' heaviest terms (by
+    // summed tf, minus the original query terms) expand the query by
+    // 2 terms, pass 2 re-retrieves top-10 with the expanded term set.
+    // Both passes share ONE cached posting table (bm25TopK's cache);
+    // expansion is rank-windowed per query over feedback-doc terms
+    // only — never corpus-wide. The oracle chains the s27 CTEs through
+    // feedback, expansion, and the second scoring pass.
+    NamedQuery("s38_rm3_query_expansion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        val qs = graft.Caches.cached(docs.filter(col("doc_id") % 125 === 7)
+          .select(col("doc_id").as("query_id"),
+            concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext")))
+        val fb = Retrieval.bm25TopK(docs, "doc_id", "text",
+          qs, "query_id", "qtext", k = 3)
+        val fbTf = fb.select("query_id", "doc_id").join(docs, "doc_id")
+          .select(col("query_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy("query_id", "tok").agg(count(lit(1)).as("ftf"))
+        val qtok = qs.select(col("query_id"),
+          explode(array_distinct(TextOps.tokens(col("qtext")))).as("tok"))
+        val wE = Window.partitionBy("query_id")
+          .orderBy(col("ftf").desc, col("tok"))
+        val exp = fbTf.join(qtok, Seq("query_id", "tok"), "left_anti")
+          .withColumn("rk", row_number().over(wE))
+          .filter(col("rk") <= 2)
+        val q2 = qs.join(
+            exp.groupBy("query_id")
+              .agg(concat_ws(" ", array_sort(collect_list("tok"))).as("etext")),
+            Seq("query_id"), "left")
+          .select(col("query_id"),
+            concat_ws(" ", col("qtext"), coalesce(col("etext"), lit("")))
+              .as("qtext"))
+        Retrieval.bm25TopK(docs, "doc_id", "text", q2, "query_id", "qtext",
+            k = 10)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH ${bm25Ctes()},
+             |fb AS (SELECT query_id, doc_id FROM qrk WHERE rank <= 3),
+             |ftf AS (SELECT fb.query_id, tf.tok, sum(tf.tf) AS ftf
+             |  FROM fb JOIN tf USING (doc_id) GROUP BY 1, 2),
+             |exp AS (SELECT query_id, tok FROM (
+             |    SELECT f.query_id, f.tok, row_number() OVER (
+             |      PARTITION BY f.query_id ORDER BY f.ftf DESC, f.tok) AS rk
+             |    FROM ftf f
+             |    WHERE NOT EXISTS (SELECT 1 FROM q
+             |      WHERE q.query_id = f.query_id AND q.tok = f.tok))
+             |  WHERE rk <= 2),
+             |q2 AS (SELECT query_id, tok FROM q
+             |       UNION SELECT query_id, tok FROM exp),
+             |dfq2 AS (SELECT tok, count(*) AS df FROM tf
+             |  WHERE tok IN (SELECT DISTINCT tok FROM q2) GROUP BY 1),
+             |co2 AS (SELECT q2.query_id, tf.doc_id,
+             |    ln(1 + (st.n_docs - dfq2.df + 0.5) / (dfq2.df + 0.5)) *
+             |      (tf.tf * (1.2 + 1.0)) /
+             |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS w
+             |  FROM q2 JOIN tf USING (tok) JOIN dfq2 USING (tok)
+             |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+             |  WHERE tf.doc_id <> q2.query_id),
+             |sc2 AS (SELECT query_id, doc_id, round(sum(w), 6) AS score
+             |  FROM co2 GROUP BY 1, 2),
+             |rk2 AS (SELECT query_id, doc_id, score, row_number() OVER (
+             |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+             |  FROM sc2)
+             |SELECT query_id, doc_id, score, rank FROM rk2 WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // ---- blocked ENTITY RESOLUTION (d36): fuzzy record linkage over
     // the part-name vocabulary — blocking on the name's noun token,
     // char-trigram Jaccard ≥ 0.4 inside each block, min-label

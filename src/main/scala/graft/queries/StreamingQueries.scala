@@ -994,6 +994,54 @@ object StreamingQueries {
       },
       Some(MlQueries.scalerOracle)),
 
+    // ---- streaming POINT-IN-TIME enrichment (sw32): q48's feature
+    // assembly in the shape an ONLINE feature store serves it — the
+    // per-customer history is compacted once into a day-sorted array
+    // of feature versions (the batch half), and each ARRIVING label
+    // row picks its as-of entry with a scan-stage array lookup
+    // (broadcast stream-static join + filter/element_at, no state, no
+    // shuffle on the stream side). Must produce q48's training set
+    // VERBATIM under any batch split — the batch/online consistency
+    // contract every feature store audits. At 100 TB the array table
+    // is the compacted online store keyed by entity; per-entity
+    // history bounds the array, not the corpus.
+    NamedQuery("sw32_stream_pit_enrichment",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val o = Tables.orders(s, dir)
+        val histW = Window.partitionBy("o_custkey")
+          .orderBy(col("fday"), col("fkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val feat = o.select(col("o_custkey"), col("o_orderkey").as("fkey"),
+            to_date(col("o_orderdate")).as("fday"), col("o_totalprice"))
+          .select(col("o_custkey"), col("fkey"), col("fday"),
+            count(lit(1)).over(histW).as("n_prev_orders"),
+            round(sum(col("o_totalprice")).over(histW), 2).as("prev_ltv"))
+          .groupBy("o_custkey")
+          .agg(array_sort(collect_list(struct(col("fday"), col("fkey"),
+            col("n_prev_orders"), col("prev_ltv")))).as("hist"))
+        val labels = o.filter(year(col("o_orderdate")) >= 1999)
+          .select(col("o_orderkey").as("label_key"), col("o_custkey"),
+            to_date(col("o_orderdate")).as("lday"),
+            col("o_totalprice").as("label_price"))
+        val res = StreamRunner.runAvailableNow(s, labels,
+            "sw32_pit_enrich", "append") { src =>
+          src.join(broadcast(feat), Seq("o_custkey"))
+            .withColumn("__f", filter(col("hist"),
+              h => h("fday") <= date_sub(col("lday"), 1)))
+            .withColumn("__m",
+              when(size(col("__f")) > 0, element_at(col("__f"), -1)))
+            .filter(col("__m").isNotNull)
+            .select(col("label_key"), col("o_custkey"),
+              date_format(col("lday"), "yyyy-MM-dd").as("day"),
+              col("label_price"),
+              col("__m")("n_prev_orders").as("n_prev_orders"),
+              col("__m")("prev_ltv").as("prev_ltv"))
+        }
+        res.orderBy("label_key")
+      },
+      Some(AdvancedQueries.pitFeaturesOracle)),
+
     // ---- EXACTLY-ONCE streaming ingest (sw28): the foreachBatch
     // retry problem solved the way Delta sinks solve it — every
     // micro-batch commits with txn = (query, batchId), and the
