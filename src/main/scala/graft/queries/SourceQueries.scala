@@ -406,6 +406,43 @@ object SourceQueries {
              |SELECT 3, doc_id, 'cdc', 'insert' FROM documents WHERE doc_id % 3 = 0
              |ORDER BY version, kind, doc_id""".stripMargin)),
 
+    // ---- SHALLOW CLONE (io24 — Delta CLONE): a dev/test copy of a
+    // production table as a metadata-only operation — the clone's v1
+    // references the source's commit dirs (zero data copied, however
+    // large the source), then the two tables evolve independently:
+    // the clone's own commit lands under its own data/ while the
+    // source is untouched. The gate reads the clone at both versions
+    // AND the source's latest after the clone diverged; SourcesSpec
+    // pins the zero-copy property (no files under the clone's data/)
+    // and vacuum safety on both sides.
+    NamedQuery("io24_snapshot_clone", (s, dir) => {
+      val src = stageDir("snapshot_clone_src", dir)
+      val dst = stageDir("snapshot_clone_dst", dir)
+      graft.Fs.deleteRecursive(s, src)
+      graft.Fs.deleteRecursive(s, dst)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 0), src)
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 1), src)
+      val cv = Sources.snapshotClone(s, src, dst)
+      // the clone diverges: its own commit, owned storage
+      val cv2 = Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 === 2), dst)
+      def tag(side: String, v: Int, path: String) =
+        Sources.snapshotRead(s, path, v)
+          .select(lit(side).as("side"), lit(v).as("version"), col("doc_id"))
+      tag("clone", cv, dst)
+        .unionByName(tag("clone", cv2, dst))
+        .unionByName(tag("src", Sources.snapshotLatestVersion(s, src), src))
+        .orderBy("side", "version", "doc_id")
+    },
+      Some("""SELECT 'clone' AS side, 1 AS version, doc_id FROM documents
+             |WHERE doc_id % 3 IN (0, 1)
+             |UNION ALL
+             |SELECT 'clone', 2, doc_id FROM documents
+             |UNION ALL
+             |SELECT 'src', 2, doc_id FROM documents WHERE doc_id % 3 IN (0, 1)
+             |ORDER BY side, version, doc_id""".stripMargin)),
+
     // ---- snapshot-versioned INDEX compaction (io13): io12's time
     // travel composed with the d32 index lifecycle — a dedup index
     // whose compactions are COMMITS, so a corpus release can PIN the

@@ -609,9 +609,9 @@ object Sources {
     val df =
       if (kept.isEmpty)
         // every dir pruned: preserve the schema, scan nothing
-        spark.read.parquet(s"$path/data/${commits.head}")
+        spark.read.parquet(commitDir(path, commits.head))
           .filter(org.apache.spark.sql.functions.lit(false))
-      else spark.read.parquet(kept.map(c => s"$path/data/$c"): _*).filter(pred)
+      else spark.read.parquet(kept.map(c => commitDir(path, c)): _*).filter(pred)
     (df, kept.size, commits.size)
   }
 
@@ -624,6 +624,16 @@ object Sources {
     * null-fills in earlier commits' rows and vice versa) at the cost
     * of a footer read per commit dir; the default single-footer
     * inference is right for tables whose commits share a schema. */
+  /** Resolve a manifest commit entry to its data dir: locally-owned
+    * commits live under this table's `data/`; `ref:`-prefixed entries
+    * (written by [[snapshotClone]]) reference ANOTHER table's commit
+    * dir verbatim — zero-copy borrowed storage. */
+  private def commitDir(path: String, c: String): String =
+    if (c.startsWith("ref:")) c.substring(4) else s"$path/data/$c"
+
+  /** A commit entry this table physically owns (vs a clone borrow). */
+  private def isOwnedCommit(c: String): Boolean = !c.startsWith("ref:")
+
   def snapshotRead(spark: SparkSession, path: String,
       version: Int, mergeSchema: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -636,7 +646,39 @@ object Sources {
     val reader =
       if (mergeSchema) spark.read.option("mergeSchema", "true")
       else spark.read
-    reader.parquet(commits.map(c => s"$path/data/$c").toIndexedSeq: _*)
+    reader.parquet(commits.map(c => commitDir(path, c)).toIndexedSeq: _*)
+  }
+
+  /** SHALLOW CLONE (io24 — Delta CLONE): create a new snapshot table
+    * at `dstPath` whose version 1 REFERENCES the source's latest
+    * commit dirs (`ref:`-prefixed manifest entries) — zero data
+    * copied, a metadata-only operation however large the source. The
+    * clone then evolves independently: its own commits land under
+    * its own `data/`, and vacuuming the clone drops borrowed entries
+    * from its manifest WITHOUT deleting the source's dirs (only
+    * locally-owned dirs are ever physically deleted). Caveat shared
+    * with Delta: vacuuming the SOURCE can remove dirs a clone still
+    * references — source retention policy must outlive its clones
+    * (SourcesSpec pins both sides). An OPTIMIZE of the clone (io17)
+    * rewrites the live set into owned storage — the deep-copy
+    * escape hatch. */
+  def snapshotClone(spark: SparkSession, srcPath: String,
+      dstPath: String): Int = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val v = snapshotLatestVersion(spark, srcPath)
+    require(v > 0, s"no snapshot table at $srcPath")
+    require(snapshotLatestVersion(spark, dstPath) == 0,
+      s"$dstPath is already a snapshot table")
+    val commits = manifestOf(spark, srcPath).get
+      .filter(col("version") === v).select("commit").as[String].collect().toSeq
+    // clone-of-clone: an already-borrowed entry stays as written
+    commits.map { c =>
+      (1, if (isOwnedCommit(c)) s"ref:$srcPath/data/$c" else c,
+        None: Option[String], None: Option[Long])
+    }.toDF("version", "commit", "app", "batch")
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dstPath/manifest")
+    1
   }
 
   /** VACUUM retention (io15) — the storage-reclaim half of the io12
@@ -660,7 +702,10 @@ object Sources {
     val keep = rows.filter(_._1 >= keepFrom)
     val keepSet = keep.map(_._2).toSet
     val drop = rows.map(_._2).toSet -- keepSet
-    drop.foreach(c => graft.Fs.deleteRecursive(spark, s"$path/data/$c"))
+    // borrowed (ref:) entries leave the manifest but their dirs belong
+    // to the clone SOURCE — never physically delete another table's data
+    drop.filter(isOwnedCommit)
+      .foreach(c => graft.Fs.deleteRecursive(spark, s"$path/data/$c"))
     // txn markers (app, batch) survive the rewrite: the idempotence
     // window is exactly the vacuum retention window
     keep.toSeq.toDF("version", "commit", "app", "batch")

@@ -371,6 +371,37 @@ class SourcesSpec extends SparkSpec {
       Sources.snapshotRestore(spark, path, 99))
   }
 
+  test("snapshotClone: zero-copy, independent evolution, vacuum never deletes borrowed dirs") {
+    import spark.implicits._
+    val src = ScratchDirs.scratch("t_clone_src")
+    val dst = ScratchDirs.scratch("t_clone_dst")
+    Fs.deleteRecursive(spark, src); Fs.deleteRecursive(spark, dst)
+    Sources.snapshotCommit(Seq((1L, 10L)).toDF("id", "v"), src)
+    Sources.snapshotCommit(Seq((2L, 20L)).toDF("id", "v"), src)
+    assert(Sources.snapshotClone(spark, src, dst) == 1)
+    // ZERO-COPY: the clone has a manifest but no data dir of its own
+    assert(!Fs.exists(spark, s"$dst/data"))
+    assert(Sources.snapshotRead(spark, dst, 1)
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 10L), (2L, 20L)))
+    // independent evolution: clone's own OVERWRITE commit, src untouched
+    val v2 = Sources.snapshotCommit(Seq((9L, 90L)).toDF("id", "v"), dst,
+      overwrite = true)
+    assert(Sources.snapshotRead(spark, dst, v2)
+      .as[(Long, Long)].collect().toSeq == Seq((9L, 90L)))
+    assert(Sources.snapshotRead(spark, src, 2)
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 10L), (2L, 20L)))
+    // vacuuming the CLONE drops the borrowed entries from its manifest
+    // but must never delete the source's dirs
+    Sources.snapshotVacuum(spark, dst, keepFrom = v2)
+    assert(Sources.snapshotRead(spark, src, 2)
+      .as[(Long, Long)].collect().toSeq.sorted == Seq((1L, 10L), (2L, 20L)))
+    intercept[IllegalArgumentException](
+      Sources.snapshotRead(spark, dst, 1))
+    // cloning onto an existing table is refused
+    intercept[IllegalArgumentException](
+      Sources.snapshotClone(spark, src, dst))
+  }
+
   test("snapshot change feed: keyed insert/update/delete diff, unchanged rows silent") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_cdc")
