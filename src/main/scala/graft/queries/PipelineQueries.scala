@@ -3972,13 +3972,17 @@ object PipelineQueries {
         val exp = fbTf.join(qtok, Seq("query_id", "tok"), "left_anti")
           .withColumn("rk", row_number().over(wE))
           .filter(col("rk") <= 2)
-        val q2 = qs.join(
+        // CACHED: q2 embeds the whole pass-1 DAG, and the pass-2 scorer
+        // references its query frame more than once (df lookup + the
+        // scoring join) — uncached, pass 1 re-executes per reference
+        // (measured 8.0 s → the two-pass floor)
+        val q2 = graft.Caches.cached(qs.join(
             exp.groupBy("query_id")
               .agg(concat_ws(" ", array_sort(collect_list("tok"))).as("etext")),
             Seq("query_id"), "left")
           .select(col("query_id"),
             concat_ws(" ", col("qtext"), coalesce(col("etext"), lit("")))
-              .as("qtext"))
+              .as("qtext")))
         Retrieval.bm25TopK(docs, "doc_id", "text", q2, "query_id", "qtext",
             k = 10)
           .orderBy("query_id", "rank")
