@@ -414,7 +414,41 @@ object MlQueries {
       graft.ml.FeatureScaler.zscore(li, scalerFeatures, path,
           keep = Seq("l_orderkey", "l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber", "z_qty", "z_price", "z_disc")
-    }, Some(scalerOracle))
+    }, Some(scalerOracle)),
+
+    // ---- persisted QUANTILE-BIN artifact (m22): the exact
+    // discretizer beside m20's scaler — 8-quantile edges fit on the
+    // train slice only (edge k = the VALUE at sorted position ⌊n·k/8⌋,
+    // ties broken by key: pass-through values, never interpolated
+    // means, so both engines replay them bit-identically), frozen to
+    // parquet, the FULL corpus binned from the artifact through one
+    // constant-folded comparison-sum (no join, ties go right). The
+    // oracle re-derives the edges from the ranked train slice and
+    // re-bins every row. Edges aren't additive: artifact refresh is a
+    // re-fit (FeatureScaler notes the contrast); the 100 TB fit runs
+    // on a sample or the p18 sketch path, serve unchanged.
+    NamedQuery("m22_quantile_bins_artifact", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val path = graft.ScratchDirs.scratch("quantile_bins")
+      graft.Fs.deleteRecursive(s, path)
+      graft.ml.QuantileBins.writeBins(o.filter(col("o_orderkey") % 5 =!= 0),
+        col("o_totalprice"), col("o_orderkey"), bins = 8, path)
+      o.select(col("o_orderkey"),
+          graft.ml.QuantileBins.binColumn(s, path, col("o_totalprice"))
+            .as("bin"))
+        .orderBy("o_orderkey")
+    },
+      Some("""WITH tr AS (SELECT o_totalprice AS v,
+             |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+             |  FROM orders WHERE o_orderkey % 5 <> 0),
+             |n AS (SELECT count(*) AS n FROM tr),
+             |pos AS (SELECT (n.n * g.k) // 8 AS p
+             |  FROM generate_series(1, 7) g(k) CROSS JOIN n),
+             |e AS (SELECT tr.v AS edge FROM pos JOIN tr ON tr.r = pos.p)
+             |SELECT o_orderkey,
+             |  CAST((SELECT count(*) FROM e WHERE o_totalprice >= edge) AS INT)
+             |    AS bin
+             |FROM orders ORDER BY o_orderkey""".stripMargin))
   )
 
   /** m20/m21/sw31 features in EXACT scaled-integer units (quantity as

@@ -259,6 +259,26 @@ class MlSpec extends SparkSpec {
     assert(zf.forall { case (_, a, b) => !a.isNaN && !b.isNaN })
   }
 
+  test("QuantileBins: edges at exact rank positions, ties go right, artifact round-trips") {
+    import graft.ml.QuantileBins
+    val data = (1 to 16).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val path = ScratchDirs.scratch("t_qbins")
+    Fs.deleteRecursive(spark, path)
+    QuantileBins.writeBins(data, col("v"), col("id"), bins = 4, path)
+    // n=16, B=4 → edges at ranks 4, 8, 12 → values 4, 8, 12
+    val edges = spark.read.parquet(path)
+      .select("k", "edge").as[(Int, Double)].collect().sortBy(_._1)
+    assert(edges.toSeq == Seq((1, 4.0), (2, 8.0), (3, 12.0)))
+    val bins = data.select(col("id"),
+        QuantileBins.binColumn(spark, path, col("v")).as("bin"))
+      .as[(Long, Int)].collect().toMap
+    // x == edge goes RIGHT (>= semantics)
+    assert(bins(3L) == 0 && bins(4L) == 1 && bins(8L) == 2 &&
+      bins(12L) == 3 && bins(16L) == 3)
+    intercept[IllegalArgumentException](
+      QuantileBins.fitEdges(data.limit(2), col("v"), col("id"), bins = 4))
+  }
+
   test("FeatureScaler: zero-variance feature serves z=0, missing feature fails loudly") {
     import graft.ml.FeatureScaler
     val feats = Seq[(String, org.apache.spark.sql.Column)](
