@@ -705,6 +705,55 @@ object AdvancedQueries {
         .orderBy("label_key")
     },
 
+    // ---- END-TO-END feature pipeline (q49): raw tables → model-ready
+    // training rows in ONE Catalyst plan, every transform served from a
+    // FROZEN artifact — the feature-engineering analog of p19's
+    // curation composition. Chain: q48's point-in-time assembly
+    // (strictly-prior history, no leakage) → target standardized from
+    // the m20 scaler artifact (fit on the train slice only) → price
+    // bucketed from the m22 quantile-bin artifact. Both artifacts fold
+    // into the projection as constants (no joins added); the oracle
+    // chains the PIT CTEs through the scaler moments and the ranked
+    // bin edges.
+    q("q49_feature_pipeline", featurePipelineOracle) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      val train = o.filter(col("o_orderkey") % 5 =!= 0)
+      val spath = graft.ScratchDirs.scratch("fp_scaler")
+      val bpath = graft.ScratchDirs.scratch("fp_bins")
+      graft.Fs.deleteRecursive(s, spath)
+      graft.Fs.deleteRecursive(s, bpath)
+      graft.ml.FeatureScaler.writeScaler(train,
+        Seq("price" -> round(col("o_totalprice") * 100, 0)), spath)
+      graft.ml.QuantileBins.writeBins(train,
+        col("o_totalprice"), col("o_orderkey"), bins = 8, bpath)
+      val histW = Window.partitionBy("o_custkey")
+        .orderBy(col("fday"), col("fkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val feat = o.select(col("o_custkey"), col("o_orderkey").as("fkey"),
+          to_date(col("o_orderdate")).as("fday"), col("o_totalprice"))
+        .select(col("o_custkey"), col("fkey"), col("fday"),
+          count(lit(1)).over(histW).as("n_prev_orders"),
+          round(sum(col("o_totalprice")).over(histW), 2).as("prev_ltv"))
+      val labels = o.filter(year(col("o_orderdate")) >= 1999)
+        .select(col("o_orderkey").as("label_key"), col("o_custkey"),
+          to_date(col("o_orderdate")).as("lday"),
+          col("o_totalprice").as("label_price"))
+        .withColumn("asof_day", date_sub(col("lday"), 1))
+      val pit = graft.operators.Relational.asofJoin(labels, feat,
+          keys = Seq("o_custkey"), leftTs = "asof_day", rightTs = "fday",
+          rightTieBreak = Seq("fkey"))
+        .select(col("label_key"), col("o_custkey"),
+          date_format(col("lday"), "yyyy-MM-dd").as("day"),
+          col("label_price"), col("n_prev_orders"), col("prev_ltv"))
+      graft.ml.FeatureScaler.zscore(pit,
+          Seq("price" -> round(col("label_price") * 100, 0)), spath,
+          keep = Seq("label_key", "o_custkey", "day", "label_price",
+            "n_prev_orders", "prev_ltv"))
+        .withColumn("price_bin",
+          graft.ml.QuantileBins.binColumn(s, bpath, col("label_price")))
+        .orderBy("label_key")
+    },
+
     // ---- set op: 1995 customers who never ordered again (EXCEPT).
     q("q26_custkeys_churned",
       """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
@@ -743,4 +792,37 @@ object AdvancedQueries {
       |SELECT label_key, k AS o_custkey, strftime(lday, '%Y-%m-%d') AS day,
       |  label_price, n_prev_orders, prev_ltv
       |FROM j WHERE rn = 1 ORDER BY label_key""".stripMargin
+
+  /** Oracle for q49: the PIT CTEs chained through the scaler moments
+    * (exact integer space, the m20 convention) and the ranked quantile
+    * edges (the m22 convention). */
+  private def featurePipelineOracle: String = {
+    val pitCtes = pitFeaturesOracle.substring(0,
+      pitFeaturesOracle.indexOf("\nSELECT label_key"))
+    s"""$pitCtes,
+       |pit AS (SELECT label_key, k AS o_custkey,
+       |    strftime(lday, '%Y-%m-%d') AS day,
+       |    label_price, n_prev_orders, prev_ltv
+       |  FROM j WHERE rn = 1),
+       |sct AS (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS p
+       |  FROM orders WHERE o_orderkey % 5 <> 0),
+       |scm AS (SELECT count(*) AS n, sum(p) AS sp, sum(p*p) AS spp FROM sct),
+       |btr AS (SELECT o_totalprice AS v,
+       |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+       |  FROM orders WHERE o_orderkey % 5 <> 0),
+       |bn AS (SELECT count(*) AS n FROM btr),
+       |bpos AS (SELECT (bn.n * g.k) // 8 AS p
+       |  FROM generate_series(1, 7) g(k) CROSS JOIN bn),
+       |be AS (SELECT btr.v AS edge FROM bpos JOIN btr ON btr.r = bpos.p)
+       |SELECT label_key, o_custkey, day, label_price, n_prev_orders,
+       |  prev_ltv,
+       |  round((CAST(round(label_price * 100, 0) AS BIGINT)
+       |      - CAST(sp AS DOUBLE)/scm.n)
+       |    / sqrt(CAST(spp AS DOUBLE)/scm.n
+       |           - (CAST(sp AS DOUBLE)/scm.n)*(CAST(sp AS DOUBLE)/scm.n)), 4)
+       |    + 0.0 AS z_price,
+       |  CAST((SELECT count(*) FROM be WHERE label_price >= edge) AS INT)
+       |    AS price_bin
+       |FROM pit CROSS JOIN scm ORDER BY label_key""".stripMargin
+  }
 }

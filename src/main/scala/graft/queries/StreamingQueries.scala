@@ -1042,6 +1042,46 @@ object StreamingQueries {
       },
       Some(AdvancedQueries.pitFeaturesOracle)),
 
+    // ---- streaming BIN routing from the frozen quantile artifact
+    // (sw33): m22's edges gate a STREAM — each arriving order is
+    // binned by the constant-folded comparison-sum (scan-stage, no
+    // state beyond the complete-mode count) and the per-bin traffic
+    // histogram must equal the batch replay under any batch split.
+    // The third frozen-transform stream gate beside sw22 (DSIR LM)
+    // and sw24 (quality model): ingest-time feature bucketing with
+    // training/serving parity by construction.
+    NamedQuery("sw33_stream_bin_router",
+      (s, dir) => {
+        import graft.ml.QuantileBins
+        val o = Tables.orders(s, dir)
+        val path = graft.ScratchDirs.scratch("stream_qbins")
+        graft.Fs.deleteRecursive(s, path)
+        QuantileBins.writeBins(o.filter(col("o_orderkey") % 5 =!= 0),
+          col("o_totalprice"), col("o_orderkey"), bins = 8, path)
+        val binOf = QuantileBins.binColumn(s, path, col("o_totalprice"))
+        val res = StreamRunner.runAvailableNow(s,
+            o.select("o_orderkey", "o_totalprice"),
+            "sw33_bin_router", "complete") { src =>
+          src.withColumn("bin", binOf)
+            .groupBy("bin")
+            .agg(count(lit(1)).as("n"),
+              round(sum("o_totalprice"), 2).as("revenue"))
+        }
+        res.orderBy("bin")
+      },
+      Some("""WITH tr AS (SELECT o_totalprice AS v,
+             |    row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+             |  FROM orders WHERE o_orderkey % 5 <> 0),
+             |n AS (SELECT count(*) AS n FROM tr),
+             |pos AS (SELECT (n.n * g.k) // 8 AS p
+             |  FROM generate_series(1, 7) g(k) CROSS JOIN n),
+             |e AS (SELECT tr.v AS edge FROM pos JOIN tr ON tr.r = pos.p),
+             |b AS (SELECT CAST((SELECT count(*) FROM e
+             |    WHERE o_totalprice >= edge) AS INT) AS bin, o_totalprice
+             |  FROM orders)
+             |SELECT bin, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+             |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // ---- EXACTLY-ONCE streaming ingest (sw28): the foreachBatch
     // retry problem solved the way Delta sinks solve it — every
     // micro-batch commits with txn = (query, batchId), and the
