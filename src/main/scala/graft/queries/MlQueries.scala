@@ -448,8 +448,73 @@ object MlQueries {
              |SELECT o_orderkey,
              |  CAST((SELECT count(*) FROM e WHERE o_totalprice >= edge) AS INT)
              |    AS bin
-             |FROM orders ORDER BY o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- persisted TARGET-ENCODING artifact (m23): the categorical
+    // encoder, the textbook label-leakage hazard done right — each
+    // order priority is replaced by the m-estimate-smoothed mean of
+    // the target (Micci-Barreca's m-probability estimate, m=10), fit
+    // on the TRAIN slice only and FROZEN; serving rows never
+    // contribute to their own encoding. Artifact stores exact integer
+    // (category, n, Σcents); encodings fold into one constant
+    // when-chain at serve (no join). The oracle replays moments,
+    // prior, smoothing, and the int→double boundary in the same IEEE
+    // order.
+    NamedQuery("m23_target_encoding", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val path = graft.ScratchDirs.scratch("target_enc")
+      graft.Fs.deleteRecursive(s, path)
+      graft.ml.TargetEncoder.writeEncoder(
+        o.filter(col("o_orderkey") % 5 =!= 0),
+        col("o_orderpriority"), round(col("o_totalprice") * 100, 0), path)
+      o.select(col("o_orderkey"), col("o_orderpriority"),
+          graft.ml.TargetEncoder.encodeColumn(s, path,
+            col("o_orderpriority"), m = 10.0, descale = 100.0)
+            .as("te_price"))
+        .orderBy("o_orderkey")
+    }, Some(targetEncodingOracle)),
+
+    // ---- target-encoder INCREMENTAL append (m24): counts and sums
+    // are additive integers, so half-fit + appended-half serves
+    // BIT-identically to m23's single fit — same oracle verbatim.
+    NamedQuery("m24_target_encoding_append", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val train = o.filter(col("o_orderkey") % 5 =!= 0)
+      val path = graft.ScratchDirs.scratch("target_enc_append")
+      graft.Fs.deleteRecursive(s, path)
+      graft.ml.TargetEncoder.writeEncoder(
+        train.filter(col("o_orderkey") % 2 === 0),
+        col("o_orderpriority"), round(col("o_totalprice") * 100, 0), path)
+      graft.ml.TargetEncoder.appendEncoder(
+        train.filter(col("o_orderkey") % 2 =!= 0),
+        col("o_orderpriority"), round(col("o_totalprice") * 100, 0), path)
+      o.select(col("o_orderkey"), col("o_orderpriority"),
+          graft.ml.TargetEncoder.encodeColumn(s, path,
+            col("o_orderpriority"), m = 10.0, descale = 100.0)
+            .as("te_price"))
+        .orderBy("o_orderkey")
+    }, Some(targetEncodingOracle))
   )
+
+  /** Shared oracle for the target-encoding lifecycle (m23/m24/sw34):
+    * moments from the train slice in exact integer space, prior +
+    * m-estimate smoothing replayed in the serve's IEEE op order. */
+  private[queries] def targetEncodingOracle: String =
+    """WITH t AS (SELECT o_orderpriority AS c,
+      |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+      |  FROM orders WHERE o_orderkey % 5 <> 0),
+      |g AS (SELECT c, count(*) AS n, sum(y) AS s FROM t GROUP BY c),
+      |tot AS (SELECT sum(n) AS nt, sum(s) AS st FROM g),
+      |e AS (SELECT c,
+      |    round((CAST(s AS DOUBLE) + 10.0 * (CAST(st AS DOUBLE) / nt))
+      |      / (n + 10.0) / 100.0, 4) + 0.0 AS te
+      |  FROM g CROSS JOIN tot)
+      |SELECT o_orderkey, o_orderpriority,
+      |  coalesce(e.te,
+      |    (SELECT round(CAST(st AS DOUBLE) / nt / 100.0, 4) + 0.0 FROM tot))
+      |    AS te_price
+      |FROM orders LEFT JOIN e ON o_orderpriority = e.c
+      |ORDER BY o_orderkey""".stripMargin
 
   /** m20/m21/sw31 features in EXACT scaled-integer units (quantity as
     * is, money in cents) — see FeatureScaler's exactness design. ONE

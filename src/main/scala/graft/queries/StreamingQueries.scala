@@ -1082,6 +1082,33 @@ object StreamingQueries {
              |SELECT bin, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
              |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // ---- streaming target-encoder maintenance (sw34): the online
+    // half of m23/m24 — the train slice arrives as a stream and every
+    // micro-batch appends its exact integer (category, n, Σcents)
+    // moment rows; after the stream the full corpus is encoded from
+    // the artifact and must hash-match m23's single-fit oracle
+    // VERBATIM under any batch split (counts/sums are associative, the
+    // sw31 property on the categorical encoder).
+    NamedQuery("sw34_stream_target_encoding",
+      (s, dir) => {
+        import graft.ml.TargetEncoder
+        val o = Tables.orders(s, dir)
+        val path = graft.ScratchDirs.scratch("stream_target_enc")
+        graft.Fs.deleteRecursive(s, path)
+        val feed = o.filter(col("o_orderkey") % 5 =!= 0)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        StreamRunner.runForeachBatch(s, feed, "sw34_target_enc") { b =>
+          TargetEncoder.appendEncoder(b, col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0), path)
+          ()
+        }
+        o.select(col("o_orderkey"), col("o_orderpriority"),
+            TargetEncoder.encodeColumn(s, path, col("o_orderpriority"),
+              m = 10.0, descale = 100.0).as("te_price"))
+          .orderBy("o_orderkey")
+      },
+      Some(MlQueries.targetEncodingOracle)),
+
     // ---- EXACTLY-ONCE streaming ingest (sw28): the foreachBatch
     // retry problem solved the way Delta sinks solve it — every
     // micro-batch commits with txn = (query, batchId), and the

@@ -279,6 +279,33 @@ class MlSpec extends SparkSpec {
       QuantileBins.fitEdges(data.limit(2), col("v"), col("id"), bins = 4))
   }
 
+  test("TargetEncoder: smoothed means, unseen category gets the prior, append is bit-identical") {
+    import graft.ml.TargetEncoder
+    val train = Seq(("a", 10.0), ("a", 20.0), ("b", 100.0)).toDF("c", "y")
+    val full = ScratchDirs.scratch("t_te_full")
+    val inc = ScratchDirs.scratch("t_te_inc")
+    Fs.deleteRecursive(spark, full); Fs.deleteRecursive(spark, inc)
+    val yScaled = round(col("y") * 100, 0)
+    TargetEncoder.writeEncoder(train, col("c"), yScaled, full)
+    TargetEncoder.writeEncoder(train.limit(1), col("c"), yScaled, inc)
+    TargetEncoder.appendEncoder(train.exceptAll(train.limit(1)),
+      col("c"), yScaled, inc)
+    val serve = Seq("a", "b", "zz").toDF("c")
+    def enc(path: String) = serve.select(col("c"),
+        TargetEncoder.encodeColumn(spark, path, col("c"),
+          m = 2.0, descale = 100.0).as("te"))
+      .as[(String, Double)].collect().toMap
+    val got = enc(full)
+    // prior = (10+20+100)/3; enc(a) = (30 + 2*prior*... ) in cents:
+    // prior_c = 13000/3; a: (3000 + 2*prior_c)/(2+2)/100
+    val priorC = 13000.0 / 3
+    assert(got("a") == math.rint((3000 + 2 * priorC) / 4.0 / 100 * 1e4) / 1e4)
+    assert(got("zz") == math.rint(priorC / 100 * 1e4) / 1e4,
+      "unseen category must encode to the prior")
+    // integer moments: append-fit serves bit-identically
+    assert(enc(inc) == got)
+  }
+
   test("FeatureScaler: zero-variance feature serves z=0, missing feature fails loudly") {
     import graft.ml.FeatureScaler
     val feats = Seq[(String, org.apache.spark.sql.Column)](
