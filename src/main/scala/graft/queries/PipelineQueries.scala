@@ -4017,6 +4017,81 @@ object PipelineQueries {
              |SELECT query_id, doc_id, score, rank FROM rk2 WHERE rank <= 10
              |ORDER BY query_id, rank""".stripMargin)),
 
+    // ---- LSH RECALL AUDIT (d37): the dedup-quality monitor — every
+    // production MinHash deployment must answer "which true near-dup
+    // pairs do my bands miss?" before trusting the kept set. Ground
+    // truth = exact shingle-Jaccard pairs at ≥0.5 (the d02 inverted-
+    // index shape, pair-linear); candidates = the d08 banded pairs
+    // with NO estimate threshold (a pair is 'caught' iff any band
+    // fired). Per-Jaccard-bucket recall exposes exactly where the
+    // band/row tradeoff loses pairs (theory: catch probability
+    // 1-(1-j^rows)^bands rises with j — the audit measures it on the
+    // real corpus). The oracle chains the d08 CTEs' own shingle table
+    // into the exact pairs and the candidate anti-side.
+    NamedQuery("d37_lsh_recall_audit",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        // GRADED near-dups: token-prefix truncations at 0.5/0.7/0.9 of
+        // each doc (prefix shingles ⊂ full shingles → Jaccard ≈ the
+        // kept fraction), so the audit measures recall across buckets
+        // 3–9 instead of only exact copies
+        val toks = TextOps.tokens(col("text"))
+        val frac = when(col("doc_id") % 3 === 0, 0.5)
+          .when(col("doc_id") % 3 === 1, 0.7).otherwise(0.9)
+        val variants = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1),
+            greatest(lit(3), floor(size(toks) * frac).cast("int"))))
+            .as("text"))
+        val all = docs.unionByName(variants)
+        val exact = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+            n = 3, minJaccard = 0.2, maxDf = 1 << 30)
+          .select("id_a", "id_b", "jaccard")
+        val caught = Dedup.minhashLshPairsPortable(all, "doc_id", "text",
+            n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.0)
+          .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+        exact.join(caught, Seq("id_a", "id_b"), "left")
+          .withColumn("bucket",
+            least(floor(col("jaccard") * 10).cast("int"), lit(9)))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_exact"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_caught"),
+            round(sum(coalesce(col("hit"), lit(0L))) * lit(1.0) /
+              count(lit(1)), 4).as("recall"))
+          .orderBy("bucket")
+      },
+      Some {
+        val gradedDocs =
+          """SELECT doc_id, text FROM documents
+            |  UNION ALL
+            |  SELECT doc_id + 1000000,
+            |    array_to_string(ts[1:greatest(3, CAST(floor(len(ts) * f) AS INT))], ' ')
+            |  FROM (SELECT doc_id,
+            |      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+            |                  x -> len(x) > 0) AS ts,
+            |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0.5
+            |           WHEN 1 THEN 0.7 ELSE 0.9 END AS f
+            |    FROM documents)""".stripMargin
+        val base = minhashPortableOracle(MhHashes, MhBands, 0.0, gradedDocs)
+        val ctes = base.substring(0, base.indexOf(",\nver AS"))
+        s"""$ctes,
+           |exsz AS (SELECT id, count(*) AS sz FROM ex GROUP BY id),
+           |epr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+           |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.id < b.id
+           |  GROUP BY 1, 2),
+           |exact AS (SELECT id_a, id_b,
+           |    round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS j
+           |  FROM epr JOIN exsz sa ON sa.id = epr.id_a
+           |            JOIN exsz sb ON sb.id = epr.id_b
+           |  WHERE round(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= 0.2),
+           |aud AS (SELECT least(CAST(floor(j * 10) AS INT), 9) AS bucket,
+           |    CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+           |  FROM exact LEFT JOIN cand c USING (id_a, id_b))
+           |SELECT bucket, count(*) AS n_exact,
+           |  CAST(sum(hit) AS BIGINT) AS n_caught,
+           |  round(sum(hit) * 1.0 / count(*), 4) AS recall
+           |FROM aud GROUP BY bucket ORDER BY bucket""".stripMargin
+      }),
+
     // ---- blocked ENTITY RESOLUTION (d36): fuzzy record linkage over
     // the part-name vocabulary — blocking on the name's noun token,
     // char-trigram Jaccard ≥ 0.4 inside each block, min-label
