@@ -4030,7 +4030,13 @@ object PipelineQueries {
     // into the exact pairs and the candidate anti-side.
     NamedQuery("d37_lsh_recall_audit",
       (s, dir) => {
+        // FIXED-SIZE audit sample (first 500 docs): exact all-pairs
+        // ground truth is inherently quadratic — that is WHY LSH
+        // exists — so at scale the audit estimates recall on a
+        // constant-size sample (at sf0.01 the sample IS the corpus);
+        // measured uncapped at 30x it read 31 s and kept growing
         val docs = Tables.documents(s, dir).select("doc_id", "text")
+          .filter(col("doc_id") < 500)
         // GRADED near-dups: token-prefix truncations at 0.5/0.7/0.9 of
         // each doc (prefix shingles ⊂ full shingles → Jaccard ≈ the
         // kept fraction), so the audit measures recall across buckets
@@ -4061,7 +4067,7 @@ object PipelineQueries {
       },
       Some {
         val gradedDocs =
-          """SELECT doc_id, text FROM documents
+          """SELECT doc_id, text FROM documents WHERE doc_id < 500
             |  UNION ALL
             |  SELECT doc_id + 1000000,
             |    array_to_string(ts[1:greatest(3, CAST(floor(len(ts) * f) AS INT))], ' ')
@@ -4070,7 +4076,7 @@ object PipelineQueries {
             |                  x -> len(x) > 0) AS ts,
             |      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 0.5
             |           WHEN 1 THEN 0.7 ELSE 0.9 END AS f
-            |    FROM documents)""".stripMargin
+            |    FROM documents WHERE doc_id < 500)""".stripMargin
         val base = minhashPortableOracle(MhHashes, MhBands, 0.0, gradedDocs)
         val ctes = base.substring(0, base.indexOf(",\nver AS"))
         s"""$ctes,
