@@ -84,19 +84,33 @@ object Memo {
     * different literals must not share a key. Scan-based plans carry
     * their paths in the plan string and pay nothing extra; local
     * relations are driver-sized by construction, so hashing their
-    * rows is cheap. */
+    * rows is cheap.
+    *
+    * The fold is LENGTH-PREFIXED at both grains: each leaf contributes
+    * its row count and each row its byte length before its content.
+    * Bare concatenation would let two different row sets whose
+    * renderings concatenate identically (one row "a][b" vs rows
+    * "a", "b") share a digest and serve each other's memoized
+    * result — the classic ambiguous-concatenation hash bug. */
   def planKey(df: DataFrame): String = {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     val analyzed = df.queryExecution.analyzed
     val md = java.security.MessageDigest.getInstance("MD5")
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def lenPrefix(n: Long): Unit =
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(n).array())
     md.update(analyzed.canonicalized.toString.getBytes(utf8))
     analyzed.collectLeaves().foreach {
       // InternalRow.toString renders content (field values or the
       // UnsafeRow hex bytes) — content-based either way, unlike
       // GenericInternalRow.hashCode which is identity-based
       case lr: LocalRelation =>
-        lr.data.foreach(r => md.update(r.toString.getBytes(utf8)))
+        lenPrefix(lr.data.size.toLong)
+        lr.data.foreach { r =>
+          val bytes = r.toString.getBytes(utf8)
+          lenPrefix(bytes.length.toLong)
+          md.update(bytes)
+        }
       case _ => ()
     }
     md.digest().map("%02x".format(_)).mkString

@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   * (floating-point sums would drift with partitioning/order; integer
   * sums cannot). mean/std only become doubles at serve time, via the
   * same (cast → divide → sqrt) IEEE ops every engine executes
-  * identically. Per-element bound: |x_scaled| must stay < 3.03e9 so
-  * x² fits a long before the decimal cast (lineitem cents ≈ 1e9: ok).
+  * identically. Per-element bound: |x_scaled| must fit a LONG (the
+  * explicit cast); the square is computed in decimal space, so any
+  * long-range feature is exact — no silent wrap.
   *
   * Scale shape: fit is ONE partial-aggregating scan (map-side combine,
   * 3 rows out per commit); the artifact is O(features × commits) and
@@ -43,10 +44,15 @@ object FeatureScaler {
     require(features.nonEmpty, "at least one feature")
     val aggs = features.flatMap { case (name, x) =>
       val xl = x.cast("long")
+      // square in DECIMAL space: a long·long product wraps silently
+      // beyond |x| ≈ 3.03e9 and would corrupt the frozen artifact.
+      // decimal(19,0) holds any long; the product is exact at
+      // decimal(38,0) for every long input (max (2⁶³)² ≈ 8.5e37 < 1e38)
+      val xd = xl.cast("decimal(19,0)")
       Seq(
         count(xl).as(s"__n_$name"),
         sum(xl.cast("decimal(38,0)")).as(s"__s_$name"),
-        sum((xl * xl).cast("decimal(38,0)")).as(s"__ss_$name"))
+        sum((xd * xd).cast("decimal(38,0)")).as(s"__ss_$name"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
     // pivot the single wide row into per-feature moment rows (stack

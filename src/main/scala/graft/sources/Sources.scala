@@ -255,15 +255,16 @@ object Sources {
   //
   // The lakehouse snapshot contract (what Delta/Iceberg provide)
   // built from first principles on plain parquet: every commit writes
-  // IMMUTABLE files into its own `data/c<v>` dir and appends manifest
-  // rows (version, commit) enumerating the EXACT commit set visible
-  // at that version. A reader picks a version and unions only its
-  // manifest's dirs — so old snapshots stay readable after later
-  // appends AND after an overwrite (compaction / GDPR rewrite)
-  // replaces the visible set; nothing is ever mutated in place.
-  // At 100 TB the manifest is a version-count-sized parquet and the
-  // snapshot read is an ordinary multi-dir parquet scan with all
-  // pushdown intact.
+  // IMMUTABLE files into its own uniquely-named `data/` dir and
+  // publishes manifest rows (version, commit) enumerating the EXACT
+  // commit set visible at that version, via an atomic per-version
+  // manifest file (the CAS commit point — see casManifest). A reader
+  // picks a version and unions only its manifest's dirs — so old
+  // snapshots stay readable after later appends AND after an
+  // overwrite (compaction / GDPR rewrite) replaces the visible set;
+  // nothing is ever mutated in place. At 100 TB the manifest is a
+  // version-count-sized parquet and the snapshot read is an ordinary
+  // multi-dir parquet scan with all pushdown intact.
 
   private def manifestOf(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = s"$path/manifest"
@@ -292,21 +293,85 @@ object Sources {
       .getOrElse(0)
   }
 
+  /** Atomically PUBLISH version `v`'s manifest rows — THE commit
+    * point of the optimistic-concurrency protocol: the rows land as
+    * ONE file at the version-deterministic name `manifest/v<v>.parquet`
+    * via a rename that fails when the destination exists, so exactly
+    * one committer can ever own a version (the Delta log-store
+    * contract: per-version log files, atomic put-if-absent). Returns
+    * false when another committer already published `v` — the caller
+    * retries at a later version (append) or fails loudly (overwrite).
+    *
+    * In-process interleavings are serialized by a JVM-wide monitor
+    * around the exists-check + rename; across processes the rename's
+    * no-overwrite atomicity is the filesystem's contract (atomic on
+    * HDFS-family stores — the same assumption Delta's HDFSLogStore
+    * makes; eventually-consistent object stores need a CAS-capable
+    * log service, Delta's caveat verbatim). Old appended part-files
+    * (the pre-CAS layout) and v-named files read together under one
+    * mergeSchema scan — existing tables upgrade in place. */
+  private val commitMonitor = new Object
+  private def casManifest(rows: DataFrame, path: String, v: Int): Boolean = {
+    val spark = rows.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = s"$path/.tmp-manifest-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    rows.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tmpPath.getFileSystem(conf)
+    try {
+      val part = fs.listStatus(tmpPath)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $tmp"))
+      val dst = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(f"$path/manifest/v$v%09d.parquet"))
+      fs.mkdirs(dst.getParent)
+      commitMonitor.synchronized {
+        if (fs.exists(dst)) false
+        else
+          try {
+            org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri, conf)
+              .rename(fs.makeQualified(part), dst)
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          }
+      }
+    } finally fs.delete(tmpPath, true)
+  }
+
+  /** One unique commit-dir name per commit ATTEMPT (the Delta shape:
+    * uniquely-named data files, conflicts resolved at the log) — two
+    * racing committers can never interleave part files in one dir,
+    * and a conflict retry re-attempts only the manifest row, never
+    * the data write. `v` is the version the committer targeted when
+    * it wrote — cosmetic after a conflict retry (the manifest row is
+    * the truth; dir names are opaque to every reader). */
+  private def newCommitDirName(v: Int): String =
+    s"c$v-${java.util.UUID.randomUUID().toString.take(8)}"
+
   /** Commit `df` as the next version. `overwrite = false` appends (the
     * new version sees every prior commit plus this one); `overwrite =
     * true` REPLACES the visible set (the new version sees only this
     * commit — prior versions keep reading their own snapshots).
     * Returns the committed version number.
     *
-    * The COMMIT POINT is the manifest append, not the data write: the
-    * data dir is written with Overwrite so a commit that failed
-    * between the two (orphaning `data/c<v>` with no manifest row)
-    * recovers on retry — the next commit recomputes the same v from
-    * the manifest and clobbers the orphan instead of wedging on an
-    * ErrorIfExists throw. No reader ever sees the orphan (readers
-    * union only manifest-listed dirs). Single writer per table, the
-    * same contract Delta's log store requires; concurrent committers
-    * would need an atomic rename/CAS on the manifest.
+    * CONCURRENCY (optimistic, the Delta protocol): data files land
+    * once under a commit dir no other writer can collide with
+    * ([[newCommitDirName]]); the commit point is [[casManifest]]'s
+    * atomic put-if-absent of the version's manifest file. Losing the
+    * race on an APPEND is retried at the next version — the carried
+    * prior set is re-read, so the winner's rows are never lost or
+    * doubled; losing on an OVERWRITE fails loudly (the visible set
+    * the caller decided to replace has changed under it — blind
+    * retry would silently drop the winner's commit; re-run the
+    * operation against the new state instead). A commit that crashes
+    * between data write and manifest publish leaves an unreferenced
+    * dir no reader ever sees; vacuum's orphan GC reclaims it.
+    * Concurrent `statsCols` writers race on the shared stats
+    * side-table's temp dir (a Spark append limitation) — stats are
+    * advisory (a missing row only disables pruning for that commit),
+    * but concurrent stats-bearing committers should serialize.
     *
     * `txn = Some((appId, batchId))` makes the commit IDEMPOTENT
     * (io21/sw28 — Delta's txn appId/version): the marker lands in
@@ -314,10 +379,12 @@ object Sources {
     * one append, and a RETRY of an already-committed (appId, batchId)
     * is a no-op returning the current version — the exactly-once
     * contract a foreachBatch sink needs, because the streaming
-    * engine replays batches after failures. Markers live as long as
-    * some retained version's manifest rows carry them; vacuum
-    * preserves the columns, so the idempotence window is the vacuum
-    * retention window (Delta's is the log retention, same shape). */
+    * engine replays batches after failures. The marker is re-checked
+    * after every lost race, so twin writers replaying one batch
+    * commit it exactly once. Markers live as long as some retained
+    * version's manifest rows carry them; vacuum preserves the
+    * columns, so the idempotence window is the vacuum retention
+    * window (Delta's is the log retention, same shape). */
   def snapshotCommit(df: DataFrame, path: String,
       overwrite: Boolean = false, statsCols: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): Int = {
@@ -327,43 +394,62 @@ object Sources {
     // guard on column presence: a table whose manifest predates the
     // txn columns entirely (all 2-column footers) simply has no
     // markers — the idempotence check degrades to "not committed"
-    val alreadyCommitted = txn.exists { case (app, batch) =>
+    def alreadyCommitted: Boolean = txn.exists { case (app, batch) =>
       manifestOf(spark, path).exists(m =>
         m.columns.contains("app") && m.columns.contains("batch") &&
           m.filter(col("app") === app && col("batch") === batch)
             .limit(1).count() > 0)
     }
     if (alreadyCommitted) return snapshotLatestVersion(spark, path)
-    val v = snapshotLatestVersion(spark, path) + 1
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/data/c$v")
+    var v = snapshotLatestVersion(spark, path) + 1
+    val dirName = newCommitDirName(v)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/data/$dirName")
     if (statsCols.nonEmpty) {
       // zone-map stats describe the FILES, so they are computed from
       // the written dir (one column-pruned scan), not from `df` — a
       // nondeterministic input can't desynchronize stats from data
-      val written = spark.read.parquet(s"$path/data/c$v")
+      val written = spark.read.parquet(s"$path/data/$dirName")
       val aggs = statsCols.flatMap(c => Seq(
         org.apache.spark.sql.functions.min(col(c).cast("double")).as(s"__mn_$c"),
         org.apache.spark.sql.functions.max(col(c).cast("double")).as(s"__mx_$c")))
       val row = written.agg(aggs.head, aggs.tail: _*).head
       statsCols.zipWithIndex.map { case (c, i) =>
-        (s"c$v", c,
+        (dirName, c,
           if (row.isNullAt(2 * i)) None else Some(row.getDouble(2 * i)),
           if (row.isNullAt(2 * i + 1)) None else Some(row.getDouble(2 * i + 1)))
       }.toDF("commit", "column", "smin", "smax")
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/stats")
     }
-    val prior: Seq[String] =
-      if (overwrite || v == 1) Seq.empty
-      else manifestOf(spark, path).get.filter(col("version") === v - 1)
-        .select("commit").as[String].collect().toSeq
-    // carried-over rows get no txn marker: the marker belongs to the
-    // commit it deduplicates, and it stays on that commit's own rows
-    val rows = prior.map(c => (v, c, None: Option[String],
-        None: Option[Long])) :+
-      (v, s"c$v", txn.map(_._1), txn.map(_._2))
-    rows.toDF("version", "commit", "app", "batch")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/manifest")
-    v
+    var attempt = 0
+    while (true) {
+      val prior: Seq[String] =
+        if (overwrite || v == 1) Seq.empty
+        else manifestOf(spark, path).get.filter(col("version") === v - 1)
+          .select("commit").as[String].collect().toSeq
+      // carried-over rows get no txn marker: the marker belongs to the
+      // commit it deduplicates, and it stays on that commit's own rows
+      val rows = prior.map(c => (v, c, None: Option[String],
+          None: Option[Long])) :+
+        (v, dirName, txn.map(_._1), txn.map(_._2))
+      if (casManifest(rows.toDF("version", "commit", "app", "batch"),
+          path, v)) return v
+      // lost the race: version v belongs to another committer
+      require(!overwrite,
+        s"concurrent commit conflict: version $v of $path was published " +
+          "by another writer while this overwrite was in flight; re-run " +
+          "the operation against the new table state")
+      attempt += 1
+      require(attempt <= 1000,
+        s"gave up after $attempt commit conflicts on $path")
+      if (alreadyCommitted) {
+        // a twin writer replaying the same (appId, batchId) won — this
+        // attempt's data dir is now an orphan; reclaim it eagerly
+        graft.Fs.deleteRecursive(spark, s"$path/data/$dirName")
+        return snapshotLatestVersion(spark, path)
+      }
+      v = snapshotLatestVersion(spark, path) + 1
+    }
+    -1 // unreachable
   }
 
   /** OPTIMIZE the current snapshot (io17) — Delta OPTIMIZE / Iceberg
@@ -529,25 +615,26 @@ object Sources {
         .otherwise(0))
       .reduce[org.apache.spark.sql.Column](_ + _).cast("int")
     val v = latest + 1
+    val dirName = newCommitDirName(v)
     // pin rows before writing back under the table root being read
     val cur = snapshotRead(spark, path, latest).localCheckpoint()
     cur.withColumn("__cluster", shard)
       .repartition(col("__cluster"))
       .sortWithinPartitions(col("__cluster"), col(clusterCol))
       .write.mode(SaveMode.Overwrite).partitionBy("__cluster")
-      .parquet(s"$path/data/c$v")
-    val dirs = graft.Fs.listDirNames(spark, s"$path/data/c$v")
+      .parquet(s"$path/data/$dirName")
+    val dirs = graft.Fs.listDirNames(spark, s"$path/data/$dirName")
       .filter(_.startsWith("__cluster=")).sorted
     require(dirs.nonEmpty, "optimize of an empty table")
     if (statsCols.nonEmpty) {
       val rows = dirs.flatMap { d =>
-        val written = spark.read.parquet(s"$path/data/c$v/$d")
+        val written = spark.read.parquet(s"$path/data/$dirName/$d")
         val aggs = statsCols.flatMap(c => Seq(
           org.apache.spark.sql.functions.min(col(c).cast("double")).as(s"__mn_$c"),
           org.apache.spark.sql.functions.max(col(c).cast("double")).as(s"__mx_$c")))
         val row = written.agg(aggs.head, aggs.tail: _*).head
         statsCols.zipWithIndex.map { case (c, i) =>
-          (s"c$v/$d", c,
+          (s"$dirName/$d", c,
             if (row.isNullAt(2 * i)) None else Some(row.getDouble(2 * i)),
             if (row.isNullAt(2 * i + 1)) None else Some(row.getDouble(2 * i + 1)))
         }
@@ -555,9 +642,15 @@ object Sources {
       rows.toDF("commit", "column", "smin", "smax")
         .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/stats")
     }
-    dirs.map(d => (v, s"c$v/$d", None: Option[String], None: Option[Long]))
-      .toDF("version", "commit", "app", "batch")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$path/manifest")
+    // an OVERWRITE-style commit: losing the CAS means the live set
+    // changed under the rewrite — fail loudly, same as snapshotCommit
+    require(casManifest(
+      dirs.map(d => (v, s"$dirName/$d", None: Option[String],
+          None: Option[Long]))
+        .toDF("version", "commit", "app", "batch"), path, v),
+      s"concurrent commit conflict: version $v of $path was published " +
+        "by another writer during the clustered optimize; re-run it " +
+        "against the new table state")
     v
   }
 
@@ -672,12 +765,23 @@ object Sources {
       s"$dstPath is already a snapshot table")
     val commits = manifestOf(spark, srcPath).get
       .filter(col("version") === v).select("commit").as[String].collect().toSeq
+    // ref: entries must be CWD-independent: a relative srcPath would
+    // bake the current working directory into the clone's manifest and
+    // break its reads from any other session. Qualify against the
+    // source's own filesystem (scheme + authority + absolute path).
+    val srcQualified = {
+      val p = new org.apache.hadoop.fs.Path(srcPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    }
     // clone-of-clone: an already-borrowed entry stays as written
-    commits.map { c =>
-      (1, if (isOwnedCommit(c)) s"ref:$srcPath/data/$c" else c,
-        None: Option[String], None: Option[Long])
-    }.toDF("version", "commit", "app", "batch")
-      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dstPath/manifest")
+    require(casManifest(
+      commits.map { c =>
+        (1, if (isOwnedCommit(c)) s"ref:$srcQualified/data/$c" else c,
+          None: Option[String], None: Option[Long])
+      }.toDF("version", "commit", "app", "batch"), dstPath, 1),
+      s"concurrent clone conflict: $dstPath version 1 was published " +
+        "by another writer")
     1
   }
 
@@ -687,14 +791,30 @@ object Sources {
     * no surviving version references. Versions ≥ keepFrom keep
     * reading byte-identically (their commit sets are untouched);
     * reads of expired versions fail loudly at the manifest lookup.
-    * The manifest rewrite runs under the same single-writer contract
-    * as [[snapshotCommit]]. Driver work is version-count-sized.
-    * Returns (kept commit dirs, deleted commit dirs). */
+    * Also garbage-collects ORPHAN data dirs — dirs no manifest row
+    * (kept or expired) references, left by commits that crashed
+    * before their manifest publish — but only those older than
+    * `orphanGraceMs`, so an IN-FLIGHT concurrent commit's data (also
+    * unreferenced until its CAS lands) is never swept (Delta VACUUM's
+    * retention-window rule, same reason). Unlike commits, vacuum is
+    * an administrative op run SINGLE-WRITER: it rewrites the manifest
+    * dir in place, so don't race it with committers. Driver work is
+    * version-count-sized. Returns (kept commit dirs, deleted commit
+    * dirs — orphans not counted). */
   def snapshotVacuum(spark: SparkSession, path: String,
-      keepFrom: Int): (Int, Int) = {
+      keepFrom: Int, orphanGraceMs: Long = 86400000L): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
     import spark.implicits._
-    val rows = manifestOf(spark, path)
+    val m = manifestOf(spark, path)
       .getOrElse(sys.error(s"no snapshot table at $path"))
+    // column-presence guard (the snapshotCommit rule): a pure pre-txn
+    // 2-column manifest has no (app, batch) footer anywhere — null-fill
+    // so vacuum upgrades the layout instead of throwing on the select
+    val rows = m
+      .withColumn("app", if (m.columns.contains("app")) col("app")
+        else lit(null).cast("string"))
+      .withColumn("batch", if (m.columns.contains("batch")) col("batch")
+        else lit(null).cast("long"))
       .select("version", "commit", "app", "batch")
       .as[(Int, String, Option[String], Option[Long])].collect()
     require(rows.exists(_._1 >= keepFrom),
@@ -717,6 +837,26 @@ object Sources {
       val live = st.filter(!org.apache.spark.sql.functions.col("commit")
         .isin(drop.toSeq: _*)).localCheckpoint()
       live.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+    }
+    // ORPHAN GC: data dirs no manifest row ever referenced — crashed
+    // commits (data written, CAS never published) and lost-overwrite
+    // retries. Referenced roots are the first path segment (clustered
+    // commits record `dir/__cluster=k`). The grace window protects
+    // in-flight concurrent commits, whose dirs are also unreferenced
+    // until their CAS lands.
+    locally {
+      val dataPath = new org.apache.hadoop.fs.Path(s"$path/data")
+      val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(dataPath)) {
+        val referenced = rows.map(_._2).filter(isOwnedCommit)
+          .map(_.split('/').head).toSet
+        val cutoff = System.currentTimeMillis() - orphanGraceMs
+        fs.listStatus(dataPath)
+          .filter(st => st.isDirectory &&
+            !referenced.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+      }
     }
     (keepSet.size, drop.size)
   }

@@ -93,10 +93,12 @@ class SourcesSpec extends SparkSpec {
       .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
     intercept[IllegalArgumentException](Sources.snapshotRead(spark, path, v1))
     intercept[IllegalArgumentException](Sources.snapshotRead(spark, path, v2))
-    // the unreferenced commit dirs are physically gone, c3 remains
-    assert(!Files.exists(Paths.get(s"$path/data/c1")))
-    assert(!Files.exists(Paths.get(s"$path/data/c2")))
-    assert(Files.exists(Paths.get(s"$path/data/c3")))
+    // the unreferenced commit dirs are physically gone; only v3's
+    // (uniquely-named) dir remains under data/
+    val survivor = spark.read.parquet(s"$path/manifest")
+      .filter(col("version") === v3)
+      .select("commit").as[String].collect().toSeq
+    assert(Fs.listDirNames(spark, s"$path/data").sorted == survivor.sorted)
     // the table stays writable: a post-vacuum append builds on v3
     val v4 = Sources.snapshotCommit(Seq((10L, "y")).toDF("id", "s"), path)
     assert(Sources.snapshotRead(spark, path, v4)
@@ -134,8 +136,9 @@ class SourcesSpec extends SparkSpec {
     val v5 = Sources.snapshotCommit(Seq((8L, 50L)).toDF("id", "v"), path,
       overwrite = true, statsCols = Seq("v"))
     Sources.snapshotVacuum(spark, path, keepFrom = v5)
-    assert(spark.read.parquet(s"$path/stats")
-      .select("commit").as[String].collect().toSeq == Seq("c5"))
+    val liveStats = spark.read.parquet(s"$path/stats")
+      .select("commit").as[String].collect().toSeq
+    assert(liveStats.size == 1 && liveStats.head.startsWith("c5-"))
     // every dir pruned: empty result, schema preserved
     val (p5, s5, t5) = Sources.snapshotReadPruned(spark, path, v5, "v", 0, 10)
     assert((s5, t5) == ((0, 1)) && p5.count() == 0)
@@ -161,7 +164,10 @@ class SourcesSpec extends SparkSpec {
     val commits = spark.read.parquet(s"$path/manifest")
       .filter(col("version") === v3).count()
     assert(commits == 1)
-    val files = new java.io.File(s"$path/data/c3").listFiles()
+    val v3dir = spark.read.parquet(s"$path/manifest")
+      .filter(col("version") === v3)
+      .select("commit").as[String].head()
+    val files = new java.io.File(s"$path/data/$v3dir").listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     assert(files == 1)
     // old versions untouched; compacted stats span the merged zone
@@ -510,22 +516,71 @@ class SourcesSpec extends SparkSpec {
     assert(sortedOk.isEmpty, "rows out of order within a shard file")
   }
 
-  test("snapshotCommit: an orphaned data dir (crash before manifest append) recovers on retry") {
+  test("snapshotCommit: an orphaned data dir (crash before manifest publish) never leaks and vacuum reclaims it") {
     import spark.implicits._
     val path = ScratchDirs.scratch("t_snapshot_orphan")
     val v1 = Sources.snapshotCommit(Seq((1L, "a")).toDF("id", "s"), path)
     // simulate a commit that died between data write and manifest
-    // append: data/c2 exists, manifest still ends at v1
+    // publish: an unreferenced uniquely-named dir under data/
     Seq((99L, "junk")).toDF("id", "s")
-      .write.parquet(s"$path/data/c${v1 + 1}")
+      .write.parquet(s"$path/data/c2-deadbeef")
     assert(Sources.snapshotLatestVersion(spark, path) == v1)
-    // the retried commit must reuse version v1+1, clobber the orphan,
-    // and commit cleanly (the r9 ErrorIfExists wedge)
+    // the next commit takes version v1+1 cleanly; no reader ever sees
+    // the orphan rows (readers union only manifest-listed dirs)
     val v2 = Sources.snapshotCommit(Seq((2L, "b")).toDF("id", "s"), path)
     assert(v2 == v1 + 1)
     val got = Sources.snapshotRead(spark, path, v2)
       .select("id").as[Long].collect().sorted.toSeq
     assert(got == Seq(1L, 2L), s"orphan rows leaked into v2: $got")
+    // vacuum with a zero grace window garbage-collects the orphan;
+    // referenced dirs stay
+    assert(Files.exists(Paths.get(s"$path/data/c2-deadbeef")))
+    Sources.snapshotVacuum(spark, path, keepFrom = 1, orphanGraceMs = 0L)
+    assert(!Files.exists(Paths.get(s"$path/data/c2-deadbeef")))
+    assert(Sources.snapshotRead(spark, path, v2)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("snapshotCommit: two interleaved committers never lose or double a version (CAS)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val path = ScratchDirs.scratch("t_snapshot_cas")
+    Fs.deleteRecursive(spark, path)
+    val perWriter = 6
+    // two committers race raw appends with no external coordination;
+    // each id set is writer-disjoint so content attributes lost rows
+    def run(writer: Int) = Future {
+      (1 to perWriter).map { i =>
+        Sources.snapshotCommit(
+          Seq((writer * 1000L + i, s"w$writer-$i")).toDF("id", "s"), path)
+      }
+    }
+    val (a, b) = (run(1), run(2))
+    val versions = Await.result(a, 120.seconds) ++
+      Await.result(b, 120.seconds)
+    // every version won by exactly one committer, none skipped
+    assert(versions.sorted == (1 to 2 * perWriter),
+      s"versions lost or doubled: ${versions.sorted}")
+    // the final snapshot carries every committed row exactly once
+    val ids = Sources.snapshotRead(spark, path, 2 * perWriter)
+      .select("id").as[Long].collect().sorted.toSeq
+    val expected = ((1 to perWriter).map(1000L + _) ++
+      (1 to perWriter).map(2000L + _)).sorted
+    assert(ids == expected, s"rows lost or doubled: $ids")
+    // each intermediate version is a strict superset chain: version v
+    // unions exactly v commit dirs
+    (1 to 2 * perWriter).foreach { v =>
+      assert(Sources.snapshotCommitDirs(spark, path, v) == v,
+        s"version $v lists the wrong commit set")
+    }
+    // the idempotence contract survives concurrency: replaying a txn
+    // marker that a racing twin already committed is a no-op
+    val tv = Sources.snapshotCommit(Seq((9L, "t")).toDF("id", "s"), path,
+      txn = Some(("app", 1L)))
+    assert(Sources.snapshotCommit(Seq((9L, "t")).toDF("id", "s"), path,
+      txn = Some(("app", 1L))) == tv)
   }
 
   test("parquetMergeSchema unions evolved footers and null-fills both directions") {
