@@ -42,10 +42,59 @@ object QuantileBins {
     ranked.join(broadcast(pos), "r").select(col("k"), col("v").as("edge"))
   }
 
+  /** SKETCH fit — the scale path (m25): B-quantile edges from a
+    * fixed-width histogram of the train slice instead of a global
+    * sort. ONE partial-agg pass folds the corpus onto value-range/
+    * `width` cells (map-side combine — the p18 histogram shape), the
+    * cumulative walk runs in CELL space, and edge_k = width · (first
+    * bucket whose cumulative count reaches the exact fit's position
+    * ⌊n·k/B⌋). Each sketch edge is within `width` ABOVE the exact
+    * [[fitEdges]] value (the exact edge's value lies inside the
+    * chosen bucket, whose lower bound is the sketch edge... the exact
+    * value is ≥ b·width and < (b+1)·width, so |sketch − exact| <
+    * width) — the m22↔m25 tolerance contract. The histogram is a
+    * deterministic closed form, so unlike most sketches the edges
+    * themselves oracle-check EXACTLY. Same (k, edge) artifact schema:
+    * [[binColumn]] serves both fits unchanged.
+    *
+    * At 100 TB this replaces m22's global row_number sort (the fit's
+    * only scale-killer) with one shuffle onto ≤ range/width cells —
+    * refresh stays a re-fit (quantile edges are not additive), but
+    * the re-fit is now a cheap aggregation pass. */
+  def fitEdgesSketch(train: DataFrame, valueCol: Column, bins: Int,
+      width: Double): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    require(width > 0, "bucket width must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val spark = train.sparkSession
+    import spark.implicits._
+    val cells = train
+      .select(floor(valueCol / width).cast("long").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    // global windows over CELL space only (≤ range/width rows)
+    val cum = cells
+      .withColumn("cum", sum("cnt").over(Window.orderBy("b")))
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    cum.crossJoin(broadcast((1 until bins).toDF("k")))
+      .filter(col("cum") >=
+        floor(col("n") * col("k") / lit(bins)).cast("long"))
+      .groupBy("k").agg(min("b").as("b"))
+      .select(col("k"), (col("b") * lit(width)).as("edge"))
+  }
+
   /** Fit on `train` and freeze the (k, edge) artifact. */
   def writeBins(train: DataFrame, valueCol: Column, tieBreak: Column,
       bins: Int, path: String): Unit =
     fitEdges(train, valueCol, tieBreak, bins)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Sketch-fit on `train` and freeze the same (k, edge) artifact —
+    * [[binColumn]] serves either fit interchangeably. */
+  def writeBinsSketch(train: DataFrame, valueCol: Column, bins: Int,
+      width: Double, path: String): Unit =
+    fitEdgesSketch(train, valueCol, bins, width)
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Serve: the bin index (0..B-1) of `x` from the frozen edges —

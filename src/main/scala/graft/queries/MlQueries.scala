@@ -493,7 +493,82 @@ object MlQueries {
             col("o_orderpriority"), m = 10.0, descale = 100.0)
             .as("te_price"))
         .orderBy("o_orderkey")
-    }, Some(targetEncodingOracle))
+    }, Some(targetEncodingOracle)),
+
+    // ---- SKETCH-fit quantile bins (m25): m22's fit without its one
+    // scale-killer — the exact fit's global row_number sort becomes a
+    // fixed-width histogram pass (map-side combine onto ~range/width
+    // cells) and the edge walk runs in cell space; the serve half
+    // (constant-folded comparison-sum from the frozen artifact) is
+    // UNCHANGED. Each sketch edge sits within `width` of the exact
+    // edge by construction, and because the histogram is a
+    // deterministic closed form the sketch edges replay EXACTLY in
+    // the oracle — a tolerance-bound design with a hash-exact gate.
+    NamedQuery("m25_quantile_bins_sketch_fit", (s, dir) => {
+      import graft.ml.QuantileBins
+      val o = Tables.orders(s, dir)
+      val path = graft.ScratchDirs.scratch("qbins_sketch")
+      graft.Fs.deleteRecursive(s, path)
+      QuantileBins.writeBinsSketch(o.filter(col("o_orderkey") % 5 =!= 0),
+        col("o_totalprice"), bins = 8, width = 5000.0, path)
+      o.select(col("o_orderkey"),
+          QuantileBins.binColumn(s, path, col("o_totalprice")).as("bin"))
+        .orderBy("o_orderkey")
+    },
+      Some("""WITH tr AS (SELECT o_totalprice AS v FROM orders
+             |  WHERE o_orderkey % 5 <> 0),
+             |cells AS (SELECT CAST(floor(v / 5000.0) AS BIGINT) AS b,
+             |    count(*) AS cnt FROM tr GROUP BY 1),
+             |cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum,
+             |    sum(cnt) OVER () AS n FROM cells),
+             |e AS (SELECT k, min(b) * 5000.0 AS edge
+             |  FROM cum CROSS JOIN generate_series(1, 7) g(k)
+             |  WHERE cum >= (n * k) // 8
+             |  GROUP BY k)
+             |SELECT o_orderkey,
+             |  CAST((SELECT count(*) FROM e WHERE o_totalprice >= edge)
+             |    AS INT) AS bin
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- HIGH-CARDINALITY target encoding (m26): the primary
+    // target-encoding use case — a categorical with too many levels
+    // for one-hot (here the customer key, 1.5k levels at sf0.01) —
+    // served through the BROADCAST-JOIN path (encodeInto picks it
+    // above chainMax): the (category, enc) artifact broadcasts
+    // against the corpus scan, one hash probe per row, no
+    // O(categories)-deep when-chain to blow codegen limits. Values
+    // are bit-identical to the chain form (same driver-side IEEE op
+    // sequence); unseen categories coalesce to the prior.
+    NamedQuery("m26_target_encoding_highcard", (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val path = graft.ScratchDirs.scratch("target_enc_highcard")
+      graft.Fs.deleteRecursive(s, path)
+      graft.ml.TargetEncoder.writeEncoder(
+        o.filter(col("o_orderkey") % 5 =!= 0),
+        col("o_custkey").cast("string"),
+        round(col("o_totalprice") * 100, 0), path)
+      graft.ml.TargetEncoder.encodeInto(
+          o.select("o_orderkey", "o_custkey"),
+          col("o_custkey").cast("string"), path,
+          m = 10.0, descale = 100.0, outName = "te_cust")
+        .select("o_orderkey", "o_custkey", "te_cust")
+        .orderBy("o_orderkey")
+    },
+      Some("""WITH t AS (SELECT CAST(o_custkey AS VARCHAR) AS c,
+             |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+             |  FROM orders WHERE o_orderkey % 5 <> 0),
+             |g AS (SELECT c, count(*) AS n, sum(y) AS s FROM t GROUP BY c),
+             |tot AS (SELECT sum(n) AS nt, sum(s) AS st FROM g),
+             |e AS (SELECT c,
+             |    round((CAST(s AS DOUBLE) + 10.0 * (CAST(st AS DOUBLE) / nt))
+             |      / (n + 10.0) / 100.0, 4) + 0.0 AS te
+             |  FROM g CROSS JOIN tot)
+             |SELECT o_orderkey, o_custkey,
+             |  coalesce(e.te,
+             |    (SELECT round(CAST(st AS DOUBLE) / nt / 100.0, 4) + 0.0
+             |     FROM tot)) AS te_cust
+             |FROM orders LEFT JOIN e ON CAST(o_custkey AS VARCHAR) = e.c
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** Shared oracle for the target-encoding lifecycle (m23/m24/sw34):

@@ -306,6 +306,68 @@ class MlSpec extends SparkSpec {
     assert(enc(inc) == got)
   }
 
+  test("QuantileBins sketch fit: every edge within one bucket width of the exact edge; serve unchanged") {
+    import graft.ml.QuantileBins
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_totalprice")
+    val exact = ScratchDirs.scratch("t_qbins_exact")
+    val sketch = ScratchDirs.scratch("t_qbins_sketch")
+    Fs.deleteRecursive(spark, exact); Fs.deleteRecursive(spark, sketch)
+    QuantileBins.writeBins(o, col("o_totalprice"), col("o_orderkey"),
+      bins = 8, exact)
+    val width = 5000.0
+    QuantileBins.writeBinsSketch(o, col("o_totalprice"), bins = 8,
+      width = width, sketch)
+    val ex = spark.read.parquet(exact)
+      .select("k", "edge").as[(Int, Double)].collect().toMap
+    val sk = spark.read.parquet(sketch)
+      .select("k", "edge").as[(Int, Double)].collect().toMap
+    assert(sk.keySet == ex.keySet)
+    // the sketch edge is the containing bucket's LOWER bound, so it
+    // sits at or below the exact edge, never more than `width` under
+    ex.foreach { case (k, e) =>
+      assert(sk(k) <= e && e - sk(k) < width,
+        s"cut $k: sketch ${sk(k)} vs exact $e exceeds width $width")
+    }
+    // the serve half is the same constant-folded comparison sum
+    val binned = o.select(
+        QuantileBins.binColumn(spark, sketch, col("o_totalprice")).as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect().toMap
+    assert(binned.keySet.max <= 7 && binned.keySet.min >= 0)
+  }
+
+  test("TargetEncoder high-cardinality: join serve equals chain serve; chain fails loudly above cap") {
+    import graft.ml.TargetEncoder
+    val o = Tables.orders(spark, sf)
+    val path = ScratchDirs.scratch("t_te_highcard")
+    Fs.deleteRecursive(spark, path)
+    TargetEncoder.writeEncoder(o, col("o_custkey").cast("string"),
+      round(col("o_totalprice") * 100, 0), path)
+    val serve = o.select("o_orderkey", "o_custkey").limit(500)
+    // > 64 categories: the when-chain form must refuse
+    intercept[IllegalArgumentException](
+      TargetEncoder.encodeColumn(spark, path,
+        col("o_custkey").cast("string"), m = 10.0, descale = 100.0))
+    // the join path serves; with the cap raised, the chain path must
+    // produce bit-identical values (same driver-side IEEE sequence)
+    val viaJoin = TargetEncoder.encodeInto(serve,
+        col("o_custkey").cast("string"), path,
+        m = 10.0, descale = 100.0, outName = "te")
+      .select("o_orderkey", "te").as[(Long, Double)].collect().toMap
+    val viaChain = serve.select(col("o_orderkey"),
+        TargetEncoder.encodeColumn(spark, path,
+          col("o_custkey").cast("string"), m = 10.0, descale = 100.0,
+          maxChain = 10000).as("te"))
+      .as[(Long, Double)].collect().toMap
+    assert(viaJoin == viaChain)
+    // unseen category: the prior, through the join path's coalesce
+    val unseen = Seq(-1L).toDF("o_custkey")
+    val p = TargetEncoder.encodeInto(unseen,
+        col("o_custkey").cast("string"), path,
+        m = 10.0, descale = 100.0, outName = "te")
+      .select("te").as[Double].head()
+    assert(!p.isNaN && p > 0)
+  }
+
   test("FeatureScaler: zero-variance feature serves z=0, missing feature fails loudly") {
     import graft.ml.FeatureScaler
     val feats = Seq[(String, org.apache.spark.sql.Column)](
