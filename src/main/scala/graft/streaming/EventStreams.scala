@@ -670,6 +670,43 @@ object EventStreams {
     cur.select(col(idCol).as("id"))
   }
 
+  /** POINT-IN-TIME stream enrichment (sw32/sw35): each arriving label
+    * row picks its as-of feature version from its entity's compacted
+    * day-sorted history array — one stream-static equi-join on the
+    * entity key plus a scan-stage array lookup (`filter` +
+    * `element_at(-1)`), no stream-side state. Rows whose entity has
+    * no as-of entry drop (a feature vector of "nothing yet" is not a
+    * training row). The matched struct lands as column `__m`; the
+    * caller projects its fields.
+    *
+    * The static side is the ONLINE STORE — entity-count-sized, not
+    * corpus-sized — and `broadcastMaxEntities` gates the join
+    * strategy: at or below it the store broadcasts (zero stream-side
+    * shuffle, right while the store fits executor memory); above it
+    * the join falls back to a KEYED SHUFFLE, because broadcast size
+    * grows linearly with entity count and a hardcoded broadcast hint
+    * OOMs executors at 100 TB entity cardinality. `entityCount` is
+    * the store's row count — its metadata in a production deployment,
+    * one artifact-sized count here. Both plans are PlanSpec-pinned
+    * and serve the same oracle (sw32 broadcast, sw35 shuffle). */
+  def pitEnrich(src: DataFrame, hist: DataFrame, keyCol: String,
+      histCol: String, tsField: String,
+      asof: org.apache.spark.sql.Column, entityCount: Long,
+      broadcastMaxEntities: Long = 10000000L): DataFrame = {
+    // above the gate, pin the keyed shuffle explicitly: the planner's
+    // own size estimate could still auto-broadcast a store whose
+    // in-memory footprint its stats undercount
+    val store =
+      if (entityCount <= broadcastMaxEntities) broadcast(hist)
+      else hist.hint("merge")
+    src.join(store, Seq(keyCol))
+      .withColumn("__f", filter(col(histCol), h => h(tsField) <= asof))
+      .withColumn("__m", when(size(col("__f")) > 0,
+        element_at(col("__f"), -1)))
+      .filter(col("__m").isNotNull)
+      .drop("__f", histCol)
+  }
+
   /** One event on the wire (micros-precision event time `ts`). */
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)

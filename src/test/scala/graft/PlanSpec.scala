@@ -610,4 +610,38 @@ class PlanSpec extends SparkSpec {
     assert(Memo.planKey(s1) == Memo.planKey(s2))
     assert(Memo.planKey(s1) != Memo.planKey(s3))
   }
+
+  test("pitEnrich: the broadcast gate switches the join strategy, results identical") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    val hist = Seq(
+      (1L, Seq((10L, 5.0), (20L, 9.0))),
+      (2L, Seq((15L, 2.0))))
+      .toDF("k", "raw")
+      .select(col("k"), transform(col("raw"),
+        r => struct(r("_1").as("day"), r("_2").as("ltv"))).as("hist"))
+    val src = Seq((100L, 1L, 25L), (101L, 2L, 16L), (102L, 2L, 3L))
+      .toDF("id", "k", "asof")
+    def run(maxEntities: Long) = EventStreams.pitEnrich(
+      src, hist, "k", "hist", "day", asof = col("asof"),
+      entityCount = 2L, broadcastMaxEntities = maxEntities)
+      .select(col("id"), col("__m")("ltv").as("ltv"))
+    val small = run(1000L)
+    val big = run(0L)
+    // below the gate: the store broadcasts (zero stream-side shuffle)
+    assert(planOf(small).contains("BroadcastHashJoin"),
+      s"expected broadcast under the gate:\n${planOf(small)}")
+    // above it: a keyed shuffle join — a hardcoded broadcast hint
+    // would OOM executors at 100 TB entity cardinality
+    val bigPlan = planOf(big)
+    assert(!bigPlan.contains("BroadcastHashJoin") &&
+      (bigPlan.contains("SortMergeJoin") ||
+        bigPlan.contains("ShuffledHashJoin")),
+      s"expected keyed shuffle above the gate:\n$bigPlan")
+    // the strategy switch is invisible to the result
+    val a = small.as[(Long, Double)].collect().sortBy(_._1).toSeq
+    val b = big.as[(Long, Double)].collect().sortBy(_._1).toSeq
+    assert(a == b && a == Seq((100L, 9.0), (101L, 2.0)),
+      s"results diverged: $a vs $b")
+  }
 }
