@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.clustering.{KMeans, LDA, PowerIterationClustering}
+import org.apache.spark.ml.clustering.{KMeans, KMeansModel, LDA, PowerIterationClustering}
 import org.apache.spark.ml.evaluation.ClusteringEvaluator
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -33,6 +33,28 @@ object Clustering {
       .setFeaturesCol(featuresCol).setPredictionCol("cluster")
       .fit(in).transform(in)
   }
+
+  /** The model half of [[kmeans]] — fit only, for the persistence
+    * lifecycle (m28): centroids freeze as an artifact and serving
+    * jobs assign clusters without refitting. Same partition-count
+    * discipline as [[kmeans]]. */
+  def kmeansFit(df: DataFrame, featuresCol: String, k: Int,
+      seed: Long = 1L): KMeansModel = {
+    val target = fitParts(df)
+    val in = if (target < df.rdd.getNumPartitions) df.coalesce(target) else df
+    new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol(featuresCol).setPredictionCol("cluster")
+      .fit(in)
+  }
+
+  /** Persist a fitted KMeansModel (centroids + params via Spark ML's
+    * native writer); the reloaded model assigns bit-identically —
+    * centroid doubles round-trip exactly (m28 + MlSpec pin it). */
+  def saveKmeans(model: KMeansModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  /** Load a frozen KMeansModel artifact. */
+  def loadKmeans(path: String): KMeansModel = KMeansModel.load(path)
 
   /** M12 (goodreads.py:351–353): silhouette with squared euclidean. */
   def silhouette(predictions: DataFrame, featuresCol: String,

@@ -78,6 +78,20 @@ object Recommend {
       .setSeed(42L)
   }
 
+  /** Persist a fitted ALSModel as a SERVING ARTIFACT (Spark ML's
+    * native writer: user/item factor parquet + params metadata) —
+    * the model analog of the scaler/encoder artifact lifecycle: fit
+    * once, freeze, and let serving jobs recommend WITHOUT a refit
+    * (the refit is this family's most expensive op; a serving
+    * deployment must never pay it per session). The reloaded model
+    * serves bit-identically — factors round-trip as parquet floats
+    * (m27 + MlSpec pin reloaded ≡ in-session). */
+  def saveModel(model: ALSModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  /** Load a frozen ALSModel artifact. */
+  def loadModel(path: String): ALSModel = ALSModel.load(path)
+
   /** Driver-side lookup in the reference (goodreads.py:280–285) —
     * exposed honestly as a point-lookup helper (one job per call). */
   def recommendForUser(model: ALSModel, userId: Long, k: Int): Array[(Int, Float)] = {

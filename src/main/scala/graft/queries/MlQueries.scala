@@ -568,7 +568,50 @@ object MlQueries {
              |    (SELECT round(CAST(st AS DOUBLE) / nt / 100.0, 4) + 0.0
              |     FROM tot)) AS te_cust
              |FROM orders LEFT JOIN e ON CAST(o_custkey AS VARCHAR) = e.c
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ---- ALS model PERSISTENCE (m27): the artifact lifecycle
+    // (m19-m24's fit-freeze-serve) applied to the model family's most
+    // expensive fit — the trained factors freeze via Spark ML's
+    // native writer and a serving session recommends WITHOUT
+    // refitting. The round-trip gate runs IN the query: the reloaded
+    // model's top-5 must equal the in-session model's frame-exactly
+    // (factors round-trip as parquet floats), or the query throws.
+    // Rows-only (ALS is iterative); deterministic twin m09.
+    NamedQuery("m27_als_model_roundtrip", (s, dir) => {
+      val model = Recommend.fit(ratings(s, dir), "user", "item", "rating",
+        rank = 8, maxIter = 5, regParam = 0.1, seed = 42L)
+      val path = graft.ScratchDirs.scratch("als_model")
+      Recommend.saveModel(model, path)
+      val reloaded = Recommend.loadModel(path)
+      val inSession = Recommend.recommendAllUsers(model, 5)
+      val served = Recommend.recommendAllUsers(reloaded, 5)
+      require(served.exceptAll(inSession).isEmpty &&
+        inSession.exceptAll(served).isEmpty,
+        "reloaded ALS model diverged from the in-session model")
+      served.orderBy("user", "rank")
+    }),
+
+    // ---- KMeans model PERSISTENCE (m28): same lifecycle for the
+    // clustering family — frozen centroids assign new rows without a
+    // refit (the batch-scoring deployment shape). The reloaded
+    // model's assignments must equal the in-session model's exactly
+    // (centroid doubles round-trip), enforced in-query; the output
+    // is the reloaded model's cluster-size histogram. Rows-only
+    // (KMeans init is seeded but iterative); deterministic twin m10.
+    NamedQuery("m28_kmeans_model_roundtrip", (s, dir) => {
+      val feats = tfidfPca(s, dir)
+      val model = Clustering.kmeansFit(feats, "pca", k = 10, seed = 1L)
+      val path = graft.ScratchDirs.scratch("kmeans_model")
+      Clustering.saveKmeans(model, path)
+      val reloaded = Clustering.loadKmeans(path)
+      val a = model.transform(feats).select("doc_id", "cluster")
+      val b = reloaded.transform(feats).select("doc_id", "cluster")
+      require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
+        "reloaded KMeans model diverged from the in-session model")
+      b.groupBy("cluster").agg(count(lit(1)).as("size"))
+        .orderBy(col("size").desc, col("cluster"))
+    })
   )
 
   /** Shared oracle for the target-encoding lifecycle (m23/m24/sw34):

@@ -368,6 +368,35 @@ class MlSpec extends SparkSpec {
     assert(!p.isNaN && p > 0)
   }
 
+  test("ALS and KMeans models round-trip through their artifacts and serve identically") {
+    import graft.ml.Clustering
+    val als = Recommend.fit(ratings, "user", "item", "rating",
+      rank = 4, maxIter = 3, regParam = 0.1, seed = 42L)
+    val alsPath = ScratchDirs.scratch("t_als_model")
+    Recommend.saveModel(als, alsPath)
+    val alsBack = Recommend.loadModel(alsPath)
+    val a = Recommend.recommendAllUsers(als, 3)
+    val b = Recommend.recommendAllUsers(alsBack, 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "reloaded ALS recommendations diverged")
+    assert(alsBack.getUserCol == "user" && alsBack.getItemCol == "item")
+
+    val feats = ContentFeatures.pca(
+      ContentFeatures.tfidf(Tables.documents(spark, sf), "text",
+        numFeatures = 32), "tfidf", k = 4)
+    val km = Clustering.kmeansFit(feats, "pca", k = 5, seed = 1L)
+    val kmPath = ScratchDirs.scratch("t_kmeans_model")
+    Clustering.saveKmeans(km, kmPath)
+    val kmBack = Clustering.loadKmeans(kmPath)
+    val ka = km.transform(feats).select("doc_id", "cluster")
+    val kb = kmBack.transform(feats).select("doc_id", "cluster")
+    assert(ka.exceptAll(kb).isEmpty && kb.exceptAll(ka).isEmpty,
+      "reloaded KMeans assignments diverged")
+    // centroids round-trip exactly
+    assert(km.clusterCenters.map(_.toArray.toSeq).toSeq ==
+      kmBack.clusterCenters.map(_.toArray.toSeq).toSeq)
+  }
+
   test("FeatureScaler: zero-variance feature serves z=0, missing feature fails loudly") {
     import graft.ml.FeatureScaler
     val feats = Seq[(String, org.apache.spark.sql.Column)](
