@@ -287,7 +287,7 @@ object MultimodalQueries {
     * from (doc_id, n_chars) so fingerprints are diverse (see
     * [[Multimodal.syntheticPayloadMixed]]'s degeneracy note). The
     * mm06 oracle mirrors this closed form. */
-  private def syntheticMediaMixed(s: org.apache.spark.sql.SparkSession,
+  private[queries] def syntheticMediaMixed(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

@@ -1084,6 +1084,71 @@ object StreamingQueries {
       },
       Some(AdvancedQueries.pitFeaturesOracle)),
 
+    // ---- streaming perceptual-hash admission (sw36): mm06's media
+    // ingest gate executed through the real micro-batch engine — the
+    // missing streaming twin that completes the multimodal index
+    // family (build/append/batch-serve/stream-serve, the d35→sw29
+    // pattern). The %3≠0 corpus freezes as the aHash index; the feed
+    // is the %3==0 media plus planted REPLAYS of indexed media
+    // (%6==1, id+1000000): replays reject at Hamming 0, new media
+    // admit unless a perceptual near-dup of an indexed fingerprint
+    // verifies at ≤1 on a shared band. Per-row mapPartitions hash +
+    // four stream-static anti-joins; the oracle replays payload →
+    // hash → bands → verify → anti-join from the generator's closed
+    // form over the same feed.
+    NamedQuery("sw36_stream_phash_admission",
+      (s, dir) => {
+        import graft.multimodal.Multimodal
+        val media = MultimodalQueries.syntheticMediaMixed(s, dir)
+        val path = graft.ScratchDirs.scratch("phash_idx_stream")
+        graft.Fs.deleteRecursive(s, path)
+        Multimodal.writeHashIndex(
+          Multimodal.avgHash(media.filter(col("media_id") % 3 =!= 0),
+              "media_id", "content", gw = 8, gh = 4)
+            .select(col("media_id").as("id"), col("ahash")), path)
+        val feed = media.filter(col("media_id") % 3 === 0)
+          .unionByName(media.filter(col("media_id") % 6 === 1)
+            .withColumn("media_id", col("media_id") + 1000000))
+        val admitted = StreamRunner.runAvailableNow(s, feed,
+            "sw36_phash_admission", "append") { src =>
+          EventStreams.phashIndexAdmission(src, "media_id", "content",
+            path, totalBits = 32, bands = 4, maxHamming = 1)
+        }
+        admitted.select(col("id").as("media_id")).orderBy("media_id")
+      },
+      Some("""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
+             |           (doc_id * 131 + n_chars) % 9973 AS seed FROM documents),
+             |cells AS (SELECT doc_id, y.i * 8 + x.i AS bit,
+             |    (((x.i * w) // 8 + 1) * ((y.i * h) // 4 + 2) * (seed + 1)) % 251 AS v
+             |  FROM p
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 7)) AS i) x
+             |  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, 3)) AS i) y),
+             |m AS (SELECT doc_id, bit, v,
+             |    CAST(sum(v) OVER (PARTITION BY doc_id) AS DOUBLE) / 32 AS avgv
+             |  FROM cells),
+             |hs AS (SELECT doc_id, CAST(sum(CASE WHEN v > avgv
+             |      THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS ahash
+             |  FROM m GROUP BY doc_id),
+             |feed AS (SELECT doc_id AS id, ahash FROM hs WHERE doc_id % 3 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000 AS id, ahash FROM hs
+             |  WHERE doc_id % 6 = 1),
+             |bif AS (SELECT id, ahash, b.i AS band,
+             |    (ahash >> (b.i * 8)) & 255 AS bh
+             |  FROM feed CROSS JOIN LATERAL (
+             |    SELECT unnest(generate_series(0, 3)) AS i) b),
+             |bii AS (SELECT ahash, b.i AS band,
+             |    (ahash >> (b.i * 8)) & 255 AS bh
+             |  FROM hs CROSS JOIN LATERAL (
+             |    SELECT unnest(generate_series(0, 3)) AS i) b
+             |  WHERE doc_id % 3 <> 0),
+             |rej AS (SELECT DISTINCT f.id FROM bif f JOIN bii i
+             |    ON f.band = i.band AND f.bh = i.bh
+             |  WHERE bit_count(xor(f.ahash, i.ahash)) <= 1)
+             |SELECT id AS media_id FROM feed
+             |WHERE id NOT IN (SELECT id FROM rej)
+             |ORDER BY media_id""".stripMargin)),
+
     // ---- streaming BIN routing from the frozen quantile artifact
     // (sw33): m22's edges gate a STREAM — each arriving order is
     // binned by the constant-folded comparison-sum (scan-stage, no

@@ -670,6 +670,44 @@ object EventStreams {
     cur.select(col(idCol).as("id"))
   }
 
+  /** Streaming perceptual-hash ADMISSION against a frozen aHash index
+    * (sw36 — the mm06 gate in ingest position, completing the media
+    * family's batch/stream twin pair like d35→sw29 did for SimHash):
+    * each arriving media row fingerprints via the same mapPartitions
+    * aHash kernel the batch index was built with (bit-identical
+    * integer arithmetic), then `bands` stream-static LEFT-ANTI joins
+    * drop any row some indexed fingerprint matches at Hamming ≤
+    * `maxHamming` on a shared bit-band. Undecodable payloads (null
+    * hash) are REJECTED — unverifiable content never passes a dedup
+    * gate. Anti-joins instead of the batch half's join+distinct:
+    * append-mode streams can't aggregate mid-gate, and the per-band
+    * anti-join chain is the same candidate set DeMorgan'd. The index
+    * side is artifact-sized and broadcasts; at 100 TB it's bucketed
+    * by (band, bits) and each probe touches one bucket per band. */
+  def phashIndexAdmission(media: DataFrame, idCol: String,
+      contentCol: String, indexPath: String, totalBits: Int, bands: Int,
+      maxHamming: Int, gw: Int = 8, gh: Int = 4): DataFrame = {
+    require(totalBits % bands == 0 && gw * gh == totalBits)
+    val rows = totalBits / bands
+    val mask = (1L << rows) - 1
+    val idx = media.sparkSession.read.parquet(indexPath)
+      .select(col("id").as("__ii"), col("ahash").as("__ih"))
+    var cur = graft.multimodal.Multimodal
+      .avgHash(media, idCol, contentCol, gw, gh)
+      .filter(col("ahash").isNotNull)
+    for (b <- 0 until bands) {
+      val idxB = idx.select(col("__ih"),
+        shiftrightunsigned(col("__ih"), b * rows).bitwiseAND(mask)
+          .as(s"__ibh$b"))
+      cur = cur.join(broadcast(idxB),
+        shiftrightunsigned(col("ahash"), b * rows).bitwiseAND(mask)
+          === col(s"__ibh$b") &&
+          bit_count(col("ahash").bitwiseXOR(col("__ih"))) <= maxHamming,
+        "left_anti")
+    }
+    cur.select(col("media_id").as("id"))
+  }
+
   /** POINT-IN-TIME stream enrichment (sw32/sw35): each arriving label
     * row picks its as-of feature version from its entity's compacted
     * day-sorted history array — one stream-static equi-join on the
