@@ -82,15 +82,18 @@ object Bench {
     // in-sweep neighbours (GC timing, cleaner backlog, steady-state
     // storage pressure — the last is run-to-run STABLE, so an
     // instability trigger alone misses it). Re-measure — once,
-    // isolated, after a full flush — EVERY query above the trivial
-    // floor; queries whose in-sweep min exceeds 2x the isolated
-    // reading are flagged "contended" in the artifact. The reported
-    // time is the min over ALL runs (a disclosed isolated-best-of-3
-    // protocol — every raw run stays visible in "runs"), so a
-    // contended in-sweep reading never masquerades as plan cost.
+    // isolated, after a full flush — EVERY query (VERDICT r11 item 9:
+    // the earlier 0.75 s floor left 173 queries without an isolated
+    // reading, so round-over-round comparisons on them aliased sweep
+    // contention as regression); queries whose in-sweep min exceeds 2x
+    // the isolated reading are flagged "contended" in the artifact. The
+    // reported time is the min over ALL runs (a disclosed
+    // isolated-best-of-3 protocol — every raw run stays visible in
+    // "runs"), so a contended in-sweep reading never masquerades as
+    // plan cost.
     lastFam = ""
     val results = swept.map { r =>
-      val suspicious = r.err.isEmpty && r.sweepMin >= 0.75
+      val suspicious = r.err.isEmpty
       if (!suspicious) r
       else {
         if (familyOf(r.name) != lastFam) { familyFlush(); lastFam = familyOf(r.name) }

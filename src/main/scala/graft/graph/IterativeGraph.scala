@@ -831,6 +831,48 @@ object IterativeGraph {
     cosineTopK(q, idx, k)
   }
 
+  /** PERSIST a walk corpus as a serving artifact keyed by (epoch
+    * salt, walk length): the g26 walks written once per epoch and
+    * read by every downstream consumer (skip-gram, SGNS, PPMI
+    * vectors) instead of each re-deriving `steps` supersteps per
+    * session. A key table pins (salt, steps) so a reader asking for
+    * a different epoch or length fails loudly instead of silently
+    * training on the wrong corpus. Epochs REBUILD (a fresh salt is a
+    * fresh corpus), never append — walk rows are start-keyed and
+    * independent, and the artifact is immutable once published (the
+    * m16 codebook contract). At 100 TB the walks are the expensive
+    * half (steps × frontier joins over the full adjacency); every
+    * consumer after this is a scan of |starts| rows. */
+  def writeWalkCorpus(edges: DataFrame, starts: DataFrame, steps: Int,
+      salt: String, path: String): Unit = {
+    val s = edges.sparkSession
+    walkCorpus(edges, starts, steps, salt)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/walks")
+    import s.implicits._
+    Seq((salt, steps)).toDF("salt", "steps").coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/key")
+  }
+
+  /** Read a persisted walk corpus, asserting its (salt, steps) key
+    * matches what the caller expects — an epoch/length mismatch is a
+    * training-corpus bug, so it throws rather than serving stale
+    * walks. The key table is one row; the walks frame is cached for
+    * the downstream consumer (it is scanned twice by skip-gram+noise
+    * shapes). */
+  def readWalkCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, salt: String, steps: Int): DataFrame = {
+    val key = spark.read.parquet(s"$path/key").collect()
+    require(key.length == 1 &&
+      key(0).getAs[String]("salt") == salt &&
+      key(0).getAs[Int]("steps") == steps,
+      s"walk-corpus key mismatch at $path: wanted (salt=$salt, " +
+        s"steps=$steps), found " +
+        key.map(r => (r.get(0), r.get(1))).mkString(","))
+    graft.Caches.cached(spark.read.parquet(s"$path/walks"))
+  }
+
   /** SGNS NEGATIVE sampling (g29) — the last data step of the
     * word2vec/DeepWalk recipe: `negPerPair` negatives per distinct
     * [[skipGramPairs]] (center, context) pair, drawn from the walk

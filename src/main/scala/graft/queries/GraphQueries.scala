@@ -221,18 +221,14 @@ object GraphQueries {
     // turns g26's walks into the word2vec-style (center, context)
     // training set DeepWalk optimizes on — window ±2, pair counts.
     // Join-free on the engine side (offset explode + array index);
-    // the oracle replays the walks and the windowed pairing.
+    // the oracle replays the walks and the windowed pairing. Reads
+    // the PERSISTED epoch corpus (sharedWalkPath) — the oracle
+    // replaying the walks from scratch is the artifact≡from-scratch
+    // round-trip proof.
     NamedQuery("g27_skipgram_pairs",
-      (s, dir) => {
-        val g = PropertyGraph.customerPartGraph(s, dir)
-        val starts = g.vertices
-          .filter(col("type") === "Customer" && col("id") % 50 === 7)
-          .select("id")
-        IterativeGraph.skipGramPairs(
-            IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
-              salt = "walk"), window = 2)
-          .orderBy("center", "context")
-      },
+      (s, dir) => IterativeGraph.skipGramPairs(
+          sharedWalks(s, dir), window = 2)
+        .orderBy("center", "context"),
       Some(skipGramOracle(WalkSteps, window = 2))),
 
     // ---- PPMI co-occurrence matrix (g30): the closed-form twin of
@@ -241,16 +237,9 @@ object GraphQueries {
     // count-based embedding pipeline materializes instead. All
     // counts integral; the single ln rounds to 6 dp both sides.
     NamedQuery("g30_ppmi_pairs",
-      (s, dir) => {
-        val g = PropertyGraph.customerPartGraph(s, dir)
-        val starts = g.vertices
-          .filter(col("type") === "Customer" && col("id") % 50 === 7)
-          .select("id")
-        IterativeGraph.ppmiPairs(
-            IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
-              salt = "walk"), window = 2)
-          .orderBy("center", "context")
-      },
+      (s, dir) => IterativeGraph.ppmiPairs(
+          sharedWalks(s, dir), window = 2)
+        .orderBy("center", "context"),
       Some(ppmiOracle(WalkSteps, window = 2))),
 
     // ---- PPMI top-k similar nodes (g31): SERVE the g30 matrix —
@@ -261,16 +250,9 @@ object GraphQueries {
     // self-join, never all-pairs. Oracle chains g30's CTEs through
     // the sparsify/norm/dot/rank stages.
     NamedQuery("g31_ppmi_similar_nodes",
-      (s, dir) => {
-        val g = PropertyGraph.customerPartGraph(s, dir)
-        val starts = g.vertices
-          .filter(col("type") === "Customer" && col("id") % 50 === 7)
-          .select("id")
-        IterativeGraph.ppmiTopSimilar(
-            IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
-              salt = "walk"), window = 2, sparsify = 8, k = 3)
-          .orderBy("center", "rnk")
-      },
+      (s, dir) => IterativeGraph.ppmiTopSimilar(
+          sharedWalks(s, dir), window = 2, sparsify = 8, k = 3)
+        .orderBy("center", "rnk"),
       Some(ppmiSimilarOracle(WalkSteps, window = 2, sparsify = 8, k = 3))),
 
     // ---- PERSISTED node-vector serve (g32): the graph-embedding
@@ -286,14 +268,10 @@ object GraphQueries {
     NamedQuery("g32_ppmi_vectors_persisted",
       (s, dir) => {
         val g = PropertyGraph.customerPartGraph(s, dir)
-        val starts = g.vertices
-          .filter(col("type") === "Customer" && col("id") % 50 === 7)
-          .select("id")
         val path = graft.ScratchDirs.scratch("ppmi_vectors")
         graft.Fs.deleteRecursive(s, path)
         IterativeGraph.writeNodeVectors(
-          IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
-            salt = "walk"), window = 2, sparsify = 8, path)
+          sharedWalks(s, dir), window = 2, sparsify = 8, path)
         val queryNodes = g.vertices
           .filter(col("type") === "Customer" && col("id") % 200 === 7)
           .select("id")
@@ -311,16 +289,9 @@ object GraphQueries {
     // broadcast; pairs never shuffle. The oracle replays walks,
     // pairing, the cumulative mass, and every modular draw.
     NamedQuery("g29_sgns_negatives",
-      (s, dir) => {
-        val g = PropertyGraph.customerPartGraph(s, dir)
-        val starts = g.vertices
-          .filter(col("type") === "Customer" && col("id") % 50 === 7)
-          .select("id")
-        IterativeGraph.sgnsNegatives(
-            IterativeGraph.walkCorpus(g.edges, starts, steps = WalkSteps,
-              salt = "walk"), window = 2, negPerPair = 2, salt = "neg")
-          .orderBy("center", "context", "neg_rank")
-      },
+      (s, dir) => IterativeGraph.sgnsNegatives(
+          sharedWalks(s, dir), window = 2, negPerPair = 2, salt = "neg")
+        .orderBy("center", "context", "neg_rank"),
       Some(sgnsOracle(WalkSteps, window = 2, negPerPair = 2))),
 
     // ---- node2vec-biased walk corpus (g28): g26's second-order
@@ -902,6 +873,34 @@ object GraphQueries {
   }
 
   private def WalkSteps = 4
+
+  /** ONE persisted walk-corpus artifact per (session, dir) — the
+    * graph-embedding family's shared epoch corpus (the sharedBm25Path
+    * convention): built once via [[IterativeGraph.writeWalkCorpus]],
+    * then g27/g29/g30/g31/g32 READ it instead of re-deriving the
+    * walks. The artifact is keyed by (salt, steps); readers assert
+    * the key, so serving a stale epoch fails loudly. The oracles are
+    * unchanged — artifact-served ≡ from-scratch is exactly what their
+    * staying green proves. */
+  private def sharedWalkPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    graft.Memo.obj(s, s"walk-corpus-path|$dir") {
+      val g = PropertyGraph.customerPartGraph(s, dir)
+      val starts = g.vertices
+        .filter(col("type") === "Customer" && col("id") % 50 === 7)
+        .select("id")
+      val path = graft.ScratchDirs.scratch("walk_corpus_shared")
+      IterativeGraph.writeWalkCorpus(g.edges, starts, steps = WalkSteps,
+        salt = "walk", path = path)
+      path
+    }
+
+  /** The shared epoch corpus, read back through the key-checked
+    * artifact reader. */
+  private def sharedWalks(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    IterativeGraph.readWalkCorpus(s, sharedWalkPath(s, dir),
+      salt = "walk", steps = WalkSteps)
 
   /** CTE stack shared by g26/g27: symmetrized dst-ranked adjacency,
     * then `steps` unrolled hops, each picking rnk =

@@ -180,8 +180,9 @@ object MultimodalQueries {
           totalBits = 32, bands = 4, maxHamming = 1)
         .select(col("id").as("media_id")).orderBy("media_id")
     },
-      Some("""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
-             |           (doc_id * 131 + n_chars) % 9973 AS seed FROM documents),
+      Some(s"""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
+             |           (doc_id * 131 + n_chars) % $mixedSeedModulusSql
+             |             AS seed FROM documents),
              |cells AS (SELECT doc_id, y.i * 8 + x.i AS bit,
              |    (((x.i * w) // 8 + 1) * ((y.i * h) // 4 + 2) * (seed + 1)) % 251 AS v
              |  FROM p
@@ -286,18 +287,40 @@ object MultimodalQueries {
   /** mm06's fixture: the MULTIPLICATIVE payload family, seed mixed
     * from (doc_id, n_chars) so fingerprints are diverse (see
     * [[Multimodal.syntheticPayloadMixed]]'s degeneracy note). The
-    * mm06 oracle mirrors this closed form. */
+    * mm06/sw36 oracles mirror this closed form, INCLUDING the
+    * corpus-scaled modulus below. */
   private[queries] def syntheticMediaMixed(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    val m = mixedSeedModulus(s, dir)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .map { case (id, nChars) =>
         (id, Multimodal.syntheticPayloadMixed(
           width = 8 + (nChars % 24).toInt, height = 6,
-          seed = ((id * 131 + nChars) % 9973).toInt))
+          seed = ((id * 131 + nChars) % m).toInt))
       }
       .toDF("media_id", "content")
   }
+
+  /** Seed modulus for the mixed payload family: greatest(9973,
+    * corpus doc count), so the payload space GROWS with the corpus
+    * and duplicate density stays constant under scale replicas. A
+    * fixed 9973-seed space saturated at 100× — duplicate density
+    * exploded and the scale probe measured fixture collisions, not
+    * the band-join plan (VERDICT r11 item 3). The oracle twin is
+    * `(SELECT greatest(9973, count(*)) FROM documents)`. Memoized
+    * per (session, dir): one count(*) metadata scan. */
+  private[queries] def mixedSeedModulus(
+      s: org.apache.spark.sql.SparkSession, dir: String): Long =
+    graft.Memo.obj(s, s"mixed-seed-mod|$dir")(
+      java.lang.Long.valueOf(
+        math.max(9973L, Tables.documents(s, dir).count()))).longValue
+
+  /** The oracle-side twin of [[mixedSeedModulus]]. A `def`, not a
+    * `val`: the query pack `all` above initializes first, and a
+    * forward-referenced val interpolates as null into the oracle. */
+  private[queries] def mixedSeedModulusSql: String =
+    "(SELECT greatest(9973, count(*)) FROM documents)"
 }

@@ -40,8 +40,13 @@ object PipelineQueries {
     * `${qn}rk`. `corpusFilter` restricts the SCORED corpus; query
     * texts always derive from all documents. */
   private[queries] def bm25Ctes(corpusFilter: String = "",
-      qn: String = "q"): String = {
+      qn: String = "q", queryCap: Int = 0): String = {
     val where = if (corpusFilter.isEmpty) "" else s" WHERE $corpusFilter"
+    // queryCap > 0 bounds the served batch to the `queryCap` smallest
+    // query ids — the s39 capped-batch serve's oracle twin
+    val cap = if (queryCap <= 0) "" else
+      s" AND doc_id IN (SELECT doc_id FROM tall WHERE doc_id % 125 = 7" +
+        s" ORDER BY doc_id LIMIT $queryCap)"
     s"""tall AS (SELECT doc_id, list_filter(
        |    string_split_regex(lower(text), '[^a-z0-9]+'),
        |    x -> len(x) > 0) AS ts FROM documents),
@@ -52,7 +57,7 @@ object PipelineQueries {
        |st AS (SELECT count(*) AS n_docs,
        |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
        |$qn AS (SELECT doc_id AS query_id, unnest(list_distinct(ts[1:8])) AS tok
-       |  FROM tall WHERE doc_id % 125 = 7),
+       |  FROM tall WHERE doc_id % 125 = 7$cap),
        |dfq AS (SELECT tok, count(*) AS df FROM tf
        |  WHERE tok IN (SELECT DISTINCT tok FROM $qn) GROUP BY 1),
        |co AS (SELECT $qn.query_id, tf.doc_id,
@@ -3393,6 +3398,70 @@ object PipelineQueries {
          |WHERE n.neg_rank <= 5
          |ORDER BY p.query_id, n.neg_rank""".stripMargin)),
 
+    // ---- BOUNDED-batch contrastive triplets (s39): s37's serve with
+    // the production cap — a triplet-mining run never serves the whole
+    // query backlog in one batch; it takes the next `TripletBatchCap`
+    // queries (smallest pending ids here, so the batch is
+    // deterministic) and bounds the expensive queries×postings
+    // retrieval to cap×postings REGARDLESS of how many queries the
+    // corpus implies. The cap of 3 binds at sf0.01's 4-query backlog
+    // (and everywhere above), so the oracle proves the capped
+    // semantics, not a no-op. Scale shape: candidate work ∝ cap×postings (grows only
+    // with the index, never with the query backlog) — this replaces
+    // s37's 46× queries×corpus profile at 100× with an index-bounded
+    // one. The cap select itself is a TakeOrderedAndProject over the
+    // 1/125 query frame: tiny, then broadcast.
+    NamedQuery("s39_bounded_triplet_batch",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val batch = bm25Queries(docs.select("doc_id", "text"))
+          .orderBy("query_id").limit(TripletBatchCap)
+        val cand = Retrieval.bm25TopKFromIndex(s, sharedBm25Path(s, dir),
+          batch, "query_id", "qtext", k = 20)
+        val withQ = docs
+          .select(col("doc_id").as("query_id"), col("source").as("__qs"))
+          .join(broadcast(cand), Seq("query_id"))
+        val lab = docs.select(col("doc_id"), col("source").as("__ds"))
+          .join(broadcast(withQ), Seq("doc_id"))
+        val w = Window.partitionBy("query_id").orderBy("rank")
+        val pos = lab.filter(col("__qs") === col("__ds"))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("query_id"), col("doc_id").as("pos_doc_id"),
+            col("score").as("pos_score"))
+        val neg = lab.filter(col("__qs") =!= col("__ds"))
+          .withColumn("neg_rank", row_number().over(w).cast("int"))
+          .filter(col("neg_rank") <= 5)
+          .select(col("query_id"), col("neg_rank"),
+            col("doc_id").as("neg_doc_id"), col("score").as("neg_score"))
+        pos.join(neg, Seq("query_id"))
+          .select("query_id", "pos_doc_id", "pos_score", "neg_rank",
+            "neg_doc_id", "neg_score")
+          .orderBy("query_id", "neg_rank")
+      },
+      Some(s"""WITH ${bm25Ctes(qn = "q", queryCap = TripletBatchCap)},
+         |cand AS (SELECT query_id, doc_id, score, rank FROM qrk
+         |  WHERE rank <= 20),
+         |lab AS (SELECT c.query_id, c.doc_id, c.score, c.rank,
+         |    qd.source AS qs, dd.source AS ds
+         |  FROM cand c
+         |  JOIN documents qd ON qd.doc_id = c.query_id
+         |  JOIN documents dd ON dd.doc_id = c.doc_id),
+         |pos AS (SELECT query_id, doc_id AS pos_doc_id,
+         |    score AS pos_score
+         |  FROM (SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rank) AS rn
+         |    FROM lab WHERE qs = ds) WHERE rn = 1),
+         |neg AS (SELECT query_id, doc_id AS neg_doc_id,
+         |    score AS neg_score, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rank) AS neg_rank
+         |  FROM lab WHERE qs <> ds)
+         |SELECT p.query_id, p.pos_doc_id, p.pos_score,
+         |  CAST(n.neg_rank AS INT) AS neg_rank, n.neg_doc_id, n.neg_score
+         |FROM pos p JOIN neg n USING (query_id)
+         |WHERE n.neg_rank <= 5
+         |ORDER BY p.query_id, n.neg_rank""".stripMargin)),
+
     // ---- weighted reservoir sample (p24): k=5 docs per source,
     // selection probability ∝ n_chars, WITHOUT replacement —
     // Efraimidis–Spirakis A-ES on a content-hash-derived u, so the
@@ -4501,6 +4570,13 @@ object PipelineQueries {
     * top-10 truncates (sf docs average ~54 tokens, so a full top-10
     * runs ~480 — at 300 every query's walk actually cuts). */
   private def RagBudget = 300
+
+  /** s39's per-serve query-batch cap — small enough to BIND at the
+    * sf0.01 gate scale (only FOUR %125 queries exist there: ids
+    * 7/132/257/382), so the gate proves the capped semantics rather
+    * than a no-op passthrough. Production sets this in the hundreds;
+    * the plan shape is cap-independent. */
+  private def TripletBatchCap = 3
 
   /** CTE chain `toksd → shd → exd → bench → flagged`: corpus docs
     * (doc_id%10≠0) sharing any n-gram with the benchmark slice

@@ -396,6 +396,36 @@ class GraphSpec extends SparkSpec {
     assert(fresh != walks)
   }
 
+  test("walk-corpus artifact: round-trip equals from-scratch; key mismatch throws") {
+    import graft.graph.IterativeGraph
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 2L), (10L, 3L), (10L, 4L)).toDF("src", "dst")
+    val starts = Seq(1L, 3L, 10L).toDF("id")
+    val path = graft.ScratchDirs.scratch("walk_corpus_spec")
+    graft.Fs.deleteRecursive(spark, path)
+    IterativeGraph.writeWalkCorpus(es, starts, steps = 5, salt = "e0", path)
+    val served = IterativeGraph.readWalkCorpus(spark, path, "e0", steps = 5)
+      .as[(Long, String)].collect().toMap
+    val fresh = IterativeGraph.walkCorpus(es, starts, steps = 5, salt = "e0")
+      .as[(Long, String)].collect().toMap
+    assert(served == fresh)
+    // downstream consumer served from the artifact ≡ from-scratch
+    val viaArtifact = IterativeGraph.skipGramPairs(
+      IterativeGraph.readWalkCorpus(spark, path, "e0", steps = 5), window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val direct = IterativeGraph.skipGramPairs(
+      IterativeGraph.walkCorpus(es, starts, steps = 5, salt = "e0"), window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaArtifact == direct && viaArtifact.nonEmpty)
+    // wrong epoch salt or wrong length must fail loudly
+    intercept[IllegalArgumentException] {
+      IterativeGraph.readWalkCorpus(spark, path, "e1", steps = 5)
+    }
+    intercept[IllegalArgumentException] {
+      IterativeGraph.readWalkCorpus(spark, path, "e0", steps = 4)
+    }
+  }
+
   test("ppmiPairs: hand-computed PMI, negative-PMI rows dropped") {
     import graft.graph.IterativeGraph
     // (1,2)/(3,4) co-occur 3x each, (1,4) once: total 14, marginals
