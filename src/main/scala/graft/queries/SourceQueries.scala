@@ -881,6 +881,93 @@ object SourceQueries {
              |SELECT 2, count(*), count(*), CAST(0 AS BIGINT),
              |  CAST(sum(n_chars) AS BIGINT), CAST(sum(n_chars % 7) AS BIGINT)
              |FROM documents WHERE doc_id % 2 != 0
-             |ORDER BY batch""".stripMargin))
+             |ORDER BY batch""".stripMargin)),
+
+    // ---- Delta-CDF change feed (io25): io14's diff with UPDATE rows
+    // emitted as BOTH images (update_preimage = old values,
+    // update_postimage = new), Delta's _change_type contract — the
+    // form an incremental aggregate maintainer consumes (io26): it
+    // subtracts the pre-image and adds the post-image, so a changed
+    // row moves its mass between groups without a table rescan. Same
+    // staged history as io14 (v1 = %3∈{0,1}; v2 overwrites with
+    // %3=1 bumped + %3=2): the feed must emit inserts %3=2, BOTH
+    // update images for %3=1, deletes %3=0. One full-outer key join
+    // + a bounded explode, never a log replay.
+    NamedQuery("io25_snapshot_cdf", (s, dir) => {
+      val stage = stageDir("snapshot_cdf2", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+      val v1 = Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 < 2), stage)
+      val v2 = Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("n_chars", col("n_chars") + 1)
+          .unionByName(docs.filter(col("doc_id") % 3 === 2)),
+        stage, overwrite = true)
+      Sources.snapshotChangesCdf(s, stage, "doc_id", v1, v2)
+        .orderBy("change", "doc_id")
+    },
+      Some("""WITH f AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 < 2),
+             |t AS (SELECT doc_id, n_chars + 1 AS n_chars FROM documents
+             |    WHERE doc_id % 3 = 1
+             |  UNION ALL SELECT doc_id, n_chars FROM documents WHERE doc_id % 3 = 2)
+             |SELECT 'insert' AS change, doc_id, n_chars FROM t
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM f)
+             |UNION ALL
+             |SELECT 'update_preimage', f.doc_id, f.n_chars
+             |  FROM t JOIN f USING (doc_id) WHERE t.n_chars <> f.n_chars
+             |UNION ALL
+             |SELECT 'update_postimage', t.doc_id, t.n_chars
+             |  FROM t JOIN f USING (doc_id) WHERE t.n_chars <> f.n_chars
+             |UNION ALL
+             |SELECT 'delete', doc_id, n_chars FROM f
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM t)
+             |ORDER BY change, doc_id""".stripMargin)),
+
+    // ---- INCREMENTALLY-maintained materialized view (io26): the
+    // "don't rescan 100 TB to refresh the dashboard" primitive — a
+    // per-source (count, sum(n_chars)) view BUILT at v1, then the
+    // base table overwritten (deletes %3=0, updates %3=1 bumped,
+    // inserts %3=2) and the view REFRESHED from the io25 CDF alone:
+    // post-images add, pre-images subtract, one keyed merge into the
+    // old view — work ∝ |changes| + |view|, never ∝ |table|. The
+    // oracle recomputes the view from scratch over the v2 visible
+    // set, so refresh ≡ rebuild is exactly what the gate proves. The
+    // MV is itself a snapshot table (versioned, CAS-committed); the
+    // emitted version/base columns pin the bookkeeping: mv v2
+    // reflecting base v2 after one build + one refresh.
+    NamedQuery("io26_incremental_mv", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_base", dir)
+      val mvPath = stageDir("mv_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 < 2), stage)
+      MaterializedView.build(s, stage, mvPath, rowKey = "doc_id",
+        keyCols = Seq("source"), sumCols = Seq("n_chars"))
+      Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("n_chars", col("n_chars") + 1)
+          .unionByName(docs.filter(col("doc_id") % 3 === 2)),
+        stage, overwrite = true)
+      val mvV = MaterializedView.refresh(s, stage, mvPath)
+      val baseV = MaterializedView.baseVersion(s, mvPath)
+      Sources.snapshotRead(s, mvPath, mvV)
+        .select(lit(mvV).as("mv_version"),
+          lit(baseV).as("reflects_base_version"),
+          col("source"), col("mv_count"), col("sum_n_chars"))
+        .orderBy("source")
+    },
+      Some("""WITH t AS (SELECT doc_id, source, n_chars + 1 AS n_chars
+             |    FROM documents WHERE doc_id % 3 = 1
+             |  UNION ALL SELECT doc_id, source, n_chars FROM documents
+             |    WHERE doc_id % 3 = 2)
+             |SELECT CAST(2 AS INT) AS mv_version,
+             |  CAST(2 AS INT) AS reflects_base_version,
+             |  source, count(*) AS mv_count,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM t GROUP BY source ORDER BY source""".stripMargin))
   )
 }

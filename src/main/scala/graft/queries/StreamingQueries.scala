@@ -1116,8 +1116,10 @@ object StreamingQueries {
         }
         admitted.select(col("id").as("media_id")).orderBy("media_id")
       },
-      Some("""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
-             |           (doc_id * 131 + n_chars) % 9973 AS seed FROM documents),
+      Some(s"""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
+             |           (doc_id * 131 + n_chars) %
+             |             ${MultimodalQueries.mixedSeedModulusSql}
+             |             AS seed FROM documents),
              |cells AS (SELECT doc_id, y.i * 8 + x.i AS bit,
              |    (((x.i * w) // 8 + 1) * ((y.i * h) // 4 + 2) * (seed + 1)) % 251 AS v
              |  FROM p
@@ -1241,6 +1243,45 @@ object StreamingQueries {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id, n_chars FROM documents
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // ---- STREAMING materialized-view maintenance (sw37): io26's
+    // incremental MV in ingest position — micro-batches commit to
+    // the snapshot table exactly-once (sw28's txn markers) and the
+    // per-source (count, sum) view refreshes AFTER EACH BATCH through
+    // the append-only fast path: the refresh reads only the new
+    // commit dirs (∝ batch rows — no diff join, no table rescan),
+    // folds them in, and CAS-commits the new view version. The final
+    // view must equal a from-scratch group-by over everything
+    // streamed, under any batch split — training/serving parity for
+    // dashboard aggregates by construction. The base slice (%4=0)
+    // seeds the build; the stream delivers the rest.
+    NamedQuery("sw37_stream_mv_refresh",
+      (s, dir) => {
+        import graft.sources.{MaterializedView, Sources}
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "source", "n_chars")
+        val table = graft.ScratchDirs.scratch("mv_stream_table")
+        val mvPath = graft.ScratchDirs.scratch("mv_stream_view")
+        graft.Fs.deleteRecursive(s, table)
+        graft.Fs.deleteRecursive(s, mvPath)
+        Sources.snapshotCommit(docs.filter(col("doc_id") % 4 === 0), table)
+        MaterializedView.build(s, table, mvPath, rowKey = "doc_id",
+          keyCols = Seq("source"), sumCols = Seq("n_chars"))
+        StreamRunner.runForeachBatchWithId(s,
+            docs.filter(col("doc_id") % 4 =!= 0), "sw37_mv_ingest") {
+          (b, id) =>
+            Sources.snapshotCommit(b, table, txn = Some(("sw37", id)))
+            MaterializedView.refresh(s, table, mvPath)
+            ()
+        }
+        Sources.snapshotRead(s, mvPath,
+            Sources.snapshotLatestVersion(s, mvPath))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS mv_count,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM documents GROUP BY source
+             |ORDER BY source""".stripMargin))
   )
 }

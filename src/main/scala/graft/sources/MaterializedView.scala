@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained AGGREGATE materialized view over a
+  * snapshot table (io26/sw37) — the "don't rescan 100 TB to refresh a
+  * dashboard" primitive every lakehouse deployment ends up building:
+  *
+  *   - `build` computes `GROUP BY keyCols → (count, sum(sumCols))`
+  *     over the table's LATEST snapshot and publishes the result as a
+  *     snapshot table of its own (so the MV itself is versioned,
+  *     time-travelable, and CAS-committed like any other table),
+  *     recording the base-table version it reflects.
+  *   - `refresh` reads ONLY the Delta-CDF change feed between the
+  *     recorded base version and the current one
+  *     ([[Sources.snapshotChangesCdf]]), folds it into per-key deltas
+  *     (insert/update_postimage rows add, delete/update_preimage rows
+  *     subtract — count and sum are abelian-group aggregates, so the
+  *     delta is exact), and merges the delta into the old MV with one
+  *     keyed full-outer join. Keys whose count reaches zero leave the
+  *     view. Work ∝ |changes| + |view|, never ∝ |table|.
+  *
+  * EXACTNESS: counts and sums of integral/decimal columns maintain
+  * bit-identically to a full recompute (the io26 gate proves refresh ≡
+  * rebuild under a DuckDB oracle). Float sums are order-sensitive —
+  * cast to decimal first (the FeatureScaler moment-artifact rule).
+  * Non-subtractable aggregates (min/max/distinct) need a different
+  * maintenance strategy (re-aggregate affected groups) and are out of
+  * this operator's contract.
+  *
+  * CONCURRENCY: one refresher per MV (the scheduler's contract —
+  * Delta's OPTIMIZE has the same shape). The MV commit itself is an
+  * overwrite through the CAS protocol, so a racing second refresher
+  * fails loudly at the commit point instead of corrupting the view.
+  *
+  * At 100 TB: the CDF join touches two pinned snapshot scans of the
+  * base table — at production commit cadence `fromVersion` is recent,
+  * and with range-clustered ingest (io11/io18) both scans prune to
+  * the commits the versions don't share; the delta agg is map-side
+  * combined on the view's keys; the merge shuffles |view| + |delta|
+  * rows only. */
+object MaterializedView {
+
+  /** Aggregate spec shared by build and refresh: per-key row count
+    * plus one sum per `sumCols` entry, aliased `mv_count` /
+    * `sum_<col>` (the oracle-name contract). */
+  private def aggOf(df: DataFrame, keyCols: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("mv_count"),
+        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+
+  private def statePath(mvPath: String) = s"$mvPath/mv_state"
+
+  private def writeState(spark: SparkSession, mvPath: String,
+      baseVersion: Int, keyCols: Seq[String], sumCols: Seq[String],
+      rowKey: String): Unit = {
+    import spark.implicits._
+    Seq((baseVersion, keyCols.mkString(","), sumCols.mkString(","), rowKey))
+      .toDF("base_version", "key_cols", "sum_cols", "row_key")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(statePath(mvPath))
+  }
+
+  /** Version `v`'s commit-dir set (driver-sized, like every manifest
+    * fetch). */
+  private def commitSet(spark: SparkSession, tablePath: String,
+      v: Int): Set[String] = {
+    import spark.implicits._
+    Sources.manifestOf(spark, tablePath)
+      .getOrElse(sys.error(s"no snapshot table at $tablePath"))
+      .filter(col("version") === v)
+      .select("commit").as[String].collect().toSet
+  }
+
+  /** The base-table version the MV currently reflects. */
+  def baseVersion(spark: SparkSession, mvPath: String): Int =
+    spark.read.parquet(statePath(mvPath)).head.getAs[Int]("base_version")
+
+  /** Full-compute the view at the base table's latest version and
+    * publish it (build = the only full scan this MV ever does).
+    * `rowKey` is the base table's row-identity column the CDF diffs
+    * on during refresh. Returns the MV's snapshot version. */
+  def build(spark: SparkSession, tablePath: String, mvPath: String,
+      rowKey: String, keyCols: Seq[String], sumCols: Seq[String]): Int = {
+    val v = Sources.snapshotLatestVersion(spark, tablePath)
+    require(v > 0, s"no snapshot table at $tablePath")
+    val mv = aggOf(Sources.snapshotRead(spark, tablePath, v),
+      keyCols, sumCols)
+    val mvv = Sources.snapshotCommit(mv, mvPath, overwrite = true)
+    writeState(spark, mvPath, v, keyCols, sumCols, rowKey)
+    mvv
+  }
+
+  /** Fold the base table's changes since the last build/refresh into
+    * the view. No-op (returns the current MV version) when the base
+    * hasn't moved. Returns the MV's new snapshot version. */
+  def refresh(spark: SparkSession, tablePath: String,
+      mvPath: String): Int = {
+    val st = spark.read.parquet(statePath(mvPath)).head
+    val fromV = st.getAs[Int]("base_version")
+    val keyCols = st.getAs[String]("key_cols").split(",").toSeq
+    val sumCols = st.getAs[String]("sum_cols").split(",").toSeq
+      .filter(_.nonEmpty)
+    val rowKey = st.getAs[String]("row_key")
+    val toV = Sources.snapshotLatestVersion(spark, tablePath)
+    val mvV = Sources.snapshotLatestVersion(spark, mvPath)
+    if (toV == fromV) return mvV
+    // APPEND-ONLY fast path: when toV's commit set carries fromV's
+    // whole set (the streaming-ingest norm — sw37), the change feed
+    // is exactly the NEW commit dirs' rows, all inserts, so the
+    // refresh reads |appended rows| and runs NO diff join at all.
+    // Manifest commit sets are version-count-sized driver work.
+    val fromSet = commitSet(spark, tablePath, fromV)
+    val toSet = commitSet(spark, tablePath, toV)
+    val delta = if (fromSet.subsetOf(toSet)) {
+      val newDirs = (toSet -- fromSet).toSeq.sorted
+        .map(c => Sources.commitDir(tablePath, c))
+      if (newDirs.isEmpty) { // same content re-published (e.g. restore)
+        writeState(spark, mvPath, toV, keyCols, sumCols, rowKey)
+        return mvV
+      }
+      spark.read.parquet(newDirs: _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__d_count"),
+          sumCols.map(c => sum(col(c)).as(s"__d_$c")): _*)
+    } else {
+      val cdf = Sources.snapshotChangesCdf(spark, tablePath, rowKey,
+        fromV, toV)
+      // abelian fold: post-images add, pre-images/deletes subtract
+      val sign = when(col("change").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      cdf.groupBy(keyCols.map(col): _*)
+        .agg(sum(sign).as("__d_count"),
+          sumCols.map(c => sum(sign * col(c)).as(s"__d_$c")): _*)
+    }
+    val old = Sources.snapshotRead(spark, mvPath, mvV)
+    def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+    val merged = old.join(delta, keyCols, "full_outer")
+      .select(keyCols.map(col) ++
+        Seq((z(col("mv_count")) + z(col("__d_count"))).as("mv_count")) ++
+        sumCols.map(c =>
+          (z(col(s"sum_$c")) + z(col(s"__d_$c"))).as(s"sum_$c")): _*)
+      .filter(col("mv_count") > 0)
+    val newMvV = Sources.snapshotCommit(merged, mvPath, overwrite = true)
+    writeState(spark, mvPath, toV, keyCols, sumCols, rowKey)
+    newMvV
+  }
+}

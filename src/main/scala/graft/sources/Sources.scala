@@ -266,7 +266,7 @@ object Sources {
   // version-count-sized parquet and the snapshot read is an ordinary
   // multi-dir parquet scan with all pushdown intact.
 
-  private def manifestOf(spark: SparkSession, path: String): Option[DataFrame] = {
+  private[sources] def manifestOf(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = s"$path/manifest"
     // mergeSchema: a manifest appended to across engine upgrades mixes
     // the pre-txn 2-column footers with the 4-column (app, batch) ones;
@@ -721,7 +721,7 @@ object Sources {
     * commits live under this table's `data/`; `ref:`-prefixed entries
     * (written by [[snapshotClone]]) reference ANOTHER table's commit
     * dir verbatim — zero-copy borrowed storage. */
-  private def commitDir(path: String, c: String): String =
+  private[sources] def commitDir(path: String, c: String): String =
     if (c.startsWith("ref:")) c.substring(4) else s"$path/data/$c"
 
   /** A commit entry this table physically owns (vs a clone borrow). */
@@ -897,5 +897,42 @@ object Sources {
       .select(Seq(col("change"), col(keyCol)) ++ valCols.map(c =>
         when(col("change") === "delete", col(s"__f.$c"))
           .otherwise(col(s"__t.$c")).as(c)): _*)
+  }
+
+  /** Delta-CDF-style change feed (io25) — [[snapshotChanges]] with
+    * UPDATE rows emitted as BOTH images: `update_preimage` (the old
+    * values) and `update_postimage` (the new), Delta's `_change_type`
+    * contract. The two-image form is what an incremental AGGREGATE
+    * maintainer needs — it subtracts the pre-image and adds the
+    * post-image, so a changed row moves its mass between groups
+    * without rescanning the table ([[MaterializedView.refresh]]).
+    * Same ONE full-outer key join of two snapshot scans as io14 —
+    * never a log replay — with the image split done by a bounded
+    * explode (≤2 rows per changed key) in the same scan stage. */
+  def snapshotChangesCdf(spark: SparkSession, path: String,
+      keyCol: String, fromVersion: Int, toVersion: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{array, col, explode, lit,
+      struct, when}
+    val from = snapshotRead(spark, path, fromVersion)
+    val to = snapshotRead(spark, path, toVersion)
+    val valCols = to.columns.filter(_ != keyCol).toIndexedSeq
+    require(from.columns.sorted.sameElements(to.columns.sorted),
+      s"snapshot schemas diverge between v$fromVersion and v$toVersion")
+    def pack(df: DataFrame, side: String) = df.select(col(keyCol),
+      struct(valCols.map(col): _*).as(s"__$side"))
+    val joined = pack(from, "f").join(pack(to, "t"), Seq(keyCol),
+      "full_outer")
+    joined
+      .select(col(keyCol), explode(
+        when(col("__f").isNull,
+          array(struct(lit("insert").as("change"), col("__t").as("v"))))
+        .when(col("__t").isNull,
+          array(struct(lit("delete").as("change"), col("__f").as("v"))))
+        .when(col("__f") =!= col("__t"), array(
+          struct(lit("update_preimage").as("change"), col("__f").as("v")),
+          struct(lit("update_postimage").as("change"), col("__t").as("v"))))
+        .otherwise(array())).as("__c"))
+      .select(Seq(col("__c.change").as("change"), col(keyCol)) ++
+        valCols.map(c => col(s"__c.v.$c").as(c)): _*)
   }
 }

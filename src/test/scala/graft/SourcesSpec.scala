@@ -597,4 +597,68 @@ class SourcesSpec extends SparkSpec {
     // the plain read keeps one footer's schema — the defect mergeSchema fixes
     assert(spark.read.parquet(dir).columns.toSet != merged.columns.toSet)
   }
+
+  test("snapshotChangesCdf: four change types, both update images") {
+    import spark.implicits._
+    import graft.sources.Sources
+    val path = s"$tmp/cdf_table"
+    val v1 = Sources.snapshotCommit(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "g", "x"), path)
+    val v2 = Sources.snapshotCommit(
+      Seq((2L, "a", 25L), (3L, "b", 30L), (4L, "c", 40L))
+        .toDF("id", "g", "x"), path, overwrite = true)
+    val got = Sources.snapshotChangesCdf(spark, path, "id", v1, v2)
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(got == Set(
+      ("delete", 1L, "a", 10L),
+      ("update_preimage", 2L, "a", 20L),
+      ("update_postimage", 2L, "a", 25L),
+      ("insert", 4L, "c", 40L))) // unchanged id=3 emits nothing
+  }
+
+  test("materialized view: build, append fast path, update/delete diff path, zero-count keys leave, no-op refresh") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    val t = s"$tmp/mv_base"
+    val mv = s"$tmp/mv_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "g", "x"), t)
+    MaterializedView.build(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g"), sumCols = Seq("x"))
+    def view(): Map[String, (Long, Long)] =
+      Sources.snapshotRead(spark, mv,
+          Sources.snapshotLatestVersion(spark, mv))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(view() == Map("a" -> ((2L, 30L)), "b" -> ((1L, 30L))))
+    // append-only refresh (the fast path: new commit dirs only)
+    Sources.snapshotCommit(Seq((4L, "b", 5L), (5L, "c", 7L))
+      .toDF("id", "g", "x"), t)
+    val mvV2 = MaterializedView.refresh(spark, t, mv)
+    assert(view() == Map("a" -> ((2L, 30L)), "b" -> ((2L, 35L)),
+      "c" -> ((1L, 7L))))
+    // no-op refresh: base unmoved → same MV version back
+    assert(MaterializedView.refresh(spark, t, mv) == mvV2)
+    // overwrite with an update (id=1 moves mass), a delete of all of
+    // "c", and an insert — the CDF diff path; "c" must LEAVE the view
+    Sources.snapshotCommit(
+      Seq((1L, "a", 100L), (2L, "a", 20L), (3L, "b", 30L),
+        (4L, "b", 5L), (6L, "d", 1L)).toDF("id", "g", "x"),
+      t, overwrite = true)
+    MaterializedView.refresh(spark, t, mv)
+    assert(view() == Map("a" -> ((2L, 120L)), "b" -> ((2L, 35L)),
+      "d" -> ((1L, 1L))))
+    // refreshed view ≡ full rebuild over the final snapshot
+    val rebuilt = Sources.snapshotRead(spark, t,
+        Sources.snapshotLatestVersion(spark, t))
+      .groupBy("g").agg(count(lit(1)).as("mv_count"), sum("x").as("sum_x"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(view() == rebuilt)
+    // bookkeeping: the state reflects the base's latest version
+    assert(MaterializedView.baseVersion(spark, mv) ==
+      Sources.snapshotLatestVersion(spark, t))
+  }
 }
