@@ -968,6 +968,47 @@ object SourceQueries {
              |  CAST(2 AS INT) AS reflects_base_version,
              |  source, count(*) AS mv_count,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- MIN/MAX materialized view via AFFECTED-GROUP re-aggregation
+    // (io27): min/max are not abelian — a deleted row can BE the
+    // current minimum, and no delta arithmetic recovers the runner-up
+    // (Gupta–Mumick's not-self-maintainable case). The refresh
+    // re-aggregates exactly the groups the CDF touched (one semi-join
+    // restricts the base scan — partition/zone pruning applies under
+    // a group-clustered layout) and carries every untouched group row
+    // over with an anti-join: work ∝ rows-in-affected-groups + |view|.
+    // The staged history deletes the %3=0 rows — including, for some
+    // sources, the group's minimum — so the gate proves the runner-up
+    // actually resurfaces. Oracle recomputes from scratch over v2.
+    NamedQuery("io27_minmax_mv", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_mm_base", dir)
+      val mvPath = stageDir("mv_mm_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 < 2), stage)
+      MaterializedView.buildMinMax(s, stage, mvPath, rowKey = "doc_id",
+        keyCols = Seq("source"), valCol = "n_chars")
+      Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("n_chars", col("n_chars") + 1)
+          .unionByName(docs.filter(col("doc_id") % 3 === 2)),
+        stage, overwrite = true)
+      val mvV = MaterializedView.refreshMinMax(s, stage, mvPath)
+      Sources.snapshotRead(s, mvPath, mvV)
+        .select(col("source"), col("mv_count"),
+          col("min_n_chars"), col("max_n_chars"))
+        .orderBy("source")
+    },
+      Some("""WITH t AS (SELECT doc_id, source, n_chars + 1 AS n_chars
+             |    FROM documents WHERE doc_id % 3 = 1
+             |  UNION ALL SELECT doc_id, source, n_chars FROM documents
+             |    WHERE doc_id % 3 = 2)
+             |SELECT source, count(*) AS mv_count,
+             |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
              |FROM t GROUP BY source ORDER BY source""".stripMargin))
   )
 }

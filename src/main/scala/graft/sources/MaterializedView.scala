@@ -25,9 +25,9 @@ import org.apache.spark.sql.functions._
   * bit-identically to a full recompute (the io26 gate proves refresh ≡
   * rebuild under a DuckDB oracle). Float sums are order-sensitive —
   * cast to decimal first (the FeatureScaler moment-artifact rule).
-  * Non-subtractable aggregates (min/max/distinct) need a different
-  * maintenance strategy (re-aggregate affected groups) and are out of
-  * this operator's contract.
+  * Non-subtractable aggregates (min/max) use the second canonical IVM
+  * strategy instead — affected-group re-aggregation
+  * ([[buildMinMax]]/[[refreshMinMax]]).
   *
   * CONCURRENCY: one refresher per MV (the scheduler's contract —
   * Delta's OPTIMIZE has the same shape). The MV commit itself is an
@@ -145,6 +145,67 @@ object MaterializedView {
       .filter(col("mv_count") > 0)
     val newMvV = Sources.snapshotCommit(merged, mvPath, overwrite = true)
     writeState(spark, mvPath, toV, keyCols, sumCols, rowKey)
+    newMvV
+  }
+
+  // ---- non-subtractable aggregates: affected-group re-aggregation --
+  //
+  // min/max (and distinct counts) are NOT abelian — a deleted row can
+  // be the current minimum, and no delta arithmetic recovers the
+  // runner-up. The canonical IVM strategy (Gupta–Mumick's "not
+  // self-maintainable" case) is to RE-AGGREGATE exactly the groups the
+  // change feed touched: one semi-join restricts the base scan to
+  // affected groups (partition/zone pruning applies when the table is
+  // clustered by the group key — io18's layout), every untouched group
+  // row is carried over by an anti-join. Work ∝ rows-in-affected-groups
+  // + |view|, never ∝ |table|.
+
+  /** Full-compute a min/max-bearing view ((count, min, max) per key —
+    * the zone-map-shaped MV) and publish it. */
+  def buildMinMax(spark: SparkSession, tablePath: String, mvPath: String,
+      rowKey: String, keyCols: Seq[String], valCol: String): Int = {
+    val v = Sources.snapshotLatestVersion(spark, tablePath)
+    require(v > 0, s"no snapshot table at $tablePath")
+    val mv = minMaxAgg(Sources.snapshotRead(spark, tablePath, v),
+      keyCols, valCol)
+    val mvv = Sources.snapshotCommit(mv, mvPath, overwrite = true)
+    writeState(spark, mvPath, v, keyCols, Seq(valCol), rowKey)
+    mvv
+  }
+
+  private def minMaxAgg(df: DataFrame, keyCols: Seq[String],
+      valCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("mv_count"),
+        min(col(valCol)).as(s"min_$valCol"),
+        max(col(valCol)).as(s"max_$valCol"))
+
+  /** Refresh a [[buildMinMax]] view: re-aggregate ONLY the groups the
+    * CDF touched, carry everything else over. Groups whose rows all
+    * left the table leave the view (the re-aggregation simply returns
+    * no row for them). */
+  def refreshMinMax(spark: SparkSession, tablePath: String,
+      mvPath: String): Int = {
+    val st = spark.read.parquet(statePath(mvPath)).head
+    val fromV = st.getAs[Int]("base_version")
+    val keyCols = st.getAs[String]("key_cols").split(",").toSeq
+    val valCol = st.getAs[String]("sum_cols")
+    val rowKey = st.getAs[String]("row_key")
+    val toV = Sources.snapshotLatestVersion(spark, tablePath)
+    val mvV = Sources.snapshotLatestVersion(spark, mvPath)
+    if (toV == fromV) return mvV
+    val cdf = Sources.snapshotChangesCdf(spark, tablePath, rowKey,
+      fromV, toV)
+    val affected = graft.Caches.cached(
+      cdf.select(keyCols.map(col): _*).distinct())
+    val recomputed = minMaxAgg(
+      Sources.snapshotRead(spark, tablePath, toV)
+        .join(affected, keyCols, "left_semi"), keyCols, valCol)
+    val carried = Sources.snapshotRead(spark, mvPath, mvV)
+      .join(affected, keyCols, "left_anti")
+    val newMvV = Sources.snapshotCommit(
+      carried.unionByName(recomputed), mvPath, overwrite = true)
+    writeState(spark, mvPath, toV, keyCols, Seq(valCol), rowKey)
     newMvV
   }
 }

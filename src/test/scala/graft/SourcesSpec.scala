@@ -661,4 +661,38 @@ class SourcesSpec extends SparkSpec {
     assert(MaterializedView.baseVersion(spark, mv) ==
       Sources.snapshotLatestVersion(spark, t))
   }
+
+  test("min/max MV: deleting the minimum resurfaces the runner-up; untouched groups carried over") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    val t = s"$tmp/mvmm_base"
+    val mv = s"$tmp/mvmm_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+        (4L, "b", 7L), (5L, "b", 9L)).toDF("id", "g", "x"), t)
+    MaterializedView.buildMinMax(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g"), valCol = "x")
+    def view(): Map[String, (Long, Long, Long)] =
+      Sources.snapshotRead(spark, mv,
+          Sources.snapshotLatestVersion(spark, mv))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(view() == Map("a" -> ((3L, 10L, 30L)), "b" -> ((2L, 7L, 9L))))
+    // delete a's minimum AND maximum; leave b untouched — the
+    // re-aggregation must resurface the runner-ups, and b's row must
+    // be carried over, not recomputed from a group the CDF never saw
+    Sources.snapshotCommit(
+      Seq((2L, "a", 20L), (4L, "b", 7L), (5L, "b", 9L))
+        .toDF("id", "g", "x"), t, overwrite = true)
+    MaterializedView.refreshMinMax(spark, t, mv)
+    assert(view() == Map("a" -> ((1L, 20L, 20L)), "b" -> ((2L, 7L, 9L))))
+    // a group whose rows all leave must leave the view
+    Sources.snapshotCommit(
+      Seq((4L, "b", 7L), (5L, "b", 9L)).toDF("id", "g", "x"),
+      t, overwrite = true)
+    val v = MaterializedView.refreshMinMax(spark, t, mv)
+    assert(view() == Map("b" -> ((2L, 7L, 9L))))
+    // base unmoved → no-op
+    assert(MaterializedView.refreshMinMax(spark, t, mv) == v)
+  }
 }
