@@ -22,6 +22,11 @@ import graft.functions.{FloatDot, FloatVector}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // transparent aggregate rewrite over registered materialized views
+    // (graft.plans.MvRewrite, io28): a no-op until a view is
+    // registered for the session, strict-match + fall-back by design.
+    // Live sessions can opt in without extensions via MvRewrite.enable.
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatDot].getName, "float_dot"),

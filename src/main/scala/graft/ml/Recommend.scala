@@ -54,6 +54,22 @@ object Recommend {
         round(col("rec.rating"), 4).as("predicted"))
   }
 
+  /** [[recommendAllUsers]] for a BOUNDED user batch
+    * (`recommendForUserSubset`) — the serving shape: a deployment
+    * recommends for the users in this request batch, never the whole
+    * user base (full-catalog exact top-k is users×items work by
+    * definition; m27's 30× fixture put it at ~20 min/run). Same flat
+    * output columns as the all-users form. */
+  def recommendUserSubset(model: ALSModel, users: DataFrame,
+      k: Int): DataFrame = {
+    val userCol = model.getUserCol
+    model.recommendForUserSubset(users, k)
+      .select(col(userCol), posexplode(col("recommendations")).as(Seq("rank", "rec")))
+      .select(col(userCol), (col("rank") + 1).as("rank"),
+        col(s"rec.${model.getItemCol}").as(model.getItemCol),
+        round(col("rec.rating"), 4).as("predicted"))
+  }
+
   /** M2/M3 (goodreads.py:243–262): the reference's 4×4×4 grid and
     * 5-fold CV, runnable for real (`cv.fit`) unlike the reference. */
   /** `parallelism`: models evaluated concurrently (Spark default 1 —

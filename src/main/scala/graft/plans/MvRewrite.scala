@@ -1,0 +1,156 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
+  AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
+  Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
+  Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+  LogicalRelation}
+
+/** Transparent AGGREGATE-QUERY REWRITE over registered materialized
+  * views (io28) — the optimizer half of the MV contract (Goldstein &
+  * Larson, "Optimizing queries using materialized views"): a user
+  * writes the groupBy against the BASE table; when a registered view
+  * matches, the plan is rewritten to scan the (keys-sized) view
+  * instead of the (table-sized) base — the 100 TB aggregate answers
+  * from megabytes without the query author knowing the view exists.
+  *
+  * Matching is deliberately STRICT — a wrong rewrite is a wrong
+  * answer, so every check failing falls back to the base scan:
+  *   - the aggregate child must be the base table's file scan (its
+  *     root paths exactly the registered snapshot-version dirs),
+  *     optionally under attribute-only Projects — no Filter, no join;
+  *   - grouping must be exactly the view's key columns;
+  *   - every output must be a grouping key, `count(1)`/`count(*)`
+  *     (no DISTINCT, no FILTER clause), or `sum(<registered col>)`,
+  *     with matching result types.
+  *
+  * FRESHNESS is structural, not checked: registration records the
+  * base version's data dirs, and a snapshot read of any LATER version
+  * scans a different dir set — so a stale view simply stops matching
+  * (re-register after refresh). Rewritten outputs keep the original
+  * expression ids, so parent operators (sort, limit, downstream
+  * joins) are untouched.
+  *
+  * Wiring: [[enable]] appends the rule to
+  * `spark.experimental.extraOptimizations` (session-scoped, works on
+  * any live session); cluster deployments get it for every session
+  * via `spark.sql.extensions=graft.GraftExtensions`
+  * (injectOptimizerRule). The rule is idempotent — a rewritten plan
+  * has no matching Aggregate — so AQE re-optimization passes are
+  * safe. */
+object MvRewrite extends Rule[LogicalPlan] {
+
+  /** One registered view: the base version's qualified data dirs it
+    * reflects, the view's own qualified data dirs to scan instead,
+    * and the aggregate spec it materializes. */
+  final case class Entry(baseDirs: Set[String], mvDirs: Seq[String],
+      keyCols: Seq[String], sumCols: Set[String])
+
+  private val registry =
+    new ConcurrentHashMap[SparkSession, List[Entry]]()
+
+  def register(spark: SparkSession, e: Entry): Unit =
+    registry.merge(spark, List(e), (a, b) => b ::: a)
+
+  def clear(spark: SparkSession): Unit = registry.remove(spark)
+
+  /** Append this rule to the session's extra optimizations (once). */
+  def enable(spark: SparkSession): Unit =
+    spark.experimental.synchronized {
+      if (!spark.experimental.extraOptimizations.contains(this))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ this
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val entries = SparkSession.getActiveSession
+      .flatMap(s => Option(registry.get(s))).getOrElse(Nil)
+    if (entries.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(grouping, aggExprs, child, _) =>
+        entries.view.flatMap(e =>
+          rewrite(e, grouping, aggExprs, child)).headOption.getOrElse(agg)
+    }
+  }
+
+  /** The scan's qualified root paths, looking through attribute-only
+    * Projects; None for any other shape (Filter/join/expression
+    * Project — all change aggregate semantics vs the view). */
+  private def scanDirs(child: LogicalPlan): Option[Set[String]] =
+    child match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          Some(fs.location.rootPaths.map(_.toString).toSet)
+        case _ => None
+      }
+      case Project(ps, grand)
+          if ps.forall(_.isInstanceOf[AttributeReference]) =>
+        scanDirs(grand)
+      case _ => None
+    }
+
+  private def isCountStar(ae: AggregateExpression): Boolean =
+    !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+      case Count(Seq(Literal(_, _))) => true
+      case _ => false
+    })
+
+  private def summedCol(ae: AggregateExpression): Option[String] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case s: Sum => s.child match {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def rewrite(e: Entry, grouping: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan): Option[LogicalPlan] = {
+    val dirs = scanDirs(child).getOrElse(return None)
+    if (dirs != e.baseDirs) return None
+    val groupAttrs = grouping.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    if (groupAttrs.map(_.name).sorted != e.keyCols.sorted) return None
+    val spark = SparkSession.getActiveSession.getOrElse(return None)
+    // a fresh tiny analyzed plan for the view's files; resolved here so
+    // failure (vacuumed dirs, schema drift) falls back to the base scan
+    val mvRel =
+      try spark.read.parquet(e.mvDirs: _*).queryExecution.analyzed
+      catch { case _: Throwable => return None }
+    val mvOut = mvRel.output.map(a => a.name -> a).toMap
+    def mvCol(name: String): Option[Attribute] = mvOut.get(name)
+    val proj: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference =>
+        val c = mvCol(a.name).getOrElse(return None)
+        if (c.dataType != a.dataType) return None
+        Alias(c, a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name) if isCountStar(ae) =>
+        val c = mvCol("mv_count").getOrElse(return None)
+        if (c.dataType != ae.dataType) return None
+        Alias(c, name)(exprId = al.exprId)
+      case al @ Alias(ae: AggregateExpression, name) =>
+        val sc = summedCol(ae).getOrElse(return None)
+        if (!e.sumCols.contains(sc)) return None
+        val c = mvCol(s"sum_$sc").getOrElse(return None)
+        if (c.dataType != ae.dataType) return None
+        Alias(c, name)(exprId = al.exprId)
+      case al @ Alias(a: AttributeReference, name) =>
+        val c = mvCol(a.name).getOrElse(return None)
+        if (c.dataType != a.dataType) return None
+        Alias(c, name)(exprId = al.exprId)
+      case _ => return None
+    }
+    Some(Project(proj, mvRel))
+  }
+}

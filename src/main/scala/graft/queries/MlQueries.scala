@@ -574,18 +574,25 @@ object MlQueries {
     // (m19-m24's fit-freeze-serve) applied to the model family's most
     // expensive fit — the trained factors freeze via Spark ML's
     // native writer and a serving session recommends WITHOUT
-    // refitting. The round-trip gate runs IN the query: the reloaded
-    // model's top-5 must equal the in-session model's frame-exactly
-    // (factors round-trip as parquet floats), or the query throws.
-    // Rows-only (ALS is iterative); deterministic twin m09.
+    // refitting. The serve is a BOUNDED user batch
+    // (recommendForUserSubset, users %20==7): the deployment shape —
+    // full-catalog exact top-k is users×items work by definition and
+    // measured ~20 min/run at the 30× fixture; a request batch keeps
+    // the serve ∝ batch×items. The round-trip gate runs IN the query:
+    // the reloaded model's batch top-5 must equal the in-session
+    // model's frame-exactly (factors round-trip as parquet floats),
+    // or the query throws. Rows-only (ALS is iterative);
+    // deterministic twin m09.
     NamedQuery("m27_als_model_roundtrip", (s, dir) => {
-      val model = Recommend.fit(ratings(s, dir), "user", "item", "rating",
+      val r = ratings(s, dir)
+      val model = Recommend.fit(r, "user", "item", "rating",
         rank = 8, maxIter = 5, regParam = 0.1, seed = 42L)
       val path = graft.ScratchDirs.scratch("als_model")
       Recommend.saveModel(model, path)
       val reloaded = Recommend.loadModel(path)
-      val inSession = Recommend.recommendAllUsers(model, 5)
-      val served = Recommend.recommendAllUsers(reloaded, 5)
+      val batch = r.select("user").distinct().filter(col("user") % 20 === 7)
+      val inSession = Recommend.recommendUserSubset(model, batch, 5)
+      val served = Recommend.recommendUserSubset(reloaded, batch, 5)
       require(served.exceptAll(inSession).isEmpty &&
         inSession.exceptAll(served).isEmpty,
         "reloaded ALS model diverged from the in-session model")

@@ -176,8 +176,13 @@ object MultimodalQueries {
       val path = graft.ScratchDirs.scratch("phash_index")
       graft.Fs.deleteRecursive(s, path)
       Multimodal.writeHashIndex(hashes.filter(col("id") % 3 =!= 0), path)
+      // bands = maxHamming + 1 (pigeonhole): a pair within Hamming 1
+      // agrees EXACTLY on ≥1 of 2 16-bit halves, so 2 wide bands keep
+      // the guarantee while the bucket space grows 256→65536 per band
+      // — the 4×8-bit banding saturated its 1024 buckets at 100× docs
+      // and the probe join went corpus-quadratic inside each bucket
       Multimodal.hashAdmit(s, path, hashes,
-          totalBits = 32, bands = 4, maxHamming = 1)
+          totalBits = 32, bands = 2, maxHamming = 1)
         .select(col("id").as("media_id")).orderBy("media_id")
     },
       Some(s"""WITH p AS (SELECT doc_id, 8 + (n_chars % 24) AS w, 6 AS h,
@@ -195,9 +200,9 @@ object MultimodalQueries {
              |      THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS ahash
              |  FROM m GROUP BY doc_id),
              |bi AS (SELECT doc_id, ahash, b.i AS band,
-             |    (ahash >> (b.i * 8)) & 255 AS bh
+             |    (ahash >> (b.i * 16)) & 65535 AS bh
              |  FROM hs CROSS JOIN LATERAL (
-             |    SELECT unnest(generate_series(0, 3)) AS i) b),
+             |    SELECT unnest(generate_series(0, 1)) AS i) b),
              |rej AS (SELECT DISTINCT b.doc_id
              |  FROM bi b JOIN bi i ON b.band = i.band AND b.bh = i.bh
              |                     AND i.doc_id % 3 <> 0

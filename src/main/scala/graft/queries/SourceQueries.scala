@@ -1009,6 +1009,53 @@ object SourceQueries {
              |    WHERE doc_id % 3 = 2)
              |SELECT source, count(*) AS mv_count,
              |  min(n_chars) AS min_n_chars, max(n_chars) AS max_n_chars
-             |FROM t GROUP BY source ORDER BY source""".stripMargin))
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- TRANSPARENT MV query rewrite (io28): the optimizer half of
+    // the io26 contract — the user's groupBy is written against the
+    // BASE snapshot, and the registered view answers it: the
+    // MvRewrite rule (extraOptimizations / injectOptimizerRule)
+    // matches the scan's exact version dirs + keys + count/sum shape
+    // and swaps in the keys-sized view scan, keeping the original
+    // expression ids so the downstream orderBy is untouched. The
+    // emitted served_from_mv flag is read off the OPTIMIZED plan's
+    // file sources — the gate fails if the rewrite silently stops
+    // firing — and the values must equal the from-scratch oracle, so
+    // a WRONG rewrite fails the same gate. Staleness is structural:
+    // a later base version scans different dirs and falls back
+    // (SourcesSpec pins that, plus the filter/extra-key fallbacks).
+    NamedQuery("io28_mv_query_rewrite", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_rw_base", dir)
+      val mvPath = stageDir("mv_rw_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 < 2), stage)
+      MaterializedView.build(s, stage, mvPath, rowKey = "doc_id",
+        keyCols = Seq("source"), sumCols = Seq("n_chars"))
+      MaterializedView.registerForRewrite(s, stage, mvPath)
+      val q = Sources.snapshotRead(s, stage,
+          Sources.snapshotLatestVersion(s, stage))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_n_chars"))
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      val fromMv = scanned.nonEmpty && scanned.forall(_.contains("mv_rw_view"))
+      q.select(lit(fromMv).as("served_from_mv"), col("source"),
+          col("n_docs"), col("sum_n_chars"))
+        .orderBy("source")
+    },
+      Some("""SELECT true AS served_from_mv, source,
+             |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM documents WHERE doc_id % 3 < 2
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

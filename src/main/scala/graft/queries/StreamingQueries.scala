@@ -1093,7 +1093,8 @@ object StreamingQueries {
     // (%6==1, id+1000000): replays reject at Hamming 0, new media
     // admit unless a perceptual near-dup of an indexed fingerprint
     // verifies at ≤1 on a shared band. Per-row mapPartitions hash +
-    // four stream-static anti-joins; the oracle replays payload →
+    // two stream-static anti-joins (16-bit bands — maxHamming+1 by
+    // pigeonhole, see mm06); the oracle replays payload →
     // hash → bands → verify → anti-join from the generator's closed
     // form over the same feed.
     NamedQuery("sw36_stream_phash_admission",
@@ -1112,7 +1113,7 @@ object StreamingQueries {
         val admitted = StreamRunner.runAvailableNow(s, feed,
             "sw36_phash_admission", "append") { src =>
           EventStreams.phashIndexAdmission(src, "media_id", "content",
-            path, totalBits = 32, bands = 4, maxHamming = 1)
+            path, totalBits = 32, bands = 2, maxHamming = 1)
         }
         admitted.select(col("id").as("media_id")).orderBy("media_id")
       },
@@ -1136,13 +1137,13 @@ object StreamingQueries {
              |  SELECT doc_id + 1000000 AS id, ahash FROM hs
              |  WHERE doc_id % 6 = 1),
              |bif AS (SELECT id, ahash, b.i AS band,
-             |    (ahash >> (b.i * 8)) & 255 AS bh
+             |    (ahash >> (b.i * 16)) & 65535 AS bh
              |  FROM feed CROSS JOIN LATERAL (
-             |    SELECT unnest(generate_series(0, 3)) AS i) b),
+             |    SELECT unnest(generate_series(0, 1)) AS i) b),
              |bii AS (SELECT ahash, b.i AS band,
-             |    (ahash >> (b.i * 8)) & 255 AS bh
+             |    (ahash >> (b.i * 16)) & 65535 AS bh
              |  FROM hs CROSS JOIN LATERAL (
-             |    SELECT unnest(generate_series(0, 3)) AS i) b
+             |    SELECT unnest(generate_series(0, 1)) AS i) b
              |  WHERE doc_id % 3 <> 0),
              |rej AS (SELECT DISTINCT f.id FROM bif f JOIN bii i
              |    ON f.band = i.band AND f.bh = i.bh

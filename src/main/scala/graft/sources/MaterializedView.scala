@@ -148,6 +148,37 @@ object MaterializedView {
     newMvV
   }
 
+  /** Register this view for TRANSPARENT aggregate rewrite
+    * ([[graft.plans.MvRewrite]], io28): queries written against the
+    * base table's CURRENT snapshot answer from the view instead. The
+    * registration snapshots both dir sets — the base version's data
+    * dirs (so the rule matches only reads of exactly the version the
+    * view reflects: staleness = structural non-match) and the view's
+    * own dirs to scan in its place. Re-register after every
+    * build/refresh. */
+  def registerForRewrite(spark: SparkSession, tablePath: String,
+      mvPath: String): Unit = {
+    val st = spark.read.parquet(statePath(mvPath)).head
+    val baseV = st.getAs[Int]("base_version")
+    val keyCols = st.getAs[String]("key_cols").split(",").toSeq
+    val sumCols = st.getAs[String]("sum_cols").split(",").toSeq
+      .filter(_.nonEmpty)
+    def dirsOf(path: String, v: Int): Seq[String] =
+      commitSet(spark, path, v).toSeq.sorted
+        .map(c => qualify(spark, Sources.commitDir(path, c)))
+    val baseDirs = dirsOf(tablePath, baseV)
+    val mvDirs = dirsOf(mvPath, Sources.snapshotLatestVersion(spark, mvPath))
+    graft.plans.MvRewrite.enable(spark)
+    graft.plans.MvRewrite.register(spark, graft.plans.MvRewrite.Entry(
+      baseDirs.toSet, mvDirs, keyCols, sumCols.toSet))
+  }
+
+  private def qualify(spark: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toString
+  }
+
   // ---- non-subtractable aggregates: affected-group re-aggregation --
   //
   // min/max (and distinct counts) are NOT abelian — a deleted row can

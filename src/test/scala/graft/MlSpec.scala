@@ -380,6 +380,13 @@ class MlSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
       "reloaded ALS recommendations diverged")
     assert(alsBack.getUserCol == "user" && alsBack.getItemCol == "item")
+    // the bounded-batch serve (m27's shape) = the all-users answer
+    // restricted to the batch
+    val batch = ratings.select("user").distinct().limit(2)
+    val sub = Recommend.recommendUserSubset(alsBack, batch, 3)
+    val expect = a.join(batch, Seq("user"), "left_semi")
+    assert(sub.exceptAll(expect).isEmpty && expect.exceptAll(sub).isEmpty,
+      "subset serve diverged from the all-users answer")
 
     val feats = ContentFeatures.pca(
       ContentFeatures.tfidf(Tables.documents(spark, sf), "text",

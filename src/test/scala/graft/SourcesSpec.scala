@@ -695,4 +695,58 @@ class SourcesSpec extends SparkSpec {
     // base unmoved → no-op
     assert(MaterializedView.refreshMinMax(spark, t, mv) == v)
   }
+
+  test("MV query rewrite: fires on exact match, falls back on staleness, filters, and foreign aggregates") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    import graft.plans.MvRewrite
+    val t = s"$tmp/mvrw_base"
+    val mv = s"$tmp/mvrw_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "g", "x"), t)
+    MaterializedView.build(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g"), sumCols = Seq("x"))
+    MaterializedView.registerForRewrite(spark, t, mv)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def baseScan() = Sources.snapshotRead(spark, t,
+      Sources.snapshotLatestVersion(spark, t))
+    val q = baseScan().groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"))
+    assert(scansOf(q).forall(_.contains("mvrw_view")) && scansOf(q).nonEmpty)
+    assert(q.orderBy("g").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 30L), ("b", 1L, 30L)))
+    // a filtered aggregate must NOT use the view
+    val qf = baseScan().filter(col("x") > 15).groupBy("g")
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(qf).forall(_.contains("mvrw_base")))
+    // min() is not materialized — no rewrite
+    val qm = baseScan().groupBy("g").agg(min("x").as("mn"))
+    assert(scansOf(qm).forall(_.contains("mvrw_base")))
+    // staleness is structural: a new base commit changes the scanned
+    // dirs, so the same query stops matching AND sees the new row
+    Sources.snapshotCommit(Seq((4L, "b", 5L)).toDF("id", "g", "x"), t)
+    val q2 = baseScan().groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"))
+    assert(scansOf(q2).forall(_.contains("mvrw_base")))
+    assert(q2.orderBy("g").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 30L), ("b", 2L, 35L)))
+    // refresh + re-register → the rewrite fires again at the new version
+    MaterializedView.refresh(spark, t, mv)
+    MaterializedView.registerForRewrite(spark, t, mv)
+    val q3 = baseScan().groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("x").as("sum_x"))
+    assert(scansOf(q3).forall(_.contains("mvrw_view")) && scansOf(q3).nonEmpty)
+    assert(q3.orderBy("g").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 30L), ("b", 2L, 35L)))
+    MvRewrite.clear(spark)
+  }
 }
