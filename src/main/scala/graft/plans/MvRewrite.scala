@@ -26,7 +26,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   *   - the aggregate child must be the base table's file scan (its
   *     root paths exactly the registered snapshot-version dirs),
   *     optionally under attribute-only Projects — no Filter, no join;
-  *   - grouping must be exactly the view's key columns;
+  *   - grouping must be the view's key columns exactly (projection
+  *     rewrite), or a strict SUBSET of them (ROLLUP rewrite: the view
+  *     itself re-aggregates — count rolls up as sum(mv_count), sums
+  *     as sum(sum_c), both abelian so the rollup is exact);
   *   - every output must be a grouping key, `count(1)`/`count(*)`
   *     (no DISTINCT, no FILTER clause), or `sum(<registered col>)`,
   *     with matching result types.
@@ -121,7 +124,16 @@ object MvRewrite extends Rule[LogicalPlan] {
       case a: AttributeReference => a
       case _ => return None
     }
-    if (groupAttrs.map(_.name).sorted != e.keyCols.sorted) return None
+    val groupNames = groupAttrs.map(_.name)
+    // exact-key match → pure projection of the view; a strict SUBSET
+    // of the view's keys → ROLLUP: re-aggregate the (keys-sized) view
+    // itself — count rolls up as sum(mv_count), sums as sum(sum_c)
+    // (both abelian, so the rollup is exact). Anything else → no
+    // rewrite.
+    val exact = groupNames.sorted == e.keyCols.sorted
+    val rollup = !exact && groupNames.toSet.subsetOf(e.keyCols.toSet) &&
+      groupNames.distinct == groupNames
+    if (!exact && !rollup) return None
     val spark = SparkSession.getActiveSession.getOrElse(return None)
     // a fresh tiny analyzed plan for the view's files; resolved here so
     // failure (vacuumed dirs, schema drift) falls back to the base scan
@@ -130,27 +142,55 @@ object MvRewrite extends Rule[LogicalPlan] {
       catch { case _: Throwable => return None }
     val mvOut = mvRel.output.map(a => a.name -> a).toMap
     def mvCol(name: String): Option[Attribute] = mvOut.get(name)
-    val proj: Seq[NamedExpression] = aggExprs.map {
-      case a: AttributeReference =>
-        val c = mvCol(a.name).getOrElse(return None)
-        if (c.dataType != a.dataType) return None
-        Alias(c, a.name)(exprId = a.exprId)
-      case al @ Alias(ae: AggregateExpression, name) if isCountStar(ae) =>
-        val c = mvCol("mv_count").getOrElse(return None)
-        if (c.dataType != ae.dataType) return None
-        Alias(c, name)(exprId = al.exprId)
-      case al @ Alias(ae: AggregateExpression, name) =>
-        val sc = summedCol(ae).getOrElse(return None)
-        if (!e.sumCols.contains(sc)) return None
-        val c = mvCol(s"sum_$sc").getOrElse(return None)
-        if (c.dataType != ae.dataType) return None
-        Alias(c, name)(exprId = al.exprId)
-      case al @ Alias(a: AttributeReference, name) =>
-        val c = mvCol(a.name).getOrElse(return None)
-        if (c.dataType != a.dataType) return None
-        Alias(c, name)(exprId = al.exprId)
-      case _ => return None
+    def keyFor(a: AttributeReference): Option[NamedExpression] = {
+      val c = mvCol(a.name).getOrElse(return None)
+      if (c.dataType != a.dataType) None
+      else Some(Alias(c, a.name)(exprId = a.exprId))
     }
-    Some(Project(proj, mvRel))
+    if (exact) {
+      val proj: Seq[NamedExpression] = aggExprs.map {
+        case a: AttributeReference => keyFor(a).getOrElse(return None)
+        case al @ Alias(ae: AggregateExpression, name) if isCountStar(ae) =>
+          val c = mvCol("mv_count").getOrElse(return None)
+          if (c.dataType != ae.dataType) return None
+          Alias(c, name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, name) =>
+          val sc = summedCol(ae).getOrElse(return None)
+          if (!e.sumCols.contains(sc)) return None
+          val c = mvCol(s"sum_$sc").getOrElse(return None)
+          if (c.dataType != ae.dataType) return None
+          Alias(c, name)(exprId = al.exprId)
+        case al @ Alias(a: AttributeReference, name) =>
+          val c = mvCol(a.name).getOrElse(return None)
+          if (c.dataType != a.dataType) return None
+          Alias(c, name)(exprId = al.exprId)
+        case _ => return None
+      }
+      Some(Project(proj, mvRel))
+    } else {
+      def sumOf(name: String): Option[AggregateExpression] =
+        mvCol(name).map(c => Sum(c).toAggregateExpression())
+      val outs: Seq[NamedExpression] = aggExprs.map {
+        case a: AttributeReference => keyFor(a).getOrElse(return None)
+        case al @ Alias(ae: AggregateExpression, name) if isCountStar(ae) =>
+          val s = sumOf("mv_count").getOrElse(return None)
+          if (s.dataType != ae.dataType) return None
+          Alias(s, name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, name) =>
+          val sc = summedCol(ae).getOrElse(return None)
+          if (!e.sumCols.contains(sc)) return None
+          val s = sumOf(s"sum_$sc").getOrElse(return None)
+          if (s.dataType != ae.dataType) return None
+          Alias(s, name)(exprId = al.exprId)
+        case al @ Alias(a: AttributeReference, name) =>
+          val c = mvCol(a.name).getOrElse(return None)
+          if (c.dataType != a.dataType) return None
+          Alias(c, name)(exprId = al.exprId)
+        case _ => return None
+      }
+      val groupCols: Seq[Expression] = groupAttrs.map(a =>
+        mvCol(a.name).getOrElse(return None))
+      Some(Aggregate(groupCols, outs, mvRel))
+    }
   }
 }

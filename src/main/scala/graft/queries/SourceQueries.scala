@@ -1056,6 +1056,49 @@ object SourceQueries {
       Some("""SELECT true AS served_from_mv, source,
              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
              |FROM documents WHERE doc_id % 3 < 2
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- MV ROLLUP rewrite (io29): the view is keyed FINER than the
+    // query — (source, lang) in the view, GROUP BY source in the
+    // query — and the rule re-aggregates the keys-sized view instead
+    // of the table: count rolls up as sum(mv_count), sums as
+    // sum(sum_c) (abelian, so exact). One view thus serves the whole
+    // rollup lattice below its key set — the reason production MVs
+    // key by the finest dimension tuple they expect to answer. The
+    // served_from_mv flag + from-scratch oracle pin both the firing
+    // and the arithmetic, as in io28.
+    NamedQuery("io29_mv_rollup_rewrite", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_ru_base", dir)
+      val mvPath = stageDir("mv_ru_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "lang", "n_chars")
+      Sources.snapshotCommit(docs, stage)
+      MaterializedView.build(s, stage, mvPath, rowKey = "doc_id",
+        keyCols = Seq("source", "lang"), sumCols = Seq("n_chars"))
+      MaterializedView.registerForRewrite(s, stage, mvPath)
+      val q = Sources.snapshotRead(s, stage,
+          Sources.snapshotLatestVersion(s, stage))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_n_chars"))
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      val fromMv = scanned.nonEmpty && scanned.forall(_.contains("mv_ru_view"))
+      q.select(lit(fromMv).as("served_from_mv"), col("source"),
+          col("n_docs"), col("sum_n_chars"))
+        .orderBy("source")
+    },
+      Some("""SELECT true AS served_from_mv, source,
+             |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM documents
              |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

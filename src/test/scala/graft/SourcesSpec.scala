@@ -748,5 +748,25 @@ class SourcesSpec extends SparkSpec {
     assert(q3.orderBy("g").as[(String, Long, Long)].collect().toSeq ==
       Seq(("a", 2L, 30L), ("b", 2L, 35L)))
     MvRewrite.clear(spark)
+
+    // ROLLUP: a view keyed finer than the query re-aggregates itself
+    val t2 = s"$tmp/mvru_base"
+    val mv2 = s"$tmp/mvru_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "a", "y", 5L),
+        (4L, "b", "x", 7L)).toDF("id", "g", "h", "v"), t2)
+    MaterializedView.build(spark, t2, mv2, rowKey = "id",
+      keyCols = Seq("g", "h"), sumCols = Seq("v"))
+    MaterializedView.registerForRewrite(spark, t2, mv2)
+    val ru = Sources.snapshotRead(spark, t2, 1).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    assert(scansOf(ru).forall(_.contains("mvru_view")) && scansOf(ru).nonEmpty)
+    assert(ru.orderBy("g").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 3L, 35L), ("b", 1L, 7L)))
+    // a key OUTSIDE the view's set must not rewrite
+    val bad = Sources.snapshotRead(spark, t2, 1).groupBy("id")
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(bad).forall(_.contains("mvru_base")))
+    MvRewrite.clear(spark)
   }
 }
