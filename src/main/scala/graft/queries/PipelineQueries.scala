@@ -4167,6 +4167,54 @@ object PipelineQueries {
            |FROM aud GROUP BY bucket ORDER BY bucket""".stripMargin
       }),
 
+    // ---- CDC-maintained dedup index (d38): the exact-dedup index IS
+    // a (count, min-id) materialized view keyed by the content hash —
+    // so keeping it in sync with a lakehouse table under
+    // inserts/updates/deletes is EXACTLY the io27 affected-group
+    // refresh, not bespoke index surgery. The subtlety that forces
+    // the MV strategy: content is SHARED (duplicate groups span
+    // rows), so a row's delete may NOT remove its hash (another copy
+    // still holds it) and min-id must resurface the runner-up copy —
+    // both non-abelian, both handled by re-aggregating exactly the
+    // hashes the change feed touched. History: v1 = %4∈{0,1,2}
+    // (hashes computed at ingest, the production shape); v2 deletes
+    // %4=0, rewrites %4=1's content (new hash), keeps %4=2 untouched,
+    // inserts %4=3. The oracle rebuilds the index from the v2 corpus
+    // from scratch — sync ≡ rebuild is the gate.
+    NamedQuery("d38_cdc_dedup_index_sync",
+      (s, dir) => {
+        import graft.sources.{MaterializedView, Sources}
+        val stage = graft.ScratchDirs.scratch("cdc_dedup_base")
+        val idxPath = graft.ScratchDirs.scratch("cdc_dedup_idx")
+        graft.Fs.deleteRecursive(s, stage)
+        graft.Fs.deleteRecursive(s, idxPath)
+        val docs = Tables.documents(s, dir).select("doc_id", "text")
+        def hashed(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), md5(col("text")).as("text_hash"))
+        Sources.snapshotCommit(
+          hashed(docs.filter(col("doc_id") % 4 < 3)), stage)
+        MaterializedView.buildMinMax(s, stage, idxPath,
+          rowKey = "doc_id", keyCols = Seq("text_hash"), valCol = "doc_id")
+        Sources.snapshotCommit(
+          hashed(docs.filter(col("doc_id") % 4 === 1)
+              .withColumn("text", concat(col("text"), lit(" v2"))))
+            .unionByName(hashed(docs.filter(col("doc_id") % 4 === 2)))
+            .unionByName(hashed(docs.filter(col("doc_id") % 4 === 3))),
+          stage, overwrite = true)
+        val v = MaterializedView.refreshMinMax(s, stage, idxPath)
+        Sources.snapshotRead(s, idxPath, v)
+          .select(col("text_hash"), col("mv_count").as("n_copies"),
+            col("min_doc_id").as("first_id"))
+          .orderBy("text_hash")
+      },
+      Some("""WITH t AS (SELECT doc_id, md5(text || ' v2') AS text_hash
+             |    FROM documents WHERE doc_id % 4 = 1
+             |  UNION ALL SELECT doc_id, md5(text) FROM documents
+             |    WHERE doc_id % 4 IN (2, 3))
+             |SELECT text_hash, count(*) AS n_copies,
+             |  min(doc_id) AS first_id
+             |FROM t GROUP BY text_hash ORDER BY text_hash""".stripMargin)),
+
     // ---- blocked ENTITY RESOLUTION (d36): fuzzy record linkage over
     // the part-name vocabulary — blocking on the name's noun token,
     // char-trigram Jaccard ≥ 0.4 inside each block, min-label
