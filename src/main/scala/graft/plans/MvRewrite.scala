@@ -60,7 +60,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     new ConcurrentHashMap[SparkSession, List[Entry]]()
 
   def register(spark: SparkSession, e: Entry): Unit =
-    registry.merge(spark, List(e), (a, b) => b ::: a)
+    // idempotent: gates re-register per run; duplicate entries would
+    // grow the per-plan match list across a long session for nothing
+    registry.merge(spark, List(e),
+      (a, _) => if (a.contains(e)) a else e :: a)
 
   def clear(spark: SparkSession): Unit = registry.remove(spark)
 
