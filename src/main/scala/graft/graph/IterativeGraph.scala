@@ -193,6 +193,49 @@ object IterativeGraph {
     dist
   }
 
+  /** Single-source WEIGHTED shortest distances: `iters` synchronous
+    * Bellman–Ford rounds over symmetrized positive-integer-cost edges —
+    * dist₀(src)=0; dist₊(v) = min(dist(v), min over edges (u,v) of
+    * dist(u) + cost(u,v)). All-integer min-plus math, so the unrolled
+    * CTE oracle (g33) matches bit-for-bit. The fixed-round contract is
+    * the same as [[bfsDistances]]: d_k(v) = cheapest path using ≤ k
+    * edges, whatever the graph diameter.
+    *
+    * Each round relaxes only the IMPROVED frontier (rows whose dist
+    * changed last round): a vertex whose dist did not change already
+    * contributed that same dist+cost the round it was set, and the
+    * min-merge keeps the contribution — identical output to full
+    * relaxation, one frontier-sized join per superstep instead of an
+    * all-reached one. At cluster scale the frontier join shuffles on
+    * src (the edge table's natural key) and the min-merge on id; both
+    * partial-aggregate map-side. */
+  def ssspWeighted(edges: DataFrame, sourceId: Long, iters: Int,
+      costCol: String): DataFrame = {
+    val sym = graft.Caches.cached(
+      edges.select(col("src"), col("dst"), col(costCol).cast("long").as("w"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+          col(costCol).cast("long").as("w"))))
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var dist = Seq((sourceId, 0L)).toDF("id", "dist")
+    var frontier = dist
+    for (_ <- 1 to iters) {
+      val relaxed = sym
+        .join(frontier.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val merged = dist.unionAll(relaxed)
+        .groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      frontier = merged
+        .join(dist.select(col("id"), col("dist").as("__old")), Seq("id"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select("id", "dist")
+        .localCheckpoint()
+      dist = merged
+    }
+    dist
+  }
+
   /** Parallel personalized PageRank, fixed supersteps — GraphFrames'
     * `parallelPersonalizedPageRank`: one rank vector per source
     * vertex, reset mass returning to THAT source only (r₀ = 1 at the

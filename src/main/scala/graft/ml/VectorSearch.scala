@@ -197,6 +197,32 @@ object VectorSearch {
     graft.Fs.deleteRecursive(spark, s"$path/tombstones")
   }
 
+  /** REBALANCE a persisted fixed-centroid index under NEW centroids
+    * (s40): long-running ingest skews list sizes (appends land where
+    * the data drifts, not where the original centroids were), and a
+    * skewed hot list degrades every probe that hits it — the fix is
+    * periodic re-centering. The rebalance reads the index's OWN live
+    * assignment rows (tombstones respected, corpus never rescanned —
+    * the index stores the vectors), re-assigns them under the new
+    * centroids (scan-stage argmin, one pass), and rewrites the
+    * per-list layout; tombstones are folded in by construction, so
+    * the side-table clears. Reassignment is per-row independent, so
+    * rebalanced-index serve ≡ a fresh build under the new centroids —
+    * which is exactly what the s40 oracle checks. At scale this is
+    * one shuffle of |index| rows, scheduled like compaction
+    * (OPTIMIZE-shaped maintenance, not a query-path cost). */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newCents: Seq[Array[Float]]): Unit = {
+    // localCheckpoint: the rewrite below overwrites the files this
+    // plan scans (the compactIvfIndex rule)
+    val live = readLiveIvfAssignments(spark, path)
+      .select(col("neighbor_id"), col("cv")).localCheckpoint()
+    val reassigned = Similarity.assignFixed(live, newCents)
+    writeIvfIndex(reassigned, "cluster",
+      newCents.zipWithIndex.map(_.swap), path)
+    graft.Fs.deleteRecursive(spark, s"$path/tombstones")
+  }
+
   /** Centroids of a persisted index alone (nlist-row driver fetch). */
   def readIvfIndexCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(Int, Array[Float])] = {

@@ -3,12 +3,12 @@ package graft.plans
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
-  AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
+  AttributeReference, Expression, Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
-  Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   LogicalRelation}
@@ -25,7 +25,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   * answer, so every check failing falls back to the base scan:
   *   - the aggregate child must be the base table's file scan (its
   *     root paths exactly the registered snapshot-version dirs),
-  *     optionally under attribute-only Projects — no Filter, no join;
+  *     optionally under attribute-only Projects and Filters whose
+  *     predicates reference view KEY columns only (filter
+  *     containment, io31: key-only predicates commute with the
+  *     grouping, so they replay on the keys-sized view) — no join,
+  *     no expression Project, no predicate on a non-key column;
   *   - grouping must be the view's key columns exactly (projection
   *     rewrite), or a strict SUBSET of them (ROLLUP rewrite: the view
   *     itself re-aggregates — count rolls up as sum(mv_count), sums
@@ -86,19 +90,28 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
   }
 
-  /** The scan's qualified root paths, looking through attribute-only
-    * Projects; None for any other shape (Filter/join/expression
-    * Project — all change aggregate semantics vs the view). */
-  private def scanDirs(child: LogicalPlan): Option[Set[String]] =
+  /** The scan's qualified root paths plus any Filter conditions found
+    * on the way down, looking through attribute-only Projects; None
+    * for any other shape (join/expression Project — both change
+    * aggregate semantics vs the view). Filters are collected (ANDed by
+    * the caller) — [[rewrite]] accepts them only when every referenced
+    * column is a view KEY column: key-only predicates commute with the
+    * grouping (every row of a key group shares the key values, so
+    * filtering rows ≡ filtering groups) and replay on the keys-sized
+    * view (io31 filter containment). */
+  private def scanDirs(child: LogicalPlan)
+      : Option[(Set[String], Seq[Expression])] =
     child match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          Some(fs.location.rootPaths.map(_.toString).toSet)
+          Some((fs.location.rootPaths.map(_.toString).toSet, Nil))
         case _ => None
       }
       case Project(ps, grand)
           if ps.forall(_.isInstanceOf[AttributeReference]) =>
         scanDirs(grand)
+      case Filter(cond, grand) =>
+        scanDirs(grand).map { case (dirs, conds) => (dirs, cond +: conds) }
       case _ => None
     }
 
@@ -121,8 +134,15 @@ object MvRewrite extends Rule[LogicalPlan] {
   private def rewrite(e: Entry, grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
-    val dirs = scanDirs(child).getOrElse(return None)
+    val (dirs, filterConds) = scanDirs(child).getOrElse(return None)
     if (dirs != e.baseDirs) return None
+    // filter containment: every predicate must be deterministic,
+    // subquery-free, and reference KEY columns only — anything else
+    // (a predicate on a summed or un-materialized column) falls back
+    if (filterConds.exists(c => !c.deterministic ||
+        c.exists(_.isInstanceOf[SubqueryExpression]) ||
+        !c.references.forall(a => e.keyCols.contains(a.name))))
+      return None
     val groupAttrs = grouping.map {
       case a: AttributeReference => a
       case _ => return None
@@ -150,6 +170,20 @@ object MvRewrite extends Rule[LogicalPlan] {
       if (c.dataType != a.dataType) None
       else Some(Alias(c, a.name)(exprId = a.exprId))
     }
+    // replay key-only filters on the view: remap each attribute to the
+    // view's column of the same name (type-checked), AND them under one
+    // Filter node; the aggregate/projection below reads the filtered view
+    val mvChild: LogicalPlan =
+      if (filterConds.isEmpty) mvRel
+      else {
+        val remapped = filterConds.map(_.transform {
+          case a: AttributeReference =>
+            val c = mvCol(a.name).getOrElse(return None)
+            if (c.dataType != a.dataType) return None
+            c
+        })
+        Filter(remapped.reduce(And), mvRel)
+      }
     if (exact) {
       val proj: Seq[NamedExpression] = aggExprs.map {
         case a: AttributeReference => keyFor(a).getOrElse(return None)
@@ -169,7 +203,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           Alias(c, name)(exprId = al.exprId)
         case _ => return None
       }
-      Some(Project(proj, mvRel))
+      Some(Project(proj, mvChild))
     } else {
       def sumOf(name: String): Option[AggregateExpression] =
         mvCol(name).map(c => Sum(c).toAggregateExpression())
@@ -193,7 +227,7 @@ object MvRewrite extends Rule[LogicalPlan] {
       }
       val groupCols: Seq[Expression] = groupAttrs.map(a =>
         mvCol(a.name).getOrElse(return None))
-      Some(Aggregate(groupCols, outs, mvRel))
+      Some(Aggregate(groupCols, outs, mvChild))
     }
   }
 }

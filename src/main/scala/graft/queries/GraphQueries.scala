@@ -532,6 +532,25 @@ object GraphQueries {
       },
       Some(starComponentsOracle)),
 
+    // ---- single-source WEIGHTED shortest paths (g33): fixed-round
+    // Bellman–Ford from customer 1 over the symmetrized graph with
+    // integer edge costs floor(weight) (avg line quantity, 1–50) —
+    // the weighted sibling of g13's BFS, answering "cheapest
+    // multi-hop route" instead of "fewest hops". All-integer min-plus
+    // math, unrolled-CTE oracle; the 25 nearest vertices by (cost,
+    // id). 4 rounds = cheapest path using ≤ 4 edges, the same fixed-
+    // superstep contract as g13/g18.
+    NamedQuery("g33_sssp_weighted",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val e = g.edges.select(col("src"), col("dst"),
+          floor(col("weight")).cast("long").as("cost"))
+        IterativeGraph.ssspWeighted(e, sourceId = 1L, iters = SsspIters,
+            costCol = "cost")
+          .orderBy("dist", "id").limit(25)
+      },
+      Some(ssspOracle(SsspIters))),
+
     // ---- "customers also bought": pairwise part similarity by BUYER
     // overlap (in-neighborhood Jaccard — the reference's
     // book-similarity-by-common-readers question on the user→book
@@ -567,6 +586,7 @@ object GraphQueries {
   private def JaccardCap = 40
   private def LpIters = 4
   private def BfsIters = 3
+  private def SsspIters = 4
   private def HitsIters = 3
   private[queries] def PsIters = 4
   private def SpIters = 3
@@ -815,6 +835,28 @@ object GraphQueries {
        |$steps
        |SELECT dist, count(*) AS n_vertices FROM d$iters
        |GROUP BY dist ORDER BY dist""".stripMargin
+  }
+
+  /** Unrolled-CTE weighted Bellman–Ford relaxation from vertex 1
+    * (g33) — integer costs floor(weight), full relaxation per round
+    * (the engine's improved-only frontier provably computes the same
+    * d_k; see IterativeGraph.ssspWeighted). */
+  private def ssspOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (SELECT id, min(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT wsym.dst AS id, d.dist + wsym.w AS dist
+         |    FROM wsym JOIN d${i - 1} d ON wsym.src = d.id) GROUP BY id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |wsym AS (SELECT src, dst, CAST(floor(weight) AS BIGINT) AS w FROM edges
+       |         UNION ALL
+       |         SELECT dst, src, CAST(floor(weight) AS BIGINT) FROM edges),
+       |d0 AS (SELECT CAST(1 AS BIGINT) AS id, CAST(0 AS BIGINT) AS dist),
+       |$steps
+       |SELECT id, dist FROM d$iters
+       |ORDER BY dist, id LIMIT 25""".stripMargin
   }
 
   /** Unrolled-CTE k-core peeling: each round keeps vertices with

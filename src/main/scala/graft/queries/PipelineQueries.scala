@@ -1022,6 +1022,35 @@ object PipelineQueries {
       Some(ivfFixedOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
         k = 5, seed = 7L))),
 
+    // ---- index REBALANCE under new centroids (s40): the maintenance
+    // op between append (s17) and compaction (s29) — ingest drift
+    // skews list sizes, so the index is periodically RE-CENTERED:
+    // live assignment rows (the index's own stored vectors — the
+    // corpus is never rescanned) re-assign under a NEW seeded
+    // centroid set and the per-list layout rewrites. Reassignment is
+    // per-row independent, so the rebalanced index must serve
+    // BIT-IDENTICALLY to a fresh build under the new centroids —
+    // the oracle is s04's with the new seed, and a single row
+    // misplaced by the rebalance breaks it.
+    NamedQuery("s40_ivf_rebalance", (s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val path = graft.ScratchDirs.scratch("ivf_idx_rebal")
+      val cents7 = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 7L)
+      graft.ml.VectorSearch.writeIvfIndex(
+        Similarity.assignFixed(emb.filter(col("vec_id") % 2 === 0), cents7),
+        "cluster", cents7.zipWithIndex.map(_.swap), path)
+      graft.ml.VectorSearch.appendToIvfIndex(
+        emb.filter(col("vec_id") % 2 =!= 0), path)
+      val cents13 = Similarity.hyperplanes(dim = 64, nBits = IvfLists, seed = 13L)
+      graft.ml.VectorSearch.rebalanceIvfIndex(s, path, cents13)
+      val (loaded, loadedCents) = graft.ml.VectorSearch.readIvfIndex(s, path)
+      Similarity.ivfServe(emb.filter(col("vec_id") < 20), loaded,
+          loadedCents.map(_._2), k = 5, nprobe = IvfProbes)
+        .orderBy("query_id", "rank")
+    },
+      Some(ivfFixedOracle(dim = 64, nlist = IvfLists, nprobe = IvfProbes,
+        k = 5, seed = 13L))),
+
     // ---- COMPOSED IVF-PQ (s18): probe nprobe lists, ADC-score the PQ
     // codes WITHIN those lists — IVF pruning × PQ compression, the
     // production 100 TB ANN serve shape (the scan reads ~nprobe/nlist

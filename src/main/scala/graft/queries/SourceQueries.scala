@@ -1099,6 +1099,103 @@ object SourceQueries {
       Some("""SELECT true AS served_from_mv, source,
              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
              |FROM documents
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- APPROX-DISTINCT materialized view (io30): the third MV
+    // aggregate class after abelian (io26) and re-aggregated min/max
+    // (io27) — count(DISTINCT x) kept as a union-closed HLL sketch.
+    // The staged history exercises BOTH maintenance paths: an APPEND
+    // commit folds in by per-key sketch union over just the new rows
+    // (work ∝ appended rows, no diff join), then an overwrite
+    // (deletes + updates) falls back to affected-group
+    // re-aggregation. mv_count rides along abelian and must be EXACT
+    // through both refreshes; the sketch estimate is audited against
+    // the exact distinct with the p12/q33 tolerance-bound pattern
+    // (lgK=12 is exact below ~2^12 distinct values, so within_5pct
+    // is deterministic here, not luck).
+    NamedQuery("io30_hll_mv", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_hll_base", dir)
+      val mvPath = stageDir("mv_hll_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 < 2), stage)
+      MaterializedView.buildDistinct(s, stage, mvPath, rowKey = "doc_id",
+        keyCols = Seq("source"), distinctCol = "n_chars")
+      // append-only commit → sketch-union fast path
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 2), stage)
+      MaterializedView.refreshDistinct(s, stage, mvPath)
+      // overwrite (deletes %3=0, updates %3=1) → re-aggregation path
+      Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("n_chars", col("n_chars") + 1)
+          .unionByName(docs.filter(col("doc_id") % 3 === 2)),
+        stage, overwrite = true)
+      val mvV = MaterializedView.refreshDistinct(s, stage, mvPath)
+      val exact = Sources.snapshotRead(s, stage,
+          Sources.snapshotLatestVersion(s, stage))
+        .groupBy("source")
+        .agg(countDistinct(col("n_chars")).as("exact_distinct"))
+      Sources.snapshotRead(s, mvPath, mvV)
+        .join(exact, Seq("source"))
+        .select(col("source"), col("mv_count"), col("exact_distinct"),
+          (abs(hll_sketch_estimate(col("hll_n_chars")) - col("exact_distinct"))
+            .cast("double") / col("exact_distinct") <= 0.05).as("within_5pct"))
+        .orderBy("source")
+    },
+      Some("""WITH t AS (SELECT doc_id, source, n_chars + 1 AS n_chars
+             |    FROM documents WHERE doc_id % 3 = 1
+             |  UNION ALL SELECT doc_id, source, n_chars FROM documents
+             |    WHERE doc_id % 3 = 2)
+             |SELECT source, count(*) AS mv_count,
+             |  count(DISTINCT n_chars) AS exact_distinct, TRUE AS within_5pct
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- MV rewrite under a FILTER (io31): the query restricts the
+    // base scan with a predicate over view KEY columns only —
+    // `WHERE source IN (…) GROUP BY lang` against a (source, lang)
+    // view. Key-only predicates commute with the grouping (every row
+    // of a key group shares the key values, so filtering rows ≡
+    // filtering groups), so the rule replays the predicate on the
+    // keys-sized view and re-aggregates — filter containment, the
+    // third rewrite shape after projection (io28) and rollup (io29).
+    // served_from_mv is read off the optimized plan's file sources;
+    // the from-scratch oracle pins the arithmetic.
+    NamedQuery("io31_mv_filter_rewrite", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_fr_base", dir)
+      val mvPath = stageDir("mv_fr_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "lang", "n_chars")
+      Sources.snapshotCommit(docs, stage)
+      MaterializedView.build(s, stage, mvPath, rowKey = "doc_id",
+        keyCols = Seq("source", "lang"), sumCols = Seq("n_chars"))
+      MaterializedView.registerForRewrite(s, stage, mvPath)
+      val q = Sources.snapshotRead(s, stage,
+          Sources.snapshotLatestVersion(s, stage))
+        .filter(col("source").isin("src1", "src2", "src3"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_n_chars"))
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      val fromMv = scanned.nonEmpty && scanned.forall(_.contains("mv_fr_view"))
+      q.select(lit(fromMv).as("served_from_mv"), col("lang"),
+          col("n_docs"), col("sum_n_chars"))
+        .orderBy("lang")
+    },
+      Some("""SELECT true AS served_from_mv, lang,
+             |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM documents WHERE source IN ('src1', 'src2', 'src3')
+             |GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -1283,6 +1283,59 @@ object StreamingQueries {
       Some("""SELECT source, count(*) AS mv_count,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
              |FROM documents GROUP BY source
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // ---- stream-stream LEFT OUTER join (sw38): sw08's attribution
+    // with the UNATTRIBUTED purchases kept — the engine emits a
+    // null-padded row only once the watermark proves no matching
+    // click can still arrive (join-state eviction), so the null half
+    // of the outer contract rides the real state-store machinery.
+    // The 7-day watermark is deliberately SHORTER than the events
+    // span: purchases older than (min(max purchase ts, max click ts)
+    // − 7 days) must resolve (attributed or null), younger ones stay
+    // open and emit nothing — the oracle replays exactly that
+    // boundary, so both the null emission AND the still-open cutoff
+    // are pinned. Matched pairs emit on match regardless (same as
+    // sw08).
+    NamedQuery("sw38_stream_outer_attribution",
+      (s, dir) => {
+        val pairs = StreamRunner.runAvailableNow(s, Tables.events(s, dir),
+            "sw38_outer_attribution", "append") { src =>
+          EventStreams.attributionPairsOuter(src, watermark = "7 days",
+            maxLag = "6 hours")
+        }
+        pairs.groupBy("purchase_id", "user_id")
+          .agg(count(col("click_id")).as("n_candidates"),
+            max_by(col("click_id"),
+              struct(col("c_ts"), col("click_id"))).as("last_click_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+             |           FROM events WHERE event_type = 'purchase'),
+             |     c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+             |           FROM events WHERE event_type = 'click'),
+             |     wm AS (SELECT least(
+             |         (SELECT max(p_ts) FROM p),
+             |         (SELECT max(c_ts) FROM c)) - INTERVAL 7 DAY AS w),
+             |     j AS (SELECT purchase_id, p.user_id, click_id, c_ts
+             |           FROM p JOIN c ON p.user_id = c.user_id
+             |             AND c.c_ts <= p.p_ts
+             |             AND c.c_ts >= p.p_ts - INTERVAL 6 HOUR),
+             |     r AS (SELECT purchase_id, user_id, click_id,
+             |             count(*) OVER (PARTITION BY purchase_id)
+             |               AS n_candidates,
+             |             row_number() OVER (PARTITION BY purchase_id
+             |               ORDER BY c_ts DESC, click_id DESC) AS rn
+             |           FROM j),
+             |     m AS (SELECT purchase_id, user_id, n_candidates,
+             |             click_id AS last_click_id
+             |           FROM r WHERE rn = 1)
+             |SELECT purchase_id, user_id, n_candidates, last_click_id FROM m
+             |UNION ALL
+             |SELECT purchase_id, user_id, CAST(0 AS BIGINT), NULL
+             |FROM p CROSS JOIN wm
+             |WHERE purchase_id NOT IN (SELECT purchase_id FROM m)
+             |  AND p_ts < wm.w
+             |ORDER BY purchase_id""".stripMargin))
   )
 }

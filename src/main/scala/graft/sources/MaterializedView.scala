@@ -211,6 +211,93 @@ object MaterializedView {
         min(col(valCol)).as(s"min_$valCol"),
         max(col(valCol)).as(s"max_$valCol"))
 
+  // ---- approximate distinct counts: union-closed sketches ----------
+  //
+  // count(DISTINCT x) is the third canonical MV aggregate class:
+  // not abelian (no subtraction), but union-CLOSED — Datasketches HLL
+  // registers merge by elementwise max, so APPENDS maintain the view
+  // by sketch union over just the new rows (work ∝ appended rows,
+  // the streaming-ingest norm). Deletes/updates fall back to
+  // affected-group re-aggregation, exactly like min/max. The exact
+  // row count rides along abelian (as mv_count) so the view serves
+  // both "how many rows" and "how many distinct" per key.
+
+  /** Full-compute a distinct-count-bearing view ((count, HLL sketch of
+    * `distinctCol`) per key) and publish it. lgK = 12 → ~1.6% relative
+    * standard error, exact below ~2^12 distinct values. */
+  def buildDistinct(spark: SparkSession, tablePath: String, mvPath: String,
+      rowKey: String, keyCols: Seq[String], distinctCol: String,
+      lgK: Int = 12): Int = {
+    val v = Sources.snapshotLatestVersion(spark, tablePath)
+    require(v > 0, s"no snapshot table at $tablePath")
+    val mv = distinctAgg(Sources.snapshotRead(spark, tablePath, v),
+      keyCols, distinctCol, lgK)
+    val mvv = Sources.snapshotCommit(mv, mvPath, overwrite = true)
+    writeState(spark, mvPath, v, keyCols, Seq(distinctCol), rowKey)
+    mvv
+  }
+
+  private def distinctAgg(df: DataFrame, keyCols: Seq[String],
+      distinctCol: String, lgK: Int): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("mv_count"),
+        hll_sketch_agg(col(distinctCol), lit(lgK)).as(s"hll_$distinctCol"))
+
+  /** Refresh a [[buildDistinct]] view. Append-only base history since
+    * the last refresh → per-key sketch UNION of the old registers with
+    * the new rows' sketch (no base rescan, no diff join); anything
+    * else → affected-group re-aggregation (the [[refreshMinMax]]
+    * fallback: deletions can remove a distinct value no sketch
+    * arithmetic recovers). */
+  def refreshDistinct(spark: SparkSession, tablePath: String,
+      mvPath: String, lgK: Int = 12): Int = {
+    val st = spark.read.parquet(statePath(mvPath)).head
+    val fromV = st.getAs[Int]("base_version")
+    val keyCols = st.getAs[String]("key_cols").split(",").toSeq
+    val distinctCol = st.getAs[String]("sum_cols")
+    val rowKey = st.getAs[String]("row_key")
+    val toV = Sources.snapshotLatestVersion(spark, tablePath)
+    val mvV = Sources.snapshotLatestVersion(spark, mvPath)
+    if (toV == fromV) return mvV
+    val hllCol = s"hll_$distinctCol"
+    val fromSet = commitSet(spark, tablePath, fromV)
+    val toSet = commitSet(spark, tablePath, toV)
+    val merged = if (fromSet.subsetOf(toSet)) {
+      val newDirs = (toSet -- fromSet).toSeq.sorted
+        .map(c => Sources.commitDir(tablePath, c))
+      if (newDirs.isEmpty) {
+        writeState(spark, mvPath, toV, keyCols, Seq(distinctCol), rowKey)
+        return mvV
+      }
+      val delta = spark.read.parquet(newDirs: _*)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__d_count"),
+          hll_sketch_agg(col(distinctCol), lit(lgK)).as("__d_hll"))
+      val old = Sources.snapshotRead(spark, mvPath, mvV)
+      old.join(delta, keyCols, "full_outer")
+        .select(keyCols.map(col) ++ Seq(
+          (coalesce(col("mv_count"), lit(0L)) +
+            coalesce(col("__d_count"), lit(0L))).as("mv_count"),
+          when(col("__d_hll").isNull, col(hllCol))
+            .when(col(hllCol).isNull, col("__d_hll"))
+            .otherwise(hll_union(col(hllCol), col("__d_hll"))).as(hllCol)): _*)
+    } else {
+      val cdf = Sources.snapshotChangesCdf(spark, tablePath, rowKey,
+        fromV, toV)
+      val affected = graft.Caches.cached(
+        cdf.select(keyCols.map(col): _*).distinct())
+      val recomputed = distinctAgg(
+        Sources.snapshotRead(spark, tablePath, toV)
+          .join(affected, keyCols, "left_semi"), keyCols, distinctCol, lgK)
+      Sources.snapshotRead(spark, mvPath, mvV)
+        .join(affected, keyCols, "left_anti")
+        .unionByName(recomputed)
+    }
+    val newMvV = Sources.snapshotCommit(merged, mvPath, overwrite = true)
+    writeState(spark, mvPath, toV, keyCols, Seq(distinctCol), rowKey)
+    newMvV
+  }
+
   /** Refresh a [[buildMinMax]] view: re-aggregate ONLY the groups the
     * CDF touched, carry everything else over. Groups whose rows all
     * left the table leave the view (the re-aggregation simply returns

@@ -77,6 +77,34 @@ object EventStreams {
         col("click_id"), col("c_ts"))
   }
 
+  /** LEFT-OUTER streaming attribution (sw38) — [[attributionPairs]]
+    * with the unattributed purchases KEPT: the engine emits a
+    * null-padded row for a purchase once the watermark proves no
+    * matching click can still arrive (its join-state eviction point),
+    * which is the half of the outer-join contract an inner join never
+    * exercises. Purchases younger than the final watermark stay open
+    * (no row — their verdict genuinely isn't known yet); the batch
+    * oracle replays exactly that boundary. State per side is bounded
+    * by watermark + `maxLag` and keyed by user, as in
+    * [[attributionPairs]]. */
+  def attributionPairsOuter(events: DataFrame, watermark: String,
+      maxLag: String): DataFrame = {
+    def side(tpe: String, idName: String, userName: String, tsName: String) =
+      events.filter(col("event_type") === tpe)
+        .withWatermark("ts", watermark)
+        .select(col("event_id").as(idName), col("user_id").as(userName),
+          col("ts").as(tsName))
+    val p = side("purchase", "purchase_id", "p_user", "p_ts")
+    val c = side("click", "click_id", "c_user", "c_ts")
+    p.join(c,
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $maxLag"),
+        "left_outer")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Streaming decontamination probe — the stream-STATIC broadcast
     * join pattern: each arriving document's distinct n-grams probe a
     * static benchmark gram set (built batch-side, broadcast once);

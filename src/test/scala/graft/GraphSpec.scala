@@ -319,6 +319,24 @@ class GraphSpec extends SparkSpec {
     assert(d(10L) == 0 && d(1L) == 1 && d(2L) == 1 && d(11L) == 2)
   }
 
+  test("ssspWeighted: cheap 2-hop path beats the expensive direct edge") {
+    import graft.graph.IterativeGraph
+    // 1-3 direct costs 10; 1-2-3 costs 2+3=5; 4 needs 3 hops (never
+    // cheaper via 1-3 direct). iters=1 sees only direct edges; iters=2
+    // finds the cheap detour; iters=3 reaches 4.
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 3L), (1L, 3L, 10L), (3L, 4L, 1L))
+      .toDF("src", "dst", "cost")
+    def dists(iters: Int) = IterativeGraph
+      .ssspWeighted(edges, sourceId = 1L, iters = iters, costCol = "cost")
+      .as[(Long, Long)].collect().toMap
+    val d1 = dists(1)
+    assert(d1(2L) == 2L && d1(3L) == 10L && !d1.contains(4L))
+    val d2 = dists(2)
+    assert(d2(3L) == 5L && d2(4L) == 11L)
+    val d3 = dists(3)
+    assert(d3 == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
+  }
+
   test("kcorePeel: pendant drops first, cascades peel level by level") {
     import graft.graph.IterativeGraph
     // triangle 1-2-3 + path 3-4-5: k=2 → round 1 drops 5 (deg 1);

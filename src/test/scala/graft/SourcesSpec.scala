@@ -769,4 +769,91 @@ class SourcesSpec extends SparkSpec {
     assert(scansOf(bad).forall(_.contains("mvru_base")))
     MvRewrite.clear(spark)
   }
+
+  test("distinct MV: append unions sketches, diff re-aggregates, mv_count stays exact") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    val t = s"$tmp/mvhll_base"
+    val mv = s"$tmp/mvhll_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L), (4L, "b", 7L))
+        .toDF("id", "g", "x"), t)
+    MaterializedView.buildDistinct(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g"), distinctCol = "x")
+    def view(): Map[String, (Long, Long)] =
+      Sources.snapshotRead(spark, mv,
+          Sources.snapshotLatestVersion(spark, mv))
+        .select(col("g"), col("mv_count"),
+          hll_sketch_estimate(col("hll_x")).as("est"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    // lgK=12 is exact at these cardinalities — estimates ARE the counts
+    assert(view() == Map("a" -> ((3L, 2L)), "b" -> ((1L, 1L))))
+    // append-only: per-key sketch union (new value for a, new key c,
+    // a REPEATED value for b that must not bump its distinct)
+    Sources.snapshotCommit(
+      Seq((5L, "a", 30L), (6L, "b", 7L), (7L, "c", 1L))
+        .toDF("id", "g", "x"), t)
+    val v2 = MaterializedView.refreshDistinct(spark, t, mv)
+    assert(view() == Map("a" -> ((4L, 3L)), "b" -> ((2L, 1L)),
+      "c" -> ((1L, 1L))))
+    // no-op refresh
+    assert(MaterializedView.refreshDistinct(spark, t, mv) == v2)
+    // overwrite: delete the only row holding a's x=20 (distinct must
+    // DROP — no sketch arithmetic does this; the re-agg path must),
+    // drop c entirely, leave b untouched (carried over)
+    Sources.snapshotCommit(
+      Seq((1L, "a", 10L), (2L, "a", 10L), (5L, "a", 30L),
+        (4L, "b", 7L), (6L, "b", 7L)).toDF("id", "g", "x"),
+      t, overwrite = true)
+    MaterializedView.refreshDistinct(spark, t, mv)
+    assert(view() == Map("a" -> ((3L, 2L)), "b" -> ((2L, 1L))))
+  }
+
+  test("MV filter rewrite: key-only predicates replay on the view; non-key and non-deterministic fall back") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    import graft.plans.MvRewrite
+    val t = s"$tmp/mvfr_base"
+    val mv = s"$tmp/mvfr_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "y", 5L),
+        (4L, "b", "x", 7L), (5L, "c", "x", 2L)).toDF("id", "g", "h", "v"), t)
+    MaterializedView.build(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g", "h"), sumCols = Seq("v"))
+    MaterializedView.registerForRewrite(spark, t, mv)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def baseScan() = Sources.snapshotRead(spark, t, 1)
+    // key-filter + rollup grouping: WHERE g IN (…) GROUP BY h
+    val q = baseScan().filter(col("g").isin("a", "b")).groupBy("h")
+      .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    assert(scansOf(q).forall(_.contains("mvfr_view")) && scansOf(q).nonEmpty)
+    assert(q.orderBy("h").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("x", 2L, 17L), ("y", 2L, 25L)))
+    // key-filter + exact-key grouping
+    val q2 = baseScan().filter(col("h") === "x").groupBy("g", "h")
+      .agg(sum("v").as("sum_v"))
+    assert(scansOf(q2).forall(_.contains("mvfr_view")) && scansOf(q2).nonEmpty)
+    assert(q2.orderBy("g").as[(String, String, Long)].collect().toSeq ==
+      Seq(("a", "x", 10L), ("b", "x", 7L), ("c", "x", 2L)))
+    // predicate on a NON-key column: no rewrite
+    val q3 = baseScan().filter(col("v") > 5).groupBy("g")
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(q3).forall(_.contains("mvfr_base")))
+    // non-deterministic predicate: no rewrite (a trivially-true
+    // rand() < 2.0 gets optimized away before the rule sees it, so
+    // the sampling predicate must actually bite)
+    val q4 = baseScan().filter(rand(7) < 0.5).groupBy("g")
+      .agg(count(lit(1)).as("n"))
+    assert(scansOf(q4).forall(_.contains("mvfr_base")))
+    MvRewrite.clear(spark)
+  }
 }
