@@ -236,6 +236,37 @@ object IterativeGraph {
     dist
   }
 
+  /** HyperBall / ANF sketches (Boldi & Vigna 2013; Palmer et al.'s
+    * ANF): per-vertex HLL sketches of the ≤-t-hop ball, grown by t
+    * synchronous supersteps of neighbor-sketch UNION over symmetrized
+    * edges — sk₀(v) = {v}; sk₊(v) = sk(v) ∪ ⋃_{(u,v)∈E} sk(u). The
+    * registers are union-closed and constant-size, so the whole
+    * neighborhood-function / effective-diameter computation costs
+    * O(t) edge-keyed shuffles of ≤ 2^lgK-byte values — the ONLY known
+    * way to ask "how big is the 3-hop ball of every vertex" on a
+    * 100 TB graph (exact balls are quadratic). Spark's partial
+    * aggregation combines sketches map-side, so each superstep
+    * shuffles at most one sketch per (partition, vertex), not one per
+    * edge. Estimates are deterministic (Datasketches hashing is
+    * seedless), so a tolerance-bound audit against exact sampled
+    * balls is a stable gate, not a flaky one (g34). Output: (id, sk)
+    * after `iters` supersteps — estimate with hll_sketch_estimate. */
+  def hyperBallSketches(edges: DataFrame, iters: Int,
+      lgK: Int = 10): DataFrame = {
+    val sym = graft.Caches.cached(symmetrize(edges))
+    var sk = sym.select(col("src").as("id")).distinct()
+      .groupBy("id").agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val msgs = sym.join(sk.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("sk"))
+      sk = sk.unionByName(msgs)
+        .groupBy("id").agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint()
+    }
+    sk
+  }
+
   /** Parallel personalized PageRank, fixed supersteps — GraphFrames'
     * `parallelPersonalizedPageRank`: one rank vector per source
     * vertex, reset mass returning to THAT source only (r₀ = 1 at the

@@ -4,9 +4,11 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
-  AttributeReference, Expression, Literal, NamedExpression, SubqueryExpression}
+  AttributeReference, Cast, Divide, Expression, HllSketchEstimate, Literal,
+  NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Count, Sum}
+  Average, Count, HllUnionAgg, HyperLogLogPlusPlus, Sum}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -56,9 +58,16 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   /** One registered view: the base version's qualified data dirs it
     * reflects, the view's own qualified data dirs to scan instead,
-    * and the aggregate spec it materializes. */
+    * and the aggregate spec it materializes. `distinctCols` names
+    * columns whose approx_count_distinct may answer from the view's
+    * HLL registers (io34) — set ONLY by the distinct-view
+    * registration, because the rewrite swaps one approximate
+    * estimator (HLL++) for another (Datasketches): values change
+    * within the approx contract, so serving from the sketch is an
+    * explicit OPT-IN declared at registration, never inferred. */
   final case class Entry(baseDirs: Set[String], mvDirs: Seq[String],
-      keyCols: Seq[String], sumCols: Set[String])
+      keyCols: Seq[String], sumCols: Set[String],
+      distinctCols: Set[String] = Set.empty)
 
   private val registry =
     new ConcurrentHashMap[SparkSession, List[Entry]]()
@@ -131,6 +140,37 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** avg(<col>) over an INTEGRAL column — answered as
+    * sum_<col> / cnt_<col> when the view was built `withAvg` (io33):
+    * cnt is the NON-NULL count avg actually divides by. Identical to
+    * the native result while the exact integer sum stays below 2^53 —
+    * the same envelope in which the native double accumulation is
+    * itself order-deterministic; the rewrite guard requires the
+    * view's sum to be LongType, so float sums (order-sensitive on
+    * both paths) never rewrite. */
+  private def avgCol(ae: AggregateExpression): Option[String] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case a: Average => a.child match {
+        case attr: AttributeReference => Some(attr.name)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** approx_count_distinct(<col>) — answered from the distinct view's
+    * HLL registers when the entry OPTED IN via `distinctCols`
+    * (io34). */
+  private def approxDistinctCol(ae: AggregateExpression): Option[String] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case h: HyperLogLogPlusPlus => h.child match {
+        case attr: AttributeReference => Some(attr.name)
+        case _ => None
+      }
+      case _ => None
+    }
+
   private def rewrite(e: Entry, grouping: Seq[Expression],
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan): Option[LogicalPlan] = {
@@ -191,6 +231,23 @@ object MvRewrite extends Rule[LogicalPlan] {
           val c = mvCol("mv_count").getOrElse(return None)
           if (c.dataType != ae.dataType) return None
           Alias(c, name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, name)
+            if avgCol(ae).isDefined =>
+          val sc = avgCol(ae).get
+          if (!e.sumCols.contains(sc)) return None
+          val s = mvCol(s"sum_$sc").getOrElse(return None)
+          val c = mvCol(s"cnt_$sc").getOrElse(return None)
+          if (s.dataType != LongType || ae.dataType != DoubleType) return None
+          Alias(Divide(Cast(s, DoubleType), Cast(c, DoubleType)),
+            name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, name)
+            if approxDistinctCol(ae).isDefined =>
+          val dc = approxDistinctCol(ae).get
+          if (!e.distinctCols.contains(dc)) return None
+          val h = mvCol(s"hll_$dc").getOrElse(return None)
+          val est = HllSketchEstimate(h)
+          if (est.dataType != ae.dataType) return None
+          Alias(est, name)(exprId = al.exprId)
         case al @ Alias(ae: AggregateExpression, name) =>
           val sc = summedCol(ae).getOrElse(return None)
           if (!e.sumCols.contains(sc)) return None
@@ -213,6 +270,26 @@ object MvRewrite extends Rule[LogicalPlan] {
           val s = sumOf("mv_count").getOrElse(return None)
           if (s.dataType != ae.dataType) return None
           Alias(s, name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, name)
+            if avgCol(ae).isDefined =>
+          val sc = avgCol(ae).get
+          if (!e.sumCols.contains(sc)) return None
+          val sAttr = mvCol(s"sum_$sc").getOrElse(return None)
+          if (sAttr.dataType != LongType || ae.dataType != DoubleType)
+            return None
+          val s = sumOf(s"sum_$sc").getOrElse(return None)
+          val c = sumOf(s"cnt_$sc").getOrElse(return None)
+          Alias(Divide(Cast(s, DoubleType), Cast(c, DoubleType)),
+            name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, name)
+            if approxDistinctCol(ae).isDefined =>
+          val dc = approxDistinctCol(ae).get
+          if (!e.distinctCols.contains(dc)) return None
+          val h = mvCol(s"hll_$dc").getOrElse(return None)
+          val est = HllSketchEstimate(
+            new HllUnionAgg(h).toAggregateExpression())
+          if (est.dataType != ae.dataType) return None
+          Alias(est, name)(exprId = al.exprId)
         case al @ Alias(ae: AggregateExpression, name) =>
           val sc = summedCol(ae).getOrElse(return None)
           if (!e.sumCols.contains(sc)) return None

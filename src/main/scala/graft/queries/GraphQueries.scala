@@ -551,6 +551,35 @@ object GraphQueries {
       },
       Some(ssspOracle(SsspIters))),
 
+    // ---- HyperBall / ANF neighborhood function (g34): per-vertex
+    // HLL sketches of the ≤3-hop ball, grown by neighbor-sketch UNION
+    // supersteps (Boldi–Vigna 2013 — the effective-diameter/ANF
+    // primitive; exact balls are quadratic, the sketch path is O(t)
+    // edge shuffles of constant-size registers). AUDIT on the d37
+    // pattern: exact ball sizes for a FIXED 100-customer sample via
+    // the multi-landmark BFS (the quadratic side stays sample-sized),
+    // each estimate tolerance-bound within 10% (Datasketches hashing
+    // is seedless-deterministic, so the flag is stable, not flaky —
+    // lgK=10 ⇒ ~3.3% RSE). The oracle replays the exact balls and
+    // pins the flags TRUE; customers without orders have no vertex,
+    // so both sides restrict to edge-bearing landmarks.
+    NamedQuery("g34_hyperball_anf",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val sk = IterativeGraph.hyperBallSketches(g.edges, iters = AnfIters,
+          lgK = AnfLgK)
+        val exact = IterativeGraph.shortestPathsLandmarks(
+            IterativeGraph.symmetrize(g.edges), AnfSample, iters = AnfIters)
+          .groupBy(col("landmark").as("id"))
+          .agg(count(lit(1)).as("exact_ball"))
+        exact.join(sk, "id")
+          .select(col("id"), col("exact_ball"),
+            (abs(hll_sketch_estimate(col("sk")) - col("exact_ball"))
+              .cast("double") / col("exact_ball") <= 0.1).as("within_10pct"))
+          .orderBy("id")
+      },
+      Some(anfOracle(AnfSample, AnfIters))),
+
     // ---- "customers also bought": pairwise part similarity by BUYER
     // overlap (in-neighborhood Jaccard — the reference's
     // book-similarity-by-common-readers question on the user→book
@@ -587,6 +616,18 @@ object GraphQueries {
   private def LpIters = 4
   private def BfsIters = 3
   private def SsspIters = 4
+  private def AnfIters = 3
+  // lgK sized by MEASUREMENT (tools.AnfProbe): the superstep cost is
+  // byte-bound on register width (sf0.1 sketch growth: 54 s at
+  // lgK=10, ~14 s at lgK≤8 — the join+agg floor), and the estimate
+  // error is DETERMINISTIC (Datasketches hashing is seedless), so
+  // the audit bound is a measured fact, not a probability: max |err|
+  // over the fixed 100-vertex sample at lgK=9 is 4.5% (sf0.001),
+  // 7.7% (sf0.01), 8.3% (sf0.1) — inside the 10% bound at every
+  // scale; lgK=8 measured 18% at sf0.01 and is out. lgK is the knob
+  // HyperBall itself tunes (Boldi–Vigna run 4-bit registers).
+  private def AnfLgK = 9
+  private def AnfSample: Seq[Long] = (1L to 100L)
   private def HitsIters = 3
   private[queries] def PsIters = 4
   private def SpIters = 3
@@ -857,6 +898,33 @@ object GraphQueries {
        |$steps
        |SELECT id, dist FROM d$iters
        |ORDER BY dist, id LIMIT 25""".stripMargin
+  }
+
+  /** Unrolled-CTE exact ≤-iters-hop ball sizes for the fixed ANF
+    * sample (g34): the landmark-BFS steps of [[landmarkDistOracle]],
+    * counted per landmark (self included at dist 0), restricted to
+    * landmarks that actually bear edges; the within flag is pinned
+    * TRUE — the engine's deterministic sketch estimate must land
+    * inside the declared tolerance. */
+  private def anfOracle(landmarks: Seq[Long], iters: Int): String = {
+    val values = landmarks.map(l => s"($l)").mkString(", ")
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (SELECT landmark, id, min(dist) AS dist FROM (
+         |    SELECT landmark, id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.landmark, sym.dst AS id, d.dist + 1 AS dist
+         |    FROM sym JOIN d${i - 1} d ON sym.src = d.id)
+         |  GROUP BY landmark, id)""".stripMargin
+    }.mkString(",\n")
+    s"""$edgesCte,
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |d0 AS (SELECT CAST(x AS BIGINT) AS landmark, CAST(x AS BIGINT) AS id,
+       |              0 AS dist
+       |       FROM (VALUES $values) AS t(x)
+       |       WHERE x IN (SELECT src FROM sym)),
+       |$steps
+       |SELECT landmark AS id, count(*) AS exact_ball, TRUE AS within_10pct
+       |FROM d$iters GROUP BY landmark ORDER BY id""".stripMargin
   }
 
   /** Unrolled-CTE k-core peeling: each round keeps vertices with

@@ -1196,6 +1196,169 @@ object SourceQueries {
       Some("""SELECT true AS served_from_mv, lang,
              |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
              |FROM documents WHERE source IN ('src1', 'src2', 'src3')
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // ---- JOIN-AGGREGATE materialized view (io32): the star-schema
+    // class (Gupta–Mumick's SPJ+aggregate) — per-SEGMENT revenue,
+    // where the segment lives on the customer DIMENSION and the
+    // mass on the orders FACT. Fact-side changes stay abelian
+    // because every CDF row re-joins the broadcast-sized frozen dim
+    // to find its group: appends take the new-dirs fast path ⋈ dim,
+    // the overwrite (deletes %3=0, price bumps on %3=1) folds signed
+    // through the same join. Measures are integer CENTS so the fold
+    // is exact (the io26 decimal rule). The dim is frozen at build
+    // (slowly-changing-dimension contract — documented, not guessed).
+    // Oracle recomputes the join-aggregate from scratch over the
+    // final visible set, so refresh ≡ rebuild is the gate.
+    NamedQuery("io32_join_agg_mv", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_ja_fact", dir)
+      val dimP = stageDir("mv_ja_dim", dir)
+      val mvPath = stageDir("mv_ja_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, dimP)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val fact = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Sources.snapshotCommit(fact.filter(col("o_orderkey") % 3 < 2), stage)
+      MaterializedView.buildJoinAgg(s, stage, dim, dimP, mvPath,
+        rowKey = "o_orderkey", joinKey = "o_custkey",
+        keyCols = Seq("c_mktsegment"), sumCols = Seq("price_cents"))
+      // append-only fact commit → new-dirs ⋈ dim fast path
+      Sources.snapshotCommit(fact.filter(col("o_orderkey") % 3 === 2), stage)
+      MaterializedView.refreshJoinAgg(s, stage, mvPath)
+      // overwrite: delete %3=0, bump %3=1 — the signed CDF ⋈ dim path
+      Sources.snapshotCommit(
+        fact.filter(col("o_orderkey") % 3 === 1)
+          .withColumn("price_cents", col("price_cents") + 1)
+          .unionByName(fact.filter(col("o_orderkey") % 3 === 2)),
+        stage, overwrite = true)
+      val mvV = MaterializedView.refreshJoinAgg(s, stage, mvPath)
+      Sources.snapshotRead(s, mvPath, mvV)
+        .select(col("c_mktsegment"), col("mv_count"),
+          col("sum_price_cents"))
+        .orderBy("c_mktsegment")
+    },
+      Some("""WITH f AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    CAST(round(o_totalprice * 100) AS BIGINT)
+             |      + CASE WHEN o_orderkey % 3 = 1 THEN 1 ELSE 0 END
+             |      AS price_cents
+             |  FROM orders WHERE o_orderkey % 3 IN (1, 2))
+             |SELECT c_mktsegment, count(*) AS mv_count,
+             |  CAST(sum(price_cents) AS BIGINT) AS sum_price_cents
+             |FROM f JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- MV rewrite for AVG (io33): the view (built withAvg) carries
+    // per-column NON-NULL counts beside the sums, so avg(x) answers as
+    // sum_x / cnt_x — the denominator avg actually uses (mv_count
+    // counts null rows too; the staged NULLs make a wrong denominator
+    // fail the gate). The view is built at v1, the base APPENDED, the
+    // view refreshed through the fast path (cnt columns maintained
+    // abelian) and re-registered — so the avg served is the
+    // REFRESHED artifact's, not the build's. Exactness envelope:
+    // integral sums below 2^53, the same envelope in which native
+    // double accumulation is itself order-deterministic (rule guard:
+    // the view's sum must be LongType — float sums never rewrite).
+    NamedQuery("io33_mv_avg_rewrite", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_avg_base", dir)
+      val mvPath = stageDir("mv_avg_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars")).as("n_chars"))
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 < 2), stage)
+      MaterializedView.build(s, stage, mvPath, rowKey = "doc_id",
+        keyCols = Seq("source"), sumCols = Seq("n_chars"), withAvg = true)
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 === 2), stage)
+      MaterializedView.refresh(s, stage, mvPath)
+      MaterializedView.registerForRewrite(s, stage, mvPath)
+      val q = Sources.snapshotRead(s, stage,
+          Sources.snapshotLatestVersion(s, stage))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_n_chars"),
+          avg("n_chars").as("avg_chars"))
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      val fromMv = scanned.nonEmpty && scanned.forall(_.contains("mv_avg_view"))
+      q.select(lit(fromMv).as("served_from_mv"), col("source"),
+          col("n_docs"), col("sum_n_chars"),
+          round(col("avg_chars"), 6).as("avg_chars"))
+        .orderBy("source")
+    },
+      Some("""WITH t AS (SELECT source,
+             |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END
+             |      AS n_chars
+             |  FROM documents)
+             |SELECT true AS served_from_mv, source, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+             |  round(avg(n_chars), 6) AS avg_chars
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- APPROX-DISTINCT rewrite onto the HLL view (io34): a user's
+    // `approx_count_distinct(n_chars)` against the base snapshot
+    // answers from io30's sketch registers — the BigQuery/Snowflake
+    // sketch-MV move. The rewrite swaps one approximate estimator
+    // (HLL++) for another (Datasketches), which is a value change
+    // inside the approx contract — hence an EXPLICIT OPT-IN at
+    // registration (registerDistinctForRewrite), never inferred, and
+    // exact count(DISTINCT) never rewrites. The gate pins the firing
+    // (served_from_mv off the optimized plan) and the estimate's
+    // tolerance against the exact distinct; mv_count pins the exact
+    // half of the view.
+    NamedQuery("io34_mv_distinct_rewrite", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_adr_base", dir)
+      val mvPath = stageDir("mv_adr_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "n_chars")
+      Sources.snapshotCommit(docs, stage)
+      MaterializedView.buildDistinct(s, stage, mvPath, rowKey = "doc_id",
+        keyCols = Seq("source"), distinctCol = "n_chars")
+      MaterializedView.registerDistinctForRewrite(s, stage, mvPath)
+      val q = Sources.snapshotRead(s, stage,
+          Sources.snapshotLatestVersion(s, stage))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          approx_count_distinct("n_chars").as("est_distinct"))
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      val fromMv = scanned.nonEmpty && scanned.forall(_.contains("mv_adr_view"))
+      val exact = Sources.snapshotRead(s, stage,
+          Sources.snapshotLatestVersion(s, stage))
+        .groupBy("source")
+        .agg(countDistinct(col("n_chars")).as("exact_distinct"))
+      q.join(exact, Seq("source"))
+        .select(lit(fromMv).as("served_from_mv"), col("source"),
+          col("n_docs"), col("exact_distinct"),
+          (abs(col("est_distinct") - col("exact_distinct")).cast("double")
+            / col("exact_distinct") <= 0.05).as("within_5pct"))
+        .orderBy("source")
+    },
+      Some("""SELECT true AS served_from_mv, source, count(*) AS n_docs,
+             |  count(DISTINCT n_chars) AS exact_distinct,
+             |  TRUE AS within_5pct
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
   )
 }

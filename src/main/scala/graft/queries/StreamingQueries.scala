@@ -1336,6 +1336,94 @@ object StreamingQueries {
              |FROM p CROSS JOIN wm
              |WHERE purchase_id NOT IN (SELECT purchase_id FROM m)
              |  AND p_ts < wm.w
-             |ORDER BY purchase_id""".stripMargin))
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // ---- streaming APPROX-DISTINCT MV maintenance (sw39, io30's
+    // streaming twin): every micro-batch commits exactly-once (txn
+    // markers) and refreshes the HLL view through the append-only
+    // SKETCH-UNION fast path — work per batch ∝ batch rows, and the
+    // final registers must equal one big union whatever the batch
+    // split (sketch union is associative+commutative). The gate
+    // serves mv_count (exact, abelian) and the estimate's tolerance
+    // flag against a from-scratch oracle.
+    NamedQuery("sw39_stream_distinct_mv",
+      (s, dir) => {
+        import graft.sources.{MaterializedView, Sources}
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "source", "n_chars")
+        val table = graft.ScratchDirs.scratch("mvhll_stream_table")
+        val mvPath = graft.ScratchDirs.scratch("mvhll_stream_view")
+        graft.Fs.deleteRecursive(s, table)
+        graft.Fs.deleteRecursive(s, mvPath)
+        Sources.snapshotCommit(docs.filter(col("doc_id") % 4 === 0), table)
+        MaterializedView.buildDistinct(s, table, mvPath, rowKey = "doc_id",
+          keyCols = Seq("source"), distinctCol = "n_chars")
+        StreamRunner.runForeachBatchWithId(s,
+            docs.filter(col("doc_id") % 4 =!= 0), "sw39_mvhll_ingest") {
+          (b, id) =>
+            Sources.snapshotCommit(b, table, txn = Some(("sw39", id)))
+            MaterializedView.refreshDistinct(s, table, mvPath)
+            ()
+        }
+        val exact = Sources.snapshotRead(s, table,
+            Sources.snapshotLatestVersion(s, table))
+          .groupBy("source")
+          .agg(countDistinct(col("n_chars")).as("exact_distinct"))
+        Sources.snapshotRead(s, mvPath,
+            Sources.snapshotLatestVersion(s, mvPath))
+          .join(exact, Seq("source"))
+          .select(col("source"), col("mv_count"), col("exact_distinct"),
+            (abs(hll_sketch_estimate(col("hll_n_chars"))
+                - col("exact_distinct"))
+              .cast("double") / col("exact_distinct") <= 0.05)
+              .as("within_5pct"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS mv_count,
+             |  count(DISTINCT n_chars) AS exact_distinct, TRUE AS within_5pct
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- streaming JOIN-AGGREGATE MV maintenance (sw40, io32's
+    // streaming twin — with sw37/sw39 it completes the streaming-twin
+    // matrix over all three MV classes): order facts stream in across
+    // micro-batches, each commits exactly-once and refreshes the
+    // per-SEGMENT revenue view through the append fast path — every
+    // batch re-joins the broadcast-sized frozen customer dim. Final
+    // view ≡ the from-scratch join-aggregate whatever the batch
+    // split (count/sum are abelian; the dim is constant).
+    NamedQuery("sw40_stream_join_agg_mv",
+      (s, dir) => {
+        import graft.sources.{MaterializedView, Sources}
+        val fact = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_custkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+        val dim = Tables.customer(s, dir)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        val table = graft.ScratchDirs.scratch("mvja_stream_fact")
+        val dimP = graft.ScratchDirs.scratch("mvja_stream_dim")
+        val mvPath = graft.ScratchDirs.scratch("mvja_stream_view")
+        graft.Fs.deleteRecursive(s, table)
+        graft.Fs.deleteRecursive(s, dimP)
+        graft.Fs.deleteRecursive(s, mvPath)
+        Sources.snapshotCommit(fact.filter(col("o_orderkey") % 4 === 0), table)
+        MaterializedView.buildJoinAgg(s, table, dim, dimP, mvPath,
+          rowKey = "o_orderkey", joinKey = "o_custkey",
+          keyCols = Seq("c_mktsegment"), sumCols = Seq("price_cents"))
+        StreamRunner.runForeachBatchWithId(s,
+            fact.filter(col("o_orderkey") % 4 =!= 0), "sw40_mvja_ingest") {
+          (b, id) =>
+            Sources.snapshotCommit(b, table, txn = Some(("sw40", id)))
+            MaterializedView.refreshJoinAgg(s, table, mvPath)
+            ()
+        }
+        Sources.snapshotRead(s, mvPath,
+            Sources.snapshotLatestVersion(s, mvPath))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS mv_count,
+             |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             |    AS sum_price_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

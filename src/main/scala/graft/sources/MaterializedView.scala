@@ -44,12 +44,20 @@ object MaterializedView {
 
   /** Aggregate spec shared by build and refresh: per-key row count
     * plus one sum per `sumCols` entry, aliased `mv_count` /
-    * `sum_<col>` (the oracle-name contract). */
+    * `sum_<col>` (the oracle-name contract). With `withAvg`, a
+    * per-column NON-NULL count (`cnt_<col>`) rides along — the
+    * denominator avg() needs (avg ignores nulls, mv_count does not),
+    * which is what lets [[graft.plans.MvRewrite]] answer avg queries
+    * from the view (io33). Also abelian, so both refresh paths
+    * maintain it exactly. */
   private def aggOf(df: DataFrame, keyCols: Seq[String],
-      sumCols: Seq[String]): DataFrame =
+      sumCols: Seq[String], withAvg: Boolean = false): DataFrame = {
+    val sums = sumCols.map(c => sum(col(c)).as(s"sum_$c"))
+    val cnts = if (withAvg) sumCols.map(c => count(col(c)).as(s"cnt_$c"))
+      else Nil
     df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("mv_count"),
-        sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+      .agg(count(lit(1)).as("mv_count"), (sums ++ cnts): _*)
+  }
 
   private def statePath(mvPath: String) = s"$mvPath/mv_state"
 
@@ -83,11 +91,12 @@ object MaterializedView {
     * `rowKey` is the base table's row-identity column the CDF diffs
     * on during refresh. Returns the MV's snapshot version. */
   def build(spark: SparkSession, tablePath: String, mvPath: String,
-      rowKey: String, keyCols: Seq[String], sumCols: Seq[String]): Int = {
+      rowKey: String, keyCols: Seq[String], sumCols: Seq[String],
+      withAvg: Boolean = false): Int = {
     val v = Sources.snapshotLatestVersion(spark, tablePath)
     require(v > 0, s"no snapshot table at $tablePath")
     val mv = aggOf(Sources.snapshotRead(spark, tablePath, v),
-      keyCols, sumCols)
+      keyCols, sumCols, withAvg)
     val mvv = Sources.snapshotCommit(mv, mvPath, overwrite = true)
     writeState(spark, mvPath, v, keyCols, sumCols, rowKey)
     mvv
@@ -112,6 +121,10 @@ object MaterializedView {
     // is exactly the NEW commit dirs' rows, all inserts, so the
     // refresh reads |appended rows| and runs NO diff join at all.
     // Manifest commit sets are version-count-sized driver work.
+    val old = Sources.snapshotRead(spark, mvPath, mvV)
+    // avg-capable views (build(withAvg = true)) carry per-column
+    // non-null counts; detect by presence so plain views are untouched
+    val withAvg = sumCols.nonEmpty && old.columns.contains(s"cnt_${sumCols.head}")
     val fromSet = commitSet(spark, tablePath, fromV)
     val toSet = commitSet(spark, tablePath, toV)
     val delta = if (fromSet.subsetOf(toSet)) {
@@ -121,27 +134,34 @@ object MaterializedView {
         writeState(spark, mvPath, toV, keyCols, sumCols, rowKey)
         return mvV
       }
+      val dSums = sumCols.map(c => sum(col(c)).as(s"__d_$c"))
+      val dCnts = if (withAvg)
+        sumCols.map(c => count(col(c)).as(s"__dc_$c")) else Nil
       spark.read.parquet(newDirs: _*)
         .groupBy(keyCols.map(col): _*)
-        .agg(count(lit(1)).as("__d_count"),
-          sumCols.map(c => sum(col(c)).as(s"__d_$c")): _*)
+        .agg(count(lit(1)).as("__d_count"), (dSums ++ dCnts): _*)
     } else {
       val cdf = Sources.snapshotChangesCdf(spark, tablePath, rowKey,
         fromV, toV)
       // abelian fold: post-images add, pre-images/deletes subtract
       val sign = when(col("change").isin("insert", "update_postimage"),
         lit(1L)).otherwise(lit(-1L))
+      val dSums = sumCols.map(c => sum(sign * col(c)).as(s"__d_$c"))
+      val dCnts = if (withAvg) sumCols.map(c =>
+        sum(when(col(c).isNotNull, sign).otherwise(lit(0L))).as(s"__dc_$c"))
+        else Nil
       cdf.groupBy(keyCols.map(col): _*)
-        .agg(sum(sign).as("__d_count"),
-          sumCols.map(c => sum(sign * col(c)).as(s"__d_$c")): _*)
+        .agg(sum(sign).as("__d_count"), (dSums ++ dCnts): _*)
     }
-    val old = Sources.snapshotRead(spark, mvPath, mvV)
     def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+    val mergedCnts = if (withAvg) sumCols.map(c =>
+      (z(col(s"cnt_$c")) + z(col(s"__dc_$c"))).as(s"cnt_$c")) else Nil
     val merged = old.join(delta, keyCols, "full_outer")
       .select(keyCols.map(col) ++
         Seq((z(col("mv_count")) + z(col("__d_count"))).as("mv_count")) ++
         sumCols.map(c =>
-          (z(col(s"sum_$c")) + z(col(s"__d_$c"))).as(s"sum_$c")): _*)
+          (z(col(s"sum_$c")) + z(col(s"__d_$c"))).as(s"sum_$c")) ++
+        mergedCnts: _*)
       .filter(col("mv_count") > 0)
     val newMvV = Sources.snapshotCommit(merged, mvPath, overwrite = true)
     writeState(spark, mvPath, toV, keyCols, sumCols, rowKey)
@@ -171,6 +191,31 @@ object MaterializedView {
     graft.plans.MvRewrite.enable(spark)
     graft.plans.MvRewrite.register(spark, graft.plans.MvRewrite.Entry(
       baseDirs.toSet, mvDirs, keyCols, sumCols.toSet))
+  }
+
+  /** Register a [[buildDistinct]] view for TRANSPARENT
+    * approx_count_distinct rewrite (io34): queries asking
+    * `approx_count_distinct(<distinctCol>)` against the base table's
+    * current snapshot answer from the view's HLL registers instead.
+    * EXPLICIT OPT-IN: the rewrite swaps HLL++ for Datasketches — the
+    * value changes within the approximate contract, which is the
+    * caller's to accept (BigQuery/Snowflake sketch-MV semantics);
+    * exact count(DISTINCT) never rewrites. Staleness is structural,
+    * as in [[registerForRewrite]]. */
+  def registerDistinctForRewrite(spark: SparkSession, tablePath: String,
+      mvPath: String): Unit = {
+    val st = spark.read.parquet(statePath(mvPath)).head
+    val baseV = st.getAs[Int]("base_version")
+    val keyCols = st.getAs[String]("key_cols").split(",").toSeq
+    val distinctCol = st.getAs[String]("sum_cols")
+    def dirsOf(path: String, v: Int): Seq[String] =
+      commitSet(spark, path, v).toSeq.sorted
+        .map(c => qualify(spark, Sources.commitDir(path, c)))
+    val baseDirs = dirsOf(tablePath, baseV)
+    val mvDirs = dirsOf(mvPath, Sources.snapshotLatestVersion(spark, mvPath))
+    graft.plans.MvRewrite.enable(spark)
+    graft.plans.MvRewrite.register(spark, graft.plans.MvRewrite.Entry(
+      baseDirs.toSet, mvDirs, keyCols, Set.empty, Set(distinctCol)))
   }
 
   private def qualify(spark: SparkSession, p: String): String = {
@@ -210,6 +255,114 @@ object MaterializedView {
       .agg(count(lit(1)).as("mv_count"),
         min(col(valCol)).as(s"min_$valCol"),
         max(col(valCol)).as(s"max_$valCol"))
+
+  // ---- join-aggregate views over a stable dimension ----------------
+  //
+  // The star-schema MV (Gupta–Mumick's SPJ+aggregate class): the view
+  // is `fact ⋈ dim GROUP BY dim keys → (count, sums of fact cols)`.
+  // Because every fact row reaches the view through its OWN dim match,
+  // fact-side changes stay abelian — insert adds, delete subtracts,
+  // update moves mass — each CDF row just re-joins the (broadcast-
+  // sized) dimension to find its group. The DIMENSION is the stated
+  // stability contract: it is assumed unchanged between build and
+  // refresh (the slowly-changing-dimension norm — rebuild, or version
+  // the dim and re-register, when it moves); the refresh re-reads it
+  // from `dimPath`, so a changed dim mis-attributes deltas — document,
+  // don't guess.
+
+  private def joinAggState(mvPath: String) = s"$mvPath/join_state"
+
+  /** Full-compute `fact ⋈ dim GROUP BY keyCols` (count + sums of fact
+    * columns) over the fact table's latest snapshot and publish it.
+    * `dim` must carry `joinKey` and `keyCols`; `factPath` rows carry
+    * `joinKey`, `rowKey`, and `sumCols`. */
+  def buildJoinAgg(spark: SparkSession, factPath: String, dim: DataFrame,
+      dimPath: String, mvPath: String, rowKey: String, joinKey: String,
+      keyCols: Seq[String], sumCols: Seq[String]): Int = {
+    val v = Sources.snapshotLatestVersion(spark, factPath)
+    require(v > 0, s"no snapshot table at $factPath")
+    dim.write.mode(SaveMode.Overwrite).parquet(dimPath)
+    val joined = Sources.snapshotRead(spark, factPath, v)
+      .join(org.apache.spark.sql.functions.broadcast(
+        spark.read.parquet(dimPath)), joinKey)
+    val mvv = Sources.snapshotCommit(aggOf(joined, keyCols, sumCols), mvPath,
+      overwrite = true)
+    import spark.implicits._
+    Seq((v, keyCols.mkString(","), sumCols.mkString(","), rowKey, joinKey,
+        dimPath))
+      .toDF("base_version", "key_cols", "sum_cols", "row_key", "join_key",
+        "dim_path")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(joinAggState(mvPath))
+    mvv
+  }
+
+  /** Fold fact-side changes into a [[buildJoinAgg]] view: the signed
+    * CDF delta (append-only fast path: just the new dirs) re-joins the
+    * frozen dimension, aggregates per key, and merges — work ∝
+    * |changes| ⋈ broadcast(dim) + |view|, never ∝ |fact|. */
+  def refreshJoinAgg(spark: SparkSession, factPath: String,
+      mvPath: String): Int = {
+    val st = spark.read.parquet(joinAggState(mvPath)).head
+    val fromV = st.getAs[Int]("base_version")
+    val keyCols = st.getAs[String]("key_cols").split(",").toSeq
+    val sumCols = st.getAs[String]("sum_cols").split(",").toSeq
+      .filter(_.nonEmpty)
+    val rowKey = st.getAs[String]("row_key")
+    val joinKey = st.getAs[String]("join_key")
+    val dim = org.apache.spark.sql.functions.broadcast(
+      spark.read.parquet(st.getAs[String]("dim_path")))
+    val toV = Sources.snapshotLatestVersion(spark, factPath)
+    val mvV = Sources.snapshotLatestVersion(spark, mvPath)
+    if (toV == fromV) return mvV
+    val fromSet = commitSet(spark, factPath, fromV)
+    val toSet = commitSet(spark, factPath, toV)
+    val delta = if (fromSet.subsetOf(toSet)) {
+      val newDirs = (toSet -- fromSet).toSeq.sorted
+        .map(c => Sources.commitDir(factPath, c))
+      if (newDirs.isEmpty) {
+        writeJoinAggVersion(spark, mvPath, toV)
+        return mvV
+      }
+      spark.read.parquet(newDirs: _*).join(dim, joinKey)
+        .groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__d_count"),
+          sumCols.map(c => sum(col(c)).as(s"__d_$c")): _*)
+    } else {
+      val cdf = Sources.snapshotChangesCdf(spark, factPath, rowKey,
+        fromV, toV)
+      val sign = when(col("change").isin("insert", "update_postimage"),
+        lit(1L)).otherwise(lit(-1L))
+      cdf.join(dim, joinKey)
+        .groupBy(keyCols.map(col): _*)
+        .agg(sum(sign).as("__d_count"),
+          sumCols.map(c => sum(sign * col(c)).as(s"__d_$c")): _*)
+    }
+    val old = Sources.snapshotRead(spark, mvPath, mvV)
+    def z(c: org.apache.spark.sql.Column) = coalesce(c, lit(0L))
+    val merged = old.join(delta, keyCols, "full_outer")
+      .select(keyCols.map(col) ++
+        Seq((z(col("mv_count")) + z(col("__d_count"))).as("mv_count")) ++
+        sumCols.map(c =>
+          (z(col(s"sum_$c")) + z(col(s"__d_$c"))).as(s"sum_$c")): _*)
+      .filter(col("mv_count") > 0)
+    val newMvV = Sources.snapshotCommit(merged, mvPath, overwrite = true)
+    writeJoinAggVersion(spark, mvPath, toV)
+    newMvV
+  }
+
+  private def writeJoinAggVersion(spark: SparkSession, mvPath: String,
+      v: Int): Unit = {
+    val st = spark.read.parquet(joinAggState(mvPath)).head
+    import spark.implicits._
+    Seq((v, st.getAs[String]("key_cols"), st.getAs[String]("sum_cols"),
+        st.getAs[String]("row_key"), st.getAs[String]("join_key"),
+        st.getAs[String]("dim_path")))
+      .toDF("base_version", "key_cols", "sum_cols", "row_key", "join_key",
+        "dim_path")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(joinAggState(mvPath))
+  }
 
   // ---- approximate distinct counts: union-closed sketches ----------
   //

@@ -337,6 +337,19 @@ class GraphSpec extends SparkSpec {
     assert(d3 == Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 6L))
   }
 
+  test("hyperBallSketches: ball estimates are exact at tiny cardinality, grow with hops") {
+    import graft.graph.IterativeGraph
+    // path 1-2-3-4-5 (symmetrized): ball(3,1)={2,3,4}, ball(3,2)=all;
+    // ball(1,2)={1,2,3} — at these cardinalities HLL is exact
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    def balls(iters: Int): Map[Long, Long] = IterativeGraph
+      .hyperBallSketches(edges, iters = iters)
+      .select($"id", hll_sketch_estimate($"sk").as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(balls(1) == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 2L))
+    assert(balls(2) == Map(1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 4L, 5L -> 3L))
+  }
+
   test("kcorePeel: pendant drops first, cascades peel level by level") {
     import graft.graph.IterativeGraph
     // triangle 1-2-3 + path 3-4-5: k=2 → round 1 drops 5 (deg 1);

@@ -810,6 +810,147 @@ class SourcesSpec extends SparkSpec {
     assert(view() == Map("a" -> ((3L, 2L)), "b" -> ((2L, 1L))))
   }
 
+  test("join-aggregate MV: fact appends and diffs fold through the frozen dim; untouched groups exact") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    val t = s"$tmp/mvja_fact"
+    val dp = s"$tmp/mvja_dim"
+    val mv = s"$tmp/mvja_view"
+    // fact (id, k → dim, x); dim maps k to segment
+    Sources.snapshotCommit(
+      Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 7L))
+        .toDF("id", "k", "x"), t)
+    val dim = Seq((10L, "a"), (20L, "b"), (30L, "c")).toDF("k", "seg")
+    MaterializedView.buildJoinAgg(spark, t, dim, dp, mv, rowKey = "id",
+      joinKey = "k", keyCols = Seq("seg"), sumCols = Seq("x"))
+    def view(): Map[String, (Long, Long)] =
+      Sources.snapshotRead(spark, mv,
+          Sources.snapshotLatestVersion(spark, mv))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(view() == Map("a" -> ((2L, 150L)), "b" -> ((1L, 7L))))
+    // append: new rows join the frozen dim (new segment c appears)
+    Sources.snapshotCommit(Seq((4L, 30L, 9L), (5L, 10L, 1L))
+      .toDF("id", "k", "x"), t)
+    val v2 = MaterializedView.refreshJoinAgg(spark, t, mv)
+    assert(view() == Map("a" -> ((3L, 151L)), "b" -> ((1L, 7L)),
+      "c" -> ((1L, 9L))))
+    // no-op refresh
+    assert(MaterializedView.refreshJoinAgg(spark, t, mv) == v2)
+    // overwrite: delete all of b's mass (group leaves), move id=1 to
+    // dim key 20 (mass moves a → b... k changes are fact-side updates)
+    Sources.snapshotCommit(
+      Seq((1L, 20L, 100L), (2L, 10L, 50L), (5L, 10L, 1L), (4L, 30L, 9L))
+        .toDF("id", "k", "x"), t, overwrite = true)
+    MaterializedView.refreshJoinAgg(spark, t, mv)
+    assert(view() == Map("a" -> ((2L, 51L)), "b" -> ((1L, 100L)),
+      "c" -> ((1L, 9L))))
+    // refreshed ≡ rebuild over the final snapshot through the dim
+    val rebuilt = Sources.snapshotRead(spark, t,
+        Sources.snapshotLatestVersion(spark, t))
+      .join(dim, "k").groupBy("seg")
+      .agg(count(lit(1)).as("mv_count"), sum("x").as("sum_x"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(view() == rebuilt)
+  }
+
+  test("MV avg rewrite: sum/cnt division matches native avg incl. nulls; plain views fall back") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    import graft.plans.MvRewrite
+    val t = s"$tmp/mvavg_base"
+    val mv = s"$tmp/mvavg_view"
+    // x has NULLs: avg divides by the NON-null count (2 for a, 1 for b)
+    Sources.snapshotCommit(
+      Seq((1L, "a", "x", Some(10L)), (2L, "a", "x", None),
+        (3L, "a", "y", Some(20L)), (4L, "b", "x", Some(7L)),
+        (5L, "b", "y", None)).toDF("id", "g", "h", "v"), t)
+    MaterializedView.build(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g", "h"), sumCols = Seq("v"), withAvg = true)
+    MaterializedView.registerForRewrite(spark, t, mv)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def baseScan() = Sources.snapshotRead(spark, t, 1)
+    // rollup grouping: avg over merged (g) groups — cnt sums across h
+    val q = baseScan().groupBy("g")
+      .agg(avg("v").as("avg_v"), count(lit(1)).as("n"))
+    assert(scansOf(q).forall(_.contains("mvavg_view")) && scansOf(q).nonEmpty)
+    assert(q.orderBy("g").as[(String, Double, Long)].collect().toSeq ==
+      Seq(("a", 15.0, 3L), ("b", 7.0, 2L)))
+    // exact-key grouping
+    val q2 = baseScan().groupBy("g", "h").agg(avg("v").as("avg_v"))
+    assert(scansOf(q2).forall(_.contains("mvavg_view")) && scansOf(q2).nonEmpty)
+    assert(q2.orderBy("g", "h")
+        .as[(String, String, Option[Double])].collect().toSeq ==
+      Seq(("a", "x", Some(10.0)), ("a", "y", Some(20.0)),
+        ("b", "x", Some(7.0)), ("b", "y", None)))
+    MvRewrite.clear(spark)
+    // a view built WITHOUT withAvg has no cnt column: avg falls back
+    val t2 = s"$tmp/mvavg2_base"
+    val mv2 = s"$tmp/mvavg2_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", 10L)).toDF("id", "g", "v"), t2)
+    MaterializedView.build(spark, t2, mv2, rowKey = "id",
+      keyCols = Seq("g"), sumCols = Seq("v"))
+    MaterializedView.registerForRewrite(spark, t2, mv2)
+    val q3 = Sources.snapshotRead(spark, t2, 1).groupBy("g")
+      .agg(avg("v").as("avg_v"))
+    assert(scansOf(q3).forall(_.contains("mvavg2_base")))
+    MvRewrite.clear(spark)
+  }
+
+  test("MV distinct rewrite: approx_count_distinct needs the opt-in; exact count(DISTINCT) never rewrites") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    import graft.plans.MvRewrite
+    val t = s"$tmp/mvadr_base"
+    val mv = s"$tmp/mvadr_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "a", 20L), (4L, "b", 7L))
+        .toDF("id", "g", "x"), t)
+    MaterializedView.buildDistinct(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g"), distinctCol = "x")
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def baseScan() = Sources.snapshotRead(spark, t, 1)
+    def approxQ() = baseScan().groupBy("g")
+      .agg(approx_count_distinct("x").as("d"), count(lit(1)).as("n"))
+    // the ordinary registration does NOT opt in: no rewrite
+    MaterializedView.registerForRewrite(spark, t, mv)
+    assert(scansOf(approxQ()).forall(_.contains("mvadr_base")))
+    MvRewrite.clear(spark)
+    // the distinct registration opts in: estimate serves from the view
+    MaterializedView.registerDistinctForRewrite(spark, t, mv)
+    val q = approxQ()
+    assert(scansOf(q).forall(_.contains("mvadr_view")) && scansOf(q).nonEmpty)
+    assert(q.orderBy("g").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 3L), ("b", 1L, 1L))) // exact at tiny cardinality
+    // rollup to the global row: registers union across keys
+    val q2 = baseScan().groupBy().agg(approx_count_distinct("x").as("d"))
+    assert(scansOf(q2).forall(_.contains("mvadr_view")) && scansOf(q2).nonEmpty)
+    assert(q2.as[Long].collect().toSeq == Seq(3L))
+    // EXACT count(DISTINCT) must never serve from a sketch
+    val q3 = baseScan().groupBy("g")
+      .agg(countDistinct(col("x")).as("d"))
+    assert(scansOf(q3).forall(_.contains("mvadr_base")))
+    MvRewrite.clear(spark)
+  }
+
   test("MV filter rewrite: key-only predicates replay on the view; non-key and non-deterministic fall back") {
     import spark.implicits._
     import graft.sources.{MaterializedView, Sources}
