@@ -252,19 +252,29 @@ object IterativeGraph {
     * balls is a stable gate, not a flaky one (g34). Output: (id, sk)
     * after `iters` supersteps — estimate with hll_sketch_estimate. */
   def hyperBallSketches(edges: DataFrame, iters: Int,
-      lgK: Int = 10): DataFrame = {
+      lgK: Int = 10): DataFrame =
+    hyperBallSteps(edges, iters, lgK).last
+
+  /** [[hyperBallSketches]] keeping every superstep's sketch frame —
+    * index t-1 holds the ≤-t-hop ball sketches. The per-step frames
+    * are what the NEIGHBORHOOD FUNCTION N(t) (and the effective
+    * diameter read off it) needs: each step is already materialized
+    * by the superstep localCheckpoint, so returning them all costs
+    * nothing beyond [[hyperBallSketches]]. */
+  def hyperBallSteps(edges: DataFrame, iters: Int,
+      lgK: Int = 10): Seq[DataFrame] = {
     val sym = graft.Caches.cached(symmetrize(edges))
     var sk = sym.select(col("src").as("id")).distinct()
       .groupBy("id").agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    (1 to iters).map { _ =>
       val msgs = sym.join(sk.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("sk"))
       sk = sk.unionByName(msgs)
         .groupBy("id").agg(hll_union_agg(col("sk")).as("sk"))
         .localCheckpoint()
+      sk
     }
-    sk
   }
 
   /** Parallel personalized PageRank, fixed supersteps — GraphFrames'

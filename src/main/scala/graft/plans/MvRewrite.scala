@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
   AttributeReference, Cast, Divide, Expression, HllSketchEstimate, Literal,
   NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Average, Count, HllUnionAgg, HyperLogLogPlusPlus, Sum}
+  Average, Count, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
   LogicalPlan, Project}
@@ -67,7 +67,8 @@ object MvRewrite extends Rule[LogicalPlan] {
     * explicit OPT-IN declared at registration, never inferred. */
   final case class Entry(baseDirs: Set[String], mvDirs: Seq[String],
       keyCols: Seq[String], sumCols: Set[String],
-      distinctCols: Set[String] = Set.empty)
+      distinctCols: Set[String] = Set.empty,
+      minMaxCols: Set[String] = Set.empty)
 
   private val registry =
     new ConcurrentHashMap[SparkSession, List[Entry]]()
@@ -153,6 +154,24 @@ object MvRewrite extends Rule[LogicalPlan] {
     else ae.aggregateFunction match {
       case a: Average => a.child match {
         case attr: AttributeReference => Some(attr.name)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** min(<col>) / max(<col>) — answered from a min/max view's
+    * min_<col> / max_<col> columns (io35); rollups re-aggregate
+    * (min of mins / max of maxes — both exact). Returns (col,
+    * isMin). */
+  private def minMaxCol(ae: AggregateExpression): Option[(String, Boolean)] =
+    if (ae.isDistinct || ae.filter.nonEmpty) None
+    else ae.aggregateFunction match {
+      case m: Min => m.child match {
+        case attr: AttributeReference => Some((attr.name, true))
+        case _ => None
+      }
+      case m: Max => m.child match {
+        case attr: AttributeReference => Some((attr.name, false))
         case _ => None
       }
       case _ => None
@@ -248,6 +267,14 @@ object MvRewrite extends Rule[LogicalPlan] {
           val est = HllSketchEstimate(h)
           if (est.dataType != ae.dataType) return None
           Alias(est, name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, name)
+            if minMaxCol(ae).isDefined =>
+          val (mc, isMin) = minMaxCol(ae).get
+          if (!e.minMaxCols.contains(mc)) return None
+          val c = mvCol(if (isMin) s"min_$mc" else s"max_$mc")
+            .getOrElse(return None)
+          if (c.dataType != ae.dataType) return None
+          Alias(c, name)(exprId = al.exprId)
         case al @ Alias(ae: AggregateExpression, name) =>
           val sc = summedCol(ae).getOrElse(return None)
           if (!e.sumCols.contains(sc)) return None
@@ -290,6 +317,15 @@ object MvRewrite extends Rule[LogicalPlan] {
             new HllUnionAgg(h).toAggregateExpression())
           if (est.dataType != ae.dataType) return None
           Alias(est, name)(exprId = al.exprId)
+        case al @ Alias(ae: AggregateExpression, name)
+            if minMaxCol(ae).isDefined =>
+          val (mc, isMin) = minMaxCol(ae).get
+          if (!e.minMaxCols.contains(mc)) return None
+          val c = mvCol(if (isMin) s"min_$mc" else s"max_$mc")
+            .getOrElse(return None)
+          if (c.dataType != ae.dataType) return None
+          val agg = (if (isMin) Min(c) else Max(c)).toAggregateExpression()
+          Alias(agg, name)(exprId = al.exprId)
         case al @ Alias(ae: AggregateExpression, name) =>
           val sc = summedCol(ae).getOrElse(return None)
           if (!e.sumCols.contains(sc)) return None

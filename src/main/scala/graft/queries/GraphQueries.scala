@@ -580,6 +580,44 @@ object GraphQueries {
       },
       Some(anfOracle(AnfSample, AnfIters))),
 
+    // ---- sampled NEIGHBORHOOD FUNCTION N(t) (g35): the ANF
+    // aggregate g34's sketches exist FOR — pairs-within-t-hops per
+    // hop count, the curve whose 90% knee is the effective diameter
+    // (Palmer et al.'s ANF; Boldi–Vigna's HyperBall runs exactly
+    // this). Estimated per t by summing the fixed 100-vertex
+    // sample's ball estimates (per-step frames are free — each
+    // superstep is already materialized); exact side = ONE
+    // multi-landmark BFS filtered per t. Summing 100 deterministic
+    // estimates tightens the bound vs g34's per-vertex worst case;
+    // the oracle replays the exact counts and pins the 10% flags.
+    NamedQuery("g35_anf_function",
+      (s, dir) => {
+        val g = PropertyGraph.customerPartGraph(s, dir)
+        val steps = IterativeGraph.hyperBallSteps(g.edges, iters = AnfIters,
+          lgK = AnfLgK)
+        val spark = s
+        import spark.implicits._
+        val sampleDf = graft.Caches.cached(AnfSample.toDF("id"))
+        val exact = graft.Caches.cached(IterativeGraph.shortestPathsLandmarks(
+          IterativeGraph.symmetrize(g.edges), AnfSample, iters = AnfIters))
+        // isolated sample vertices bear no edges → absent from the
+        // sketch frames; restrict BOTH sides to edge-bearing ids so
+        // the estimate and exact sums cover the same universe
+        val present = graft.Caches.cached(
+          steps.head.join(sampleDf, "id").select("id"))
+        val rows = (1 to AnfIters).map { t =>
+          val est = steps(t - 1).join(present, "id")
+            .agg(sum(hll_sketch_estimate(col("sk"))).as("est"))
+            .head.getLong(0)
+          val ex = exact.join(present.withColumnRenamed("id", "landmark"),
+              "landmark")
+            .filter(col("dist") <= t).count()
+          (t, ex, math.abs(est - ex).toDouble / ex <= 0.1)
+        }
+        rows.toDF("t", "exact_pairs", "within_10pct").orderBy("t")
+      },
+      Some(anfFunctionOracle(AnfSample, AnfIters))),
+
     // ---- "customers also bought": pairwise part similarity by BUYER
     // overlap (in-neighborhood Jaccard — the reference's
     // book-similarity-by-common-readers question on the user→book
@@ -925,6 +963,35 @@ object GraphQueries {
        |$steps
        |SELECT landmark AS id, count(*) AS exact_ball, TRUE AS within_10pct
        |FROM d$iters GROUP BY landmark ORDER BY id""".stripMargin
+  }
+
+  /** Unrolled-CTE sampled neighborhood function (g35): the
+    * [[anfOracle]] landmark steps, counted per hop bound t (min-dist
+    * after the full unroll, filtered dist ≤ t — identical to counting
+    * after t steps because BFS level order never shrinks a min). */
+  private def anfFunctionOracle(landmarks: Seq[Long], iters: Int): String = {
+    val values = landmarks.map(l => s"($l)").mkString(", ")
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS (SELECT landmark, id, min(dist) AS dist FROM (
+         |    SELECT landmark, id, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT d.landmark, sym.dst AS id, d.dist + 1 AS dist
+         |    FROM sym JOIN d${i - 1} d ON sym.src = d.id)
+         |  GROUP BY landmark, id)""".stripMargin
+    }.mkString(",\n")
+    val perT = (1 to iters).map { t =>
+      s"""SELECT CAST($t AS INT) AS t, count(*) AS exact_pairs,
+         |  TRUE AS within_10pct FROM d$iters WHERE dist <= $t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$edgesCte,
+       |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+       |d0 AS (SELECT CAST(x AS BIGINT) AS landmark, CAST(x AS BIGINT) AS id,
+       |              0 AS dist
+       |       FROM (VALUES $values) AS t(x)
+       |       WHERE x IN (SELECT src FROM sym)),
+       |$steps
+       |SELECT t, exact_pairs, within_10pct FROM ($perT)
+       |ORDER BY t""".stripMargin
   }
 
   /** Unrolled-CTE k-core peeling: each round keeps vertices with

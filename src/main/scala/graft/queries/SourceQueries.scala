@@ -1359,6 +1359,118 @@ object SourceQueries {
       Some("""SELECT true AS served_from_mv, source, count(*) AS n_docs,
              |  count(DISTINCT n_chars) AS exact_distinct,
              |  TRUE AS within_5pct
-             |FROM documents GROUP BY source ORDER BY source""".stripMargin))
+             |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- MIN/MAX rewrite onto the io27 view class (io35 — with
+    // io28/29/31/33/34 every MV class now has its optimizer half):
+    // the view keys FINER than the query ((source, lang) vs GROUP BY
+    // source), so the rule re-aggregates the keys-sized view — min of
+    // mins / max of maxes, both exact — after a REFRESH through the
+    // affected-group path (the served extremes are the maintained
+    // artifact's, including a resurfaced runner-up: the overwrite
+    // deletes rows that held some groups' minima). served_from_mv +
+    // from-scratch oracle, as in the whole rewrite family.
+    NamedQuery("io35_mv_minmax_rewrite", (s, dir) => {
+      import graft.sources.MaterializedView
+      val stage = stageDir("mv_mmr_base", dir)
+      val mvPath = stageDir("mv_mmr_view", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, mvPath)
+      val docs = Tables.documents(s, dir)
+        .select("doc_id", "source", "lang", "n_chars")
+      Sources.snapshotCommit(docs.filter(col("doc_id") % 3 < 2), stage)
+      MaterializedView.buildMinMax(s, stage, mvPath, rowKey = "doc_id",
+        keyCols = Seq("source", "lang"), valCol = "n_chars")
+      // overwrite deletes %3=0 (some groups' minima) and bumps %3=1 —
+      // the affected-group refresh must resurface runner-ups before
+      // the rewrite serves them
+      Sources.snapshotCommit(
+        docs.filter(col("doc_id") % 3 === 1)
+          .withColumn("n_chars", col("n_chars") + 1)
+          .unionByName(docs.filter(col("doc_id") % 3 === 2)),
+        stage, overwrite = true)
+      MaterializedView.refreshMinMax(s, stage, mvPath)
+      MaterializedView.registerMinMaxForRewrite(s, stage, mvPath)
+      val q = Sources.snapshotRead(s, stage,
+          Sources.snapshotLatestVersion(s, stage))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+      val scanned = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten
+      val fromMv = scanned.nonEmpty && scanned.forall(_.contains("mv_mmr_view"))
+      q.select(lit(fromMv).as("served_from_mv"), col("source"),
+          col("n_docs"), col("min_chars"), col("max_chars"))
+        .orderBy("source")
+    },
+      Some("""WITH t AS (SELECT source, n_chars + 1 AS n_chars
+             |    FROM documents WHERE doc_id % 3 = 1
+             |  UNION ALL SELECT source, n_chars FROM documents
+             |    WHERE doc_id % 3 = 2)
+             |SELECT true AS served_from_mv, source, count(*) AS n_docs,
+             |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+             |FROM t GROUP BY source ORDER BY source""".stripMargin)),
+
+    // ---- ANALYZE table statistics (io36): one-pass per-column
+    // stats (row count, null count, min/max, HLL distinct estimate)
+    // over the snapshot, published as a version-pinned driver-sized
+    // artifact — the input every cost-based decision reads INSTEAD OF
+    // the table (TableStats.broadcastIfSmall picks the join strategy
+    // from the recorded row count; SourcesSpec pins both plans). The
+    // staged NULLs (%7) make a wrong null accounting fail: min/max
+    // and the distinct estimate must ignore nulls, n_nulls must
+    // count exactly them. Exact counts cross-engine; the estimate is
+    // tolerance-bound (the p12/q33 pattern).
+    NamedQuery("io36_table_stats", (s, dir) => {
+      import graft.sources.TableStats
+      val stage = stageDir("stats_base", dir)
+      val sp = stageDir("stats_art", dir)
+      graft.Fs.deleteRecursive(s, stage)
+      graft.Fs.deleteRecursive(s, sp)
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars")).as("n_chars"))
+      Sources.snapshotCommit(docs, stage)
+      val v = TableStats.analyze(s, stage, sp, Seq("n_chars", "source"))
+      val base = Sources.snapshotRead(s, stage, v)
+      val ex = base.agg(
+        countDistinct(col("n_chars")).as("ex_chars"),
+        countDistinct(col("source")).as("ex_source")).head
+      val spark = s
+      import spark.implicits._
+      val exact = Seq(("n_chars", ex.getAs[Long]("ex_chars")),
+        ("source", ex.getAs[Long]("ex_source"))).toDF("column", "exact_ndv")
+      TableStats.stats(s, sp)
+        .join(exact, Seq("column"))
+        .select(col("column").as("col_name"), col("n_rows"), col("n_nulls"),
+          col("min_s"), col("max_s"), col("exact_ndv"),
+          (abs(col("ndv_est") - col("exact_ndv")).cast("double")
+            / col("exact_ndv") <= 0.05).as("within_5pct"))
+        .orderBy("col_name")
+    },
+      Some("""WITH t AS (SELECT source,
+             |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE n_chars END
+             |      AS n_chars
+             |  FROM documents)
+             |SELECT 'n_chars' AS col_name, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_nulls,
+             |  CAST(min(n_chars) AS VARCHAR) AS min_s,
+             |  CAST(max(n_chars) AS VARCHAR) AS max_s,
+             |  count(DISTINCT n_chars) AS exact_ndv, TRUE AS within_5pct
+             |FROM t
+             |UNION ALL
+             |SELECT 'source', count(*), CAST(0 AS BIGINT),
+             |  CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR),
+             |  count(DISTINCT source), TRUE
+             |FROM t
+             |ORDER BY col_name""".stripMargin))
   )
 }

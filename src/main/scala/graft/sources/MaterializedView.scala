@@ -218,6 +218,30 @@ object MaterializedView {
       baseDirs.toSet, mvDirs, keyCols, Set.empty, Set(distinctCol)))
   }
 
+  /** Register a [[buildMinMax]] view for TRANSPARENT min/max rewrite
+    * (io35): `min(<valCol>)`/`max(<valCol>)` against the base table's
+    * current snapshot answer from the view's min_/max_ columns —
+    * exact projections at the view's keys, exact re-aggregation (min
+    * of mins / max of maxes) for rollups. count(*) rides on mv_count
+    * as in every view class. Staleness structural, as in
+    * [[registerForRewrite]]. */
+  def registerMinMaxForRewrite(spark: SparkSession, tablePath: String,
+      mvPath: String): Unit = {
+    val st = spark.read.parquet(statePath(mvPath)).head
+    val baseV = st.getAs[Int]("base_version")
+    val keyCols = st.getAs[String]("key_cols").split(",").toSeq
+    val valCol = st.getAs[String]("sum_cols")
+    def dirsOf(path: String, v: Int): Seq[String] =
+      commitSet(spark, path, v).toSeq.sorted
+        .map(c => qualify(spark, Sources.commitDir(path, c)))
+    val baseDirs = dirsOf(tablePath, baseV)
+    val mvDirs = dirsOf(mvPath, Sources.snapshotLatestVersion(spark, mvPath))
+    graft.plans.MvRewrite.enable(spark)
+    graft.plans.MvRewrite.register(spark, graft.plans.MvRewrite.Entry(
+      baseDirs.toSet, mvDirs, keyCols, Set.empty,
+      minMaxCols = Set(valCol)))
+  }
+
   private def qualify(spark: SparkSession, p: String): String = {
     val hp = new org.apache.hadoop.fs.Path(p)
     hp.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -951,6 +951,76 @@ class SourcesSpec extends SparkSpec {
     MvRewrite.clear(spark)
   }
 
+  test("MV min/max rewrite: exact + rollup serve from the view; sum/avg on a minmax view fall back") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    import graft.plans.MvRewrite
+    val t = s"$tmp/mvmmr_base"
+    val mv = s"$tmp/mvmmr_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 7L),
+        (4L, "b", "y", 30L)).toDF("id", "g", "h", "v"), t)
+    MaterializedView.buildMinMax(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g", "h"), valCol = "v")
+    MaterializedView.registerMinMaxForRewrite(spark, t, mv)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    def baseScan() = Sources.snapshotRead(spark, t, 1)
+    // rollup: min of mins / max of maxes across the finer (g, h) keys
+    val q = baseScan().groupBy("g")
+      .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
+    assert(scansOf(q).forall(_.contains("mvmmr_view")) && scansOf(q).nonEmpty)
+    assert(q.orderBy("g").as[(String, Long, Long, Long)].collect().toSeq ==
+      Seq(("a", 10L, 20L, 2L), ("b", 7L, 30L, 2L)))
+    // exact keys: direct projection of min_/max_
+    val q2 = baseScan().groupBy("g", "h").agg(max("v").as("mx"))
+    assert(scansOf(q2).forall(_.contains("mvmmr_view")) && scansOf(q2).nonEmpty)
+    // sum/avg are NOT materialized on a min/max view: fall back
+    val q3 = baseScan().groupBy("g").agg(sum("v").as("s"))
+    assert(scansOf(q3).forall(_.contains("mvmmr_base")))
+    val q4 = baseScan().groupBy("g").agg(avg("v").as("a"))
+    assert(scansOf(q4).forall(_.contains("mvmmr_base")))
+    MvRewrite.clear(spark)
+  }
+
+  test("TableStats: one-pass ANALYZE records exact counts; broadcastIfSmall picks the join strategy from the artifact") {
+    import spark.implicits._
+    import graft.sources.{Sources, TableStats}
+    val t = s"$tmp/stats_base"
+    val sp = s"$tmp/stats_art"
+    Sources.snapshotCommit(
+      Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, "b", Some(30L)))
+        .toDF("id", "g", "x"), t)
+    val v = TableStats.analyze(spark, t, sp, Seq("g", "x"))
+    assert(v == 1 && TableStats.statsVersion(spark, sp) == 1)
+    val st = TableStats.stats(spark, sp)
+      .as[(Int, String, Long, Long, Option[String], Option[String], Long)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(st("g") == ((1, "g", 3L, 0L, Some("a"), Some("b"), 2L)))
+    assert(st("x") == ((1, "x", 3L, 1L, Some("10"), Some("30"), 2L)))
+    assert(TableStats.rowCount(spark, sp) == 3L)
+    // join strategy from the ARTIFACT (auto-broadcast off so the
+    // recorded row count is the only signal)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Seq((1L, 100L), (2L, 200L)).toDF("id", "v")
+      val dim = Sources.snapshotRead(spark, t, 1)
+      def planOf(maxRows: Long): String =
+        fact.join(TableStats.broadcastIfSmall(spark, dim, sp, maxRows), "id")
+          .queryExecution.sparkPlan.toString
+      assert(planOf(maxRows = 100).contains("BroadcastHashJoin"))
+      assert(!planOf(maxRows = 1).contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("MV filter rewrite: key-only predicates replay on the view; non-key and non-deterministic fall back") {
     import spark.implicits._
     import graft.sources.{MaterializedView, Sources}

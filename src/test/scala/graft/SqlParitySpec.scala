@@ -88,4 +88,40 @@ class SqlParitySpec extends SparkSpec {
       assert(spark.sql(s"SELECT * FROM $t LIMIT 1").columns.nonEmpty, t)
     }
   }
+
+  test("MvRewrite fires for pure-SQL text over a registered view (EP1 ≡ EP2)") {
+    import java.nio.file.Files
+    import graft.sources.{MaterializedView, Sources}
+    import graft.plans.MvRewrite
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_sqlmv").toString
+    val t = s"$tmp/base"
+    val mv = s"$tmp/view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "g", "x"), t)
+    MaterializedView.build(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g"), sumCols = Seq("x"))
+    MaterializedView.registerForRewrite(spark, t, mv)
+    // the SQL entry point resolves the temp view to the SAME
+    // LogicalRelation the Dataset API scans, so the optimizer rule
+    // fires identically for SQL text — the EP1/EP2 contract extends
+    // to the MV layer
+    Sources.snapshotRead(spark, t, 1).createOrReplaceTempView("mv_sql_base")
+    val q = spark.sql(
+      "SELECT g, count(1) AS n, sum(x) AS sum_x FROM mv_sql_base GROUP BY g")
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString)
+          case _ => Seq.empty[String]
+        }
+    }.flatten
+    assert(scanned.nonEmpty && scanned.forall(_.contains("view")))
+    assert(q.orderBy("g").as[(String, Long, Long)].collect().toSeq ==
+      Seq(("a", 2L, 30L), ("b", 1L, 30L)))
+    MvRewrite.clear(spark)
+    spark.catalog.dropTempView("mv_sql_base")
+  }
 }
