@@ -4,8 +4,8 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute,
-  AttributeReference, Cast, Divide, Expression, HllSketchEstimate, Literal,
-  NamedExpression, SubqueryExpression}
+  AttributeReference, Cast, Divide, EvalMode, Expression, HllSketchEstimate,
+  Literal, NamedExpression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Average, Count, HllUnionAgg, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -257,8 +257,11 @@ object MvRewrite extends Rule[LogicalPlan] {
           val s = mvCol(s"sum_$sc").getOrElse(return None)
           val c = mvCol(s"cnt_$sc").getOrElse(return None)
           if (s.dataType != LongType || ae.dataType != DoubleType) return None
-          Alias(Divide(Cast(s, DoubleType), Cast(c, DoubleType)),
-            name)(exprId = al.exprId)
+          // LEGACY eval mode, exactly as Average's own evaluateExpression:
+          // a refreshed all-NULL-measure group has sum_=0/cnt_=0 and must
+          // yield NULL, not an ANSI DIVIDE_BY_ZERO at runtime
+          Alias(Divide(Cast(s, DoubleType), Cast(c, DoubleType),
+            EvalMode.LEGACY), name)(exprId = al.exprId)
         case al @ Alias(ae: AggregateExpression, name)
             if approxDistinctCol(ae).isDefined =>
           val dc = approxDistinctCol(ae).get
@@ -306,8 +309,10 @@ object MvRewrite extends Rule[LogicalPlan] {
             return None
           val s = sumOf(s"sum_$sc").getOrElse(return None)
           val c = sumOf(s"cnt_$sc").getOrElse(return None)
-          Alias(Divide(Cast(s, DoubleType), Cast(c, DoubleType)),
-            name)(exprId = al.exprId)
+          // LEGACY for the same reason as the exact branch: rolled-up
+          // groups whose cnt sums to 0 must produce NULL under ANSI
+          Alias(Divide(Cast(s, DoubleType), Cast(c, DoubleType),
+            EvalMode.LEGACY), name)(exprId = al.exprId)
         case al @ Alias(ae: AggregateExpression, name)
             if approxDistinctCol(ae).isDefined =>
           val dc = approxDistinctCol(ae).get

@@ -63,10 +63,15 @@ object MaterializedView {
 
   private def writeState(spark: SparkSession, mvPath: String,
       baseVersion: Int, keyCols: Seq[String], sumCols: Seq[String],
-      rowKey: String): Unit = {
+      rowKey: String, lgK: Int = 0): Unit = {
     import spark.implicits._
-    Seq((baseVersion, keyCols.mkString(","), sumCols.mkString(","), rowKey))
-      .toDF("base_version", "key_cols", "sum_cols", "row_key")
+    // lg_k is 0 for non-distinct views; distinct views persist their
+    // sketch width so refresh can never union mismatched lgConfigK
+    // registers (hll_union rejects them) — the build's lgK is part of
+    // the view's identity, not a refresh-time knob
+    Seq((baseVersion, keyCols.mkString(","), sumCols.mkString(","), rowKey,
+        lgK))
+      .toDF("base_version", "key_cols", "sum_cols", "row_key", "lg_k")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(statePath(mvPath))
   }
@@ -410,7 +415,7 @@ object MaterializedView {
     val mv = distinctAgg(Sources.snapshotRead(spark, tablePath, v),
       keyCols, distinctCol, lgK)
     val mvv = Sources.snapshotCommit(mv, mvPath, overwrite = true)
-    writeState(spark, mvPath, v, keyCols, Seq(distinctCol), rowKey)
+    writeState(spark, mvPath, v, keyCols, Seq(distinctCol), rowKey, lgK)
     mvv
   }
 
@@ -425,14 +430,19 @@ object MaterializedView {
     * the new rows' sketch (no base rescan, no diff join); anything
     * else → affected-group re-aggregation (the [[refreshMinMax]]
     * fallback: deletions can remove a distinct value no sketch
-    * arithmetic recovers). */
+    * arithmetic recovers). The sketch width (lgK) is read from the
+    * state the build persisted — never a refresh argument, because a
+    * mismatched lgConfigK either fails hll_union (append path) or
+    * leaves mixed-width registers that break later rollup unions
+    * (re-aggregation path). */
   def refreshDistinct(spark: SparkSession, tablePath: String,
-      mvPath: String, lgK: Int = 12): Int = {
+      mvPath: String): Int = {
     val st = spark.read.parquet(statePath(mvPath)).head
     val fromV = st.getAs[Int]("base_version")
     val keyCols = st.getAs[String]("key_cols").split(",").toSeq
     val distinctCol = st.getAs[String]("sum_cols")
     val rowKey = st.getAs[String]("row_key")
+    val lgK = st.getAs[Int]("lg_k")
     val toV = Sources.snapshotLatestVersion(spark, tablePath)
     val mvV = Sources.snapshotLatestVersion(spark, mvPath)
     if (toV == fromV) return mvV
@@ -443,7 +453,7 @@ object MaterializedView {
       val newDirs = (toSet -- fromSet).toSeq.sorted
         .map(c => Sources.commitDir(tablePath, c))
       if (newDirs.isEmpty) {
-        writeState(spark, mvPath, toV, keyCols, Seq(distinctCol), rowKey)
+        writeState(spark, mvPath, toV, keyCols, Seq(distinctCol), rowKey, lgK)
         return mvV
       }
       val delta = spark.read.parquet(newDirs: _*)
@@ -471,7 +481,7 @@ object MaterializedView {
         .unionByName(recomputed)
     }
     val newMvV = Sources.snapshotCommit(merged, mvPath, overwrite = true)
-    writeState(spark, mvPath, toV, keyCols, Seq(distinctCol), rowKey)
+    writeState(spark, mvPath, toV, keyCols, Seq(distinctCol), rowKey, lgK)
     newMvV
   }
 

@@ -907,6 +907,52 @@ class SourcesSpec extends SparkSpec {
     MvRewrite.clear(spark)
   }
 
+  test("MV avg rewrite: refreshed all-NULL-measure group (sum_=0, cnt_=0) serves NULL, not an ANSI divide-by-zero") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    import graft.plans.MvRewrite
+    val t = s"$tmp/mvavg0_base"
+    val mv = s"$tmp/mvavg0_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", "x", Some(10L))).toDF("id", "g", "h", "v"), t)
+    MaterializedView.build(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g", "h"), sumCols = Seq("v"), withAvg = true)
+    // the refresh merge coalesces a new group's sum_ to 0 while its
+    // non-null cnt_ stays 0 — every (c, *) group is exactly that shape
+    Sources.snapshotCommit(
+      Seq((2L, "a", "y", Some(20L)), (3L, "c", "x", Option.empty[Long]),
+        (4L, "c", "y", Option.empty[Long]))
+        .toDF("id", "g", "h", "v"), t, overwrite = false)
+    MaterializedView.refresh(spark, t, mv)
+    MaterializedView.registerForRewrite(spark, t, mv)
+    def scansOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toString)
+            case _ => Seq.empty[String]
+          }
+      }.flatten
+    val base = Sources.snapshotRead(spark, t,
+      Sources.snapshotLatestVersion(spark, t))
+    // exact-key rewrite: 0.0/0.0 must come back NULL like native avg
+    val q = base.groupBy("g", "h").agg(avg("v").as("avg_v"))
+    assert(scansOf(q).forall(_.contains("mvavg0_view")) && scansOf(q).nonEmpty)
+    assert(q.orderBy("g", "h")
+        .as[(String, String, Option[Double])].collect().toSeq ==
+      Seq(("a", "x", Some(10.0)), ("a", "y", Some(20.0)),
+        ("c", "x", None), ("c", "y", None)))
+    // rollup rewrite (subset grouping): group c's cnt SUMS to 0 across
+    // its h slices — sum(0)/sum(0) must also come back NULL
+    val qr = base.groupBy("g").agg(avg("v").as("avg_v"))
+    assert(scansOf(qr).forall(_.contains("mvavg0_view")) &&
+      scansOf(qr).nonEmpty)
+    assert(qr.orderBy("g").as[(String, Option[Double])].collect().toSeq ==
+      Seq(("a", Some(15.0)), ("c", None)))
+    MvRewrite.clear(spark)
+  }
+
   test("MV distinct rewrite: approx_count_distinct needs the opt-in; exact count(DISTINCT) never rewrites") {
     import spark.implicits._
     import graft.sources.{MaterializedView, Sources}
@@ -1019,6 +1065,78 @@ class SourcesSpec extends SparkSpec {
       assert(planOf(maxRows = 100).contains("BroadcastHashJoin"))
       assert(!planOf(maxRows = 1).contains("BroadcastHashJoin"))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("TableStats: stale artifact withholds the broadcast hint; unsupported NDV types degrade to NULL ndv, not a failed ANALYZE") {
+    import spark.implicits._
+    import graft.sources.{Sources, TableStats}
+    val t = s"$tmp/stats_stale_base"
+    val sp = s"$tmp/stats_stale_art"
+    Sources.snapshotCommit(Seq((1L, "a"), (2L, "b")).toDF("id", "g"), t)
+    TableStats.analyze(spark, t, sp, Seq("g"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Seq((1L, 100L)).toDF("id", "v")
+      def planOf(): String = {
+        val dim = Sources.snapshotRead(spark, t,
+          Sources.snapshotLatestVersion(spark, t))
+        fact.join(TableStats.broadcastIfSmall(spark, dim, sp,
+          maxRows = 100, tablePath = Some(t)), "id")
+          .queryExecution.sparkPlan.toString
+      }
+      // fresh artifact, 2 recorded rows ≤ 100 → broadcast
+      assert(planOf().contains("BroadcastHashJoin"))
+      // the table grows past ANALYZE: the recorded count no longer
+      // describes the table, so the hint must be withheld even though
+      // the recorded 2 ≤ 100 — a stale "small" can be a live "huge"
+      Sources.snapshotCommit(
+        spark.range(1000).select(col("id"), lit("z").as("g")), t,
+        overwrite = false)
+      assert(!planOf().contains("BroadcastHashJoin"))
+      // re-ANALYZE restores freshness but now the count exceeds the cap
+      TableStats.analyze(spark, t, sp, Seq("g"))
+      assert(!planOf().contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // unsupported sketch type: double column gets count/null/min/max
+    // but a NULL ndv_est, and the one-pass aggregate still succeeds
+    val t2 = s"$tmp/stats_types_base"
+    val sp2 = s"$tmp/stats_types_art"
+    Sources.snapshotCommit(
+      Seq((1L, 1.5, "a"), (2L, 2.5, "a"), (3L, 2.5, "b"))
+        .toDF("id", "d", "g"), t2)
+    TableStats.analyze(spark, t2, sp2, Seq("d", "g"))
+    val st = TableStats.stats(spark, sp2)
+      .select("column", "n_rows", "n_nulls", "min_s", "max_s", "ndv_est")
+      .as[(String, Long, Long, Option[String], Option[String], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(st("d") == (("d", 3L, 0L, Some("1.5"), Some("2.5"), None)))
+    assert(st("g") == (("g", 3L, 0L, Some("a"), Some("b"), Some(2L))))
+  }
+
+  test("MV distinct refresh: lgK persisted at build drives refresh (non-default width survives the append-path sketch union)") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    val t = s"$tmp/mvlgk_base"
+    val mv = s"$tmp/mvlgk_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", "u1"), (2L, "a", "u2"), (3L, "b", "u1"))
+        .toDF("id", "g", "u"), t)
+    // non-default width: a refresh that fell back to its own default
+    // (12) would produce lgConfigK=12 registers that hll_union rejects
+    // against the build's 14
+    MaterializedView.buildDistinct(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g"), distinctCol = "u", lgK = 14)
+    Sources.snapshotCommit(
+      Seq((4L, "a", "u3"), (5L, "b", "u2")).toDF("id", "g", "u"), t,
+      overwrite = false)
+    MaterializedView.refreshDistinct(spark, t, mv)
+    val got = Sources.snapshotRead(spark, mv,
+      Sources.snapshotLatestVersion(spark, mv))
+      .select(col("g"), col("mv_count"),
+        hll_sketch_estimate(col("hll_u")).as("ndv"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, 3L), ("b", 2L, 2L)))
   }
 
   test("MV filter rewrite: key-only predicates replay on the view; non-key and non-deterministic fall back") {
