@@ -47,6 +47,18 @@ object Memo {
   def obj[T <: AnyRef](spark: SparkSession, key: String)(mk: => T): T =
     sessionMap(spark).getOrElseUpdate(s"obj|$key", mk).asInstanceOf[T]
 
+  /** Memoize a DRIVER-SIZED artifact handle (a scratch path, a snapshot
+    * version) that SURVIVES [[releaseTransients]]: the backing data
+    * lives on disk (ScratchDirs reclaims it at JVM exit), so keeping
+    * the handle across family flushes costs bytes of driver memory and
+    * saves the full artifact rebuild on every post-flush re-measure —
+    * the r12 g16 lesson (the isolated recheck re-paid the co-purchase
+    * projection because the path memo was transient). NOT for cached
+    * DataFrames or graphs — those hold executor memory and belong in
+    * [[obj]]/[[df]] so flushes can release them. */
+  def artifact[T <: AnyRef](spark: SparkSession, key: String)(mk: => T): T =
+    sessionMap(spark).getOrElseUpdate(s"artifact|$key", mk).asInstanceOf[T]
+
   /** Release every memoized frame/object EXCEPT the base table scans
     * (`table|…`, `events-norm|…`): sweep harnesses call this at
     * query-family boundaries so the session-lifetime memo population
@@ -62,7 +74,7 @@ object Memo {
     * triggers right after. */
   def releaseTransients(spark: SparkSession): Unit = {
     val m = sessionMap(spark)
-    val keep = Seq("df|table|", "df|events-norm|")
+    val keep = Seq("df|table|", "df|events-norm|", "artifact|")
     m.keys.toList.foreach { k =>
       if (!keep.exists(k.startsWith)) m.remove(k).foreach {
         case df: DataFrame => df.unpersist(blocking = false)

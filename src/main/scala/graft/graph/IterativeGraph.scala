@@ -247,10 +247,12 @@ object IterativeGraph {
     * 100 TB graph (exact balls are quadratic). Spark's partial
     * aggregation combines sketches map-side, so each superstep
     * shuffles at most one sketch per (partition, vertex), not one per
-    * edge. Estimates are deterministic (Datasketches hashing is
-    * seedless), so a tolerance-bound audit against exact sampled
-    * balls is a stable gate, not a flaky one (g34). Output: (id, sk)
-    * after `iters` supersteps — estimate with hll_sketch_estimate. */
+    * edge. Estimates are deterministic (the register hash is a fixed
+    * splitmix64 mix), so a tolerance-bound audit against exact
+    * sampled balls is a stable gate, not a flaky one (g34). Output:
+    * (id, sk) after `iters` supersteps — sk is a
+    * [[graft.functions.PackedHll]] register file; estimate with
+    * PackedHll.hll5Estimate. */
   def hyperBallSketches(edges: DataFrame, iters: Int,
       lgK: Int = 10): DataFrame =
     hyperBallSteps(edges, iters, lgK).last
@@ -263,17 +265,55 @@ object IterativeGraph {
     * nothing beyond [[hyperBallSketches]]. */
   def hyperBallSteps(edges: DataFrame, iters: Int,
       lgK: Int = 10): Seq[DataFrame] = {
+    import graft.functions.PackedHll
+    // 5-bit PACKED register files throughout (PackedHll — Boldi &
+    // Vigna's own counter layout): the superstep merges one sketch
+    // per edge message, so the union must be a primitive max-loop
+    // with identity (de)serialization, not a library-object decode —
+    // measured at 100×, a Datasketches merge path (heapify + Union +
+    // re-serialize per row) was CPU-bound at 1226–1506 s, the packed
+    // path cuts both the per-row CPU and the wire bytes (5 bits per
+    // register vs 8). The seed is a SCALAR singleton register file —
+    // sk₀(v) = {v} needs no aggregate at all. Estimate with
+    // [[graft.functions.PackedHll.hll5Estimate]] (Ertl's estimator).
+    val spark = edges.sparkSession
     val sym = graft.Caches.cached(symmetrize(edges))
-    var sk = sym.select(col("src").as("id")).distinct()
-      .groupBy("id").agg(hll_sketch_agg(col("id"), lit(lgK)).as("sk"))
-      .localCheckpoint()
-    (1 to iters).map { _ =>
-      val msgs = sym.join(sk.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("sk"))
-      sk = sk.unionByName(msgs)
-        .groupBy("id").agg(hll_union_agg(col("sk")).as("sk"))
+    // SHUFFLE SHAPE (the measured 100× cliff and its fix): the union
+    // aggregate's groups are VERTICES, but the messages arrive
+    // partitioned by the join key (src) — per-task distinct dst ≈ the
+    // task's row count, so a map-side partial aggregate combines
+    // nothing AND ObjectHashAggregate's sort-based fallback (default:
+    // 128 groups/task, sized for arbitrary buffers) externally sorts
+    // every message WITH its register payload. The fix is to
+    // REPARTITION the messages by id first: the exchange then moves
+    // raw rows (no sort, no buffers), and both aggregation passes run
+    // id-clustered — |V|/partitions groups per task, pure hash
+    // aggregation over fixed-size (1 + ⌈5m/8⌉ B) buffers. The
+    // raised fallback threshold (256k × 641 B ≈ 168 MB/task at
+    // lgK = 10) is arithmetic, not hope, because the buffers are
+    // fixed-size; restored after the loop.
+    val fallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevFallback = spark.conf.getOption(fallbackKey)
+    def steps: Seq[DataFrame] = {
+      var sk = sym.select(col("src").as("id")).distinct()
+        .select(col("id"), PackedHll.hll5Singleton(col("id"), lgK).as("sk"))
         .localCheckpoint()
-      sk
+      (1 to iters).map { _ =>
+        val msgs = sym.join(sk.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("sk"))
+        sk = sk.unionByName(msgs)
+          .repartition(col("id"))
+          .groupBy("id").agg(PackedHll.hll5UnionAgg(col("sk"), lgK).as("sk"))
+          .localCheckpoint()
+        sk
+      }
+    }
+    try {
+      spark.conf.set(fallbackKey, (256 * 1024).toString)
+      steps
+    } finally prevFallback match {
+      case Some(v) => spark.conf.set(fallbackKey, v)
+      case None => spark.conf.unset(fallbackKey)
     }
   }
 

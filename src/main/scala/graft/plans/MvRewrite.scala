@@ -73,13 +73,29 @@ object MvRewrite extends Rule[LogicalPlan] {
   private val registry =
     new ConcurrentHashMap[SparkSession, List[Entry]]()
 
-  def register(spark: SparkSession, e: Entry): Unit =
+  def register(spark: SparkSession, e: Entry): Unit = {
     // idempotent: gates re-register per run; duplicate entries would
-    // grow the per-plan match list across a long session for nothing
-    registry.merge(spark, List(e),
-      (a, _) => if (a.contains(e)) a else e :: a)
+    // grow the per-plan match list across a long session for nothing.
+    // Registration also EVICTS entries whose base or view dirs no
+    // longer exist (dropped scratch tables, vacuumed versions): such
+    // an entry can never match again — its baseDirs set names dirs no
+    // scan will ever carry — so keeping it only taxes every later
+    // Aggregate with one more guaranteed-miss comparison. Eviction
+    // happens here (registration-rate IO), never in apply() (per-plan
+    // hot path).
+    def alive(x: Entry): Boolean =
+      (x.baseDirs.iterator ++ x.mvDirs.iterator)
+        .forall(d => graft.Fs.exists(spark, d))
+    val cur = Option(registry.get(spark)).getOrElse(Nil)
+    val kept = cur.filter(x => x == e || alive(x))
+    registry.put(spark, if (kept.contains(e)) kept else e :: kept)
+  }
 
   def clear(spark: SparkSession): Unit = registry.remove(spark)
+
+  /** Test-only: live entry count for `spark`'s registry. */
+  private[graft] def registered(spark: SparkSession): Int =
+    Option(registry.get(spark)).map(_.size).getOrElse(0)
 
   /** Append this rule to the session's extra optimizations (once). */
   def enable(spark: SparkSession): Unit =
@@ -89,14 +105,23 @@ object MvRewrite extends Rule[LogicalPlan] {
           spark.experimental.extraOptimizations :+ this
     }
 
+  /** Test-only instrumentation: (Aggregate node × entry) match
+    * attempts apply() has made — the overhead spec pins that a plan
+    * with A aggregates and N registered views costs ≤ A·N attempts
+    * (and a plan with NO aggregate costs zero), so a long session's
+    * registry taxes only Aggregate nodes, linearly. */
+  private[graft] val matchAttempts = new java.util.concurrent.atomic.AtomicLong()
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val entries = SparkSession.getActiveSession
       .flatMap(s => Option(registry.get(s))).getOrElse(Nil)
     if (entries.isEmpty) plan
     else plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>
-        entries.view.flatMap(e =>
-          rewrite(e, grouping, aggExprs, child)).headOption.getOrElse(agg)
+        entries.view.flatMap { e =>
+          matchAttempts.incrementAndGet()
+          rewrite(e, grouping, aggExprs, child)
+        }.headOption.getOrElse(agg)
     }
   }
 

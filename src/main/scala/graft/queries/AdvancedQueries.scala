@@ -764,6 +764,36 @@ object AdvancedQueries {
       o.filter(year(col("o_orderdate")) === 1995).select("o_custkey")
         .except(o.filter(year(col("o_orderdate")) > 1995).select("o_custkey"))
         .orderBy("o_custkey")
+    },
+
+    // ---- SESSION-CATALOG round-trip (EP2 fidelity): the reference's
+    // %sql cells resolve tables the catalog populated by saveAsTable
+    // (goodreads.py:121–129 writes, :168 queries) — NOT temp views
+    // (q38 covers those). This gate does the full path: curate →
+    // saveAsTable → `spark.sql` over the CATALOG relation. PlanSpec
+    // pins that the catalog read plans the same pushed-filter parquet
+    // scan as a path read — the catalog is a name layer, not a
+    // different execution path.
+    q("q50_catalog_roundtrip",
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) => {
+        // a FRESH session's in-memory catalog doesn't know the table,
+        // but a prior process may have left its warehouse dir — drop
+        // both, or saveAsTable fails with LOCATION_ALREADY_EXISTS
+        s.sql("DROP TABLE IF EXISTS graft_q50_orders_f")
+        graft.Fs.deleteRecursive(s,
+          s.conf.get("spark.sql.warehouse.dir") + "/graft_q50_orders_f")
+        graft.sources.Sources.saveTable(
+          Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          "graft_q50_orders_f")
+        s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+          round(sum(o_totalprice), 2) AS revenue
+          FROM graft_q50_orders_f
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      }
     }
   )
 

@@ -574,8 +574,9 @@ object GraphQueries {
           .agg(count(lit(1)).as("exact_ball"))
         exact.join(sk, "id")
           .select(col("id"), col("exact_ball"),
-            (abs(hll_sketch_estimate(col("sk")) - col("exact_ball"))
-              .cast("double") / col("exact_ball") <= 0.1).as("within_10pct"))
+            (abs(graft.functions.PackedHll.hll5Estimate(col("sk"))
+              - col("exact_ball"))
+              / col("exact_ball") <= 0.1).as("within_10pct"))
           .orderBy("id")
       },
       Some(anfOracle(AnfSample, AnfIters))),
@@ -607,7 +608,8 @@ object GraphQueries {
           steps.head.join(sampleDf, "id").select("id"))
         val rows = (1 to AnfIters).map { t =>
           val est = steps(t - 1).join(present, "id")
-            .agg(sum(hll_sketch_estimate(col("sk"))).as("est"))
+            .agg(sum(graft.functions.PackedHll.hll5Estimate(col("sk")))
+              .cast("long").as("est"))
             .head.getLong(0)
           val ex = exact.join(present.withColumnRenamed("id", "landmark"),
               "landmark")
@@ -643,7 +645,51 @@ object GraphQueries {
              |  FROM pr JOIN sz sa ON id_a = sa.id JOIN sz sb ON id_b = sb.id)
              |SELECT id_a, id_b, common, deg_a, deg_b, jaccard FROM j
              |WHERE jaccard >= 0.2
-             |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin))
+             |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin)),
+
+    // ---- strongly connected components (g36): GraphX SCC through the
+    // PropertyGraph facade over a PLANTED bounded-diameter digraph —
+    // directed 8-rings of consecutive custkeys (each ring one SCC,
+    // min-id label analytic from the construction: the m10/g22 planted-
+    // fixture convention) plus ONE-WAY bridges from each odd ring's
+    // min to the next ring's min. The bridges are the point: a CC or
+    // min-ancestor propagation would leak labels across them (they
+    // span half the rings), so the gate fails unless the engine
+    // distinguishes mutual from one-way reachability. Bridging only
+    // odd→even keeps GraphX SCC's outer loop at depth 2 (each outer
+    // iteration finalizes the current color roots — a full bridge
+    // CHAIN would need one iteration per ring). Oracle: labels are
+    // ring minima by construction; sizes are ring sizes.
+    NamedQuery("g36_scc_rings",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val verts = graft.Tables.customer(s, dir)
+          .select(col("c_custkey").cast("long").as("id"))
+          .withColumn("ring", floor(col("id") / lit(8)).cast("long"))
+        val w = Window.partitionBy("ring").orderBy("id")
+        val ringMin = Window.partitionBy("ring")
+        // ring cycle: each member → next-by-id, last wraps to the min
+        val cycle = verts
+          .withColumn("nxt", lead("id", 1).over(w))
+          .withColumn("mn", min("id").over(ringMin))
+          .select(col("id").as("src"),
+            coalesce(col("nxt"), col("mn")).as("dst"))
+        val bridges = verts.groupBy("ring").agg(min("id").as("mn"))
+          .withColumn("nxt_mn",
+            lead("mn", 1).over(Window.orderBy("ring")))
+          .filter(col("nxt_mn").isNotNull && col("ring") % 2 === 1)
+          .select(col("mn").as("src"), col("nxt_mn").as("dst"))
+        val g = PropertyGraph(verts.select("id"),
+          cycle.unionByName(bridges))
+        g.stronglyConnectedComponents(numIter = 8)
+          .groupBy(col("scc").as("component")).agg(count(lit(1)).as("size"))
+          .orderBy("component")
+      },
+      Some("""SELECT min_id AS component, count(*) AS size FROM (
+             |  SELECT c_custkey,
+             |    min(c_custkey) OVER (PARTITION BY c_custkey // 8) AS min_id
+             |  FROM customer)
+             |GROUP BY min_id ORDER BY component""".stripMargin))
   )
 
   // defs, not vals: `all` above evaluates at object init, BEFORE any
@@ -655,16 +701,20 @@ object GraphQueries {
   private def BfsIters = 3
   private def SsspIters = 4
   private def AnfIters = 3
-  // lgK sized by MEASUREMENT (tools.AnfProbe): the superstep cost is
-  // byte-bound on register width (sf0.1 sketch growth: 54 s at
-  // lgK=10, ~14 s at lgK≤8 — the join+agg floor), and the estimate
-  // error is DETERMINISTIC (Datasketches hashing is seedless), so
-  // the audit bound is a measured fact, not a probability: max |err|
-  // over the fixed 100-vertex sample at lgK=9 is 4.5% (sf0.001),
-  // 7.7% (sf0.01), 8.3% (sf0.1) — inside the 10% bound at every
-  // scale; lgK=8 measured 18% at sf0.01 and is out. lgK is the knob
-  // HyperBall itself tunes (Boldi–Vigna run 4-bit registers).
-  private def AnfLgK = 9
+  // lgK sized by MEASUREMENT (tools.AnfProbe) against the 5-bit
+  // PACKED register kit (graft.functions.PackedHll — r13 replaced the
+  // Datasketches superstep after the 100× probe showed the
+  // heapify+Union merge path CPU-bound). The estimate error is
+  // DETERMINISTIC (fixed splitmix64 register hash + Ertl estimator),
+  // so the audit bound is a measured fact, not a probability: max
+  // |err| over the fixed 100-vertex sample at lgK=10 is 2.5%
+  // (sf0.001), 4.4% (sf0.01), 6.5% (sf0.1) — inside the 10% bound at
+  // every scale; lgK=9 measured 10.6% at sf0.01 and is out. The wire
+  // cost is 5 bits/register (640 B at lgK=10 — level with the old
+  // lgK=9 HLL_8 wire at a full extra bit of precision), and the
+  // merge is a shift-mask-max loop, so the superstep is no longer
+  // CPU-bound on sketch codecs.
+  private def AnfLgK = 10
   private def AnfSample: Seq[Long] = (1L to 100L)
   private def HitsIters = 3
   private[queries] def PsIters = 4
@@ -1061,7 +1111,9 @@ object GraphQueries {
     * staying green proves. */
   private def sharedWalkPath(s: org.apache.spark.sql.SparkSession,
       dir: String): String =
-    graft.Memo.obj(s, s"walk-corpus-path|$dir") {
+    // artifact-memo (survives family flushes): the corpus is on disk;
+    // a post-flush isolated re-measure must re-READ it, not re-WALK it
+    graft.Memo.artifact(s, s"walk-corpus-path|$dir") {
       val g = PropertyGraph.customerPartGraph(s, dir)
       val starts = g.vertices
         .filter(col("type") === "Customer" && col("id") % 50 === 7)

@@ -1424,6 +1424,59 @@ object StreamingQueries {
              |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              |    AS sum_price_cents
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ---- executed CUSTOM-STATE sessionization (sw41): the
+    // flatMapGroupsWithState showcase, under the sw03 gaps-and-islands
+    // oracle — but through the HAND-ROLLED state machine, not the
+    // built-in session window. The input replays over ≥4 TIME-ORDERED
+    // micro-batches (runAvailableNowOrdered), so open sessions
+    // demonstrably carry in the state store across batch boundaries
+    // and close either by an in-fold gap split or by event-time
+    // timeout. A far-future sentinel user pushes the final watermark
+    // past every real session's last event + gap, so the trailing
+    // no-data batch flushes every open tail; the sentinel is dropped
+    // from the output. Ordered replay also guarantees equivalence to
+    // the batch oracle: a timeout only fires once the watermark (and
+    // therefore every future event) is beyond the session's gap
+    // horizon, so the engine and the oracle split in exactly the same
+    // places.
+    NamedQuery("sw41_stream_sessionize_state",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ev = Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val sentinel = Seq((-1L,
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L,
+            "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+        val res = StreamRunner.runAvailableNowOrdered(s,
+            ev.unionByName(sentinel), "sw41_sessions", "append", "ts") {
+          src =>
+            EventStreams.sessionizeWithState(src.as[EventStreams.Event],
+              gapMs = 30L * 60 * 1000).toDF()
+        }
+        res.filter(col("user_id") >= 0)
+          .select(col("user_id"), col("n_events"),
+            round(col("total_value"), 2).as("total_value"),
+            col("last_ts_us"))
+          .orderBy("user_id", "last_ts_us")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, count(*) AS n_events,
+             |  round(sum(value), 2) AS total_value,
+             |  max(epoch_us(ts)) AS last_ts_us
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, last_ts_us""".stripMargin))
   )
 }

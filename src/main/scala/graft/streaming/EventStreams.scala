@@ -777,23 +777,37 @@ object EventStreams {
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Accumulating per-user session state (custom-state showcase). */
-  final case class SessionState(nEvents: Long, totalValue: Double, lastTs: Long)
+  /** Accumulating per-user session state (custom-state showcase).
+    * `lastTsUs` is event-time MICROS — the input's full precision;
+    * millisecond truncation would let a gap that straddles an exact
+    * boundary split differently here than in a µs-precision oracle. */
+  final case class SessionState(nEvents: Long, totalValue: Double,
+      lastTsUs: Long)
 
-  /** Closed-session summary emitted when a user goes quiet for `gapMs`. */
+  /** Closed-session summary (`last_ts_us` = last event time, µs). */
   final case class SessionSummary(user_id: Long, n_events: Long,
-      total_value: Double, last_ts: Long)
+      total_value: Double, last_ts_us: Long)
+
+  private def epochUs(ts: Timestamp): Long =
+    (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * hand-rolled form of sessionWindowStats for when session semantics
     * outgrow the built-in (e.g. value-dependent gaps, mid-session
-    * emission). A user's session closes when the EVENT-TIME watermark
-    * passes their last event + `gapMs` (event-time timeout: replayable
-    * and deterministic, where a processing-time timeout would depend on
-    * the wall clock). State is one small case class per active user. */
+    * emission). Gaps-and-islands semantics, batch-split invariant for
+    * time-ordered arrival: the batch's rows fold in event-time order
+    * and a session CLOSES (emits) the moment a gap ≥ `gapMs` appears —
+    * within one micro-batch or across them — so the output equals the
+    * batch gaps-and-islands aggregation (the q32/sw03 oracle family,
+    * gated executed as sw41). The open TAIL session stays in state and
+    * closes via EVENT-TIME timeout when the watermark passes its last
+    * event + `gapMs` (replayable and deterministic, where a
+    * processing-time timeout would depend on the wall clock). State is
+    * one small case class per active user. */
   def sessionizeWithState(events: Dataset[Event], gapMs: Long,
       watermarkDelay: String = "10 seconds"): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
+    val gapUs = gapMs * 1000L
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
@@ -803,16 +817,32 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionSummary(userId, s.nEvents, s.totalValue, s.lastTs))
+            Iterator.single(
+              SessionSummary(userId, s.nEvents, s.totalValue, s.lastTsUs))
           } else {
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MinValue))
-            val next = rows.foldLeft(prev) { (acc, e) =>
-              SessionState(acc.nEvents + 1, acc.totalValue + e.value,
-                math.max(acc.lastTs, e.ts.getTime))
+            val sorted = rows.toVector.sortBy(e => (epochUs(e.ts), e.event_id))
+            var closed = Vector.empty[SessionSummary]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = epochUs(e.ts)
+              cur = cur match {
+                case Some(s) if t - s.lastTsUs >= gapUs =>
+                  closed :+= SessionSummary(userId, s.nEvents, s.totalValue,
+                    s.lastTsUs)
+                  Some(SessionState(1L, e.value, t))
+                case Some(s) =>
+                  Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
+                    math.max(s.lastTsUs, t)))
+                case None => Some(SessionState(1L, e.value, t))
+              }
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastTs + gapMs)
-            Iterator.empty
+            cur.foreach { s =>
+              state.update(s)
+              // ceil to ms: the timeout must not fire a µs-hair EARLY
+              // (the fold's µs comparison is the split authority)
+              state.setTimeoutTimestamp((s.lastTsUs + gapUs) / 1000L + 1L)
+            }
+            closed.iterator
           }
       }
   }

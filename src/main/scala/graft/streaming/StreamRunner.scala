@@ -131,6 +131,56 @@ object StreamRunner {
       }
     }
     val src = spark.readStream.schema(batch.schema).parquet(stage)
+    execToMemorySink(spark, src, name, outputMode, extraConfs)(transform)
+  }
+
+  /** [[runAvailableNow]] with TIME-ORDERED multi-batch replay: the
+    * staged input is range-partitioned on `orderCol` into `files`
+    * parquet files whose modification times are stamped in range
+    * order, and the file source replays them ONE PER MICRO-BATCH
+    * (`maxFilesPerTrigger` = 1, and the source picks pending files in
+    * mod-time order) — so event time advances monotonically across
+    * batches, the watermark never retro-drops a staged row, and a
+    * stateful operator genuinely carries state across ≥ `files`
+    * micro-batches instead of seeing everything in one (the sw41
+    * custom-state gate's whole point). Production needs none of this:
+    * a tailed directory arrives in time order by construction. */
+  def runAvailableNowOrdered(spark: SparkSession, batch: DataFrame,
+      name: String, outputMode: String, orderCol: String, files: Int = 4,
+      extraConfs: Map[String, String] = Map.empty)
+      (transform: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val stage = s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stream/" +
+      s"${name}_p${ProcessHandle.current().pid()}_${runSeq.incrementAndGet()}"
+    batch.repartitionByRange(files, col(orderCol))
+      .sortWithinPartitions(orderCol)
+      .write.mode("overwrite").parquet(stage)
+    // part-0000i carries the i-th range: stamp strictly increasing
+    // mtimes in name order so the source's mod-time ordering replays
+    // the ranges oldest-first deterministically
+    locally {
+      import java.nio.file.{Files, Paths}
+      import scala.jdk.CollectionConverters._
+      val dir = Paths.get(stage)
+      val parts = Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString)
+      val base = Files.getLastModifiedTime(parts.head).toMillis
+      parts.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(base + (i + 1) * 2000L))
+      }
+    }
+    val src = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1").parquet(stage)
+    // the memory sink holds the result rows; the staging dir can go
+    try execToMemorySink(spark, src, name, outputMode, extraConfs)(transform)
+    finally deleteDir(stage)
+  }
+
+  private def execToMemorySink(spark: SparkSession, src: DataFrame,
+      name: String, outputMode: String, extraConfs: Map[String, String])
+      (transform: DataFrame => DataFrame): DataFrame = {
     val sink = s"${name}_${runSeq.incrementAndGet()}"
     // Each stateful operator commits one state store PER shuffle
     // partition PER micro-batch — at the session default (32) a 3-batch
@@ -156,9 +206,11 @@ object StreamRunner {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
     }
-    // staging dir deliberately NOT deleted here: it is memoized in
-    // stagedInputs for the session's repeat runs (see above); dirs are
-    // pid-scoped tmp, one per (query, input), megabytes not gigabytes
+    // runAvailableNow's staging dir is deliberately NOT deleted here:
+    // it is memoized in stagedInputs for the session's repeat runs
+    // (see above); dirs are pid-scoped tmp, one per (query, input),
+    // megabytes not gigabytes. (The ordered variant deletes its own —
+    // its caller materializes the sink first.)
     lastSink.synchronized {
       lastSink.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
       lastSink.put((spark, name), sink).foreach(spark.catalog.dropTempView)

@@ -38,8 +38,8 @@ object AnfProbe {
         iters = 3)
       .groupBy(col("landmark").as("id")).agg(count(lit(1)).as("exact"))
     val maxErr = exact.join(sk, "id")
-      .select((abs(hll_sketch_estimate(col("sk")) - col("exact"))
-        .cast("double") / col("exact")).as("err"))
+      .select((abs(graft.functions.PackedHll.hll5Estimate(col("sk"))
+        - col("exact")) / col("exact")).as("err"))
       .agg(max("err")).head.getDouble(0)
     println(f"ANFPROBE maxerr lgK=$lgK $maxErr%.4f")
     spark.stop()

@@ -344,7 +344,9 @@ class GraphSpec extends SparkSpec {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
     def balls(iters: Int): Map[Long, Long] = IterativeGraph
       .hyperBallSketches(edges, iters = iters)
-      .select($"id", hll_sketch_estimate($"sk").as("b"))
+      .select($"id",
+        round(graft.functions.PackedHll.hll5Estimate($"sk"))
+          .cast("long").as("b"))
       .as[(Long, Long)].collect().toMap
     assert(balls(1) == Map(1L -> 2L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 2L))
     assert(balls(2) == Map(1L -> 3L, 2L -> 4L, 3L -> 5L, 4L -> 4L, 5L -> 3L))

@@ -644,4 +644,31 @@ class PlanSpec extends SparkSpec {
     assert(a == b && a == Seq((100L, 9.0), (101L, 2.0)),
       s"results diverged: $a vs $b")
   }
+
+  test("catalog round-trip: spark.table read plans the same pushed-filter parquet scan as a path read") {
+    // the q50 path: saveAsTable → session catalog → SQL/table reads.
+    // The catalog must be a NAME layer only — the physical plan under
+    // it is the identical FileScan parquet with pushdown and pruning,
+    // not a different (or worse) execution path.
+    // fresh-session catalogs don't know tables whose warehouse dirs a
+    // prior JVM left behind — clear both sides (the q50 gate does the
+    // same) or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS graft_planspec_part")
+    graft.Fs.deleteRecursive(spark,
+      spark.conf.get("spark.sql.warehouse.dir") + "/graft_planspec_part")
+    graft.sources.Sources.saveTable(
+      Tables.part(spark, sf), "graft_planspec_part")
+    val viaCatalog = spark.table("graft_planspec_part")
+      .filter(col("p_size") === 5)
+      .select("p_partkey", "p_name")
+    val plan = planOf(viaCatalog)
+    assert(plan.contains("FileScan parquet") || plan.contains("Scan parquet"),
+      s"catalog read must scan parquet:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(p_size,5)"),
+      s"expected p_size pushdown through the catalog relation:\n$plan")
+    assert(plan.contains("ReadSchema") && !plan.contains("p_retailprice"),
+      "projection must prune unreferenced columns through the catalog")
+    // and the names round-trip: the table is listed and re-readable
+    assert(spark.catalog.tableExists("graft_planspec_part"))
+  }
 }

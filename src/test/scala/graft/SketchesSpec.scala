@@ -111,4 +111,48 @@ class SketchesSpec extends SparkSpec {
     assert(got.filter(r => r._2 == "a" && r._3 < 0.05)
       .forall(_._4 == 0.125))
   }
+
+  test("PackedHll: 5-bit register round-trip, order-free max merge, Ertl estimate within tolerance at every range") {
+    import graft.functions.PackedHll
+    val lgK = 9
+    // register get/set round-trip across byte boundaries (5-bit regs
+    // straddle bytes at every alignment over a 16-register window)
+    val b = new Array[Byte](PackedHll.numBytes(lgK)); b(0) = lgK.toByte
+    val vals = Seq(0, 31, 1, 17, 5, 30, 2, 9, 31, 0, 13, 7, 21, 4, 29, 16)
+    vals.zipWithIndex.foreach { case (v, j) => PackedHll.setReg(b, j, v) }
+    assert(vals.indices.forall(j => PackedHll.getReg(b, j) == vals(j)))
+    // neighbouring registers untouched by interleaved writes
+    assert(PackedHll.getReg(b, 16) == 0)
+    // merge = per-register max, commutative and idempotent
+    def sk(ids: Seq[Long]): Array[Byte] = {
+      val acc = new Array[Byte](PackedHll.numBytes(lgK)); acc(0) = lgK.toByte
+      ids.foreach(i => PackedHll.maxMerge(acc, PackedHll.singleton(i, lgK)))
+      acc
+    }
+    val a1 = sk(1L to 100L)
+    val a2 = sk((100L to 1L by -1L))
+    assert(a1.toSeq == a2.toSeq, "merge order must not matter")
+    PackedHll.maxMerge(a1, a2)
+    assert(a1.toSeq == a2.toSeq, "self-union must be identity")
+    // sparse wire round-trip: a lightly-occupied file goes sparse and
+    // densifies back identically; a saturated one stays dense
+    val light = sk(1L to 20L)
+    val wire = PackedHll.maybeSparse(light)
+    assert(wire(0) < 0 && wire.length < light.length,
+      s"20-element file must ship sparse (${wire.length} vs ${light.length})")
+    assert(PackedHll.toDense(wire).toSeq == light.toSeq)
+    val heavy = sk(1L to 100000L)
+    assert(PackedHll.maybeSparse(heavy) eq heavy,
+      "saturated file must stay dense")
+    // singleton is the 6-byte sparse seed
+    assert(PackedHll.singleton(42L, lgK).length == 6)
+    // estimate accuracy: small range is near-exact, larger ranges stay
+    // inside the estimator's theoretical band (1.04/sqrt(512) ~ 4.6%
+    // RSE; 15% here is > 3 sigma — deterministic, not flaky)
+    for (n <- Seq(10, 100, 1000, 20000, 300000)) {
+      val est = PackedHll.estimate(sk((1L to n.toLong).map(_ * 7919L)))
+      assert(math.abs(est - n) / n <= 0.15,
+        s"n=$n estimated $est (err ${math.abs(est - n) / n})")
+    }
+  }
 }

@@ -1067,6 +1067,51 @@ class SourcesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("MV rewrite registry: match cost is per-Aggregate and linear in live views; dead-dir entries evict at registration") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    import graft.plans.MvRewrite
+    MvRewrite.clear(spark)
+    val n = 8
+    val dirs = (0 until n).map { i =>
+      val t = s"$tmp/mvreg_base_$i"
+      val mv = s"$tmp/mvreg_view_$i"
+      Sources.snapshotCommit(
+        Seq((i.toLong, "a", 1L)).toDF("id", "g", "v"), t)
+      MaterializedView.build(spark, t, mv, rowKey = "id",
+        keyCols = Seq("g"), sumCols = Seq("v"))
+      MaterializedView.registerForRewrite(spark, t, mv)
+      (t, mv)
+    }
+    assert(MvRewrite.registered(spark) == n)
+    val other = s"$tmp/mvreg_other"
+    Sources.snapshotCommit(Seq((1L, "x", 2L)).toDF("id", "g", "v"), other)
+    // a non-matching AGGREGATE plan pays at most (optimizer passes ×
+    // entries) match attempts — linear in the registry, and bounded
+    // per Aggregate node, never per plan node
+    val before = MvRewrite.matchAttempts.get()
+    Sources.snapshotRead(spark, other, 1)
+      .groupBy("g").agg(sum("v").as("s")).collect()
+    val attempts = MvRewrite.matchAttempts.get() - before
+    assert(attempts >= n && attempts <= 6L * n,
+      s"1 aggregate x $n views made $attempts match attempts")
+    // a plan with NO aggregate pays ZERO match attempts — N registered
+    // views cannot tax scan/filter/join-only queries
+    val b2 = MvRewrite.matchAttempts.get()
+    Sources.snapshotRead(spark, other, 1)
+      .filter(col("g") === "x").collect()
+    assert(MvRewrite.matchAttempts.get() == b2,
+      "non-aggregate plan must make zero match attempts")
+    // dead-dir eviction: drop one registered pair's dirs; the next
+    // registration sweeps the corpse out of the registry
+    graft.Fs.deleteRecursive(spark, dirs.head._1)
+    graft.Fs.deleteRecursive(spark, dirs.head._2)
+    MaterializedView.registerForRewrite(spark, dirs(1)._1, dirs(1)._2)
+    assert(MvRewrite.registered(spark) == n - 1,
+      "registration must evict entries whose dirs are gone")
+    MvRewrite.clear(spark)
+  }
+
   test("TableStats: stale artifact withholds the broadcast hint; unsupported NDV types degrade to NULL ndv, not a failed ANALYZE") {
     import spark.implicits._
     import graft.sources.{Sources, TableStats}

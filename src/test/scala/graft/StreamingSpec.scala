@@ -285,12 +285,17 @@ class StreamingSpec extends SparkSpec {
     try {
       in.addData(batch1: _*)
       q.processAllAvailable()
-      // the post-batch watermark (max ts 07:30 − 10s) already passed
-      // user 1's last event (01:20) + gap → that session closes first
+      // gaps-and-islands WITHIN the batch: both users' event pairs sit
+      // ≥ the 60 s gap apart, so each user's FIRST session closes in
+      // the fold itself; then the post-batch watermark (max ts 07:30 −
+      // 10 s) passes user 1's open tail (01:20 + gap) → its timeout
+      // fires too. User 2's tail (07:30 + gap) is still ahead of the
+      // watermark and stays open.
       assert(spark.table("state_sessions")
         .select("user_id", "n_events", "total_value")
-        .as[(Long, Long, Double)].collect().toSet === Set((1L, 2L, 3.0)))
-      // jump event time a month ahead → watermark sails past both users
+        .as[(Long, Long, Double)].collect().toSet ===
+        Set((1L, 1L, 1.0), (1L, 1L, 2.0), (2L, 1L, 3.0)))
+      // jump event time a month ahead → watermark sails past user 2
       in.addData(Event(10, ts("2024-02-01 00:00:00"), 99, "click", 0.0))
       q.processAllAvailable()
       // timeouts fire on the batch AFTER the watermark advance
@@ -299,7 +304,8 @@ class StreamingSpec extends SparkSpec {
       val got = spark.table("state_sessions")
         .select("user_id", "n_events", "total_value")
         .as[(Long, Long, Double)].collect().toSet
-      assert(got === Set((1L, 2L, 3.0), (2L, 2L, 7.0)))
+      assert(got === Set((1L, 1L, 1.0), (1L, 1L, 2.0),
+        (2L, 1L, 3.0), (2L, 1L, 4.0)))
     } finally q.stop()
   }
 
