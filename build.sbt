@@ -33,3 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // has 128 GiB; the JVM only commits what it touches.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// probe-only JVM/Spark overrides (e.g. a shuffle codec or cleaner
+// cadence for a one-off scale measurement) without touching defaults:
+// SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.io.compression.codec=zstd ..."
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

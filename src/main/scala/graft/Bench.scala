@@ -178,9 +178,21 @@ object Bench {
     Files.writeString(Paths.get(out), json + "\n")
     val slow = results.filter(_.err.isEmpty).sortBy(-_.best).take(12)
       .map { r => "\"" + r.name + "\":" + fmt(r.best) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""timing":"min_of_runs","queries":$slow,"failed":$failed,""" +
-      s""""n":${results.size},"queries_full":"$out","sf":"$sfDir"}""")
+      s""""n":${results.size},"queries_full":"$out","sf":"$sfDir"}"""
+    println(summary)
+    // Shutdown ORDER matters for the official artifact: the r13 record
+    // lost its summary because the state-store maintenance thread raced
+    // SparkContext teardown and flooded the captured tail with an
+    // RpcEnvStoppedException wall. Quiesce the streaming machinery
+    // FIRST (stop any stray active query, then the StateStore
+    // maintenance task + loaded providers), THEN stop Spark — and
+    // re-print the one-line summary as the process's very last stdout
+    // so no late teardown noise can displace it from a bounded tail.
+    graft.Sessions.quiesceStreaming(spark)
     spark.stop()
+    println(summary)
   }
 }

@@ -32,4 +32,19 @@ object Sessions {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Quiesce streaming machinery BEFORE `spark.stop()` in a main that
+    * ran Structured Streaming queries: stop any still-active query,
+    * then shut the state-store maintenance task and unload loaded
+    * providers. Skipping this lets the maintenance thread race
+    * SparkContext teardown and print an RpcEnvStoppedException wall
+    * into the process tail (the r13 bench-artifact failure). Each step
+    * is best-effort — teardown noise must never fail the run that
+    * produced the results. */
+  def quiesceStreaming(spark: SparkSession): Unit = {
+    spark.streams.active.foreach(q => scala.util.Try(q.stop()))
+    scala.util.Try(
+      org.apache.spark.sql.execution.streaming.state.StateStore.stop())
+    ()
+  }
 }

@@ -36,6 +36,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // quiesce streaming state machinery before teardown — the sw*
+    // queries ran micro-batch state stores whose maintenance thread
+    // otherwise races SparkContext shutdown (tail-flooding stack
+    // traces; see Sessions.quiesceStreaming)
+    Sessions.quiesceStreaming(spark)
     spark.stop()
   }
 }

@@ -653,6 +653,18 @@ object PropertyGraph {
     * bounded by the max basket size, never corpus × corpus — and the
     * input for triangle counting (g16), whose degree-ordered
     * orientation handles hub skew downstream. */
+  /** The co-purchase artifact's scratch path for `dir`. The name
+    * carries a hash of the RAW dir besides its sanitized form: two
+    * dirs whose non-alphanumerics collapse to the same string must
+    * not share an artifact (the marker check in the builder would
+    * otherwise fail permanently for whichever dir arrives second —
+    * an artifact that can never rebuild). */
+  private[graft] def coPurchaseScratch(dir: String): String = {
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    graft.ScratchDirs.scratch(s"copurchase_$safe")
+  }
+
   def partCoPurchaseGraph(spark: SparkSession, dir: String): PropertyGraph =
     graft.Memo.obj(spark, s"partCoPurchaseGraph|$dir") {
       import graft.Tables
@@ -663,9 +675,15 @@ object PropertyGraph {
       // re-measure then pays an artifact-sized scan, not the projection
       // rebuild. The marker is written after the edges, so a crashed
       // half-write is rebuilt, never served.
-      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val path = graft.ScratchDirs.scratch(s"copurchase_$safe")
+      val path = coPurchaseScratch(dir)
       val marker = s"$path/key"
+      // defense in depth: a marker carrying some OTHER dir's key (a
+      // stale artifact from an older naming scheme) is deleted and
+      // rebuilt for the requested dir, never served and never fatal
+      if (graft.Fs.exists(spark, marker) &&
+          spark.read.parquet(marker).collect()
+            .forall(_.getString(0) != dir))
+        graft.Fs.deleteRecursive(spark, path)
       if (!graft.Fs.exists(spark, marker)) {
         val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
         val a = li.toDF("ok", "src")
@@ -681,8 +699,8 @@ object PropertyGraph {
       }
       val key = spark.read.parquet(marker).collect()
       require(key.length == 1 && key(0).getString(0) == dir,
-        s"co-purchase artifact key mismatch at $path: wanted $dir, " +
-          s"found ${key.map(_.get(0)).mkString(",")}")
+        s"co-purchase artifact key mismatch at $path after rebuild: " +
+          s"wanted $dir, found ${key.map(_.get(0)).mkString(",")}")
       val edges = graft.Caches.cached(spark.read.parquet(s"$path/edges"))
       val parts = Tables.part(spark, dir)
         .select(col("p_partkey").cast("long").as("id"), col("p_name").as("name"),

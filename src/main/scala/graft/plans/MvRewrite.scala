@@ -82,14 +82,46 @@ object MvRewrite extends Rule[LogicalPlan] {
     // scan will ever carry — so keeping it only taxes every later
     // Aggregate with one more guaranteed-miss comparison. Eviction
     // happens here (registration-rate IO), never in apply() (per-plan
-    // hot path).
+    // hot path) — and it is GATED: the sweep stats every live entry's
+    // dirs, so sweeping on every registration is O(N²) filesystem
+    // metadata calls across N registrations. Sweep only when the list
+    // has grown past `sweepMinSize` AND every `sweepEvery`-th
+    // registration since the last sweep — amortized O(N²/sweepEvery),
+    // and a session with a handful of views never sweeps at all.
+    // The liveness PROBES run OUTSIDE the map lock (filesystem IO must
+    // not sit inside compute's bin lock); the merge itself is an
+    // atomic `compute` — the r13 get→filter→put could lose a
+    // concurrent registration on the same session (two threads read
+    // the same `cur`, last put wins, first entry silently dropped).
     def alive(x: Entry): Boolean =
       (x.baseDirs.iterator ++ x.mvDirs.iterator)
         .forall(d => graft.Fs.exists(spark, d))
     val cur = Option(registry.get(spark)).getOrElse(Nil)
-    val kept = cur.filter(x => x == e || alive(x))
-    registry.put(spark, if (kept.contains(e)) kept else e :: kept)
+    val doSweep = sinceSweep.incrementAndGet() >= sweepEvery &&
+      cur.size >= sweepMinSize
+    val dead: Set[Entry] =
+      if (!doSweep) Set.empty
+      else {
+        sinceSweep.set(0)
+        sweeps.incrementAndGet()
+        cur.iterator.filter(x => x != e && !alive(x)).toSet
+      }
+    registry.compute(spark, (_, cur0) => {
+      val kept = Option(cur0).getOrElse(Nil)
+        .filter(x => x == e || !dead.contains(x))
+      if (kept.contains(e)) kept else e :: kept
+    })
+    ()
   }
+
+  // eviction-sweep gating: probe dirs at most every `sweepEvery`
+  // registrations, and only once the registry is big enough for a
+  // guaranteed-miss tax to matter. Test-only `sweeps` counter lets a
+  // spec pin registration cost sublinear in sweep frequency.
+  private val sweepEvery = 8
+  private val sweepMinSize = 8
+  private val sinceSweep = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val sweeps = new java.util.concurrent.atomic.AtomicLong()
 
   def clear(spark: SparkSession): Unit = registry.remove(spark)
 

@@ -674,11 +674,15 @@ object GraphQueries {
           .withColumn("mn", min("id").over(ringMin))
           .select(col("id").as("src"),
             coalesce(col("nxt"), col("mn")).as("dst"))
-        val bridges = verts.groupBy("ring").agg(min("id").as("mn"))
-          .withColumn("nxt_mn",
-            lead("mn", 1).over(Window.orderBy("ring")))
-          .filter(col("nxt_mn").isNotNull && col("ring") % 2 === 1)
-          .select(col("mn").as("src"), col("nxt_mn").as("dst"))
+        // next-ring lookup as a SELF-JOIN on ring+1, not a global
+        // lead() window: an unpartitioned orderBy("ring") pulls every
+        // ring minimum into ONE partition (rings are consecutive, so
+        // "next ring exists" ≡ the inner join matches — identical
+        // semantics, no single-partition exchange)
+        val mins = verts.groupBy("ring").agg(min("id").as("mn"))
+        val bridges = mins.filter(col("ring") % 2 === 1).as("a")
+          .join(mins.as("b"), col("a.ring") + 1 === col("b.ring"))
+          .select(col("a.mn").as("src"), col("b.mn").as("dst"))
         val g = PropertyGraph(verts.select("id"),
           cycle.unionByName(bridges))
         g.stronglyConnectedComponents(numIter = 8)

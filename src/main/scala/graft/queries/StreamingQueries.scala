@@ -1477,6 +1477,59 @@ object StreamingQueries {
              |  round(sum(value), 2) AS total_value,
              |  max(epoch_us(ts)) AS last_ts_us
              |FROM s GROUP BY user_id, session_id
-             |ORDER BY user_id, last_ts_us""".stripMargin))
+             |ORDER BY user_id, last_ts_us""".stripMargin)),
+
+    // ---- VALUE-DEPENDENT session close (sw42): sw41's state machine
+    // with the semantics that force the hand-rolled form — a
+    // 'purchase' event TERMINATES its session at that event (the
+    // purchase is counted, the summary emits mid-batch, and the
+    // user's next event opens a fresh session regardless of gap).
+    // The built-in session window cannot express this: its
+    // dynamic-gap form can shrink a gap, but a gap ≤ 0 DROPS the row
+    // from sessionization (the session filter keeps only
+    // end > start), so "terminator counted, then hard split" has no
+    // session_window encoding. Oracle: gaps-and-islands with the
+    // extra boundary `lag(event_type) = 'purchase'` — a session
+    // starts at the first event, after a ≥30 min gap, or right after
+    // a purchase.
+    NamedQuery("sw42_stream_sessionize_close_on_purchase",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ev = Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val sentinel = Seq((-1L,
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L,
+            "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+        val res = StreamRunner.runAvailableNowOrdered(s,
+            ev.unionByName(sentinel), "sw42_sessions", "append", "ts") {
+          src =>
+            EventStreams.sessionizeWithState(src.as[EventStreams.Event],
+              gapMs = 30L * 60 * 1000,
+              closeOnType = Some("purchase")).toDF()
+        }
+        res.filter(col("user_id") >= 0)
+          .select(col("user_id"), col("n_events"),
+            round(col("total_value"), 2).as("total_value"),
+            col("last_ts_us"))
+          .orderBy("user_id", "last_ts_us", "n_events", "total_value")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+             |           OR lag(event_type) OVER w = 'purchase'
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g)
+             |SELECT user_id, count(*) AS n_events,
+             |  round(sum(value), 2) AS total_value,
+             |  max(epoch_us(ts)) AS last_ts_us
+             |FROM s GROUP BY user_id, session_id
+             |ORDER BY user_id, last_ts_us, n_events, total_value""".stripMargin))
   )
 }

@@ -442,7 +442,12 @@ object MaterializedView {
     val keyCols = st.getAs[String]("key_cols").split(",").toSeq
     val distinctCol = st.getAs[String]("sum_cols")
     val rowKey = st.getAs[String]("row_key")
-    val lgK = st.getAs[Int]("lg_k")
+    // state files written before r13 carry no lg_k column — those
+    // views were built at the then-hardwired width 12, so default to
+    // it instead of throwing on the missing field (an old view must
+    // stay refreshable without a rebuild)
+    val lgK = if (st.schema.fieldNames.contains("lg_k"))
+      st.getAs[Int]("lg_k") else 12
     val toV = Sources.snapshotLatestVersion(spark, tablePath)
     val mvV = Sources.snapshotLatestVersion(spark, mvPath)
     if (toV == fromV) return mvV

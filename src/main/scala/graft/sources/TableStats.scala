@@ -33,7 +33,10 @@ object TableStats {
     * accept (it takes int/long/string/binary only) still get
     * count/null/min/max; their `ndv_est` is NULL rather than failing
     * the whole aggregate — byte/short/date ride the sketch via a
-    * value-preserving widening cast. */
+    * value-preserving widening cast, and timestamps via unix_micros
+    * (a straight cast("long") truncates to whole SECONDS, collapsing
+    * every sub-second timestamp in a burst to one distinct value —
+    * the exact NDV the artifact exists to report). */
   def analyze(spark: SparkSession, tablePath: String, statsPath: String,
       cols: Seq[String], lgK: Int = 12): Int = {
     val v = Sources.snapshotLatestVersion(spark, tablePath)
@@ -45,7 +48,7 @@ object TableStats {
       case IntegerType | LongType | StringType | BinaryType => col(c)
       case t if Seq("byte", "short", "date").contains(t.typeName) =>
         col(c).cast("long")
-      case t if t.typeName == "timestamp" => col(c).cast("long")
+      case t if t.typeName == "timestamp" => unix_micros(col(c))
     }
     // one aggregate row carrying every column's stats, then unpivoted
     // driver-side (cols is schema-sized, not data-sized)

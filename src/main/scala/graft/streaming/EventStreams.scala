@@ -793,7 +793,7 @@ object EventStreams {
 
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * hand-rolled form of sessionWindowStats for when session semantics
-    * outgrow the built-in (e.g. value-dependent gaps, mid-session
+    * outgrow the built-in (value-dependent gaps, mid-session
     * emission). Gaps-and-islands semantics, batch-split invariant for
     * time-ordered arrival: the batch's rows fold in event-time order
     * and a session CLOSES (emits) the moment a gap ≥ `gapMs` appears —
@@ -803,9 +803,22 @@ object EventStreams {
     * closes via EVENT-TIME timeout when the watermark passes its last
     * event + `gapMs` (replayable and deterministic, where a
     * processing-time timeout would depend on the wall clock). State is
-    * one small case class per active user. */
+    * one small case class per active user.
+    *
+    * `closeOnType` is the VALUE-DEPENDENT close the built-in session
+    * window genuinely cannot express (gated as sw42): an event of
+    * that type terminates its session AT that event — the terminator
+    * belongs to the session, the summary emits immediately
+    * (mid-batch, no timeout wait), and the user's next event starts a
+    * fresh session no matter how small the gap. The built-in's
+    * dynamic-gap form (`session_window(ts, gapExpr)`) can shrink a
+    * gap, but a gap ≤ 0 DROPS the row from sessionization entirely
+    * (FilterExec on `session_window.end > session_window.start`), so
+    * "terminator counted, then hard split" has no session_window
+    * encoding — it needs exactly this state machine. */
   def sessionizeWithState(events: Dataset[Event], gapMs: Long,
-      watermarkDelay: String = "10 seconds"): Dataset[SessionSummary] = {
+      watermarkDelay: String = "10 seconds",
+      closeOnType: Option[String] = None): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000L
     events
@@ -835,12 +848,26 @@ object EventStreams {
                     math.max(s.lastTsUs, t)))
                 case None => Some(SessionState(1L, e.value, t))
               }
+              // value-dependent hard close: the terminator is already
+              // folded in; emit NOW and leave no open session behind
+              if (closeOnType.contains(e.event_type)) {
+                val s = cur.get
+                closed :+= SessionSummary(userId, s.nEvents, s.totalValue,
+                  s.lastTsUs)
+                cur = None
+              }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // ceil to ms: the timeout must not fire a µs-hair EARLY
-              // (the fold's µs comparison is the split authority)
-              state.setTimeoutTimestamp((s.lastTsUs + gapUs) / 1000L + 1L)
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                // ceil to ms: the timeout must not fire a µs-hair EARLY
+                // (the fold's µs comparison is the split authority)
+                state.setTimeoutTimestamp((s.lastTsUs + gapUs) / 1000L + 1L)
+              case None =>
+                // a terminator ended the batch: carried-over state (if
+                // any) was folded into the emitted session — drop it,
+                // or the stale open session would re-emit at timeout
+                if (state.exists) state.remove()
             }
             closed.iterator
           }

@@ -162,9 +162,18 @@ object StreamRunner {
       import java.nio.file.{Files, Paths}
       import scala.jdk.CollectionConverters._
       val dir = Paths.get(stage)
-      val parts = Files.list(dir).iterator().asScala
-        .filter(_.getFileName.toString.startsWith("part-")).toSeq
-        .sortBy(_.getFileName.toString)
+      // Files.list opens a directory handle the stream must close —
+      // unclosed, every ordered run leaks one fd for the process life
+      val listing = Files.list(dir)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-")).toList
+          .sortBy(_.getFileName.toString)
+        finally listing.close()
+      require(parts.nonEmpty,
+        s"ordered replay staged no part files at $stage — empty input " +
+          "DataFrame? (an ordered multi-batch replay of zero rows has " +
+          "no batches to order)")
       val base = Files.getLastModifiedTime(parts.head).toMillis
       parts.zipWithIndex.foreach { case (p, i) =>
         Files.setLastModifiedTime(p,

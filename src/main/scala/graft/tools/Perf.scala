@@ -17,7 +17,11 @@ object Perf {
       // SPARK_GRAFT_PERF_NOCLEAR=1 reproduces the Bench min-of-2 shape
       // (caches persist between a query's runs, cleared after the set)
       val noClear = sys.env.get("SPARK_GRAFT_PERF_NOCLEAR").contains("1")
-      val times = (1 to 3).map { _ =>
+      // SPARK_GRAFT_PERF_RUNS=1 for train-dominated probes (m27's 100x
+      // ALS fit) where one recorded number is the deliverable and
+      // three runs would triple a multi-minute measurement
+      val nRuns = sys.env.getOrElse("SPARK_GRAFT_PERF_RUNS", "3").toInt
+      val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val t = (System.nanoTime() - t0) / 1e9

@@ -569,4 +569,27 @@ class GraphSpec extends SparkSpec {
     // sanity: symmetric counts for the within-walk pair (2,3)/(3,2)
     assert(got((2L, 3L)) == got((3L, 2L)))
   }
+
+  test("co-purchase artifact: sanitize-colliding dirs get distinct paths; a stale marker rebuilds instead of wedging") {
+    // two raw dirs whose non-alphanumerics collapse to the SAME
+    // sanitized string must not share a scratch artifact — r13's
+    // naming made the second dir's marker check fail permanently
+    assert(PropertyGraph.coPurchaseScratch("/x/a.b") !=
+      PropertyGraph.coPurchaseScratch("/x/a_b"))
+    // a marker carrying some OTHER dir's key (stale artifact) must be
+    // deleted and rebuilt for the requested dir, never served or fatal
+    val d = java.nio.file.Files.createTempDirectory("copg_dir").toString
+    for (t <- Seq("lineitem", "part"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/$t.parquet"),
+        java.nio.file.Paths.get(s"$d/$t.parquet"))
+    val path = PropertyGraph.coPurchaseScratch(d)
+    Seq("/some/other/dir").toDF("dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/key")
+    val g = PropertyGraph.partCoPurchaseGraph(spark, d)
+    assert(g.edges.count() > 0)
+    val key = spark.read.parquet(s"$path/key").collect()
+    assert(key.length == 1 && key(0).getString(0) == d,
+      s"marker must carry the requested dir after rebuild: ${key.toSeq}")
+  }
 }

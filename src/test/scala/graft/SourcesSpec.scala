@@ -1184,6 +1184,76 @@ class SourcesSpec extends SparkSpec {
     assert(got == Set(("a", 3L, 3L), ("b", 2L, 2L)))
   }
 
+  test("MV distinct refresh: pre-r13 state file without lg_k refreshes at the legacy default width") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    val t = s"$tmp/mvlgk_old_base"
+    val mv = s"$tmp/mvlgk_old_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", "u1"), (2L, "a", "u2")).toDF("id", "g", "u"), t)
+    // build at the legacy default width, then strip lg_k from the
+    // persisted state — the exact on-disk shape r12 and earlier wrote
+    MaterializedView.buildDistinct(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g"), distinctCol = "u", lgK = 12)
+    val stPath = s"$mv/mv_state"
+    val legacy = spark.read.parquet(stPath).drop("lg_k")
+    val stage = s"$tmp/mvlgk_old_state_stage"
+    legacy.coalesce(1).write.mode("overwrite").parquet(stage)
+    graft.Fs.deleteRecursive(spark, stPath)
+    spark.read.parquet(stage).coalesce(1)
+      .write.mode("overwrite").parquet(stPath)
+    // an append refresh must fall back to width 12, not throw on the
+    // missing field (old views stay refreshable without a rebuild)
+    Sources.snapshotCommit(
+      Seq((3L, "a", "u3"), (4L, "b", "u1")).toDF("id", "g", "u"), t,
+      overwrite = false)
+    MaterializedView.refreshDistinct(spark, t, mv)
+    val got = Sources.snapshotRead(spark, mv,
+        Sources.snapshotLatestVersion(spark, mv))
+      .select(col("g"), col("mv_count"),
+        hll_sketch_estimate(col("hll_u")).as("ndv"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, 3L), ("b", 1L, 1L)))
+  }
+
+  test("MV rewrite registry: eviction sweep is gated — dir probes amortize to one pass per sweepEvery registrations") {
+    import graft.plans.MvRewrite
+    MvRewrite.clear(spark)
+    val before = MvRewrite.sweeps.get()
+    (0 until 32).foreach { i =>
+      MvRewrite.register(spark, MvRewrite.Entry(
+        Set(s"$tmp/mvswp_none_$i"), Seq(s"$tmp/mvswp_none_mv_$i"),
+        Seq("g"), Set("v")))
+    }
+    val delta = MvRewrite.sweeps.get() - before
+    // 32 registrations may sweep at most every 8th — the r13 behavior
+    // (a full live-dir stat pass on EVERY registration: 32 sweeps,
+    // O(N²) filesystem metadata calls) is what this pins against
+    assert(delta <= 4, s"32 registrations ran $delta sweeps (cap 4)")
+    MvRewrite.clear(spark)
+  }
+
+  test("TableStats: timestamp NDV is microsecond-precise — a sub-second burst is not one distinct value") {
+    import spark.implicits._
+    import graft.sources.{Sources, TableStats}
+    val t = s"$tmp/stats_ts_base"
+    val sp = s"$tmp/stats_ts_art"
+    // 64 timestamps inside ONE second, distinct only at micros: the
+    // r13 cast("long") truncated to whole seconds and reported NDV 1
+    val rows = (0 until 64).map { i =>
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      ts.setNanos(i * 1000 * 1000 / 64 * 1000)
+      (i.toLong, ts)
+    }
+    Sources.snapshotCommit(rows.toDF("id", "ts"), t)
+    TableStats.analyze(spark, t, sp, Seq("ts"))
+    val ndv = TableStats.stats(spark, sp)
+      .filter(col("column") === "ts")
+      .select("ndv_est").as[Option[Long]].head()
+    assert(ndv.exists(n => n >= 60 && n <= 68),
+      s"sub-second timestamp NDV collapsed: $ndv (want ~64)")
+  }
+
   test("MV filter rewrite: key-only predicates replay on the view; non-key and non-deterministic fall back") {
     import spark.implicits._
     import graft.sources.{MaterializedView, Sources}

@@ -309,6 +309,62 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runAvailableNowOrdered handles an empty input frame (one empty staged file, zero output rows)") {
+    import spark.implicits._
+    // an empty frame stages a single empty part file — the ordered
+    // replay must complete with zero rows, and the stage listing path
+    // (now a closed directory stream + a nonEmpty guard) must not
+    // throw on the degenerate shape
+    val empty = Seq.empty[(Long, Timestamp, String)]
+      .toDF("id", "ts", "kind")
+    val res = graft.streaming.StreamRunner.runAvailableNowOrdered(spark, empty,
+        "ordered_empty", "append", "ts") { src => src.filter(col("id") > 0) }
+    assert(res.count() === 0)
+  }
+
+  test("sessionizeWithState closeOnType hard-closes at the terminator") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithState(in.toDS(), gapMs = 60000L,
+        closeOnType = Some("purchase"))
+      .writeStream.format("memory").queryName("state_sessions_close")
+      .outputMode("append").start()
+    def got = spark.table("state_sessions_close")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    try {
+      // mid-batch: click → purchase (30 s later, inside the 60 s gap)
+      // → click. The purchase CLOSES session 1 at itself (2 events,
+      // value 3.0) and the trailing click opens a fresh session — no
+      // watermark has passed anything, so the emission is the
+      // value-dependent close, not a timeout
+      in.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:10"), 1, "purchase", 2.0),
+        Event(3, ts("2024-01-01 00:00:20"), 1, "click", 4.0))
+      q.processAllAvailable()
+      assert(got === Set((1L, 2L, 3.0)),
+        s"purchase must close its session mid-batch: $got")
+      // cross-batch: a purchase 30 s after the carried open tail
+      // (inside the gap) folds INTO the carried session, closes it,
+      // and must leave NO state behind
+      in.addData(Event(4, ts("2024-01-01 00:00:50"), 1, "purchase", 8.0))
+      q.processAllAvailable()
+      assert(got === Set((1L, 2L, 3.0), (1L, 2L, 12.0)),
+        s"cross-batch purchase must fold into the carried session: $got")
+      // sail the watermark a month past everything: a stale state entry
+      // for user 1 would now re-emit via timeout — the close must have
+      // removed it
+      in.addData(Event(10, ts("2024-02-01 00:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(11, ts("2024-02-01 00:00:01"), 99, "click", 0.0))
+      q.processAllAvailable()
+      assert(got.count(_._1 == 1L) === 2,
+        s"purchase-closed session re-emitted at timeout: $got")
+    } finally q.stop()
+  }
+
   test("budgetAdmission carries spent-token state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
