@@ -1530,6 +1530,72 @@ object StreamingQueries {
              |  round(sum(value), 2) AS total_value,
              |  max(epoch_us(ts)) AS last_ts_us
              |FROM s GROUP BY user_id, session_id
-             |ORDER BY user_id, last_ts_us, n_events, total_value""".stripMargin))
+             |ORDER BY user_id, last_ts_us, n_events, total_value""".stripMargin)),
+
+    // ---- MID-SESSION progress emission (sw43): the second semantics
+    // out of the built-in session window's reach — every 3rd event of
+    // an open session emits a live progress row (running count/total
+    // at that event, is_partial=true) while the session stays open
+    // and still emits its final row; session_window emits exactly ONE
+    // row per session at close, so a live view of long-running
+    // sessions has no built-in encoding. 12 h gap makes the sf
+    // fixtures' sessions multi-event (avg ~3 at sf0.01) so the
+    // partial path carries real weight. Oracle: gaps-and-islands with
+    // a per-session row_number + running sum — partials are the
+    // rn%3=0 prefix rows, finals the per-session aggregate; the
+    // running sum replays the engine's fold order (ts, event_id), so
+    // the IEEE accumulation order matches exactly.
+    NamedQuery("sw43_stream_sessionize_partial_emit",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ev = Tables.events(s, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value")
+        val sentinel = Seq((-1L,
+            java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), -1L,
+            "sentinel", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+        val res = StreamRunner.runAvailableNowOrdered(s,
+            ev.unionByName(sentinel), "sw43_sessions", "append", "ts") {
+          src =>
+            EventStreams.sessionizeWithState(src.as[EventStreams.Event],
+              gapMs = 12L * 3600 * 1000,
+              emitEvery = Some(3)).toDF()
+        }
+        res.filter(col("user_id") >= 0)
+          .select(col("user_id"), col("n_events"),
+            round(col("total_value"), 2).as("total_value"),
+            col("last_ts_us"), col("is_partial"))
+          .orderBy("user_id", "last_ts_us", "is_partial", "n_events",
+            "total_value")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 43200000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    sum(new_session) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM g),
+             |r AS (
+             |  SELECT user_id, session_id, value,
+             |    row_number() OVER w2 AS rn,
+             |    sum(value) OVER (w2 ROWS UNBOUNDED PRECEDING) AS run_value,
+             |    epoch_us(ts) AS ts_us
+             |  FROM s WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)),
+             |partials AS (
+             |  SELECT user_id, rn AS n_events, round(run_value, 2) AS total_value,
+             |    ts_us AS last_ts_us, TRUE AS is_partial
+             |  FROM r WHERE rn % 3 = 0),
+             |finals AS (
+             |  SELECT user_id, max(rn) AS n_events, round(sum(value), 2) AS total_value,
+             |    max(ts_us) AS last_ts_us, FALSE AS is_partial
+             |  FROM r GROUP BY user_id, session_id)
+             |SELECT user_id, n_events, total_value, last_ts_us, is_partial
+             |FROM (SELECT * FROM partials UNION ALL SELECT * FROM finals)
+             |ORDER BY user_id, last_ts_us, is_partial, n_events,
+             |  total_value""".stripMargin))
   )
 }

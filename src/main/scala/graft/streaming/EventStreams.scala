@@ -784,9 +784,12 @@ object EventStreams {
   final case class SessionState(nEvents: Long, totalValue: Double,
       lastTsUs: Long)
 
-  /** Closed-session summary (`last_ts_us` = last event time, µs). */
+  /** Closed-session summary (`last_ts_us` = last event time, µs).
+    * `is_partial` marks a MID-SESSION progress emission (sw43's
+    * emitEvery) — the session is still open and will also emit its
+    * final row; a closed session always emits with is_partial=false. */
   final case class SessionSummary(user_id: Long, n_events: Long,
-      total_value: Double, last_ts_us: Long)
+      total_value: Double, last_ts_us: Long, is_partial: Boolean = false)
 
   private def epochUs(ts: Timestamp): Long =
     (ts.getTime / 1000L) * 1000000L + ts.getNanos / 1000L
@@ -815,10 +818,22 @@ object EventStreams {
     * gap, but a gap ≤ 0 DROPS the row from sessionization entirely
     * (FilterExec on `session_window.end > session_window.start`), so
     * "terminator counted, then hard split" has no session_window
-    * encoding — it needs exactly this state machine. */
+    * encoding — it needs exactly this state machine.
+    *
+    * `emitEvery` is MID-SESSION emission, the second semantics out of
+    * the built-in's reach (gated as sw43): every n-th event of an
+    * open session emits a PROGRESS row (is_partial=true, the running
+    * count/total/last-ts at that event) while the session stays open
+    * and still emits its final row later. The built-in session window
+    * emits exactly one row per session at close — a live dashboard of
+    * long-running sessions has no session_window encoding. The count
+    * carries in state, so the n-th event fires its partial in
+    * whichever micro-batch it arrives — batch-split invariant like
+    * the close semantics. */
   def sessionizeWithState(events: Dataset[Event], gapMs: Long,
       watermarkDelay: String = "10 seconds",
-      closeOnType: Option[String] = None): Dataset[SessionSummary] = {
+      closeOnType: Option[String] = None,
+      emitEvery: Option[Int] = None): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000L
     events
@@ -847,6 +862,13 @@ object EventStreams {
                   Some(SessionState(s.nEvents + 1, s.totalValue + e.value,
                     math.max(s.lastTsUs, t)))
                 case None => Some(SessionState(1L, e.value, t))
+              }
+              // mid-session progress emission at every n-th event —
+              // the session stays open (its final row still comes)
+              if (emitEvery.exists(n => cur.get.nEvents % n == 0)) {
+                val s = cur.get
+                closed :+= SessionSummary(userId, s.nEvents, s.totalValue,
+                  s.lastTsUs, is_partial = true)
               }
               // value-dependent hard close: the terminator is already
               // folded in; emit NOW and leave no open session behind

@@ -365,6 +365,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithState emitEvery emits mid-session partials; the count carries across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithState(in.toDS(), gapMs = 60000L,
+        emitEvery = Some(3))
+      .writeStream.format("memory").queryName("state_sessions_partial")
+      .outputMode("append").start()
+    def got = spark.table("state_sessions_partial")
+      .select("user_id", "n_events", "total_value", "is_partial")
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    try {
+      // two events: below the emit cadence, nothing emits (no gap, no
+      // watermark movement past anything)
+      in.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:10"), 1, "view", 2.0))
+      q.processAllAvailable()
+      assert(got.isEmpty, s"nothing should emit before the 3rd event: $got")
+      // the 3rd event arrives in a LATER batch: the carried count must
+      // trigger the partial (running 3 events, 6.0) with the session
+      // still open
+      in.addData(Event(3, ts("2024-01-01 00:00:20"), 1, "purchase", 3.0))
+      q.processAllAvailable()
+      assert(got === Set((1L, 3L, 6.0, true)),
+        s"3rd event must emit a partial across the batch boundary: $got")
+      // one more event, then sail the watermark: the FINAL row carries
+      // the full session (4 events) with is_partial=false — the
+      // partial did not truncate or close anything
+      in.addData(Event(4, ts("2024-01-01 00:00:30"), 1, "click", 4.0))
+      q.processAllAvailable()
+      in.addData(Event(10, ts("2024-02-01 00:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(11, ts("2024-02-01 00:00:01"), 99, "click", 0.0))
+      q.processAllAvailable()
+      assert(got.contains((1L, 4L, 10.0, false)) &&
+        got.count(_._1 == 1L) === 2,
+        s"final must close the whole 4-event session exactly once: $got")
+    } finally q.stop()
+  }
+
   test("budgetAdmission carries spent-token state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
