@@ -1233,6 +1233,28 @@ class SourcesSpec extends SparkSpec {
     MvRewrite.clear(spark)
   }
 
+  test("MV rewrite registry: concurrent registrations on one session all land (atomic compute merge)") {
+    import graft.plans.MvRewrite
+    MvRewrite.clear(spark)
+    // r13's get->filter->put merge could lose entries under
+    // interleaving (two threads read the same list, last put wins);
+    // the compute-based merge must keep every distinct entry
+    val n = 24
+    // entries point at the LIVE tmp dir (distinct by keyCols) so the
+    // gated eviction sweep — which may fire mid-test — keeps them all
+    val threads = (0 until 4).map { t =>
+      new Thread(() =>
+        (0 until n / 4).foreach { i =>
+          MvRewrite.register(spark, MvRewrite.Entry(
+            Set(tmp), Seq(tmp), Seq("g", s"k_${t}_$i"), Set("v")))
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(MvRewrite.registered(spark) == n,
+      s"concurrent registrations lost entries: ${MvRewrite.registered(spark)} of $n")
+    MvRewrite.clear(spark)
+  }
+
   test("TableStats: timestamp NDV is microsecond-precise — a sub-second burst is not one distinct value") {
     import spark.implicits._
     import graft.sources.{Sources, TableStats}
