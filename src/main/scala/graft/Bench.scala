@@ -39,8 +39,8 @@ object Bench {
     }
 
     final case class R(name: String, runs: List[Double], err: Option[String],
-        rechecks: List[Double]) {
-      def best: Double = (runs ++ rechecks).min
+        rechecks: List[Double], floorRechecks: List[Double] = Nil) {
+      def best: Double = (runs ++ rechecks ++ floorRechecks).min
       def sweepMin: Double = runs.min
       def recheck: Option[Double] =
         if (rechecks.isEmpty) None else Some(rechecks.min)
@@ -132,42 +132,95 @@ object Bench {
       }
     }
 
+    // Floor guard (VERDICT r14): a SUSTAINED contention wave inflates
+    // ALL of a query's runs equally — the adaptive recheck above keys
+    // on within-query disagreement and cannot see it (the r14 official
+    // record carried 6–9x phantoms for sw41/t07: official runs
+    // 22.4/32.6/27.1, ratio 1.46 → no recheck fired, vs 4.4 s measured
+    // isolated the same day). The committed per-round floor file
+    // (bench_floors.json, regenerated each round from the accepted
+    // artifact by tools/update_floors.py) is the cross-round memory
+    // the within-run check lacks: any query whose min over ALL runs
+    // still exceeds 2x its recorded floor re-measures LATE in the
+    // drive — after the entire sweep, when a wave has had maximal time
+    // to pass — isolated, up to 3 attempts, stopping as soon as one
+    // reading lands inside the 2x band. Every reading stays visible
+    // ("runs" keeps the sweep pair, "floor_rechecks" the late ones
+    // with the floor they were checked against), so a genuine
+    // regression shows as late readings that AGREE with the sweep —
+    // an attributed slowdown, not a silent phantom.
+    val floorsPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "bench_floors.json")
+    val floors: Map[String, Double] =
+      if (!Files.exists(Paths.get(floorsPath))) Map.empty
+      else "\"([^\"]+)\":([0-9.]+)".r
+        .findAllMatchIn(Files.readString(Paths.get(floorsPath)))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    lastFam = ""
+    val guarded = results.map { r =>
+      floors.get(r.name) match {
+        case Some(floor) if r.err.isEmpty && r.best > 2 * floor =>
+          if (familyOf(r.name) != lastFam) {
+            familyFlush(); lastFam = familyOf(r.name)
+          }
+          val fn = SparkEntry.queries(r.name)
+          var late = List.empty[Double]
+          var attempts = 0
+          while (attempts < 3 &&
+              (r.runs ++ r.rechecks ++ late).min > 2 * floor) {
+            familyFlush()
+            val (tN, eN) = once(fn)
+            Caches.clear(spark)
+            attempts += 1
+            if (eN.isEmpty) late = late :+ tN
+          }
+          r.copy(floorRechecks = late)
+        case _ => r
+      }
+    }
+
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { r =>
+    val floorRechecked = guarded.filter(_.floorRechecks.nonEmpty).map { r =>
+      "\"" + r.name + "\":{\"floor\":" + fmt(floors(r.name)) +
+        ",\"sweep_min\":" + fmt(r.sweepMin) +
+        ",\"late\":[" + r.floorRechecks.map(fmt).mkString(",") + "]}" }
+      .mkString("{", ",", "}")
+    val qs = guarded.map { r =>
       "\"" + r.name + "\":" + r.err.fold(fmt(r.best))(_ => "null") }
       .mkString("{", ",", "}")
-    val runs = results.map { r =>
-      "\"" + r.name + "\":[" + (r.runs ++ r.rechecks).map(fmt).mkString(",") + "]" }
+    val runs = guarded.map { r =>
+      "\"" + r.name + "\":[" + (r.runs ++ r.rechecks ++ r.floorRechecks)
+        .map(fmt).mkString(",") + "]" }
       .mkString("{", ",", "}")
-    val contended = results.filter(r => r.err.isEmpty && r.contended).map { r =>
+    val contended = guarded.filter(r => r.err.isEmpty && r.contended).map { r =>
       "\"" + r.name + "\":{\"sweep_min\":" + fmt(r.sweepMin) +
         ",\"isolated\":" + fmt(r.recheck.get) + "}" }.mkString("{", ",", "}")
     // isolated reading for EVERY rechecked query (VERDICT r8 item 3),
     // not only contended failures: a gate reader can now separate
     // machine-day environment drift (in-sweep ≈ isolated, both high)
     // from plan regressions without a local re-run
-    val isolated = results.filter(r => r.err.isEmpty && r.recheck.isDefined)
+    val isolated = guarded.filter(r => r.err.isEmpty && r.recheck.isDefined)
       .map { r => "\"" + r.name + "\":{\"sweep_min\":" + fmt(r.sweepMin) +
         ",\"isolated\":" + fmt(r.recheck.get) + "}" }.mkString("{", ",", "}")
-    val failed = results.collect { case r if r.err.isDefined =>
+    val failed = guarded.collect { case r if r.err.isDefined =>
       s""""${r.name}":"${r.err.get}"""" }.mkString("{", ",", "}")
     // failures are reported, not timed: time-to-exception in the total
     // would let a crash read as a speedup (or a slow failure inflate it)
-    val total = results.filter(_.err.isEmpty).map(_.best).sum
+    val total = guarded.filter(_.err.isEmpty).map(_.best).sum
     // cold total = sum of each query's FIRST run — the apples-to-apples
     // column against rounds 1-5's single-run totals (min-of-runs
     // excludes per-call cache-build cost by design)
-    val totalCold = results.filter(_.err.isEmpty).map(_.runs.head).sum
+    val totalCold = guarded.filter(_.err.isEmpty).map(_.runs.head).sum
     // sweep-only total (min of IN-SWEEP runs, rechecks excluded): the
     // single-protocol column comparable across rounds regardless of
     // which queries crossed the 0.75 s recheck threshold (ADVICE r8)
-    val totalSweep = results.filter(_.err.isEmpty).map(_.sweepMin).sum
+    val totalSweep = guarded.filter(_.err.isEmpty).map(_.sweepMin).sum
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""timing":"min_of_runs","total_cold":${fmt(totalCold)},""" +
       s""""total_sweep":${fmt(totalSweep)},""" +
       s""""queries":$qs,"runs":$runs,"contended":$contended,""" +
-      s""""isolated":$isolated,""" +
+      s""""isolated":$isolated,"floor_rechecks":$floorRechecked,""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
     println(json)
     // stdout capture through sbt truncates the HEAD of the (long) full
@@ -176,12 +229,12 @@ object Bench {
     // tail capture always contains one parseable JSON line.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), json + "\n")
-    val slow = results.filter(_.err.isEmpty).sortBy(-_.best).take(12)
+    val slow = guarded.filter(_.err.isEmpty).sortBy(-_.best).take(12)
       .map { r => "\"" + r.name + "\":" + fmt(r.best) }.mkString("{", ",", "}")
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""timing":"min_of_runs","queries":$slow,"failed":$failed,""" +
-      s""""n":${results.size},"queries_full":"$out","sf":"$sfDir"}"""
+      s""""n":${guarded.size},"queries_full":"$out","sf":"$sfDir"}"""
     println(summary)
     // Shutdown ORDER matters for the official artifact: the r13 record
     // lost its summary because the state-store maintenance thread raced

@@ -677,13 +677,19 @@ object PropertyGraph {
       // half-write is rebuilt, never served.
       val path = coPurchaseScratch(dir)
       val marker = s"$path/key"
-      // defense in depth: a marker carrying some OTHER dir's key (a
-      // stale artifact from an older naming scheme) is deleted and
-      // rebuilt for the requested dir, never served and never fatal
-      if (graft.Fs.exists(spark, marker) &&
-          spark.read.parquet(marker).collect()
-            .forall(_.getString(0) != dir))
-        graft.Fs.deleteRecursive(spark, path)
+      // defense in depth: rebuild unless the marker is EXACTLY one
+      // row equal to dir. The r14 shape (rebuild only when ALL rows
+      // differ) let a corrupt multi-row marker that happened to
+      // contain dir skip the rebuild and then permanently fail the
+      // single-row require below on every run — the wedged-artifact
+      // mode this check exists to heal. Any malformed marker (other
+      // dir, extra rows, null) is deleted and rebuilt, never served
+      // and never fatal.
+      if (graft.Fs.exists(spark, marker)) {
+        val rows = spark.read.parquet(marker).collect()
+        if (!(rows.length == 1 && dir == rows(0).getString(0)))
+          graft.Fs.deleteRecursive(spark, path)
+      }
       if (!graft.Fs.exists(spark, marker)) {
         val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
         val a = li.toDF("ok", "src")

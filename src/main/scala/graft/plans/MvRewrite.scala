@@ -70,8 +70,22 @@ object MvRewrite extends Rule[LogicalPlan] {
       distinctCols: Set[String] = Set.empty,
       minMaxCols: Set[String] = Set.empty)
 
+  /** Per-session registry cell: the live entries plus this session's
+    * OWN sweep-cadence state. `gen` advances on every mutation — the
+    * eviction pass below uses it to detect a concurrent registration
+    * between its liveness snapshot and its evicting write (a
+    * just-re-registered entry's dirs may have reappeared; evicting
+    * from a stale snapshot would drop it). `sinceSweep`/`sweeps`
+    * living HERE (not in JVM-global atomics, the r14 shape) keeps one
+    * session's registration cadence from consuming another's sweep
+    * budget in a multi-session process, and makes the
+    * threshold-crossing decision atomic under compute's bin lock —
+    * no two threads can both observe the crossing and double-sweep. */
+  private final case class RegState(gen: Long, sinceSweep: Long,
+      sweeps: Long, entries: List[Entry])
+
   private val registry =
-    new ConcurrentHashMap[SparkSession, List[Entry]]()
+    new ConcurrentHashMap[SparkSession, RegState]()
 
   def register(spark: SparkSession, e: Entry): Unit = {
     // idempotent: gates re-register per run; duplicate entries would
@@ -88,46 +102,67 @@ object MvRewrite extends Rule[LogicalPlan] {
     // has grown past `sweepMinSize` AND every `sweepEvery`-th
     // registration since the last sweep — amortized O(N²/sweepEvery),
     // and a session with a handful of views never sweeps at all.
-    // The liveness PROBES run OUTSIDE the map lock (filesystem IO must
-    // not sit inside compute's bin lock); the merge itself is an
-    // atomic `compute` — the r13 get→filter→put could lose a
-    // concurrent registration on the same session (two threads read
-    // the same `cur`, last put wins, first entry silently dropped).
     def alive(x: Entry): Boolean =
       (x.baseDirs.iterator ++ x.mvDirs.iterator)
         .forall(d => graft.Fs.exists(spark, d))
-    val cur = Option(registry.get(spark)).getOrElse(Nil)
-    val doSweep = sinceSweep.incrementAndGet() >= sweepEvery &&
-      cur.size >= sweepMinSize
-    val dead: Set[Entry] =
-      if (!doSweep) Set.empty
-      else {
-        sinceSweep.set(0)
-        sweeps.incrementAndGet()
-        cur.iterator.filter(x => x != e && !alive(x)).toSet
-      }
+    // Phase 1 — one atomic compute: merge `e` and advance THIS
+    // session's cadence. The counter reset happens inside the same
+    // bin-locked decision, so exactly one of any set of racing
+    // registrations observes the threshold crossing (the r14
+    // incrementAndGet-then-set(0) pair let two threads both cross
+    // and double-sweep). The counter is NOT reset while the registry
+    // is below sweepMinSize — it keeps accumulating so the first
+    // registration at full size sweeps immediately.
+    var snap: RegState = null
+    var doSweep = false
     registry.compute(spark, (_, cur0) => {
-      val kept = Option(cur0).getOrElse(Nil)
-        .filter(x => x == e || !dead.contains(x))
-      if (kept.contains(e)) kept else e :: kept
+      val cur = Option(cur0).getOrElse(RegState(0L, 0L, 0L, Nil))
+      val since = cur.sinceSweep + 1
+      doSweep = since >= sweepEvery && cur.entries.size >= sweepMinSize
+      val entries =
+        if (cur.entries.contains(e)) cur.entries else e :: cur.entries
+      snap = RegState(cur.gen + 1, if (doSweep) 0L else since,
+        cur.sweeps + (if (doSweep) 1L else 0L), entries)
+      snap
     })
-    ()
+    // Phase 2 — liveness probes OUTSIDE the map lock (filesystem IO
+    // must not sit inside compute's bin lock), then a gen-checked
+    // evicting write: if any concurrent registration advanced `gen`
+    // since the snapshot, skip the eviction entirely — the racing
+    // entry may be a re-registration whose dirs just reappeared, and
+    // the next sweep re-probes everything anyway (eviction is an
+    // opportunistic tax cut, never required for correctness).
+    if (doSweep) {
+      val dead = snap.entries.iterator
+        .filter(x => x != e && !alive(x)).toSet
+      if (dead.nonEmpty) {
+        registry.computeIfPresent(spark, (_, cur) =>
+          if (cur.gen != snap.gen) cur
+          else cur.copy(gen = cur.gen + 1,
+            entries = cur.entries.filterNot(dead)))
+        ()
+      }
+    }
   }
 
   // eviction-sweep gating: probe dirs at most every `sweepEvery`
   // registrations, and only once the registry is big enough for a
-  // guaranteed-miss tax to matter. Test-only `sweeps` counter lets a
-  // spec pin registration cost sublinear in sweep frequency.
+  // guaranteed-miss tax to matter. The per-session `sweeps` counter
+  // (read via [[sweepCount]]) lets a spec pin registration cost
+  // sublinear in sweep frequency.
   private val sweepEvery = 8
   private val sweepMinSize = 8
-  private val sinceSweep = new java.util.concurrent.atomic.AtomicLong()
-  private[graft] val sweeps = new java.util.concurrent.atomic.AtomicLong()
 
   def clear(spark: SparkSession): Unit = registry.remove(spark)
 
   /** Test-only: live entry count for `spark`'s registry. */
   private[graft] def registered(spark: SparkSession): Int =
-    Option(registry.get(spark)).map(_.size).getOrElse(0)
+    Option(registry.get(spark)).map(_.entries.size).getOrElse(0)
+
+  /** Test-only: sweeps run on behalf of `spark`'s registry (resets
+    * with [[clear]], like the rest of the per-session state). */
+  private[graft] def sweepCount(spark: SparkSession): Long =
+    Option(registry.get(spark)).map(_.sweeps).getOrElse(0L)
 
   /** Append this rule to the session's extra optimizations (once). */
   def enable(spark: SparkSession): Unit =
@@ -146,7 +181,7 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val entries = SparkSession.getActiveSession
-      .flatMap(s => Option(registry.get(s))).getOrElse(Nil)
+      .flatMap(s => Option(registry.get(s))).fold(List.empty[Entry])(_.entries)
     if (entries.isEmpty) plan
     else plan.transformUp {
       case agg @ Aggregate(grouping, aggExprs, child, _) =>

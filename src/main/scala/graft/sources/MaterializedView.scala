@@ -442,16 +442,36 @@ object MaterializedView {
     val keyCols = st.getAs[String]("key_cols").split(",").toSeq
     val distinctCol = st.getAs[String]("sum_cols")
     val rowKey = st.getAs[String]("row_key")
-    // state files written before r13 carry no lg_k column — those
-    // views were built at the then-hardwired width 12, so default to
-    // it instead of throwing on the missing field (an old view must
-    // stay refreshable without a rebuild)
-    val lgK = if (st.schema.fieldNames.contains("lg_k"))
-      st.getAs[Int]("lg_k") else 12
     val toV = Sources.snapshotLatestVersion(spark, tablePath)
     val mvV = Sources.snapshotLatestVersion(spark, mvPath)
     if (toV == fromV) return mvV
     val hllCol = s"hll_$distinctCol"
+    // state files written before r13 carry no lg_k column. 12 was
+    // only the DEFAULT then — buildDistinct always took a
+    // caller-supplied lgK — so blindly assuming 12 would hand a
+    // legacy non-default-width view mismatched registers that
+    // hll_union REJECTS at refresh time (differing lgConfigK).
+    // Recover the TRUE width from the view's own persisted registers
+    // instead: the DataSketches serialization carries lgConfigK in
+    // its preamble, so any one stored blob is authoritative. Only an
+    // EMPTY legacy view (no groups → no blob to inspect) falls back
+    // to the old default, with a logged statement of the assumption.
+    val lgK =
+      if (st.schema.fieldNames.contains("lg_k")) st.getAs[Int]("lg_k")
+      else {
+        val blob = Sources.snapshotRead(spark, mvPath, mvV)
+          .select(hllCol).filter(col(hllCol).isNotNull).limit(1).collect()
+        if (blob.nonEmpty)
+          org.apache.datasketches.hll.HllSketch
+            .heapify(blob(0).getAs[Array[Byte]](0)).getLgConfigK
+        else {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"pre-r13 MV state at $mvPath has no lg_k and no stored " +
+              "sketch to read the width from (empty view); assuming " +
+              "the legacy default lgK=12")
+          12
+        }
+      }
     val fromSet = commitSet(spark, tablePath, fromV)
     val toSet = commitSet(spark, tablePath, toV)
     val merged = if (fromSet.subsetOf(toSet)) {

@@ -834,6 +834,12 @@ object EventStreams {
       watermarkDelay: String = "10 seconds",
       closeOnType: Option[String] = None,
       emitEvery: Option[Int] = None): Dataset[SessionSummary] = {
+    // fail at CONSTRUCTION, not inside the fold: emitEvery = 0 (or
+    // negative) would reach `nEvents % n` mid-batch and kill the
+    // running streaming query with an ArithmeticException instead of
+    // surfacing the bad argument where it was written (ADVICE r14)
+    require(emitEvery.forall(_ > 0),
+      s"emitEvery must be positive, got $emitEvery")
     import events.sparkSession.implicits._
     val gapUs = gapMs * 1000L
     events

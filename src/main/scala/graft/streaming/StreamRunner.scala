@@ -170,10 +170,17 @@ object StreamRunner {
           .filter(_.getFileName.toString.startsWith("part-")).toList
           .sortBy(_.getFileName.toString)
         finally listing.close()
-      require(parts.nonEmpty,
-        s"ordered replay staged no part files at $stage — empty input " +
-          "DataFrame? (an ordered multi-batch replay of zero rows has " +
-          "no batches to order)")
+      // Zero part files: zero rows have no batches to order. Current
+      // Spark writes one schema-preserving empty part file for an
+      // empty frame (so on today's writer this branch is dormant —
+      // the fallback itself is spec'd via emptyReplayResult), but
+      // that is a writer implementation detail: a future Spark/AQE
+      // that stages NOTHING for an empty write must hit the
+      // documented zero-row path, not a hard require (ADVICE r14).
+      if (parts.isEmpty) {
+        deleteDir(stage)
+        return emptyReplayResult(batch)(transform)
+      }
       val base = Files.getLastModifiedTime(parts.head).toMillis
       parts.zipWithIndex.foreach { case (p, i) =>
         Files.setLastModifiedTime(p,
@@ -186,6 +193,17 @@ object StreamRunner {
     try execToMemorySink(spark, src, name, outputMode, extraConfs)(transform)
     finally deleteDir(stage)
   }
+
+  /** The zero-row replay contract: an empty input's result is the
+    * transform over a same-schema empty BATCH frame — output schema
+    * preserved, zero rows. Batch execution is legal for the stream
+    * transforms this runner hosts (EliminateEventTimeWatermark drops
+    * the watermark node on non-streaming children; stateful ops have
+    * a batch path whose timeouts simply never fire), and with no rows
+    * there is no state to carry, so batch ≡ a replay of no batches. */
+  private[graft] def emptyReplayResult(batch: DataFrame)
+      (transform: DataFrame => DataFrame): DataFrame =
+    transform(batch.limit(0))
 
   private def execToMemorySink(spark: SparkSession, src: DataFrame,
       name: String, outputMode: String, extraConfs: Map[String, String])

@@ -31,6 +31,11 @@ object Perf {
       if (noClear) graft.Caches.clear(spark)
       println(f"PERF $name%-34s ${times.map(t => f"$t%.2f").mkString(" ")}")
     }
+    // probe hygiene (VERDICT r14 item 5): probing an sw query leaves
+    // streaming machinery (state-store maintenance thread) that races
+    // SparkContext teardown and floods the probe log with an
+    // RpcEnvStoppedException wall — quiesce it first, like Bench
+    graft.Sessions.quiesceStreaming(spark)
     spark.stop()
   }
 }

@@ -80,6 +80,9 @@ object SwProbe {
       }
       graft.Caches.clear(spark)
     }
+    // probe hygiene (VERDICT r14 item 5): quiesce streaming state
+    // machinery before teardown so the probe log tail stays readable
+    graft.Sessions.quiesceStreaming(spark)
     spark.stop()
   }
 }

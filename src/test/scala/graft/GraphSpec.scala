@@ -592,4 +592,25 @@ class GraphSpec extends SparkSpec {
     assert(key.length == 1 && key(0).getString(0) == d,
       s"marker must carry the requested dir after rebuild: ${key.toSeq}")
   }
+
+  test("co-purchase artifact: a corrupt multi-row marker CONTAINING the requested dir still rebuilds (never wedges the single-row require)") {
+    // ADVICE r14: the r14 check rebuilt only when ALL marker rows
+    // differed from dir — a corrupt marker holding dir PLUS another
+    // key skipped the rebuild and then permanently failed the
+    // key.length == 1 require on every subsequent run (the exact
+    // wedged-artifact mode the marker check exists to heal)
+    val d = java.nio.file.Files.createTempDirectory("copg_multi").toString
+    for (t <- Seq("lineitem", "part"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf/$t.parquet"),
+        java.nio.file.Paths.get(s"$d/$t.parquet"))
+    val path = PropertyGraph.coPurchaseScratch(d)
+    Seq(d, "/some/other/dir").toDF("dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/key")
+    val g = PropertyGraph.partCoPurchaseGraph(spark, d)
+    assert(g.edges.count() > 0)
+    val key = spark.read.parquet(s"$path/key").collect()
+    assert(key.length == 1 && key(0).getString(0) == d,
+      s"corrupt multi-row marker must rebuild to one row: ${key.toSeq}")
+  }
 }

@@ -1216,20 +1216,85 @@ class SourcesSpec extends SparkSpec {
     assert(got == Set(("a", 3L, 3L), ("b", 1L, 1L)))
   }
 
-  test("MV rewrite registry: eviction sweep is gated — dir probes amortize to one pass per sweepEvery registrations") {
+  test("MV distinct refresh: lg_k-less state at a NON-default width recovers the true width from the stored sketch preamble") {
+    import spark.implicits._
+    import graft.sources.{MaterializedView, Sources}
+    // ADVICE r14: 12 was only the pre-r13 DEFAULT — buildDistinct
+    // always took a caller-supplied lgK, so a legacy view built at 14
+    // whose refresh assumed 12 would union lgConfigK=12 deltas into
+    // lgConfigK=14 registers (a runtime hll_union rejection). The
+    // width must come from the persisted registers themselves: the
+    // DataSketches serialization carries lgConfigK.
+    val t = s"$tmp/mvlgk_old14_base"
+    val mv = s"$tmp/mvlgk_old14_view"
+    Sources.snapshotCommit(
+      Seq((1L, "a", "u1"), (2L, "a", "u2")).toDF("id", "g", "u"), t)
+    MaterializedView.buildDistinct(spark, t, mv, rowKey = "id",
+      keyCols = Seq("g"), distinctCol = "u", lgK = 14)
+    val stPath = s"$mv/mv_state"
+    val legacy = spark.read.parquet(stPath).drop("lg_k")
+    val stage = s"$tmp/mvlgk_old14_state_stage"
+    legacy.coalesce(1).write.mode("overwrite").parquet(stage)
+    graft.Fs.deleteRecursive(spark, stPath)
+    spark.read.parquet(stage).coalesce(1)
+      .write.mode("overwrite").parquet(stPath)
+    Sources.snapshotCommit(
+      Seq((3L, "a", "u3"), (4L, "b", "u1")).toDF("id", "g", "u"), t,
+      overwrite = false)
+    MaterializedView.refreshDistinct(spark, t, mv)
+    val got = Sources.snapshotRead(spark, mv,
+        Sources.snapshotLatestVersion(spark, mv))
+      .select(col("g"), col("mv_count"),
+        hll_sketch_estimate(col("hll_u")).as("ndv"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("a", 3L, 3L), ("b", 1L, 1L)))
+    // and the refreshed registers really are width 14: a further
+    // lgK=14 union against them must still succeed end-to-end
+    Sources.snapshotCommit(
+      Seq((5L, "b", "u9")).toDF("id", "g", "u"), t, overwrite = false)
+    MaterializedView.refreshDistinct(spark, t, mv)
+    val got2 = Sources.snapshotRead(spark, mv,
+        Sources.snapshotLatestVersion(spark, mv))
+      .select(col("g"), hll_sketch_estimate(col("hll_u")).as("ndv"))
+      .as[(String, Long)].collect().toSet
+    assert(got2 == Set(("a", 3L), ("b", 2L)))
+  }
+
+  test("MV rewrite registry: eviction sweep is gated per session — dir probes amortize to one pass per sweepEvery registrations, and one session's cadence cannot consume another's") {
     import graft.plans.MvRewrite
     MvRewrite.clear(spark)
-    val before = MvRewrite.sweeps.get()
     (0 until 32).foreach { i =>
       MvRewrite.register(spark, MvRewrite.Entry(
         Set(s"$tmp/mvswp_none_$i"), Seq(s"$tmp/mvswp_none_mv_$i"),
         Seq("g"), Set("v")))
     }
-    val delta = MvRewrite.sweeps.get() - before
+    val delta = MvRewrite.sweepCount(spark)
     // 32 registrations may sweep at most every 8th — the r13 behavior
     // (a full live-dir stat pass on EVERY registration: 32 sweeps,
     // O(N²) filesystem metadata calls) is what this pins against
     assert(delta <= 4, s"32 registrations ran $delta sweeps (cap 4)")
+    // per-session cadence (ADVICE r14): a second session registering
+    // 7 dead-dir views in the same JVM must NOT inherit the first
+    // session's counter — with the r14 process-global sinceSweep, the
+    // 32 registrations above would push session 2 straight over the
+    // threshold and its dead entries would sweep out immediately; its
+    // OWN cadence (7 < sweepEvery=8, size 7 < sweepMinSize=8) says no
+    // sweep yet, so all 7 entries must still be registered.
+    val spark2 = spark.newSession()
+    val session1Count = MvRewrite.registered(spark)
+    (0 until 7).foreach { i =>
+      MvRewrite.register(spark2, MvRewrite.Entry(
+        Set(s"$tmp/mvswp2_none_$i"), Seq(s"$tmp/mvswp2_none_mv_$i"),
+        Seq("g"), Set("v")))
+    }
+    assert(MvRewrite.sweepCount(spark2) == 0,
+      "second session must start its own sweep cadence at zero")
+    assert(MvRewrite.registered(spark2) == 7,
+      "no sweep may fire below the second session's own threshold")
+    // and the first session's registry was untouched by session 2
+    assert(MvRewrite.registered(spark) == session1Count,
+      "registries are per-session")
+    MvRewrite.clear(spark2)
     MvRewrite.clear(spark)
   }
 

@@ -406,6 +406,94 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeWithState combined closeOnType + emitEvery: an event that is both the n-th and a terminator emits partial THEN final, and leaves no state") {
+    // VERDICT r14 item 3: each flag was separately pinned (sw42/sw43)
+    // but their interaction — the n-th event of a session is ALSO the
+    // terminator — exercised an emission order nothing spec'd. The
+    // fold fires the cadence partial first (the event is counted, the
+    // session is momentarily open at n events), then the
+    // value-dependent close emits the final summary for the SAME
+    // n events and removes the state. Both rows carry identical
+    // aggregates; only is_partial separates them.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = EventStreams.sessionizeWithState(in.toDS(), gapMs = 60000L,
+        closeOnType = Some("purchase"), emitEvery = Some(2))
+      .writeStream.format("memory").queryName("state_sessions_combined")
+      .outputMode("append").start()
+    def gotOrdered = spark.table("state_sessions_combined")
+      .select("user_id", "n_events", "total_value", "is_partial")
+      .as[(Long, Long, Double, Boolean)].collect().toList
+    try {
+      // mid-batch: click → purchase. The purchase is event #2 (the
+      // cadence point) AND the terminator: emission sequence must be
+      // the partial (2 events, 3.0, open) followed by the final
+      // (2 events, 3.0, closed) — not final-only, not partial-only,
+      // and never final-before-partial
+      in.addData(
+        Event(1, ts("2024-01-01 00:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 00:00:10"), 1, "purchase", 2.0))
+      q.processAllAvailable()
+      assert(gotOrdered === List((1L, 2L, 3.0, true), (1L, 2L, 3.0, false)),
+        s"n-th terminator must emit partial then final: $gotOrdered")
+      // cross-batch: the carried open tail (1 event) meets a
+      // terminator that is also its 2nd event in the NEXT batch —
+      // same partial-then-final fold across the boundary
+      in.addData(Event(3, ts("2024-01-01 00:01:00"), 2, "click", 5.0))
+      q.processAllAvailable()
+      in.addData(Event(4, ts("2024-01-01 00:01:20"), 2, "purchase", 7.0))
+      q.processAllAvailable()
+      assert(gotOrdered.drop(2) ===
+        List((2L, 2L, 12.0, true), (2L, 2L, 12.0, false)),
+        s"cross-batch n-th terminator must fold then split: $gotOrdered")
+      // sail the watermark a month past everything: the terminator
+      // removed both users' state, so nothing may re-emit at timeout
+      in.addData(Event(10, ts("2024-02-01 00:00:00"), 99, "click", 0.0))
+      q.processAllAvailable()
+      in.addData(Event(11, ts("2024-02-01 00:00:01"), 99, "click", 0.0))
+      q.processAllAvailable()
+      assert(gotOrdered.count(r => r._1 == 1L || r._1 == 2L) === 4,
+        s"terminator-closed sessions re-emitted at timeout: $gotOrdered")
+    } finally q.stop()
+  }
+
+  test("sessionizeWithState rejects a non-positive emitEvery at construction") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Event]
+    // ADVICE r14: emitEvery = 0 used to survive to `nEvents % n`
+    // inside the running fold and kill the query mid-batch with an
+    // ArithmeticException; the bad argument must fail where written
+    intercept[IllegalArgumentException] {
+      EventStreams.sessionizeWithState(in.toDS(), gapMs = 60000L,
+        emitEvery = Some(0))
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.sessionizeWithState(in.toDS(), gapMs = 60000L,
+        emitEvery = Some(-3))
+    }
+  }
+
+  test("emptyReplayResult: the zero-part-file fallback preserves the transform's output schema at zero rows (stateful transform batch-legal)") {
+    import spark.implicits._
+    // ADVICE r14: the ordered replay's empty-input path relied on the
+    // parquet writer staging one schema-preserving empty part file; a
+    // writer that stages NOTHING must land here instead of failing
+    // the nonEmpty require. The fallback runs the transform over a
+    // same-schema empty batch frame — watermark + stateful ops are
+    // batch-legal, and zero rows carry no state — so the result has
+    // the transform's output schema and zero rows.
+    val emptyEvents = Seq.empty[Event].toDS().toDF()
+    val res = graft.streaming.StreamRunner.emptyReplayResult(emptyEvents) {
+      df => EventStreams.sessionizeWithState(
+        df.as[Event], gapMs = 60000L, emitEvery = Some(2)).toDF()
+    }
+    assert(res.columns.toSeq ==
+      Seq("user_id", "n_events", "total_value", "last_ts_us", "is_partial"))
+    assert(res.count() === 0)
+  }
+
   test("budgetAdmission carries spent-token state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
