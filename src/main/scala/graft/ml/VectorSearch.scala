@@ -337,15 +337,31 @@ object VectorSearch {
     require(m > 0 && dim % m == 0, s"dim $dim not divisible by m $m subspaces")
     val sub = dim / m
     val c = corpus.toDF("id", "v")
-    (0 until m).map { j =>
-      val subv = c.select(array_to_vector(
-        expr(s"transform(slice(v, ${j * sub + 1}, $sub), x -> CAST(x AS DOUBLE))"))
-        .as("f"))
-      new KMeans().setK(k).setSeed(seed + j)
-        .setFeaturesCol("f").setPredictionCol("p")
-        .fit(subv)
-        .clusterCenters.toSeq.map(_.toArray.map(_.toFloat))
-    }
+    // The m subspace fits are INDEPENDENT (disjoint slices, own seeds)
+    // but each is a chain of tiny driver-synchronous jobs (kmeans||
+    // init rounds + one job per Lloyd iteration), so running them
+    // sequentially leaves the cluster idle in every job gap — overlap
+    // them from a small thread pool and let the scheduler back-fill
+    // (optimization guide §2.6); results are bit-identical because
+    // each fit is a self-contained seeded estimator. Futures keep
+    // SUBMISSION order deterministic; the pool is bounded at m (= 4
+    // here) so the overlap never floods the scheduler.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fits = (0 until m).map { j => Future {
+        val subv = c.select(array_to_vector(
+          expr(s"transform(slice(v, ${j * sub + 1}, $sub), x -> CAST(x AS DOUBLE))"))
+          .as("f"))
+        new KMeans().setK(k).setSeed(seed + j)
+          .setFeaturesCol("f").setPredictionCol("p")
+          .fit(subv)
+          .clusterCenters.toSeq.map(_.toArray.map(_.toFloat))
+      } }
+      fits.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** Spherical IVF build: KMeans over unit-normalized vectors. Returns

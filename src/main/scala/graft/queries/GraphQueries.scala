@@ -566,12 +566,22 @@ object GraphQueries {
     NamedQuery("g34_hyperball_anf",
       (s, dir) => {
         val g = PropertyGraph.customerPartGraph(s, dir)
-        val sk = IterativeGraph.hyperBallSketches(g.edges, iters = AnfIters,
-          lgK = AnfLgK)
-        val exact = IterativeGraph.shortestPathsLandmarks(
-            IterativeGraph.symmetrize(g.edges), AnfSample, iters = AnfIters)
-          .groupBy(col("landmark").as("id"))
-          .agg(count(lit(1)).as("exact_ball"))
+        // The sketch supersteps and the exact landmark BFS are
+        // INDEPENDENT eager loops (each localCheckpoints per
+        // superstep, so each is a chain of driver-synchronous jobs
+        // with idle gaps); overlap them from two threads so the BFS
+        // back-fills the sketch loop's gaps (guide §2.6). Output is
+        // unchanged: both sides are deterministic and only meet in
+        // the join below. symmetrize() is Caches-registered
+        // thread-safely; the CacheManager dedups the shared plan.
+        val (sk, exact) = GraphQueries.par2(
+          () => IterativeGraph.hyperBallSketches(g.edges, iters = AnfIters,
+            lgK = AnfLgK),
+          () => IterativeGraph.shortestPathsLandmarks(
+              IterativeGraph.symmetrize(g.edges), AnfSample, iters = AnfIters)
+            .groupBy(col("landmark").as("id"))
+            .agg(count(lit(1)).as("exact_ball"))
+            .localCheckpoint())
         exact.join(sk, "id")
           .select(col("id"), col("exact_ball"),
             (abs(graft.functions.PackedHll.hll5Estimate(col("sk"))
@@ -594,26 +604,42 @@ object GraphQueries {
     NamedQuery("g35_anf_function",
       (s, dir) => {
         val g = PropertyGraph.customerPartGraph(s, dir)
-        val steps = IterativeGraph.hyperBallSteps(g.edges, iters = AnfIters,
-          lgK = AnfLgK)
+        // overlap the two independent eager loops (guide §2.6), as in
+        // g34: the sketch supersteps and the exact landmark BFS only
+        // meet in the per-t arithmetic below
+        val (steps, exact) = GraphQueries.par2(
+          () => IterativeGraph.hyperBallSteps(g.edges, iters = AnfIters,
+            lgK = AnfLgK),
+          () => graft.Caches.cached(IterativeGraph.shortestPathsLandmarks(
+            IterativeGraph.symmetrize(g.edges), AnfSample, iters = AnfIters)))
         val spark = s
         import spark.implicits._
         val sampleDf = graft.Caches.cached(AnfSample.toDF("id"))
-        val exact = graft.Caches.cached(IterativeGraph.shortestPathsLandmarks(
-          IterativeGraph.symmetrize(g.edges), AnfSample, iters = AnfIters))
         // isolated sample vertices bear no edges → absent from the
         // sketch frames; restrict BOTH sides to edge-bearing ids so
         // the estimate and exact sums cover the same universe
         val present = graft.Caches.cached(
           steps.head.join(sampleDf, "id").select("id"))
-        val rows = (1 to AnfIters).map { t =>
-          val est = steps(t - 1).join(present, "id")
+        // ONE action per side instead of two per t (guide §2.4 — the
+        // old loop ran 2·AnfIters driver-synchronous jobs over the
+        // same cached frames): the per-step estimate aggs union into
+        // a single job, and the exact side collapses to one
+        // count-per-dist agg whose ≤t prefix sums fold in the driver
+        // (integer counting — identical values to the per-t filters).
+        val estRows = steps.zipWithIndex.map { case (st, i) =>
+          st.join(present, "id")
             .agg(sum(graft.functions.PackedHll.hll5Estimate(col("sk")))
               .cast("long").as("est"))
-            .head.getLong(0)
-          val ex = exact.join(present.withColumnRenamed("id", "landmark"),
-              "landmark")
-            .filter(col("dist") <= t).count()
+            .select(lit(i + 1).as("t"), col("est"))
+        }.reduce(_.unionAll(_)).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val byDist = exact.join(
+            present.withColumnRenamed("id", "landmark"), "landmark")
+          .groupBy("dist").agg(count(lit(1)).as("c")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val rows = (1 to AnfIters).map { t =>
+          val est = estRows(t)
+          val ex = (0 to t).map(d => byDist.getOrElse(d, 0L)).sum
           (t, ex, math.abs(est - ex).toDouble / ex <= 0.1)
         }
         rows.toDF("t", "exact_pairs", "within_10pct").orderBy("t")
@@ -720,6 +746,23 @@ object GraphQueries {
   // CPU-bound on sketch codecs.
   private def AnfLgK = 10
   private def AnfSample: Seq[Long] = (1L to 100L)
+
+  /** Run two independent EAGER frame builders concurrently and return
+    * both (guide §2.6 — overlap independent jobs): the iterative
+    * loops here are chains of driver-synchronous jobs whose scheduling
+    * gaps the other loop's tasks back-fill. Only for builders with no
+    * data dependency; determinism is untouched (each side is a seeded/
+    * integer-exact loop, and they only meet after both complete). */
+  private[queries] def par2[A, B](fa: () => A, fb: () => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val a = Future(fa()); val b = Future(fb())
+      (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf))
+    } finally pool.shutdown()
+  }
   private def HitsIters = 3
   private[queries] def PsIters = 4
   private def SpIters = 3

@@ -4058,11 +4058,18 @@ object PipelineQueries {
         val qs = graft.Caches.cached(docs.filter(col("doc_id") % 125 === 7)
           .select(col("doc_id").as("query_id"),
             concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("qtext")))
-        val fb = Retrieval.bm25TopK(docs, "doc_id", "text",
-          qs, "query_id", "qtext", k = 3)
-        val fbTf = fb.select("query_id", "doc_id").join(docs, "doc_id")
-          .select(col("query_id"), explode(TextOps.tokens(col("text"))).as("tok"))
-          .groupBy("query_id", "tok").agg(count(lit(1)).as("ftf"))
+        // ONE posting table feeds BOTH retrieval passes AND the
+        // feedback-term counts (r15, guide §2.4): bm25TopK per pass
+        // would tokenize+aggregate the corpus once per call (two
+        // corpus passes), and the old feedback-term count re-tokenized
+        // the feedback docs' text a third time — the posting rows of
+        // the ≤3 feedback docs already carry exactly those counts
+        // (sum(tf) ≡ count of occurrences), so the tf cache serves all
+        // three consumers.
+        val tf = graft.Caches.cached(Retrieval.postingsOf(docs, "doc_id", "text"))
+        val fb = Retrieval.bm25TopKPostings(tf, qs, "query_id", "qtext", k = 3)
+        val fbTf = fb.select("query_id", "doc_id").join(tf, "doc_id")
+          .groupBy("query_id", "tok").agg(sum("tf").as("ftf"))
         val qtok = qs.select(col("query_id"),
           explode(array_distinct(TextOps.tokens(col("qtext")))).as("tok"))
         val wE = Window.partitionBy("query_id")
@@ -4081,8 +4088,7 @@ object PipelineQueries {
           .select(col("query_id"),
             concat_ws(" ", col("qtext"), coalesce(col("etext"), lit("")))
               .as("qtext")))
-        Retrieval.bm25TopK(docs, "doc_id", "text", q2, "query_id", "qtext",
-            k = 10)
+        Retrieval.bm25TopKPostings(tf, q2, "query_id", "qtext", k = 10)
           .orderBy("query_id", "rank")
       },
       Some(s"""WITH ${bm25Ctes()},

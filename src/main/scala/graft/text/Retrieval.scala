@@ -46,12 +46,26 @@ object Retrieval {
   }
 
   /** The (doc_id, tok, tf) posting table of a corpus: one tokenize
-    * scan, one (doc, term)-keyed count (map-side combine). */
-  private def postingsOf(corpus: DataFrame, idCol: String,
+    * scan, one (doc, term)-keyed count (map-side combine). Public for
+    * multi-pass retrieval loops (RM3's two scoring passes over one
+    * corpus): build it ONCE, cache it at the caller, and score each
+    * pass with [[bm25TopKPostings]] — one tokenize+agg instead of one
+    * per pass (guide §2.4: remove repeated passes outright). */
+  def postingsOf(corpus: DataFrame, idCol: String,
       textCol: String): DataFrame = corpus
     .select(col(idCol).as("doc_id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
     .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+
+  /** [[bm25TopK]] over a PREBUILT posting table (the [[postingsOf]]
+    * shape) — identical scoring plan, no corpus tokenize. The caller
+    * caches `tf` when several passes consume it. */
+  def bm25TopKPostings(tf: DataFrame, queries: DataFrame, qidCol: String,
+      qtextCol: String, k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    scoreBm25(tf, dl, queries, qidCol, qtextCol, k, k1, b)
+  }
 
   /** BM25 scoring over a posting table + doc-length table — the
     * shared back half of [[bm25TopK]] (in-memory postings) and
