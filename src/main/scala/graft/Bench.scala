@@ -6,6 +6,13 @@ object Bench {
     // default to every core (driver contract: local[32] on the 32-cpu box)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // load indicator (VERDICT r15 item 2c): capture /proc/loadavg at
+    // sweep start and end so a contended window is attributable from
+    // the artifact alone, without a re-run
+    def loadavg(): String =
+      try Files.readString(Paths.get("/proc/loadavg")).trim
+      catch { case _: Throwable => "" }
+    val loadStart = loadavg()
     val spark = Sessions.local(cpus)
     // untimed warmup: JIT + codegen + parquet footer caches otherwise
     // land entirely on the alphabetically-first query (d01 measured
@@ -149,11 +156,19 @@ object Bench {
     // with the floor they were checked against), so a genuine
     // regression shows as late readings that AGREE with the sweep —
     // an attributed slowdown, not a silent phantom.
+    // Floors are CORE-COUNT-TAGGED (VERDICT r15 item 2a): a floor key
+    // is "query@cpus", and only a floor measured at THIS run's core
+    // count judges this run — an 8-core floor must not flag a 32-core
+    // drive (8-core readings ran 1.0–3x faster across the board at
+    // sf0.1, so cross-core comparison guarantees spurious rechecks).
+    // A drive at a core count with no recorded floors simply runs
+    // unguarded; its artifact seeds the floors for the next round.
     val floorsPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOORS", "bench_floors.json")
     val floors: Map[String, Double] =
       if (!Files.exists(Paths.get(floorsPath))) Map.empty
-      else "\"([^\"]+)\":([0-9.]+)".r
+      else ("\"([^\"@]+)@" + java.util.regex.Pattern.quote(cpus) +
+          "\":([0-9.]+)").r
         .findAllMatchIn(Files.readString(Paths.get(floorsPath)))
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     lastFam = ""
@@ -216,17 +231,22 @@ object Bench {
     // single-protocol column comparable across rounds regardless of
     // which queries crossed the 0.75 s recheck threshold (ADVICE r8)
     val totalSweep = guarded.filter(_.err.isEmpty).map(_.sweepMin).sum
+    val loadEnd = loadavg()
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""timing":"min_of_runs","total_cold":${fmt(totalCold)},""" +
-      s""""total_sweep":${fmt(totalSweep)},""" +
+      s""""total_sweep":${fmt(totalSweep)},"cpus":$cpus,""" +
+      s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
       s""""queries":$qs,"runs":$runs,"contended":$contended,""" +
       s""""isolated":$isolated,"floor_rechecks":$floorRechecked,""" +
       s""""failed":$failed,"sf":"$sfDir"}"""
-    println(json)
     // stdout capture through sbt truncates the HEAD of the (long) full
-    // JSON line — persist the lossless record to a file, and print a
-    // compact summary LAST (same schema, slowest 12 queries only) so a
-    // tail capture always contains one parseable JSON line.
+    // JSON line — persist the lossless record to a file; stdout gets a
+    // compact summary (same schema, slowest 12 queries only) printed
+    // EXACTLY ONCE as the process's very last line (VERDICT r15 item
+    // 2b: the old print-then-reprint protocol put two identical JSON
+    // lines in the tail and the driver's parser lost round 14 to the
+    // ambiguity). Teardown runs BEFORE the print and is best-effort —
+    // no teardown noise or failure may displace or duplicate the line.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     Files.writeString(Paths.get(out), json + "\n")
     val slow = guarded.filter(_.err.isEmpty).sortBy(-_.best).take(12)
@@ -234,18 +254,19 @@ object Bench {
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""timing":"min_of_runs","queries":$slow,"failed":$failed,""" +
-      s""""n":${guarded.size},"queries_full":"$out","sf":"$sfDir"}"""
-    println(summary)
+      s""""n":${guarded.size},"cpus":$cpus,""" +
+      s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
+      s""""queries_full":"$out","sf":"$sfDir"}"""
     // Shutdown ORDER matters for the official artifact: the r13 record
     // lost its summary because the state-store maintenance thread raced
     // SparkContext teardown and flooded the captured tail with an
     // RpcEnvStoppedException wall. Quiesce the streaming machinery
     // FIRST (stop any stray active query, then the StateStore
-    // maintenance task + loaded providers), THEN stop Spark — and
-    // re-print the one-line summary as the process's very last stdout
-    // so no late teardown noise can displace it from a bounded tail.
-    graft.Sessions.quiesceStreaming(spark)
-    spark.stop()
+    // maintenance task + loaded providers), THEN stop Spark, THEN print.
+    try {
+      graft.Sessions.quiesceStreaming(spark)
+      spark.stop()
+    } catch { case _: Throwable => () }
     println(summary)
   }
 }
