@@ -779,10 +779,17 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val sig = graft.Caches.cached(
       minhashSignaturesPortable(df, idCol, textCol, n, numHashes))
-    sig.write.mode("overwrite").parquet(s"$path/signatures")
-    bandedOf(sig, numHashes, bands)
-      .repartition(col("band"))
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // overlap the two independent artifact writes over the shared
+    // cached signature table (guide §2.6 — the writePostingsIndex
+    // pattern; block locks dedupe the concurrent cache fill):
+    // distinct output dirs, artifacts byte-identical to the
+    // sequential form
+    graft.Par.par2("writeMinhashIndex")(
+      () => sig.write.mode("overwrite").parquet(s"$path/signatures"),
+      () => bandedOf(sig, numHashes, bands)
+        .repartition(col("band"))
+        .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands"))
+    ()
   }
 
   /** Reload the persisted signature table: (id, mh_0..mh_{H−1}). */
@@ -820,20 +827,42 @@ object Dedup {
   def ingestAgainstMinhashIndex(batch: DataFrame, idCol: String,
       textCol: String, path: String, n: Int, numHashes: Int, bands: Int,
       minJaccard: Double): DataFrame =
-    ingestAgainstMinhashFrames(batch, idCol, textCol, path, n, numHashes,
+    ingestAgainstMinhashFrames(batch, idCol, path, numHashes,
       bands, minJaccard,
       readMinhashBands(batch.sparkSession, path),
-      readMinhashSignatures(batch.sparkSession, path))
+      readMinhashSignatures(batch.sparkSession, path),
+      prepareMinhashBatch(batch, idCol, textCol, n, numHashes, bands,
+        minJaccard))
 
-  private def ingestAgainstMinhashFrames(batch: DataFrame, idCol: String,
-      textCol: String, path: String, n: Int, numHashes: Int, bands: Int,
-      minJaccard: Double, corpusBands: DataFrame,
-      corpusSigs: DataFrame): DataFrame = {
+  /** Batch-side state reusable across repeated ingests of the SAME
+    * batch (the d33 two-phase proof serves one feed twice): the
+    * signature table and the within-batch lower-id drop set are pure
+    * functions of the batch alone — independent of index state — so a
+    * second serve of the identical feed must not pay the
+    * tokenize+shingle+minhash pass or the banded self-join again
+    * (guide §2.4: remove repeated passes outright). Both frames are
+    * [[graft.Caches]]-registered per-call intermediates. */
+  final case class MinhashBatch(sigB: DataFrame, droppedWithin: DataFrame)
+
+  /** Compute [[MinhashBatch]] once for a feed that will ingest more
+    * than once (or delegate per-ingest via the plain entry points). */
+  def prepareMinhashBatch(batch: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int, minJaccard: Double): MinhashBatch = {
     val sigB = graft.Caches.cached(
       minhashSignaturesPortable(batch, idCol, textCol, n, numHashes))
     // (a) within-batch lower-id-neighbor drop
-    val droppedWithin = minhashLshPairsFromSig(sigB, numHashes, bands, minJaccard)
-      .select(col("id_b").as("id"))
+    val droppedWithin = graft.Caches.cached(
+      minhashLshPairsFromSig(sigB, numHashes, bands, minJaccard)
+        .select(col("id_b").as("id")))
+    MinhashBatch(sigB, droppedWithin)
+  }
+
+  private def ingestAgainstMinhashFrames(batch: DataFrame, idCol: String,
+      path: String, numHashes: Int, bands: Int,
+      minJaccard: Double, corpusBands: DataFrame,
+      corpusSigs: DataFrame, prepared: MinhashBatch): DataFrame = {
+    val sigB = prepared.sigB
+    val droppedWithin = prepared.droppedWithin
     // (b) survivors probe the persisted band index, verify on signatures
     val survivors = sigB.join(droppedWithin, Seq("id"), "left_anti")
     val cand = bandedOf(survivors, numHashes, bands)
@@ -896,13 +925,25 @@ object Dedup {
     * again; everything else behaves identically. */
   def ingestAgainstLiveMinhashIndex(batch: DataFrame, idCol: String,
       textCol: String, path: String, n: Int, numHashes: Int, bands: Int,
-      minJaccard: Double): DataFrame = {
+      minJaccard: Double): DataFrame =
+    ingestAgainstLiveMinhashIndexPrepared(batch, idCol, path, numHashes,
+      bands, minJaccard,
+      prepareMinhashBatch(batch, idCol, textCol, n, numHashes, bands,
+        minJaccard))
+
+  /** [[ingestAgainstLiveMinhashIndex]] over a PRECOMPUTED
+    * [[MinhashBatch]] — the entry point for serving one feed several
+    * times (d33's tombstoned/compacted phase pair): index state is
+    * read fresh per call, batch-side work is paid once at prepare. */
+  def ingestAgainstLiveMinhashIndexPrepared(batch: DataFrame, idCol: String,
+      path: String, numHashes: Int, bands: Int, minJaccard: Double,
+      prepared: MinhashBatch): DataFrame = {
     val spark = batch.sparkSession
     val ts = minhashTombstones(spark, path)
-    ingestAgainstMinhashFrames(batch, idCol, textCol, path, n, numHashes,
+    ingestAgainstMinhashFrames(batch, idCol, path, numHashes,
       bands, minJaccard,
       minusTombstones(readMinhashBands(spark, path), ts),
-      minusTombstones(readMinhashSignatures(spark, path), ts))
+      minusTombstones(readMinhashSignatures(spark, path), ts), prepared)
   }
 
   /** Fold tombstones into both artifacts and clear them. */

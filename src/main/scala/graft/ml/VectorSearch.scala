@@ -344,11 +344,14 @@ object VectorSearch {
     // them from a small thread pool and let the scheduler back-fill
     // (optimization guide §2.6); results are bit-identical because
     // each fit is a self-contained seeded estimator. Futures keep
-    // SUBMISSION order deterministic; the pool is bounded at m (= 4
-    // here) so the overlap never floods the scheduler.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    // SUBMISSION order deterministic; the pool is bounded at
+    // min(m, 3) — §2.6's "2-3 in flight is plenty": enough overlap to
+    // fill the job gaps without flooding the scheduler however large
+    // a caller's m is (VERDICT r15 item 6). The await is finite and
+    // the failure names the subspace, so a wedged fit surfaces as an
+    // attributed error, not an eternal hang.
+    import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 3))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
       val fits = (0 until m).map { j => Future {
@@ -360,7 +363,14 @@ object VectorSearch {
           .fit(subv)
           .clusterCenters.toSeq.map(_.toArray.map(_.toFloat))
       } }
-      fits.map(Await.result(_, Duration.Inf))
+      fits.zipWithIndex.map { case (f, j) =>
+        try Await.result(f, graft.Par.MaxWait)
+        catch {
+          case e: TimeoutException => throw new RuntimeException(
+            s"pqTrainCodebooks: subspace $j KMeans fit produced no result " +
+              s"within ${graft.Par.MaxWait}", e)
+        }
+      }
     } finally pool.shutdown()
   }
 
@@ -428,11 +438,23 @@ object VectorSearch {
     * brute force, and the sweep is what says so. */
   def ivfProbeSweepTrained(queries: DataFrame, corpus: DataFrame, k: Int,
       nlist: Int, nprobes: Seq[Int], seed: Long): DataFrame = {
-    val (assigned, centroids) = sphericalIndex(corpus, nlist, seed)
+    // The KMeans fit (a chain of tiny driver-synchronous jobs) and the
+    // exact brute-force baseline are INDEPENDENT until the per-probe
+    // audit below — overlap them so the brute-force scan back-fills
+    // the fit's scheduler gaps (guide §2.6; the m16 pqTrainCodebooks
+    // move). Results unchanged: the exact side is deterministic and
+    // was cached anyway; materializing it eagerly in its own thread
+    // only moves WHEN the cache fills.
+    val ((assigned, centroids), exact) = graft.Par.par2("ivfProbeSweepTrained")(
+      () => sphericalIndex(corpus, nlist, seed),
+      () => {
+        val e = graft.Caches.cached(
+          Similarity.bruteForceTopK(queries, corpus, k)
+            .select("query_id", "neighbor_id"))
+        e.count()
+        e
+      })
     val q = queries.toDF("query_id", "qv")
-    val exact = graft.Caches.cached(
-      Similarity.bruteForceTopK(queries, corpus, k)
-        .select("query_id", "neighbor_id"))
     nprobes.map { np =>
       val qProbed = q.withColumn("part",
         explode(probeParts(col("qv"), centroids, np)))

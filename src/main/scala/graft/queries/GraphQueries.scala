@@ -752,17 +752,12 @@ object GraphQueries {
     * loops here are chains of driver-synchronous jobs whose scheduling
     * gaps the other loop's tasks back-fill. Only for builders with no
     * data dependency; determinism is untouched (each side is a seeded/
-    * integer-exact loop, and they only meet after both complete). */
-  private[queries] def par2[A, B](fa: () => A, fb: () => B): (A, B) = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    try {
-      val a = Future(fa()); val b = Future(fb())
-      (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf))
-    } finally pool.shutdown()
-  }
+    * integer-exact loop, and they only meet after both complete).
+    * Delegates to [[graft.Par.par2]] — finite await, named failure
+    * (VERDICT r15 item 6: a wedged side must not hang the query
+    * forever with no attribution). */
+  private[queries] def par2[A, B](fa: () => A, fb: () => B): (A, B) =
+    graft.Par.par2("GraphQueries.par2")(fa, fb)
   private def HitsIters = 3
   private[queries] def PsIters = 4
   private def SpIters = 3

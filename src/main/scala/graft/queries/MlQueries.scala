@@ -52,7 +52,14 @@ object MlQueries {
 
     // ---- M1/M4 (goodreads.py:239,269): 80/20 split + test RMSE.
     NamedQuery("m02_als_rmse", (s, dir) => {
+      // cache both split halves: train feeds the ALS fit AND its count,
+      // test feeds the transform+evaluate AND its count — uncached,
+      // each consumer re-runs the sampler over the ratings scan
+      // (guide §2.4). Values unchanged: the seeded split over the
+      // persisted (stable-partitioned) ratings is deterministic, the
+      // cache only stops its recomputation.
       val Array(train, test) = ratings(s, dir).randomSplit(Array(0.8, 0.2), seed = 42L)
+        .map(graft.Caches.cached)
       val model = Recommend.fit(train, "user", "item", "rating",
         rank = 8, maxIter = 5, regParam = 0.1, seed = 42L)
       val r = Recommend.rmse(model, test, "rating")
@@ -85,15 +92,26 @@ object MlQueries {
     NamedQuery("m05_silhouettes", (s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
-      val meta = graft.Caches.cached(ContentFeatures.metadataFeatures(docs,
-        Seq("lang", "source"), Seq("n_chars")))
-      val metaClusters = graft.Caches.cached(
-        Clustering.kmeans(meta, "features", k = 8, seed = 1L))
-      val sMeta = Clustering.silhouette(metaClusters, "features")
-      val tf = tfidfPca(s, dir)
-      val tfClusters = graft.Caches.cached(
-        Clustering.kmeans(tf, "pca", k = 10, seed = 1L))
-      val sTf = Clustering.silhouette(tfClusters, "pca")
+      // the metadata and tfidf-pca pipelines are INDEPENDENT seeded
+      // fit+evaluate chains of tiny driver-synchronous jobs — overlap
+      // them so each back-fills the other's scheduler gaps
+      // (guide §2.6, the m16/g34 move); each side is a self-contained
+      // seeded estimator, so both silhouettes are bit-identical to
+      // the sequential form
+      val (sMeta, sTf) = graft.Par.par2("m05_silhouettes")(
+        () => {
+          val meta = graft.Caches.cached(ContentFeatures.metadataFeatures(
+            docs, Seq("lang", "source"), Seq("n_chars")))
+          val metaClusters = graft.Caches.cached(
+            Clustering.kmeans(meta, "features", k = 8, seed = 1L))
+          Clustering.silhouette(metaClusters, "features")
+        },
+        () => {
+          val tf = tfidfPca(s, dir)
+          val tfClusters = graft.Caches.cached(
+            Clustering.kmeans(tf, "pca", k = 10, seed = 1L))
+          Clustering.silhouette(tfClusters, "pca")
+        })
       Seq(("metadata_kmeans", math.rint(sMeta * 10000) / 10000),
           ("tfidf_pca_kmeans", math.rint(sTf * 10000) / 10000))
         .toDF("variant", "silhouette")
@@ -588,11 +606,28 @@ object MlQueries {
       val model = Recommend.fit(r, "user", "item", "rating",
         rank = 8, maxIter = 5, regParam = 0.1, seed = 42L)
       val path = graft.ScratchDirs.scratch("als_model")
-      Recommend.saveModel(model, path)
+      // batch is read by both serves — cache it (one distinct shuffle,
+      // not two). The artifact write and the IN-SESSION serve are
+      // independent (both need only the fitted model; they meet at
+      // loadModel below) — overlap them so the serve's topK jobs
+      // back-fill the writer's commit gaps (guide §2.6). The serve
+      // frames themselves are CACHED before the equality gate: each
+      // used to be recomputed per exceptAll side and again by the
+      // final orderBy — 5 users×items topK passes for 2 distinct
+      // results (guide §2.4) — now each computes exactly once.
+      val batch = graft.Caches.cached(
+        r.select("user").distinct().filter(col("user") % 20 === 7))
+      val (_, inSession) = graft.Par.par2("m27_save_vs_serve")(
+        () => Recommend.saveModel(model, path),
+        () => {
+          val f = graft.Caches.cached(
+            Recommend.recommendUserSubset(model, batch, 5))
+          f.count()
+          f
+        })
       val reloaded = Recommend.loadModel(path)
-      val batch = r.select("user").distinct().filter(col("user") % 20 === 7)
-      val inSession = Recommend.recommendUserSubset(model, batch, 5)
-      val served = Recommend.recommendUserSubset(reloaded, batch, 5)
+      val served = graft.Caches.cached(
+        Recommend.recommendUserSubset(reloaded, batch, 5))
       require(served.exceptAll(inSession).isEmpty &&
         inSession.exceptAll(served).isEmpty,
         "reloaded ALS model diverged from the in-session model")
@@ -610,10 +645,21 @@ object MlQueries {
       val feats = tfidfPca(s, dir)
       val model = Clustering.kmeansFit(feats, "pca", k = 10, seed = 1L)
       val path = graft.ScratchDirs.scratch("kmeans_model")
-      Clustering.saveKmeans(model, path)
+      // overlap the artifact write with the in-session assignment
+      // (independent — they meet at loadKmeans; guide §2.6), and CACHE
+      // both assignment frames: each previously recomputed per
+      // exceptAll side and again in the final histogram (guide §2.4)
+      val (_, a) = graft.Par.par2("m28_save_vs_assign")(
+        () => Clustering.saveKmeans(model, path),
+        () => {
+          val f = graft.Caches.cached(
+            model.transform(feats).select("doc_id", "cluster"))
+          f.count()
+          f
+        })
       val reloaded = Clustering.loadKmeans(path)
-      val a = model.transform(feats).select("doc_id", "cluster")
-      val b = reloaded.transform(feats).select("doc_id", "cluster")
+      val b = graft.Caches.cached(
+        reloaded.transform(feats).select("doc_id", "cluster"))
       require(b.exceptAll(a).isEmpty && a.exceptAll(b).isEmpty,
         "reloaded KMeans model diverged from the in-session model")
       b.groupBy("cluster").agg(count(lit(1)).as("size"))

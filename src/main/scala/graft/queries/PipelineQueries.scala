@@ -3235,8 +3235,14 @@ object PipelineQueries {
         Retrieval.tombstonePostingsIndex(
           docs.filter(col("doc_id") % 5 === 0).select("doc_id"),
           "doc_id", path)
+        // the query texts are a pure function of the FULL corpus —
+        // identical in both phases — so derive them once (one corpus
+        // scan + tokenize, not one per serve; guide §2.4). The serves
+        // themselves stay separate: each re-reads its own artifact
+        // state, which is exactly what the phase proof pins.
+        val qs = graft.Caches.cached(bm25Queries(docs))
         def serve(tag: Int) =
-          Retrieval.bm25TopKFromIndex(s, path, bm25Queries(docs),
+          Retrieval.bm25TopKFromIndex(s, path, qs,
               "query_id", "qtext", k = 10)
             .select(lit(tag).as("phase"), col("query_id"), col("doc_id"),
               col("score"), col("rank"))
@@ -3599,19 +3605,25 @@ object PipelineQueries {
         Dedup.tombstoneMinhashIndex(
           docs.filter(col("doc_id") % 6 === 0).select("doc_id"),
           "doc_id", path)
-        // both phases ingest the IDENTICAL feed — materialize it once
-        // so phase 2 pays the serve, not a second parse+union (the
-        // signature rebuild stays: it IS part of the serve under
-        // proof). The remaining two-phase cost is the proof itself.
+        // both phases ingest the IDENTICAL feed — materialize it once,
+        // and PREPARE the batch side once: the feed's signature table
+        // and within-batch drop set are pure functions of the feed
+        // (independent of index state), so phase 2 pays the index
+        // probe/verify/append — the proof — not a second
+        // tokenize+shingle+minhash pass or banded self-join
+        // (guide §2.4; the s38 one-postings-build precedent).
         val feed = graft.Caches.cached(
           docs.filter(col("doc_id") % 4 === 1)
             .unionByName(docs.filter(col("doc_id") % 6 === 0)
               .withColumn("doc_id", col("doc_id") + 1000000))
             .unionByName(docs.filter(col("doc_id") % 2 === 0 && col("doc_id") % 6 =!= 0)
               .withColumn("doc_id", col("doc_id") + 2000000)))
+        val prepared = Dedup.prepareMinhashBatch(feed, "doc_id", "text",
+          n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5)
         def serve(tag: Int) =
-          Dedup.ingestAgainstLiveMinhashIndex(feed, "doc_id", "text", path,
-              n = 3, numHashes = MhHashes, bands = MhBands, minJaccard = 0.5)
+          Dedup.ingestAgainstLiveMinhashIndexPrepared(feed, "doc_id", path,
+              numHashes = MhHashes, bands = MhBands, minJaccard = 0.5,
+              prepared = prepared)
             .select(lit(tag).as("phase"), col("doc_id"))
         val p1 = serve(1).localCheckpoint()
         Dedup.compactMinhashIndex(s, path)

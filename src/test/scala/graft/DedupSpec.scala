@@ -629,6 +629,39 @@ class DedupSpec extends SparkSpec {
     assert(a2.isEmpty)
   }
 
+  test("prepared minhash ingest ≡ plain ingest across a tombstone/compaction phase pair") {
+    // the d33 §2.4 seam: one prepared batch state serving two phases
+    // must admit exactly what two independent plain ingests admit
+    // against an identical twin index
+    val docs = spark.range(40).selectExpr("id AS doc_id",
+      "concat('p', id, 'a p', id, 'b p', id, 'c p', id, 'd p', id, " +
+        "'e p', id, 'f p', id, 'g p', id, 'h') AS text")
+    val feed = docs.withColumn("doc_id", $"doc_id" + 1000)
+    def phases(path: String,
+        ingest: () => org.apache.spark.sql.DataFrame): (Seq[Long], Seq[Long]) = {
+      Dedup.writeMinhashIndex(docs, "doc_id", "text",
+        n = 3, numHashes = 16, bands = 4, path)
+      Dedup.tombstoneMinhashIndex(
+        docs.filter($"doc_id" % 2 === 0).select("doc_id"), "doc_id", path)
+      val a1 = ingest().select("doc_id").as[Long].collect().sorted.toSeq
+      Dedup.compactMinhashIndex(spark, path)
+      val a2 = ingest().select("doc_id").as[Long].collect().sorted.toSeq
+      (a1, a2)
+    }
+    val pathPlain = ScratchDirs.scratch("t_mh_prep_plain")
+    val (p1, p2) = phases(pathPlain, () =>
+      Dedup.ingestAgainstLiveMinhashIndex(feed, "doc_id", "text", pathPlain,
+        n = 3, numHashes = 16, bands = 4, minJaccard = 0.5))
+    val pathPrep = ScratchDirs.scratch("t_mh_prep_prepared")
+    val prepared = Dedup.prepareMinhashBatch(feed, "doc_id", "text",
+      n = 3, numHashes = 16, bands = 4, minJaccard = 0.5)
+    val (q1, q2) = phases(pathPrep, () =>
+      Dedup.ingestAgainstLiveMinhashIndexPrepared(feed, "doc_id", pathPrep,
+        numHashes = 16, bands = 4, minJaccard = 0.5, prepared = prepared))
+    assert(q1 == p1, s"phase-1 admitted sets diverge: $q1 vs $p1")
+    assert(q2 == p2, s"phase-2 admitted sets diverge: $q2 vs $p2")
+  }
+
   test("bloom index has no false negatives: every indexed hash gates true") {
     val path = ScratchDirs.scratch("t_bloom_fn")
     val docs = syntheticDocs(200, "bloomfn")
